@@ -1,0 +1,36 @@
+"""spark-validate — a PySpark-native schema + constraint + drift validation engine.
+
+Built from scratch for Spark's execution model (DataFrame/SQL, Catalyst, AQE,
+Arrow-vectorized UDFs), re-expressing the monitoring semantics of the NannyML
+reference library (fit on a reference period, compute per-chunk metrics with
+mean±kσ alert thresholds) as distributed aggregations that hold up at
+10^12-row scale.
+
+Semantics reference: NannyML/NannyML v0.13 (read-only checkout at
+/root/reference); citations in docstrings are `path:line` into that repo.
+No code is copied from the reference — it is a single-node pandas library;
+this engine is a fresh Spark-first design.
+"""
+
+from spark_validate.chunking import (
+    SizeBasedChunker,
+    CountBasedChunker,
+    PeriodBasedChunker,
+    PartitionChunker,
+    DefaultChunker,
+    chunker_for,
+)
+from spark_validate.thresholds import ConstantThreshold, StandardDeviationThreshold
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SizeBasedChunker",
+    "CountBasedChunker",
+    "PeriodBasedChunker",
+    "PartitionChunker",
+    "DefaultChunker",
+    "chunker_for",
+    "ConstantThreshold",
+    "StandardDeviationThreshold",
+]

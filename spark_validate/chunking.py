@@ -1,0 +1,323 @@
+"""Chunkers — assign every row a chunk key via pure column expressions.
+
+Semantics follow the reference chunkers (NannyML `nannyml/chunk.py:27-520`):
+ordered, contiguous, non-overlapping row windows with keys like ``[0:4999]``
+(index chunkers, `chunk.py:381`) or period strings (`chunk.py:299`), plus the
+``incomplete ∈ {keep, append, drop}`` leftover handling (`chunk.py:383-408`).
+
+Spark-first design: a chunker contributes a ``chunk_key`` column expression;
+downstream checks do ONE ``groupBy(chunk_key)`` pass. Nothing here materializes
+per-chunk row subsets — at 10^12 rows the chunk is a group, not a DataFrame.
+
+Index-based chunkers need a global row index. Two strategies:
+
+* ``sort`` — ``row_number()`` over a global window. Exact, but the final sort
+  collapses to a single task: only for ≲10M-row inputs (tests, small tiers).
+* ``scalable`` — ``repartitionByRange(order_by)`` then per-partition
+  ``row_number`` + broadcast cumulative partition offsets. All-parallel; the
+  per-partition counts are one tiny extra job over the cached partitioning.
+  This is the 10^12-row path; for real deployments, prefer
+  :class:`PeriodBasedChunker` / :class:`PartitionChunker`, which need no
+  global index at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CHUNK_KEY = "chunk_key"
+CHUNK_INDEX = "chunk_index"
+ROW_INDEX = "_sv_row_index"
+
+# Chunk-header columns every result carries (reference:
+# nannyml/drift/univariate/calculator.py:458).
+CHUNK_HEADER_COLS = [
+    "chunk_key",
+    "chunk_index",
+    "start_index",
+    "end_index",
+    "start_ts",
+    "end_ts",
+    "n_rows",
+]
+
+
+def with_row_index(
+    df: DataFrame,
+    order_by: Sequence[str],
+    strategy: str = "auto",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Add a 0-based contiguous global row index ``_sv_row_index``.
+
+    ``order_by`` must be a deterministic total order (include a tiebreaker
+    key). ``strategy``: 'sort' (global window), 'scalable' (range partition +
+    offsets), or 'auto' (scalable when the session's shuffle partitions > 1).
+    """
+    if not order_by:
+        raise ValueError("order_by must list at least one column (deterministic total order)")
+    if strategy == "auto":
+        strategy = "scalable"
+    if strategy == "sort":
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(ROW_INDEX, F.row_number().over(w) - F.lit(1))
+    if strategy != "scalable":
+        raise ValueError(f"unknown row-index strategy {strategy!r}")
+
+    n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(n_parts), *[F.col(c) for c in order_by])
+    part = ranged.withColumn("_sv_pid", F.spark_partition_id())
+    # Cache so the counting job and the indexing job see identical partition
+    # ids (range partitioner sampling is seeded but caching removes all doubt).
+    part = part.persist()
+    counts = part.groupBy("_sv_pid").count()
+    w_off = Window.orderBy("_sv_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_sv_pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_sv_offset")
+    )
+    w_local = Window.partitionBy("_sv_pid").orderBy(*[F.col(c) for c in order_by])
+    out = (
+        part.join(F.broadcast(offsets), "_sv_pid")
+        .withColumn(ROW_INDEX, F.row_number().over(w_local) - F.lit(1) + F.col("_sv_offset"))
+        .drop("_sv_pid", "_sv_offset")
+    )
+    return out
+
+
+@dataclass
+class Chunker:
+    """Base chunker: subclasses implement :meth:`assign`.
+
+    ``assign`` returns the input with ``chunk_key`` (string) added, plus
+    ``_sv_row_index`` for index-based chunkers. ``timestamp_column`` feeds the
+    chunk-header start/end timestamps.
+    """
+
+    timestamp_column: Optional[str] = None
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def headers(self, assigned: DataFrame) -> DataFrame:
+        """Per-chunk header table: key, index, start/end row index, start/end ts, n_rows.
+
+        A tiny aggregate (one row per chunk); chunk_index is a row_number over
+        it, matching the reference's enumerate order (`chunk.py:170-174`).
+        """
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        has_idx = ROW_INDEX in assigned.columns
+        if has_idx:
+            aggs += [F.min(ROW_INDEX).alias("start_index"), F.max(ROW_INDEX).alias("end_index")]
+        else:
+            aggs += [F.lit(None).cast("long").alias("start_index"), F.lit(None).cast("long").alias("end_index")]
+        if self.timestamp_column:
+            aggs += [
+                F.min(self.timestamp_column).alias("start_ts"),
+                F.max(self.timestamp_column).alias("end_ts"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("timestamp").alias("start_ts"),
+                F.lit(None).cast("timestamp").alias("end_ts"),
+            ]
+        hdr = assigned.groupBy(CHUNK_KEY).agg(*aggs)
+        order_col = "start_index" if has_idx else ("start_ts" if self.timestamp_column else CHUNK_KEY)
+        w = Window.orderBy(order_col)
+        return hdr.withColumn(CHUNK_INDEX, F.row_number().over(w) - F.lit(1)).select(
+            CHUNK_KEY, CHUNK_INDEX, "start_index", "end_index", "start_ts", "end_ts", "n_rows"
+        )
+
+
+@dataclass
+class SizeBasedChunker(Chunker):
+    """Fixed row count per chunk (reference `nannyml/chunk.py:314-416`).
+
+    Keys are ``[start:end]`` over the global row index; ``incomplete`` handles
+    the final partial chunk: keep it, append it to the previous full chunk, or
+    drop its rows.
+    """
+
+    chunk_size: int = 5000
+    incomplete: str = "keep"
+    order_by: Sequence[str] = field(default_factory=list)
+    index_strategy: str = "auto"
+
+    def __post_init__(self):
+        if self.chunk_size <= 0:
+            raise ValueError(f"chunk_size must be > 0, got {self.chunk_size}")
+        if self.incomplete not in ("keep", "append", "drop"):
+            raise ValueError(f"incomplete must be keep|append|drop, got {self.incomplete!r}")
+
+    def _order(self) -> Sequence[str]:
+        if self.order_by:
+            return list(self.order_by)
+        if self.timestamp_column:
+            return [self.timestamp_column]
+        raise ValueError("SizeBasedChunker needs order_by and/or timestamp_column for a deterministic order")
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        size = int(self.chunk_size)
+        idxed = df if ROW_INDEX in df.columns else with_row_index(df, self._order(), self.index_strategy)
+        # Total count: one cheap job (parquet metadata count when unfiltered);
+        # needed for append/drop and for the last chunk's key end.
+        n = idxed.count()
+        n_full = n // size
+        rem = n % size
+        cid = F.floor(F.col(ROW_INDEX) / F.lit(size))
+        if rem != 0 and self.incomplete == "drop":
+            idxed = idxed.filter(F.col(ROW_INDEX) < n_full * size)
+        if rem != 0 and self.incomplete == "append" and n_full > 0:
+            cid = F.least(cid, F.lit(n_full - 1))
+        # key end: the last surviving chunk ends at the true last index
+        # (keep: partial tail n-1; append: merged tail n-1; drop: full-chunk end).
+        if rem == 0 or self.incomplete in ("append", "drop"):
+            max_cid = max(n_full - 1, 0)
+        else:
+            max_cid = n_full
+        last_end = (n_full * size - 1) if (rem != 0 and self.incomplete == "drop") else (n - 1)
+        start = (cid * size).cast("long")
+        plain_end = start + F.lit(size - 1)
+        end = F.when(cid == F.lit(max_cid), F.lit(last_end)).otherwise(plain_end)
+        key = F.concat(F.lit("["), start.cast("string"), F.lit(":"), end.cast("string"), F.lit("]"))
+        return idxed.withColumn(CHUNK_KEY, key)
+
+
+@dataclass
+class CountBasedChunker(Chunker):
+    """Split into ~``chunk_number`` chunks: size = n // chunk_number, then
+    size-based semantics (reference `nannyml/chunk.py:419-492`)."""
+
+    chunk_number: int = 10
+    incomplete: str = "keep"
+    order_by: Sequence[str] = field(default_factory=list)
+    index_strategy: str = "auto"
+
+    def __post_init__(self):
+        if self.chunk_number <= 0:
+            raise ValueError(f"chunk_number must be > 0, got {self.chunk_number}")
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        order = list(self.order_by) if self.order_by else ([self.timestamp_column] if self.timestamp_column else [])
+        if not order:
+            raise ValueError("CountBasedChunker needs order_by and/or timestamp_column")
+        idxed = df if ROW_INDEX in df.columns else with_row_index(df, order, self.index_strategy)
+        n = idxed.count()
+        size = max(n // int(self.chunk_number), 1)
+        inner = SizeBasedChunker(
+            chunk_size=size,
+            incomplete=self.incomplete,
+            order_by=order,
+            timestamp_column=self.timestamp_column,
+            index_strategy=self.index_strategy,
+        )
+        return inner.assign(idxed)
+
+
+@dataclass
+class DefaultChunker(CountBasedChunker):
+    """~10 equal chunks (reference `nannyml/chunk.py:495-520`)."""
+
+    chunk_number: int = 10
+
+
+# pandas period-alias → (spark date_trunc unit, key format)
+_PERIOD_UNITS = {
+    "W": "week",
+    "M": "month",
+    "D": "day",
+    "Y": "year",
+    "A": "year",
+    "Q": "quarter",
+    "H": "hour",
+    "h": "hour",
+}
+
+
+def period_key_expr(ts_col: str, offset: str):
+    """Chunk-key expression matching pandas ``Period`` string forms
+    (reference keys, `nannyml/chunk.py:296-301`): 'W' → '2020-01-06/2020-01-12',
+    'M' → '2020-01', 'D' → '2020-01-06', 'Q' → '2020Q1', 'Y' → '2020',
+    'H' → '2020-01-06 00:00'."""
+    if offset not in _PERIOD_UNITS:
+        raise ValueError(f"unsupported period offset {offset!r}; supported: {sorted(_PERIOD_UNITS)}")
+    ts = F.col(ts_col)
+    unit = _PERIOD_UNITS[offset]
+    start = F.date_trunc(unit, ts)
+    if offset == "W":
+        return F.concat(
+            F.date_format(start, "yyyy-MM-dd"), F.lit("/"), F.date_format(F.date_add(start, 6), "yyyy-MM-dd")
+        )
+    if offset == "M":
+        return F.date_format(start, "yyyy-MM")
+    if offset == "D":
+        return F.date_format(start, "yyyy-MM-dd")
+    if offset in ("Y", "A"):
+        return F.date_format(start, "yyyy")
+    if offset == "Q":
+        return F.concat(F.date_format(start, "yyyy"), F.lit("Q"), F.quarter(ts).cast("string"))
+    return F.date_format(start, "yyyy-MM-dd HH:mm")  # hour
+
+
+@dataclass
+class PeriodBasedChunker(Chunker):
+    """Calendar-period chunks (reference `nannyml/chunk.py:247-311`).
+
+    Pure column expression — no global index, no count job, no sort: the
+    natural chunker at 10^12 rows when a timestamp exists.
+    """
+
+    offset: str = "W"
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        if not self.timestamp_column:
+            raise ValueError("PeriodBasedChunker requires timestamp_column")
+        return df.withColumn(CHUNK_KEY, period_key_expr(self.timestamp_column, self.offset))
+
+
+@dataclass
+class PartitionChunker(Chunker):
+    """Physical/logical partition chunks — the web-scale extension (no
+    reference analog; north-rule 'per-partition pass/fail').
+
+    With ``columns``, the chunk is the (Iceberg/Hive) partition value tuple —
+    deterministic and aligned with storage pruning. Without, it falls back to
+    ``spark_partition_id()`` (fast, but ids depend on the physical plan).
+    """
+
+    columns: Sequence[str] = field(default_factory=list)
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        if self.columns:
+            parts = [F.concat(F.lit(c + "="), F.col(c).cast("string")) for c in self.columns]
+            return df.withColumn(CHUNK_KEY, F.concat_ws("/", *parts))
+        return df.withColumn(CHUNK_KEY, F.concat(F.lit("part_"), F.spark_partition_id().cast("string")))
+
+
+def chunker_for(
+    chunk_size: Optional[int] = None,
+    chunk_number: Optional[int] = None,
+    chunk_period: Optional[str] = None,
+    partition_columns: Optional[Sequence[str]] = None,
+    timestamp_column: Optional[str] = None,
+    order_by: Sequence[str] = (),
+    incomplete: str = "keep",
+) -> Chunker:
+    """Factory with the reference's dispatch order (`nannyml/chunk.py:221-244`):
+    size → count → period → (partition, ours) → default."""
+    if chunk_size:
+        return SizeBasedChunker(
+            chunk_size=chunk_size, incomplete=incomplete, order_by=list(order_by), timestamp_column=timestamp_column
+        )
+    if chunk_number:
+        return CountBasedChunker(
+            chunk_number=chunk_number, incomplete=incomplete, order_by=list(order_by), timestamp_column=timestamp_column
+        )
+    if chunk_period:
+        return PeriodBasedChunker(offset=chunk_period, timestamp_column=timestamp_column)
+    if partition_columns:
+        return PartitionChunker(columns=list(partition_columns), timestamp_column=timestamp_column)
+    return DefaultChunker(order_by=list(order_by), timestamp_column=timestamp_column)

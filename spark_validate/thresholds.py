@@ -1,0 +1,116 @@
+"""Alert thresholds (reference `nannyml/thresholds.py:74-291`).
+
+A threshold turns a per-chunk metric series into (lower, upper) bounds:
+
+* ``ConstantThreshold`` — fixed bounds (`thresholds.py:74-130`).
+* ``StandardDeviationThreshold`` — ``mean ± k·std_pop`` over the *reference
+  period per-chunk metric values* (`thresholds.py:133-189`; numpy ``nanstd``
+  is population std, ddof=0). This is a metric-of-metrics: in Spark it is a
+  second-level aggregate over the (tiny) per-chunk reference result table.
+
+Computed bounds are clamped to each metric's theoretical limits
+(`thresholds.py:226-291`), e.g. rates to [0, 1].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ConstantThreshold:
+    lower: Optional[float] = None
+    upper: Optional[float] = None
+
+    def __post_init__(self):
+        if self.lower is not None and self.upper is not None and self.lower >= self.upper:
+            raise ValueError(f"lower ({self.lower}) must be < upper ({self.upper})")
+
+    def fit(self, values_df: DataFrame, value_col: str = "value") -> Tuple[Optional[float], Optional[float]]:
+        return (self.lower, self.upper)
+
+
+@dataclass(frozen=True)
+class StandardDeviationThreshold:
+    """mean ± multiplier·std over reference per-chunk values.
+
+    ``None`` multiplier disables that side (the reference's drift default is
+    ``std_lower_multiplier=None`` — upper-only alerts,
+    `nannyml/drift/univariate/calculator.py:48-55`).
+    """
+
+    std_lower_multiplier: Optional[float] = 3.0
+    std_upper_multiplier: Optional[float] = 3.0
+    offset_fn: str = "mean"  # only nanmean in the reference
+
+    def fit(self, values_df: DataFrame, value_col: str = "value") -> Tuple[Optional[float], Optional[float]]:
+        row = values_df.agg(
+            F.avg(value_col).alias("m"), F.stddev_pop(value_col).alias("s")
+        ).first()
+        m, s = row["m"], row["s"]
+        if m is None or s is None:
+            return (None, None)
+        lower = m - self.std_lower_multiplier * s if self.std_lower_multiplier is not None else None
+        upper = m + self.std_upper_multiplier * s if self.std_upper_multiplier is not None else None
+        return (lower, upper)
+
+
+def fit_thresholds_grouped(
+    values_df: DataFrame,
+    group_cols: list,
+    threshold,
+    value_col: str = "value",
+) -> DataFrame:
+    """Vectorized threshold fit: one (lower, upper) row per group in a single
+    aggregate over the per-chunk reference result table.
+
+    Avoids a driver loop per column×method — at wide schemas (hundreds of
+    monitored columns) the fit stays one Spark job.
+    """
+    if isinstance(threshold, ConstantThreshold):
+        return values_df.groupBy(*group_cols).agg(
+            F.lit(threshold.lower).cast("double").alias("lower_threshold"),
+            F.lit(threshold.upper).cast("double").alias("upper_threshold"),
+        )
+    if isinstance(threshold, StandardDeviationThreshold):
+        lo_mult = threshold.std_lower_multiplier
+        up_mult = threshold.std_upper_multiplier
+        agg = values_df.groupBy(*group_cols).agg(
+            F.avg(value_col).alias("_m"), F.stddev_pop(value_col).alias("_s")
+        )
+        lower = (F.col("_m") - F.lit(lo_mult) * F.col("_s")) if lo_mult is not None else F.lit(None)
+        upper = (F.col("_m") + F.lit(up_mult) * F.col("_s")) if up_mult is not None else F.lit(None)
+        return agg.select(
+            *group_cols,
+            lower.cast("double").alias("lower_threshold"),
+            upper.cast("double").alias("upper_threshold"),
+        )
+    raise TypeError(f"unknown threshold type {type(threshold)!r}")
+
+
+def clamp_thresholds(
+    df: DataFrame,
+    lower_limit: Optional[float] = None,
+    upper_limit: Optional[float] = None,
+) -> DataFrame:
+    """Clamp fitted thresholds to metric limits (`nannyml/thresholds.py:226-291`)."""
+    lo, up = F.col("lower_threshold"), F.col("upper_threshold")
+    if lower_limit is not None:
+        lo = F.greatest(lo, F.lit(float(lower_limit)))
+    if upper_limit is not None:
+        up = F.least(up, F.lit(float(upper_limit)))
+    return df.withColumn("lower_threshold", lo).withColumn("upper_threshold", up)
+
+
+def alert_expr(value_col: str = "value"):
+    """alert = value outside [lower, upper]; NULL-safe: a missing bound never
+    alerts on that side; NULL value → no alert
+    (`nannyml/drift/univariate/methods.py:147-157`)."""
+    v = F.col(value_col)
+    below = F.col("lower_threshold").isNotNull() & (v < F.col("lower_threshold"))
+    above = F.col("upper_threshold").isNotNull() & (v > F.col("upper_threshold"))
+    return F.when(v.isNull(), F.lit(False)).otherwise(F.coalesce(below | above, F.lit(False)))

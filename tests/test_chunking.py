@@ -1,0 +1,120 @@
+"""Chunker parity tests vs the reference semantics (nannyml/chunk.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_validate.chunking import (
+    CountBasedChunker,
+    DefaultChunker,
+    PartitionChunker,
+    PeriodBasedChunker,
+    SizeBasedChunker,
+    ROW_INDEX,
+    with_row_index,
+)
+
+
+def _mini(spark, n=23):
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "ts": pd.date_range("2020-01-06", periods=n, freq="D"),
+            "x": [float(i) for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_row_index_strategies_agree(spark):
+    df = _mini(spark, 101).repartition(7)
+    a = with_row_index(df, ["id"], strategy="sort").select("id", ROW_INDEX).toPandas()
+    b = with_row_index(df, ["id"], strategy="scalable").select("id", ROW_INDEX).toPandas()
+    a = a.sort_values("id").reset_index(drop=True)
+    b = b.sort_values("id").reset_index(drop=True)
+    assert (a[ROW_INDEX] == a["id"]).all()
+    assert (a[ROW_INDEX].astype("int64") == b[ROW_INDEX].astype("int64")).all()
+
+
+@pytest.mark.parametrize(
+    "incomplete,expected_keys",
+    [
+        ("keep", ["[0:9]", "[10:19]", "[20:22]"]),
+        ("append", ["[0:9]", "[10:22]"]),
+        ("drop", ["[0:9]", "[10:19]"]),
+    ],
+)
+def test_size_chunker_incomplete(spark, incomplete, expected_keys):
+    # mirrors nannyml/chunk.py:383-408 leftover handling
+    df = _mini(spark, 23)
+    ch = SizeBasedChunker(chunk_size=10, incomplete=incomplete, order_by=["id"], timestamp_column="ts")
+    assigned = ch.assign(df)
+    keys = [r["chunk_key"] for r in assigned.select("chunk_key").distinct().orderBy("chunk_key").collect()]
+    assert sorted(keys) == sorted(expected_keys)
+    hdr = ch.headers(assigned).orderBy("chunk_index").collect()
+    assert [h["chunk_key"] for h in hdr] == expected_keys
+    if incomplete == "append":
+        assert hdr[-1]["n_rows"] == 13
+        assert hdr[-1]["end_index"] == 22
+    if incomplete == "drop":
+        assert sum(h["n_rows"] for h in hdr) == 20
+
+
+def test_size_chunker_exact_division(spark):
+    df = _mini(spark, 20)
+    ch = SizeBasedChunker(chunk_size=10, order_by=["id"])
+    keys = sorted(r["chunk_key"] for r in ch.assign(df).select("chunk_key").distinct().collect())
+    assert keys == ["[0:9]", "[10:19]"]
+
+
+def test_count_chunker(spark):
+    # chunk_size = n // number (nannyml/chunk.py:483-486): 23 // 4 = 5 → 4 full + remainder
+    df = _mini(spark, 23)
+    ch = CountBasedChunker(chunk_number=4, order_by=["id"])
+    hdr = ch.headers(ch.assign(df)).orderBy("chunk_index").collect()
+    assert [h["n_rows"] for h in hdr] == [5, 5, 5, 5, 3]
+    assert hdr[0]["chunk_key"] == "[0:4]"
+    assert hdr[-1]["chunk_key"] == "[20:22]"
+
+
+def test_default_chunker_is_ten(spark):
+    df = _mini(spark, 100)
+    ch = DefaultChunker(order_by=["id"])
+    assert ch.headers(ch.assign(df)).count() == 10
+
+
+def test_period_chunker_month_and_week(spark):
+    df = _mini(spark, 60)  # 2020-01-06 .. 2020-03-05
+    chm = PeriodBasedChunker(offset="M", timestamp_column="ts")
+    keys = sorted(r["chunk_key"] for r in chm.assign(df).select("chunk_key").distinct().collect())
+    assert keys == ["2020-01", "2020-02", "2020-03"]
+    # weekly keys match pandas Period strings (W-SUN): '2020-01-06/2020-01-12'
+    chw = PeriodBasedChunker(offset="W", timestamp_column="ts")
+    got = sorted(r["chunk_key"] for r in chw.assign(df).select("chunk_key").distinct().collect())
+    pdf = df.select("ts").toPandas()
+    expected = sorted(str(p) for p in pd.to_datetime(pdf["ts"]).dt.to_period("W").unique())
+    assert got == expected
+
+
+def test_period_headers_have_ts_bounds(spark):
+    df = _mini(spark, 60)
+    ch = PeriodBasedChunker(offset="M", timestamp_column="ts")
+    hdr = ch.headers(ch.assign(df)).orderBy("chunk_index").collect()
+    assert hdr[0]["start_ts"] == pd.Timestamp("2020-01-06")
+    assert hdr[0]["chunk_index"] == 0
+
+
+def test_partition_chunker_columns(spark):
+    df = _mini(spark, 10).withColumn("part", (F.col("id") % 2).cast("string"))
+    ch = PartitionChunker(columns=["part"])
+    keys = sorted(r["chunk_key"] for r in ch.assign(df).select("chunk_key").distinct().collect())
+    assert keys == ["part=0", "part=1"]
+
+
+def test_chunker_on_real_lineitem(spark, lineitem):
+    ch = SizeBasedChunker(chunk_size=1000, order_by=["l_orderkey", "l_linenumber"])
+    hdr = ch.headers(ch.assign(lineitem))
+    rows = hdr.orderBy("chunk_index").collect()
+    n = lineitem.count()
+    assert sum(r["n_rows"] for r in rows) == n
+    assert rows[0]["chunk_key"] == "[0:999]"
