@@ -1,0 +1,781 @@
+"""Univariate distribution-drift calculator.
+
+Re-expresses the reference's drift methods
+(`nannyml/drift/univariate/methods.py:249-814`) as histogram/count
+aggregations:
+
+* fit on the FULL reference column → fixed equal-width bin state
+  (continuous) or category probabilities (categorical), kept small and
+  broadcast;
+* calculate = ONE exploded ``groupBy(chunk, column, spec, bucket)`` count
+  shuffle for all continuous columns, ONE for all categorical columns —
+  method formulas are then plain aggregations over the (tiny) histogram
+  tables. Adding methods/columns does not add shuffles.
+
+Method semantics matched:
+
+* ``jensen_shannon`` cont./cat. — Doane-rule bins / reference categories,
+  leftover-mass bin for data outside reference support, JS distance base 2
+  (`methods.py:249-364`). All numpy string bin rules produce EQUAL-WIDTH
+  bins, so Doane reduces to (lo, hi, n_bins) with
+  ``n = ceil(1 + log2(n) + log2(1 + |g1|/σ_g1))`` — computable from one
+  count/min/max/skewness aggregate.
+* ``kolmogorov_smirnov`` — the reference's ≥10k-row binned-ECDF sketch
+  (`methods.py:411-446`): 10k equal-width bins over reference [min, max],
+  ``D = max|ref_cdf − (below_mass + cum(chunk_freq))|``. The sketch is the
+  default here (it IS the scalable formulation); exact ks is available for
+  small data via ``computation='exact'``.
+* ``chi2`` — contingency of reference counts vs chunk counts over the
+  category union; alert on ``p < 0.05`` (`methods.py:449-538`); p-value via
+  our regularized-incomplete-gamma survival function.
+* ``l_infinity`` — max |p_ref − p_chunk| over the category union
+  (`methods.py:541-585`).
+* ``wasserstein`` — binned CDF-difference integral + out-of-range ECDF
+  correction terms (`methods.py:588-703`).
+* ``hellinger`` cont./cat. (`methods.py:706-814`).
+* ``psi`` — NOT in the reference (registry `methods.py:195-198`); added per
+  the north rule with the same fixed-bin plumbing: Σ(q−p)·ln(q/p) with
+  ε-clipped probabilities.
+
+Thresholds: per reference semantics, each method is re-computed on every
+reference chunk and thresholds are mean ± 3σ of those values, upper-only by
+default (`nannyml/drift/univariate/calculator.py:48-55`,
+`methods.py:87-121`); chi2 ignores value thresholds and alerts on p-value.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_validate.calculators.base import assign_chunks, join_headers_long, nan_to_null
+from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
+from spark_validate.result import conform_result
+from spark_validate.thresholds import StandardDeviationThreshold, alert_expr
+
+CONTINUOUS_METHODS = ("jensen_shannon", "kolmogorov_smirnov", "wasserstein", "hellinger", "psi")
+CATEGORICAL_METHODS = ("jensen_shannon", "chi2", "l_infinity", "hellinger", "psi")
+
+_NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal", "long")
+
+# method → (lower_limit, upper_limit) for threshold clamping
+_LIMITS = {
+    "jensen_shannon": (0.0, None),
+    "kolmogorov_smirnov": (0.0, 1.0),
+    "wasserstein": (0.0, None),
+    "hellinger": (0.0, None),
+    "l_infinity": (0.0, None),
+    "psi": (0.0, None),
+}
+
+
+def doane_bin_count(n: int, g1: float) -> int:
+    """Doane's rule bin count (numpy `_hist_bin_doane` re-derived from the
+    published formula): ceil(1 + log2(n) + log2(1 + |g1|/σ_g1))."""
+    if n <= 2 or not np.isfinite(g1):
+        return 1
+    sg1 = math.sqrt(6.0 * (n - 2) / ((n + 1.0) * (n + 3.0)))
+    width_count = 1.0 + math.log2(n) + math.log2(1.0 + abs(g1) / sg1)
+    return max(int(math.ceil(width_count)), 1)
+
+
+def bucket_expr(col: F.Column, lo: float, hi: float, n: int) -> F.Column:
+    """Equal-width bucket index matching np.histogram: [lo, hi] inclusive,
+    last bin right-closed; below → -1, above → n (out-of-range markers)."""
+    width = hi - lo
+    scaled = (col - F.lit(lo)) / F.lit(width) * F.lit(n)
+    return (
+        F.when(col < F.lit(lo), F.lit(-1))
+        .when(col > F.lit(hi), F.lit(n))
+        .when(col == F.lit(hi), F.lit(n - 1))
+        .otherwise(F.least(F.floor(scaled), F.lit(n - 1)))
+        .cast("int")
+    )
+
+
+@dataclass
+class ContinuousState:
+    lo: float
+    hi: float
+    n_ref: int
+    # spec name → (n_bins, ref_probs list); cdf derived
+    specs: Dict[str, Tuple[int, List[float]]] = field(default_factory=dict)
+
+
+@dataclass
+class CategoricalState:
+    n_ref: int
+    counts: Dict[str, int] = field(default_factory=dict)
+
+    @property
+    def probs(self) -> Dict[str, float]:
+        return {k: v / self.n_ref for k, v in self.counts.items()}
+
+
+class UnivariateDriftCalculator:
+    """fit(reference) → calculate(analysis) → long result DataFrame."""
+
+    def __init__(
+        self,
+        column_names: Sequence[str],
+        continuous_methods: Sequence[str] = ("jensen_shannon",),
+        categorical_methods: Sequence[str] = ("jensen_shannon",),
+        chunker: Optional[Chunker] = None,
+        threshold=None,
+        treat_as_categorical: Sequence[str] = (),
+        treat_as_numerical: Sequence[str] = (),
+        n_bins_ecdf: int = 10_000,
+        psi_n_bins: int = 10,
+        psi_eps: float = 1e-4,
+        max_categories: int = 100_000,
+        max_out_of_range_values: int = 100_000,
+    ):
+        bad = set(continuous_methods) - set(CONTINUOUS_METHODS)
+        if bad:
+            raise ValueError(f"unknown continuous methods {sorted(bad)}")
+        bad = set(categorical_methods) - set(CATEGORICAL_METHODS)
+        if bad:
+            raise ValueError(f"unknown categorical methods {sorted(bad)}")
+        self.column_names = list(column_names)
+        self.continuous_methods = tuple(continuous_methods)
+        self.categorical_methods = tuple(categorical_methods)
+        self.chunker = chunker or DefaultChunker()
+        # reference default: upper-only 3σ (calculator.py:48-55)
+        self.threshold = threshold or StandardDeviationThreshold(std_lower_multiplier=None)
+        self.treat_as_categorical = set(treat_as_categorical)
+        self.treat_as_numerical = set(treat_as_numerical)
+        self.n_bins_ecdf = n_bins_ecdf
+        self.psi_n_bins = psi_n_bins
+        self.psi_eps = psi_eps
+        self.max_categories = max_categories
+        self.max_out_of_range_values = max_out_of_range_values
+        self._cont_state: Dict[str, ContinuousState] = {}
+        self._cat_state: Dict[str, CategoricalState] = {}
+        self._thresholds: Dict[Tuple[str, str], Tuple[Optional[float], Optional[float]]] = {}
+        self._fitted = False
+
+    # -- column kinds ----------------------------------------------------------
+
+    def _split_kinds(self, df: DataFrame) -> Tuple[List[str], List[str]]:
+        dtypes = dict(df.dtypes)
+        missing = [c for c in self.column_names if c not in dtypes]
+        if missing:
+            raise ValueError(f"columns not in DataFrame: {missing}")
+        cont, cat = [], []
+        for c in self.column_names:
+            if c in self.treat_as_categorical:
+                cat.append(c)
+            elif c in self.treat_as_numerical:
+                cont.append(c)
+            elif any(dtypes[c].startswith(t) for t in _NUMERIC_TYPES):
+                cont.append(c)
+            else:
+                cat.append(c)
+        return cont, cat
+
+    def _cont_specs_needed(self) -> List[str]:
+        specs = []
+        if {"jensen_shannon", "hellinger"} & set(self.continuous_methods):
+            specs.append("doane")
+        if {"kolmogorov_smirnov", "wasserstein"} & set(self.continuous_methods):
+            specs.append("ecdf")
+        if "psi" in self.continuous_methods:
+            specs.append("psi")
+        return specs
+
+    def _spec_bins(self, col: str, spec: str) -> int:
+        st = self._cont_state[col]
+        return st.specs[spec][0]
+
+    # -- fit -------------------------------------------------------------------
+
+    def fit(self, reference: DataFrame) -> "UnivariateDriftCalculator":
+        cont, cat = self._split_kinds(reference)
+        self._cont_cols, self._cat_cols = cont, cat
+        dtypes = dict(reference.dtypes)
+        if cont:
+            self._fit_continuous(reference, cont, dtypes)
+        if cat:
+            self._fit_categorical(reference, cat, dtypes)
+        self._fitted = True
+        # thresholds from per-reference-chunk method values (methods.py:103-119)
+        ref_result = self._calculate(reference, period="reference", with_thresholds=False)
+        vals = (
+            ref_result.groupBy("column_name", "method")
+            .agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s"))
+            .collect()
+        )
+        thr = self.threshold
+        for r in vals:
+            method = r["method"]
+            if method == "chi2":
+                self._thresholds[(r["column_name"], method)] = (None, None)
+                continue
+            lo_l, up_l = _LIMITS.get(method, (None, None))
+            lo = up = None
+            if isinstance(thr, StandardDeviationThreshold):
+                if r["m"] is not None and r["s"] is not None:
+                    if thr.std_lower_multiplier is not None:
+                        lo = r["m"] - thr.std_lower_multiplier * r["s"]
+                    if thr.std_upper_multiplier is not None:
+                        up = r["m"] + thr.std_upper_multiplier * r["s"]
+            else:  # ConstantThreshold
+                lo, up = thr.lower, thr.upper
+            if lo is not None and lo_l is not None:
+                lo = max(lo, lo_l)
+            if up is not None and up_l is not None:
+                up = min(up, up_l)
+            self._thresholds[(r["column_name"], method)] = (lo, up)
+        self._reference_result = self._attach_thresholds(ref_result)
+        return self
+
+    def _fit_continuous(self, reference: DataFrame, cols: List[str], dtypes) -> None:
+        aggs = []
+        for c in cols:
+            v = nan_to_null(F.col(c), dtypes[c]).cast("double")
+            aggs += [
+                F.count(v).alias(f"{c}__n"),
+                F.min(v).alias(f"{c}__lo"),
+                F.max(v).alias(f"{c}__hi"),
+                F.skewness(v).alias(f"{c}__g1"),
+            ]
+        row = reference.agg(*aggs).first().asDict()
+        specs_needed = self._cont_specs_needed()
+        for c in cols:
+            n, lo, hi, g1 = (row[f"{c}__n"], row[f"{c}__lo"], row[f"{c}__hi"], row[f"{c}__g1"])
+            if n == 0 or lo is None:
+                raise ValueError(f"reference column {c!r} has no non-null values")
+            lo, hi = float(lo), float(hi)
+            if lo == hi:  # np.histogram widens degenerate ranges by ±0.5
+                lo, hi = lo - 0.5, hi + 0.5
+            st = ContinuousState(lo=lo, hi=hi, n_ref=int(n))
+            for spec in specs_needed:
+                if spec == "doane":
+                    st.specs[spec] = (doane_bin_count(int(n), g1 if g1 is not None else 0.0), [])
+                elif spec == "ecdf":
+                    st.specs[spec] = (self.n_bins_ecdf, [])
+                else:
+                    st.specs[spec] = (self.psi_n_bins, [])
+            self._cont_state[c] = st
+        # one exploded histogram pass for all (column, spec) pairs
+        hist = self._continuous_histogram(reference, cols, dtypes)
+        counts = hist.groupBy("column_name", "spec", "bucket").agg(F.sum("cnt").alias("cnt")).collect()
+        by_key: Dict[Tuple[str, str], Dict[int, int]] = {}
+        for r in counts:
+            by_key.setdefault((r["column_name"], r["spec"]), {})[r["bucket"]] = r["cnt"]
+        for c in cols:
+            st = self._cont_state[c]
+            for spec, (n_bins, _) in st.specs.items():
+                cmap = by_key.get((c, spec), {})
+                probs = [cmap.get(b, 0) / st.n_ref for b in range(n_bins)]
+                st.specs[spec] = (n_bins, probs)
+
+    def _fit_categorical(self, reference: DataFrame, cols: List[str], dtypes) -> None:
+        counts_df = self._categorical_counts(reference, cols, dtypes)
+        rows = (
+            counts_df.groupBy("column_name", "value")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        per_col: Dict[str, Dict[str, int]] = {c: {} for c in cols}
+        for r in rows:
+            per_col[r["column_name"]][r["value"]] = r["cnt"]
+        for c in cols:
+            cmap = per_col[c]
+            if len(cmap) > self.max_categories:
+                # keep the heaviest categories; the tail folds into leftover mass
+                cmap = dict(sorted(cmap.items(), key=lambda kv: -kv[1])[: self.max_categories])
+            n_ref = sum(per_col[c].values())
+            self._cat_state[c] = CategoricalState(n_ref=n_ref, counts=cmap)
+
+    # -- shared exploded count passes -------------------------------------------
+
+    def _continuous_histogram(self, df: DataFrame, cols: List[str], dtypes, chunked: bool = False) -> DataFrame:
+        """(chunk_key?, column_name, spec, bucket) → cnt. One shuffle for all
+        columns × specs; null values dropped (NaN-removal semantics)."""
+        structs = []
+        for c in cols:
+            st = self._cont_state[c]
+            v = nan_to_null(F.col(c), dtypes[c]).cast("double")
+            for spec, (n_bins, _probs) in st.specs.items():
+                structs.append(
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.lit(spec).alias("spec"),
+                        F.when(v.isNull(), F.lit(None)).otherwise(
+                            bucket_expr(v, st.lo, st.hi, n_bins)
+                        ).alias("bucket"),
+                    )
+                )
+        keys = [CHUNK_KEY] if chunked else []
+        exploded = (
+            df.select(*keys, F.explode(F.array(*structs)).alias("kv"))
+            .select(*keys, "kv.column_name", "kv.spec", "kv.bucket")
+            .filter(F.col("bucket").isNotNull())
+        )
+        return exploded.groupBy(*keys, "column_name", "spec", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def _categorical_counts(self, df: DataFrame, cols: List[str], dtypes, chunked: bool = False) -> DataFrame:
+        structs = []
+        for c in cols:
+            v = nan_to_null(F.col(c), dtypes[c]).cast("string")
+            structs.append(F.struct(F.lit(c).alias("column_name"), v.alias("value")))
+        keys = [CHUNK_KEY] if chunked else []
+        exploded = (
+            df.select(*keys, F.explode(F.array(*structs)).alias("kv"))
+            .select(*keys, "kv.column_name", "kv.value")
+            .filter(F.col("value").isNotNull())
+        )
+        return exploded.groupBy(*keys, "column_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+
+    # -- calculate ---------------------------------------------------------------
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        if not self._fitted:
+            raise RuntimeError("call fit(reference) before calculate()")
+        return self._attach_thresholds(self._calculate(df, period, with_thresholds=False))
+
+    def _attach_thresholds(self, result: DataFrame) -> DataFrame:
+        spark = result.sparkSession
+        rows = [(c, m, lo, up) for (c, m), (lo, up) in self._thresholds.items()]
+        if not rows:
+            out = result.withColumn("lower_threshold", F.lit(None).cast("double")).withColumn(
+                "upper_threshold", F.lit(None).cast("double")
+            )
+        else:
+            thr = spark.createDataFrame(
+                rows, "column_name string, method string, lower_threshold double, upper_threshold double"
+            )
+            out = result.join(F.broadcast(thr), ["column_name", "method"], "left")
+        # chi2 alerts on p-value (methods.py:517-528); everything else on bounds
+        alert = F.when(
+            F.col("method") == "chi2",
+            F.coalesce(F.col("p_value") < F.lit(0.05), F.lit(False)),
+        ).otherwise(alert_expr())
+        return conform_result(out.withColumn("alert", alert))
+
+    def _calculate(self, df: DataFrame, period: str, with_thresholds: bool) -> DataFrame:
+        assigned, headers = assign_chunks(df, self.chunker)
+        dtypes = dict(df.dtypes)
+        parts: List[DataFrame] = []
+        if self._cont_cols:
+            parts.extend(self._calc_continuous(assigned, dtypes))
+        if self._cat_cols:
+            parts.extend(self._calc_categorical(assigned, dtypes))
+        if not parts:
+            raise ValueError("no drift methods to compute")
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p, allowMissingColumns=True)
+        if "p_value" not in result.columns:
+            result = result.withColumn("p_value", F.lit(None).cast("double"))
+        return join_headers_long(result, headers, period)
+
+    # ---- continuous -----------------------------------------------------------
+
+    def _ref_bins_df(self, spark, spec: str) -> DataFrame:
+        """Broadcast dimension table (column_name, bucket, p, ref_cdf, width, lo, hi)."""
+        rows = []
+        for c in self._cont_cols:
+            st = self._cont_state[c]
+            if spec not in st.specs:
+                continue
+            n_bins, probs = st.specs[spec]
+            cdf = np.cumsum(probs)
+            width = (st.hi - st.lo) / n_bins
+            for b in range(n_bins):
+                rows.append((c, b, float(probs[b]), float(cdf[b]), float(width)))
+        return spark.createDataFrame(
+            rows, "column_name string, bucket int, p double, ref_cdf double, width double"
+        )
+
+    def _dense_hist(self, hist_all: DataFrame, spark, spec: str) -> DataFrame:
+        """Dense per-(chunk, column, bucket) table with chunk freq q, ref prob p,
+        ref_cdf, below/above mass and n_nonnull — the substrate for every
+        continuous method formula. ``hist_all`` is the single shared histogram
+        shuffle output (all columns × specs)."""
+        cols = [c for c in self._cont_cols if spec in self._cont_state[c].specs]
+        if not cols:
+            return None
+        hist = hist_all.filter(F.col("spec") == spec)
+        nbins_df = F.broadcast(
+            spark.createDataFrame(
+                [(c, self._cont_state[c].specs[spec][0]) for c in cols],
+                "column_name string, n_bins int",
+            )
+        )
+        totals = (
+            hist.join(nbins_df, "column_name")
+            .groupBy(CHUNK_KEY, "column_name")
+            .agg(
+                F.sum("cnt").alias("n_nonnull"),
+                F.sum(F.when(F.col("bucket") == -1, F.col("cnt")).otherwise(F.lit(0))).alias("n_below"),
+                F.sum(F.when(F.col("bucket") == F.col("n_bins"), F.col("cnt")).otherwise(F.lit(0))).alias(
+                    "n_above"
+                ),
+            )
+        )
+        ref_bins = F.broadcast(self._ref_bins_df(spark, spec))
+        dense = (
+            totals.join(ref_bins, "column_name")  # chunk × ref bins (dense)
+            .join(
+                hist.filter(F.col("bucket") >= 0).drop("spec"),
+                [CHUNK_KEY, "column_name", "bucket"],
+                "left",
+            )
+            .withColumn("q", F.coalesce(F.col("cnt"), F.lit(0)) / F.col("n_nonnull"))
+        )
+        return dense
+
+    def _calc_continuous(self, assigned: DataFrame, dtypes) -> List[DataFrame]:
+        out: List[DataFrame] = []
+        methods = set(self.continuous_methods)
+        spark = assigned.sparkSession
+        # ONE exploded count shuffle feeds every continuous method
+        hist_all = self._continuous_histogram(assigned, self._cont_cols, dtypes, chunked=True).persist()
+        if {"jensen_shannon", "hellinger"} & methods:
+            dense = self._dense_hist(hist_all, spark, "doane")
+            out.extend(self._hist_distance_methods(dense, methods & {"jensen_shannon", "hellinger"}))
+        if {"kolmogorov_smirnov", "wasserstein"} & methods:
+            dense = self._dense_hist(hist_all, spark, "ecdf")
+            if "kolmogorov_smirnov" in methods:
+                out.append(self._ks_from_dense(dense))
+            if "wasserstein" in methods:
+                out.append(self._wasserstein_from_dense(dense, assigned, dtypes))
+        if "psi" in methods:
+            dense = self._dense_hist(hist_all, spark, "psi")
+            out.append(self._psi_from_dense(dense))
+        return out
+
+    def _hist_distance_methods(self, dense: DataFrame, methods) -> List[DataFrame]:
+        """JS + Hellinger over Doane-bin dense histograms, leftover-mass bin
+        appended when chunk mass falls outside reference bins
+        (`methods.py:299-305`)."""
+        p, q = F.col("p"), F.col("q")
+        grp = dense.groupBy(CHUNK_KEY, "column_name").agg(
+            (F.lit(1.0) - F.sum("q")).alias("leftover"),
+            # JS divergence terms over ref bins (base-2 logs)
+            F.sum(
+                F.when(p > 0, p * F.log2(F.lit(2.0) * p / (p + q))).otherwise(F.lit(0.0))
+            ).alias("_js_p"),
+            F.sum(
+                F.when(q > 0, q * F.log2(F.lit(2.0) * q / (p + q))).otherwise(F.lit(0.0))
+            ).alias("_js_q"),
+            F.sum(F.pow(F.sqrt(p) - F.sqrt(q), 2)).alias("_hel_sq"),
+            F.max("n_nonnull").alias("n_nonnull"),
+        )
+        # numeric guard: leftover can be -1e-16 from fp summation
+        leftover = F.greatest(F.col("leftover"), F.lit(0.0))
+        res = []
+        js = F.sqrt(
+            F.greatest(
+                F.lit(0.5) * (F.col("_js_p") + F.col("_js_q")) + F.lit(0.5) * leftover, F.lit(0.0)
+            )
+        )
+        hel = F.sqrt((F.col("_hel_sq") + leftover) / F.lit(2.0))
+        if "jensen_shannon" in methods:
+            res.append(
+                grp.select(
+                    CHUNK_KEY,
+                    "column_name",
+                    F.lit("jensen_shannon").alias("method"),
+                    js.cast("double").alias("value"),
+                )
+            )
+        if "hellinger" in methods:
+            res.append(
+                grp.select(
+                    CHUNK_KEY,
+                    "column_name",
+                    F.lit("hellinger").alias("method"),
+                    hel.cast("double").alias("value"),
+                )
+            )
+        return res
+
+    def _ks_from_dense(self, dense: DataFrame) -> DataFrame:
+        """D = max|ref_cdf − (below_mass + cumsum(q))| (`methods.py:426-446`)."""
+        w = Window.partitionBy(CHUNK_KEY, "column_name").orderBy("bucket")
+        cdf = dense.withColumn(
+            "chunk_cdf", F.col("n_below") / F.col("n_nonnull") + F.sum("q").over(w)
+        )
+        return cdf.groupBy(CHUNK_KEY, "column_name").agg(
+            F.max(F.abs(F.col("ref_cdf") - F.col("chunk_cdf"))).cast("double").alias("value")
+        ).withColumn("method", F.lit("kolmogorov_smirnov")).select(
+            CHUNK_KEY, "column_name", "method", "value"
+        )
+
+    def _wasserstein_from_dense(self, dense: DataFrame, assigned: DataFrame, dtypes) -> DataFrame:
+        """term_within = Σ|ref_cdf − (below+cum q)|·width, plus the reference's
+        out-of-range ECDF correction terms (`methods.py:662-692`) computed from
+        the (rare) out-of-range values via a grouped Arrow UDF."""
+        # parity detail (`methods.py:665-668, 689`): the reference shifts the
+        # within-range CDF by amount_smaller = (n_below + 1)/n when n_below > 0
+        # (the +1 accounts for the appended ref_min sentinel), NOT n_below/n.
+        amount_smaller = F.when(
+            F.col("n_below") > 0, (F.col("n_below") + 1) / F.col("n_nonnull")
+        ).otherwise(F.lit(0.0))
+        w = Window.partitionBy(CHUNK_KEY, "column_name").orderBy("bucket")
+        cdf = dense.withColumn("chunk_cdf", amount_smaller + F.sum("q").over(w))
+        within = cdf.groupBy(CHUNK_KEY, "column_name").agg(
+            F.sum(F.abs(F.col("ref_cdf") - F.col("chunk_cdf")) * F.col("width")).alias("term_within"),
+            F.max("n_nonnull").alias("n_nonnull"),
+        )
+        corr = self._wasserstein_corrections(assigned, dtypes)
+        joined = within.join(corr, [CHUNK_KEY, "column_name"], "left")
+        val = (
+            F.col("term_within")
+            + F.coalesce(F.col("term_smaller"), F.lit(0.0))
+            + F.coalesce(F.col("term_bigger"), F.lit(0.0))
+        )
+        return joined.select(
+            CHUNK_KEY,
+            "column_name",
+            F.lit("wasserstein").alias("method"),
+            val.cast("double").alias("value"),
+        )
+
+    def _wasserstein_corrections(self, assigned: DataFrame, dtypes) -> DataFrame:
+        """Collect out-of-range values per (chunk, column) — these are the
+        drifted tail, typically a tiny fraction — and evaluate the reference's
+        ECDF correction terms in numpy. List size capped; a cap hit means the
+        correction is computed on a prefix (logged nowhere to keep the plan
+        pure; documented limitation)."""
+        cols = [c for c in self._cont_cols if "ecdf" in self._cont_state[c].specs]
+        spark = assigned.sparkSession
+        structs = []
+        for c in cols:
+            st = self._cont_state[c]
+            v = nan_to_null(F.col(c), dtypes[c]).cast("double")
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    v.alias("value"),
+                    F.lit(st.lo).alias("lo"),
+                    F.lit(st.hi).alias("hi"),
+                )
+            )
+        exploded = (
+            assigned.select(CHUNK_KEY, F.explode(F.array(*structs)).alias("kv"))
+            .select(CHUNK_KEY, "kv.column_name", "kv.value", "kv.lo", "kv.hi")
+            .filter(F.col("value").isNotNull())
+        )
+        # per-chunk totals (needed for amount_* denominators)
+        totals = exploded.groupBy(CHUNK_KEY, "column_name").agg(
+            F.count(F.lit(1)).alias("n_tot"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+        oor = exploded.filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        lists = oor.groupBy(CHUNK_KEY, "column_name").agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.when(F.col("value") < F.col("lo"), F.col("value")))),
+                1,
+                self.max_out_of_range_values,
+            ).alias("smaller"),
+            F.slice(
+                F.sort_array(F.collect_list(F.when(F.col("value") > F.col("hi"), F.col("value")))),
+                1,
+                self.max_out_of_range_values,
+            ).alias("bigger"),
+        )
+        joined = totals.join(lists, [CHUNK_KEY, "column_name"], "inner")
+
+        import pandas as pd  # noqa: F811
+
+        def _corr(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for _, r in pdf.iterrows():
+                n = float(r["n_tot"])
+                term_s = term_b = 0.0
+                smaller = np.asarray(r["smaller"] if r["smaller"] is not None else [], dtype=np.float64)
+                bigger = np.asarray(r["bigger"] if r["bigger"] is not None else [], dtype=np.float64)
+                if len(smaller):
+                    amount = (len(smaller) + 1) / n
+                    xs = np.concatenate([smaller, [r["lo"]]])
+                    x, counts = np.unique(np.sort(xs), return_counts=True)
+                    y = np.cumsum(counts) / len(xs)
+                    term_s = float(np.sum(y[:-1] * np.diff(x)) * amount)
+                if len(bigger):
+                    amount = (len(bigger) + 1) / n
+                    xs = np.concatenate([[r["hi"]], bigger])
+                    x, counts = np.unique(np.sort(xs), return_counts=True)
+                    y = np.cumsum(counts) / len(xs)
+                    term_b = float(np.sum((1 - y)[:-1] * np.diff(x)) * amount)
+                outs.append((r[CHUNK_KEY], r["column_name"], term_s, term_b))
+            return pd.DataFrame(outs, columns=[CHUNK_KEY, "column_name", "term_smaller", "term_bigger"])
+
+        schema = f"{CHUNK_KEY} string, column_name string, term_smaller double, term_bigger double"
+        return joined.groupBy(CHUNK_KEY, "column_name").applyInPandas(_corr, schema)
+
+    def _psi_from_dense(self, dense: DataFrame) -> DataFrame:
+        eps = F.lit(self.psi_eps)
+        p = F.greatest(F.col("p"), eps)
+        q = F.greatest(F.col("q"), eps)
+        grp = dense.groupBy(CHUNK_KEY, "column_name").agg(
+            F.sum((q - p) * F.log(q / p)).alias("_psi_bins"),
+            (F.lit(1.0) - F.sum("q")).alias("leftover"),
+        )
+        # leftover bin: q=leftover vs p=eps (out-of-reference-support mass)
+        lv = F.greatest(F.col("leftover"), F.lit(0.0))
+        q_l = F.greatest(lv, eps)
+        extra = F.when(lv > 0, (q_l - eps) * F.log(q_l / eps)).otherwise(F.lit(0.0))
+        return grp.select(
+            CHUNK_KEY,
+            "column_name",
+            F.lit("psi").alias("method"),
+            (F.col("_psi_bins") + extra).cast("double").alias("value"),
+        )
+
+    # ---- categorical ------------------------------------------------------------
+
+    def _calc_categorical(self, assigned: DataFrame, dtypes) -> List[DataFrame]:
+        spark = assigned.sparkSession
+        counts = self._categorical_counts(assigned, self._cat_cols, dtypes, chunked=True)
+        counts = counts.persist()
+        ref_rows = []
+        for c in self._cat_cols:
+            st = self._cat_state[c]
+            for v, cnt in st.counts.items():
+                ref_rows.append((c, v, cnt, cnt / st.n_ref))
+        ref_df = F.broadcast(
+            spark.createDataFrame(ref_rows, "column_name string, value string, ref_cnt long, p double")
+        )
+        totals = counts.groupBy(CHUNK_KEY, "column_name").agg(F.sum("cnt").alias("n_nonnull"))
+        # dense over ref categories (chunk × ref cats) + chunk-only categories
+        dense_ref = (
+            totals.join(ref_df, "column_name")
+            .join(counts, [CHUNK_KEY, "column_name", "value"], "left")
+            .withColumn("q", F.coalesce(F.col("cnt"), F.lit(0)) / F.col("n_nonnull"))
+            .withColumn("obs_cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        )
+        chunk_only = (
+            counts.join(ref_df.select("column_name", "value", "ref_cnt"), ["column_name", "value"], "left_anti")
+            .join(totals, [CHUNK_KEY, "column_name"])
+            .withColumn("p", F.lit(0.0))
+            .withColumn("ref_cnt", F.lit(0).cast("long"))
+            .withColumn("q", F.col("cnt") / F.col("n_nonnull"))
+            .withColumn("obs_cnt", F.col("cnt"))
+        )
+        out: List[DataFrame] = []
+        methods = set(self.categorical_methods)
+        if {"jensen_shannon", "hellinger", "psi"} & methods:
+            out.extend(self._cat_hist_methods(dense_ref, methods))
+        if "l_infinity" in methods:
+            union = dense_ref.select(CHUNK_KEY, "column_name", "p", "q").unionByName(
+                chunk_only.select(CHUNK_KEY, "column_name", "p", "q")
+            )
+            out.append(
+                union.groupBy(CHUNK_KEY, "column_name")
+                .agg(F.max(F.abs(F.col("p") - F.col("q"))).cast("double").alias("value"))
+                .withColumn("method", F.lit("l_infinity"))
+                .select(CHUNK_KEY, "column_name", "method", "value")
+            )
+        if "chi2" in methods:
+            out.append(self._chi2(dense_ref, chunk_only))
+        counts.unpersist(blocking=False)
+        return out
+
+    def _cat_hist_methods(self, dense_ref: DataFrame, methods) -> List[DataFrame]:
+        """JS/Hellinger/PSI on reference-category probabilities with a leftover
+        bin for unseen categories (`methods.py:346-364, 795-814`)."""
+        p, q = F.col("p"), F.col("q")
+        eps = F.lit(self.psi_eps)
+        pc, qc = F.greatest(p, eps), F.greatest(q, eps)
+        grp = dense_ref.groupBy(CHUNK_KEY, "column_name").agg(
+            (F.lit(1.0) - F.sum("q")).alias("leftover"),
+            F.sum(F.when(p > 0, p * F.log2(F.lit(2.0) * p / (p + q))).otherwise(F.lit(0.0))).alias("_js_p"),
+            F.sum(F.when(q > 0, q * F.log2(F.lit(2.0) * q / (p + q))).otherwise(F.lit(0.0))).alias("_js_q"),
+            F.sum(F.pow(F.sqrt(p) - F.sqrt(q), 2)).alias("_hel_sq"),
+            F.sum((qc - pc) * F.log(qc / pc)).alias("_psi_bins"),
+        )
+        leftover = F.greatest(F.col("leftover"), F.lit(0.0))
+        res = []
+        if "jensen_shannon" in methods:
+            js = F.sqrt(
+                F.greatest(F.lit(0.5) * (F.col("_js_p") + F.col("_js_q")) + F.lit(0.5) * leftover, F.lit(0.0))
+            )
+            res.append(
+                grp.select(
+                    CHUNK_KEY, "column_name", F.lit("jensen_shannon").alias("method"), js.cast("double").alias("value")
+                )
+            )
+        if "hellinger" in methods:
+            hel = F.sqrt((F.col("_hel_sq") + leftover) / F.lit(2.0))
+            res.append(
+                grp.select(
+                    CHUNK_KEY, "column_name", F.lit("hellinger").alias("method"), hel.cast("double").alias("value")
+                )
+            )
+        if "psi" in methods:
+            eps_f = self.psi_eps
+            q_l = F.greatest(leftover, F.lit(eps_f))
+            extra = F.when(leftover > 0, (q_l - F.lit(eps_f)) * F.log(q_l / F.lit(eps_f))).otherwise(F.lit(0.0))
+            res.append(
+                grp.select(
+                    CHUNK_KEY,
+                    "column_name",
+                    F.lit("psi").alias("method"),
+                    (F.col("_psi_bins") + extra).cast("double").alias("value"),
+                )
+            )
+        return res
+
+    def _chi2(self, dense_ref: DataFrame, chunk_only: DataFrame) -> DataFrame:
+        """Pearson chi-squared of the 2×k (reference vs chunk) contingency
+        table, closed-form in SQL; p-value via an Arrow-batched UDF over the
+        tiny per-chunk stat table (`methods.py:530-538`)."""
+        union = dense_ref.select(CHUNK_KEY, "column_name", "ref_cnt", "obs_cnt").unionByName(
+            chunk_only.select(CHUNK_KEY, "column_name", "ref_cnt", "obs_cnt")
+        )
+        union = union.filter((F.col("ref_cnt") + F.col("obs_cnt")) > 0)
+        tot = union.groupBy(CHUNK_KEY, "column_name").agg(
+            F.sum("ref_cnt").alias("R"),
+            F.sum("obs_cnt").alias("O"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        j = union.join(tot, [CHUNK_KEY, "column_name"])
+        col_tot = F.col("ref_cnt") + F.col("obs_cnt")
+        grand = F.col("R") + F.col("O")
+        er = col_tot * F.col("R") / grand
+        eo = col_tot * F.col("O") / grand
+        # scipy chi2_contingency applies Yates continuity correction on 2×2
+        # tables (dof==1) by default, and the reference doesn't disable it
+        plain = F.pow(F.col("ref_cnt") - er, 2) / er + F.pow(F.col("obs_cnt") - eo, 2) / eo
+        yates_r = F.greatest(F.abs(F.col("ref_cnt") - er) - F.lit(0.5), F.lit(0.0))
+        yates_o = F.greatest(F.abs(F.col("obs_cnt") - eo) - F.lit(0.5), F.lit(0.0))
+        yates = F.pow(yates_r, 2) / er + F.pow(yates_o, 2) / eo
+        cell = F.when(F.col("k") == 2, yates).otherwise(plain)
+        stat = j.groupBy(CHUNK_KEY, "column_name").agg(
+            F.sum(cell).alias("value"), F.max("k").alias("k")
+        )
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _sf(stat_s: pd.Series, dof_s: pd.Series) -> pd.Series:
+            from spark_validate.functions.mathstats import chi2_sf
+
+            return pd.Series(
+                [chi2_sf(s, d) if pd.notna(s) and d >= 1 else float("nan") for s, d in zip(stat_s, dof_s)]
+            )
+
+        return stat.select(
+            CHUNK_KEY,
+            "column_name",
+            F.lit("chi2").alias("method"),
+            F.col("value").cast("double").alias("value"),
+            _sf(F.col("value"), (F.col("k") - 1).cast("double")).alias("p_value"),
+        )
+
+    @property
+    def reference_result(self) -> DataFrame:
+        if not self._fitted:
+            raise RuntimeError("not fitted")
+        return self._reference_result

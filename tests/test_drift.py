@@ -1,0 +1,225 @@
+"""Univariate drift calculator vs inline numpy oracles.
+
+The oracles re-implement the reference's method formulas
+(nannyml/drift/univariate/methods.py) directly in numpy on pandas chunks, so
+every Spark aggregation path (bucketing, leftover mass, CDF shifts, Yates) is
+cross-checked end-to-end.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_validate.chunking import SizeBasedChunker
+from spark_validate.drift import UnivariateDriftCalculator
+from spark_validate.drift.univariate import doane_bin_count
+from spark_validate.functions.mathstats import chi2_sf, js_distance_from_probs
+
+N_REF, N_ANA, CHUNK = 5000, 3000, 1000
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.normal(0, 1, N_REF), rng.normal(0.8, 1.3, N_ANA)])
+    cats_ref = rng.choice(["a", "b", "c", "d"], N_REF, p=[0.4, 0.3, 0.2, 0.1])
+    cats_ana = rng.choice(["a", "b", "c", "e"], N_ANA, p=[0.25, 0.25, 0.25, 0.25])
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(N_REF + N_ANA),
+            "x": x,
+            "cat": np.concatenate([cats_ref, cats_ana]),
+        }
+    )
+    pdf["is_ref"] = pdf["id"] < N_REF
+    return spark.createDataFrame(pdf), pdf
+
+
+def _fit_calc(spark_df, methods_cont=(), methods_cat=(), **kw):
+    calc = UnivariateDriftCalculator(
+        column_names=(["x"] if methods_cont else []) + (["cat"] if methods_cat else []),
+        continuous_methods=methods_cont,
+        categorical_methods=methods_cat,
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+        n_bins_ecdf=1000,
+        **kw,
+    )
+    calc.fit(spark_df.filter("is_ref"))
+    res = calc.calculate(spark_df.filter("NOT is_ref")).orderBy("chunk_index").toPandas()
+    return calc, res
+
+
+def _np_hist_probs(vals, lo, hi, n):
+    h, _ = np.histogram(vals, bins=np.linspace(lo, hi, n + 1))
+    return h / len(vals)
+
+
+def _chunks(pdf_slice, col):
+    arr = pdf_slice[col].to_numpy()
+    return [arr[i : i + CHUNK] for i in range(0, len(arr), CHUNK)]
+
+
+def test_doane_matches_numpy(frame):
+    _, pdf = frame
+    ref = pdf[pdf.is_ref]["x"].to_numpy()
+    expected = len(np.histogram_bin_edges(ref, bins="doane")) - 1
+    # population skewness g1 (numpy formulation)
+    m = ref.mean()
+    g1 = np.mean(((ref - m) / ref.std()) ** 3)
+    assert doane_bin_count(len(ref), g1) == expected
+
+
+def test_js_continuous_vs_oracle(spark, frame):
+    sdf, pdf = frame
+    calc, res = _fit_calc(sdf, methods_cont=("jensen_shannon",))
+    st = calc._cont_state["x"]
+    n_bins, ref_probs = st.specs["doane"]
+    ref = pdf[pdf.is_ref]["x"].to_numpy()
+    # engine's ref probs match np.histogram on the same equal-width bins
+    np.testing.assert_allclose(ref_probs, _np_hist_probs(ref, st.lo, st.hi, n_bins), atol=1e-12)
+    vals = res[res.method == "jensen_shannon"]["value"].to_numpy()
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        q = _np_hist_probs(chunk, st.lo, st.hi, n_bins)
+        p = np.array(ref_probs)
+        leftover = 1 - q.sum()
+        if leftover > 0:
+            q = np.append(q, leftover)
+            p = np.append(p, 0)
+        assert abs(vals[i] - js_distance_from_probs(p, q, 2.0)) < 1e-9
+
+
+def test_ks_binned_vs_oracle(spark, frame):
+    sdf, pdf = frame
+    calc, res = _fit_calc(sdf, methods_cont=("kolmogorov_smirnov",))
+    st = calc._cont_state["x"]
+    n_bins, ref_probs = st.specs["ecdf"]
+    ref_cdf = np.cumsum(ref_probs)
+    vals = res[res.method == "kolmogorov_smirnov"]["value"].to_numpy()
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        q = _np_hist_probs(chunk, st.lo, st.hi, n_bins)
+        below = np.mean(chunk < st.lo)
+        d = np.max(np.abs(ref_cdf - (below + np.cumsum(q))))
+        assert abs(vals[i] - d) < 1e-9, f"chunk {i}"
+
+
+def test_wasserstein_vs_oracle(spark, frame):
+    sdf, pdf = frame
+    calc, res = _fit_calc(sdf, methods_cont=("wasserstein",))
+    st = calc._cont_state["x"]
+    n_bins, ref_probs = st.specs["ecdf"]
+    ref_cdf = np.cumsum(ref_probs)
+    width = (st.hi - st.lo) / n_bins
+    vals = res[res.method == "wasserstein"]["value"].to_numpy()
+
+    def ecdf(v):
+        v = np.sort(v)
+        x, c = np.unique(v, return_counts=True)
+        return x, np.cumsum(c) / len(v)
+
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        smaller = chunk[chunk < st.lo]
+        bigger = chunk[chunk > st.hi]
+        term_s = term_b = amount_s = 0.0
+        if len(smaller):
+            amount_s = (len(smaller) + 1) / len(chunk)
+            x, y = ecdf(np.concatenate([smaller, [st.lo]]))
+            term_s = np.sum(y[:-1] * np.diff(x)) * amount_s
+        if len(bigger):
+            amount_b = (len(bigger) + 1) / len(chunk)
+            x, y = ecdf(np.concatenate([[st.hi], bigger]))
+            term_b = np.sum((1 - y)[:-1] * np.diff(x)) * amount_b
+        q = _np_hist_probs(chunk, st.lo, st.hi, n_bins)
+        d = np.sum(np.abs(ref_cdf - (np.cumsum(q) + amount_s)) * width) + term_s + term_b
+        assert abs(vals[i] - d) < 1e-9, f"chunk {i}: {vals[i]} vs {d}"
+
+
+def test_hellinger_psi_continuous(spark, frame):
+    sdf, pdf = frame
+    calc, res = _fit_calc(sdf, methods_cont=("hellinger", "psi"))
+    st = calc._cont_state["x"]
+    n_bins, ref_probs = st.specs["doane"]
+    hvals = res[res.method == "hellinger"]["value"].to_numpy()
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        q = _np_hist_probs(chunk, st.lo, st.hi, n_bins)
+        p = np.array(ref_probs)
+        leftover = 1 - q.sum()
+        if leftover > 0:
+            q, p = np.append(q, leftover), np.append(p, 0)
+        h = np.sqrt(np.sum((np.sqrt(p) - np.sqrt(q)) ** 2)) / math.sqrt(2)
+        assert abs(hvals[i] - h) < 1e-9
+    # PSI: same bins, eps-clipped formula
+    n_psi, psi_probs = st.specs["psi"]
+    pvals = res[res.method == "psi"]["value"].to_numpy()
+    eps = 1e-4
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        q = _np_hist_probs(chunk, st.lo, st.hi, n_psi)
+        p = np.clip(np.array(psi_probs), eps, None)
+        qq = np.clip(q, eps, None)
+        val = np.sum((qq - p) * np.log(qq / p))
+        leftover = 1 - q.sum()
+        if leftover > 0:
+            ql = max(leftover, eps)
+            val += (ql - eps) * np.log(ql / eps)
+        assert abs(pvals[i] - val) < 1e-9
+
+
+def test_categorical_methods_vs_oracle(spark, frame):
+    sdf, pdf = frame
+    calc, res = _fit_calc(sdf, methods_cat=("jensen_shannon", "l_infinity", "chi2", "hellinger"))
+    st = calc._cat_state["cat"]
+    cats = sorted(st.counts)
+    ref_p = np.array([st.probs[c] for c in cats])
+    ref_counts = np.array([st.counts[c] for c in cats], dtype=float)
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "cat")):
+        svals = pd.Series(chunk)
+        vc = svals.value_counts()
+        q = np.array([vc.get(c, 0) for c in cats]) / len(chunk)
+        # JS with leftover
+        leftover = 1 - q.sum()
+        p2, q2 = (np.append(ref_p, 0), np.append(q, leftover)) if leftover > 0 else (ref_p, q)
+        js = js_distance_from_probs(p2, q2, 2.0)
+        got = res[(res.method == "jensen_shannon") & (res.chunk_index == i)]["value"].iloc[0]
+        assert abs(got - js) < 1e-9
+        # L∞ over the union
+        union = sorted(set(cats) | set(vc.index))
+        p_u = np.array([st.probs.get(c, 0.0) for c in union])
+        q_u = np.array([vc.get(c, 0) for c in union]) / len(chunk)
+        linf = np.max(np.abs(p_u - q_u))
+        got = res[(res.method == "l_infinity") & (res.chunk_index == i)]["value"].iloc[0]
+        assert abs(got - linf) < 1e-9
+        # chi2 (k>2 → no Yates): contingency of ref counts vs chunk counts
+        r_u = np.array([st.counts.get(c, 0) for c in union], dtype=float)
+        o_u = np.array([vc.get(c, 0) for c in union], dtype=float)
+        R, O = r_u.sum(), o_u.sum()
+        ct = r_u + o_u
+        er, eo = ct * R / (R + O), ct * O / (R + O)
+        stat = np.sum((r_u - er) ** 2 / er + (o_u - eo) ** 2 / eo)
+        got = res[(res.method == "chi2") & (res.chunk_index == i)]["value"].iloc[0]
+        assert abs(got - stat) < 1e-7
+        # chi2 alert = p < 0.05 (drifted cats here → alert expected)
+        alert = res[(res.method == "chi2") & (res.chunk_index == i)]["alert"].iloc[0]
+        assert alert == (chi2_sf(stat, len(union) - 1) < 0.05)
+
+
+def test_alerts_fire_on_drift(spark, frame):
+    sdf, pdf = frame
+    calc, res = _fit_calc(sdf, methods_cont=("jensen_shannon",), methods_cat=("jensen_shannon",))
+    # both columns drifted by construction → every chunk alerts
+    assert res["alert"].all()
+    ref_res = calc.reference_result.toPandas()
+    assert not ref_res["alert"].any()
+    # upper-only default thresholds (std_lower_multiplier=None)
+    assert res["lower_threshold"].isna().all()
+    assert res["upper_threshold"].notna().all()
+
+
+def test_result_schema_contract(spark, frame):
+    sdf, _ = frame
+    _, res = _fit_calc(sdf, methods_cont=("jensen_shannon",))
+    from spark_validate.result import RESULT_COLUMNS
+
+    assert list(res.columns) == RESULT_COLUMNS
+    assert res["chunk_key"].iloc[0] == "[0:999]"
+    assert set(res["period"]) == {"analysis"}
