@@ -1,0 +1,125 @@
+"""Constraint checks: range, unseen, domain, uniqueness, referential."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_validate.checks import (
+    DomainCheck,
+    NumericalRangeCalculator,
+    ReferentialIntegrityCheck,
+    UniquenessCheck,
+    UnseenValuesCalculator,
+)
+from spark_validate.chunking import SizeBasedChunker
+
+
+@pytest.fixture(scope="module")
+def qframe(spark):
+    rng = np.random.default_rng(5)
+    n_ref, n_ana = 2000, 2000
+    x = np.concatenate([rng.uniform(0, 100, n_ref), rng.uniform(-10, 120, n_ana)])
+    cat = np.concatenate(
+        [rng.choice(["a", "b", "c"], n_ref), rng.choice(["a", "b", "c", "NEW"], n_ana, p=[0.3, 0.3, 0.3, 0.1])]
+    )
+    key = np.arange(n_ref + n_ana)
+    key[-10:] = key[0:10]  # inject 10 duplicate keys in analysis tail
+    pdf = pd.DataFrame({"id": np.arange(n_ref + n_ana), "k": key, "x": x, "cat": cat})
+    pdf["is_ref"] = pdf["id"] < n_ref
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_range_check(spark, qframe):
+    sdf, pdf = qframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    calc = NumericalRangeCalculator(["x"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    calc.fit(ref)
+    lo, hi = calc._ranges["x"]
+    res = calc.calculate(ana).orderBy("chunk_index").toPandas()
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    for i in range(4):
+        chunk = a.iloc[i * 500 : (i + 1) * 500]
+        exp = ((chunk["x"] < lo) | (chunk["x"] > hi)).mean()
+        assert np.isclose(res["value"].iloc[i], exp)
+    # default threshold: upper=0 → any violation alerts
+    assert res["alert"].all()
+    v = calc.violations(ana, row_id="id").toPandas()
+    exp_total = ((a["x"] < lo) | (a["x"] > hi)).sum()
+    assert len(v) == exp_total
+    assert set(v["violation_kind"]) == {"out_of_range"}
+
+
+def test_unseen_values(spark, qframe):
+    sdf, pdf = qframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    calc = UnseenValuesCalculator(["cat"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    calc.fit(ref)
+    assert sorted(calc._seen["cat"]) == ["a", "b", "c"]
+    res = calc.calculate(ana).orderBy("chunk_index").toPandas()
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    for i in range(4):
+        chunk = a.iloc[i * 500 : (i + 1) * 500]
+        assert np.isclose(res["value"].iloc[i], (chunk["cat"] == "NEW").mean())
+    assert res["alert"].all()
+    v = calc.violations(ana).toPandas()
+    assert len(v) == (a["cat"] == "NEW").sum()
+
+
+def test_unseen_large_cardinality_join_path(spark, qframe):
+    sdf, _ = qframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    calc = UnseenValuesCalculator(
+        ["cat"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]), max_seen=1
+    )
+    calc.fit(ref)
+    assert not isinstance(calc._seen["cat"], list)  # anti-join path
+    res = calc.calculate(ana).orderBy("chunk_index").toPandas()
+    calc2 = UnseenValuesCalculator(["cat"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    calc2.fit(ref)
+    res2 = calc2.calculate(ana).orderBy("chunk_index").toPandas()
+    np.testing.assert_allclose(res["value"].to_numpy(), res2["value"].to_numpy())
+
+
+def test_domain_check(spark, qframe):
+    sdf, pdf = qframe
+    ana = sdf.filter("NOT is_ref")
+    chk = DomainCheck(["cat"], domain=["a", "b"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    res = chk.calculate(ana).orderBy("chunk_index").toPandas()
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    exp = (~a.iloc[:500]["cat"].isin(["a", "b"])).mean()
+    assert np.isclose(res["value"].iloc[0], exp)
+
+
+def test_uniqueness(spark, qframe):
+    sdf, pdf = qframe
+    chk = UniquenessCheck(["k"], chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]))
+    dups = chk.duplicates(sdf).toPandas()
+    assert len(dups) == 10
+    assert (dups["dup_count"] == 2).all()
+    # salted variant agrees
+    chk_salted = UniquenessCheck(["k"], salt_buckets=8)
+    dups_s = chk_salted.duplicates(sdf).toPandas()
+    assert sorted(dups_s["k"]) == sorted(dups["k"])
+    v = chk.violations(sdf).toPandas()
+    assert len(v) == 20  # both rows of each duplicated key
+    res = chk.calculate(sdf).orderBy("chunk_index").toPandas()
+    assert np.isclose(res["value"].sum() * 1000, 20)  # 20 dup rows across chunks
+    assert res["alert"].any()
+
+
+def test_referential_integrity(spark, qframe):
+    sdf, pdf = qframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    # manifest = categories seen in reference
+    manifest = ref.select(F.col("cat").alias("cat")).distinct()
+    chk = ReferentialIntegrityCheck(
+        column="cat", manifest=manifest, chunker=SizeBasedChunker(chunk_size=500, order_by=["id"])
+    )
+    orph = chk.orphans(ana).count()
+    a = pdf[~pdf.is_ref]
+    assert orph == (a["cat"] == "NEW").sum()
+    res = chk.calculate(ana).orderBy("chunk_index").toPandas()
+    assert np.isclose(res["value"].mean(), (a["cat"] == "NEW").mean(), atol=0.05)
+    v = chk.violations(ana).toPandas()
+    assert set(v["observed_value"]) == {"NEW"}
