@@ -1,38 +1,755 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one engine operator from SURVEY.md §2 on
+the driver testdata; ``oracle_sql()`` holds the DuckDB-equivalent SQL. Float
+outputs are made hash-stable across engines by (a) exact DECIMAL sums for
+monetary aggregates (order-independent), (b) integer-division rates
+(bit-identical), (c) round(x, 6..9) where a formula aggregates few terms.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_validate.chunking import (  # noqa: E402
+    CHUNK_KEY,
+    ROW_INDEX,
+    PeriodBasedChunker,
+    SizeBasedChunker,
+)
+from spark_validate.checks import (  # noqa: E402
+    DomainCheck,
+    NumericalRangeCalculator,
+    ReferentialIntegrityCheck,
+    UniquenessCheck,
+    UnseenValuesCalculator,
+)
+from spark_validate.calculators import MissingValuesCalculator  # noqa: E402
+from spark_validate.drift import UnivariateDriftCalculator  # noqa: E402
+
+# --- shared constants (mirrored verbatim in the oracle SQL) -------------------
+
+LI_CUT = "1998-07-01"  # lineitem reference/analysis split on l_shipdate
+ORD_CUT = "1998-01-01"  # orders split on o_orderdate
+LI_CHUNK = 5000
+ORD_CHUNK = 2000
+EV_CHUNK = 1000
+EVENT_DOMAIN = ["click", "view", "purchase"]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _li_split(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < F.lit(LI_CUT).cast("timestamp"))
+    ana = li.filter(F.col("l_shipdate") >= F.lit(LI_CUT).cast("timestamp"))
+    return ref, ana
+
+
+def _ord_split(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderdate") < F.lit(ORD_CUT).cast("timestamp"))
+    ana = o.filter(F.col("o_orderdate") >= F.lit(ORD_CUT).cast("timestamp"))
+    return ref, ana
+
+
+def _li_chunker():
+    return SizeBasedChunker(chunk_size=LI_CHUNK, order_by=["l_orderkey", "l_linenumber"])
+
+
+def _ord_chunker():
+    return SizeBasedChunker(chunk_size=ORD_CHUNK, order_by=["o_orderkey"])
+
+
+# --- queries -------------------------------------------------------------------
+
+
+def q_chunk_column_stats(spark, sf_dir):
+    """Size-chunked per-chunk column stats (SURVEY §2.1 + §2.4) with exact
+    decimal sums for hash stability."""
+    _, ana = _li_split(spark, sf_dir)
+    assigned = _li_chunker().assign(ana)
+    cid = F.floor(F.col(ROW_INDEX) / F.lit(LI_CHUNK)).cast("int")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        assigned.withColumn("chunk_index", cid)
+        .groupBy("chunk_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum(dec).cast("double").alias("sum_price"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        )
+        .orderBy("chunk_index")
+    )
+
+
+def q_missing_rate(spark, sf_dir):
+    """MissingValuesCalculator (§2.3) on a derived nullable column."""
+    ref, ana = _li_split(spark, sf_dir)
+    nullify = lambda df: df.withColumn(  # noqa: E731
+        "d_disc", F.when(F.col("l_discount") < 0.02, F.lit(None)).otherwise(F.col("l_discount"))
+    )
+    calc = MissingValuesCalculator(["d_disc"], chunker=_li_chunker())
+    calc.fit(nullify(ref))
+    res = calc.calculate(nullify(ana))
+    return res.select("chunk_index", "column_name", "method", "value").orderBy("chunk_index")
+
+
+def q_avg_threshold_alerts(spark, sf_dir):
+    """Flagship: per-chunk avg with mean±3σ thresholds fit on reference chunks
+    (§2.4 + §2.9) — exact decimal chunk sums; thresholds rounded."""
+    ref, ana = _li_split(spark, sf_dir)
+
+    def chunk_avgs(df):
+        assigned = _li_chunker().assign(df)
+        cid = F.floor(F.col(ROW_INDEX) / F.lit(LI_CHUNK)).cast("int")
+        dec = F.col("l_extendedprice").cast("decimal(18,2)")
+        return (
+            assigned.withColumn("chunk_index", cid)
+            .groupBy("chunk_index")
+            .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_price"))
+        )
+
+    ref_avgs = chunk_avgs(ref)
+    thr = ref_avgs.agg(
+        F.avg("avg_price").alias("m"), F.stddev_pop("avg_price").alias("s")
+    ).first()
+    lo, up = thr["m"] - 3 * thr["s"], thr["m"] + 3 * thr["s"]
+    out = chunk_avgs(ana)
+    return out.select(
+        "chunk_index",
+        "avg_price",
+        F.round(F.lit(lo), 6).alias("lower_threshold"),
+        F.round(F.lit(up), 6).alias("upper_threshold"),
+        ((F.col("avg_price") < F.lit(lo)) | (F.col("avg_price") > F.lit(up))).alias("alert"),
+    ).orderBy("chunk_index")
+
+
+def q_period_chunks(spark, sf_dir):
+    """PeriodBasedChunker monthly keys (§2.1) + exact per-period aggregates."""
+    o = _read(spark, sf_dir, "orders")
+    ch = PeriodBasedChunker(offset="M", timestamp_column="o_orderdate")
+    assigned = ch.assign(o)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        assigned.groupBy(F.col(CHUNK_KEY).alias("chunk_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_totalprice"),
+        )
+        .orderBy("chunk_key")
+    )
+
+
+def q_range_check(spark, sf_dir):
+    """NumericalRangeCalculator (§2.3): out-of-range rate per analysis chunk
+    vs reference [min, max]; alert on any violation."""
+    ref, ana = _li_split(spark, sf_dir)
+    calc = NumericalRangeCalculator(["l_extendedprice"], chunker=_li_chunker()).fit(ref)
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index", F.col("value").alias("oor_rate"), "alert"
+    ).orderBy("chunk_index")
+
+
+def q_range_violations(spark, sf_dir):
+    """Exploded violation rows (north rule) for the range check."""
+    ref, ana = _li_split(spark, sf_dir)
+    calc = NumericalRangeCalculator(["l_extendedprice"], chunker=_li_chunker()).fit(ref)
+    lo, hi = calc._ranges["l_extendedprice"]
+    v = F.col("l_extendedprice")
+    return (
+        ana.filter((v < F.lit(lo)) | (v > F.lit(hi)))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q_domain_check(spark, sf_dir):
+    """Constant-domain check (north-rule fmt-style check) on event_type."""
+    ev = _read(spark, sf_dir, "events")
+    chk = DomainCheck(
+        ["event_type"], domain=EVENT_DOMAIN, chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"])
+    )
+    res = chk.calculate(ev)
+    return res.select("chunk_index", F.col("value").alias("unseen_rate"), "alert").orderBy("chunk_index")
+
+
+def q_unseen_values(spark, sf_dir):
+    """UnseenValuesCalculator (§2.3): values of o_orderpriority absent from
+    the reference period."""
+    ref, ana = _ord_split(spark, sf_dir)
+    calc = UnseenValuesCalculator(["o_orderpriority"], chunker=_ord_chunker()).fit(ref)
+    res = calc.calculate(ana)
+    return res.select("chunk_index", F.col("value").alias("unseen_rate")).orderBy("chunk_index")
+
+
+def q_uniqueness(spark, sf_dir):
+    """Two-phase duplicate detection (north rule §2.3 extension)."""
+    li = _read(spark, sf_dir, "lineitem")
+    chk = UniquenessCheck(["l_partkey", "l_suppkey"], salt_buckets=8)
+    return chk.duplicates(li).select("l_partkey", "l_suppkey", "dup_count").orderBy(
+        "l_partkey", "l_suppkey"
+    )
+
+
+def q_referential_orphans(spark, sf_dir):
+    """Left-anti referential check (north rule): customers with no orders."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    chk = ReferentialIntegrityCheck(
+        column="c_custkey", manifest=orders, manifest_column="o_custkey", broadcast_manifest=False
+    )
+    return chk.orphans(cust).select("c_custkey").orderBy("c_custkey")
+
+
+def _drift_query(spark, sf_dir, table, col, methods, kind, chunker, ref_ana, **kw):
+    ref, ana = ref_ana
+    calc = UnivariateDriftCalculator(
+        column_names=[col],
+        continuous_methods=methods if kind == "cont" else (),
+        categorical_methods=methods if kind == "cat" else (),
+        chunker=chunker,
+        **kw,
+    )
+    calc.fit(ref)
+    return calc.calculate(ana)
+
+
+def q_js_categorical(spark, sf_dir):
+    """Categorical Jensen-Shannon drift (§2.2) on l_returnflag."""
+    res = _drift_query(
+        spark, sf_dir, "lineitem", "l_returnflag", ("jensen_shannon",), "cat", _li_chunker(), _li_split(spark, sf_dir)
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("js_distance")).orderBy("chunk_index")
+
+
+def q_l_infinity(spark, sf_dir):
+    """L∞ categorical drift (§2.2) on l_returnflag."""
+    res = _drift_query(
+        spark, sf_dir, "lineitem", "l_returnflag", ("l_infinity",), "cat", _li_chunker(), _li_split(spark, sf_dir)
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("l_infinity")).orderBy("chunk_index")
+
+
+def q_chi2(spark, sf_dir):
+    """Chi-squared categorical drift (§2.2) on o_orderpriority (stat only —
+    the p-value uses our incomplete-gamma SF, not SQL-expressible)."""
+    res = _drift_query(
+        spark, sf_dir, "orders", "o_orderpriority", ("chi2",), "cat", _ord_chunker(), _ord_split(spark, sf_dir)
+    )
+    return res.select("chunk_index", F.round("value", 6).alias("chi2_stat")).orderBy("chunk_index")
+
+
+def q_hellinger_categorical(spark, sf_dir):
+    res = _drift_query(
+        spark, sf_dir, "lineitem", "l_returnflag", ("hellinger",), "cat", _li_chunker(), _li_split(spark, sf_dir)
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("hellinger")).orderBy("chunk_index")
+
+
+def q_psi_price(spark, sf_dir):
+    """PSI (north-rule method) on l_extendedprice, 10 equal-width bins."""
+    res = _drift_query(
+        spark, sf_dir, "lineitem", "l_extendedprice", ("psi",), "cont", _li_chunker(), _li_split(spark, sf_dir)
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("psi")).orderBy("chunk_index")
+
+
+def q_ks_price(spark, sf_dir):
+    """Binned-ECDF Kolmogorov-Smirnov (§2.2, the reference's ≥10k-row sketch)
+    on l_extendedprice with 1000 bins."""
+    res = _drift_query(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_extendedprice",
+        ("kolmogorov_smirnov",),
+        "cont",
+        _li_chunker(),
+        _li_split(spark, sf_dir),
+        n_bins_ecdf=1000,
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("ks_stat")).orderBy("chunk_index")
+
+
+def q_wasserstein_qty(spark, sf_dir):
+    """Binned Wasserstein (§2.2) on l_quantity, 1000 bins."""
+    res = _drift_query(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_quantity",
+        ("wasserstein",),
+        "cont",
+        _li_chunker(),
+        _li_split(spark, sf_dir),
+        n_bins_ecdf=1000,
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("wasserstein")).orderBy("chunk_index")
+
+
+def q_hellinger_price(spark, sf_dir):
+    """Continuous Hellinger (§2.2) with a fixed 10-bin override (Doane's rule
+    needs driver-side skewness — bin count is a parameter here so the oracle
+    stays SQL-expressible)."""
+    res = _drift_query(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_extendedprice",
+        ("hellinger",),
+        "cont",
+        _li_chunker(),
+        _li_split(spark, sf_dir),
+        n_bins_doane=10,
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("hellinger")).orderBy("chunk_index")
+
+
+def q_js_price(spark, sf_dir):
+    """Continuous Jensen-Shannon (§2.2), fixed 10-bin override (see above)."""
+    res = _drift_query(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_extendedprice",
+        ("jensen_shannon",),
+        "cont",
+        _li_chunker(),
+        _li_split(spark, sf_dir),
+        n_bins_doane=10,
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("js_distance")).orderBy("chunk_index")
+
+
+def q_top_categories(spark, sf_dir):
+    """Top-K categories per period chunk (§2.5 categorical distribution)."""
+    ev = _read(spark, sf_dir, "events")
+    ch = PeriodBasedChunker(offset="D", timestamp_column="ts")
+    assigned = ch.assign(ev)
+    counts = assigned.groupBy(F.col(CHUNK_KEY).alias("day_key"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day_key").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("day_key", "event_type", "cnt", "rank")
+        .orderBy("day_key", "rank")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Text token counting (training-data pipeline op) — whitespace tokens."""
+    docs = _read(spark, sf_dir, "documents")
+    n_space = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    return docs.select(
+        "doc_id",
+        (n_space + 1).cast("bigint").alias("token_count"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Exact-dedup fingerprint (md5) per document + duplicate-group count."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring features: token stats + space ratio (exact arithmetic)."""
+    docs = _read(spark, sf_dir, "documents")
+    n_space = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    tokens = (n_space + 1).cast("double")
+    return docs.select(
+        "doc_id",
+        (F.length("text").cast("double") / tokens).alias("chars_per_token"),
+        (n_space.cast("double") / F.length("text").cast("double")).alias("space_ratio"),
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "chunk_column_stats": q_chunk_column_stats,
+        "missing_rate": q_missing_rate,
+        "avg_threshold_alerts": q_avg_threshold_alerts,
+        "period_chunks": q_period_chunks,
+        "range_check": q_range_check,
+        "range_violations": q_range_violations,
+        "domain_check": q_domain_check,
+        "unseen_values": q_unseen_values,
+        "uniqueness": q_uniqueness,
+        "referential_orphans": q_referential_orphans,
+        "js_categorical": q_js_categorical,
+        "l_infinity": q_l_infinity,
+        "chi2": q_chi2,
+        "hellinger_categorical": q_hellinger_categorical,
+        "psi_price": q_psi_price,
+        "ks_price": q_ks_price,
+        "wasserstein_qty": q_wasserstein_qty,
+        "hellinger_price": q_hellinger_price,
+        "js_price": q_js_price,
+        "top_categories": q_top_categories,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_quality": q_doc_quality,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship on sf0.001: per-chunk avg with reference-fitted 3σ thresholds."""
+    return q_avg_threshold_alerts(spark, "/root/testdata/sf0.001")
+
+
+# --- oracle SQL -----------------------------------------------------------------
+
+# shared CTE fragments
+_LI_ANA = f"""
+  SELECT *, CAST(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / {LI_CHUNK}) AS INT) AS chunk_index
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '{LI_CUT}'
+"""
+_LI_REF = f"""
+  SELECT *, CAST(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / {LI_CHUNK}) AS INT) AS chunk_index
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}'
+"""
+_ORD_ANA = f"""
+  SELECT *, CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / {ORD_CHUNK}) AS INT) AS chunk_index
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{ORD_CUT}'
+"""
+
+
+def _cat_drift_sql(metric_expr: str, alias: str, rounding: int) -> str:
+    """Dense (chunk × reference categories) probabilities for l_returnflag."""
+    return f"""
+WITH ana AS ({_LI_ANA}),
+ref_n AS (SELECT count(*) AS n FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}' AND l_returnflag IS NOT NULL),
+ref_p AS (
+  SELECT l_returnflag AS v, CAST(count(*) AS DOUBLE) / (SELECT n FROM ref_n) AS p, count(*) AS ref_cnt
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}' AND l_returnflag IS NOT NULL GROUP BY 1
+),
+cnt AS (SELECT chunk_index, l_returnflag AS v, count(*) AS c FROM ana WHERE l_returnflag IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT chunk_index, count(*) AS n FROM ana WHERE l_returnflag IS NOT NULL GROUP BY 1),
+dense AS (
+  SELECT t.chunk_index, r.v, r.p, CAST(coalesce(c.c, 0) AS DOUBLE) / t.n AS q
+  FROM tot t CROSS JOIN ref_p r LEFT JOIN cnt c ON c.chunk_index = t.chunk_index AND c.v = r.v
+),
+terms AS (
+  SELECT chunk_index,
+         sum(CASE WHEN p > 0 THEN p * log2(2 * p / (p + q)) ELSE 0 END) AS jp,
+         sum(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) AS jq,
+         sum(power(sqrt(p) - sqrt(q), 2)) AS hel_sq,
+         1 - sum(q) AS leftover
+  FROM dense GROUP BY 1
+)
+SELECT chunk_index, round({metric_expr}, {rounding}) AS {alias} FROM terms ORDER BY chunk_index
+"""
+
+
+def _cont_dense_sql(col: str, n_bins: int, table_filter_ref: str, table_filter_ana: str) -> str:
+    """Dense equal-width histogram CTE prefix for continuous drift oracles."""
+    return f"""
+WITH bounds AS (
+  SELECT min({col}) AS lo, max({col}) AS hi FROM lineitem WHERE {table_filter_ref}
+),
+ref_b AS (
+  SELECT CASE WHEN {col} < lo THEN -1 WHEN {col} > hi THEN {n_bins}
+              WHEN {col} = hi THEN {n_bins} - 1
+              ELSE least(CAST(floor(({col} - lo) / (hi - lo) * {n_bins}) AS INT), {n_bins} - 1) END AS bucket
+  FROM lineitem, bounds WHERE {table_filter_ref} AND {col} IS NOT NULL
+),
+ref_n AS (SELECT count(*) AS n FROM ref_b),
+ref_hist AS (
+  SELECT b.b AS bucket, CAST(coalesce(h.c, 0) AS DOUBLE) / (SELECT n FROM ref_n) AS p
+  FROM (SELECT unnest(generate_series(0, {n_bins} - 1)) AS b) b
+  LEFT JOIN (SELECT bucket, count(*) AS c FROM ref_b WHERE bucket BETWEEN 0 AND {n_bins} - 1 GROUP BY 1) h
+    ON h.bucket = b.b
+),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / {LI_CHUNK}) AS INT) AS chunk_index,
+         {col} AS v
+  FROM lineitem WHERE {table_filter_ana}
+),
+ana_b AS (
+  SELECT chunk_index,
+         CASE WHEN v < lo THEN -1 WHEN v > hi THEN {n_bins}
+              WHEN v = hi THEN {n_bins} - 1
+              ELSE least(CAST(floor((v - lo) / (hi - lo) * {n_bins}) AS INT), {n_bins} - 1) END AS bucket
+  FROM ana, bounds WHERE v IS NOT NULL
+),
+tot AS (
+  SELECT chunk_index, count(*) AS n,
+         sum(CASE WHEN bucket = -1 THEN 1 ELSE 0 END) AS n_below
+  FROM ana_b GROUP BY 1
+),
+cnt AS (SELECT chunk_index, bucket, count(*) AS c FROM ana_b WHERE bucket BETWEEN 0 AND {n_bins} - 1 GROUP BY 1, 2),
+dense AS (
+  SELECT t.chunk_index, r.bucket, r.p, CAST(coalesce(c.c, 0) AS DOUBLE) / t.n AS q,
+         t.n, t.n_below
+  FROM tot t CROSS JOIN ref_hist r
+  LEFT JOIN cnt c ON c.chunk_index = t.chunk_index AND c.bucket = r.bucket
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["chunk_column_stats"] = f"""
+WITH ana AS ({_LI_ANA})
+SELECT chunk_index, count(*) AS n_rows,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM ana GROUP BY chunk_index ORDER BY chunk_index
+"""
+
+    sql["missing_rate"] = f"""
+WITH ana AS ({_LI_ANA})
+SELECT chunk_index, 'd_disc' AS column_name, 'missing_rate' AS method,
+       CAST(sum(CASE WHEN l_discount < 0.02 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS value
+FROM ana GROUP BY chunk_index ORDER BY chunk_index
+"""
+
+    sql["avg_threshold_alerts"] = f"""
+WITH ref AS ({_LI_REF}),
+ref_avgs AS (
+  SELECT chunk_index, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+  FROM ref GROUP BY chunk_index
+),
+thr AS (SELECT avg(a) - 3 * stddev_pop(a) AS lo, avg(a) + 3 * stddev_pop(a) AS up FROM ref_avgs),
+ana AS ({_LI_ANA}),
+ana_avgs AS (
+  SELECT chunk_index, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+  FROM ana GROUP BY chunk_index
+)
+SELECT chunk_index, avg_price, round(lo, 6) AS lower_threshold, round(up, 6) AS upper_threshold,
+       (avg_price < lo OR avg_price > up) AS alert
+FROM ana_avgs, thr ORDER BY chunk_index
+"""
+
+    sql["period_chunks"] = """
+SELECT strftime(o_orderdate, '%Y-%m') AS chunk_key, count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_totalprice
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+    sql["range_check"] = f"""
+WITH bounds AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}'),
+ana AS ({_LI_ANA})
+SELECT chunk_index,
+       CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oor_rate,
+       sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) > 0 AS alert
+FROM ana, bounds GROUP BY chunk_index ORDER BY chunk_index
+"""
+
+    sql["range_violations"] = f"""
+WITH bounds AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}')
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem, bounds
+WHERE l_shipdate >= TIMESTAMP '{LI_CUT}' AND (l_extendedprice < lo OR l_extendedprice > hi)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+    domain_list = ", ".join(f"'{v}'" for v in EVENT_DOMAIN)
+    sql["domain_check"] = f"""
+WITH ev AS (
+  SELECT *, CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index
+  FROM events
+)
+SELECT chunk_index,
+       CAST(sum(CASE WHEN event_type NOT IN ({domain_list}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS unseen_rate,
+       sum(CASE WHEN event_type NOT IN ({domain_list}) THEN 1 ELSE 0 END) > 0 AS alert
+FROM ev GROUP BY chunk_index ORDER BY chunk_index
+"""
+
+    sql["unseen_values"] = f"""
+WITH seen AS (SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderdate < TIMESTAMP '{ORD_CUT}'),
+ana AS ({_ORD_ANA})
+SELECT chunk_index,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN (SELECT o_orderpriority FROM seen) THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS unseen_rate
+FROM ana GROUP BY chunk_index ORDER BY chunk_index
+"""
+
+    sql["uniqueness"] = """
+SELECT l_partkey, l_suppkey, count(*) AS dup_count
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2
+"""
+
+    sql["referential_orphans"] = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+    sql["js_categorical"] = _cat_drift_sql(
+        "sqrt(greatest(0.5 * (jp + jq) + 0.5 * greatest(leftover, 0), 0))", "js_distance", 9
+    )
+    sql["hellinger_categorical"] = _cat_drift_sql(
+        "sqrt((hel_sq + greatest(leftover, 0)) / 2)", "hellinger", 9
+    )
+
+    sql["l_infinity"] = f"""
+WITH ana AS ({_LI_ANA}),
+ref_n AS (SELECT count(*) AS n FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}' AND l_returnflag IS NOT NULL),
+ref_p AS (
+  SELECT l_returnflag AS v, CAST(count(*) AS DOUBLE) / (SELECT n FROM ref_n) AS p
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}' AND l_returnflag IS NOT NULL GROUP BY 1
+),
+cnt AS (SELECT chunk_index, l_returnflag AS v, count(*) AS c FROM ana WHERE l_returnflag IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT chunk_index, count(*) AS n FROM ana WHERE l_returnflag IS NOT NULL GROUP BY 1),
+keys AS (
+  SELECT DISTINCT t.chunk_index, u.v FROM tot t
+  CROSS JOIN (SELECT v FROM ref_p UNION SELECT v FROM cnt) u
+),
+dense AS (
+  SELECT k.chunk_index, coalesce(r.p, 0) AS p, CAST(coalesce(c.c, 0) AS DOUBLE) / t.n AS q
+  FROM keys k JOIN tot t ON t.chunk_index = k.chunk_index
+  LEFT JOIN ref_p r ON r.v = k.v
+  LEFT JOIN cnt c ON c.chunk_index = k.chunk_index AND c.v = k.v
+)
+SELECT chunk_index, round(max(abs(p - q)), 9) AS l_infinity FROM dense GROUP BY 1 ORDER BY 1
+"""
+
+    sql["chi2"] = f"""
+WITH ana AS ({_ORD_ANA}),
+ref_c AS (
+  SELECT o_orderpriority AS v, count(*) AS rc FROM orders
+  WHERE o_orderdate < TIMESTAMP '{ORD_CUT}' AND o_orderpriority IS NOT NULL GROUP BY 1 HAVING count(*) > 0
+),
+cnt AS (SELECT chunk_index, o_orderpriority AS v, count(*) AS oc FROM ana WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+chunks AS (SELECT DISTINCT chunk_index FROM ana),
+keys AS (
+  SELECT ch.chunk_index, u.v FROM chunks ch
+  CROSS JOIN (SELECT v FROM ref_c UNION SELECT DISTINCT v FROM cnt) u
+),
+cells AS (
+  SELECT k.chunk_index, coalesce(r.rc, 0) AS rc, coalesce(c.oc, 0) AS oc
+  FROM keys k LEFT JOIN ref_c r ON r.v = k.v
+  LEFT JOIN cnt c ON c.chunk_index = k.chunk_index AND c.v = k.v
+  WHERE coalesce(r.rc, 0) + coalesce(c.oc, 0) > 0
+),
+tots AS (SELECT chunk_index, sum(rc) AS R, sum(oc) AS O, count(*) AS k FROM cells GROUP BY 1)
+SELECT c.chunk_index,
+       round(sum(
+         CASE WHEN t.k = 2 THEN
+           power(greatest(abs(c.rc - (c.rc + c.oc) * t.R / (t.R + t.O)) - 0.5, 0), 2) / ((c.rc + c.oc) * t.R / (t.R + t.O))
+           + power(greatest(abs(c.oc - (c.rc + c.oc) * t.O / (t.R + t.O)) - 0.5, 0), 2) / ((c.rc + c.oc) * t.O / (t.R + t.O))
+         ELSE
+           power(c.rc - (c.rc + c.oc) * t.R / (t.R + t.O), 2) / ((c.rc + c.oc) * t.R / (t.R + t.O))
+           + power(c.oc - (c.rc + c.oc) * t.O / (t.R + t.O), 2) / ((c.rc + c.oc) * t.O / (t.R + t.O))
+         END
+       ), 6) AS chi2_stat
+FROM cells c JOIN tots t ON t.chunk_index = c.chunk_index
+GROUP BY c.chunk_index ORDER BY c.chunk_index
+"""
+
+    ref_f = f"l_shipdate < TIMESTAMP '{LI_CUT}'"
+    ana_f = f"l_shipdate >= TIMESTAMP '{LI_CUT}'"
+
+    sql["psi_price"] = _cont_dense_sql("l_extendedprice", 10, ref_f, ana_f) + """
+, terms AS (
+  SELECT chunk_index,
+         sum((greatest(q, 1e-4) - greatest(p, 1e-4)) * ln(greatest(q, 1e-4) / greatest(p, 1e-4))) AS psi_bins,
+         greatest(1 - sum(q), 0) AS leftover
+  FROM dense GROUP BY 1
+)
+SELECT chunk_index,
+       round(psi_bins + CASE WHEN leftover > 0
+             THEN (greatest(leftover, 1e-4) - 1e-4) * ln(greatest(leftover, 1e-4) / 1e-4) ELSE 0 END, 9) AS psi
+FROM terms ORDER BY chunk_index
+"""
+
+    sql["ks_price"] = _cont_dense_sql("l_extendedprice", 1000, ref_f, ana_f) + """
+, cdf AS (
+  SELECT chunk_index, bucket,
+         sum(p) OVER (PARTITION BY chunk_index ORDER BY bucket) AS ref_cdf,
+         CAST(n_below AS DOUBLE) / n + sum(q) OVER (PARTITION BY chunk_index ORDER BY bucket) AS chunk_cdf
+  FROM dense
+)
+SELECT chunk_index, round(max(abs(ref_cdf - chunk_cdf)), 9) AS ks_stat FROM cdf GROUP BY 1 ORDER BY 1
+"""
+
+    # wasserstein on l_quantity (ranges coincide between periods → correction
+    # terms are zero and the oracle is the pure within-range integral; the +1
+    # below-mass shift still mirrored for exactness)
+    was_dense = _cont_dense_sql("l_quantity", 1000, ref_f, ana_f)
+    sql["wasserstein_qty"] = was_dense + """
+, width AS (SELECT (max(hi) - max(lo)) / 1000 AS w FROM bounds),
+cdf AS (
+  SELECT chunk_index,
+         sum(p) OVER (PARTITION BY chunk_index ORDER BY bucket) AS ref_cdf,
+         CASE WHEN n_below > 0 THEN CAST(n_below + 1 AS DOUBLE) / n ELSE 0 END
+           + sum(q) OVER (PARTITION BY chunk_index ORDER BY bucket) AS chunk_cdf
+  FROM dense
+)
+SELECT chunk_index, round(sum(abs(ref_cdf - chunk_cdf)) * (SELECT w FROM width), 9) AS wasserstein
+FROM cdf GROUP BY 1 ORDER BY 1
+"""
+
+    for name, alias, col in (("hellinger_price", "hellinger", "l_extendedprice"), ("js_price", "js_distance", "l_extendedprice")):
+        base = _cont_dense_sql(col, 10, ref_f, ana_f)
+        if alias == "hellinger":
+            expr = "sqrt((hel_sq + greatest(leftover, 0)) / 2)"
+        else:
+            expr = "sqrt(greatest(0.5 * (jp + jq) + 0.5 * greatest(leftover, 0), 0))"
+        sql[name] = base + f"""
+, terms AS (
+  SELECT chunk_index,
+         sum(CASE WHEN p > 0 THEN p * log2(2 * p / (p + q)) ELSE 0 END) AS jp,
+         sum(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) AS jq,
+         sum(power(sqrt(p) - sqrt(q), 2)) AS hel_sq,
+         1 - sum(q) AS leftover
+  FROM dense GROUP BY 1
+)
+SELECT chunk_index, round({expr}, 9) AS {alias} FROM terms ORDER BY chunk_index
+"""
+
+    sql["top_categories"] = """
+WITH counts AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_key, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day_key, event_type, cnt,
+         row_number() OVER (PARTITION BY day_key ORDER BY cnt DESC, event_type ASC) AS rank
+  FROM counts
+)
+SELECT day_key, event_type, cnt, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 2 ORDER BY day_key, rank
+"""
+
+    sql["token_count"] = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS token_count,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+    sql["doc_fingerprint"] = """
+SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+"""
+
+    sql["doc_quality"] = """
+SELECT doc_id,
+       CAST(length(text) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1) AS chars_per_token,
+       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
+FROM documents ORDER BY doc_id
+"""
+
+    return sql

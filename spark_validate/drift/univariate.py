@@ -131,6 +131,7 @@ class UnivariateDriftCalculator:
         treat_as_categorical: Sequence[str] = (),
         treat_as_numerical: Sequence[str] = (),
         n_bins_ecdf: int = 10_000,
+        n_bins_doane: Optional[int] = None,  # override Doane's rule with a fixed bin count
         psi_n_bins: int = 10,
         psi_eps: float = 1e-4,
         max_categories: int = 100_000,
@@ -151,6 +152,7 @@ class UnivariateDriftCalculator:
         self.treat_as_categorical = set(treat_as_categorical)
         self.treat_as_numerical = set(treat_as_numerical)
         self.n_bins_ecdf = n_bins_ecdf
+        self.n_bins_doane = n_bins_doane
         self.psi_n_bins = psi_n_bins
         self.psi_eps = psi_eps
         self.max_categories = max_categories
@@ -257,7 +259,8 @@ class UnivariateDriftCalculator:
             st = ContinuousState(lo=lo, hi=hi, n_ref=int(n))
             for spec in specs_needed:
                 if spec == "doane":
-                    st.specs[spec] = (doane_bin_count(int(n), g1 if g1 is not None else 0.0), [])
+                    nb = self.n_bins_doane or doane_bin_count(int(n), g1 if g1 is not None else 0.0)
+                    st.specs[spec] = (nb, [])
                 elif spec == "ecdf":
                     st.specs[spec] = (self.n_bins_ecdf, [])
                 else:

@@ -1,0 +1,128 @@
+"""Image-payload checks — Arrow-vectorized ``mapInPandas`` over binary columns.
+
+Per BASELINE.json ``input_hint``: decode + pixel-stat constraints run ONLY in
+vectorized pandas/Arrow UDFs (never per-row Python), with explicit
+``repartitionByRange(image_id)`` before the decode pass and AQE skew handling
+for oversized ``bytes``. Per-row equivalence vs a reference copy is
+decoded-pixel allclose at PSNR ≥ 40 dB (lossy) + exact caption equality.
+
+Real image codecs (PIL/libjpeg) are NOT in this container. ``_decode``
+dispatches: if PIL is importable it decodes real images; otherwise it decodes
+the deterministic fake 'SVI0' codec from ``synth.py`` (4-byte magic + w + h +
+sha-seeded pixel bytes). The Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — is identical either way, which is the part
+that has to be right at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # real codec path (absent in this container)
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def _decode(buf: Optional[bytes]) -> Optional[np.ndarray]:
+    """Decode a payload to a uint8 pixel array. Fake 'SVI0' codec: skip the
+    header, interpret the body bytes as pixels. Real codecs via PIL when
+    available."""
+    if buf is None or len(buf) < 4:
+        return None
+    if bytes(buf[:4]) == b"SVI0":
+        return np.frombuffer(bytes(buf), dtype=np.uint8, offset=4)
+    if _HAS_PIL:  # pragma: no cover - not available in this container
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(bytes(buf)))).ravel()
+    raise NotImplementedError("real image codec required but PIL is not installed")
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    if a is None or b is None:
+        return float("nan")
+    n = min(len(a), len(b))
+    if n == 0:
+        return float("nan")
+    mse = float(np.mean((a[:n].astype(np.float64) - b[:n].astype(np.float64)) ** 2))
+    if mse == 0 and len(a) == len(b):
+        return float("inf")
+    if mse == 0:
+        return 0.0  # equal prefix but different length → not equivalent
+    return 10.0 * math.log10(255.0**2 / mse)
+
+
+def decode_pixel_stats(df: DataFrame, partitions: Optional[int] = None) -> DataFrame:
+    """Per-image decoded pixel statistics.
+
+    ``repartitionByRange(image_id)`` spreads oversized payloads across tasks
+    (north rule); everything else is an Arrow-batched iterator — no per-row
+    Python calls cross the JVM boundary.
+    """
+    n_parts = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = df.repartitionByRange(n_parts, "image_id").select("image_id", "bytes", "w", "h")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [_decode(b) for b in pdf["bytes"]]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "decode_ok": [p is not None for p in px],
+                    "n_px_bytes": [len(p) if p is not None else 0 for p in px],
+                    "px_mean": [float(p.mean()) if p is not None and len(p) else float("nan") for p in px],
+                    "px_std": [float(p.std()) if p is not None and len(p) else float("nan") for p in px],
+                }
+            )
+
+    schema = "image_id string, decode_ok boolean, n_px_bytes long, px_mean double, px_std double"
+    return src.mapInPandas(op, schema)
+
+
+def psnr_check(
+    analysis: DataFrame,
+    reference: DataFrame,
+    psnr_db_min: float = 40.0,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Per-row equivalence vs the reference copy: decoded-pixel PSNR ≥
+    ``psnr_db_min`` plus EXACT caption equality (input_hint invariant).
+
+    Join on image_id (sort-merge/AQE for big sides), then one Arrow pass
+    decoding both payloads. Returns one row per joined image with
+    ``psnr_db``, ``caption_equal``, ``passes``.
+    """
+    n_parts = partitions or int(analysis.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = analysis.select(
+        "image_id", F.col("bytes").alias("bytes_a"), F.col("caption").alias("caption_a")
+    )
+    r = reference.select(
+        "image_id", F.col("bytes").alias("bytes_r"), F.col("caption").alias("caption_r")
+    )
+    joined = a.join(r, "image_id", "inner").repartitionByRange(n_parts, "image_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            psnrs, cap_eq = [], []
+            for ba, br, ca, cr in zip(pdf["bytes_a"], pdf["bytes_r"], pdf["caption_a"], pdf["caption_r"]):
+                psnrs.append(_psnr(_decode(ba), _decode(br)))
+                cap_eq.append(ca == cr)
+            out = pd.DataFrame(
+                {"image_id": pdf["image_id"], "psnr_db": psnrs, "caption_equal": cap_eq}
+            )
+            out["passes"] = (out["psnr_db"] >= psnr_db_min) & out["caption_equal"]
+            yield out
+
+    schema = "image_id string, psnr_db double, caption_equal boolean, passes boolean"
+    return joined.mapInPandas(op, schema)

@@ -1,0 +1,113 @@
+"""Deterministic synthetic image+caption table (BASELINE.json `input_hint`).
+
+Schema: ``image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash long`` — synthesized WITH SPARK (``spark.range`` +
+column expressions), so generation itself scales to any row count and any
+partition layout; nothing is built driver-side.
+
+Injected anomalies (all rate-parameterized, deterministic via hash of the
+row id — no RNG state):
+
+* duplicate ``image_id``s (uniqueness-check targets)
+* ``phash`` orphans absent from the reference manifest (referential targets)
+* unseen ``fmt`` values in the analysis slice (domain-check targets)
+* drifted w/h distribution in the analysis slice (drift targets)
+* oversized ``bytes`` outliers (skew targets)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FMTS = ["jpeg", "png", "webp"]
+UNSEEN_FMT = "bmp"
+SIZES = [64, 128, 256, 512, 1024]
+_WORDS = [
+    "sunset", "mountain", "river", "cat", "dog", "city", "forest", "beach",
+    "portrait", "abstract", "vintage", "neon", "rain", "snow", "bridge", "garden",
+]
+
+
+def _pick(arr, key_col, salt: int):
+    """Deterministic choice from a literal array via a hash of the row id."""
+    idx = F.pmod(F.xxhash64(key_col, F.lit(salt)), F.lit(len(arr))) + 1
+    return F.element_at(F.array(*[F.lit(v) for v in arr]), idx.cast("int"))
+
+
+def synth_image_table(
+    spark: SparkSession,
+    n_rows: int,
+    n_partitions: int = 32,
+    dup_rate: float = 0.0001,
+    orphan_rate: float = 0.001,
+    unseen_fmt_rate: float = 0.0,
+    drift: bool = False,
+    oversized_rate: float = 0.0005,
+    payload_kb: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the image+caption table. ``drift=True`` produces the 'analysis'
+    slice: shifted w/h mix, optional unseen fmt, phash orphans."""
+    df = spark.range(0, n_rows, 1, n_partitions).withColumnRenamed("id", "row_id")
+    rid = F.col("row_id")
+    h64 = F.xxhash64(rid, F.lit(seed))
+
+    # duplicates: a dup_rate slice of rows reuses the id of (row_id - 1)
+    dup_flag = F.pmod(h64, F.lit(1_000_000)) < F.lit(int(dup_rate * 1_000_000))
+    id_src = F.when(dup_flag & (rid > 0), rid - 1).otherwise(rid)
+    image_id = F.sha2(F.concat(F.lit(f"img-{seed}-"), id_src.cast("string")), 256).substr(1, 32)
+
+    size_arr = SIZES if not drift else SIZES[1:] + [2048]  # drifted size mix
+    w = _pick(size_arr, rid, seed + 1).cast("int")
+    h = _pick(size_arr, rid, seed + 2).cast("int")
+
+    fmt = _pick(FMTS, rid, seed + 3)
+    if unseen_fmt_rate > 0:
+        unseen_flag = F.pmod(F.xxhash64(rid, F.lit(seed + 4)), F.lit(1_000_000)) < F.lit(
+            int(unseen_fmt_rate * 1_000_000)
+        )
+        fmt = F.when(unseen_flag, F.lit(UNSEEN_FMT)).otherwise(fmt)
+
+    caption = F.concat_ws(
+        " ",
+        _pick(_WORDS, rid, seed + 5),
+        _pick(_WORDS, rid, seed + 6),
+        _pick(_WORDS, rid, seed + 7),
+    )
+
+    # phash keyed by image_id so duplicate ids share a phash; orphans get a
+    # phash outside the manifest universe (manifest = pmod(phash, 1000) != 0)
+    phash = F.xxhash64(image_id, F.lit(seed + 8))
+    if orphan_rate > 0:
+        orphan_flag = F.pmod(F.xxhash64(rid, F.lit(seed + 9)), F.lit(1_000_000)) < F.lit(
+            int(orphan_rate * 1_000_000)
+        )
+        phash = F.when(orphan_flag, phash * 1000).otherwise(phash)  # *1000 → pmod 0 bucket
+
+    # payload: deterministic pseudo-image — fake codec header + seeded bytes;
+    # content derives ONLY from image_id so dup ids carry identical payloads
+    # and a reference re-decode reproduces identical pixels (PSNR=∞ unless
+    # corrupted). Oversized outliers exercise bytes-column skew handling.
+    reps = F.when(
+        F.pmod(F.xxhash64(rid, F.lit(seed + 10)), F.lit(1_000_000)) < F.lit(int(oversized_rate * 1_000_000)),
+        F.lit(max(payload_kb, 1) * 64),  # 64× oversized
+    ).otherwise(F.lit(max(payload_kb, 1)))
+    hex_block = F.sha2(F.concat(F.lit("px-"), image_id), 512)  # 128 hex chars = 64 bytes
+    body = F.repeat(hex_block, (reps * 16).cast("int"))  # kb → 16 blocks of 64B
+    payload = F.unhex(F.concat(F.lit("53564930"), F.hex(w), F.hex(h), body))  # 'SVI0' magic
+
+    return df.select(
+        image_id.alias("image_id"),
+        payload.alias("bytes"),
+        w.alias("w"),
+        h.alias("h"),
+        fmt.alias("fmt"),
+        caption.alias("caption"),
+        phash.alias("phash"),
+    )
+
+
+def reference_manifest(reference: DataFrame) -> DataFrame:
+    """Distinct phash manifest of the reference slice (referential target)."""
+    return reference.select("phash").distinct()

@@ -1,0 +1,101 @@
+"""Image table synthesis + payload checks (north-rule target workload)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_validate.checks import DomainCheck, ReferentialIntegrityCheck, UniquenessCheck
+from spark_validate.chunking import PartitionChunker
+from spark_validate.image import decode_pixel_stats, psnr_check, reference_manifest, synth_image_table
+from spark_validate.image.synth import FMTS, UNSEEN_FMT
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def img_ref(spark):
+    return synth_image_table(spark, N, n_partitions=4, dup_rate=0.0, orphan_rate=0.0).cache()
+
+
+@pytest.fixture(scope="module")
+def img_ana(spark):
+    return synth_image_table(
+        spark, N, n_partitions=4, dup_rate=0.01, orphan_rate=0.01, unseen_fmt_rate=0.02, drift=True, seed=99
+    ).cache()
+
+
+def test_schema_matches_input_hint(img_ref):
+    assert dict(img_ref.dtypes) == {
+        "image_id": "string",
+        "bytes": "binary",
+        "w": "int",
+        "h": "int",
+        "fmt": "string",
+        "caption": "string",
+        "phash": "bigint",
+    }
+
+
+def test_synthesis_is_deterministic(spark):
+    a = synth_image_table(spark, 500, n_partitions=2).toPandas().sort_values("image_id").reset_index(drop=True)
+    b = synth_image_table(spark, 500, n_partitions=8).toPandas().sort_values("image_id").reset_index(drop=True)
+    # partition layout must not change content
+    assert (a["image_id"] == b["image_id"]).all()
+    assert (a["phash"] == b["phash"]).all()
+    assert (a["caption"] == b["caption"]).all()
+
+
+def test_injected_duplicates_found(spark, img_ana):
+    chk = UniquenessCheck(["image_id"], salt_buckets=4)
+    dups = chk.duplicates(img_ana).toPandas()
+    assert len(dups) > 0
+    assert (dups["dup_count"] >= 2).all()
+
+
+def test_fmt_domain_violations(spark, img_ana):
+    chk = DomainCheck(["fmt"], domain=FMTS, chunker=PartitionChunker())
+    res = chk.calculate(img_ana).toPandas()
+    assert res["value"].sum() > 0
+    assert res["alert"].any()
+    v = chk.violations(img_ana, row_id="image_id").toPandas()
+    assert set(v["observed_value"]) == {UNSEEN_FMT}
+
+
+def test_phash_referential(spark, img_ref, img_ana):
+    manifest = reference_manifest(img_ref)
+    chk = ReferentialIntegrityCheck(column="phash", manifest=manifest, chunker=PartitionChunker())
+    orphans = chk.orphans(img_ana).count()
+    assert orphans > 0  # analysis was generated with a different seed → plenty of unseen phashes
+
+
+def test_decode_pixel_stats(spark, img_ref):
+    stats = decode_pixel_stats(img_ref, partitions=4).toPandas()
+    assert len(stats) == N
+    assert stats["decode_ok"].all()
+    assert (stats["n_px_bytes"] > 0).all()
+    # sha-seeded payloads → byte means approach 127.5
+    assert abs(stats["px_mean"].mean() - 127.5) < 3.0
+
+
+def test_psnr_identical_payloads(spark, img_ref):
+    res = psnr_check(img_ref, img_ref, partitions=4).toPandas()
+    assert len(res) == N
+    assert res["passes"].all()
+    assert np.isinf(res["psnr_db"]).all()
+    assert res["caption_equal"].all()
+
+
+def test_psnr_corruption_detected(spark, img_ref):
+    # corrupt payload bytes for ~half the rows (flip via different body)
+    corrupted = img_ref.withColumn(
+        "bytes",
+        F.when(
+            F.pmod(F.xxhash64("image_id"), F.lit(2)) == 0,
+            F.unhex(F.concat(F.lit("53564930"), F.sha2(F.col("image_id"), 512))),
+        ).otherwise(F.col("bytes")),
+    )
+    res = psnr_check(corrupted, img_ref, partitions=4).toPandas()
+    assert res["passes"].sum() < N  # corrupted rows fail PSNR
+    assert res["passes"].sum() > 0  # untouched rows still pass
+    bad = res[~res["passes"]]
+    assert (bad["psnr_db"] < 40).all()
