@@ -36,10 +36,11 @@ def _decode(buf: Optional[bytes]) -> Optional[np.ndarray]:
     """Decode a payload to a uint8 pixel array. Fake 'SVI0' codec: skip the
     header, interpret the body bytes as pixels. Real codecs via PIL when
     available."""
-    if buf is None or len(buf) < 4:
+    if buf is None or len(buf) < 12:
         return None
     if bytes(buf[:4]) == b"SVI0":
-        return np.frombuffer(bytes(buf), dtype=np.uint8, offset=4)
+        # fake codec: 4B magic + 4B w + 4B h header, body bytes are the pixels
+        return np.frombuffer(bytes(buf), dtype=np.uint8, offset=12)
     if _HAS_PIL:  # pragma: no cover - not available in this container
         import io
 

@@ -76,14 +76,14 @@ def synth_image_table(
         _pick(_WORDS, rid, seed + 7),
     )
 
-    # phash keyed by image_id so duplicate ids share a phash; orphans get a
-    # phash outside the manifest universe (manifest = pmod(phash, 1000) != 0)
+    # phash keyed by image_id so duplicate ids share a phash; orphans re-hash
+    # with a different salt, guaranteeing absence from any same-seed manifest
     phash = F.xxhash64(image_id, F.lit(seed + 8))
     if orphan_rate > 0:
         orphan_flag = F.pmod(F.xxhash64(rid, F.lit(seed + 9)), F.lit(1_000_000)) < F.lit(
             int(orphan_rate * 1_000_000)
         )
-        phash = F.when(orphan_flag, phash * 1000).otherwise(phash)  # *1000 → pmod 0 bucket
+        phash = F.when(orphan_flag, F.xxhash64(image_id, F.lit(seed + 11))).otherwise(phash)
 
     # payload: deterministic pseudo-image — fake codec header + seeded bytes;
     # content derives ONLY from image_id so dup ids carry identical payloads
@@ -95,7 +95,10 @@ def synth_image_table(
     ).otherwise(F.lit(max(payload_kb, 1)))
     hex_block = F.sha2(F.concat(F.lit("px-"), image_id), 512)  # 128 hex chars = 64 bytes
     body = F.repeat(hex_block, (reps * 16).cast("int"))  # kb → 16 blocks of 64B
-    payload = F.unhex(F.concat(F.lit("53564930"), F.hex(w), F.hex(h), body))  # 'SVI0' magic
+    # 'SVI0' magic + 4-byte w + 4-byte h + body (all byte-aligned hex)
+    payload = F.unhex(
+        F.concat(F.lit("53564930"), F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"), body)
+    )
 
     return df.select(
         image_id.alias("image_id"),
