@@ -1,0 +1,126 @@
+"""The north-rule validation suite over an image+caption table.
+
+Composes the engine's checks exactly as BASELINE.json's north_star describes:
+
+* per-partition column stats (null rate, min/max w/h) — one
+  ``groupBy(partition).agg`` pass
+* fmt domain check
+* image_id uniqueness — two-phase (optionally salted) hash aggregate
+* phash referential check vs a reference manifest (broadcast or sort-merge
+  anti-join)
+* distribution drift: KS on w/h, chi2 + JS on fmt, PSI on phash-derived
+  histogram buckets
+* payload checks: decode pixel stats + PSNR-vs-reference equivalence in
+  ``mapInPandas`` (Arrow), range-partitioned on image_id
+
+Returns the long-form results / violations tables; ``run_and_collect``
+materializes everything and reports row counts + alert counts (the shape a
+scheduled production run persists to the results store).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_validate.calculators import ColumnStatsCalculator
+from spark_validate.checks import DomainCheck, ReferentialIntegrityCheck, UniquenessCheck
+from spark_validate.chunking import Chunker, PartitionChunker
+from spark_validate.drift import UnivariateDriftCalculator
+from spark_validate.image.payload import decode_pixel_stats, psnr_check
+from spark_validate.image.synth import FMTS
+
+
+@dataclass
+class ImageValidationSuite:
+    chunker: Chunker = field(default_factory=PartitionChunker)
+    fmt_domain: tuple = tuple(FMTS)
+    phash_buckets: int = 64
+    include_payload_checks: bool = True
+    salt_buckets: int = 16
+
+    def _with_phash_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("phash_bucket", F.pmod(F.col("phash"), F.lit(self.phash_buckets)).cast("string"))
+
+    def run(
+        self,
+        reference: DataFrame,
+        analysis: DataFrame,
+        manifest: Optional[DataFrame] = None,
+        broadcast_manifest: bool = True,
+    ) -> Dict[str, DataFrame]:
+        out: Dict[str, DataFrame] = {}
+
+        # 1. column stats with reference-fitted thresholds (single agg pass)
+        stats = ColumnStatsCalculator(
+            ["w", "h"],
+            metrics=("missing_rate", "avg", "min", "max"),
+            chunker=self.chunker,
+        ).fit(reference)
+        out["column_stats"] = stats.calculate(analysis)
+
+        # 2. fmt domain
+        dom = DomainCheck(["fmt"], domain=list(self.fmt_domain), chunker=self.chunker)
+        out["fmt_domain"] = dom.calculate(analysis)
+        out["fmt_violations"] = dom.violations(analysis, row_id="image_id")
+
+        # 3. image_id uniqueness (salted two-phase)
+        uniq = UniquenessCheck(["image_id"], chunker=self.chunker, salt_buckets=self.salt_buckets)
+        out["uniqueness"] = uniq.calculate(analysis)
+        out["duplicate_keys"] = uniq.duplicates(analysis)
+
+        # 4. phash referential vs manifest
+        if manifest is None:
+            manifest = reference.select("phash").distinct()
+        refchk = ReferentialIntegrityCheck(
+            column="phash", manifest=manifest, chunker=self.chunker, broadcast_manifest=broadcast_manifest
+        )
+        out["referential"] = refchk.calculate(analysis)
+        out["orphans"] = refchk.violations(analysis, row_id="image_id")
+
+        # 5. drift: KS on w/h (continuous), chi2+JS on fmt, PSI on phash buckets
+        drift_wh = UnivariateDriftCalculator(
+            ["w", "h"],
+            continuous_methods=("kolmogorov_smirnov",),
+            chunker=self.chunker,
+            n_bins_ecdf=1000,
+        ).fit(reference)
+        out["drift_wh"] = drift_wh.calculate(analysis)
+
+        drift_cat = UnivariateDriftCalculator(
+            ["fmt", "phash_bucket"],
+            categorical_methods=("jensen_shannon", "chi2", "psi"),
+            chunker=self.chunker,
+        ).fit(self._with_phash_bucket(reference))
+        out["drift_cat"] = drift_cat.calculate(self._with_phash_bucket(analysis))
+
+        # 6. payload checks (Arrow mapInPandas)
+        if self.include_payload_checks:
+            out["pixel_stats"] = decode_pixel_stats(analysis)
+            out["psnr"] = psnr_check(analysis, reference)
+        return out
+
+    def run_and_collect(self, reference, analysis, manifest=None, broadcast_manifest=True) -> Dict[str, dict]:
+        """Materialize every check; return {check: {rows, alerts, secs}}."""
+        results = self.run(reference, analysis, manifest, broadcast_manifest)
+        report = {}
+        for name, df in results.items():
+            t0 = time.time()
+            if "alert" in df.columns:
+                row = df.agg(
+                    F.count(F.lit(1)).alias("rows"), F.sum(F.col("alert").cast("int")).alias("alerts")
+                ).first()
+                report[name] = {"rows": row["rows"], "alerts": row["alerts"] or 0, "secs": time.time() - t0}
+            elif "passes" in df.columns:
+                row = df.agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum((~F.col("passes")).cast("int")).alias("failures"),
+                ).first()
+                report[name] = {"rows": row["rows"], "failures": row["failures"] or 0, "secs": time.time() - t0}
+            else:
+                report[name] = {"rows": df.count(), "secs": time.time() - t0}
+        return report

@@ -1,0 +1,27 @@
+from spark_validate.text.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash,
+    simhash_near_duplicates,
+)
+from spark_validate.text.quality import (
+    with_text_features,
+    with_language_id,
+    with_quality_score,
+    with_fingerprint,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard",
+    "simhash",
+    "simhash_near_duplicates",
+    "with_text_features",
+    "with_language_id",
+    "with_quality_score",
+    "with_fingerprint",
+]

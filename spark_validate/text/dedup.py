@@ -1,0 +1,224 @@
+"""Document deduplication at scale — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference operators for training-data pipelines (NannyML has no text
+ops). All deterministic (hash-seeded, no RNG state), all DataFrame-native:
+
+* exact       — md5 grouping; one shuffle on the digest.
+* MinHash+LSH — shingle → 64 universal-hash minima (higher-order array
+  functions, JVM-side) → band buckets → candidate pairs from bucket joins.
+  Signature cost is O(rows × shingles); the pair join only ever sees
+  same-bucket collisions, never the full cross product.
+* SimHash     — 64-bit sign-aggregated token hashes via an Arrow-batched
+  pandas UDF (numpy bit ops); near-dups = Hamming distance ≤ k among
+  same-band candidates.
+* n-gram Jaccard — exact verify step for candidate pairs via shingle-set
+  intersection counts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne-ish primes small enough that a*h + b stays inside int64 under ANSI
+_P = (1 << 61) - 1
+_H32 = (1 << 31) - 1
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _shingles(text_col: str, k: int):
+    """Word k-shingles as an array column (empty-safe)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, dup_count, ids) for texts appearing more than once."""
+    fp = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document, entirely in JVM-side array expressions.
+
+    Universal hashing: h_i(x) = (a_i·x32 + b_i) mod p with x32 the base
+    shingle hash folded to 31 bits (keeps every product inside int64 — Spark 4
+    runs ANSI mode). Deterministic a_i/b_i from a seeded numpy generator.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _H32, n_hashes, dtype=np.int64)
+    b = rng.integers(0, _H32, n_hashes, dtype=np.int64)
+    sh = _shingles(text_col, shingle_k)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_H32)))
+    def _minhash(i: int):
+        ai, bi = int(a[i]), int(b[i])
+        return F.array_min(F.transform(base, lambda h: F.pmod(F.lit(ai) * h + F.lit(bi), F.lit(_P))))
+
+    sig = F.array(*[_minhash(i) for i in range(n_hashes)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 16,
+    rows_per_band: Optional[int] = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: split signatures into bands, hash each
+    band, join ids landing in the same (band, band_hash) bucket.
+
+    One explode (rows × bands), one groupBy — no cross joins. Pair explosion
+    inside a bucket is quadratic in bucket size, which is exactly the LSH
+    guarantee being bought: buckets are tiny unless documents truly collide.
+    """
+    n_hashes = len(signatures.select("signature").first()["signature"])
+    r = rows_per_band or max(n_hashes // n_bands, 1)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[F.element_at("signature", bi * r + j + 1).cast("string") for j in range(r)])).alias(
+                    "band_hash"
+                ),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = signatures.select("id", F.explode(bands).alias("b")).select("id", "b.band", "b.band_hash")
+    buckets = (
+        exploded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, idx: F.transform(
+                        F.slice(F.col("ids"), idx + 2, F.size("ids")), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify stage after
+    LSH). Joins shingle sets twice (broadcast-friendly when the candidate set
+    is small) and computes |∩| / |∪| from set sizes."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(_shingles(text_col, shingle_k)).alias("sh")
+    )
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double")
+    return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF: token
+    hashes' bits vote ±1 per position; the sign vector is the fingerprint."""
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = str(t).lower().split()
+            if not toks:
+                continue
+            hs = np.array([hash_str64(tok) for tok in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a string hash (process-seed-independent,
+    unlike Python's builtin hash)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_duplicates(
+    simhashes: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicates by Hamming distance ≤ ``max_hamming`` using the classic
+    band trick: any pair within distance d < n_bands shares at least one exact
+    16-bit band → bucket-join on bands, verify with popcount."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = simhashes.select("id", "simhash", F.explode(bands).alias("b")).select(
+        "id", "simhash", "b.band", "b.band_val"
+    )
+    left = exploded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+    )
+    right = exploded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
+    )
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

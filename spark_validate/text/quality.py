@@ -1,0 +1,91 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, fingerprinting. All JVM-side column expressions (no UDFs) —
+these run over every document at corpus scale, so they must stay inside
+whole-stage codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword profiles — the n-gram/stopword-ratio heuristic; not a model
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+
+_P57 = (1 << 57) - 13  # prime < 2^57 so acc*31 + h stays inside int64 (ANSI)
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_count, char_count, avg_token_len, space_ratio, upper_ratio,
+    digit_ratio, punct_ratio — single projection, fully codegen'd."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_space = n_chars - F.length(F.regexp_replace(t, r" ", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}-]", ""))
+    tokens = n_space + 1
+    return (
+        df.withColumn("token_count", tokens.cast("long"))
+        .withColumn("char_count", n_chars.cast("long"))
+        .withColumn("avg_token_len", (n_chars - n_space).cast("double") / tokens)
+        .withColumn("space_ratio", n_space.cast("double") / F.greatest(n_chars, F.lit(1)))
+        .withColumn("upper_ratio", n_upper.cast("double") / F.greatest(n_chars, F.lit(1)))
+        .withColumn("digit_ratio", n_digit.cast("double") / F.greatest(n_chars, F.lit(1)))
+        .withColumn("punct_ratio", n_punct.cast("double") / F.greatest(n_chars, F.lit(1)))
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-ratio language heuristic: per language, the fraction of tokens
+    hitting its stopword profile; argmax wins ('und' when nothing hits)."""
+    toks = _tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        # intersect is set-based; count token occurrences instead for weight
+        occ = F.size(F.filter(toks, lambda x: x.isin(words)))
+        scores.append(F.struct((occ.cast("double") / n).alias("score"), F.lit(lang).alias("lang")))
+        _ = hits
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    ).withColumn(out_col + "_score", best["score"])
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality_score") -> DataFrame:
+    """Heuristic quality in [0,1]: length band + sane token length + low
+    digit/punct noise + stopword presence. Composable with filters for corpus
+    cleaning; every term is a codegen'd expression."""
+    feats = with_text_features(df, text_col)
+    if "lang_pred_score" not in feats.columns:
+        feats = with_language_id(feats, text_col)
+    length_term = F.least(F.col("char_count").cast("double") / 200.0, F.lit(1.0))
+    token_len_ok = F.when((F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 12), 1.0).otherwise(0.3)
+    noise_term = F.greatest(F.lit(0.0), F.lit(1.0) - 2.0 * (F.col("digit_ratio") + F.col("punct_ratio")))
+    stop_term = F.least(F.col("lang_pred_score") * 5.0, F.lit(1.0))
+    score = (0.3 * length_term + 0.2 * token_len_ok + 0.2 * noise_term + 0.3 * stop_term).cast("double")
+    return feats.withColumn(out_col, score)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Order-sensitive rolling document fingerprint: fold token hashes through
+    h ← (31·h + hash(token)) mod p — a polynomial rolling hash evaluated with
+    ``aggregate`` over the token array, entirely JVM-side."""
+    toks = _tokens(text_col)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(31) + F.pmod(F.xxhash64(x), F.lit(_P57)), F.lit(_P57)),
+    )
+    return df.withColumn(out_col, fp)

@@ -1,0 +1,145 @@
+"""Dedup, text-analysis and ANN operators (training-data pipeline ops)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_validate.sim import brute_force_topk, embedding_near_duplicates, lsh_bucket_topk
+from spark_validate.text import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    simhash_near_duplicates,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 0
+        (3, "el gato negro duerme en la casa grande junto a la ventana abierta hoy"),
+        (4, "completely different content about spark distributed query engines and shuffles"),
+        (5, "der hund läuft schnell durch den park und die wiese ist grün heute"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    d = exact_duplicates(docs).toPandas()
+    assert len(d) == 1
+    assert list(d["ids"].iloc[0]) == [0, 1]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, n_hashes=64, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, n_bands=16).toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near dup collides with high prob
+    assert (0, 4) not in got  # unrelated must not collide
+
+
+def test_minhash_deterministic(spark, docs):
+    a = minhash_signatures(docs).orderBy("id").toPandas()
+    b = minhash_signatures(docs).orderBy("id").toPandas()
+    assert all(list(x) == list(y) for x, y in zip(a["signature"], b["signature"]))
+
+
+def test_ngram_jaccard_verifies(spark, docs):
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    jac = ngram_jaccard(docs, pairs).toPandas().set_index(["id_a", "id_b"])["jaccard"]
+    assert jac.get((0, 1), jac.get((1, 0), 0)) == 1.0
+    nd = jac.get((0, 2), jac.get((2, 0), None))
+    if nd is not None:
+        assert 0.5 < nd < 1.0
+
+
+def test_simhash_near_duplicates(spark, docs):
+    sh = simhash(docs)
+    vals = sh.toPandas().set_index("id")["simhash"]
+    assert vals[0] == vals[1]  # identical text → identical fingerprint
+    nd = simhash_near_duplicates(sh, max_hamming=16, n_bands=4).toPandas()
+    got = {tuple(sorted(p)) for p in zip(nd["id_a"], nd["id_b"])}
+    assert (0, 1) in got
+    assert (0, 4) not in got
+
+
+def test_text_features_and_quality(spark, docs):
+    f = with_text_features(docs).toPandas().set_index("doc_id")
+    t0 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    assert f.loc[0, "token_count"] == len(t0.split())
+    assert f.loc[0, "char_count"] == len(t0)
+    q = with_quality_score(docs).toPandas()
+    assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1.0001)).all()
+
+
+def test_language_id(spark, docs):
+    lang = with_language_id(docs).toPandas().set_index("doc_id")["lang_pred"]
+    assert lang[0] == "en"
+    assert lang[3] == "es"
+    assert lang[5] == "de"
+
+
+def test_language_id_on_testdata(spark, documents):
+    # testdata docs are English-ish token salads whatever their lang label —
+    # just verify the heuristic runs at scale and classifies them as en/und
+    pred = with_language_id(documents).groupBy("lang_pred").count().toPandas()
+    assert set(pred["lang_pred"]) <= {"en", "und", "es", "fr", "de", "zh"}
+    top = pred.sort_values("count", ascending=False)["lang_pred"].iloc[0]
+    assert top == "en"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = with_fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]
+
+
+# --- ANN ---------------------------------------------------------------------
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    pdf = embeddings.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q) + 1e-300)
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))[:10]
+    expected = set(pdf["vec_id"].to_numpy()[order])
+    got = brute_force_topk(embeddings, list(map(float, q)), k=10).toPandas()
+    assert set(got["id"]) == expected
+    assert got["id"].iloc[0] == pdf["vec_id"][0]  # self is nearest
+    assert np.isclose(got["cosine"].iloc[0], 1.0)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    pdf = embeddings.toPandas()
+    q = list(map(float, np.stack(pdf["embedding"].to_numpy())[0]))
+    exact = set(brute_force_topk(embeddings, q, k=10).toPandas()["id"])
+    approx = set(lsh_bucket_topk(embeddings, q, k=10, n_planes=6).toPandas()["id"])
+    # multiprobe LSH on 500 vectors: expect decent overlap incl. the query itself
+    assert len(exact & approx) >= 3
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows.append((100, (base[0] + 1e-4 * rng.standard_normal(16).astype(np.float32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    nd = embedding_near_duplicates(df, threshold=0.99).toPandas()
+    got = {tuple(sorted(p)) for p in zip(nd["id_a"], nd["id_b"])}
+    assert (0, 100) in got
