@@ -305,6 +305,30 @@ class ColumnStatsCalculator:
             raise RuntimeError("not fitted")
         return self._reference_result
 
+    # -- fitted-state (de)serialization (reference analog: the joblib store,
+    # nannyml/io/store/file_store.py:16-139 — ours is plain JSON) -------------
+
+    def get_state(self) -> dict:
+        if self._fitted is None:
+            raise RuntimeError("not fitted")
+        return {
+            "thresholds": [
+                {"column_name": c, "method": m, "lower": lo, "upper": up}
+                for (c, m), (lo, up) in self._fitted["thresholds"].items()
+            ],
+            "components": self._fitted["components"],
+        }
+
+    def set_state(self, state: dict) -> "ColumnStatsCalculator":
+        self._fitted = {
+            "thresholds": {
+                (t["column_name"], t["method"]): (t["lower"], t["upper"]) for t in state["thresholds"]
+            },
+            "components": state["components"],
+        }
+        self._reference_result = None
+        return self
+
 
 # -- NannyML-parity wrappers -------------------------------------------------
 

@@ -95,6 +95,15 @@ class NumericalRangeCalculator:
         )
         return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
 
+    def get_state(self) -> dict:
+        if self._ranges is None:
+            raise RuntimeError("fit first")
+        return {"ranges": {c: [lo, hi] for c, (lo, hi) in self._ranges.items()}}
+
+    def set_state(self, state: dict) -> "NumericalRangeCalculator":
+        self._ranges = {c: (v[0], v[1]) for c, v in state["ranges"].items()}
+        return self
+
     def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
         """Exploded violation rows (north rule) — a pure filter per column."""
         if self._ranges is None:
@@ -155,6 +164,24 @@ class UnseenValuesCalculator:
                 self._seen[c] = reference.select(F.col(c).cast("string").alias("value")).filter(
                     F.col("value").isNotNull()
                 ).distinct()
+        return self
+
+    def get_state(self) -> dict:
+        if self._seen is None:
+            raise RuntimeError("fit first")
+        out = {}
+        for c, v in self._seen.items():
+            if not isinstance(v, list):
+                raise ValueError(
+                    f"column {c!r} uses the high-cardinality anti-join path; its seen-set "
+                    "lives in a DataFrame and is not JSON-serializable — persist it as a "
+                    "parquet manifest and use ReferentialIntegrityCheck instead"
+                )
+            out[c] = v
+        return {"seen": out}
+
+    def set_state(self, state: dict) -> "UnseenValuesCalculator":
+        self._seen = dict(state["seen"])
         return self
 
     def _unseen_flag(self, c: str) -> F.Column:

@@ -782,3 +782,41 @@ class UnivariateDriftCalculator:
         if not self._fitted:
             raise RuntimeError("not fitted")
         return self._reference_result
+
+    # -- fitted-state (de)serialization ------------------------------------------
+
+    def get_state(self) -> dict:
+        if not self._fitted:
+            raise RuntimeError("not fitted")
+        return {
+            "cont": {
+                c: {"lo": st.lo, "hi": st.hi, "n_ref": st.n_ref, "specs": {k: [v[0], list(v[1])] for k, v in st.specs.items()}}
+                for c, st in self._cont_state.items()
+            },
+            "cat": {c: {"n_ref": st.n_ref, "counts": st.counts} for c, st in self._cat_state.items()},
+            "thresholds": [
+                {"column_name": c, "method": m, "lower": lo, "upper": up}
+                for (c, m), (lo, up) in self._thresholds.items()
+            ],
+            "cont_cols": self._cont_cols,
+            "cat_cols": self._cat_cols,
+        }
+
+    def set_state(self, state: dict) -> "UnivariateDriftCalculator":
+        self._cont_state = {
+            c: ContinuousState(
+                lo=s["lo"], hi=s["hi"], n_ref=s["n_ref"], specs={k: (v[0], v[1]) for k, v in s["specs"].items()}
+            )
+            for c, s in state["cont"].items()
+        }
+        self._cat_state = {
+            c: CategoricalState(n_ref=s["n_ref"], counts=s["counts"]) for c, s in state["cat"].items()
+        }
+        self._thresholds = {
+            (t["column_name"], t["method"]): (t["lower"], t["upper"]) for t in state["thresholds"]
+        }
+        self._cont_cols = state["cont_cols"]
+        self._cat_cols = state["cat_cols"]
+        self._fitted = True
+        self._reference_result = None
+        return self

@@ -1,0 +1,4 @@
+from spark_validate.io.store import FittedStore
+from spark_validate.io.readers import read_table, write_results
+
+__all__ = ["FittedStore", "read_table", "write_results"]

@@ -1,0 +1,249 @@
+"""Config-driven suite runner with checkpoint/lineage resume (north rule).
+
+Reference skeleton: `nannyml/runner.py:112-249` + `nannyml/cli/run.py:20-91`
+(YAML config → calculator registry → load-or-fit → calculate → write). Ours
+adds the web-scale pieces NannyML lacks:
+
+* a **lineage table** ``(run_id, check, partition_id, checkpoint_epoch,
+  rows_seen, metrics, status)`` written per completed chunk/partition;
+* **resume-without-recompute**: on restart with the same run_id, completed
+  (check, partition) pairs are anti-joined out of the INPUT before any
+  aggregation runs — pruned at the scan, not post-hoc. Chunk keys must be
+  value-derived for this (period or partition chunkers — the 10^12-row
+  configurations); index-based chunkers resume at whole-check granularity.
+
+Example config (YAML or dict):
+
+    run_id: nightly-2026-08-16
+    output_dir: /data/validate/out
+    store_dir: /data/validate/store
+    reference: /data/images/reference.parquet
+    analysis: /data/images/analysis.parquet
+    chunking: {partition_columns: [fmt]}        # or {chunk_period: D, timestamp_column: ts}
+    checks:
+      - {type: column_stats, columns: [w, h], metrics: [missing_rate, avg, min, max]}
+      - {type: domain, columns: [fmt], domain: [jpeg, png, webp]}
+      - {type: uniqueness, keys: [image_id], salt_buckets: 16}
+      - {type: referential, column: phash, manifest: /data/images/manifest.parquet}
+      - {type: drift, columns: [w, h], continuous_methods: [kolmogorov_smirnov, jensen_shannon]}
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_validate.calculators import ColumnStatsCalculator
+from spark_validate.checks import (
+    DomainCheck,
+    NumericalRangeCalculator,
+    ReferentialIntegrityCheck,
+    UniquenessCheck,
+    UnseenValuesCalculator,
+)
+from spark_validate.chunking import CHUNK_KEY, chunker_for
+from spark_validate.drift import UnivariateDriftCalculator
+from spark_validate.io import FittedStore, read_table, write_results
+from spark_validate.thresholds import ConstantThreshold, StandardDeviationThreshold
+
+
+def build_chunker(cfg: dict):
+    return chunker_for(
+        chunk_size=cfg.get("chunk_size"),
+        chunk_number=cfg.get("chunk_number"),
+        chunk_period=cfg.get("chunk_period"),
+        partition_columns=cfg.get("partition_columns"),
+        timestamp_column=cfg.get("timestamp_column"),
+        order_by=cfg.get("order_by", ()),
+        incomplete=cfg.get("incomplete", "keep"),
+    )
+
+
+def _threshold(cfg: Optional[dict]):
+    if not cfg:
+        return None
+    if cfg.get("type") == "constant":
+        return ConstantThreshold(lower=cfg.get("lower"), upper=cfg.get("upper"))
+    return StandardDeviationThreshold(
+        std_lower_multiplier=cfg.get("std_lower_multiplier", 3.0),
+        std_upper_multiplier=cfg.get("std_upper_multiplier", 3.0),
+    )
+
+
+def build_check(spark: SparkSession, cfg: dict, chunker):
+    kind = cfg["type"]
+    if kind == "column_stats":
+        return ColumnStatsCalculator(
+            cfg["columns"], metrics=tuple(cfg.get("metrics", ("avg",))), chunker=chunker,
+            threshold=_threshold(cfg.get("threshold")) or StandardDeviationThreshold(),
+        )
+    if kind == "missing":
+        return ColumnStatsCalculator(cfg["columns"], metrics=("missing_rate",), chunker=chunker)
+    if kind == "range":
+        return NumericalRangeCalculator(cfg["columns"], chunker=chunker)
+    if kind == "unseen":
+        return UnseenValuesCalculator(cfg["columns"], chunker=chunker)
+    if kind == "domain":
+        return DomainCheck(cfg["columns"], domain=cfg["domain"], chunker=chunker)
+    if kind == "uniqueness":
+        return UniquenessCheck(cfg["keys"], chunker=chunker, salt_buckets=cfg.get("salt_buckets", 0))
+    if kind == "referential":
+        manifest = read_table(spark, cfg["manifest"])
+        return ReferentialIntegrityCheck(
+            column=cfg["column"], manifest=manifest,
+            manifest_column=cfg.get("manifest_column"), chunker=chunker,
+            broadcast_manifest=cfg.get("broadcast_manifest", True),
+        )
+    if kind == "drift":
+        return UnivariateDriftCalculator(
+            cfg["columns"],
+            continuous_methods=tuple(cfg.get("continuous_methods", ("jensen_shannon",))),
+            categorical_methods=tuple(cfg.get("categorical_methods", ("jensen_shannon",))),
+            chunker=chunker, n_bins_ecdf=cfg.get("n_bins_ecdf", 10_000),
+        )
+    raise ValueError(f"unknown check type {kind!r}")
+
+
+def _check_name(cfg: dict) -> str:
+    cols = cfg.get("columns") or cfg.get("keys") or [cfg.get("column", "")]
+    return f"{cfg['type']}__{'_'.join(cols)}"
+
+
+def _completed_partitions(spark, lineage_path: str, run_id: str) -> Optional[DataFrame]:
+    try:
+        lin = spark.read.parquet(lineage_path)
+    except Exception:
+        return None
+    return (
+        lin.filter((F.col("run_id") == run_id) & (F.col("status") == "complete"))
+        .select("check", "partition_id")
+        .distinct()
+    )
+
+
+def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
+    run_id = config["run_id"]
+    out_dir = config["output_dir"]
+    store = FittedStore(config.get("store_dir", os.path.join(out_dir, "store")))
+    reference = read_table(spark, config["reference"])
+    analysis = read_table(spark, config["analysis"])
+    chunk_cfg = config.get("chunking", {})
+    value_derived_chunks = bool(chunk_cfg.get("chunk_period") or chunk_cfg.get("partition_columns"))
+    lineage_path = os.path.join(out_dir, "lineage")
+    completed = _completed_partitions(spark, lineage_path, run_id) if value_derived_chunks else None
+    if completed is not None:
+        completed = completed.persist()
+        if completed.count() == 0:
+            completed = None
+
+    report: Dict[str, dict] = {}
+    epoch = int(time.time())
+    for check_cfg in config["checks"]:
+        name = _check_name(check_cfg)
+        chunker = build_chunker(chunk_cfg)
+        calc = build_check(spark, check_cfg, chunker)
+        t0 = time.time()
+
+        # load-or-fit (store hit skips the reference aggregation entirely);
+        # domain/uniqueness/referential checks carry no reference-fitted state
+        from_store = False
+        needs_fit = check_cfg["type"] in ("column_stats", "missing", "range", "unseen", "drift")
+        if needs_fit:
+            if hasattr(calc, "get_state"):
+                calc, from_store = store.load_or_fit(
+                    f"{run_id}__{name}", calc, lambda c=calc: c.fit(reference)
+                )
+            else:
+                calc.fit(reference)
+
+        # resume: prune completed partitions from the INPUT (scan-level skip)
+        ana = analysis
+        skipped = 0
+        if completed is not None:
+            mine = completed.filter(F.col("check") == name).select(
+                F.col("partition_id").alias(CHUNK_KEY)
+            )
+            skipped = mine.count()
+            if skipped:
+                assigned = chunker.assign(analysis)
+                ana = assigned.join(F.broadcast(mine), CHUNK_KEY, "left_anti").drop(CHUNK_KEY)
+
+        result = calc.calculate(ana)
+        result = result.withColumn("run_id", F.lit(run_id)).withColumn("check", F.lit(name))
+        write_results(result, os.path.join(out_dir, "results"), partition_by=["check"])
+
+        if hasattr(calc, "violations"):
+            try:
+                v = (
+                    calc.violations(ana)
+                    .withColumn("run_id", F.lit(run_id))
+                    .withColumn("check", F.lit(name))
+                )
+                write_results(v, os.path.join(out_dir, "violations"), partition_by=["check"])
+            except Exception:
+                pass
+
+        # lineage rows for the partitions just completed
+        res_df = spark.read.parquet(os.path.join(out_dir, "results")).filter(
+            (F.col("run_id") == run_id) & (F.col("check") == name)
+        )
+        lineage = res_df.groupBy("chunk_key").agg(
+            F.count(F.lit(1)).alias("_n_metrics"),
+            F.sum(F.col("alert").cast("long")).alias("_alerts"),
+        ).select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(name).alias("check"),
+            F.col("chunk_key").alias("partition_id"),
+            F.lit(epoch).cast("long").alias("checkpoint_epoch"),
+            F.col("_n_metrics").cast("long").alias("rows_seen"),
+            F.create_map(F.lit("alerts"), F.col("_alerts").cast("double")).alias("metrics"),
+            F.lit("complete").alias("status"),
+        )
+        write_results(lineage, lineage_path)
+
+        row = res_df.agg(
+            F.count(F.lit(1)).alias("rows"), F.sum(F.col("alert").cast("int")).alias("alerts")
+        ).first()
+        report[name] = {
+            "rows": row["rows"],
+            "alerts": row["alerts"] or 0,
+            "fitted_from_store": from_store,
+            "skipped_partitions": skipped,
+            "secs": round(time.time() - t0, 2),
+        }
+    return report
+
+
+def load_config(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    try:
+        import yaml
+
+        return yaml.safe_load(text)
+    except ImportError:  # pragma: no cover
+        return json.loads(text)
+
+
+def main():  # pragma: no cover - thin CLI
+    import argparse
+
+    from spark_validate.session import get_spark
+
+    ap = argparse.ArgumentParser(description="spark-validate suite runner")
+    ap.add_argument("--config", required=True)
+    args = ap.parse_args()
+    spark = get_spark("spark_validate_runner")
+    report = run_suite(spark, load_config(args.config))
+    for k, v in report.items():
+        print(k, v)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Runner: config → checks → results/violations/lineage; store; resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_validate.io import FittedStore
+from spark_validate.runner import run_suite
+
+
+@pytest.fixture()
+def workspace(tmp_path, spark):
+    rng = np.random.default_rng(11)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"id{i:05d}" for i in range(n)],
+            "w": rng.choice([64, 128, 256], n),
+            "h": rng.choice([64, 128, 256], n),
+            "fmt": rng.choice(["jpeg", "png"], n),
+            "part": rng.choice(["p0", "p1", "p2", "p3"], n),
+            "phash": rng.integers(0, 2**40, n),
+        }
+    )
+    ref = pdf.iloc[: n // 2]
+    ana = pdf.iloc[n // 2 :].copy()
+    ana.loc[ana.index[:20], "fmt"] = "bmp"  # domain violations
+    spark.createDataFrame(ref).write.mode("overwrite").parquet(str(tmp_path / "ref"))
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(str(tmp_path / "ana"))
+    spark.createDataFrame(ref[["phash"]].drop_duplicates()).write.mode("overwrite").parquet(
+        str(tmp_path / "manifest")
+    )
+    return tmp_path
+
+
+def _config(ws):
+    return {
+        "run_id": "testrun",
+        "output_dir": str(ws / "out"),
+        "store_dir": str(ws / "store"),
+        "reference": str(ws / "ref"),
+        "analysis": str(ws / "ana"),
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [
+            {"type": "column_stats", "columns": ["w", "h"], "metrics": ["missing_rate", "avg", "min", "max"]},
+            {"type": "domain", "columns": ["fmt"], "domain": ["jpeg", "png", "webp"]},
+            {"type": "uniqueness", "keys": ["image_id"], "salt_buckets": 4},
+            {"type": "referential", "column": "phash", "manifest": str(ws / "manifest")},
+            {"type": "drift", "columns": ["w"], "continuous_methods": ["kolmogorov_smirnov"]},
+        ],
+    }
+
+
+def test_run_suite_end_to_end(spark, workspace):
+    report = run_suite(spark, _config(workspace))
+    assert set(report) == {
+        "column_stats__w_h",
+        "domain__fmt",
+        "uniqueness__image_id",
+        "referential__phash",
+        "drift__w",
+    }
+    assert report["domain__fmt"]["alerts"] > 0  # injected bmp rows
+    res = spark.read.parquet(str(workspace / "out" / "results"))
+    assert res.filter(F.col("check") == "domain__fmt").count() == 4  # one per partition chunk
+    lin = spark.read.parquet(str(workspace / "out" / "lineage"))
+    assert lin.filter(F.col("status") == "complete").count() >= 5 * 4
+    v = spark.read.parquet(str(workspace / "out" / "violations"))
+    assert v.filter(F.col("check") == "domain__fmt").count() == 20
+
+
+def test_fitted_store_roundtrip(spark, workspace, tmp_path):
+    from spark_validate.calculators import ColumnStatsCalculator
+    from spark_validate.chunking import PartitionChunker
+
+    ref = spark.read.parquet(str(workspace / "ref"))
+    calc = ColumnStatsCalculator(["w"], metrics=("avg",), chunker=PartitionChunker(columns=["part"]))
+    calc.fit(ref)
+    store = FittedStore(str(tmp_path / "st"))
+    store.save("k", calc.get_state())
+    calc2 = ColumnStatsCalculator(["w"], metrics=("avg",), chunker=PartitionChunker(columns=["part"]))
+    calc2.set_state(store.load("k"))
+    a = calc.calculate(ref).orderBy("chunk_key").toPandas()
+    b = calc2.calculate(ref).orderBy("chunk_key").toPandas()
+    assert np.allclose(a["value"], b["value"])
+    assert np.allclose(a["upper_threshold"], b["upper_threshold"])
+
+
+def test_resume_skips_completed_partitions(spark, workspace):
+    cfg = _config(workspace)
+    run_suite(spark, cfg)  # first run completes everything
+    report2 = run_suite(spark, cfg)  # rerun same run_id → all partitions skipped
+    for name, rep in report2.items():
+        assert rep["skipped_partitions"] == 4, name
+        assert rep["fitted_from_store"] or name in (
+            "domain__fmt",
+            "uniqueness__image_id",
+            "referential__phash",
+        ), name
