@@ -1,0 +1,500 @@
+"""Realized performance calculation (reference §2.7,
+`nannyml/performance_calculation/**`).
+
+Every label-based metric is a closed-form expression over per-chunk confusion
+counts / error sums → ONE ``groupBy(chunk)`` pass computes all of them.
+Rank-based metrics (ROC-AUC, average precision) use per-chunk window ranks —
+the Mann-Whitney formulation for AUC, threshold-grouped cumulative precision
+for AP — still fully distributed, no Python in the path.
+
+Metrics (binary, `metrics/binary_classification.py`): roc_auc :54,
+average_precision :145, f1 :241, precision :336, recall :430, specificity
+:523, accuracy :608, business_value :688, confusion_matrix :812.
+Multiclass (`metrics/multiclass_classification.py`): macro-averaged variants.
+Regression (`metrics/regression.py`): mae :42, mape :131, mse :220, msle
+:309, rmse :402, rmsle :500.
+
+Sampling errors follow `nannyml/sampling_error/{binary_classification,
+regression}.py`: closed forms over reference confusion rates (e.g. accuracy
+SE = sqrt(acc·(1−acc))/√n; precision SE = sqrt(p(1−p))/√(n·pos_pred_rate);
+f1's correcting-factor variant; MAE/MSE/MSLE SE = std(loss)/√n; RMSE/RMSLE
+delta-method). AUROC components use the negatives-below-rank distribution.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_validate.calculators.base import assign_chunks, join_headers_long
+from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
+from spark_validate.result import conform_result
+from spark_validate.thresholds import StandardDeviationThreshold, alert_expr
+
+BINARY_METRICS = (
+    "roc_auc",
+    "average_precision",
+    "f1",
+    "precision",
+    "recall",
+    "specificity",
+    "accuracy",
+    "business_value",
+    "confusion_matrix",
+)
+MULTICLASS_METRICS = ("roc_auc", "f1", "precision", "recall", "specificity", "accuracy")
+REGRESSION_METRICS = ("mae", "mape", "mse", "msle", "rmse", "rmsle")
+
+_LIMITS = {
+    "roc_auc": (0.0, 1.0),
+    "average_precision": (0.0, 1.0),
+    "f1": (0.0, 1.0),
+    "precision": (0.0, 1.0),
+    "recall": (0.0, 1.0),
+    "specificity": (0.0, 1.0),
+    "accuracy": (0.0, 1.0),
+}
+
+
+@dataclass
+class PerformanceCalculator:
+    """fit(reference) learns thresholds + sampling-error components;
+    calculate(analysis) emits one long row per (chunk × metric)."""
+
+    metrics: Sequence[str]
+    y_true: str = "y_true"
+    y_pred: str = "y_pred"
+    y_pred_proba: Optional[str] = None
+    problem_type: str = "binary_classification"
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: object = field(default_factory=StandardDeviationThreshold)
+    business_value_matrix: Optional[Sequence[Sequence[float]]] = None  # [[tn, fp], [fn, tp]]
+    normalize_business_value: Optional[str] = None  # None | 'per_prediction'
+    normalize_confusion_matrix: Optional[str] = None  # None|'all'|'true'|'pred'
+
+    def __post_init__(self):
+        valid = {
+            "binary_classification": set(BINARY_METRICS),
+            "multiclass_classification": set(MULTICLASS_METRICS),
+            "regression": set(REGRESSION_METRICS),
+        }[self.problem_type]
+        bad = set(self.metrics) - valid
+        if bad:
+            raise ValueError(f"metrics {sorted(bad)} invalid for {self.problem_type}")
+        if "business_value" in self.metrics and self.business_value_matrix is None:
+            raise ValueError("business_value requires business_value_matrix [[tn, fp], [fn, tp]]")
+        rank_based = {"roc_auc", "average_precision"} & set(self.metrics)
+        if rank_based and self.problem_type == "binary_classification" and not self.y_pred_proba:
+            raise ValueError(f"{sorted(rank_based)} need y_pred_proba")
+        self._thresholds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
+        self._se: Dict[str, dict] = {}
+        self._classes: Optional[list] = None
+        self._fitted = False
+
+    # ------------------------------------------------------------------ values
+
+    def _binary_chunk_values(self, assigned: DataFrame) -> DataFrame:
+        """All binary metrics from one confusion-count pass + window ranks."""
+        yt = F.col(self.y_true).cast("double")
+        yp = F.col(self.y_pred).cast("double")
+        both = yt.isNotNull() & yp.isNotNull()
+        tp = F.sum(F.when(both & (yt == 1) & (yp == 1), 1).otherwise(0)).cast("double")
+        fp = F.sum(F.when(both & (yt == 0) & (yp == 1), 1).otherwise(0)).cast("double")
+        tn = F.sum(F.when(both & (yt == 0) & (yp == 0), 1).otherwise(0)).cast("double")
+        fn = F.sum(F.when(both & (yt == 1) & (yp == 0), 1).otherwise(0)).cast("double")
+        counts = assigned.groupBy(CHUNK_KEY).agg(
+            tp.alias("tp"), fp.alias("fp"), tn.alias("tn"), fn.alias("fn"),
+            F.count(F.lit(1)).alias("n_chunk"),
+            F.sum(F.when(yt.isNull(), 1).otherwise(0)).cast("double").alias("n_missing_target"),
+        )
+        exprs: Dict[str, F.Column] = {}
+        if "accuracy" in self.metrics:
+            exprs["accuracy"] = (F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn"))
+        if "precision" in self.metrics:
+            exprs["precision"] = F.col("tp") / (F.col("tp") + F.col("fp"))
+        if "recall" in self.metrics:
+            exprs["recall"] = F.col("tp") / (F.col("tp") + F.col("fn"))
+        if "specificity" in self.metrics:
+            exprs["specificity"] = F.col("tn") / (F.col("tn") + F.col("fp"))
+        if "f1" in self.metrics:
+            exprs["f1"] = 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+        if "business_value" in self.metrics:
+            (tn_v, fp_v), (fn_v, tp_v) = self.business_value_matrix
+            bv = (
+                F.col("tn") * F.lit(float(tn_v))
+                + F.col("fp") * F.lit(float(fp_v))
+                + F.col("fn") * F.lit(float(fn_v))
+                + F.col("tp") * F.lit(float(tp_v))
+            )
+            if self.normalize_business_value == "per_prediction":
+                bv = bv / (F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn"))
+            exprs["business_value"] = bv
+        parts = []
+        if exprs:
+            pairs = [
+                F.struct(F.lit(m).alias("method"), v.cast("double").alias("value")) for m, v in exprs.items()
+            ]
+            parts.append(
+                counts.select(
+                    CHUNK_KEY, "n_chunk", F.explode(F.array(*pairs)).alias("kv")
+                ).select(CHUNK_KEY, "n_chunk", "kv.method", "kv.value")
+            )
+        if "confusion_matrix" in self.metrics:
+            norm = self.normalize_confusion_matrix
+            tot = F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")
+            def _n(v, row_tot, col_tot):
+                if norm == "all":
+                    return v / tot
+                if norm == "true":
+                    return v / row_tot
+                if norm == "pred":
+                    return v / col_tot
+                return v
+            cm_pairs = [
+                F.struct(F.lit("true_positive").alias("method"), _n(F.col("tp"), F.col("tp") + F.col("fn"), F.col("tp") + F.col("fp")).cast("double").alias("value")),
+                F.struct(F.lit("true_negative").alias("method"), _n(F.col("tn"), F.col("tn") + F.col("fp"), F.col("tn") + F.col("fn")).cast("double").alias("value")),
+                F.struct(F.lit("false_positive").alias("method"), _n(F.col("fp"), F.col("fp") + F.col("tn"), F.col("fp") + F.col("tp")).cast("double").alias("value")),
+                F.struct(F.lit("false_negative").alias("method"), _n(F.col("fn"), F.col("fn") + F.col("tp"), F.col("fn") + F.col("tn")).cast("double").alias("value")),
+            ]
+            parts.append(
+                counts.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*cm_pairs)).alias("kv")).select(
+                    CHUNK_KEY, "n_chunk", "kv.method", "kv.value"
+                )
+            )
+        if "roc_auc" in self.metrics:
+            parts.append(self._auc_per_chunk(assigned).join(counts.select(CHUNK_KEY, "n_chunk"), CHUNK_KEY))
+        if "average_precision" in self.metrics:
+            parts.append(self._ap_per_chunk(assigned).join(counts.select(CHUNK_KEY, "n_chunk"), CHUNK_KEY))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _auc_per_chunk(self, assigned: DataFrame) -> DataFrame:
+        """Mann-Whitney AUC with average ranks for ties — two windows, no UDF."""
+        yt = F.col(self.y_true).cast("double")
+        s = F.col(self.y_pred_proba).cast("double")
+        df = assigned.select(CHUNK_KEY, yt.alias("_y"), s.alias("_s")).filter(
+            F.col("_y").isNotNull() & F.col("_s").isNotNull()
+        )
+        w_rank = Window.partitionBy(CHUNK_KEY).orderBy("_s")
+        w_tie = Window.partitionBy(CHUNK_KEY, "_s")
+        ranked = df.withColumn("_r", F.rank().over(w_rank)).withColumn(
+            "_avg_r", F.col("_r") + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        )
+        agg = ranked.groupBy(CHUNK_KEY).agg(
+            F.sum(F.when(F.col("_y") == 1, F.col("_avg_r")).otherwise(F.lit(0.0))).alias("_rank_sum"),
+            F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).cast("double").alias("_n1"),
+            F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("double").alias("_n0"),
+        )
+        auc = (F.col("_rank_sum") - F.col("_n1") * (F.col("_n1") + 1) / 2) / (F.col("_n1") * F.col("_n0"))
+        return agg.select(
+            CHUNK_KEY,
+            F.lit("roc_auc").alias("method"),
+            F.when((F.col("_n1") > 0) & (F.col("_n0") > 0), auc).cast("double").alias("value"),
+        )
+
+    def _ap_per_chunk(self, assigned: DataFrame) -> DataFrame:
+        """sklearn-equivalent AP: group ties by score, cumulative TP/FP in
+        descending-score order, AP = Σ (ΔTP/n_pos) · precision@group."""
+        yt = F.col(self.y_true).cast("double")
+        s = F.col(self.y_pred_proba).cast("double")
+        df = assigned.select(CHUNK_KEY, yt.alias("_y"), s.alias("_s")).filter(
+            F.col("_y").isNotNull() & F.col("_s").isNotNull()
+        )
+        grp = df.groupBy(CHUNK_KEY, "_s").agg(
+            F.sum("_y").alias("_tp_g"), F.count(F.lit(1)).alias("_n_g")
+        )
+        w = Window.partitionBy(CHUNK_KEY).orderBy(F.desc("_s")).rowsBetween(Window.unboundedPreceding, 0)
+        cum = grp.withColumn("_cum_tp", F.sum("_tp_g").over(w)).withColumn("_cum_n", F.sum("_n_g").over(w))
+        w_tot = Window.partitionBy(CHUNK_KEY)
+        cum = cum.withColumn("_n_pos", F.sum("_tp_g").over(w_tot))
+        term = (F.col("_tp_g") / F.col("_n_pos")) * (F.col("_cum_tp") / F.col("_cum_n"))
+        agg = cum.groupBy(CHUNK_KEY).agg(
+            F.sum(term).alias("_ap"), F.max("_n_pos").alias("_n_pos")
+        )
+        return agg.select(
+            CHUNK_KEY,
+            F.lit("average_precision").alias("method"),
+            F.when(F.col("_n_pos") > 0, F.col("_ap")).cast("double").alias("value"),
+        )
+
+    def _multiclass_chunk_values(self, assigned: DataFrame) -> DataFrame:
+        """Macro-averaged one-vs-rest metrics from a per-(chunk, class)
+        confusion pass; accuracy from the plain match rate."""
+        yt = F.col(self.y_true).cast("string")
+        yp = F.col(self.y_pred).cast("string")
+        classes = self._classes
+        per_class = []
+        for cls in classes:
+            is_t = (yt == cls).cast("int")
+            is_p = (yp == cls).cast("int")
+            per_class.append(
+                F.struct(
+                    F.lit(cls).alias("cls"),
+                    F.sum(is_t * is_p).cast("double").alias("tp"),
+                    F.sum((1 - is_t) * is_p).cast("double").alias("fp"),
+                    F.sum(is_t * (1 - is_p)).cast("double").alias("fn"),
+                    F.sum((1 - is_t) * (1 - is_p)).cast("double").alias("tn"),
+                )
+            )
+        agg = assigned.filter(yt.isNotNull() & yp.isNotNull()).groupBy(CHUNK_KEY).agg(
+            F.array(*per_class).alias("_cc"),
+            F.avg((yt == yp).cast("double")).alias("_acc"),
+            F.count(F.lit(1)).alias("n_chunk"),
+        )
+        cc = agg.select(CHUNK_KEY, "_acc", "n_chunk", F.explode("_cc").alias("c")).select(
+            CHUNK_KEY, "_acc", "n_chunk", "c.cls", "c.tp", "c.fp", "c.fn", "c.tn"
+        )
+        exprs = {
+            "precision": F.col("tp") / (F.col("tp") + F.col("fp")),
+            "recall": F.col("tp") / (F.col("tp") + F.col("fn")),
+            "specificity": F.col("tn") / (F.col("tn") + F.col("fp")),
+            "f1": 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+        }
+        macro = cc.groupBy(CHUNK_KEY).agg(
+            F.max("_acc").alias("accuracy"),
+            F.max("n_chunk").alias("n_chunk"),
+            *[F.avg(e).alias(m) for m, e in exprs.items() if m in self.metrics],
+        )
+        pairs = [
+            F.struct(F.lit(m).alias("method"), F.col(m).cast("double").alias("value"))
+            for m in self.metrics
+            if m in ("accuracy", "precision", "recall", "specificity", "f1")
+        ]
+        out = macro.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*pairs)).alias("kv")).select(
+            CHUNK_KEY, "n_chunk", "kv.method", "kv.value"
+        )
+        if "roc_auc" in self.metrics:
+            aucs = []
+            for cls in classes:
+                one = assigned.withColumn("_y1", (yt == cls).cast("double")).withColumn(
+                    "_s1", F.col(f"{self.y_pred_proba}_{cls}" if False else self._proba_col(cls)).cast("double")
+                )
+                calcd = PerformanceCalculator(
+                    metrics=("roc_auc",), y_true="_y1", y_pred=self.y_pred, y_pred_proba="_s1",
+                    chunker=self.chunker,
+                )
+                aucs.append(calcd._auc_per_chunk(one).withColumnRenamed("value", f"_auc"))
+            ovr = aucs[0].select(CHUNK_KEY, "_auc")
+            for a in aucs[1:]:
+                ovr = ovr.unionByName(a.select(CHUNK_KEY, "_auc"))
+            macro_auc = ovr.groupBy(CHUNK_KEY).agg(F.avg("_auc").alias("value"))
+            out = out.unionByName(
+                macro_auc.join(macro.select(CHUNK_KEY, "n_chunk"), CHUNK_KEY).select(
+                    CHUNK_KEY, "n_chunk", F.lit("roc_auc").alias("method"), "value"
+                )
+            )
+        return out
+
+    def _proba_col(self, cls) -> str:
+        """Multiclass probas: dict-style column mapping {class: column}."""
+        if isinstance(self.y_pred_proba, dict):
+            return self.y_pred_proba[cls]
+        return f"{self.y_pred_proba}_{cls}"
+
+    def _regression_chunk_values(self, assigned: DataFrame) -> DataFrame:
+        yt = F.col(self.y_true).cast("double")
+        yp = F.col(self.y_pred).cast("double")
+        err = yt - yp
+        exprs = {
+            "mae": F.avg(F.abs(err)),
+            "mape": F.avg(F.abs(err) / F.abs(yt)),
+            "mse": F.avg(err * err),
+            "msle": F.avg(F.pow(F.log1p(yt) - F.log1p(yp), 2)),
+            "rmse": F.sqrt(F.avg(err * err)),
+            "rmsle": F.sqrt(F.avg(F.pow(F.log1p(yt) - F.log1p(yp), 2))),
+        }
+        aggs = [F.count(F.lit(1)).alias("n_chunk")] + [
+            exprs[m].alias(m) for m in self.metrics
+        ]
+        wide = assigned.filter(yt.isNotNull() & yp.isNotNull()).groupBy(CHUNK_KEY).agg(*aggs)
+        pairs = [F.struct(F.lit(m).alias("method"), F.col(m).cast("double").alias("value")) for m in self.metrics]
+        return wide.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*pairs)).alias("kv")).select(
+            CHUNK_KEY, "n_chunk", "kv.method", "kv.value"
+        )
+
+    def _chunk_values(self, df: DataFrame):
+        assigned, headers = assign_chunks(df, self.chunker)
+        if self.problem_type == "binary_classification":
+            return self._binary_chunk_values(assigned), headers
+        if self.problem_type == "multiclass_classification":
+            return self._multiclass_chunk_values(assigned), headers
+        return self._regression_chunk_values(assigned), headers
+
+    # ------------------------------------------------------------------ fit
+
+    def _fit_se_components(self, reference: DataFrame) -> None:
+        """Closed-form sampling-error components from one reference pass."""
+        yt = F.col(self.y_true).cast("double")
+        yp = F.col(self.y_pred).cast("double")
+        se: Dict[str, dict] = {}
+        if self.problem_type == "binary_classification":
+            row = reference.agg(
+                F.avg((yt == yp).cast("double")).alias("acc"),
+                F.avg(yp).alias("pos_pred_rate"),
+                F.avg(yt).alias("pos_rate"),
+                F.sum(((yt == 1) & (yp == 1)).cast("double")).alias("tp"),
+                F.sum(((yt == 0) & (yp == 1)).cast("double")).alias("fp"),
+                F.sum(((yt == 1) & (yp == 0)).cast("double")).alias("fn"),
+                F.sum(((yt == 0) & (yp == 0)).cast("double")).alias("tn"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            acc, n = row["acc"], row["n"]
+            tp, fp, fn, tn = row["tp"], row["fp"], row["fn"], row["tn"]
+            se["accuracy"] = {"std": math.sqrt(max(acc * (1 - acc), 0.0))}
+            prec = tp / (tp + fp) if (tp + fp) > 0 else float("nan")
+            se["precision"] = {
+                "std": math.sqrt(max(prec * (1 - prec), 0.0)) if prec == prec else float("nan"),
+                "fraction": row["pos_pred_rate"],
+            }
+            rec = tp / (tp + fn) if (tp + fn) > 0 else float("nan")
+            se["recall"] = {
+                "std": math.sqrt(max(rec * (1 - rec), 0.0)) if rec == rec else float("nan"),
+                "fraction": row["pos_rate"],
+            }
+            spec = tn / (tn + fp) if (tn + fp) > 0 else float("nan")
+            se["specificity"] = {
+                "std": math.sqrt(max(spec * (1 - spec), 0.0)) if spec == spec else float("nan"),
+                "fraction": 1 - row["pos_rate"],
+            }
+            rel = tp + fp + fn
+            if rel > 0:
+                cf = rel / ((fp + fn) * 0.5 + tp)
+                q = tp / rel
+                se["f1"] = {"std": cf * math.sqrt(max(q * (1 - q), 0.0)), "fraction": rel / n}
+            if "roc_auc" in self.metrics and self.y_pred_proba:
+                se["roc_auc"] = self._fit_auroc_se(reference)
+        elif self.problem_type == "regression":
+            err = yt - yp
+            row = reference.agg(
+                F.stddev_pop(F.abs(err)).alias("mae_std"),
+                F.stddev_pop(F.abs(err) / F.abs(yt)).alias("mape_std"),
+                F.stddev_pop(err * err).alias("mse_std"),
+                F.avg(err * err).alias("mse_mean"),
+                F.stddev_pop(F.pow(F.log1p(yt) - F.log1p(yp), 2)).alias("msle_std"),
+                F.avg(F.pow(F.log1p(yt) - F.log1p(yp), 2)).alias("msle_mean"),
+            ).first()
+            se["mae"] = {"std": row["mae_std"]}
+            se["mape"] = {"std": row["mape_std"]}
+            se["mse"] = {"std": row["mse_std"]}
+            se["msle"] = {"std": row["msle_std"]}
+            se["rmse"] = {"std": row["mse_std"], "mean": row["mse_mean"]}
+            se["rmsle"] = {"std": row["msle_std"], "mean": row["msle_mean"]}
+        self._se = se
+
+    def _fit_auroc_se(self, reference: DataFrame) -> dict:
+        """AUROC components (`sampling_error/binary_classification.py:36-75`):
+        per-positive fraction of negatives ranked below it; std of that
+        distribution + positive fraction. Computed with windows, no collect."""
+        yt = F.col(self.y_true).cast("double")
+        s = F.col(self.y_pred_proba).cast("double")
+        df = reference.select(yt.alias("_y"), s.alias("_s")).filter(
+            F.col("_y").isNotNull() & F.col("_s").isNotNull()
+        )
+        mean_y = df.agg(F.avg("_y")).first()[0]
+        if mean_y is not None and mean_y > 0.5:  # reference flips the minority class
+            df = df.select((1 - F.col("_y")).alias("_y"), (1 - F.col("_s")).alias("_s"))
+        w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+        ranked = df.withColumn("_neg_below", F.coalesce(F.sum((F.col("_y") == 0).cast("long")).over(w), F.lit(0)))
+        pos = ranked.filter(F.col("_y") == 1)
+        row = df.agg(
+            F.sum("_y").alias("n1"), F.count(F.lit(1)).alias("n")
+        ).first()
+        n1, n = row["n1"], row["n"]
+        n0 = n - n1
+        stats = pos.agg(F.stddev_pop(F.col("_neg_below") / F.lit(float(n0))).alias("std")).first()
+        return {"std": stats["std"], "fraction": n1 / n if n else None}
+
+    def fit(self, reference: DataFrame) -> "PerformanceCalculator":
+        if self.problem_type == "multiclass_classification":
+            self._classes = sorted(
+                r[0] for r in reference.select(F.col(self.y_true).cast("string")).distinct().collect()
+            )
+        self._fit_se_components(reference)
+        self._fitted = True
+        ref_long, ref_headers = self._chunk_values(reference)
+        ref_long = ref_long.persist()
+        rows = (
+            ref_long.groupBy("method").agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s")).collect()
+        )
+        thr = self.threshold
+        for r in rows:
+            lo = up = None
+            if isinstance(thr, StandardDeviationThreshold):
+                if r["m"] is not None and r["s"] is not None:
+                    if thr.std_lower_multiplier is not None:
+                        lo = r["m"] - thr.std_lower_multiplier * r["s"]
+                    if thr.std_upper_multiplier is not None:
+                        up = r["m"] + thr.std_upper_multiplier * r["s"]
+            else:
+                lo, up = thr.lower, thr.upper
+            lo_l, up_l = _LIMITS.get(r["method"], (None, None))
+            if lo is not None and lo_l is not None:
+                lo = max(lo, lo_l)
+            if up is not None and up_l is not None:
+                up = min(up, up_l)
+            self._thresholds[r["method"]] = (lo, up)
+        self._reference_result = self._finalize(ref_long, ref_headers, "reference")
+        ref_long.unpersist()
+        return self
+
+    # ------------------------------------------------------------------ calculate
+
+    def _se_expr(self) -> F.Column:
+        n = F.col("n_chunk").cast("double")
+        m = F.col("method")
+        expr = F.lit(None).cast("double")
+        for metric, comp in self._se.items():
+            std = comp.get("std")
+            if std is None or std != std:
+                continue
+            if metric in ("accuracy", "mae", "mape", "mse", "msle"):
+                e = F.lit(float(std)) / F.sqrt(n)
+            elif metric in ("precision", "recall", "specificity", "f1", "roc_auc"):
+                frac = comp.get("fraction")
+                if frac is None or frac != frac or frac <= 0:
+                    continue
+                e = F.lit(float(std)) / F.sqrt(n * F.lit(float(frac)))
+            elif metric in ("rmse", "rmsle"):
+                mean = comp.get("mean")
+                if not mean:
+                    continue
+                e = F.sqrt(F.lit(float(std)) ** 2 / (4 * n * F.lit(float(mean))))
+            else:
+                continue
+            expr = F.when(m == metric, e).otherwise(expr)
+        return expr
+
+    def _finalize(self, long_df: DataFrame, headers, period: str) -> DataFrame:
+        spark = long_df.sparkSession
+        rows = [(m, lo, up) for m, (lo, up) in self._thresholds.items()] or [(None, None, None)]
+        thr = spark.createDataFrame(rows, "method string, lower_threshold double, upper_threshold double").filter(
+            F.col("method").isNotNull()
+        )
+        out = (
+            long_df.join(F.broadcast(thr), "method", "left")
+            .withColumn("sampling_error", self._se_expr())
+            .withColumn("lower_confidence_boundary", F.col("value") - 3 * F.col("sampling_error"))
+            .withColumn("upper_confidence_boundary", F.col("value") + 3 * F.col("sampling_error"))
+            .withColumn("alert", alert_expr())
+            .withColumn("column_name", F.lit(self.y_pred))
+            .drop("n_chunk")
+        )
+        return conform_result(join_headers_long(out, headers, period))
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        if not self._fitted:
+            raise RuntimeError("call fit(reference) first")
+        long_df, headers = self._chunk_values(df)
+        return self._finalize(long_df, headers, period)
+
+    @property
+    def reference_result(self) -> DataFrame:
+        if not self._fitted:
+            raise RuntimeError("not fitted")
+        return self._reference_result

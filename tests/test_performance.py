@@ -1,0 +1,189 @@
+"""Realized performance metrics vs numpy oracles (sklearn-equivalent formulas)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_validate.chunking import SizeBasedChunker
+from spark_validate.performance import PerformanceCalculator
+
+N_REF, N_ANA, CHUNK = 4000, 2000, 500
+
+
+def _auc_np(y, s):
+    """Mann-Whitney AUC with average ranks (== sklearn roc_auc_score)."""
+    order = np.argsort(s)
+    ranks = np.empty(len(s), dtype=float)
+    sorted_s = np.asarray(s)[order]
+    i = 0
+    r = 1
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        avg = (r + r + (j - i)) / 2
+        ranks[order[i : j + 1]] = avg
+        r += j - i + 1
+        i = j + 1
+    y = np.asarray(y)
+    n1, n0 = y.sum(), (1 - y).sum()
+    return (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+
+
+def _ap_np(y, s):
+    """sklearn average_precision_score (step-wise sum over thresholds)."""
+    y = np.asarray(y)
+    s = np.asarray(s)
+    order = np.argsort(-s, kind="mergesort")
+    y, s = y[order], s[order]
+    distinct = np.where(np.diff(s))[0]
+    idx = np.r_[distinct, len(s) - 1]
+    tp = np.cumsum(y)[idx]
+    n = idx + 1
+    precision = tp / n
+    recall = tp / y.sum()
+    rec_prev = np.r_[0, recall[:-1]]
+    return float(np.sum((recall - rec_prev) * precision))
+
+
+@pytest.fixture(scope="module")
+def perf_frame(spark):
+    rng = np.random.default_rng(21)
+    n = N_REF + N_ANA
+    y = rng.integers(0, 2, n)
+    score = np.clip(0.35 * y + rng.uniform(0, 0.7, n), 0, 1)
+    pred = (score > 0.5).astype(int)
+    pdf = pd.DataFrame({"id": np.arange(n), "y_true": y, "y_pred": pred, "y_score": score})
+    pdf["is_ref"] = pdf["id"] < N_REF
+    return spark.createDataFrame(pdf), pdf
+
+
+def _run(sdf, metrics, **kw):
+    calc = PerformanceCalculator(
+        metrics=metrics,
+        y_true="y_true",
+        y_pred="y_pred",
+        y_pred_proba="y_score",
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+        **kw,
+    )
+    calc.fit(sdf.filter("is_ref"))
+    return calc, calc.calculate(sdf.filter("NOT is_ref")).orderBy("chunk_index").toPandas()
+
+
+def test_binary_label_metrics(spark, perf_frame):
+    sdf, pdf = perf_frame
+    calc, res = _run(sdf, ("accuracy", "precision", "recall", "specificity", "f1"))
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    piv = res.set_index(["chunk_index", "method"])["value"]
+    for i in range(4):
+        c = a.iloc[i * CHUNK : (i + 1) * CHUNK]
+        tp = ((c.y_true == 1) & (c.y_pred == 1)).sum()
+        fp = ((c.y_true == 0) & (c.y_pred == 1)).sum()
+        tn = ((c.y_true == 0) & (c.y_pred == 0)).sum()
+        fn = ((c.y_true == 1) & (c.y_pred == 0)).sum()
+        assert np.isclose(piv[(i, "accuracy")], (tp + tn) / CHUNK)
+        assert np.isclose(piv[(i, "precision")], tp / (tp + fp))
+        assert np.isclose(piv[(i, "recall")], tp / (tp + fn))
+        assert np.isclose(piv[(i, "specificity")], tn / (tn + fp))
+        assert np.isclose(piv[(i, "f1")], 2 * tp / (2 * tp + fp + fn))
+    # sampling errors: accuracy SE = sqrt(acc(1-acc))/sqrt(n) with ref accuracy
+    r = pdf[pdf.is_ref]
+    acc_ref = (r.y_true == r.y_pred).mean()
+    got = res[res.method == "accuracy"]["sampling_error"].iloc[0]
+    assert np.isclose(got, math.sqrt(acc_ref * (1 - acc_ref)) / math.sqrt(CHUNK))
+
+
+def test_auc_ap_vs_numpy(spark, perf_frame):
+    sdf, pdf = perf_frame
+    calc, res = _run(sdf, ("roc_auc", "average_precision"))
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    piv = res.set_index(["chunk_index", "method"])["value"]
+    for i in range(4):
+        c = a.iloc[i * CHUNK : (i + 1) * CHUNK]
+        assert abs(piv[(i, "roc_auc")] - _auc_np(c.y_true.to_numpy(), c.y_score.to_numpy())) < 1e-9
+        assert abs(piv[(i, "average_precision")] - _ap_np(c.y_true.to_numpy(), c.y_score.to_numpy())) < 1e-9
+    assert res[res.method == "roc_auc"]["sampling_error"].notna().all()
+
+
+def test_confusion_and_business_value(spark, perf_frame):
+    sdf, pdf = perf_frame
+    calc, res = _run(
+        sdf, ("confusion_matrix", "business_value"), business_value_matrix=[[0.0, -2.0], [-5.0, 10.0]]
+    )
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    c = a.iloc[:CHUNK]
+    tp = ((c.y_true == 1) & (c.y_pred == 1)).sum()
+    fp = ((c.y_true == 0) & (c.y_pred == 1)).sum()
+    tn = ((c.y_true == 0) & (c.y_pred == 0)).sum()
+    fn = ((c.y_true == 1) & (c.y_pred == 0)).sum()
+    piv = res.set_index(["chunk_index", "method"])["value"]
+    assert piv[(0, "true_positive")] == tp
+    assert piv[(0, "false_negative")] == fn
+    assert np.isclose(piv[(0, "business_value")], tn * 0 + fp * -2 + fn * -5 + tp * 10)
+
+
+def test_regression_metrics(spark):
+    rng = np.random.default_rng(4)
+    n = 3000
+    yt = rng.uniform(10, 100, n)
+    yp = yt + rng.normal(0, 5, n)
+    pdf = pd.DataFrame({"id": np.arange(n), "y_true": yt, "y_pred": yp})
+    pdf["is_ref"] = pdf["id"] < 2000
+    sdf = pdf.pipe(lambda d: d)  # noqa
+    import pyspark.sql
+
+    spark_df = pyspark.sql.SparkSession.getActiveSession().createDataFrame(pdf)
+    calc = PerformanceCalculator(
+        metrics=("mae", "mape", "mse", "rmse", "msle", "rmsle"),
+        problem_type="regression",
+        chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]),
+    )
+    calc.fit(spark_df.filter("is_ref"))
+    res = calc.calculate(spark_df.filter("NOT is_ref")).orderBy("chunk_index").toPandas()
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    piv = res.set_index(["chunk_index", "method"])["value"]
+    c = a.iloc[:500]
+    err = c.y_true - c.y_pred
+    assert np.isclose(piv[(0, "mae")], np.abs(err).mean())
+    assert np.isclose(piv[(0, "mape")], (np.abs(err) / np.abs(c.y_true)).mean())
+    assert np.isclose(piv[(0, "mse")], (err**2).mean())
+    assert np.isclose(piv[(0, "rmse")], np.sqrt((err**2).mean()))
+    msle = ((np.log1p(c.y_true) - np.log1p(c.y_pred)) ** 2).mean()
+    assert np.isclose(piv[(0, "msle")], msle)
+    assert np.isclose(piv[(0, "rmsle")], np.sqrt(msle))
+    # SEs present
+    assert res["sampling_error"].notna().all()
+
+
+def test_multiclass_macro(spark):
+    rng = np.random.default_rng(9)
+    n = 3000
+    yt = rng.choice(["a", "b", "c"], n)
+    yp = np.where(rng.uniform(size=n) < 0.7, yt, rng.choice(["a", "b", "c"], n))
+    pdf = pd.DataFrame({"id": np.arange(n), "y_true": yt, "y_pred": yp})
+    pdf["is_ref"] = pdf["id"] < 2000
+    import pyspark.sql
+
+    sdf = pyspark.sql.SparkSession.getActiveSession().createDataFrame(pdf)
+    calc = PerformanceCalculator(
+        metrics=("accuracy", "f1", "precision", "recall"),
+        problem_type="multiclass_classification",
+        chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]),
+    )
+    calc.fit(sdf.filter("is_ref"))
+    res = calc.calculate(sdf.filter("NOT is_ref")).orderBy("chunk_index").toPandas()
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    c = a.iloc[:500]
+    piv = res.set_index(["chunk_index", "method"])["value"]
+    assert np.isclose(piv[(0, "accuracy")], (c.y_true == c.y_pred).mean())
+    # macro f1 oracle
+    f1s = []
+    for cls in ["a", "b", "c"]:
+        tp = ((c.y_true == cls) & (c.y_pred == cls)).sum()
+        fp = ((c.y_true != cls) & (c.y_pred == cls)).sum()
+        fn = ((c.y_true == cls) & (c.y_pred != cls)).sum()
+        f1s.append(2 * tp / (2 * tp + fp + fn))
+    assert np.isclose(piv[(0, "f1")], np.mean(f1s))
