@@ -1,0 +1,300 @@
+"""CBPE — Confidence-Based Performance Estimation (reference
+`nannyml/performance_estimation/confidence_based/cbpe.py:56-592` +
+`metrics.py`).
+
+Estimates classification performance WITHOUT labels: calibrate the model's
+scores on the reference period (isotonic, `calibration.py:120-149`), then
+treat each calibrated score as the probability the row is positive and build
+the *expected* confusion matrix per chunk:
+
+    TP = Σ p̂·1[pred=1]   FP = Σ (1−p̂)·1[pred=1]
+    FN = Σ p̂·1[pred=0]   TN = Σ (1−p̂)·1[pred=0]      (metrics.py:762-787)
+
+Every label-style estimated metric is then a closed-form expression over one
+``groupBy(chunk)`` pass. Estimated ROC-AUC/AP integrate a synthetic
+ROC/PR curve from the calibrated masses in uncalibrated-score order
+(metrics.py:444-480, 596-645) — expressed with per-chunk windows, no UDF.
+
+Calibration itself is applied with a broadcast piecewise-linear lookup in an
+Arrow-batched ``pandas_udf`` (np.interp over the fitted isotonic breakpoints).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_validate.calculators.base import assign_chunks, join_headers_long
+from spark_validate.calibration import IsotonicCalibrator, NoopCalibrator, needs_calibration
+from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
+from spark_validate.performance.calculator import PerformanceCalculator
+from spark_validate.result import conform_result
+from spark_validate.thresholds import StandardDeviationThreshold, alert_expr
+
+CBPE_METRICS = (
+    "roc_auc",
+    "average_precision",
+    "f1",
+    "precision",
+    "recall",
+    "specificity",
+    "accuracy",
+    "business_value",
+    "confusion_matrix",
+)
+
+_LIMITS = {m: (0.0, 1.0) for m in ("roc_auc", "average_precision", "f1", "precision", "recall", "specificity", "accuracy")}
+
+
+@dataclass
+class CBPE:
+    """fit(reference with labels) → estimate(analysis without labels)."""
+
+    metrics: Sequence[str]
+    y_true: str = "y_true"
+    y_pred: str = "y_pred"
+    y_pred_proba: str = "y_pred_proba"
+    problem_type: str = "binary_classification"
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: object = field(default_factory=StandardDeviationThreshold)
+    business_value_matrix: Optional[Sequence[Sequence[float]]] = None
+    calibration_sample: int = 500_000
+
+    def __post_init__(self):
+        bad = set(self.metrics) - set(CBPE_METRICS)
+        if bad:
+            raise ValueError(f"unknown CBPE metrics {sorted(bad)}")
+        if self.problem_type != "binary_classification":
+            raise NotImplementedError("CBPE: binary classification only in this engine version")
+        if "business_value" in self.metrics and self.business_value_matrix is None:
+            raise ValueError("business_value requires business_value_matrix")
+        self._calibrator = None
+        self._thresholds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
+        self._se: Dict[str, dict] = {}
+        self._fitted = False
+
+    # -------------------------------------------------------------- calibration
+
+    def _fit_calibrator(self, reference: DataFrame) -> None:
+        """Collect a seeded reference (score, label) sample — one thin column
+        pair; 10^12-row references are sampled, which is statistically ample
+        for a 1-D monotone fit — decide need, fit isotonic."""
+        n = reference.count()
+        frac = min(1.0, self.calibration_sample / max(n, 1))
+        pdf = (
+            reference.select(
+                F.col(self.y_pred_proba).cast("double").alias("p"),
+                F.col(self.y_true).cast("double").alias("y"),
+            )
+            .dropna()
+            .sample(fraction=frac, seed=42)
+            .toPandas()
+        )
+        p, y = pdf["p"].to_numpy(), pdf["y"].to_numpy()
+        if needs_calibration(y, p):
+            self._calibrator = IsotonicCalibrator().fit(p, y)
+        else:
+            self._calibrator = NoopCalibrator().fit(p, y)
+
+    def _with_calibrated(self, df: DataFrame) -> DataFrame:
+        """Add calibrated probability column via broadcast np.interp."""
+        if isinstance(self._calibrator, NoopCalibrator):
+            return df.withColumn("_cal_p", F.col(self.y_pred_proba).cast("double"))
+        xs = self._calibrator._x
+        ys = self._calibrator._y
+        bx = df.sparkSession.sparkContext.broadcast((xs, ys))
+
+        @F.pandas_udf("double")
+        def _interp(p: pd.Series) -> pd.Series:
+            x, y = bx.value
+            return pd.Series(np.interp(p.to_numpy(dtype=np.float64), x, y))
+
+        return df.withColumn("_cal_p", _interp(F.col(self.y_pred_proba).cast("double")))
+
+    # -------------------------------------------------------------- estimation
+
+    def _estimated_chunk_values(self, df: DataFrame) -> Tuple[DataFrame, DataFrame]:
+        assigned, headers = assign_chunks(self._with_calibrated(df), self.chunker)
+        p = F.col("_cal_p")
+        pred = F.col(self.y_pred).cast("double")
+        ok = p.isNotNull() & pred.isNotNull()
+        counts = assigned.groupBy(CHUNK_KEY).agg(
+            F.sum(F.when(ok & (pred == 1), p).otherwise(F.lit(0.0))).alias("tp"),
+            F.sum(F.when(ok & (pred == 1), 1 - p).otherwise(F.lit(0.0))).alias("fp"),
+            F.sum(F.when(ok & (pred == 0), p).otherwise(F.lit(0.0))).alias("fn"),
+            F.sum(F.when(ok & (pred == 0), 1 - p).otherwise(F.lit(0.0))).alias("tn"),
+            F.count(F.when(ok, 1)).alias("n_chunk"),
+        )
+        exprs: Dict[str, F.Column] = {}
+        tot = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+        if "accuracy" in self.metrics:
+            exprs["accuracy"] = (F.col("tp") + F.col("tn")) / tot
+        if "precision" in self.metrics:
+            exprs["precision"] = F.col("tp") / (F.col("tp") + F.col("fp"))
+        if "recall" in self.metrics:
+            exprs["recall"] = F.col("tp") / (F.col("tp") + F.col("fn"))
+        if "specificity" in self.metrics:
+            exprs["specificity"] = F.col("tn") / (F.col("tn") + F.col("fp"))
+        if "f1" in self.metrics:
+            # estimate_f1 (metrics.py:762-787): TP / (TP + 0.5(FP+FN))
+            exprs["f1"] = F.col("tp") / (F.col("tp") + 0.5 * (F.col("fp") + F.col("fn")))
+        if "business_value" in self.metrics:
+            (tn_v, fp_v), (fn_v, tp_v) = self.business_value_matrix
+            exprs["business_value"] = (
+                F.col("tn") * F.lit(float(tn_v))
+                + F.col("fp") * F.lit(float(fp_v))
+                + F.col("fn") * F.lit(float(fn_v))
+                + F.col("tp") * F.lit(float(tp_v))
+            )
+        parts = []
+        if exprs:
+            pairs = [F.struct(F.lit(m).alias("method"), v.cast("double").alias("value")) for m, v in exprs.items()]
+            parts.append(
+                counts.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*pairs)).alias("kv")).select(
+                    CHUNK_KEY, "n_chunk", "kv.method", "kv.value"
+                )
+            )
+        if "confusion_matrix" in self.metrics:
+            cm = [
+                F.struct(F.lit("true_positive").alias("method"), F.col("tp").cast("double").alias("value")),
+                F.struct(F.lit("true_negative").alias("method"), F.col("tn").cast("double").alias("value")),
+                F.struct(F.lit("false_positive").alias("method"), F.col("fp").cast("double").alias("value")),
+                F.struct(F.lit("false_negative").alias("method"), F.col("fn").cast("double").alias("value")),
+            ]
+            parts.append(
+                counts.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*cm)).alias("kv")).select(
+                    CHUNK_KEY, "n_chunk", "kv.method", "kv.value"
+                )
+            )
+        if "roc_auc" in self.metrics:
+            parts.append(self._estimate_auc(assigned).join(counts.select(CHUNK_KEY, "n_chunk"), CHUNK_KEY))
+        if "average_precision" in self.metrics:
+            parts.append(self._estimate_ap(assigned).join(counts.select(CHUNK_KEY, "n_chunk"), CHUNK_KEY))
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out, headers
+
+    def _roc_points(self, assigned: DataFrame) -> DataFrame:
+        """Per-row synthetic ROC point in uncalibrated-score descending order
+        (metrics.py:466-480): tps=cum(calibrated) rounded to 5, fps=rank−tps."""
+        s = F.col(self.y_pred_proba).cast("double")
+        df = assigned.select(CHUNK_KEY, s.alias("_s"), F.col("_cal_p").alias("_p")).filter(
+            F.col("_s").isNotNull() & F.col("_p").isNotNull()
+        )
+        w = Window.partitionBy(CHUNK_KEY).orderBy(F.desc("_s"), F.desc("_p")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_rank = Window.partitionBy(CHUNK_KEY).orderBy(F.desc("_s"), F.desc("_p"))
+        return (
+            df.withColumn("_tps", F.round(F.sum("_p").over(w), 5))
+            .withColumn("_rank", F.row_number().over(w_rank))
+            .withColumn("_fps", F.round(F.col("_rank") - F.sum("_p").over(w), 5))
+        )
+
+    def _estimate_auc(self, assigned: DataFrame) -> DataFrame:
+        pts = self._roc_points(assigned)
+        w_tot = Window.partitionBy(CHUNK_KEY)
+        pts = pts.withColumn("_tp_tot", F.max("_tps").over(w_tot)).withColumn(
+            "_fp_tot", F.max("_fps").over(w_tot)
+        )
+        w_lag = Window.partitionBy(CHUNK_KEY).orderBy("_rank")
+        tpr = F.col("_tps") / F.col("_tp_tot")
+        fpr = F.col("_fps") / F.col("_fp_tot")
+        tpr_prev = F.coalesce(F.lag(tpr).over(w_lag), F.lit(0.0))
+        fpr_prev = F.coalesce(F.lag(fpr).over(w_lag), F.lit(0.0))
+        with_trap = pts.withColumn("_trap", (fpr - fpr_prev) * (tpr + tpr_prev) / 2)
+        return with_trap.groupBy(CHUNK_KEY).agg(F.sum("_trap").cast("double").alias("value")).select(
+            CHUNK_KEY, F.lit("roc_auc").alias("method"), "value"
+        )
+
+    def _estimate_ap(self, assigned: DataFrame) -> DataFrame:
+        """estimate_ap (metrics.py:596-645): AP = Σ Δrecall·precision over the
+        synthetic PR curve (recall_0 = 0, precision = tps/rank)."""
+        pts = self._roc_points(assigned)
+        w_tot = Window.partitionBy(CHUNK_KEY)
+        pts = pts.withColumn("_tp_tot", F.max("_tps").over(w_tot))
+        w_lag = Window.partitionBy(CHUNK_KEY).orderBy("_rank")
+        recall = F.col("_tps") / F.col("_tp_tot")
+        recall_prev = F.coalesce(F.lag(recall).over(w_lag), F.lit(0.0))
+        precision = F.col("_tps") / F.col("_rank")
+        with_term = pts.withColumn("_term", (recall - recall_prev) * precision)
+        return with_term.groupBy(CHUNK_KEY).agg(F.sum("_term").cast("double").alias("value")).select(
+            CHUNK_KEY, F.lit("average_precision").alias("method"), "value"
+        )
+
+    # -------------------------------------------------------------- fit / estimate
+
+    def fit(self, reference: DataFrame) -> "CBPE":
+        self._fit_calibrator(reference)
+        # sampling-error components: same closed forms as realized performance
+        helper = PerformanceCalculator(
+            metrics=tuple(m for m in self.metrics if m not in ("business_value", "confusion_matrix", "average_precision")),
+            y_true=self.y_true,
+            y_pred=self.y_pred,
+            y_pred_proba=self.y_pred_proba,
+            chunker=self.chunker,
+        )
+        helper._fit_se_components(reference)
+        self._se = helper._se
+        self._fitted = True
+        ref_long, ref_headers = self._estimated_chunk_values(reference)
+        ref_long = ref_long.persist()
+        rows = ref_long.groupBy("method").agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s")).collect()
+        thr = self.threshold
+        for r in rows:
+            lo = up = None
+            if isinstance(thr, StandardDeviationThreshold):
+                if r["m"] is not None and r["s"] is not None:
+                    if thr.std_lower_multiplier is not None:
+                        lo = r["m"] - thr.std_lower_multiplier * r["s"]
+                    if thr.std_upper_multiplier is not None:
+                        up = r["m"] + thr.std_upper_multiplier * r["s"]
+            else:
+                lo, up = thr.lower, thr.upper
+            lo_l, up_l = _LIMITS.get(r["method"], (None, None))
+            if lo is not None and lo_l is not None:
+                lo = max(lo, lo_l)
+            if up is not None and up_l is not None:
+                up = min(up, up_l)
+            self._thresholds[r["method"]] = (lo, up)
+        self._reference_result = self._finalize(ref_long, ref_headers, "reference")
+        ref_long.unpersist()
+        return self
+
+    def _finalize(self, long_df: DataFrame, headers, period: str) -> DataFrame:
+        spark = long_df.sparkSession
+        rows = [(m, lo, up) for m, (lo, up) in self._thresholds.items()] or [(None, None, None)]
+        thr = spark.createDataFrame(rows, "method string, lower_threshold double, upper_threshold double").filter(
+            F.col("method").isNotNull()
+        )
+        helper = PerformanceCalculator.__new__(PerformanceCalculator)
+        helper._se = self._se
+        out = (
+            long_df.join(F.broadcast(thr), "method", "left")
+            .withColumn("sampling_error", PerformanceCalculator._se_expr(helper))
+            .withColumn("lower_confidence_boundary", F.col("value") - 3 * F.col("sampling_error"))
+            .withColumn("upper_confidence_boundary", F.col("value") + 3 * F.col("sampling_error"))
+            .withColumn("alert", alert_expr())
+            .withColumn("column_name", F.lit(self.y_pred_proba))
+            .drop("n_chunk")
+        )
+        return conform_result(join_headers_long(out, headers, period))
+
+    def estimate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        if not self._fitted:
+            raise RuntimeError("call fit(reference) first")
+        long_df, headers = self._estimated_chunk_values(df)
+        return self._finalize(long_df, headers, period)
+
+    @property
+    def reference_result(self) -> DataFrame:
+        if not self._fitted:
+            raise RuntimeError("not fitted")
+        return self._reference_result

@@ -1,0 +1,131 @@
+"""CBPE + calibration vs numpy oracles re-implementing the reference formulas."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_validate.calibration import (
+    IsotonicCalibrator,
+    expected_calibration_error,
+    needs_calibration,
+    pava,
+)
+from spark_validate.chunking import SizeBasedChunker
+from spark_validate.performance.cbpe import CBPE
+
+N_REF, N_ANA, CHUNK = 4000, 2000, 500
+
+
+def test_pava_monotone_and_mean_preserving():
+    y = np.array([3.0, 1.0, 2.0, 5.0, 4.0])
+    w = np.ones(5)
+    out = pava(y, w)
+    assert (np.diff(out) >= -1e-12).all()
+    assert np.isclose(out.sum(), y.sum())
+    # pooled blocks are means of violators
+    np.testing.assert_allclose(out, [2, 2, 2, 4.5, 4.5])
+
+
+def test_isotonic_calibrator_recovers_monotone_trend():
+    rng = np.random.default_rng(0)
+    p = rng.uniform(0, 1, 5000)
+    y = (rng.uniform(0, 1, 5000) < p**2).astype(float)  # true prob = p²
+    cal = IsotonicCalibrator().fit(p, y)
+    grid = np.linspace(0.05, 0.95, 10)
+    est = cal.calibrate(grid)
+    assert (np.diff(est) >= -1e-12).all()
+    assert np.max(np.abs(est - grid**2)) < 0.1  # close to the true curve
+
+
+def test_needs_calibration_decisions():
+    rng = np.random.default_rng(1)
+    p = rng.uniform(0, 1, 4000)
+    # miscalibrated scores (true prob = p³) → needs calibration
+    y_bad = (rng.uniform(0, 1, 4000) < p**3).astype(float)
+    assert needs_calibration(y_bad, p)
+    # single-class early exit
+    assert not needs_calibration(np.ones(100), rng.uniform(0, 1, 100))
+    # near-perfect separation early exit (AUROC > 0.999)
+    y_sep = (p > 0.5).astype(float)
+    assert not needs_calibration(y_sep, p)
+
+
+def test_ece_zero_for_perfectly_calibrated_bins():
+    y = np.array([0, 1] * 500)
+    p = np.full(1000, 0.5)
+    assert expected_calibration_error(y, p, bin_count=4) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def cbpe_frame(spark):
+    rng = np.random.default_rng(33)
+    n = N_REF + N_ANA
+    true_p = rng.uniform(0.05, 0.95, n)
+    y = (rng.uniform(0, 1, n) < true_p).astype(int)
+    score = np.clip(true_p + rng.normal(0, 0.05, n), 0.001, 0.999)
+    pred = (score > 0.5).astype(int)
+    pdf = pd.DataFrame({"id": np.arange(n), "y_true": y, "y_pred": pred, "score": score})
+    pdf["is_ref"] = pdf["id"] < N_REF
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_cbpe_estimates_match_numpy_oracle(spark, cbpe_frame):
+    sdf, pdf = cbpe_frame
+    est = CBPE(
+        metrics=("accuracy", "precision", "recall", "f1", "roc_auc"),
+        y_true="y_true",
+        y_pred="y_pred",
+        y_pred_proba="score",
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+    )
+    est.fit(sdf.filter("is_ref"))
+    res = est.estimate(sdf.filter("NOT is_ref")).orderBy("chunk_index").toPandas()
+    # numpy oracle: same calibrator applied per chunk, same expected-confusion
+    cal = est._calibrator
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    piv = res.set_index(["chunk_index", "method"])["value"]
+    for i in range(2):
+        c = a.iloc[i * CHUNK : (i + 1) * CHUNK]
+        p = cal.calibrate(c["score"].to_numpy())
+        pred = c["y_pred"].to_numpy()
+        TP = p[pred == 1].sum()
+        FP = (1 - p[pred == 1]).sum()
+        FN = p[pred == 0].sum()
+        TN = (1 - p[pred == 0]).sum()
+        assert abs(piv[(i, "accuracy")] - (TP + TN) / CHUNK) < 1e-9
+        assert abs(piv[(i, "precision")] - TP / (TP + FP)) < 1e-9
+        assert abs(piv[(i, "recall")] - TP / (TP + FN)) < 1e-9
+        assert abs(piv[(i, "f1")] - TP / (TP + 0.5 * (FP + FN))) < 1e-9
+        # estimated ROC-AUC oracle (reference estimate_roc_auc, incl. round-5)
+        order = np.argsort(-c["score"].to_numpy(), kind="mergesort")
+        pc = p[order]
+        tps = np.round(np.cumsum(pc), 5)
+        fps = np.round(1 + np.arange(len(pc)) - np.cumsum(pc), 5)
+        tpr = np.r_[0, tps] / tps[-1]
+        fpr = np.r_[0, fps] / fps[-1]
+        auc = float(np.trapz(tpr, fpr))
+        assert abs(piv[(i, "roc_auc")] - auc) < 1e-6
+    # estimated accuracy should track realized accuracy reasonably
+    realized = [
+        (a.iloc[i * CHUNK : (i + 1) * CHUNK].y_true == a.iloc[i * CHUNK : (i + 1) * CHUNK].y_pred).mean()
+        for i in range(4)
+    ]
+    estimated = [piv[(i, "accuracy")] for i in range(4)]
+    assert np.max(np.abs(np.array(realized) - np.array(estimated))) < 0.05
+
+
+def test_cbpe_estimates_without_labels(spark, cbpe_frame):
+    sdf, _ = cbpe_frame
+    est = CBPE(
+        metrics=("accuracy",),
+        y_true="y_true",
+        y_pred="y_pred",
+        y_pred_proba="score",
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+    )
+    est.fit(sdf.filter("is_ref"))
+    unlabeled = sdf.filter("NOT is_ref").drop("y_true")  # analysis has NO labels
+    res = est.estimate(unlabeled).toPandas()
+    assert len(res) == 4
+    assert res["value"].notna().all()
+    assert res["upper_threshold"].notna().all()
