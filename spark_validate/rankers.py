@@ -1,0 +1,57 @@
+"""Rankers — post-processing over long result tables (reference §2.10,
+`nannyml/drift/ranker.py:118-403`).
+
+* AlertCountRanker: alerts summed per column across chunks, ranked desc
+  (ties broken by column name desc, matching `ranker.py:186-191`).
+* CorrelationRanker: Pearson correlation between each column's drift values
+  and the absolute performance change from the reference mean
+  (`ranker.py:197-403`) — a single ``corr`` aggregate per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def alert_count_rank(result: DataFrame, only_drifting: bool = False) -> DataFrame:
+    """(rank, n_alerts, column_name) — 1-based, most alerts first."""
+    agg = result.groupBy("column_name").agg(
+        F.sum(F.col("alert").cast("int")).alias("n_alerts")
+    )
+    if only_drifting:
+        agg = agg.filter(F.col("n_alerts") > 0)
+    w = Window.orderBy(F.desc("n_alerts"), F.desc("column_name"))
+    return agg.withColumn("rank", F.row_number().over(w)).select("rank", "n_alerts", "column_name")
+
+
+class CorrelationRanker:
+    """fit on reference performance results → rank drift columns by |Δperf| correlation."""
+
+    def __init__(self):
+        self._mean_ref_perf = None
+
+    def fit(self, reference_performance: DataFrame, metric: str) -> "CorrelationRanker":
+        self._metric = metric
+        self._mean_ref_perf = (
+            reference_performance.filter(F.col("method") == metric).agg(F.avg("value")).first()[0]
+        )
+        return self
+
+    def rank(self, drift_result: DataFrame, performance_result: DataFrame, only_drifting: bool = False) -> DataFrame:
+        if self._mean_ref_perf is None:
+            raise RuntimeError("fit first")
+        perf = performance_result.filter(F.col("method") == self._metric).select(
+            "chunk_key", F.abs(F.col("value") - F.lit(self._mean_ref_perf)).alias("_perf_change")
+        )
+        joined = drift_result.select("chunk_key", "column_name", "value", "alert").join(perf, "chunk_key")
+        agg = joined.groupBy("column_name").agg(
+            F.corr("value", "_perf_change").alias("pearsonr"),
+            F.sum(F.col("alert").cast("int")).alias("n_alerts"),
+        )
+        if only_drifting:
+            agg = agg.filter(F.col("n_alerts") > 0)
+        w = Window.orderBy(F.desc("pearsonr"), F.desc("column_name"))
+        return agg.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "column_name", "pearsonr", "n_alerts"
+        )

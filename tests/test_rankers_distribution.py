@@ -1,0 +1,85 @@
+"""Rankers + distribution calculators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_validate.calculators import SummaryStatsAvgCalculator
+from spark_validate.chunking import SizeBasedChunker
+from spark_validate.distribution import categorical_distribution, continuous_distribution
+from spark_validate.rankers import CorrelationRanker, alert_count_rank
+
+
+@pytest.fixture(scope="module")
+def rk_frame(spark):
+    rng = np.random.default_rng(8)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            # x drifts hard after row 2000, y stays flat
+            "x": np.r_[rng.normal(0, 1, 2000), rng.normal(3, 1, 2000)],
+            "y": rng.normal(0, 1, n),
+            "cat": rng.choice(list("abcdefgh"), n),
+        }
+    )
+    pdf["is_ref"] = pdf["id"] < 2000
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_alert_count_ranker(spark, rk_frame):
+    sdf, _ = rk_frame
+    calc = SummaryStatsAvgCalculator(["x", "y"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    calc.fit(sdf.filter("is_ref"))
+    res = calc.calculate(sdf.filter("NOT is_ref"))
+    ranked = alert_count_rank(res).toPandas()
+    assert ranked["column_name"].iloc[0] == "x"  # drifted column ranks first
+    assert ranked["rank"].tolist() == [1, 2]
+    assert ranked[ranked.column_name == "x"]["n_alerts"].iloc[0] == 4
+    only = alert_count_rank(res, only_drifting=True).toPandas()
+    assert "x" in set(only["column_name"])
+    assert (only["n_alerts"] > 0).all()
+
+
+def test_correlation_ranker(spark, rk_frame):
+    sdf, _ = rk_frame
+    drift = SummaryStatsAvgCalculator(["x", "y"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    drift.fit(sdf.filter("is_ref"))
+    drift_res = drift.calculate(sdf.filter("NOT is_ref"))
+    # use avg(x) itself as the 'performance' series — x's drift correlates 1.0
+    perf = drift_res.filter(F.col("column_name") == "x")
+    ranker = CorrelationRanker().fit(drift.reference_result.filter(F.col("column_name") == "x"), "avg")
+    ranked = ranker.rank(drift_res, perf).toPandas()
+    assert ranked["column_name"].iloc[0] == "x"
+    assert ranked["pearsonr"].iloc[0] > 0.99
+
+
+def test_categorical_distribution(spark, rk_frame):
+    sdf, pdf = rk_frame
+    out = categorical_distribution(
+        sdf, "cat", chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]), top_k=3
+    ).toPandas()
+    # 3 kept + Other per chunk
+    per_chunk = out.groupby("chunk_key")["value"].nunique()
+    assert (per_chunk == 4).all()
+    assert np.allclose(out.groupby("chunk_key")["freq"].sum(), 1.0)
+    # counts match pandas for one chunk
+    keep = out[out.chunk_key == "[0:999]"].set_index("value")["cnt"]
+    c = pdf.iloc[:1000]["cat"].value_counts()
+    top3 = set(pdf["cat"].value_counts().index[:3])
+    for v in top3:
+        assert keep[v] == c[v]
+    assert keep["Other"] == c[~c.index.isin(top3)].sum()
+
+
+def test_continuous_distribution(spark, rk_frame):
+    sdf, pdf = rk_frame
+    out = continuous_distribution(
+        sdf, "x", chunker=SizeBasedChunker(chunk_size=2000, order_by=["id"]), points=40
+    ).toPandas()
+    assert set(out.groupby("chunk_key").size()) == {40}
+    # density integrates to ~1, cdf ends near 1
+    for key, grp in out.groupby("chunk_key"):
+        assert abs(grp["cdf"].iloc[-1] - 1.0) < 0.1
+        assert (grp["density"] >= 0).all()
