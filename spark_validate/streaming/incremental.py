@@ -1,0 +1,95 @@
+"""Incremental validation over Structured Streaming.
+
+The reference is strictly batch (no streaming anywhere in NannyML; scheduled
+re-runs via APScheduler, `nannyml/cli/run.py:46-58`). This engine keeps batch
+as the primary mode (with lineage-table resume), but exposes the chunk-level
+checks as STREAMING aggregations too: a tumbling event-time window is exactly
+a PeriodBasedChunker chunk, so the same per-chunk metrics stream out of
+``readStream → withWatermark → groupBy(window(ts))``, with alerts evaluated
+against batch-fitted (broadcast) thresholds.
+
+Semantics: watermarked windows handle late data; in append output mode a
+window's metric row is emitted once the watermark passes — the streaming
+equivalent of a completed chunk/partition in the lineage table.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_column_stats(
+    stream: DataFrame,
+    timestamp_column: str,
+    columns: Sequence[str],
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-window missing-rate/avg/min/max/count for each column — the
+    streaming analog of ColumnStatsCalculator's single agg pass."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        v = F.col(c)
+        aggs += [
+            ((F.count(F.lit(1)) - F.count(v)) / F.count(F.lit(1))).alias(f"{c}__missing_rate"),
+            F.avg(v).alias(f"{c}__avg"),
+            F.min(v).alias(f"{c}__min"),
+            F.max(v).alias(f"{c}__max"),
+        ]
+    return (
+        stream.withWatermark(timestamp_column, watermark)
+        .groupBy(F.window(timestamp_column, window_duration).alias("chunk_window"))
+        .agg(*aggs)
+        .select(
+            F.col("chunk_window.start").alias("start_ts"),
+            F.col("chunk_window.end").alias("end_ts"),
+            "*",
+        )
+        .drop("chunk_window")
+    )
+
+
+def streaming_violations(
+    stream: DataFrame,
+    column: str,
+    domain: Optional[Sequence[str]] = None,
+    valid_range: Optional[Tuple[float, float]] = None,
+) -> DataFrame:
+    """Row-level violation stream (domain and/or range) — a stateless filter,
+    so it runs in append mode with no watermark requirement."""
+    v = F.col(column)
+    cond = F.lit(False)
+    kind = F.lit(None).cast("string")
+    if domain is not None:
+        bad_domain = v.isNotNull() & ~v.cast("string").isin([str(x) for x in domain])
+        cond = cond | bad_domain
+        kind = F.when(bad_domain, F.lit("unseen_value")).otherwise(kind)
+    if valid_range is not None:
+        lo, hi = valid_range
+        bad_range = v.isNotNull() & ((v < F.lit(lo)) | (v > F.lit(hi)))
+        cond = cond | bad_range
+        kind = F.when(bad_range, F.lit("out_of_range")).otherwise(kind)
+    return stream.filter(cond).withColumn("violation_kind", kind).withColumn(
+        "column_name", F.lit(column)
+    )
+
+
+def attach_thresholds(
+    stats: DataFrame,
+    thresholds: Dict[str, Tuple[Optional[float], Optional[float]]],
+    metric_suffix: str = "__avg",
+) -> DataFrame:
+    """Evaluate batch-fitted thresholds against a streaming stats frame:
+    adds ``{col}__alert`` per configured column. Thresholds are literals
+    (broadcast by construction) — the fit stays a batch job, exactly like the
+    reference's fit-on-reference / monitor-forever split."""
+    out = stats
+    for col, (lo, up) in thresholds.items():
+        v = F.col(f"{col}{metric_suffix}")
+        below = F.lit(False) if lo is None else v < F.lit(lo)
+        above = F.lit(False) if up is None else v > F.lit(up)
+        out = out.withColumn(f"{col}__alert", F.coalesce(below | above, F.lit(False)))
+    return out

@@ -1,0 +1,74 @@
+"""Structured Streaming incremental validation (memory sink smoke)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_validate.streaming import attach_thresholds, streaming_column_stats, streaming_violations
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path, spark):
+    rng = np.random.default_rng(12)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="30s"),
+            "value": rng.normal(10, 2, n),
+            "fmt": rng.choice(["jpeg", "png", "bmp"], n, p=[0.6, 0.35, 0.05]),
+        }
+    )
+    spark.createDataFrame(pdf, SCHEMA).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    return str(tmp_path / "in")
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_column_stats(spark, stream_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    stats = streaming_column_stats(stream, "ts", ["value"], window_duration="10 minutes")
+    q = (
+        stats.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_stats")
+        .start()
+    )
+    _drain(q)
+    out = spark.sql("SELECT * FROM sv_stats").toPandas()
+    assert len(out) == 100  # 2000 rows · 30s = 1000 min → 100 ten-minute windows
+    assert np.isclose(out["n_rows"].sum(), 2000)
+    assert (out["value__missing_rate"] == 0).all()
+    assert out["value__avg"].between(8, 12).all()
+
+
+def test_streaming_violations_and_thresholds(spark, stream_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    v = streaming_violations(stream, "fmt", domain=["jpeg", "png"])
+    q = v.writeStream.outputMode("append").format("memory").queryName("sv_viol").start()
+    _drain(q)
+    out = spark.sql("SELECT * FROM sv_viol").toPandas()
+    assert len(out) > 0
+    assert set(out["fmt"]) == {"bmp"}
+    assert set(out["violation_kind"]) == {"unseen_value"}
+
+    stream2 = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    stats = streaming_column_stats(stream2, "ts", ["value"], window_duration="10 minutes")
+    alerted = attach_thresholds(stats, {"value": (9.0, 11.0)})
+    q2 = alerted.writeStream.outputMode("complete").format("memory").queryName("sv_alert").start()
+    _drain(q2)
+    out2 = spark.sql("SELECT * FROM sv_alert").toPandas()
+    assert "value__alert" in out2.columns
+    assert out2["value__alert"].dtype == bool
