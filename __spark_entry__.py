@@ -9,6 +9,7 @@ monetary aggregates (order-independent), (b) integer-division rates
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -382,6 +383,198 @@ def q_doc_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# --- synthetic model columns for performance metrics -------------------------
+# derived deterministically from event_id with integer arithmetic so Spark and
+# DuckDB produce bit-identical scores/labels: score = hash-ish u/1000,
+# P(y=1 | score) = score, y_pred = score > 0.5.
+
+
+def _with_model_cols(ev: DataFrame) -> DataFrame:
+    u = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1000))
+    v = F.pmod(F.col("event_id") * F.lit(1103515245) + F.lit(12345), F.lit(1000))
+    return (
+        ev.withColumn("score", (u / F.lit(1000.0)))
+        .withColumn("y_true", (v < u).cast("int"))
+        .withColumn("y_pred", (F.col("score") > 0.5).cast("int"))
+    )
+
+
+_MODEL_SQL = """
+  SELECT *,
+         ((event_id * 2654435761) % 1000) / 1000.0 AS score,
+         CASE WHEN ((event_id * 1103515245 + 12345) % 1000) < ((event_id * 2654435761) % 1000)
+              THEN 1 ELSE 0 END AS y_true,
+         CASE WHEN ((event_id * 2654435761) % 1000) / 1000.0 > 0.5 THEN 1 ELSE 0 END AS y_pred,
+         CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 1000) AS INT) AS chunk_index
+  FROM events
+"""
+
+
+def q_perf_binary(spark, sf_dir):
+    """Realized binary metrics (§2.7) per chunk from one confusion pass."""
+    from spark_validate.performance import PerformanceCalculator
+
+    ev = _with_model_cols(_read(spark, sf_dir, "events"))
+    calc = PerformanceCalculator(
+        metrics=("accuracy", "precision", "recall", "specificity", "f1"),
+        y_true="y_true",
+        y_pred="y_pred",
+        y_pred_proba="score",
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    calc.fit(ev)  # thresholds fit on same frame; values are what the oracle compares
+    res = calc.calculate(ev)
+    return res.select("chunk_index", "method", F.round("value", 9).alias("value")).orderBy(
+        "chunk_index", "method"
+    )
+
+
+def q_roc_auc(spark, sf_dir):
+    """Mann-Whitney per-chunk AUC via window ranks (§2.7)."""
+    from spark_validate.performance import PerformanceCalculator
+
+    ev = _with_model_cols(_read(spark, sf_dir, "events"))
+    calc = PerformanceCalculator(
+        metrics=("roc_auc",),
+        y_true="y_true",
+        y_pred="y_pred",
+        y_pred_proba="score",
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    calc.fit(ev)
+    res = calc.calculate(ev)
+    return res.select("chunk_index", F.round("value", 9).alias("roc_auc")).orderBy("chunk_index")
+
+
+def q_average_precision(spark, sf_dir):
+    """Threshold-grouped average precision per chunk (§2.7)."""
+    from spark_validate.performance import PerformanceCalculator
+
+    ev = _with_model_cols(_read(spark, sf_dir, "events"))
+    calc = PerformanceCalculator(
+        metrics=("average_precision",),
+        y_true="y_true",
+        y_pred="y_pred",
+        y_pred_proba="score",
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    calc.fit(ev)
+    res = calc.calculate(ev)
+    return res.select("chunk_index", F.round("value", 9).alias("average_precision")).orderBy("chunk_index")
+
+
+def q_regression_metrics(spark, sf_dir):
+    """Regression mae/mse/rmse/mape per chunk (§2.7) on derived targets."""
+    from spark_validate.performance import PerformanceCalculator
+
+    ev = _read(spark, sf_dir, "events")
+    d = ev.withColumn("yt", F.abs(F.col("value")) + 1).withColumn(
+        "yp", (F.abs(F.col("value")) + 1) * (F.lit(0.9) + F.col("value") * 0)
+        + F.pmod(F.col("event_id"), F.lit(7)).cast("double") / 10.0
+    )
+    calc = PerformanceCalculator(
+        metrics=("mae", "mse", "rmse", "mape"),
+        y_true="yt",
+        y_pred="yp",
+        problem_type="regression",
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    calc.fit(d)
+    res = calc.calculate(d)
+    return res.select("chunk_index", "method", F.round("value", 6).alias("value")).orderBy(
+        "chunk_index", "method"
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 (similarity-search baseline). Dot products
+    fold sequentially in index order on both engines → bit-identical."""
+    from spark_validate.sim.ann import _dot
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = [float(x) for x in qrow]
+    qq = 0.0
+    for x in q:  # sequential, mirrors list_dot_product's loop order
+        qq += x * x
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cos = _dot(v, qlit) / (F.sqrt(_dot(v, v)) * F.lit(math.sqrt(qq)))
+    return (
+        emb.select(F.col("vec_id"), F.round(cos, 9).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact duplicate groups over documents (md5 grouping)."""
+    from spark_validate.text import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    d = exact_duplicates(docs)
+    return d.select("fp", "dup_count", F.array_join("ids", ",").alias("ids")).orderBy("fp")
+
+
+# --- rows-only entries (no SQL-expressible oracle: fitted state / UDF paths) --
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH candidate pairs verified by shingle Jaccard ≥ 0.5."""
+    from spark_validate.text import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
+
+    docs = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_hashes=32, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, n_bands=8)
+    return ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    from spark_validate.text import simhash
+
+    return simhash(_read(spark, sf_dir, "documents")).orderBy("id")
+
+
+def q_cbpe_estimated_accuracy(spark, sf_dir):
+    """CBPE label-free estimated accuracy (isotonic calibration — fitted
+    state, not SQL-expressible)."""
+    from spark_validate.performance.cbpe import CBPE
+
+    ev = _with_model_cols(_read(spark, sf_dir, "events"))
+    est = CBPE(
+        metrics=("accuracy",),
+        y_true="y_true",
+        y_pred="y_pred",
+        y_pred_proba="score",
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    est.fit(ev)
+    res = est.estimate(ev.drop("y_true"))
+    return res.select("chunk_index", F.round("value", 9).alias("estimated_accuracy")).orderBy("chunk_index")
+
+
+def q_pca_reconstruction(spark, sf_dir):
+    """Multivariate PCA reconstruction drift (distributed covariance fit)."""
+    from spark_validate.drift.multivariate import DataReconstructionDriftCalculator
+
+    li_ref, li_ana = _li_split(spark, sf_dir)
+    calc = DataReconstructionDriftCalculator(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], chunker=_li_chunker()
+    )
+    calc.fit(li_ref)
+    res = calc.calculate(li_ana)
+    return res.select("chunk_index", F.round("value", 9).alias("reconstruction_error")).orderBy("chunk_index")
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets."""
+    from spark_validate.sim import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    nd = embedding_near_duplicates(emb, threshold=0.9, n_planes=8)
+    return nd.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_column_stats": q_chunk_column_stats,
@@ -407,6 +600,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
+        "perf_binary": q_perf_binary,
+        "roc_auc": q_roc_auc,
+        "average_precision": q_average_precision,
+        "regression_metrics": q_regression_metrics,
+        "ann_topk": q_ann_topk,
+        "dedup_exact": q_dedup_exact,
+        # rows-only checks (fitted-state / UDF paths with no SQL oracle)
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
+        "pca_reconstruction": q_pca_reconstruction,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -750,6 +955,92 @@ SELECT doc_id,
        CAST(length(text) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1) AS chars_per_token,
        CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
 FROM documents ORDER BY doc_id
+"""
+
+    sql["perf_binary"] = f"""
+WITH m AS ({_MODEL_SQL}),
+c AS (
+  SELECT chunk_index,
+         CAST(sum(CASE WHEN y_true = 1 AND y_pred = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+         CAST(sum(CASE WHEN y_true = 0 AND y_pred = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+         CAST(sum(CASE WHEN y_true = 0 AND y_pred = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS tn,
+         CAST(sum(CASE WHEN y_true = 1 AND y_pred = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fn
+  FROM m GROUP BY 1
+)
+SELECT chunk_index, method, round(value, 9) AS value FROM (
+  SELECT chunk_index, 'accuracy' AS method, (tp + tn) / (tp + tn + fp + fn) AS value FROM c
+  UNION ALL SELECT chunk_index, 'precision', tp / (tp + fp) FROM c
+  UNION ALL SELECT chunk_index, 'recall', tp / (tp + fn) FROM c
+  UNION ALL SELECT chunk_index, 'specificity', tn / (tn + fp) FROM c
+  UNION ALL SELECT chunk_index, 'f1', 2 * tp / (2 * tp + fp + fn) FROM c
+) ORDER BY chunk_index, method
+"""
+
+    sql["roc_auc"] = f"""
+WITH m AS ({_MODEL_SQL}),
+r AS (
+  SELECT chunk_index, y_true,
+         rank() OVER (PARTITION BY chunk_index ORDER BY score) AS rmin,
+         count(*) OVER (PARTITION BY chunk_index, score) AS tie
+  FROM m
+),
+a AS (
+  SELECT chunk_index,
+         sum(CASE WHEN y_true = 1 THEN rmin + (tie - 1) / 2.0 ELSE 0 END) AS rank_sum,
+         CAST(sum(CASE WHEN y_true = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN y_true = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0
+  FROM r GROUP BY 1
+)
+SELECT chunk_index, round((rank_sum - n1 * (n1 + 1) / 2) / (n1 * n0), 9) AS roc_auc FROM a ORDER BY 1
+"""
+
+    sql["average_precision"] = f"""
+WITH m AS ({_MODEL_SQL}),
+g AS (SELECT chunk_index, score, sum(y_true) AS tp_g, count(*) AS n_g FROM m GROUP BY 1, 2),
+cum AS (
+  SELECT chunk_index, tp_g,
+         sum(tp_g) OVER (PARTITION BY chunk_index ORDER BY score DESC) AS cum_tp,
+         sum(n_g) OVER (PARTITION BY chunk_index ORDER BY score DESC) AS cum_n,
+         sum(tp_g) OVER (PARTITION BY chunk_index) AS n_pos
+  FROM g
+)
+SELECT chunk_index,
+       round(sum((CAST(tp_g AS DOUBLE) / n_pos) * (CAST(cum_tp AS DOUBLE) / cum_n)), 9) AS average_precision
+FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+    sql["regression_metrics"] = f"""
+WITH ev AS (
+  SELECT *, CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         abs(value) + 1 AS yt,
+         (abs(value) + 1) * 0.9 + CAST(event_id % 7 AS DOUBLE) / 10.0 AS yp
+  FROM events
+)
+SELECT chunk_index, method, round(value, 6) AS value FROM (
+  SELECT chunk_index, 'mae' AS method, avg(abs(yt - yp)) AS value FROM ev GROUP BY 1
+  UNION ALL SELECT chunk_index, 'mape', avg(abs(yt - yp) / abs(yt)) FROM ev GROUP BY 1
+  UNION ALL SELECT chunk_index, 'mse', avg((yt - yp) * (yt - yp)) FROM ev GROUP BY 1
+  UNION ALL SELECT chunk_index, 'rmse', sqrt(avg((yt - yp) * (yt - yp))) FROM ev GROUP BY 1
+) ORDER BY chunk_index, method
+"""
+
+    sql["ann_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         round(
+           list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q))
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt((SELECT list_dot_product(qe, qe) FROM q))), 9) AS cosine
+  FROM embeddings
+)
+SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    sql["dedup_exact"] = """
+SELECT md5(text) AS fp, count(*) AS dup_count,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
 """
 
     return sql
