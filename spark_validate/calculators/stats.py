@@ -103,10 +103,32 @@ class ColumnStatsCalculator:
         return exprs
 
     def _chunk_values(self, df: DataFrame) -> DataFrame:
-        """(chunk_key, column_name, method, value, n_chunk) — long form, one shuffle."""
-        assigned, headers = assign_chunks(df, self.chunker)
+        """(chunk_key, column_name, method, value, n_chunk) — long form.
+
+        ONE shuffle and ONE scan: the chunk-header fields (row-index/ts
+        bounds) ride along in the same aggregation instead of a second pass
+        over the fact table."""
+        from spark_validate.chunking import CHUNK_INDEX, ROW_INDEX
+        from pyspark.sql import Window
+
+        assigned = self.chunker.assign(df)
         dtypes = dict(df.dtypes)
-        wide = assigned.groupBy(CHUNK_KEY).agg(*self._agg_exprs(dtypes))
+        hdr_aggs = []
+        has_idx = ROW_INDEX in assigned.columns
+        ts = self.chunker.timestamp_column
+        hdr_aggs.append(
+            (F.min(ROW_INDEX) if has_idx else F.lit(None).cast("long")).alias("start_index")
+        )
+        hdr_aggs.append(
+            (F.max(ROW_INDEX) if has_idx else F.lit(None).cast("long")).alias("end_index")
+        )
+        hdr_aggs.append((F.min(ts) if ts else F.lit(None).cast("timestamp")).alias("start_ts"))
+        hdr_aggs.append((F.max(ts) if ts else F.lit(None).cast("timestamp")).alias("end_ts"))
+        wide = assigned.groupBy(CHUNK_KEY).agg(*self._agg_exprs(dtypes), *hdr_aggs)
+        order_col = "start_index" if has_idx else ("start_ts" if ts else CHUNK_KEY)
+        # chunk_index windows over the tiny post-agg table; header columns ride
+        # along into the melt so no headers join (and no second scan) is needed
+        wide = wide.withColumn(CHUNK_INDEX, F.row_number().over(Window.orderBy(order_col)) - F.lit(1))
         pairs = []
         for c in self.column_names:
             for m in self.metrics:
@@ -121,11 +143,14 @@ class ColumnStatsCalculator:
                         val.cast("double").alias("value"),
                     )
                 )
+        hdr_cols = [CHUNK_INDEX, "start_index", "end_index", "start_ts", "end_ts"]
         long_df = (
-            wide.select(CHUNK_KEY, F.col("__rows").alias("n_chunk"), F.explode(F.array(*pairs)).alias("kv"))
-            .select(CHUNK_KEY, "n_chunk", "kv.column_name", "kv.method", "kv.value")
+            wide.select(
+                CHUNK_KEY, *hdr_cols, F.col("__rows").alias("n_chunk"), F.explode(F.array(*pairs)).alias("kv")
+            )
+            .select(CHUNK_KEY, *hdr_cols, "n_chunk", "kv.column_name", "kv.method", "kv.value")
         )
-        return long_df, headers
+        return long_df, None
 
     # -- fit -----------------------------------------------------------------
 
@@ -290,6 +315,8 @@ class ColumnStatsCalculator:
             .withColumn("alert", alert_expr())
             .drop("_c_missing_rate_ref", "_c_std", "_c_mu4", "_c_fmedian", "n_chunk")
         )
+        if headers is None:  # header columns already rode along in the melt
+            return conform_result(out.withColumn("period", F.lit(period)))
         return conform_result(join_headers_long(out, headers, period))
 
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
