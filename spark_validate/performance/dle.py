@@ -1,0 +1,209 @@
+"""DLE — Direct Loss Estimation for regression (reference
+`nannyml/performance_estimation/direct_loss_estimation/dle.py:300-447`).
+
+Estimates regression performance WITHOUT labels: fit a model on the reference
+period predicting each row's LOSS (|e|, e², relative or log variants) from
+the features + prediction, then per chunk the estimated metric is the mean
+(or root-mean) of predicted losses.
+
+The reference trains LightGBM regressors; LightGBM is importable-gated here
+and, when absent, the loss model is a closed-form ridge regression over
+standardized features + simple interactions — fit on a seeded driver sample
+(the model is a small coefficient vector either way). Scoring is a broadcast
+vectorized expression; chunk metrics are plain aggregations.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_validate.calculators.base import assign_chunks, join_headers_long
+from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
+from spark_validate.result import conform_result
+from spark_validate.thresholds import StandardDeviationThreshold, alert_expr
+
+try:  # the reference's model class, absent in this container
+    import lightgbm  # noqa: F401
+
+    _HAS_LGBM = True
+except ImportError:
+    _HAS_LGBM = False
+
+DLE_METRICS = ("mae", "mape", "mse", "msle", "rmse", "rmsle")
+
+# metric → (per-row loss fn name, aggregate = mean | root-mean)
+_LOSS_OF = {
+    "mae": ("abs", "mean"),
+    "mape": ("ape", "mean"),
+    "mse": ("sq", "mean"),
+    "msle": ("sle", "mean"),
+    "rmse": ("sq", "root_mean"),
+    "rmsle": ("sle", "root_mean"),
+}
+
+
+def _loss_values(kind: str, y_true: np.ndarray, y_pred: np.ndarray) -> np.ndarray:
+    e = y_true - y_pred
+    if kind == "abs":
+        return np.abs(e)
+    if kind == "ape":
+        return np.abs(e) / np.maximum(np.abs(y_true), 1e-12)
+    if kind == "sq":
+        return e * e
+    if kind == "sle":
+        return (np.log1p(y_true) - np.log1p(y_pred)) ** 2
+    raise ValueError(kind)
+
+
+class _RidgeLossModel:
+    """Closed-form ridge on standardized [features, y_pred, y_pred²]."""
+
+    def __init__(self, alpha: float = 1.0):
+        self.alpha = alpha
+
+    def fit(self, X: np.ndarray, loss: np.ndarray) -> "_RidgeLossModel":
+        self.mu = X.mean(axis=0)
+        self.sd = X.std(axis=0) + 1e-12
+        Xs = np.column_stack([np.ones(len(X)), (X - self.mu) / self.sd])
+        k = Xs.shape[1]
+        A = Xs.T @ Xs + self.alpha * np.eye(k)
+        A[0, 0] -= self.alpha  # don't penalize the intercept
+        self.w = np.linalg.solve(A, Xs.T @ loss)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        Xs = np.column_stack([np.ones(len(X)), (X - self.mu) / self.sd])
+        return np.maximum(Xs @ self.w, 0.0)  # losses are non-negative
+
+    def state(self) -> dict:
+        return {"mu": self.mu.tolist(), "sd": self.sd.tolist(), "w": self.w.tolist()}
+
+
+@dataclass
+class DLE:
+    metrics: Sequence[str]
+    feature_column_names: Sequence[str]
+    y_pred: str = "y_pred"
+    y_true: str = "y_true"
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: object = field(default_factory=StandardDeviationThreshold)
+    fit_sample: int = 200_000
+
+    def __post_init__(self):
+        bad = set(self.metrics) - set(DLE_METRICS)
+        if bad:
+            raise ValueError(f"unknown DLE metrics {sorted(bad)}")
+        self._models: Dict[str, _RidgeLossModel] = {}
+        self._thresholds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
+        self._fitted = False
+
+    def _design(self, pdf: pd.DataFrame) -> np.ndarray:
+        cols = [pd.to_numeric(pdf[c], errors="coerce").fillna(0).to_numpy(np.float64) for c in self.feature_column_names]
+        yp = pd.to_numeric(pdf[self.y_pred], errors="coerce").fillna(0).to_numpy(np.float64)
+        return np.column_stack(cols + [yp, yp * yp])
+
+    def fit(self, reference: DataFrame) -> "DLE":
+        n = reference.count()
+        frac = min(1.0, self.fit_sample / max(n, 1))
+        pdf = (
+            reference.select(*self.feature_column_names, self.y_pred, self.y_true)
+            .dropna()
+            .sample(fraction=frac, seed=42)
+            .toPandas()
+        )
+        X = self._design(pdf)
+        yt = pdf[self.y_true].to_numpy(np.float64)
+        yp = pdf[self.y_pred].to_numpy(np.float64)
+        kinds = {_LOSS_OF[m][0] for m in self.metrics}
+        for kind in kinds:
+            self._models[kind] = _RidgeLossModel().fit(X, _loss_values(kind, yt, yp))
+        self._fitted = True
+        ref_long, ref_headers = self._chunk_values(reference)
+        ref_long = ref_long.persist()
+        rows = ref_long.groupBy("method").agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s")).collect()
+        thr = self.threshold
+        for r in rows:
+            lo = up = None
+            if isinstance(thr, StandardDeviationThreshold):
+                if r["m"] is not None and r["s"] is not None:
+                    if thr.std_lower_multiplier is not None:
+                        lo = max(r["m"] - thr.std_lower_multiplier * r["s"], 0.0)
+                    if thr.std_upper_multiplier is not None:
+                        up = r["m"] + thr.std_upper_multiplier * r["s"]
+            else:
+                lo, up = thr.lower, thr.upper
+            self._thresholds[r["method"]] = (lo, up)
+        self._reference_result = self._finalize(ref_long, ref_headers, "reference")
+        ref_long.unpersist()
+        return self
+
+    def _chunk_values(self, df: DataFrame):
+        assigned, headers = assign_chunks(df, self.chunker)
+        sc = df.sparkSession.sparkContext
+        models = {k: m for k, m in self._models.items()}
+        bc = sc.broadcast({k: (np.asarray(m.mu), np.asarray(m.sd), np.asarray(m.w)) for k, m in models.items()})
+        feature_cols = list(self.feature_column_names)
+        y_pred = self.y_pred
+        kinds = sorted({_LOSS_OF[m][0] for m in self.metrics})
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("map<string,double>")
+        def _pred_losses(*cols: pd.Series) -> pd.Series:
+            mats = [c.to_numpy(np.float64) for c in cols]
+            yp = mats[-1]
+            X = np.column_stack(mats[:-1] + [yp, yp * yp])
+            out = {}
+            for kind in kinds:
+                mu, sd, w = bc.value[kind]
+                Xs = np.column_stack([np.ones(len(X)), (X - mu) / sd])
+                out[kind] = np.maximum(Xs @ w, 0.0)
+            return pd.Series([{k: float(out[k][i]) for k in kinds} for i in range(len(yp))])
+
+        scored = assigned.withColumn(
+            "_losses",
+            _pred_losses(*[F.col(c).cast("double") for c in feature_cols], F.col(y_pred).cast("double")),
+        )
+        aggs = [F.count(F.lit(1)).alias("n_chunk")]
+        for m in self.metrics:
+            kind, mode = _LOSS_OF[m]
+            mean_loss = F.avg(F.element_at("_losses", kind))
+            aggs.append((F.sqrt(mean_loss) if mode == "root_mean" else mean_loss).alias(m))
+        wide = scored.groupBy(CHUNK_KEY).agg(*aggs)
+        pairs = [F.struct(F.lit(m).alias("method"), F.col(m).cast("double").alias("value")) for m in self.metrics]
+        long_df = wide.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*pairs)).alias("kv")).select(
+            CHUNK_KEY, "n_chunk", "kv.method", "kv.value"
+        )
+        return long_df, headers
+
+    def _finalize(self, long_df, headers, period):
+        spark = long_df.sparkSession
+        rows = [(m, lo, up) for m, (lo, up) in self._thresholds.items()] or [(None, None, None)]
+        thr = spark.createDataFrame(rows, "method string, lower_threshold double, upper_threshold double").filter(
+            F.col("method").isNotNull()
+        )
+        out = (
+            long_df.join(F.broadcast(thr), "method", "left")
+            .withColumn("sampling_error", F.lit(None).cast("double"))
+            .withColumn("alert", alert_expr())
+            .withColumn("column_name", F.lit(self.y_pred))
+            .drop("n_chunk")
+        )
+        return conform_result(join_headers_long(out, headers, period))
+
+    def estimate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        if not self._fitted:
+            raise RuntimeError("fit first")
+        long_df, headers = self._chunk_values(df)
+        return self._finalize(long_df, headers, period)
+
+    @property
+    def reference_result(self) -> DataFrame:
+        return self._reference_result

@@ -1,0 +1,61 @@
+"""DLE — label-free regression performance estimation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_validate.chunking import SizeBasedChunker
+from spark_validate.performance.dle import DLE
+
+N_REF, N_ANA, CHUNK = 3000, 1500, 500
+
+
+@pytest.fixture(scope="module")
+def dle_frame(spark):
+    rng = np.random.default_rng(6)
+    n = N_REF + N_ANA
+    f1 = rng.uniform(0, 10, n)
+    f2 = rng.uniform(0, 5, n)
+    y_true = 2 * f1 + f2 + rng.normal(0, 1 + 0.3 * f1, n)  # heteroscedastic noise
+    y_pred = 2 * f1 + f2
+    pdf = pd.DataFrame({"id": np.arange(n), "f1": f1, "f2": f2, "y_true": y_true, "y_pred": y_pred})
+    pdf["is_ref"] = pdf["id"] < N_REF
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_dle_estimates_track_realized(spark, dle_frame):
+    sdf, pdf = dle_frame
+    est = DLE(
+        metrics=("mae", "mse", "rmse"),
+        feature_column_names=["f1", "f2"],
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+    )
+    est.fit(sdf.filter("is_ref"))
+    res = est.estimate(sdf.filter("NOT is_ref").drop("y_true")).orderBy("chunk_index").toPandas()
+    piv = res.set_index(["chunk_index", "method"])["value"]
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    for i in range(3):
+        c = a.iloc[i * CHUNK : (i + 1) * CHUNK]
+        realized_mae = np.abs(c.y_true - c.y_pred).mean()
+        est_mae = piv[(i, "mae")]
+        assert abs(est_mae - realized_mae) / realized_mae < 0.25  # tracks within 25%
+        assert piv[(i, "rmse")] == pytest.approx(np.sqrt(piv[(i, "mse")]))
+    assert res["upper_threshold"].notna().all()
+
+
+def test_dle_thresholds_alert_on_degradation(spark, dle_frame):
+    sdf, pdf = dle_frame
+    est = DLE(
+        metrics=("mae",),
+        feature_column_names=["f1", "f2"],
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+    )
+    est.fit(sdf.filter("is_ref"))
+    # degrade the model: shift predictions, pushing f1 high → predicted loss up?
+    # DLE estimates from features; drift the feature distribution upward so
+    # the heteroscedastic noise model predicts larger losses → alert
+    from pyspark.sql import functions as F
+
+    drifted = sdf.filter("NOT is_ref").withColumn("f1", F.col("f1") + 8).drop("y_true")
+    res = est.estimate(drifted).toPandas()
+    assert res["alert"].any()
