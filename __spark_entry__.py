@@ -524,9 +524,11 @@ def q_minhash_near_dups(spark, sf_dir):
     from spark_validate.text import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
 
     docs = _read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, n_hashes=32, shingle_k=3)
-    pairs = lsh_candidate_pairs(sigs, n_bands=8)
-    return ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+    # testdata docs share a 16-word vocabulary — high band collision rates —
+    # so use long shingles + wide bands + the bucket cap to stay selective
+    sigs = minhash_signatures(docs, n_hashes=32, shingle_k=6)
+    pairs = lsh_candidate_pairs(sigs, n_bands=4, max_bucket=100)
+    return ngram_jaccard(docs, pairs, shingle_k=6).filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
 
 
 def q_simhash_fingerprints(spark, sf_dir):

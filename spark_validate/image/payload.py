@@ -32,15 +32,47 @@ except ImportError:
     _HAS_PIL = False
 
 
+# Fake-codec shape: pixels per image (16K ≈ a 128×128 tile) and compute
+# rounds. Real decoders (Huffman + IDCT) are COMPUTE-dense — tens of ops per
+# output byte over cache-resident blocks — so the stub does K vectorized
+# mixing rounds over a small in-cache buffer rather than streaming megabytes
+# of PRNG output (which would benchmark DRAM bandwidth, not decode compute).
+MAX_FAKE_PIXELS = 16_384
+DECODE_ROUNDS = 40
+
+
 def _decode(buf: Optional[bytes]) -> Optional[np.ndarray]:
-    """Decode a payload to a uint8 pixel array. Fake 'SVI0' codec: skip the
-    header, interpret the body bytes as pixels. Real codecs via PIL when
-    available."""
+    """Decode a payload to a uint8 pixel array.
+
+    Fake 'SVI0' codec: 4B magic + 4B w + 4B h header; pixels derive
+    deterministically from the BODY CONTENT (CRC seed → PCG64 fill → K
+    mixing rounds) — duplicate payloads decode identically, any body byte
+    flip changes every pixel (PSNR collapses), and the per-image CPU cost is
+    representative of a real codec. Real codecs via PIL when present.
+    """
     if buf is None or len(buf) < 12:
         return None
     if bytes(buf[:4]) == b"SVI0":
-        # fake codec: 4B magic + 4B w + 4B h header, body bytes are the pixels
-        return np.frombuffer(bytes(buf), dtype=np.uint8, offset=12)
+        b = bytes(buf)
+        w = int.from_bytes(b[4:8], "big")
+        h = int.from_bytes(b[8:12], "big")
+        n_px = min(max(w * h, 1), MAX_FAKE_PIXELS)
+        body = np.frombuffer(b, dtype=np.uint8, offset=12)
+        if len(body) == 0:
+            return None
+        # seed from a full-content CRC (C-speed) — ANY body byte flip reseeds
+        import zlib
+
+        crc = zlib.crc32(b)
+        seed = (crc * 0x9E3779B97F4A7C15 ^ (len(body) << 32)) & 0xFFFFFFFFFFFFFFFF
+        rng = np.random.Generator(np.random.PCG64(seed))
+        # pad to a word multiple so the uint32 mixing view lines up
+        n_words = (n_px + 3) // 4
+        block = rng.integers(0, 2**32, n_words, dtype=np.uint32)
+        for _ in range(DECODE_ROUNDS):  # in-cache compute, IDCT-ish cost
+            block = block * np.uint32(2654435761) + np.uint32(0x9E3779B9)
+            block ^= block >> np.uint32(13)
+        return block.view(np.uint8)[:n_px]
     if _HAS_PIL:  # pragma: no cover - not available in this container
         import io
 

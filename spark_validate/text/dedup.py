@@ -87,6 +87,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = 16,
     rows_per_band: Optional[int] = None,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: split signatures into bands, hash each
     band, join ids landing in the same (band, band_hash) bucket.
@@ -112,7 +113,9 @@ def lsh_candidate_pairs(
     buckets = (
         exploded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        # buckets beyond max_bucket are degenerate (quadratic pair blowup on
+        # near-constant content); real dups still collide in OTHER bands
     )
     pairs = buckets.select(
         F.explode(
