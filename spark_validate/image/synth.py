@@ -89,6 +89,7 @@ def synth_image_table(
     # content derives ONLY from image_id so dup ids carry identical payloads
     # and a reference re-decode reproduces identical pixels (PSNR=∞ unless
     # corrupted). Oversized outliers exercise bytes-column skew handling.
+    # payload_kb=0 → NULL bytes (relational-only benchmarking tables).
     reps = F.when(
         F.pmod(F.xxhash64(rid, F.lit(seed + 10)), F.lit(1_000_000)) < F.lit(int(oversized_rate * 1_000_000)),
         F.lit(max(payload_kb, 1) * 64),  # 64× oversized
@@ -96,9 +97,12 @@ def synth_image_table(
     hex_block = F.sha2(F.concat(F.lit("px-"), image_id), 512)  # 128 hex chars = 64 bytes
     body = F.repeat(hex_block, (reps * 16).cast("int"))  # kb → 16 blocks of 64B
     # 'SVI0' magic + 4-byte w + 4-byte h + body (all byte-aligned hex)
-    payload = F.unhex(
-        F.concat(F.lit("53564930"), F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"), body)
-    )
+    if payload_kb <= 0:
+        payload = F.lit(None).cast("binary")
+    else:
+        payload = F.unhex(
+            F.concat(F.lit("53564930"), F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"), body)
+        )
 
     return df.select(
         image_id.alias("image_id"),
