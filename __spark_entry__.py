@@ -525,9 +525,10 @@ def q_minhash_near_dups(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     # testdata docs share a 16-word vocabulary — high band collision rates —
-    # so use long shingles + wide bands + the bucket cap to stay selective
+    # so use long shingles + wide bands (16 rows/band) + the bucket cap to
+    # stay selective; real corpora use n_bands=16 (see tests)
     sigs = minhash_signatures(docs, n_hashes=32, shingle_k=6)
-    pairs = lsh_candidate_pairs(sigs, n_bands=4, max_bucket=100)
+    pairs = lsh_candidate_pairs(sigs, n_bands=2, max_bucket=50)
     return ngram_jaccard(docs, pairs, shingle_k=6).filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
 
 
