@@ -8,14 +8,16 @@ Three sections:
 2. ``image_suite`` — the north-rule validation suite (column stats, domain,
    uniqueness, referential, drift, payload PSNR) over a synthesized
    image+caption table; reports images/sec.
-3. ``scaling`` — the same image suite at local[N] and local[4N] cores on the
-   SAME input, reporting throughput at both plus
-   ``efficiency = thr_4N / (4 × thr_N)`` (sandbox proxy for the N vs 4N
-   executor criterion; same-machine caveat: shared memory bandwidth makes
-   this a lower bound).
+3. ``scaling`` — the fitted analysis pass (calculate-only, state loaded as
+   production would from the store) at N and 4N cores on the SAME input,
+   each level in a fresh process/JVM, steady-state (one warm-up pass),
+   reporting ``efficiency = thr_4N / (4 × thr_N)``. Sandbox proxy for the
+   N-vs-4N-executor criterion; see BENCH/BASELINE.md for the protocol,
+   host-envelope calibration, and variance caveats.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_IMAGE_ROWS,
-BENCH_SKIP_SCALING=1.
+BENCH_SKIP_SCALING=1, BENCH_SCALING_N, BENCH_SCALING_ROWS,
+BENCH_SCALING_TRIALS.
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-IMAGE_ROWS = int(os.environ.get("BENCH_IMAGE_ROWS", "1000000"))
+IMAGE_ROWS = int(os.environ.get("BENCH_IMAGE_ROWS", "500000"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 
 

@@ -24,6 +24,31 @@ from spark_validate.thresholds import ConstantThreshold, StandardDeviationThresh
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):  # lazy top-level API (keeps bare import light)
+    if name == "UnivariateDriftCalculator":
+        from spark_validate.drift import UnivariateDriftCalculator
+
+        return UnivariateDriftCalculator
+    if name == "ColumnStatsCalculator":
+        from spark_validate.calculators import ColumnStatsCalculator
+
+        return ColumnStatsCalculator
+    if name == "PerformanceCalculator":
+        from spark_validate.performance import PerformanceCalculator
+
+        return PerformanceCalculator
+    if name == "CBPE":
+        from spark_validate.performance.cbpe import CBPE
+
+        return CBPE
+    if name == "DLE":
+        from spark_validate.performance.dle import DLE
+
+        return DLE
+    raise AttributeError(name)
+
+
 __all__ = [
     "SizeBasedChunker",
     "CountBasedChunker",
@@ -33,4 +58,9 @@ __all__ = [
     "chunker_for",
     "ConstantThreshold",
     "StandardDeviationThreshold",
+    "UnivariateDriftCalculator",
+    "ColumnStatsCalculator",
+    "PerformanceCalculator",
+    "CBPE",
+    "DLE",
 ]
