@@ -281,6 +281,7 @@ def q_ks_price(spark, sf_dir):
         _li_chunker(),
         _li_split(spark, sf_dir),
         n_bins_ecdf=1000,
+        computation="estimated",  # oracle SQL encodes the binned-ECDF path
     )
     return res.select("chunk_index", F.round("value", 9).alias("ks_stat")).orderBy("chunk_index")
 
@@ -297,6 +298,7 @@ def q_wasserstein_qty(spark, sf_dir):
         _li_chunker(),
         _li_split(spark, sf_dir),
         n_bins_ecdf=1000,
+        computation="estimated",  # oracle SQL encodes the binned-ECDF path
     )
     return res.select("chunk_index", F.round("value", 9).alias("wasserstein")).orderBy("chunk_index")
 

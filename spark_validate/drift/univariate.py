@@ -132,6 +132,7 @@ class UnivariateDriftCalculator:
         treat_as_numerical: Sequence[str] = (),
         n_bins_ecdf: int = 10_000,
         n_bins_doane: Optional[int] = None,  # override Doane's rule with a fixed bin count
+        computation: str = "auto",  # auto | exact | estimated (KS/Wasserstein; methods.py:405-424)
         psi_n_bins: int = 10,
         psi_eps: float = 1e-4,
         max_categories: int = 100_000,
@@ -151,9 +152,13 @@ class UnivariateDriftCalculator:
         self.threshold = threshold or StandardDeviationThreshold(std_lower_multiplier=None)
         self.treat_as_categorical = set(treat_as_categorical)
         self.treat_as_numerical = set(treat_as_numerical)
+        if computation not in ("auto", "exact", "estimated"):
+            raise ValueError(f"computation must be auto|exact|estimated, got {computation!r}")
         self.n_bins_ecdf = n_bins_ecdf
         self.n_bins_doane = n_bins_doane
+        self.computation = computation
         self.psi_n_bins = psi_n_bins
+        self._exact_ref: Dict[str, list] = {}  # raw reference values (exact path only)
         self.psi_eps = psi_eps
         self.max_categories = max_categories
         self.max_out_of_range_values = max_out_of_range_values
@@ -266,6 +271,25 @@ class UnivariateDriftCalculator:
                 else:
                     st.specs[spec] = (self.psi_n_bins, [])
             self._cont_state[c] = st
+        # exact KS/Wasserstein path (methods.py:411-424): reference < 10k rows
+        # under 'auto', or forced — store the raw reference column (small by
+        # construction; hard cap guards against misuse at scale)
+        if {"kolmogorov_smirnov", "wasserstein"} & set(self.continuous_methods):
+            for c in cols:
+                st = self._cont_state[c]
+                if self.computation == "exact" or (self.computation == "auto" and st.n_ref < 10_000):
+                    if st.n_ref > 1_000_000:
+                        raise ValueError(
+                            f"exact KS/Wasserstein on {c!r} needs the raw reference column "
+                            f"({st.n_ref} rows) on the driver — use computation='estimated'"
+                        )
+                    vals = (
+                        reference.select(nan_to_null(F.col(c), dtypes[c]).cast("double").alias("v"))
+                        .filter(F.col("v").isNotNull())
+                        .toPandas()["v"]
+                        .to_numpy()
+                    )
+                    self._exact_ref[c] = vals.tolist()
         # one exploded histogram pass for all (column, spec) pairs
         hist = self._continuous_histogram(reference, cols, dtypes)
         counts = hist.groupBy("column_name", "spec", "bucket").agg(F.sum("cnt").alias("cnt")).collect()
@@ -446,11 +470,18 @@ class UnivariateDriftCalculator:
             dense = self._dense_hist(hist_all, spark, "doane")
             out.extend(self._hist_distance_methods(dense, methods & {"jensen_shannon", "hellinger"}))
         if {"kolmogorov_smirnov", "wasserstein"} & methods:
-            dense = self._dense_hist(hist_all, spark, "ecdf")
-            if "kolmogorov_smirnov" in methods:
-                out.append(self._ks_from_dense(dense))
-            if "wasserstein" in methods:
-                out.append(self._wasserstein_from_dense(dense, assigned, dtypes))
+            exact_cols = [c for c in self._cont_cols if c in self._exact_ref]
+            binned_cols = [c for c in self._cont_cols if c not in self._exact_ref]
+            if binned_cols:
+                dense = self._dense_hist(hist_all, spark, "ecdf").filter(
+                    F.col("column_name").isin(binned_cols)
+                )
+                if "kolmogorov_smirnov" in methods:
+                    out.append(self._ks_from_dense(dense))
+                if "wasserstein" in methods:
+                    out.append(self._wasserstein_from_dense(dense, assigned, dtypes))
+            if exact_cols:
+                out.extend(self._exact_ks_wasserstein(assigned, dtypes, exact_cols, methods))
         if "psi" in methods:
             dense = self._dense_hist(hist_all, spark, "psi")
             out.append(self._psi_from_dense(dense))
@@ -616,6 +647,49 @@ class UnivariateDriftCalculator:
 
         schema = f"{CHUNK_KEY} string, column_name string, term_smaller double, term_bigger double"
         return joined.groupBy(CHUNK_KEY, "column_name").applyInPandas(_corr, schema)
+
+    def _exact_ks_wasserstein(self, assigned: DataFrame, dtypes, cols, methods) -> List[DataFrame]:
+        """Exact two-sample statistics for small-reference columns
+        (`methods.py:444-446, 694-696`): raw chunk values vs the broadcast raw
+        reference column, evaluated per chunk in one Arrow pass per column."""
+        import pandas as pd  # noqa: F811
+
+        from spark_validate.functions.mathstats import ks_stat_2samp, wasserstein_1d
+
+        sc = assigned.sparkSession.sparkContext
+        out = []
+        wanted = sorted(methods & {"kolmogorov_smirnov", "wasserstein"})
+        for c in cols:
+            ref_vals = np.asarray(self._exact_ref[c], dtype=np.float64)
+            bc = sc.broadcast(ref_vals)
+
+            def _make(bc_ref, wanted_methods):
+                def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+                    key = pdf[CHUNK_KEY].iloc[0]
+                    vals = pdf["_v"].dropna().to_numpy(dtype=np.float64)
+                    rows = []
+                    for m in wanted_methods:
+                        if len(vals) == 0:
+                            v = float("nan")
+                        elif m == "kolmogorov_smirnov":
+                            v = ks_stat_2samp(bc_ref.value, vals)
+                        else:
+                            v = wasserstein_1d(bc_ref.value, vals)
+                        rows.append((key, m, v))
+                    return pd.DataFrame(rows, columns=[CHUNK_KEY, "method", "value"])
+
+                return per_chunk
+
+            per_chunk = _make(bc, wanted)
+
+            src = assigned.select(
+                CHUNK_KEY, nan_to_null(F.col(c), dtypes[c]).cast("double").alias("_v")
+            )
+            res = src.groupBy(CHUNK_KEY).applyInPandas(
+                per_chunk, f"{CHUNK_KEY} string, method string, value double"
+            )
+            out.append(res.withColumn("column_name", F.lit(c)).select(CHUNK_KEY, "column_name", "method", "value"))
+        return out
 
     def _psi_from_dense(self, dense: DataFrame) -> DataFrame:
         eps = F.lit(self.psi_eps)
@@ -800,6 +874,7 @@ class UnivariateDriftCalculator:
             ],
             "cont_cols": self._cont_cols,
             "cat_cols": self._cat_cols,
+            "exact_ref": self._exact_ref,
         }
 
     def set_state(self, state: dict) -> "UnivariateDriftCalculator":
@@ -817,6 +892,7 @@ class UnivariateDriftCalculator:
         }
         self._cont_cols = state["cont_cols"]
         self._cat_cols = state["cat_cols"]
+        self._exact_ref = state.get("exact_ref", {})
         self._fitted = True
         self._reference_result = None
         return self

@@ -38,6 +38,7 @@ def frame(spark):
 
 
 def _fit_calc(spark_df, methods_cont=(), methods_cat=(), **kw):
+    kw.setdefault("computation", "estimated")  # oracles below assume the binned path
     calc = UnivariateDriftCalculator(
         column_names=(["x"] if methods_cont else []) + (["cat"] if methods_cat else []),
         continuous_methods=methods_cont,
@@ -201,6 +202,24 @@ def test_categorical_methods_vs_oracle(spark, frame):
         # chi2 alert = p < 0.05 (drifted cats here → alert expected)
         alert = res[(res.method == "chi2") & (res.chunk_index == i)]["alert"].iloc[0]
         assert alert == (chi2_sf(stat, len(union) - 1) < 0.05)
+
+
+def test_exact_ks_wasserstein_auto_path(spark, frame):
+    """Reference parity: ref < 10k rows under 'auto' → exact two-sample stats
+    (methods.py:411-424), verified against the numpy exact kernels."""
+    from spark_validate.functions.mathstats import ks_stat_2samp, wasserstein_1d
+
+    sdf, pdf = frame
+    calc, res = _fit_calc(
+        sdf, methods_cont=("kolmogorov_smirnov", "wasserstein"), computation="auto"
+    )
+    assert "x" in calc._exact_ref  # N_REF=5000 < 10k → exact path chosen
+    ref = pdf[pdf.is_ref]["x"].to_numpy()
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        ks = res[(res.method == "kolmogorov_smirnov") & (res.chunk_index == i)]["value"].iloc[0]
+        wa = res[(res.method == "wasserstein") & (res.chunk_index == i)]["value"].iloc[0]
+        assert abs(ks - ks_stat_2samp(ref, chunk)) < 1e-12
+        assert abs(wa - wasserstein_1d(ref, chunk)) < 1e-12
 
 
 def test_alerts_fire_on_drift(spark, frame):
