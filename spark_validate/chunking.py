@@ -71,9 +71,17 @@ def with_row_index(
     n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = df.repartitionByRange(int(n_parts), *[F.col(c) for c in order_by])
     part = ranged.withColumn("_sv_pid", F.spark_partition_id())
-    # Cache so the counting job and the indexing job see identical partition
-    # ids (range partitioner sampling is seeded but caching removes all doubt).
-    part = part.persist()
+    # The counting job and the indexing job MUST see identical partition ids,
+    # but recomputation of a range shuffle is not guaranteed stable (sampling
+    # and AQE re-planning can move the bounds between jobs — observed to
+    # mis-assign whole chunks). An eager localCheckpoint pins the partitioning
+    # by materializing it once: both jobs read the same blocks. Unlike
+    # Dataset.persist (held strongly by the CacheManager until an explicit
+    # unpersist — a leak when the consumer materializes long after this helper
+    # returns), checkpoint blocks are released by the ContextCleaner as soon
+    # as the returned DataFrame becomes unreachable; and on executor loss the
+    # job fails loudly instead of silently recomputing inconsistent offsets.
+    part = part.localCheckpoint(eager=True)
     counts = part.groupBy("_sv_pid").count()
     w_off = Window.orderBy("_sv_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

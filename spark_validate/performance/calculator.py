@@ -27,6 +27,8 @@ import math
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Tuple
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -273,7 +275,7 @@ class PerformanceCalculator:
             aucs = []
             for cls in classes:
                 one = assigned.withColumn("_y1", (yt == cls).cast("double")).withColumn(
-                    "_s1", F.col(f"{self.y_pred_proba}_{cls}" if False else self._proba_col(cls)).cast("double")
+                    "_s1", F.col(self._proba_col(cls)).cast("double")
                 )
                 calcd = PerformanceCalculator(
                     metrics=("roc_auc",), y_true="_y1", y_pred=self.y_pred, y_pred_proba="_s1",
@@ -387,28 +389,46 @@ class PerformanceCalculator:
             se["rmsle"] = {"std": row["msle_std"], "mean": row["msle_mean"]}
         self._se = se
 
+    # Reference caps sampling-error fits at 50k rows
+    # (`sampling_error/binary_classification.py:27-29` MAX_RESAMPLE_SIZE) — the
+    # SE component is an estimate; a bounded seeded sample suffices at any scale.
+    MAX_RESAMPLE_SIZE = 50_000
+
     def _fit_auroc_se(self, reference: DataFrame) -> dict:
         """AUROC components (`sampling_error/binary_classification.py:36-75`):
         per-positive fraction of negatives ranked below it; std of that
-        distribution + positive fraction. Computed with windows, no collect."""
+        distribution + positive fraction.
+
+        A global rank over the full reference would collapse to one task (and
+        at 10^12 rows, one very large one). Instead: seeded sample down to
+        ≤ MAX_RESAMPLE_SIZE, then the rank pass runs in bounded driver numpy —
+        exactly the reference's own scalability device.
+        """
         yt = F.col(self.y_true).cast("double")
         s = F.col(self.y_pred_proba).cast("double")
         df = reference.select(yt.alias("_y"), s.alias("_s")).filter(
             F.col("_y").isNotNull() & F.col("_s").isNotNull()
         )
-        mean_y = df.agg(F.avg("_y")).first()[0]
-        if mean_y is not None and mean_y > 0.5:  # reference flips the minority class
-            df = df.select((1 - F.col("_y")).alias("_y"), (1 - F.col("_s")).alias("_s"))
-        w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-        ranked = df.withColumn("_neg_below", F.coalesce(F.sum((F.col("_y") == 0).cast("long")).over(w), F.lit(0)))
-        pos = ranked.filter(F.col("_y") == 1)
-        row = df.agg(
-            F.sum("_y").alias("n1"), F.count(F.lit(1)).alias("n")
-        ).first()
+        row = df.agg(F.sum("_y").alias("n1"), F.count(F.lit(1)).alias("n")).first()
         n1, n = row["n1"], row["n"]
-        n0 = n - n1
-        stats = pos.agg(F.stddev_pop(F.col("_neg_below") / F.lit(float(n0))).alias("std")).first()
-        return {"std": stats["std"], "fraction": n1 / n if n else None}
+        if not n or not n1 or n1 == n:
+            return {"std": None, "fraction": (n1 / n) if n else None}
+        if n > self.MAX_RESAMPLE_SIZE:
+            df = df.sample(fraction=self.MAX_RESAMPLE_SIZE / n, seed=42)
+        pdf = df.toPandas()
+        y = pdf["_y"].to_numpy(dtype=np.float64)
+        p = pdf["_s"].to_numpy(dtype=np.float64)
+        if y.mean() > 0.5:  # reference flips the minority class
+            y = 1.0 - y
+            p = 1.0 - p
+        order = np.argsort(p, kind="stable")
+        y = y[order]
+        neg_below = np.concatenate(([0.0], np.cumsum(1.0 - y)[:-1]))
+        n0s = float((1.0 - y).sum())
+        if n0s == 0 or y.sum() == 0:
+            return {"std": None, "fraction": n1 / n}
+        ser = neg_below[y == 1.0] / n0s
+        return {"std": float(np.std(ser)), "fraction": n1 / n}
 
     def fit(self, reference: DataFrame) -> "PerformanceCalculator":
         if self.problem_type == "multiclass_classification":

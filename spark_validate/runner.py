@@ -30,9 +30,12 @@ Example config (YAML or dict):
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from typing import Dict, Optional
+
+logger = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -141,9 +144,11 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             completed = None
 
     report: Dict[str, dict] = {}
+    fail_fast = bool(config.get("fail_fast", False))
     epoch = int(time.time())
     for check_cfg in config["checks"]:
         name = _check_name(check_cfg)
+        violations_error: Optional[str] = None
         chunker = build_chunker(chunk_cfg)
         calc = build_check(spark, check_cfg, chunker)
         t0 = time.time()
@@ -184,8 +189,16 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
                     .withColumn("check", F.lit(name))
                 )
                 write_results(v, os.path.join(out_dir, "violations"), partition_by=["check"])
-            except Exception:
-                pass
+            except Exception as exc:  # violations sink is a north-rule output:
+                # never swallow silently — log, record in the run report, and
+                # fail the run when the caller asked for strictness.
+                if fail_fast:
+                    raise
+                # head of the message only — py4j errors carry the full Java
+                # stack; the first two lines hold the operation and root cause
+                head = " ".join(str(exc).splitlines()[:2]).strip()
+                violations_error = f"{type(exc).__name__}: {head}"[:500]
+                logger.warning("violations write failed for check %r: %s", name, exc)
 
         # lineage rows for the partitions just completed
         res_df = spark.read.parquet(os.path.join(out_dir, "results")).filter(
@@ -215,6 +228,12 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             "skipped_partitions": skipped,
             "secs": round(time.time() - t0, 2),
         }
+        if violations_error is not None:
+            report[name]["violations_error"] = violations_error
+        if hasattr(calc, "release_cache"):
+            calc.release_cache()  # results are written; cached aggregates can go
+    if completed is not None:
+        completed.unpersist(blocking=False)
     return report
 
 

@@ -24,9 +24,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Mersenne-ish primes small enough that a*h + b stays inside int64 under ANSI
-_P = (1 << 61) - 1
-_H32 = (1 << 31) - 1
+# Mersenne prime M31. Both the base shingle hash and the universal-hash family
+# h_i(x) = (a_i·x + b_i) mod M31 live in [0, 2^31): products stay inside int64
+# under ANSI mode, and — critically — a_i·x + b_i wraps the modulus ~2^31
+# times across the domain, so the map is a genuine pseudorandom permutation.
+# (A larger modulus like 2^61-1 with x < 2^31 never wraps: a·x+b is then
+# monotone in x, every "hash function" selects the same argmin element, and
+# MinHash degenerates to comparing min(base) — agreement j instead of
+# per-function independence.)
+_M31 = (1 << 31) - 1
+_P = _M31  # modulus of the universal-hash family
+_H32 = _M31  # range of the base shingle hash
 
 
 def _tokens(text_col: str):
@@ -75,11 +83,21 @@ def minhash_signatures(
     b = rng.integers(0, _H32, n_hashes, dtype=np.int64)
     sh = _shingles(text_col, shingle_k)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_H32)))
-    def _minhash(i: int):
-        ai, bi = int(a[i]), int(b[i])
-        return F.array_min(F.transform(base, lambda h: F.pmod(F.lit(ai) * h + F.lit(bi), F.lit(_P))))
-
-    sig = F.array(*[_minhash(i) for i in range(n_hashes)])
+    # Single pass: evaluate the shingle-hash array ONCE, then fold every
+    # shingle hash into an n_hashes-wide running-minimum accumulator.
+    # (The per-hash-function formulation — n_hashes × array_min(transform(base))
+    # — re-evaluated `base` inside every lambda because Catalyst does not CSE
+    # across higher-order-function lambdas: shingling ran n_hashes× per row.)
+    ab = F.array(
+        *[F.struct(F.lit(int(a[i])).alias("a"), F.lit(int(b[i])).alias("b")) for i in range(n_hashes)]
+    )
+    sig = F.aggregate(
+        base,
+        F.array_repeat(F.lit(_P).cast("long"), n_hashes),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, F.pmod(c["a"] * h + c["b"], F.lit(_P)))
+        ),
+    )
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
@@ -88,6 +106,7 @@ def lsh_candidate_pairs(
     n_bands: int = 16,
     rows_per_band: Optional[int] = None,
     max_bucket: int = 200,
+    n_hashes: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: split signatures into bands, hash each
     band, join ids landing in the same (band, band_hash) bucket.
@@ -95,8 +114,12 @@ def lsh_candidate_pairs(
     One explode (rows × bands), one groupBy — no cross joins. Pair explosion
     inside a bucket is quadratic in bucket size, which is exactly the LSH
     guarantee being bought: buckets are tiny unless documents truly collide.
+
+    Pass ``n_hashes`` (the signature width) to keep the plan fully lazy; when
+    omitted, a one-row probe job reads it from the data.
     """
-    n_hashes = len(signatures.select("signature").first()["signature"])
+    if n_hashes is None:
+        n_hashes = len(signatures.select("signature").first()["signature"])
     r = rows_per_band or max(n_hashes // n_bands, 1)
     bands = F.array(
         *[
