@@ -578,7 +578,7 @@ def q_embedding_near_dups(spark, sf_dir):
     from spark_validate.sim import embedding_near_duplicates
 
     emb = _read(spark, sf_dir, "embeddings")
-    nd = embedding_near_duplicates(emb, threshold=0.9, n_planes=8)
+    nd = embedding_near_duplicates(emb, threshold=0.9, n_bands=8, rows_per_band=4)
     return nd.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
 
 
@@ -614,8 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_near_dups": q_minhash_near_dups,
-        # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "simhash_fingerprints": q_simhash_fingerprints,
+        # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "pca_reconstruction": q_pca_reconstruction,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1078,6 +1078,32 @@ verified AS (
   FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
 )
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8 ORDER BY id_a, id_b
+"""
+
+    # 60-bit SimHash replicated exactly: token hash = first 15 hex chars of
+    # md5(token); each token occurrence votes ±1 per bit; bit j set iff the
+    # vote sum is positive (spark_validate/text/dedup.py::simhash).
+    sql["simhash_fingerprints"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id, j.j,
+         sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+  GROUP BY doc_id, j.j
+),
+fp AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id AS id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id ORDER BY id
 """
 
     return sql

