@@ -518,6 +518,33 @@ def q_dedup_exact(spark, sf_dir):
     return d.select("fp", "dup_count", F.array_join("ids", ",").alias("ids")).orderBy("fp")
 
 
+def q_count_chunks(spark, sf_dir):
+    """CountBasedChunker (~7 chunks; SURVEY §2.1): key/index/n_rows headers.
+    Pure integer arithmetic — bit-exact against the SQL replica."""
+    from spark_validate.chunking import CountBasedChunker
+
+    o = _read(spark, sf_dir, "orders")
+    ch = CountBasedChunker(chunk_number=7, order_by=["o_orderkey"])
+    assigned = ch.assign(o)
+    return ch.headers(assigned).select("chunk_key", "chunk_index", "n_rows").orderBy("chunk_index")
+
+
+def q_std_median_stats(spark, sf_dir):
+    """SummaryStatsStd/MedianCalculator (§2.4) per chunk on l_quantity.
+    round(·,6) absorbs cross-engine stddev merge-order ulps; the exact
+    median of integral quantities is bit-stable."""
+    from spark_validate.calculators import ColumnStatsCalculator
+
+    ref, ana = _li_split(spark, sf_dir)
+    calc = ColumnStatsCalculator(["l_quantity"], metrics=("std", "median"), chunker=_li_chunker())
+    calc.fit(ref)
+    res = calc.calculate(ana)
+    return (
+        res.select("chunk_index", "column_name", "method", F.round("value", 6).alias("value"))
+        .orderBy("chunk_index", "method")
+    )
+
+
 # --- rows-only entries (no SQL-expressible oracle: fitted state / UDF paths) --
 
 
@@ -613,12 +640,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_metrics": q_regression_metrics,
         "ann_topk": q_ann_topk,
         "dedup_exact": q_dedup_exact,
+        "count_chunks": q_count_chunks,
+        "std_median_stats": q_std_median_stats,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
+        "embedding_near_dups": q_embedding_near_dups,
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "pca_reconstruction": q_pca_reconstruction,
-        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -1104,6 +1133,57 @@ fp AS (
 )
 SELECT d.doc_id AS id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
 FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id ORDER BY id
+"""
+
+    # CountBasedChunker: size = n // 7, SizeBased keys with incomplete=keep
+    # (spark_validate/chunking.py::CountBasedChunker; ref nannyml/chunk.py:419-492)
+    sql["count_chunks"] = """
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+),
+par AS (
+  SELECT count(*) AS n, greatest(count(*) // 7, 1) AS size FROM base
+),
+par2 AS (
+  SELECT n, size, n // size AS n_full, n % size AS rem,
+         CASE WHEN n % size > 0 THEN n // size ELSE n // size - 1 END AS max_cid
+  FROM par
+),
+agg AS (
+  SELECT idx // size AS cid, count(*) AS n_rows FROM base, par2 GROUP BY 1
+)
+SELECT '[' || CAST(cid * size AS VARCHAR) || ':' ||
+       CAST(CASE WHEN cid = max_cid THEN n - 1 ELSE cid * size + size - 1 END AS VARCHAR) || ']'
+         AS chunk_key,
+       CAST(cid AS INT) AS chunk_index,
+       n_rows
+FROM agg, par2 ORDER BY chunk_index
+"""
+
+    sql["std_median_stats"] = f"""
+WITH ana AS ({_LI_ANA})
+SELECT chunk_index, 'l_quantity' AS column_name, m.method,
+       round(CASE m.method WHEN 'std' THEN stddev_samp(l_quantity)
+                           ELSE median(l_quantity) END, 6) AS value
+FROM ana CROSS JOIN (SELECT unnest(['median', 'std']) AS method) m
+GROUP BY chunk_index, m.method
+ORDER BY chunk_index, m.method
+"""
+
+    # Brute-force all-pairs cosine: exact ground truth for the LSH query's
+    # verify stage. The testdata embeddings contain no pairs above the 0.9
+    # threshold (checked down to 0.8), so this primarily guards against LSH
+    # false positives; recall on planted near-dups is covered by
+    # tests/test_text_sim.py.
+    sql["embedding_near_dups"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.9 ORDER BY id_a, id_b
 """
 
     return sql
