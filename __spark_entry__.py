@@ -518,6 +518,42 @@ def q_dedup_exact(spark, sf_dir):
     return d.select("fp", "dup_count", F.array_join("ids", ",").alias("ids")).orderBy("fp")
 
 
+MC_CLASSES = ["a", "b", "c"]
+MC_BVM = [[1.0, -0.5, -1.0], [-2.0, 2.0, -0.25], [0.0, -3.0, 3.0]]
+
+
+def _with_mc_cols(ev: DataFrame) -> DataFrame:
+    """Deterministic 3-class labels/preds from integer arithmetic (~70% agree)."""
+    u = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1000))
+    t3 = F.pmod(F.col("event_id") * F.lit(48271) + F.lit(12345), F.lit(3))
+    cls_arr = F.array(*[F.lit(c) for c in MC_CLASSES])
+    pred_idx = F.when(u < 700, t3).otherwise(F.pmod(t3 + 1 + F.pmod(u, F.lit(2)), F.lit(3)))
+    return ev.withColumn("y_true_mc", F.element_at(cls_arr, (t3 + 1).cast("int"))).withColumn(
+        "y_pred_mc", F.element_at(cls_arr, (pred_idx + 1).cast("int"))
+    )
+
+
+def q_perf_multiclass(spark, sf_dir):
+    """Multiclass realized metrics (§2.7): macro PRFS + accuracy + k×k
+    confusion matrix + business value, one confusion pass per chunk."""
+    from spark_validate.performance.calculator import PerformanceCalculator
+
+    ev = _with_mc_cols(_read(spark, sf_dir, "events"))
+    calc = PerformanceCalculator(
+        metrics=("accuracy", "precision", "recall", "specificity", "f1", "confusion_matrix", "business_value"),
+        y_true="y_true_mc",
+        y_pred="y_pred_mc",
+        problem_type="multiclass_classification",
+        business_value_matrix=MC_BVM,
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    calc.fit(ev)
+    res = calc.calculate(ev)
+    return res.select("chunk_index", "method", F.round("value", 9).alias("value")).orderBy(
+        "chunk_index", "method"
+    )
+
+
 def q_count_chunks(spark, sf_dir):
     """CountBasedChunker (~7 chunks; SURVEY §2.1): key/index/n_rows headers.
     Pure integer arithmetic — bit-exact against the SQL replica."""
@@ -587,6 +623,35 @@ def q_cbpe_estimated_accuracy(spark, sf_dir):
     return res.select("chunk_index", F.round("value", 9).alias("estimated_accuracy")).orderBy("chunk_index")
 
 
+def q_cbpe_multiclass(spark, sf_dir):
+    """Multiclass CBPE (per-class isotonic calibrators + renormalization —
+    fitted state, not SQL-expressible): estimated accuracy + macro F1."""
+    from spark_validate.performance.cbpe import CBPE
+
+    ev = _with_mc_cols(_read(spark, sf_dir, "events"))
+    # deterministic per-class scores: agree with y_true_mc ~70% of the time
+    u = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1000)) / F.lit(1000.0)
+    for i, c in enumerate(MC_CLASSES):
+        raw = F.when(F.col("y_true_mc") == c, 0.5 + u / 2).otherwise((1 - u) / 4)
+        ev = ev.withColumn(f"p_{c}", raw)
+    tot = sum(F.col(f"p_{c}") for c in MC_CLASSES)
+    for c in MC_CLASSES:
+        ev = ev.withColumn(f"p_{c}", F.col(f"p_{c}") / tot)
+    est = CBPE(
+        metrics=("accuracy", "f1"),
+        y_true="y_true_mc",
+        y_pred="y_pred_mc",
+        y_pred_proba={c: f"p_{c}" for c in MC_CLASSES},
+        problem_type="multiclass_classification",
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    est.fit(ev)
+    res = est.estimate(ev.drop("y_true_mc"))
+    return res.select("chunk_index", "method", F.round("value", 9).alias("value")).orderBy(
+        "chunk_index", "method"
+    )
+
+
 def q_pca_reconstruction(spark, sf_dir):
     """Multivariate PCA reconstruction drift (distributed covariance fit)."""
     from spark_validate.drift.multivariate import DataReconstructionDriftCalculator
@@ -642,11 +707,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
+        "perf_multiclass": q_perf_multiclass,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "embedding_near_dups": q_embedding_near_dups,
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
+        "cbpe_multiclass": q_cbpe_multiclass,
         "pca_reconstruction": q_pca_reconstruction,
     }
 
@@ -1168,6 +1235,65 @@ SELECT chunk_index, 'l_quantity' AS column_name, m.method,
 FROM ana CROSS JOIN (SELECT unnest(['median', 'std']) AS method) m
 GROUP BY chunk_index, m.method
 ORDER BY chunk_index, m.method
+"""
+
+    bv_values = ", ".join(
+        f"('{MC_CLASSES[i]}', '{MC_CLASSES[j]}', {MC_BVM[i][j]})"
+        for i in range(3)
+        for j in range(3)
+    )
+    sql["perf_multiclass"] = f"""
+WITH m AS (
+  SELECT chunk_index,
+         CASE t3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS yt,
+         CASE pidx WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS yp
+  FROM (
+    SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+           (event_id * 48271 + 12345) % 3 AS t3,
+           CASE WHEN (event_id * 2654435761) % 1000 < 700
+                THEN (event_id * 48271 + 12345) % 3
+                ELSE ((event_id * 48271 + 12345) % 3 + 1 + ((event_id * 2654435761) % 1000) % 2) % 3
+           END AS pidx
+    FROM events)
+),
+cls AS (SELECT unnest(['a','b','c']) AS c),
+cells AS (SELECT a.c AS t, b.c AS p FROM cls a CROSS JOIN cls b),
+chunks AS (SELECT DISTINCT chunk_index FROM m),
+cnt AS (SELECT chunk_index, yt AS t, yp AS p, CAST(count(*) AS DOUBLE) AS c FROM m GROUP BY 1, 2, 3),
+dense AS (
+  SELECT ch.chunk_index, cells.t, cells.p, coalesce(cnt.c, 0) AS c
+  FROM chunks ch CROSS JOIN cells
+  LEFT JOIN cnt ON cnt.chunk_index = ch.chunk_index AND cnt.t = cells.t AND cnt.p = cells.p
+),
+percls AS (
+  SELECT d.chunk_index, cl.c AS cls,
+         sum(CASE WHEN d.t = cl.c AND d.p = cl.c THEN d.c ELSE 0 END) AS tp,
+         sum(CASE WHEN d.t <> cl.c AND d.p = cl.c THEN d.c ELSE 0 END) AS fp,
+         sum(CASE WHEN d.t = cl.c AND d.p <> cl.c THEN d.c ELSE 0 END) AS fn,
+         sum(CASE WHEN d.t <> cl.c AND d.p <> cl.c THEN d.c ELSE 0 END) AS tn
+  FROM dense d CROSS JOIN cls cl GROUP BY 1, 2
+),
+macro AS (
+  SELECT chunk_index,
+         avg(tp / (tp + fp)) AS prec, avg(tp / (tp + fn)) AS rec,
+         avg(tn / (tn + fp)) AS spec, avg(2 * tp / (2 * tp + fp + fn)) AS f1
+  FROM percls GROUP BY 1
+),
+acc AS (SELECT chunk_index, avg(CASE WHEN yt = yp THEN 1.0 ELSE 0.0 END) AS a FROM m GROUP BY 1),
+bvmap AS (SELECT * FROM (VALUES {bv_values}) AS v(t, p, val)),
+bv AS (
+  SELECT d.chunk_index, sum(d.c * b.val) AS b
+  FROM dense d JOIN bvmap b ON b.t = d.t AND b.p = d.p GROUP BY 1
+)
+SELECT chunk_index, method, round(value, 9) AS value FROM (
+  SELECT chunk_index, 'accuracy' AS method, a AS value FROM acc
+  UNION ALL SELECT chunk_index, 'precision', prec FROM macro
+  UNION ALL SELECT chunk_index, 'recall', rec FROM macro
+  UNION ALL SELECT chunk_index, 'specificity', spec FROM macro
+  UNION ALL SELECT chunk_index, 'f1', f1 FROM macro
+  UNION ALL SELECT chunk_index, 'business_value', b FROM bv
+  UNION ALL SELECT chunk_index, 'true_' || t || '_pred_' || p, c FROM dense
+) ORDER BY chunk_index, method
 """
 
     # Brute-force all-pairs cosine: exact ground truth for the LSH query's

@@ -245,13 +245,28 @@ _PERIOD_UNITS = {
 }
 
 
+_WEEK_ANCHORS = {"MON": "Mon", "TUE": "Tue", "WED": "Wed", "THU": "Thu", "FRI": "Fri", "SAT": "Sat", "SUN": "Sun"}
+
+
 def period_key_expr(ts_col: str, offset: str):
     """Chunk-key expression matching pandas ``Period`` string forms
     (reference keys, `nannyml/chunk.py:296-301`): 'W' → '2020-01-06/2020-01-12',
     'M' → '2020-01', 'D' → '2020-01-06', 'Q' → '2020Q1', 'Y' → '2020',
-    'H' → '2020-01-06 00:00'."""
+    'H' → '2020-01-06 00:00'. Anchored weeks ('W-WED' — pandas aliases the
+    reference accepts, `nannyml/chunk.py:294-301`) end on the anchor weekday:
+    the key is 'start/end' with end = first anchor-day ≥ ts."""
+    if offset.upper().startswith("W-"):
+        anchor = offset.upper()[2:]
+        if anchor not in _WEEK_ANCHORS:
+            raise ValueError(f"unsupported week anchor {offset!r}; use W-MON..W-SUN")
+        d = F.to_date(F.col(ts_col))
+        end = F.next_day(F.date_sub(d, 1), _WEEK_ANCHORS[anchor])  # ≥ d, == d on anchor day
+        start = F.date_sub(end, 6)
+        return F.concat(
+            F.date_format(start, "yyyy-MM-dd"), F.lit("/"), F.date_format(end, "yyyy-MM-dd")
+        )
     if offset not in _PERIOD_UNITS:
-        raise ValueError(f"unsupported period offset {offset!r}; supported: {sorted(_PERIOD_UNITS)}")
+        raise ValueError(f"unsupported period offset {offset!r}; supported: {sorted(_PERIOD_UNITS)} and W-MON..W-SUN")
     ts = F.col(ts_col)
     unit = _PERIOD_UNITS[offset]
     start = F.date_trunc(unit, ts)

@@ -52,6 +52,10 @@ class DataReconstructionDriftCalculator:
     chunker: Chunker = field(default_factory=DefaultChunker)
     threshold: object = field(default_factory=StandardDeviationThreshold)
     variance_fraction: float = 0.65
+    # frequency-encoding cap: keep the max_categories most frequent values
+    # (rarer ones encode to 0.0, like unseen) so a high-cardinality column
+    # cannot blow up the driver; mirrors the univariate calculator's cap
+    max_categories: int = 100_000
 
     def __post_init__(self):
         self._state: Optional[dict] = None
@@ -73,15 +77,18 @@ class DataReconstructionDriftCalculator:
         cont_means = {c: float(row[f"{c}__mean"]) for c in cont}
         cat_maps: Dict[str, Dict[str, float]] = {}
         cat_modes: Dict[str, str] = {}
-        for c in cat:  # tiny per-column aggregations over distinct values
-            counts = (
+        for c in cat:
+            # per-column frequency map, capped at max_categories by count so
+            # the driver collect is bounded no matter the column's cardinality
+            counts_df = (
                 reference.groupBy(F.col(c).cast("string").alias("v"))
                 .count()
-                .collect()
+                .filter(F.col("v").isNotNull())
             )
-            nn = sum(r["count"] for r in counts if r["v"] is not None)
-            cat_maps[c] = {r["v"]: r["count"] / nn for r in counts if r["v"] is not None}
-            cat_modes[c] = max((r for r in counts if r["v"] is not None), key=lambda r: r["count"])["v"]
+            nn = counts_df.agg(F.sum("count")).first()[0] or 1
+            top = counts_df.orderBy(F.desc("count"), F.asc("v")).limit(self.max_categories).collect()
+            cat_maps[c] = {r["v"]: r["count"] / nn for r in top}
+            cat_modes[c] = top[0]["v"] if top else ""
         enc = self._encoded(reference, cont, cat, cont_means, cat_maps, cat_modes, scale=False)
         # scaler stats over encoded features
         feat = [f"_f{i}" for i in range(len(self.column_names))]
@@ -141,7 +148,13 @@ class DataReconstructionDriftCalculator:
         ref_vals.unpersist()
         return self
 
+    # chained-when is codegen-friendly for small maps; larger maps become a
+    # broadcast frequency-map join (a 100k-deep when-chain would blow the
+    # expression tree and the driver)
+    _WHEN_CHAIN_MAX = 64
+
     def _encoded(self, df, cont, cat, cont_means, cat_maps, cat_modes, scale: bool):
+        out = df
         cols = []
         for i, c in enumerate(self.column_names):
             if c in cont:
@@ -149,12 +162,22 @@ class DataReconstructionDriftCalculator:
             else:
                 v = F.coalesce(F.col(c).cast("string"), F.lit(cat_modes[c]))
                 mapping = cat_maps[c]
-                expr = F.lit(0.0)  # unseen category → 0 frequency
-                for val, freq in mapping.items():
-                    expr = F.when(v == val, F.lit(freq)).otherwise(expr)
-                e = expr
+                if len(mapping) <= self._WHEN_CHAIN_MAX:
+                    e = F.lit(0.0)  # unseen category → 0 frequency
+                    for val, freq in mapping.items():
+                        e = F.when(v == val, F.lit(freq)).otherwise(e)
+                else:
+                    fdf = df.sparkSession.createDataFrame(
+                        [(k, float(f)) for k, f in mapping.items()],
+                        f"_k{i} string, _fr{i} double",
+                    )
+                    out = out.withColumn(f"_v{i}", v).join(
+                        F.broadcast(fdf), F.col(f"_v{i}") == F.col(f"_k{i}"), "left"
+                    ).drop(f"_k{i}", f"_v{i}")
+                    e = F.coalesce(F.col(f"_fr{i}"), F.lit(0.0))
             cols.append(e.alias(f"_f{i}"))
-        return df.select("*", *cols)
+        sel = out.select("*", *cols)
+        return sel.drop(*[f"_fr{i}" for i in range(len(self.column_names)) if f"_fr{i}" in sel.columns])
 
     # ------------------------------------------------------------------ calculate
 

@@ -48,8 +48,23 @@ BINARY_METRICS = (
     "business_value",
     "confusion_matrix",
 )
-MULTICLASS_METRICS = ("roc_auc", "f1", "precision", "recall", "specificity", "accuracy")
+MULTICLASS_METRICS = (
+    "roc_auc",
+    "average_precision",
+    "f1",
+    "precision",
+    "recall",
+    "specificity",
+    "accuracy",
+    "business_value",
+    "confusion_matrix",
+)
 REGRESSION_METRICS = ("mae", "mape", "mse", "msle", "rmse", "rmsle")
+
+def _safe_div(num, den):
+    """NULL instead of an ANSI divide-by-zero error when the denominator is 0."""
+    return F.when(den != 0, num / den)
+
 
 _LIMITS = {
     "roc_auc": (0.0, 1.0),
@@ -88,9 +103,12 @@ class PerformanceCalculator:
         if bad:
             raise ValueError(f"metrics {sorted(bad)} invalid for {self.problem_type}")
         if "business_value" in self.metrics and self.business_value_matrix is None:
-            raise ValueError("business_value requires business_value_matrix [[tn, fp], [fn, tp]]")
+            raise ValueError(
+                "business_value requires business_value_matrix "
+                "([[tn, fp], [fn, tp]] for binary; k×k value[true_i][pred_j] for multiclass)"
+            )
         rank_based = {"roc_auc", "average_precision"} & set(self.metrics)
-        if rank_based and self.problem_type == "binary_classification" and not self.y_pred_proba:
+        if rank_based and not self.y_pred_proba:
             raise ValueError(f"{sorted(rank_based)} need y_pred_proba")
         self._thresholds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
         self._se: Dict[str, dict] = {}
@@ -115,15 +133,17 @@ class PerformanceCalculator:
         )
         exprs: Dict[str, F.Column] = {}
         if "accuracy" in self.metrics:
-            exprs["accuracy"] = (F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn"))
+            exprs["accuracy"] = _safe_div(
+                F.col("tp") + F.col("tn"), F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")
+            )
         if "precision" in self.metrics:
-            exprs["precision"] = F.col("tp") / (F.col("tp") + F.col("fp"))
+            exprs["precision"] = _safe_div(F.col("tp"), F.col("tp") + F.col("fp"))
         if "recall" in self.metrics:
-            exprs["recall"] = F.col("tp") / (F.col("tp") + F.col("fn"))
+            exprs["recall"] = _safe_div(F.col("tp"), F.col("tp") + F.col("fn"))
         if "specificity" in self.metrics:
-            exprs["specificity"] = F.col("tn") / (F.col("tn") + F.col("fp"))
+            exprs["specificity"] = _safe_div(F.col("tn"), F.col("tn") + F.col("fp"))
         if "f1" in self.metrics:
-            exprs["f1"] = 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            exprs["f1"] = _safe_div(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn"))
         if "business_value" in self.metrics:
             (tn_v, fp_v), (fn_v, tp_v) = self.business_value_matrix
             bv = (
@@ -252,11 +272,13 @@ class PerformanceCalculator:
         cc = agg.select(CHUNK_KEY, "_acc", "n_chunk", F.explode("_cc").alias("c")).select(
             CHUNK_KEY, "_acc", "n_chunk", "c.cls", "c.tp", "c.fp", "c.fn", "c.tn"
         )
+        # null-on-zero denominators (degenerate chunks missing a class would
+        # otherwise throw under ANSI mode); F.avg skips nulls in the macro
         exprs = {
-            "precision": F.col("tp") / (F.col("tp") + F.col("fp")),
-            "recall": F.col("tp") / (F.col("tp") + F.col("fn")),
-            "specificity": F.col("tn") / (F.col("tn") + F.col("fp")),
-            "f1": 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            "precision": _safe_div(F.col("tp"), F.col("tp") + F.col("fp")),
+            "recall": _safe_div(F.col("tp"), F.col("tp") + F.col("fn")),
+            "specificity": _safe_div(F.col("tn"), F.col("tn") + F.col("fp")),
+            "f1": _safe_div(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")),
         }
         macro = cc.groupBy(CHUNK_KEY).agg(
             F.max("_acc").alias("accuracy"),
@@ -268,30 +290,122 @@ class PerformanceCalculator:
             for m in self.metrics
             if m in ("accuracy", "precision", "recall", "specificity", "f1")
         ]
-        out = macro.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*pairs)).alias("kv")).select(
-            CHUNK_KEY, "n_chunk", "kv.method", "kv.value"
-        )
-        if "roc_auc" in self.metrics:
-            aucs = []
+        n_by_chunk = macro.select(CHUNK_KEY, "n_chunk")
+        parts: list = []
+        if pairs:
+            parts.append(
+                macro.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*pairs)).alias("kv")).select(
+                    CHUNK_KEY, "n_chunk", "kv.method", "kv.value"
+                )
+            )
+
+        def _ovr_macro(metric: str, per_chunk_fn: str) -> DataFrame:
+            """Macro average of a binary rank metric over one-vs-rest splits."""
+            per_cls = []
             for cls in classes:
                 one = assigned.withColumn("_y1", (yt == cls).cast("double")).withColumn(
                     "_s1", F.col(self._proba_col(cls)).cast("double")
                 )
-                calcd = PerformanceCalculator(
-                    metrics=("roc_auc",), y_true="_y1", y_pred=self.y_pred, y_pred_proba="_s1",
+                helper = PerformanceCalculator(
+                    metrics=(metric,), y_true="_y1", y_pred=self.y_pred, y_pred_proba="_s1",
                     chunker=self.chunker,
                 )
-                aucs.append(calcd._auc_per_chunk(one).withColumnRenamed("value", f"_auc"))
-            ovr = aucs[0].select(CHUNK_KEY, "_auc")
-            for a in aucs[1:]:
-                ovr = ovr.unionByName(a.select(CHUNK_KEY, "_auc"))
-            macro_auc = ovr.groupBy(CHUNK_KEY).agg(F.avg("_auc").alias("value"))
-            out = out.unionByName(
-                macro_auc.join(macro.select(CHUNK_KEY, "n_chunk"), CHUNK_KEY).select(
+                per_cls.append(getattr(helper, per_chunk_fn)(one).select(CHUNK_KEY, "value"))
+            ovr = per_cls[0]
+            for a in per_cls[1:]:
+                ovr = ovr.unionByName(a)
+            return ovr.groupBy(CHUNK_KEY).agg(F.avg("value").alias("value"))
+
+        if "roc_auc" in self.metrics:
+            parts.append(
+                _ovr_macro("roc_auc", "_auc_per_chunk").join(n_by_chunk, CHUNK_KEY).select(
                     CHUNK_KEY, "n_chunk", F.lit("roc_auc").alias("method"), "value"
                 )
             )
+        if "average_precision" in self.metrics:
+            # macro OVR AP (ref multiclass_classification.py:920-1024); NaN
+            # when a chunk holds a single target class
+            nuniq = assigned.filter(yt.isNotNull()).groupBy(CHUNK_KEY).agg(
+                F.countDistinct(yt).alias("_nu")
+            )
+            ap = (
+                _ovr_macro("average_precision", "_ap_per_chunk")
+                .join(nuniq, CHUNK_KEY)
+                .select(CHUNK_KEY, F.when(F.col("_nu") > 1, F.col("value")).alias("value"))
+            )
+            parts.append(
+                ap.join(n_by_chunk, CHUNK_KEY).select(
+                    CHUNK_KEY, "n_chunk", F.lit("average_precision").alias("method"), "value"
+                )
+            )
+        if {"confusion_matrix", "business_value"} & set(self.metrics):
+            parts.extend(self._multiclass_cm_parts(assigned, n_by_chunk, yt, yp, classes))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         return out
+
+    def _multiclass_cm_parts(self, assigned, n_by_chunk, yt, yp, classes) -> list:
+        """k×k confusion counts per chunk, densified over the fitted classes
+        (ref multiclass_classification.py:714-918 confusion_matrix with
+        sklearn labels= semantics, :1039-1184 business_value = Σ value·cm)."""
+        spark = assigned.sparkSession
+        cls_strs = [str(c) for c in classes]
+        pc = (
+            assigned.filter(yt.isNotNull() & yp.isNotNull() & yt.isin(cls_strs) & yp.isin(cls_strs))
+            .groupBy(CHUNK_KEY, yt.alias("_t"), yp.alias("_p"))
+            .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        )
+        cells = F.broadcast(
+            spark.createDataFrame([(t, p) for t in cls_strs for p in cls_strs], "_t string, _p string")
+        )
+        dense = (
+            n_by_chunk.crossJoin(cells)
+            .join(pc, [CHUNK_KEY, "_t", "_p"], "left")
+            .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0.0)))
+        )
+        w_chunk = Window.partitionBy(CHUNK_KEY)
+        w_row = Window.partitionBy(CHUNK_KEY, "_t")
+        w_col = Window.partitionBy(CHUNK_KEY, "_p")
+        parts = []
+        if "confusion_matrix" in self.metrics:
+            norm = self.normalize_confusion_matrix
+            v = F.col("_c")
+            if norm == "all":
+                v = v / F.sum("_c").over(w_chunk)
+            elif norm == "true":
+                v = v / F.sum("_c").over(w_row)
+            elif norm == "pred":
+                v = v / F.sum("_c").over(w_col)
+            parts.append(
+                dense.select(
+                    CHUNK_KEY,
+                    "n_chunk",
+                    F.concat(F.lit("true_"), F.col("_t"), F.lit("_pred_"), F.col("_p")).alias("method"),
+                    v.cast("double").alias("value"),
+                )
+            )
+        if "business_value" in self.metrics:
+            bvm = self.business_value_matrix
+            vals = [
+                (cls_strs[i], cls_strs[j], float(bvm[i][j]))
+                for i in range(len(classes))
+                for j in range(len(classes))
+            ]
+            vmap = F.broadcast(spark.createDataFrame(vals, "_t string, _p string, _v double"))
+            cm = F.col("_c")
+            if self.normalize_business_value == "per_prediction":
+                colsum = F.sum("_c").over(w_col)
+                cm = F.when(colsum > 0, F.col("_c") / colsum).otherwise(F.lit(0.0))
+            scored = dense.join(vmap, ["_t", "_p"]).select(
+                CHUNK_KEY, "n_chunk", (cm * F.col("_v")).alias("_cmv")
+            )
+            parts.append(
+                scored.groupBy(CHUNK_KEY, "n_chunk").agg(F.sum("_cmv").cast("double").alias("value")).select(
+                    CHUNK_KEY, "n_chunk", F.lit("business_value").alias("method"), "value"
+                )
+            )
+        return parts
 
     def _proba_col(self, cls) -> str:
         """Multiclass probas: dict-style column mapping {class: column}."""

@@ -59,22 +59,39 @@ class CBPE:
     metrics: Sequence[str]
     y_true: str = "y_true"
     y_pred: str = "y_pred"
-    y_pred_proba: str = "y_pred_proba"
+    y_pred_proba: object = "y_pred_proba"  # str (binary) | Dict[class, col] (multiclass)
     problem_type: str = "binary_classification"
     chunker: Chunker = field(default_factory=DefaultChunker)
     threshold: object = field(default_factory=StandardDeviationThreshold)
     business_value_matrix: Optional[Sequence[Sequence[float]]] = None
+    normalize_confusion_matrix: Optional[str] = None  # None|'all'|'true'|'pred'
+    normalize_business_value: Optional[str] = None  # None | 'per_prediction'
     calibration_sample: int = 500_000
 
     def __post_init__(self):
         bad = set(self.metrics) - set(CBPE_METRICS)
         if bad:
             raise ValueError(f"unknown CBPE metrics {sorted(bad)}")
-        if self.problem_type != "binary_classification":
-            raise NotImplementedError("CBPE: binary classification only in this engine version")
-        if "business_value" in self.metrics and self.business_value_matrix is None:
-            raise ValueError("business_value requires business_value_matrix")
+        if self.problem_type not in ("binary_classification", "multiclass_classification"):
+            raise ValueError(f"CBPE problem_type must be classification, got {self.problem_type!r}")
+        if self.problem_type == "multiclass_classification":
+            if not isinstance(self.y_pred_proba, dict):
+                raise ValueError(
+                    "multiclass CBPE requires y_pred_proba as a dict mapping class → proba column "
+                    "(ref cbpe.py:539-580)"
+                )
+            self.classes = sorted(self.y_pred_proba.keys())
+            if "business_value" in self.metrics:
+                k = len(self.classes)
+                bvm = self.business_value_matrix
+                if bvm is None or len(bvm) != k or any(len(r) != k for r in bvm):
+                    raise ValueError(f"multiclass business_value_matrix must be {k}×{k}")
+        else:
+            self.classes = None
+            if "business_value" in self.metrics and self.business_value_matrix is None:
+                raise ValueError("business_value requires business_value_matrix")
         self._calibrator = None
+        self._calibrators: Optional[Dict] = None  # multiclass: class → calibrator
         self._thresholds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
         self._se: Dict[str, dict] = {}
         self._fitted = False
@@ -82,11 +99,30 @@ class CBPE:
     # -------------------------------------------------------------- calibration
 
     def _fit_calibrator(self, reference: DataFrame) -> None:
-        """Collect a seeded reference (score, label) sample — one thin column
-        pair; 10^12-row references are sampled, which is statistically ample
-        for a 1-D monotone fit — decide need, fit isotonic."""
+        """Collect a seeded reference (score, label) sample — thin columns
+        only; 10^12-row references are sampled, which is statistically ample
+        for 1-D monotone fits — decide need, fit isotonic.
+
+        Multiclass (ref cbpe.py:539-552 _fit_calibrators): one calibrator per
+        class on the one-vs-rest binarized labels, fitted from the SAME
+        sample collect."""
         n = reference.count()
         frac = min(1.0, self.calibration_sample / max(n, 1))
+        if self.problem_type == "multiclass_classification":
+            cols = [F.col(self.y_true).cast("string").alias("y")] + [
+                F.col(self.y_pred_proba[c]).cast("double").alias(f"p_{i}")
+                for i, c in enumerate(self.classes)
+            ]
+            pdf = reference.select(*cols).dropna().sample(fraction=frac, seed=42).toPandas()
+            self._calibrators = {}
+            for i, c in enumerate(self.classes):
+                y = (pdf["y"] == str(c)).to_numpy(dtype=float)
+                p = pdf[f"p_{i}"].to_numpy()
+                if needs_calibration(y, p):
+                    self._calibrators[c] = IsotonicCalibrator().fit(p, y)
+                else:
+                    self._calibrators[c] = NoopCalibrator().fit(p, y)
+            return
         pdf = (
             reference.select(
                 F.col(self.y_pred_proba).cast("double").alias("p"),
@@ -117,9 +153,41 @@ class CBPE:
 
         return df.withColumn("_cal_p", _interp(F.col(self.y_pred_proba).cast("double")))
 
+    def _with_calibrated_mc(self, df: DataFrame) -> DataFrame:
+        """Add ``_cal`` — the per-class calibrated probabilities, renormalized
+        to sum 1 per row with a uniform fallback when the calibrated sum is 0
+        (ref cbpe.py:556-580 _calibrate_predicted_probabilities)."""
+        params = []
+        for c in self.classes:
+            cal = self._calibrators[c]
+            if isinstance(cal, NoopCalibrator):
+                params.append(None)
+            else:
+                params.append((cal._x, cal._y))
+        bx = df.sparkSession.sparkContext.broadcast(params)
+        k = len(self.classes)
+
+        @F.pandas_udf("array<double>")
+        def _cal_all(probas: pd.Series) -> pd.Series:
+            ps = bx.value
+            mat = np.stack(probas.to_numpy())  # (rows, k)
+            out = np.empty_like(mat, dtype=np.float64)
+            for i, xy in enumerate(ps):
+                col = mat[:, i].astype(np.float64)
+                out[:, i] = col if xy is None else np.interp(col, xy[0], xy[1])
+            denom = out.sum(axis=1, keepdims=True)
+            uniform = np.full_like(out, 1.0 / k)
+            out = np.divide(out, denom, out=uniform, where=denom != 0)
+            return pd.Series(list(out))
+
+        arr = F.array(*[F.col(self.y_pred_proba[c]).cast("double") for c in self.classes])
+        return df.withColumn("_cal", _cal_all(arr))
+
     # -------------------------------------------------------------- estimation
 
     def _estimated_chunk_values(self, df: DataFrame) -> Tuple[DataFrame, DataFrame]:
+        if self.problem_type == "multiclass_classification":
+            return self._estimated_chunk_values_mc(df)
         assigned, headers = assign_chunks(self._with_calibrated(df), self.chunker)
         p = F.col("_cal_p")
         pred = F.col(self.y_pred).cast("double")
@@ -181,11 +249,146 @@ class CBPE:
             out = out.unionByName(x)
         return out, headers
 
-    def _roc_points(self, assigned: DataFrame) -> DataFrame:
+    def _estimated_chunk_values_mc(self, df: DataFrame) -> Tuple[DataFrame, DataFrame]:
+        """Multiclass estimation (ref metrics.py:2340-3580): macro means of
+        one-vs-rest binary estimates over renormalized per-class calibrated
+        probabilities; accuracy = E[p̂ of the predicted class]; expected k×k
+        confusion matrix cm[i,j] = Σ_{pred=c_j} p̂_i."""
+        assigned, headers = assign_chunks(self._with_calibrated_mc(df), self.chunker)
+        classes = self.classes
+        k = len(classes)
+        pred = F.col(self.y_pred).cast("string")
+        ok = pred.isNotNull() & F.col("_cal").isNotNull()
+        assigned = assigned.filter(ok)
+        cal = lambda i: F.element_at("_cal", i + 1)  # noqa: E731
+        # probability of the predicted class (0 when pred outside classes —
+        # matches max(onehot·probas) in metrics.py:3018-3021)
+        p_pred = F.lit(0.0)
+        for i, c in enumerate(classes):
+            p_pred = F.when(pred == str(c), cal(i)).otherwise(p_pred)
+
+        cc = [
+            F.struct(
+                F.lit(str(c)).alias("cls"),
+                F.sum(F.when(pred == str(c), cal(i)).otherwise(F.lit(0.0))).alias("tp"),
+                F.sum(F.when(pred == str(c), 1 - cal(i)).otherwise(F.lit(0.0))).alias("fp"),
+                F.sum(F.when(pred != str(c), cal(i)).otherwise(F.lit(0.0))).alias("fn"),
+                F.sum(F.when(pred != str(c), 1 - cal(i)).otherwise(F.lit(0.0))).alias("tn"),
+            )
+            for i, c in enumerate(classes)
+        ]
+        cm_cells = [
+            F.struct(
+                F.lit(f"true_{classes[i]}_pred_{classes[j]}").alias("cell"),
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.sum(F.when(pred == str(classes[j]), cal(i)).otherwise(F.lit(0.0))).alias("v"),
+            )
+            for i in range(k)
+            for j in range(k)
+        ]
+        agg = assigned.groupBy(CHUNK_KEY).agg(
+            F.array(*cc).alias("_cc"),
+            F.array(*cm_cells).alias("_cm"),
+            F.avg(p_pred).alias("_acc"),
+            F.count(F.lit(1)).alias("n_chunk"),
+        )
+        n_by_chunk = agg.select(CHUNK_KEY, "n_chunk")
+        parts = []
+        ovr_metrics = {"precision", "recall", "specificity", "f1"} & set(self.metrics)
+        if ovr_metrics or "accuracy" in self.metrics:
+            percls = agg.select(CHUNK_KEY, "_acc", "n_chunk", F.explode("_cc").alias("c")).select(
+                CHUNK_KEY, "_acc", "n_chunk", "c.tp", "c.fp", "c.fn", "c.tn"
+            )
+            exprs = {
+                "precision": F.col("tp") / (F.col("tp") + F.col("fp")),
+                "recall": F.col("tp") / (F.col("tp") + F.col("fn")),
+                "specificity": F.col("tn") / (F.col("tn") + F.col("fp")),
+                # estimate_f1 (metrics.py:762-787)
+                "f1": F.col("tp") / (F.col("tp") + 0.5 * (F.col("fp") + F.col("fn"))),
+            }
+            macro = percls.groupBy(CHUNK_KEY).agg(
+                F.max("_acc").alias("accuracy"),
+                F.max("n_chunk").alias("n_chunk"),
+                *[F.avg(e).alias(m) for m, e in exprs.items() if m in ovr_metrics],
+            )
+            pairs = [
+                F.struct(F.lit(m).alias("method"), F.col(m).cast("double").alias("value"))
+                for m in self.metrics
+                if m in ("accuracy", "precision", "recall", "specificity", "f1")
+            ]
+            parts.append(
+                macro.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*pairs)).alias("kv")).select(
+                    CHUNK_KEY, "n_chunk", "kv.method", "kv.value"
+                )
+            )
+        for metric, fn in (("roc_auc", self._estimate_auc), ("average_precision", self._estimate_ap)):
+            if metric not in self.metrics:
+                continue
+            per_cls = []
+            for i, c in enumerate(classes):
+                one = assigned.withColumn("_cal_c", cal(i))
+                per_cls.append(
+                    fn(one, score_col=F.col(self.y_pred_proba[c]), cal_col="_cal_c").select(
+                        CHUNK_KEY, "value"
+                    )
+                )
+            ovr = per_cls[0]
+            for a in per_cls[1:]:
+                ovr = ovr.unionByName(a)
+            parts.append(
+                ovr.groupBy(CHUNK_KEY)
+                .agg(F.avg("value").alias("value"))
+                .join(n_by_chunk, CHUNK_KEY)
+                .select(CHUNK_KEY, "n_chunk", F.lit(metric).alias("method"), "value")
+            )
+        if {"confusion_matrix", "business_value"} & set(self.metrics):
+            cells = agg.select(CHUNK_KEY, "n_chunk", F.explode("_cm").alias("c")).select(
+                CHUNK_KEY, "n_chunk", "c.cell", "c.i", "c.j", "c.v"
+            )
+            w_chunk = Window.partitionBy(CHUNK_KEY)
+            w_row = Window.partitionBy(CHUNK_KEY, "i")
+            w_col = Window.partitionBy(CHUNK_KEY, "j")
+            if "confusion_matrix" in self.metrics:
+                norm = self.normalize_confusion_matrix
+                v = F.col("v")
+                if norm == "all":
+                    v = v / F.sum("v").over(w_chunk)
+                elif norm == "true":
+                    v = v / F.sum("v").over(w_row)
+                elif norm == "pred":
+                    v = v / F.sum("v").over(w_col)
+                parts.append(
+                    cells.select(
+                        CHUNK_KEY, "n_chunk", F.col("cell").alias("method"), v.cast("double").alias("value")
+                    )
+                )
+            if "business_value" in self.metrics:
+                bvm = self.business_value_matrix
+                vexpr = F.lit(0.0)
+                for i in range(k):
+                    for j in range(k):
+                        vexpr = F.when((F.col("i") == i) & (F.col("j") == j), F.lit(float(bvm[i][j]))).otherwise(vexpr)
+                cm = F.col("v")
+                if self.normalize_business_value == "per_prediction":
+                    colsum = F.sum("v").over(w_col)
+                    cm = F.when(colsum > 0, F.col("v") / colsum).otherwise(F.lit(0.0))
+                scored = cells.select(CHUNK_KEY, "n_chunk", (cm * vexpr).alias("_cmv"))
+                parts.append(
+                    scored.groupBy(CHUNK_KEY, "n_chunk")
+                    .agg(F.sum("_cmv").cast("double").alias("value"))
+                    .select(CHUNK_KEY, "n_chunk", F.lit("business_value").alias("method"), "value")
+                )
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out, headers
+
+    def _roc_points(self, assigned: DataFrame, score_col=None, cal_col="_cal_p") -> DataFrame:
         """Per-row synthetic ROC point in uncalibrated-score descending order
         (metrics.py:466-480): tps=cum(calibrated) rounded to 5, fps=rank−tps."""
-        s = F.col(self.y_pred_proba).cast("double")
-        df = assigned.select(CHUNK_KEY, s.alias("_s"), F.col("_cal_p").alias("_p")).filter(
+        s = (score_col if score_col is not None else F.col(self.y_pred_proba)).cast("double")
+        df = assigned.select(CHUNK_KEY, s.alias("_s"), F.col(cal_col).alias("_p")).filter(
             F.col("_s").isNotNull() & F.col("_p").isNotNull()
         )
         w = Window.partitionBy(CHUNK_KEY).orderBy(F.desc("_s"), F.desc("_p")).rowsBetween(
@@ -198,8 +401,8 @@ class CBPE:
             .withColumn("_fps", F.round(F.col("_rank") - F.sum("_p").over(w), 5))
         )
 
-    def _estimate_auc(self, assigned: DataFrame) -> DataFrame:
-        pts = self._roc_points(assigned)
+    def _estimate_auc(self, assigned: DataFrame, score_col=None, cal_col="_cal_p") -> DataFrame:
+        pts = self._roc_points(assigned, score_col, cal_col)
         w_tot = Window.partitionBy(CHUNK_KEY)
         pts = pts.withColumn("_tp_tot", F.max("_tps").over(w_tot)).withColumn(
             "_fp_tot", F.max("_fps").over(w_tot)
@@ -214,10 +417,10 @@ class CBPE:
             CHUNK_KEY, F.lit("roc_auc").alias("method"), "value"
         )
 
-    def _estimate_ap(self, assigned: DataFrame) -> DataFrame:
+    def _estimate_ap(self, assigned: DataFrame, score_col=None, cal_col="_cal_p") -> DataFrame:
         """estimate_ap (metrics.py:596-645): AP = Σ Δrecall·precision over the
         synthetic PR curve (recall_0 = 0, precision = tps/rank)."""
-        pts = self._roc_points(assigned)
+        pts = self._roc_points(assigned, score_col, cal_col)
         w_tot = Window.partitionBy(CHUNK_KEY)
         pts = pts.withColumn("_tp_tot", F.max("_tps").over(w_tot))
         w_lag = Window.partitionBy(CHUNK_KEY).orderBy("_rank")
@@ -233,16 +436,19 @@ class CBPE:
 
     def fit(self, reference: DataFrame) -> "CBPE":
         self._fit_calibrator(reference)
-        # sampling-error components: same closed forms as realized performance
-        helper = PerformanceCalculator(
-            metrics=tuple(m for m in self.metrics if m not in ("business_value", "confusion_matrix", "average_precision")),
-            y_true=self.y_true,
-            y_pred=self.y_pred,
-            y_pred_proba=self.y_pred_proba,
-            chunker=self.chunker,
-        )
-        helper._fit_se_components(reference)
-        self._se = helper._se
+        if self.problem_type == "binary_classification":
+            # sampling-error components: same closed forms as realized performance
+            helper = PerformanceCalculator(
+                metrics=tuple(
+                    m for m in self.metrics if m not in ("business_value", "confusion_matrix", "average_precision")
+                ),
+                y_true=self.y_true,
+                y_pred=self.y_pred,
+                y_pred_proba=self.y_pred_proba,
+                chunker=self.chunker,
+            )
+            helper._fit_se_components(reference)
+            self._se = helper._se
         self._fitted = True
         ref_long, ref_headers = self._estimated_chunk_values(reference)
         ref_long = ref_long.persist()
@@ -282,7 +488,14 @@ class CBPE:
             .withColumn("lower_confidence_boundary", F.col("value") - 3 * F.col("sampling_error"))
             .withColumn("upper_confidence_boundary", F.col("value") + 3 * F.col("sampling_error"))
             .withColumn("alert", alert_expr())
-            .withColumn("column_name", F.lit(self.y_pred_proba))
+            .withColumn(
+                "column_name",
+                F.lit(
+                    ",".join(self.y_pred_proba[c] for c in self.classes)
+                    if isinstance(self.y_pred_proba, dict)
+                    else self.y_pred_proba
+                ),
+            )
             .drop("n_chunk")
         )
         return conform_result(join_headers_long(out, headers, period))

@@ -219,8 +219,19 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         write_results(lineage, lineage_path)
 
         row = res_df.agg(
-            F.count(F.lit(1)).alias("rows"), F.sum(F.col("alert").cast("int")).alias("alerts")
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("alert").cast("int")).alias("alerts"),
+            F.countDistinct("chunk_key").alias("n_chunks"),
         ).first()
+        if row["n_chunks"] is not None and row["n_chunks"] < 6:
+            # reference warns below 6 chunks: thresholds fitted on so few
+            # chunk values are unreliable (nannyml/chunk.py:179-184)
+            logger.warning(
+                "check %r produced only %d chunks (< 6): chunk-level thresholds "
+                "and sampling-error estimates may be unreliable",
+                name,
+                row["n_chunks"],
+            )
         report[name] = {
             "rows": row["rows"],
             "alerts": row["alerts"] or 0,

@@ -129,3 +129,112 @@ def test_cbpe_estimates_without_labels(spark, cbpe_frame):
     assert len(res) == 4
     assert res["value"].notna().all()
     assert res["upper_threshold"].notna().all()
+
+
+@pytest.fixture(scope="module")
+def mc_frame(spark):
+    """Multiclass: 3 classes, miscalibrated per-class scores."""
+    rng = np.random.default_rng(21)
+    n = N_REF + N_ANA
+    classes = ["a", "b", "c"]
+    yt = rng.choice(classes, n)
+    raw = rng.uniform(0.05, 0.4, size=(n, 3))
+    for i, cls in enumerate(classes):
+        raw[yt == cls, i] += rng.uniform(0.2, 0.8, size=(yt == cls).sum())
+    probs = (raw**2) / (raw**2).sum(axis=1, keepdims=True)  # squared → miscalibrated
+    yp = np.array(classes)[probs.argmax(axis=1)]
+    pdf = pd.DataFrame(
+        {"id": np.arange(n), "y_true": yt, "y_pred": yp,
+         "p_a": probs[:, 0], "p_b": probs[:, 1], "p_c": probs[:, 2]}
+    )
+    pdf["is_ref"] = pdf["id"] < N_REF
+    return pdf, spark.createDataFrame(pdf)
+
+
+def _mc_calibrated(pdf, classes):
+    """Numpy replica of the reference's per-class calibrate + renormalize."""
+    ref = pdf[pdf.is_ref]
+    cals = {}
+    for cls in classes:
+        y = (ref["y_true"] == cls).to_numpy(dtype=float)
+        p = ref[f"p_{cls}"].to_numpy()
+        if needs_calibration(y, p):
+            cals[cls] = IsotonicCalibrator().fit(p, y)
+        else:
+            cals[cls] = None
+    ana = pdf[~pdf.is_ref].reset_index(drop=True)
+    mat = np.stack(
+        [
+            (cals[cls].calibrate(ana[f"p_{cls}"].to_numpy()) if cals[cls] else ana[f"p_{cls}"].to_numpy())
+            for cls in classes
+        ],
+        axis=1,
+    )
+    denom = mat.sum(axis=1, keepdims=True)
+    uniform = np.full_like(mat, 1 / len(classes))
+    mat = np.divide(mat, denom, out=uniform, where=denom != 0)
+    return ana, mat
+
+
+def test_cbpe_multiclass_vs_numpy_oracle(mc_frame):
+    pdf, sdf = mc_frame
+    classes = ["a", "b", "c"]
+    bvm = [[1.0, -1.0, -0.5], [-2.0, 2.0, -0.25], [0.0, -3.0, 3.0]]
+    est = CBPE(
+        metrics=("accuracy", "f1", "confusion_matrix", "business_value"),
+        y_pred_proba={c: f"p_{c}" for c in classes},
+        problem_type="multiclass_classification",
+        business_value_matrix=bvm,
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+        calibration_sample=10**9,  # use the full reference (no sampling noise)
+    )
+    est.fit(sdf.filter("is_ref"))
+    res = est.estimate(sdf.filter("NOT is_ref").drop("y_true")).orderBy("chunk_index").toPandas()
+    piv = res.set_index(["chunk_index", "method"])["value"]
+
+    ana, cal = _mc_calibrated(pdf, classes)
+    c = slice(0, CHUNK)
+    pred = ana["y_pred"].to_numpy()[c]
+    calc = cal[c]
+    # accuracy = mean calibrated proba of the predicted class
+    idx = np.array([classes.index(p) for p in pred])
+    want_acc = calc[np.arange(len(idx)), idx].mean()
+    assert np.isclose(piv[(0, "accuracy")], want_acc, atol=1e-9)
+    # macro estimated f1
+    f1s = []
+    for i, cls in enumerate(classes):
+        is_p = pred == cls
+        tp = calc[is_p, i].sum()
+        fp = (1 - calc[is_p, i]).sum()
+        fn = calc[~is_p, i].sum()
+        f1s.append(tp / (tp + 0.5 * (fp + fn)))
+    assert np.isclose(piv[(0, "f1")], np.mean(f1s), atol=1e-9)
+    # expected confusion matrix + business value
+    bv = 0.0
+    for i, t in enumerate(classes):
+        for j, p in enumerate(classes):
+            cm_ij = calc[pred == p, i].sum()
+            assert np.isclose(piv[(0, f"true_{t}_pred_{p}")], cm_ij, atol=1e-9)
+            bv += bvm[i][j] * cm_ij
+    assert np.isclose(piv[(0, "business_value")], bv, atol=1e-9)
+    # chunk count sanity
+    assert res[res.method == "accuracy"].shape[0] == N_ANA // CHUNK
+
+
+def test_cbpe_multiclass_auc_ap_run(mc_frame):
+    """roc_auc / average_precision estimated values are finite and in [0,1]."""
+    pdf, sdf = mc_frame
+    classes = ["a", "b", "c"]
+    est = CBPE(
+        metrics=("roc_auc", "average_precision"),
+        y_pred_proba={c: f"p_{c}" for c in classes},
+        problem_type="multiclass_classification",
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+    )
+    est.fit(sdf.filter("is_ref"))
+    res = est.estimate(sdf.filter("NOT is_ref").drop("y_true")).toPandas()
+    vals = res["value"]
+    assert vals.notna().all()
+    assert ((vals >= 0) & (vals <= 1)).all()
+    # the model genuinely ranks well → estimates should be clearly > 0.5
+    assert res[res.method == "roc_auc"]["value"].min() > 0.7

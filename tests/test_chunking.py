@@ -118,3 +118,18 @@ def test_chunker_on_real_lineitem(spark, lineitem):
     n = lineitem.count()
     assert sum(r["n_rows"] for r in rows) == n
     assert rows[0]["chunk_key"] == "[0:999]"
+
+
+def test_period_chunker_anchored_week_matches_pandas(spark):
+    """W-WED etc. (pandas aliases the reference accepts) produce pandas
+    Period-identical 'start/end' keys."""
+    import pandas as pd
+    from spark_validate.chunking import PeriodBasedChunker
+
+    dates = pd.date_range("2026-01-01", "2026-02-15", freq="D")
+    sdf = spark.createDataFrame(pd.DataFrame({"ts": dates}))
+    for anchor in ("W-WED", "W-SUN", "W-MON"):
+        ch = PeriodBasedChunker(offset=anchor, timestamp_column="ts")
+        got = {r.ts: r.chunk_key for r in ch.assign(sdf).collect()}
+        for t in dates:
+            assert got[t] == str(pd.Period(t, freq=anchor)), (anchor, t)

@@ -97,3 +97,35 @@ def test_domain_classifier(spark, mv_frame):
     # at minimum the calculator runs end-to-end and emits bounded AUCs
     res = calc.calculate(sdf.filter("NOT is_ref")).toPandas()
     assert ((res["value"] >= 0) & (res["value"] <= 1)).all()
+
+
+def test_pca_high_cardinality_categorical(spark):
+    """A high-cardinality categorical column must neither collect unbounded
+    state nor build a giant when-chain: the frequency map is capped at
+    max_categories and applied via a broadcast join."""
+    import numpy as np
+    import pandas as pd
+    from spark_validate.drift.multivariate import DataReconstructionDriftCalculator
+    from spark_validate.chunking import SizeBasedChunker
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "x": rng.standard_normal(n),
+            # ~2000 distinct categories, zipf-ish
+            "c": [f"cat_{int(v)}" for v in rng.zipf(1.3, n) % 2000],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    calc = DataReconstructionDriftCalculator(
+        ["x", "c"],
+        chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]),
+        max_categories=500,  # far below the true cardinality → cap + join path
+    )
+    calc.fit(sdf.filter("id < 2000"))
+    assert len(calc._state["cat_maps"]["c"]) <= 500
+    res = calc.calculate(sdf.filter("id >= 2000")).toPandas()
+    assert res["value"].notna().all()
+    assert (res["value"] >= 0).all()

@@ -187,3 +187,70 @@ def test_multiclass_macro(spark):
         fn = ((c.y_true == cls) & (c.y_pred != cls)).sum()
         f1s.append(2 * tp / (2 * tp + fp + fn))
     assert np.isclose(piv[(0, "f1")], np.mean(f1s))
+
+
+def test_multiclass_cm_ap_business_value(spark):
+    rng = np.random.default_rng(11)
+    n = 1500
+    classes = ["a", "b", "c"]
+    yt = rng.choice(classes, n)
+    yp = np.where(rng.uniform(size=n) < 0.7, yt, rng.choice(classes, n))
+    # class probas: noisy one-hot on the true class, softmax-normalized
+    raw = rng.uniform(0.05, 0.4, size=(n, 3))
+    for i, cls in enumerate(classes):
+        raw[yt == cls, i] += 0.5
+    probs = raw / raw.sum(axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"id": np.arange(n), "y_true": yt, "y_pred": yp,
+         "p_a": probs[:, 0], "p_b": probs[:, 1], "p_c": probs[:, 2]}
+    )
+    pdf["is_ref"] = pdf["id"] < 1000
+    import pyspark.sql
+
+    sdf = pyspark.sql.SparkSession.getActiveSession().createDataFrame(pdf)
+    bvm = [[1.0, -0.5, -1.0], [-2.0, 2.0, -0.25], [0.0, -3.0, 3.0]]
+    calc = PerformanceCalculator(
+        metrics=("confusion_matrix", "average_precision", "business_value"),
+        problem_type="multiclass_classification",
+        y_pred_proba="p",
+        business_value_matrix=bvm,
+        chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]),
+    )
+    calc.fit(sdf.filter("is_ref"))
+    res = calc.calculate(sdf.filter("NOT is_ref")).orderBy("chunk_index").toPandas()
+    c = pdf[~pdf.is_ref].reset_index(drop=True).iloc[:500]
+    piv = res.set_index(["chunk_index", "method"])["value"]
+    # confusion matrix counts
+    for i, t in enumerate(classes):
+        for j, p in enumerate(classes):
+            want = ((c.y_true == t) & (c.y_pred == p)).sum()
+            assert piv[(0, f"true_{t}_pred_{p}")] == want
+    # business value = sum(v_ij * cm_ij)
+    bv = sum(
+        bvm[i][j] * ((c.y_true == classes[i]) & (c.y_pred == classes[j])).sum()
+        for i in range(3)
+        for j in range(3)
+    )
+    assert np.isclose(piv[(0, "business_value")], bv)
+    # macro OVR average precision (sklearn-equivalent step integral)
+    def ap_binary(y, s):
+        order = np.argsort(-s, kind="stable")
+        y = np.asarray(y, dtype=float)[order]
+        s = np.asarray(s)[order]
+        # group ties by score
+        aps, cum_tp, cum_n, n_pos = 0.0, 0.0, 0.0, y.sum()
+        k = 0
+        while k < len(s):
+            m = k
+            while m < len(s) and s[m] == s[k]:
+                m += 1
+            tp_g = y[k:m].sum()
+            cum_tp += tp_g
+            cum_n += m - k
+            aps += (tp_g / n_pos) * (cum_tp / cum_n)
+            k = m
+        return aps
+    want_ap = np.mean(
+        [ap_binary(c.y_true == cls, c[f"p_{cls}"].to_numpy()) for cls in classes]
+    )
+    assert np.isclose(piv[(0, "average_precision")], want_ap)
