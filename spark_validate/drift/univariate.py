@@ -601,11 +601,11 @@ class UnivariateDriftCalculator:
         )
 
     def _wasserstein_corrections(self, assigned: DataFrame, dtypes) -> DataFrame:
-        """Collect out-of-range values per (chunk, column) — these are the
-        drifted tail, typically a tiny fraction — and evaluate the reference's
-        ECDF correction terms in numpy. List size capped; a cap hit means the
-        correction is computed on a prefix (logged nowhere to keep the plan
-        pure; documented limitation)."""
+        """The reference's out-of-range ECDF correction terms
+        (`methods.py:662-692`) computed fully distributed: distinct OOR values
+        (map-side-combined) + a lo/hi sentinel row, cumulative ECDF via a
+        bounded per-(chunk, column, side) window, Σ y·Δx integral. No
+        collect_list, no size cap, no Python workers."""
         cols = [c for c in self._cont_cols if "ecdf" in self._cont_state[c].specs]
         spark = assigned.sparkSession
         structs = []
@@ -631,47 +631,58 @@ class UnivariateDriftCalculator:
             F.min("lo").alias("lo"),
             F.min("hi").alias("hi"),
         )
-        oor = exploded.filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
-        lists = oor.groupBy(CHUNK_KEY, "column_name").agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.when(F.col("value") < F.col("lo"), F.col("value")))),
-                1,
-                self.max_out_of_range_values,
-            ).alias("smaller"),
-            F.slice(
-                F.sort_array(F.collect_list(F.when(F.col("value") > F.col("hi"), F.col("value")))),
-                1,
-                self.max_out_of_range_values,
-            ).alias("bigger"),
+        # Fully distributed ECDF integral — no collect_list, no cap, no Arrow:
+        # dedupe values FIRST (map-side-combinable groupBy shrinks the window
+        # input to distinct OOR values), append the lo/hi sentinel the
+        # reference appends (methods.py:665-691), then per (chunk, column,
+        # side): y = cumcount/n_xs over value order, term = amount · Σ y·Δx
+        # (smaller side) or Σ (1−y)·Δx (bigger side).
+        oor = exploded.filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).select(
+            CHUNK_KEY,
+            "column_name",
+            F.when(F.col("value") < F.col("lo"), F.lit("s")).otherwise(F.lit("b")).alias("side"),
+            "value",
         )
-        joined = totals.join(lists, [CHUNK_KEY, "column_name"], "inner")
-
-        import pandas as pd  # noqa: F811
-
-        def _corr(pdf: pd.DataFrame) -> pd.DataFrame:
-            outs = []
-            for _, r in pdf.iterrows():
-                n = float(r["n_tot"])
-                term_s = term_b = 0.0
-                smaller = np.asarray(r["smaller"] if r["smaller"] is not None else [], dtype=np.float64)
-                bigger = np.asarray(r["bigger"] if r["bigger"] is not None else [], dtype=np.float64)
-                if len(smaller):
-                    amount = (len(smaller) + 1) / n
-                    xs = np.concatenate([smaller, [r["lo"]]])
-                    x, counts = np.unique(np.sort(xs), return_counts=True)
-                    y = np.cumsum(counts) / len(xs)
-                    term_s = float(np.sum(y[:-1] * np.diff(x)) * amount)
-                if len(bigger):
-                    amount = (len(bigger) + 1) / n
-                    xs = np.concatenate([[r["hi"]], bigger])
-                    x, counts = np.unique(np.sort(xs), return_counts=True)
-                    y = np.cumsum(counts) / len(xs)
-                    term_b = float(np.sum((1 - y)[:-1] * np.diff(x)) * amount)
-                outs.append((r[CHUNK_KEY], r["column_name"], term_s, term_b))
-            return pd.DataFrame(outs, columns=[CHUNK_KEY, "column_name", "term_smaller", "term_bigger"])
-
-        schema = f"{CHUNK_KEY} string, column_name string, term_smaller double, term_bigger double"
-        return joined.groupBy(CHUNK_KEY, "column_name").applyInPandas(_corr, schema)
+        dedup = oor.groupBy(CHUNK_KEY, "column_name", "side", "value").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        side_n = dedup.groupBy(CHUNK_KEY, "column_name", "side").agg(F.sum("cnt").alias("n_side"))
+        sentinel = (
+            side_n.join(totals.select(CHUNK_KEY, "column_name", "lo", "hi"), [CHUNK_KEY, "column_name"])
+            .select(
+                CHUNK_KEY,
+                "column_name",
+                "side",
+                F.when(F.col("side") == "s", F.col("lo")).otherwise(F.col("hi")).alias("value"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+        )
+        pts = dedup.select(CHUNK_KEY, "column_name", "side", "value", "cnt").unionByName(sentinel)
+        w = Window.partitionBy(CHUNK_KEY, "column_name", "side").orderBy("value")
+        w_all = Window.partitionBy(CHUNK_KEY, "column_name", "side")
+        pts = (
+            pts.withColumn("_cum", F.sum("cnt").over(w))
+            .withColumn("_nxs", F.sum("cnt").over(w_all))
+            .withColumn("_next", F.lead("value").over(w))
+        )
+        y = F.col("_cum") / F.col("_nxs")
+        seg = F.when(
+            F.col("_next").isNotNull(),
+            F.when(F.col("side") == "s", y).otherwise(1 - y) * (F.col("_next") - F.col("value")),
+        ).otherwise(F.lit(0.0))
+        terms = pts.groupBy(CHUNK_KEY, "column_name", "side").agg(
+            F.sum(seg).alias("integral"), F.max("_nxs").alias("n_xs")
+        )
+        out = (
+            terms.join(totals.select(CHUNK_KEY, "column_name", "n_tot"), [CHUNK_KEY, "column_name"])
+            .withColumn("term", F.col("integral") * F.col("n_xs") / F.col("n_tot"))
+            .groupBy(CHUNK_KEY, "column_name")
+            .agg(
+                F.sum(F.when(F.col("side") == "s", F.col("term")).otherwise(F.lit(0.0))).alias("term_smaller"),
+                F.sum(F.when(F.col("side") == "b", F.col("term")).otherwise(F.lit(0.0))).alias("term_bigger"),
+            )
+        )
+        return out
 
     def _exact_ks_wasserstein(self, assigned: DataFrame, dtypes, cols, methods) -> List[DataFrame]:
         """Exact two-sample statistics for small-reference columns

@@ -95,6 +95,13 @@ class DLE:
     chunker: Chunker = field(default_factory=DefaultChunker)
     threshold: object = field(default_factory=StandardDeviationThreshold)
     fit_sample: int = 200_000
+    # reference tunes its LightGBM loss model with FLAML when
+    # tune_hyperparameters=True (dle.py:143-168). The ridge fallback tunes
+    # its regularization the same spirit: seeded k-fold grid over alphas on
+    # the driver sample, pick the MSE-minimizing alpha. Deterministic.
+    tune_hyperparameters: bool = False
+    tune_alphas: Sequence[float] = (0.01, 0.1, 1.0, 10.0, 100.0)
+    tune_folds: int = 3
 
     def __post_init__(self):
         bad = set(self.metrics) - set(DLE_METRICS)
@@ -123,7 +130,9 @@ class DLE:
         yp = pdf[self.y_pred].to_numpy(np.float64)
         kinds = {_LOSS_OF[m][0] for m in self.metrics}
         for kind in kinds:
-            self._models[kind] = _RidgeLossModel().fit(X, _loss_values(kind, yt, yp))
+            loss = _loss_values(kind, yt, yp)
+            alpha = self._tune_alpha(X, loss) if self.tune_hyperparameters else 1.0
+            self._models[kind] = _RidgeLossModel(alpha=alpha).fit(X, loss)
         self._fitted = True
         ref_long, ref_headers = self._chunk_values(reference)
         ref_long = ref_long.persist()
@@ -143,6 +152,24 @@ class DLE:
         self._reference_result = self._finalize(ref_long, ref_headers, "reference")
         ref_long.unpersist()
         return self
+
+    def _tune_alpha(self, X: np.ndarray, loss: np.ndarray) -> float:
+        """Seeded k-fold grid search over ridge alphas (driver-side numpy;
+        the sample is already bounded by fit_sample)."""
+        rng = np.random.default_rng(42)
+        idx = rng.permutation(len(X))
+        folds = np.array_split(idx, self.tune_folds)
+        best_alpha, best_mse = 1.0, math.inf
+        for alpha in self.tune_alphas:
+            mse = 0.0
+            for i in range(self.tune_folds):
+                val = folds[i]
+                trn = np.concatenate([folds[j] for j in range(self.tune_folds) if j != i])
+                m = _RidgeLossModel(alpha=alpha).fit(X[trn], loss[trn])
+                mse += float(((m.predict(X[val]) - loss[val]) ** 2).mean())
+            if mse < best_mse:
+                best_alpha, best_mse = float(alpha), mse
+        return best_alpha
 
     def _chunk_values(self, df: DataFrame):
         assigned, headers = assign_chunks(df, self.chunker)

@@ -59,3 +59,40 @@ def test_dle_thresholds_alert_on_degradation(spark, dle_frame):
     drifted = sdf.filter("NOT is_ref").withColumn("f1", F.col("f1") + 8).drop("y_true")
     res = est.estimate(drifted).toPandas()
     assert res["alert"].any()
+
+
+def test_dle_hyperparameter_tuning_picks_alpha(spark):
+    """tune_hyperparameters selects the CV-best ridge alpha deterministically
+    (ref dle.py:143-168 tunes its loss model with FLAML; same spirit here)."""
+    import numpy as np
+    import pandas as pd
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.performance.dle import DLE
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    x = rng.standard_normal(n)
+    y_pred = x + rng.standard_normal(n) * 0.1
+    y_true = x + rng.standard_normal(n) * (0.2 + 0.3 * np.abs(x))  # heteroscedastic
+    pdf = pd.DataFrame({"id": np.arange(n), "x": x, "y_pred": y_pred, "y_true": y_true})
+    sdf = spark.createDataFrame(pdf)
+    est = DLE(
+        metrics=("mae",),
+        feature_column_names=["x"],
+        chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]),
+        tune_hyperparameters=True,
+    )
+    est.fit(sdf.filter("id < 2000"))
+    alpha = est._models["abs"].alpha
+    assert alpha in est.tune_alphas
+    # deterministic: re-fitting picks the same alpha
+    est2 = DLE(
+        metrics=("mae",),
+        feature_column_names=["x"],
+        chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]),
+        tune_hyperparameters=True,
+    )
+    est2.fit(sdf.filter("id < 2000"))
+    assert est2._models["abs"].alpha == alpha
+    res = est.estimate(sdf.filter("id >= 2000").drop("y_true")).toPandas()
+    assert res["value"].notna().all()
