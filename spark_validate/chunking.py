@@ -83,7 +83,9 @@ def with_row_index(
     # job fails loudly instead of silently recomputing inconsistent offsets.
     part = part.localCheckpoint(eager=True)
     counts = part.groupBy("_sv_pid").count()
-    w_off = Window.orderBy("_sv_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = Window.partitionBy(F.lit(0)).orderBy("_sv_pid").rowsBetween(  # ≤ n_parts rows
+        Window.unboundedPreceding, -1
+    )
     offsets = counts.select(
         "_sv_pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_sv_offset")
     )
@@ -134,7 +136,8 @@ class Chunker:
             ]
         hdr = assigned.groupBy(CHUNK_KEY).agg(*aggs)
         order_col = "start_index" if has_idx else ("start_ts" if self.timestamp_column else CHUNK_KEY)
-        w = Window.orderBy(order_col)
+        # header aggregate: ≤ #chunks rows — single task by design
+        w = Window.partitionBy(F.lit(0)).orderBy(order_col)
         return hdr.withColumn(CHUNK_INDEX, F.row_number().over(w) - F.lit(1)).select(
             CHUNK_KEY, CHUNK_INDEX, "start_index", "end_index", "start_ts", "end_ts", "n_rows"
         )

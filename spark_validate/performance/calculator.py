@@ -196,51 +196,56 @@ class PerformanceCalculator:
             out = out.unionByName(p)
         return out
 
-    def _auc_per_chunk(self, assigned: DataFrame) -> DataFrame:
-        """Mann-Whitney AUC with average ranks for ties — two windows, no UDF."""
+    def _auc_per_chunk(self, assigned: DataFrame, group_cols: Tuple[str, ...] = (CHUNK_KEY,)) -> DataFrame:
+        """Mann-Whitney AUC with average ranks for ties — two windows, no UDF.
+
+        ``group_cols`` generalizes the grouping so the one-vs-rest multiclass
+        path can rank ALL classes in a single pass (partition by
+        (chunk, class)) instead of one window pass per class."""
         yt = F.col(self.y_true).cast("double")
         s = F.col(self.y_pred_proba).cast("double")
-        df = assigned.select(CHUNK_KEY, yt.alias("_y"), s.alias("_s")).filter(
+        df = assigned.select(*group_cols, yt.alias("_y"), s.alias("_s")).filter(
             F.col("_y").isNotNull() & F.col("_s").isNotNull()
         )
-        w_rank = Window.partitionBy(CHUNK_KEY).orderBy("_s")
-        w_tie = Window.partitionBy(CHUNK_KEY, "_s")
+        w_rank = Window.partitionBy(*group_cols).orderBy("_s")
+        w_tie = Window.partitionBy(*group_cols, "_s")
         ranked = df.withColumn("_r", F.rank().over(w_rank)).withColumn(
             "_avg_r", F.col("_r") + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
         )
-        agg = ranked.groupBy(CHUNK_KEY).agg(
+        agg = ranked.groupBy(*group_cols).agg(
             F.sum(F.when(F.col("_y") == 1, F.col("_avg_r")).otherwise(F.lit(0.0))).alias("_rank_sum"),
             F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).cast("double").alias("_n1"),
             F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("double").alias("_n0"),
         )
         auc = (F.col("_rank_sum") - F.col("_n1") * (F.col("_n1") + 1) / 2) / (F.col("_n1") * F.col("_n0"))
         return agg.select(
-            CHUNK_KEY,
+            *group_cols,
             F.lit("roc_auc").alias("method"),
             F.when((F.col("_n1") > 0) & (F.col("_n0") > 0), auc).cast("double").alias("value"),
         )
 
-    def _ap_per_chunk(self, assigned: DataFrame) -> DataFrame:
+    def _ap_per_chunk(self, assigned: DataFrame, group_cols: Tuple[str, ...] = (CHUNK_KEY,)) -> DataFrame:
         """sklearn-equivalent AP: group ties by score, cumulative TP/FP in
-        descending-score order, AP = Σ (ΔTP/n_pos) · precision@group."""
+        descending-score order, AP = Σ (ΔTP/n_pos) · precision@group.
+        ``group_cols`` as in :meth:`_auc_per_chunk`."""
         yt = F.col(self.y_true).cast("double")
         s = F.col(self.y_pred_proba).cast("double")
-        df = assigned.select(CHUNK_KEY, yt.alias("_y"), s.alias("_s")).filter(
+        df = assigned.select(*group_cols, yt.alias("_y"), s.alias("_s")).filter(
             F.col("_y").isNotNull() & F.col("_s").isNotNull()
         )
-        grp = df.groupBy(CHUNK_KEY, "_s").agg(
+        grp = df.groupBy(*group_cols, "_s").agg(
             F.sum("_y").alias("_tp_g"), F.count(F.lit(1)).alias("_n_g")
         )
-        w = Window.partitionBy(CHUNK_KEY).orderBy(F.desc("_s")).rowsBetween(Window.unboundedPreceding, 0)
+        w = Window.partitionBy(*group_cols).orderBy(F.desc("_s")).rowsBetween(Window.unboundedPreceding, 0)
         cum = grp.withColumn("_cum_tp", F.sum("_tp_g").over(w)).withColumn("_cum_n", F.sum("_n_g").over(w))
-        w_tot = Window.partitionBy(CHUNK_KEY)
+        w_tot = Window.partitionBy(*group_cols)
         cum = cum.withColumn("_n_pos", F.sum("_tp_g").over(w_tot))
         term = (F.col("_tp_g") / F.col("_n_pos")) * (F.col("_cum_tp") / F.col("_cum_n"))
-        agg = cum.groupBy(CHUNK_KEY).agg(
+        agg = cum.groupBy(*group_cols).agg(
             F.sum(term).alias("_ap"), F.max("_n_pos").alias("_n_pos")
         )
         return agg.select(
-            CHUNK_KEY,
+            *group_cols,
             F.lit("average_precision").alias("method"),
             F.when(F.col("_n_pos") > 0, F.col("_ap")).cast("double").alias("value"),
         )
@@ -300,21 +305,29 @@ class PerformanceCalculator:
             )
 
         def _ovr_macro(metric: str, per_chunk_fn: str) -> DataFrame:
-            """Macro average of a binary rank metric over one-vs-rest splits."""
-            per_cls = []
-            for cls in classes:
-                one = assigned.withColumn("_y1", (yt == cls).cast("double")).withColumn(
-                    "_s1", F.col(self._proba_col(cls)).cast("double")
-                )
-                helper = PerformanceCalculator(
-                    metrics=(metric,), y_true="_y1", y_pred=self.y_pred, y_pred_proba="_s1",
-                    chunker=self.chunker,
-                )
-                per_cls.append(getattr(helper, per_chunk_fn)(one).select(CHUNK_KEY, "value"))
-            ovr = per_cls[0]
-            for a in per_cls[1:]:
-                ovr = ovr.unionByName(a)
-            return ovr.groupBy(CHUNK_KEY).agg(F.avg("value").alias("value"))
+            """Macro average of a binary rank metric over one-vs-rest splits —
+            ONE exploded pass: rows become (chunk, class, binarized y, class
+            score) and the rank windows partition by (chunk, class), instead
+            of k separate window passes over the full data."""
+            splits = F.array(
+                *[
+                    F.struct(
+                        F.lit(str(cls)).alias("_cls"),
+                        (yt == cls).cast("double").alias("_y1"),
+                        F.col(self._proba_col(cls)).cast("double").alias("_s1"),
+                    )
+                    for cls in classes
+                ]
+            )
+            one = assigned.select(CHUNK_KEY, F.explode(splits).alias("kv")).select(
+                CHUNK_KEY, "kv._cls", "kv._y1", "kv._s1"
+            )
+            helper = PerformanceCalculator(
+                metrics=(metric,), y_true="_y1", y_pred=self.y_pred, y_pred_proba="_s1",
+                chunker=self.chunker,
+            )
+            per_cls = getattr(helper, per_chunk_fn)(one, group_cols=(CHUNK_KEY, "_cls"))
+            return per_cls.groupBy(CHUNK_KEY).agg(F.avg("value").alias("value"))
 
         if "roc_auc" in self.metrics:
             parts.append(
