@@ -206,15 +206,18 @@ def main():
         return
     out = {"metric": "suite_wall_time", "unit": "sec", "sf": _sf_from_dir(SF_DIR)}
 
+    only_scaling = os.environ.get("BENCH_ONLY_SCALING", "") == "1"
     spark = new_session(CPUS)
-    t0 = time.time()
-    out["queries"] = run_queries(spark)
-    queries_wall = time.time() - t0
+    queries_wall = img_wall = 0.0
+    if not only_scaling:
+        t0 = time.time()
+        out["queries"] = run_queries(spark)
+        queries_wall = time.time() - t0
 
-    t1 = time.time()
-    img = run_image_suite(spark, IMAGE_ROWS, CPUS * 2)
-    img_wall = time.time() - t1
-    out["image_suite"] = img
+        t1 = time.time()
+        img = run_image_suite(spark, IMAGE_ROWS, CPUS * 2)
+        img_wall = time.time() - t1
+        out["image_suite"] = img
 
     out["value"] = round(queries_wall + img_wall, 2)
 
