@@ -1,4 +1,19 @@
 from spark_validate.image.synth import synth_image_table, reference_manifest
 from spark_validate.image.payload import decode_pixel_stats, psnr_check
+from spark_validate.image.transforms import (
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+    synth_video_payload,
+)
 
-__all__ = ["synth_image_table", "reference_manifest", "decode_pixel_stats", "psnr_check"]
+__all__ = [
+    "synth_image_table",
+    "reference_manifest",
+    "decode_pixel_stats",
+    "psnr_check",
+    "resize_images",
+    "extract_image_features",
+    "sample_video_frames",
+    "synth_video_payload",
+]

@@ -3,5 +3,11 @@ from spark_validate.streaming.incremental import (
     streaming_violations,
     attach_thresholds,
 )
+from spark_validate.streaming.stateful import running_group_stats
 
-__all__ = ["streaming_column_stats", "streaming_violations", "attach_thresholds"]
+__all__ = [
+    "streaming_column_stats",
+    "streaming_violations",
+    "attach_thresholds",
+    "running_group_stats",
+]

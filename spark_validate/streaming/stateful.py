@@ -1,0 +1,94 @@
+"""Custom stateful streaming operator — running per-group statistics via
+``applyInPandasWithState``.
+
+The windowed aggregations in ``incremental.py`` cover the chunk-equivalent
+path; this operator covers the genuinely *stateful* one: statistics that
+accumulate across micro-batches forever (per format, per partition, per
+source), with the state merged by Chan's parallel-variance formula so a
+group's running (count, mean, variance, min, max) is exact no matter how the
+rows were split across triggers.
+
+Emits one updated row per (group × trigger) in ``update`` output mode — the
+streaming analog of the lineage table's per-partition metrics, continuously
+maintained instead of recomputed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = "group string, n long, mean double, std double, min double, max double"
+_STATE_SCHEMA = "n long, mean double, m2 double, mn double, mx double"
+
+
+def _merge(n, mean, m2, mn, mx, v: np.ndarray):
+    """Chan et al. parallel variance merge of a batch into the running state."""
+    bn = len(v)
+    if bn == 0:
+        return n, mean, m2, mn, mx
+    bmean = float(v.mean())
+    bm2 = float(((v - bmean) ** 2).sum())
+    if n == 0:
+        return bn, bmean, bm2, float(v.min()), float(v.max())
+    delta = bmean - mean
+    tot = n + bn
+    return (
+        tot,
+        mean + delta * bn / tot,
+        m2 + bm2 + delta * delta * n * bn / tot,
+        min(mn, float(v.min())),
+        max(mx, float(v.max())),
+    )
+
+
+def running_group_stats(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact running (count, mean, std, min, max) per group across ALL
+    micro-batches seen so far.
+
+    State per group is five scalars — O(#groups) total, the only state shape
+    that survives unbounded streams. Rows with null group/value are dropped
+    (consistent with the batch calculators' NaN removal).
+    """
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, mean, m2, mn, mx = state.get
+        else:
+            n, mean, m2, mn, mx = 0, 0.0, 0.0, math.inf, -math.inf
+        for pdf in pdfs:
+            v = pd.to_numeric(pdf[value_col], errors="coerce").dropna().to_numpy(np.float64)
+            n, mean, m2, mn, mx = _merge(n, mean, m2, mn, mx, v)
+        state.update((n, mean, m2, mn, mx))
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            [
+                {
+                    "group": str(key[0]),
+                    "n": n,
+                    "mean": mean,
+                    "std": math.sqrt(m2 / n) if n > 0 else float("nan"),
+                    "min": mn,
+                    "max": mx,
+                }
+            ]
+        )
+
+    src = stream.filter(stream[group_col].isNotNull()).select(
+        stream[group_col].cast("string").alias("_g"), stream[value_col].alias(value_col)
+    )
+    return src.groupBy("_g").applyInPandasWithState(
+        fn, _OUT_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )

@@ -99,3 +99,61 @@ def test_psnr_corruption_detected(spark, img_ref):
     assert res["passes"].sum() > 0  # untouched rows still pass
     bad = res[~res["passes"]]
     assert (bad["psnr_db"] < 40).all()
+
+
+def test_resize_images_shapes_and_determinism(img_ref, spark):
+    from spark_validate.image import resize_images
+
+    out = resize_images(img_ref.limit(50), out_w=32, out_h=16)
+    pdf = out.toPandas()
+    assert len(pdf) == 50
+    assert (pdf["out_w"] == 32).all() and (pdf["out_h"] == 16).all()
+    assert all(len(p) == 32 * 16 for p in pdf["pixels"])
+    # deterministic: same input → identical pixel payloads
+    pdf2 = resize_images(img_ref.limit(50), out_w=32, out_h=16).toPandas()
+    a = pdf.sort_values("image_id")["pixels"].tolist()
+    b = pdf2.sort_values("image_id")["pixels"].tolist()
+    assert a == b
+
+
+def test_extract_image_features(img_ref):
+    from spark_validate.image import extract_image_features
+
+    feats = extract_image_features(img_ref.limit(100), n_bins=8).toPandas()
+    assert len(feats) == 100
+    v = np.stack(feats["features"].to_numpy())
+    assert v.shape == (100, 5 + 8)
+    # histogram sums to 1, mean in [0, 255]
+    np.testing.assert_allclose(v[:, 5:].sum(axis=1), 1.0, atol=1e-5)
+    assert ((v[:, 0] >= 0) & (v[:, 0] <= 255)).all()
+
+
+def test_sample_video_frames_explodes_and_composes(spark):
+    from spark_validate.image import sample_video_frames, synth_video_payload
+
+    rows = [(f"v{i}", synth_video_payload(f"v{i}", n_frames=25)) for i in range(10)]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    frames = sample_video_frames(df, stride=10)
+    pdf = frames.toPandas()
+    # 25 frames, stride 10 → indices 0, 10, 20 per video
+    assert len(pdf) == 30
+    assert sorted(pdf[pdf.video_id == "v0"]["frame_idx"]) == [0, 10, 20]
+    assert (pdf["n_frames"] == 25).all()
+    # sampled frames compose with the image-side decode operators
+    img_like = frames.select(
+        F.col("frame_bytes").alias("bytes"),
+        F.concat_ws(":", "video_id", "frame_idx").alias("image_id"),
+        F.lit(16).alias("w"),
+        F.lit(16).alias("h"),
+    )
+    stats = decode_pixel_stats(img_like).toPandas()
+    assert stats["decode_ok"].all()
+    assert stats["px_mean"].notna().all()
+
+
+def test_sample_video_frames_unknown_container_raises(spark):
+    from spark_validate.image import sample_video_frames
+
+    df = spark.createDataFrame([("x", b"RIFFxxxxxxxxxxxx")], "video_id string, bytes binary")
+    with pytest.raises(Exception, match="NotImplementedError|SVV0|ffmpeg"):
+        sample_video_frames(df, stride=5).collect()

@@ -72,3 +72,57 @@ def test_streaming_violations_and_thresholds(spark, stream_dir):
     out2 = spark.sql("SELECT * FROM sv_alert").toPandas()
     assert "value__alert" in out2.columns
     assert out2["value__alert"].dtype == bool
+
+
+def test_running_group_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState: state persists ACROSS micro-batches — the
+    running stats after two single-file triggers equal the full-data stats."""
+    from spark_validate.streaming import running_group_stats
+
+    rng = np.random.default_rng(7)
+    parts = []
+    for i in range(2):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.date_range("2024-01-01", periods=500, freq="s"),
+                "value": rng.normal(5 + i, 1.5, 500),
+                "fmt": rng.choice(["jpeg", "png"], 500),
+            }
+        )
+        parts.append(pdf)
+        spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "in2"))
+    full = pd.concat(parts, ignore_index=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .parquet(str(tmp_path / "in2"))
+    )
+    stats = running_group_stats(stream, "fmt", "value")
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sv_running")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM sv_running").toPandas()
+    # update mode emits one row per (group, trigger); the LAST row per group
+    # carries the full running state
+    last = out.groupby("group").last()
+    assert int(last["n"].sum()) == len(full)
+    for g in ("jpeg", "png"):
+        want = full[full.fmt == g]["value"]
+        assert int(last.loc[g, "n"]) == len(want)
+        assert np.isclose(last.loc[g, "mean"], want.mean(), atol=1e-9)
+        assert np.isclose(last.loc[g, "std"], want.std(ddof=0), atol=1e-9)
+        assert np.isclose(last.loc[g, "min"], want.min())
+        assert np.isclose(last.loc[g, "max"], want.max())
+    # statefulness evidence: at least one group emitted in >1 trigger with
+    # growing n
+    multi = out.groupby("group")["n"].nunique()
+    assert (multi >= 2).any()
