@@ -581,6 +581,62 @@ def q_std_median_stats(spark, sf_dir):
     )
 
 
+def _with_rank_cols(ev: DataFrame) -> DataFrame:
+    """Three deterministic numeric columns with different alert propensities."""
+    return (
+        ev.withColumn("a1", F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1000)) / F.lit(1000.0))
+        .withColumn("a2", F.pmod(F.col("event_id") * F.lit(48271) + F.lit(12345), F.lit(3)).cast("double"))
+        .withColumn("a3", F.pmod(F.col("event_id"), F.lit(7)).cast("double"))
+    )
+
+
+def q_alert_rank(spark, sf_dir):
+    """AlertCountRanker (§2.10) over a real check pipeline: per-chunk avgs
+    with a constant threshold, alerts counted per column, ranked desc with
+    name-desc tie-break (ref ranker.py:186-191)."""
+    from spark_validate.calculators import ColumnStatsCalculator
+    from spark_validate.rankers import alert_count_rank
+    from spark_validate.thresholds import ConstantThreshold
+
+    ev = _with_rank_cols(_read(spark, sf_dir, "events"))
+    calc = ColumnStatsCalculator(
+        ["a1", "a2", "a3"],
+        metrics=("avg",),
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+        threshold=ConstantThreshold(upper=0.5),
+    )
+    calc.fit(ev)
+    res = calc.calculate(ev)
+    return alert_count_rank(res).orderBy("rank")
+
+
+def q_correlation_rank(spark, sf_dir):
+    """CorrelationRanker (§2.10): Pearson between each column's per-chunk
+    values and |accuracy − mean reference accuracy| (ref ranker.py:197-403)."""
+    from spark_validate.calculators import ColumnStatsCalculator
+    from spark_validate.performance.calculator import PerformanceCalculator
+    from spark_validate.rankers import CorrelationRanker
+    from spark_validate.thresholds import ConstantThreshold
+
+    ev = _with_model_cols(_with_rank_cols(_read(spark, sf_dir, "events")))
+    chunker = SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"])
+    drift = ColumnStatsCalculator(
+        ["a1", "a2", "a3"], metrics=("avg",), chunker=chunker, threshold=ConstantThreshold(upper=0.5)
+    )
+    drift.fit(ev)
+    drift_res = drift.calculate(ev)
+    perf = PerformanceCalculator(
+        metrics=("accuracy",), y_true="y_true", y_pred="y_pred", chunker=chunker
+    )
+    perf.fit(ev)
+    perf_res = perf.calculate(ev)
+    ranker = CorrelationRanker().fit(perf_res, metric="accuracy")
+    out = ranker.rank(drift_res, perf_res)
+    return out.select("rank", "column_name", F.round("pearsonr", 6).alias("pearsonr"), "n_alerts").orderBy(
+        "rank"
+    )
+
+
 # --- rows-only entries (no SQL-expressible oracle: fitted state / UDF paths) --
 
 
@@ -708,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
         "perf_multiclass": q_perf_multiclass,
+        "alert_rank": q_alert_rank,
+        "correlation_rank": q_correlation_rank,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
@@ -1294,6 +1352,52 @@ SELECT chunk_index, method, round(value, 9) AS value FROM (
   UNION ALL SELECT chunk_index, 'business_value', b FROM bv
   UNION ALL SELECT chunk_index, 'true_' || t || '_pred_' || p, c FROM dense
 ) ORDER BY chunk_index, method
+"""
+
+    _RANK_CTE = f"""
+m AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         ((event_id * 2654435761) % 1000) / 1000.0 AS a1,
+         CAST((event_id * 48271 + 12345) % 3 AS DOUBLE) AS a2,
+         CAST(event_id % 7 AS DOUBLE) AS a3,
+         CASE WHEN ((event_id * 1103515245 + 12345) % 1000) < ((event_id * 2654435761) % 1000)
+              THEN 1 ELSE 0 END AS y_true,
+         CASE WHEN ((event_id * 2654435761) % 1000) / 1000.0 > 0.5 THEN 1 ELSE 0 END AS y_pred
+  FROM events
+),
+avgs AS (SELECT chunk_index, avg(a1) AS a1, avg(a2) AS a2, avg(a3) AS a3 FROM m GROUP BY 1),
+long AS (
+  SELECT chunk_index, 'a1' AS column_name, a1 AS value FROM avgs
+  UNION ALL SELECT chunk_index, 'a2', a2 FROM avgs
+  UNION ALL SELECT chunk_index, 'a3', a3 FROM avgs
+)
+"""
+
+    sql["alert_rank"] = f"""
+WITH {_RANK_CTE},
+alerts AS (
+  SELECT column_name, CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts
+  FROM long GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_alerts DESC, column_name DESC) AS INT) AS rank,
+       n_alerts, column_name
+FROM alerts ORDER BY rank
+"""
+
+    sql["correlation_rank"] = f"""
+WITH {_RANK_CTE},
+acc AS (
+  SELECT chunk_index, avg(CASE WHEN y_true = y_pred THEN 1.0 ELSE 0.0 END) AS acc FROM m GROUP BY 1
+),
+perf AS (SELECT chunk_index, abs(acc - (SELECT avg(acc) FROM acc)) AS pc FROM acc),
+co AS (
+  SELECT l.column_name, corr(l.value, p.pc) AS pearsonr,
+         CAST(sum(CASE WHEN l.value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts
+  FROM long l JOIN perf p ON p.chunk_index = l.chunk_index GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY pearsonr DESC, column_name DESC) AS INT) AS rank,
+       column_name, round(pearsonr, 6) AS pearsonr, n_alerts
+FROM co ORDER BY rank
 """
 
     # Brute-force all-pairs cosine: exact ground truth for the LSH query's

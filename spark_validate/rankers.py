@@ -45,8 +45,15 @@ class CorrelationRanker:
             "chunk_key", F.abs(F.col("value") - F.lit(self._mean_ref_perf)).alias("_perf_change")
         )
         joined = drift_result.select("chunk_key", "column_name", "value", "alert").join(perf, "chunk_key")
+        # null-safe Pearson from population moments: Spark's corr aggregate
+        # throws DIVIDE_BY_ZERO under ANSI when either series is constant
+        # (zero variance); here that yields NULL and the column ranks last —
+        # matching scipy's nan for a constant input in the reference.
+        x, y = F.col("value"), F.col("_perf_change")
+        num = F.avg(x * y) - F.avg(x) * F.avg(y)
+        den = F.stddev_pop(x) * F.stddev_pop(y)
         agg = joined.groupBy("column_name").agg(
-            F.corr("value", "_perf_change").alias("pearsonr"),
+            F.when(den != 0, num / den).alias("pearsonr"),
             F.sum(F.col("alert").cast("int")).alias("n_alerts"),
         )
         if only_drifting:
