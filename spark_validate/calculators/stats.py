@@ -128,8 +128,8 @@ class ColumnStatsCalculator:
         order_col = "start_index" if has_idx else ("start_ts" if ts else CHUNK_KEY)
         # chunk_index windows over the tiny post-agg table; header columns ride
         # along into the melt so no headers join (and no second scan) is needed
-        wide = wide.withColumn(  # input is the per-chunk aggregate: ≤ #chunks rows
-            CHUNK_INDEX, F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(order_col)) - F.lit(1)
+        wide = wide.withColumn(  # single task by design: input is the per-chunk aggregate, ≤ #chunks rows
+            CHUNK_INDEX, F.row_number().over(Window.orderBy(order_col)) - F.lit(1)
         )
         pairs = []
         for c in self.column_names:

@@ -82,13 +82,14 @@ def with_row_index(
     # as the returned DataFrame becomes unreachable; and on executor loss the
     # job fails loudly instead of silently recomputing inconsistent offsets.
     part = part.localCheckpoint(eager=True)
-    counts = part.groupBy("_sv_pid").count()
-    w_off = Window.partitionBy(F.lit(0)).orderBy("_sv_pid").rowsBetween(  # ≤ n_parts rows
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "_sv_pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_sv_offset")
-    )
+    # Cumulative offsets driver-side (RDD.zipWithIndex's own approach): the
+    # counts job reads the checkpointed blocks and returns ≤ n_parts rows.
+    rows = sorted((r["_sv_pid"], r["count"]) for r in part.groupBy("_sv_pid").count().collect())
+    offs, acc = [], 0
+    for pid, cnt in rows:
+        offs.append((int(pid), acc))
+        acc += cnt
+    offsets = df.sparkSession.createDataFrame(offs or [(0, 0)], "_sv_pid int, _sv_offset long")
     w_local = Window.partitionBy("_sv_pid").orderBy(*[F.col(c) for c in order_by])
     out = (
         part.join(F.broadcast(offsets), "_sv_pid")
@@ -136,8 +137,11 @@ class Chunker:
             ]
         hdr = assigned.groupBy(CHUNK_KEY).agg(*aggs)
         order_col = "start_index" if has_idx else ("start_ts" if self.timestamp_column else CHUNK_KEY)
-        # header aggregate: ≤ #chunks rows — single task by design
-        w = Window.partitionBy(F.lit(0)).orderBy(order_col)
+        # header aggregate: ≤ #chunks rows — the unpartitioned window is a
+        # single task by design (Spark logs a WindowExec warning; it is
+        # harmless here and cannot be silenced: constant partition keys get
+        # constant-folded back to an empty partition spec)
+        w = Window.orderBy(order_col)
         return hdr.withColumn(CHUNK_INDEX, F.row_number().over(w) - F.lit(1)).select(
             CHUNK_KEY, CHUNK_INDEX, "start_index", "end_index", "start_ts", "end_ts", "n_rows"
         )

@@ -297,8 +297,14 @@ class DomainClassifierCalculator:
     threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(0.45, 0.65))
     reference_sample: int = 10_000
     cv_folds: int = 5
+    # 'gbdt' (default): numpy histogram-GBDT — same model family as the
+    # reference's LightGBM, catches nonlinear chunk-vs-reference drift.
+    # 'logreg': linear discriminator (cheaper, round-1 behavior).
+    model: str = "gbdt"
 
     def __post_init__(self):
+        if self.model not in ("gbdt", "logreg"):
+            raise ValueError(f"model must be gbdt|logreg, got {self.model!r}")
         self._ref_pdf: Optional[pd.DataFrame] = None
 
     def fit(self, reference: DataFrame) -> "DomainClassifierCalculator":
@@ -335,6 +341,7 @@ class DomainClassifierCalculator:
         cat_codes = self._cat_codes
         column_names = list(self.column_names)
         folds = self.cv_folds
+        model = self.model
 
         def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
             key = pdf[CHUNK_KEY].iloc[0]
@@ -351,6 +358,10 @@ class DomainClassifierCalculator:
             y = np.r_[np.zeros(len(X_ref)), np.ones(len(X_chunk))]
             if len(np.unique(y)) < 2:
                 auc = 0.5
+            elif model == "gbdt":
+                from spark_validate.functions.gbt import gbdt_cv_auc
+
+                auc = gbdt_cv_auc(X, y, folds=folds)
             else:
                 auc = _logreg_cv_auc(X, y, folds=folds)
             return pd.DataFrame({CHUNK_KEY: [key], "value": [auc]})

@@ -1,0 +1,167 @@
+"""Tiny histogram-based gradient-boosted trees (binary logloss), pure numpy.
+
+The reference's DomainClassifierCalculator trains LightGBM
+(`/root/reference/nannyml/drift/multivariate/domain_classifier/calculator.py:76-96`),
+which is not installed in this container. This is a deterministic, dependency-
+free stand-in with the same model family (second-order boosted depth-limited
+trees over feature-quantile histogram splits), so the discriminator can pick
+up NONLINEAR chunk-vs-reference drift that a logistic regression misses.
+
+Deliberately small: equi-depth bin candidates per feature, greedy gain splits
+with L2 leaf regularization and a Newton leaf step — the LightGBM objective
+math, none of its systems machinery. Per-chunk inputs here are ~10-20k rows ×
+a handful of features, so the O(rounds · depth · features · bins) cost is
+microseconds-to-milliseconds inside the Arrow worker.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+
+
+class _Node:
+    __slots__ = ("feature", "threshold", "left", "right", "value")
+
+    def __init__(self, value: float = 0.0):
+        self.feature: Optional[int] = None
+        self.threshold: float = 0.0
+        self.left: Optional["_Node"] = None
+        self.right: Optional["_Node"] = None
+        self.value: float = value
+
+
+def _leaf_value(g_sum: float, h_sum: float, lam: float) -> float:
+    return -g_sum / (h_sum + lam)
+
+
+def _best_split(
+    X: np.ndarray, g: np.ndarray, h: np.ndarray, cand: List[np.ndarray], lam: float, min_child: float
+) -> Optional[Tuple[int, float, float]]:
+    G, H = g.sum(), h.sum()
+    base = G * G / (H + lam)
+    best = None
+    best_gain = 1e-12
+    for f in range(X.shape[1]):
+        xf = X[:, f]
+        for thr in cand[f]:
+            mask = xf <= thr
+            HL = h[mask].sum()
+            HR = H - HL
+            if HL < min_child or HR < min_child:
+                continue
+            GL = g[mask].sum()
+            GR = G - GL
+            gain = GL * GL / (HL + lam) + GR * GR / (HR + lam) - base
+            if gain > best_gain:
+                best_gain = gain
+                best = (f, float(thr), gain)
+    return best
+
+
+def _fit_tree(
+    X: np.ndarray,
+    g: np.ndarray,
+    h: np.ndarray,
+    cand: List[np.ndarray],
+    depth: int,
+    lam: float,
+    min_child: float,
+) -> _Node:
+    node = _Node(_leaf_value(g.sum(), h.sum(), lam))
+    if depth <= 0 or len(g) < 2 * min_child:
+        return node
+    split = _best_split(X, g, h, cand, lam, min_child)
+    if split is None:
+        return node
+    f, thr, _ = split
+    mask = X[:, f] <= thr
+    node.feature, node.threshold = f, thr
+    node.left = _fit_tree(X[mask], g[mask], h[mask], cand, depth - 1, lam, min_child)
+    node.right = _fit_tree(X[~mask], g[~mask], h[~mask], cand, depth - 1, lam, min_child)
+    return node
+
+
+def _predict_tree(node: _Node, X: np.ndarray, out: np.ndarray, idx: np.ndarray) -> None:
+    if node.feature is None:
+        out[idx] += node.value
+        return
+    mask = X[idx, node.feature] <= node.threshold
+    _predict_tree(node.left, X, out, idx[mask])
+    _predict_tree(node.right, X, out, idx[~mask])
+
+
+def gbdt_train_scores(
+    X_tr: np.ndarray,
+    y_tr: np.ndarray,
+    X_va: np.ndarray,
+    n_rounds: int = 30,
+    learning_rate: float = 0.3,
+    max_depth: int = 3,
+    n_bins: int = 32,
+    lam: float = 1.0,
+    min_child: float = 5.0,
+) -> np.ndarray:
+    """Train on (X_tr, y_tr), return raw margin scores for X_va."""
+    p0 = min(max(float(y_tr.mean()), 1e-6), 1 - 1e-6)
+    f0 = float(np.log(p0 / (1 - p0)))
+    # equi-depth candidate thresholds per feature, computed once
+    cand = []
+    for f in range(X_tr.shape[1]):
+        qs = np.unique(np.quantile(X_tr[:, f], np.linspace(0.02, 0.98, n_bins)))
+        cand.append(qs)
+    pred_tr = np.full(len(y_tr), f0)
+    pred_va = np.full(len(X_va), f0)
+    for _ in range(n_rounds):
+        p = _sigmoid(pred_tr)
+        g = p - y_tr
+        h = p * (1 - p)
+        tree = _fit_tree(X_tr, g, h, cand, max_depth, lam, min_child)
+        delta_tr = np.zeros(len(y_tr))
+        _predict_tree(tree, X_tr, delta_tr, np.arange(len(y_tr)))
+        pred_tr += learning_rate * delta_tr
+        delta_va = np.zeros(len(X_va))
+        _predict_tree(tree, X_va, delta_va, np.arange(len(X_va)))
+        pred_va += learning_rate * delta_va
+    return pred_va
+
+
+def auc_from_scores(y: np.ndarray, s: np.ndarray) -> float:
+    """Mann-Whitney AUC with average ranks for ties."""
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s))
+    ss = s[order]
+    i, r = 0, 1
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and ss[j + 1] == ss[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (2 * r + (j - i)) / 2
+        r += j - i + 1
+        i = j + 1
+    n1 = y.sum()
+    n0 = len(y) - n1
+    if n1 == 0 or n0 == 0:
+        return 0.5
+    return float((ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0))
+
+
+def gbdt_cv_auc(X: np.ndarray, y: np.ndarray, folds: int = 5, seed: int = 16, **kw) -> float:
+    """Stratified k-fold CV AUROC of the numpy GBDT (mirrors the reference's
+    cross-validated LightGBM AUROC, calculator.py:420-424)."""
+    rng = np.random.default_rng(seed)
+    idx_pos = rng.permutation(np.where(y == 1)[0])
+    idx_neg = rng.permutation(np.where(y == 0)[0])
+    scores = np.zeros(len(y))
+    got = np.zeros(len(y), dtype=bool)
+    for f in range(folds):
+        test = np.concatenate([idx_pos[f::folds], idx_neg[f::folds]])
+        train = np.setdiff1d(np.arange(len(y)), test)
+        scores[test] = gbdt_train_scores(X[train], y[train], X[test], **kw)
+        got[test] = True
+    return auc_from_scores(y[got], scores[got])

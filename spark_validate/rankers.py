@@ -21,7 +21,7 @@ def alert_count_rank(result: DataFrame, only_drifting: bool = False) -> DataFram
     )
     if only_drifting:
         agg = agg.filter(F.col("n_alerts") > 0)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_alerts"), F.desc("column_name"))  # input ≤ #columns rows
+    w = Window.orderBy(F.desc("n_alerts"), F.desc("column_name"))  # single task: input ≤ #columns rows
     return agg.withColumn("rank", F.row_number().over(w)).select("rank", "n_alerts", "column_name")
 
 
@@ -58,7 +58,7 @@ class CorrelationRanker:
         )
         if only_drifting:
             agg = agg.filter(F.col("n_alerts") > 0)
-        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("pearsonr"), F.desc("column_name"))  # input ≤ #columns rows
+        w = Window.orderBy(F.desc("pearsonr"), F.desc("column_name"))  # single task: input ≤ #columns rows
         return agg.withColumn("rank", F.row_number().over(w)).select(
             "rank", "column_name", "pearsonr", "n_alerts"
         )

@@ -129,3 +129,36 @@ def test_pca_high_cardinality_categorical(spark):
     res = calc.calculate(sdf.filter("id >= 2000")).toPandas()
     assert res["value"].notna().all()
     assert (res["value"] >= 0).all()
+
+
+def test_domain_classifier_gbdt_catches_nonlinear_drift(spark):
+    """The numpy GBDT discriminator (LightGBM stand-in) detects xor-type
+    drift a linear model cannot; on an undrifted chunk it stays near 0.5."""
+    import numpy as np
+    import pandas as pd
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.drift.multivariate import DomainClassifierCalculator
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    ref = pd.DataFrame({"id": np.arange(n), "x": rng.standard_normal(n), "y": rng.standard_normal(n)})
+    # chunk 0: same distribution; chunk 1: xor-correlated (nonlinear) drift
+    a = pd.DataFrame({"id": np.arange(n, 2 * n), "x": rng.standard_normal(n), "y": rng.standard_normal(n)})
+    a.loc[a.index[n // 2:], "x"] = (
+        np.sign(a["y"].to_numpy()[n // 2:]) * np.abs(a["x"].to_numpy()[n // 2:])
+    )
+    calc = DomainClassifierCalculator(
+        ["x", "y"], chunker=SizeBasedChunker(chunk_size=n // 2, order_by=["id"]), reference_sample=3000
+    )
+    calc.fit(spark.createDataFrame(ref))
+    res = calc.calculate(spark.createDataFrame(a)).orderBy("chunk_index").toPandas()
+    assert abs(res["value"].iloc[0] - 0.5) < 0.06          # no drift → chance
+    assert res["value"].iloc[1] > 0.65                      # nonlinear drift caught
+    # linear model misses it — documents why gbdt is the default
+    lin = DomainClassifierCalculator(
+        ["x", "y"], chunker=SizeBasedChunker(chunk_size=n // 2, order_by=["id"]),
+        reference_sample=3000, model="logreg",
+    )
+    lin.fit(spark.createDataFrame(ref))
+    lres = lin.calculate(spark.createDataFrame(a)).orderBy("chunk_index").toPandas()
+    assert lres["value"].iloc[1] < 0.6
