@@ -721,6 +721,22 @@ def q_pca_reconstruction(spark, sf_dir):
     return res.select("chunk_index", F.round("value", 9).alias("reconstruction_error")).orderBy("chunk_index")
 
 
+def q_domain_classifier(spark, sf_dir):
+    """DomainClassifier multivariate drift (numpy GBDT discriminator — fitted
+    model state, not SQL-expressible): per-chunk CV AUROC vs reference."""
+    from spark_validate.drift.multivariate import DomainClassifierCalculator
+
+    li_ref, li_ana = _li_split(spark, sf_dir)
+    calc = DomainClassifierCalculator(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
+        chunker=_li_chunker(),
+        reference_sample=5000,
+    )
+    calc.fit(li_ref)
+    res = calc.calculate(li_ana)
+    return res.select("chunk_index", F.round("value", 9).alias("auroc")).orderBy("chunk_index")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets."""
     from spark_validate.sim import embedding_near_duplicates
@@ -773,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "cbpe_multiclass": q_cbpe_multiclass,
         "pca_reconstruction": q_pca_reconstruction,
+        "domain_classifier": q_domain_classifier,
     }
 
 

@@ -41,49 +41,68 @@ def _leaf_value(g_sum: float, h_sum: float, lam: float) -> float:
 
 
 def _best_split(
-    X: np.ndarray, g: np.ndarray, h: np.ndarray, cand: List[np.ndarray], lam: float, min_child: float
+    binned: np.ndarray,
+    g: np.ndarray,
+    h: np.ndarray,
+    idx: np.ndarray,
+    n_bins_per_f: List[int],
+    cand: List[np.ndarray],
+    lam: float,
+    min_child: float,
 ) -> Optional[Tuple[int, float, float]]:
-    G, H = g.sum(), h.sum()
+    """Vectorized histogram split search: per feature, bincount the gradient/
+    hessian into the prebuilt bins, cumulative-sum to get every candidate's
+    left totals at once (the LightGBM histogram trick)."""
+    gi, hi = g[idx], h[idx]
+    G, H = gi.sum(), hi.sum()
     base = G * G / (H + lam)
     best = None
     best_gain = 1e-12
-    for f in range(X.shape[1]):
-        xf = X[:, f]
-        for thr in cand[f]:
-            mask = xf <= thr
-            HL = h[mask].sum()
-            HR = H - HL
-            if HL < min_child or HR < min_child:
-                continue
-            GL = g[mask].sum()
-            GR = G - GL
-            gain = GL * GL / (HL + lam) + GR * GR / (HR + lam) - base
-            if gain > best_gain:
-                best_gain = gain
-                best = (f, float(thr), gain)
+    for f in range(binned.shape[1]):
+        nb = n_bins_per_f[f]
+        if nb == 0:
+            continue
+        bf = binned[idx, f]
+        gb = np.bincount(bf, weights=gi, minlength=nb + 1)
+        hb = np.bincount(bf, weights=hi, minlength=nb + 1)
+        GL = np.cumsum(gb)[:-1]  # left totals for "value <= cand[f][j]"
+        HL = np.cumsum(hb)[:-1]
+        GR = G - GL
+        HR = H - HL
+        ok = (HL >= min_child) & (HR >= min_child)
+        if not ok.any():
+            continue
+        gains = np.where(ok, GL * GL / (HL + lam) + GR * GR / (HR + lam) - base, -np.inf)
+        j = int(np.argmax(gains))
+        if gains[j] > best_gain:
+            best_gain = float(gains[j])
+            best = (f, float(cand[f][j]), best_gain)
     return best
 
 
 def _fit_tree(
     X: np.ndarray,
+    binned: np.ndarray,
     g: np.ndarray,
     h: np.ndarray,
+    idx: np.ndarray,
+    n_bins_per_f: List[int],
     cand: List[np.ndarray],
     depth: int,
     lam: float,
     min_child: float,
 ) -> _Node:
-    node = _Node(_leaf_value(g.sum(), h.sum(), lam))
-    if depth <= 0 or len(g) < 2 * min_child:
+    node = _Node(_leaf_value(g[idx].sum(), h[idx].sum(), lam))
+    if depth <= 0 or len(idx) < 2 * min_child:
         return node
-    split = _best_split(X, g, h, cand, lam, min_child)
+    split = _best_split(binned, g, h, idx, n_bins_per_f, cand, lam, min_child)
     if split is None:
         return node
     f, thr, _ = split
-    mask = X[:, f] <= thr
+    mask = X[idx, f] <= thr
     node.feature, node.threshold = f, thr
-    node.left = _fit_tree(X[mask], g[mask], h[mask], cand, depth - 1, lam, min_child)
-    node.right = _fit_tree(X[~mask], g[~mask], h[~mask], cand, depth - 1, lam, min_child)
+    node.left = _fit_tree(X, binned, g, h, idx[mask], n_bins_per_f, cand, depth - 1, lam, min_child)
+    node.right = _fit_tree(X, binned, g, h, idx[~mask], n_bins_per_f, cand, depth - 1, lam, min_child)
     return node
 
 
@@ -110,20 +129,24 @@ def gbdt_train_scores(
     """Train on (X_tr, y_tr), return raw margin scores for X_va."""
     p0 = min(max(float(y_tr.mean()), 1e-6), 1 - 1e-6)
     f0 = float(np.log(p0 / (1 - p0)))
-    # equi-depth candidate thresholds per feature, computed once
-    cand = []
+    # equi-depth candidate thresholds per feature + bin indices, computed ONCE
+    cand, cols = [], []
     for f in range(X_tr.shape[1]):
         qs = np.unique(np.quantile(X_tr[:, f], np.linspace(0.02, 0.98, n_bins)))
         cand.append(qs)
+        cols.append(np.searchsorted(qs, X_tr[:, f], side="left"))
+    binned = np.column_stack(cols) if cols else np.zeros((len(X_tr), 0), dtype=np.int64)
+    n_bins_per_f = [len(q) for q in cand]
+    all_idx = np.arange(len(y_tr))
     pred_tr = np.full(len(y_tr), f0)
     pred_va = np.full(len(X_va), f0)
     for _ in range(n_rounds):
         p = _sigmoid(pred_tr)
         g = p - y_tr
         h = p * (1 - p)
-        tree = _fit_tree(X_tr, g, h, cand, max_depth, lam, min_child)
+        tree = _fit_tree(X_tr, binned, g, h, all_idx, n_bins_per_f, cand, max_depth, lam, min_child)
         delta_tr = np.zeros(len(y_tr))
-        _predict_tree(tree, X_tr, delta_tr, np.arange(len(y_tr)))
+        _predict_tree(tree, X_tr, delta_tr, all_idx)
         pred_tr += learning_rate * delta_tr
         delta_va = np.zeros(len(X_va))
         _predict_tree(tree, X_va, delta_va, np.arange(len(X_va)))
