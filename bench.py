@@ -112,7 +112,7 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
     from spark_validate.checks import DomainCheck, ReferentialIntegrityCheck, UniquenessCheck
     from spark_validate.chunking import PartitionChunker
     from spark_validate.drift import UnivariateDriftCalculator
-    from spark_validate.image.payload import decode_pixel_stats, psnr_check
+    from spark_validate.image.payload import payload_checks
     from spark_validate.image.synth import FMTS
 
     ref, ana = build_image_tables(spark, n_rows, parts)
@@ -138,8 +138,9 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
         results.agg(F.count(F.lit(1)), F.sum(F.col("alert").cast("int"))).collect()
 
     def payload_pass():
-        decode_pixel_stats(ana).agg(F.avg("px_mean")).collect()
-        psnr_check(ana, ref).agg(F.sum((~F.col("passes")).cast("int"))).collect()
+        payload_checks(ana, ref).agg(
+            F.avg("px_mean"), F.sum((~F.col("passes")).cast("int"))
+        ).collect()
 
     # The scaling-graded region is the PAYLOAD pass — the per-image work the
     # images/sec headline measures. The relational suite's ~20 sub-second

@@ -123,6 +123,69 @@ def decode_pixel_stats(df: DataFrame, partitions: Optional[int] = None) -> DataF
     return src.mapInPandas(op, schema)
 
 
+def payload_checks(
+    analysis: DataFrame,
+    reference: DataFrame,
+    psnr_db_min: float = 40.0,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Fused payload pass: pixel stats AND PSNR-vs-reference equivalence in
+    ONE Arrow stage.
+
+    Running :func:`decode_pixel_stats` and :func:`psnr_check` separately
+    decodes every analysis payload twice (3 decodes per image incl. the
+    reference side); this fusion decodes each side exactly once — a 33%
+    decode-CPU cut on the dominant suite stage. LEFT join: images missing
+    from the reference still get pixel stats, with NULL psnr/passes (they are
+    the referential check's finding, not an equivalence failure).
+    """
+    n_parts = partitions or int(analysis.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = analysis.select(
+        "image_id", F.col("bytes").alias("bytes_a"), F.col("caption").alias("caption_a")
+    )
+    r = reference.select(
+        "image_id", F.col("bytes").alias("bytes_r"), F.col("caption").alias("caption_r")
+    )
+    joined = a.join(r, "image_id", "left").repartitionByRange(n_parts, "image_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, n_px, means, stds, psnrs, cap_eq, passes = [], [], [], [], [], [], []
+            for ba, br, ca, cr in zip(pdf["bytes_a"], pdf["bytes_r"], pdf["caption_a"], pdf["caption_r"]):
+                pa = _decode(ba)
+                ok.append(pa is not None)
+                n_px.append(len(pa) if pa is not None else 0)
+                means.append(float(pa.mean()) if pa is not None and len(pa) else float("nan"))
+                stds.append(float(pa.std()) if pa is not None and len(pa) else float("nan"))
+                if br is None:
+                    psnrs.append(None)
+                    cap_eq.append(None)
+                    passes.append(None)
+                else:
+                    p = _psnr(pa, _decode(br))
+                    psnrs.append(p)
+                    cap_eq.append(bool(ca == cr))
+                    passes.append(bool(p >= psnr_db_min and ca == cr))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "decode_ok": ok,
+                    "n_px_bytes": n_px,
+                    "px_mean": means,
+                    "px_std": stds,
+                    "psnr_db": psnrs,
+                    "caption_equal": cap_eq,
+                    "passes": passes,
+                }
+            )
+
+    schema = (
+        "image_id string, decode_ok boolean, n_px_bytes long, px_mean double, "
+        "px_std double, psnr_db double, caption_equal boolean, passes boolean"
+    )
+    return joined.mapInPandas(op, schema)
+
+
 def psnr_check(
     analysis: DataFrame,
     reference: DataFrame,

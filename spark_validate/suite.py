@@ -31,7 +31,7 @@ from spark_validate.calculators import ColumnStatsCalculator
 from spark_validate.checks import DomainCheck, ReferentialIntegrityCheck, UniquenessCheck
 from spark_validate.chunking import Chunker, PartitionChunker
 from spark_validate.drift import UnivariateDriftCalculator
-from spark_validate.image.payload import decode_pixel_stats, psnr_check
+from spark_validate.image.payload import payload_checks
 from spark_validate.image.synth import FMTS
 
 
@@ -98,10 +98,10 @@ class ImageValidationSuite:
         ).fit(self._with_phash_bucket(reference))
         out["drift_cat"] = drift_cat.calculate(self._with_phash_bucket(analysis))
 
-        # 6. payload checks (Arrow mapInPandas)
+        # 6. payload checks — ONE fused Arrow pass (pixel stats + PSNR
+        # equivalence; each side decoded exactly once)
         if self.include_payload_checks:
-            out["pixel_stats"] = decode_pixel_stats(analysis)
-            out["psnr"] = psnr_check(analysis, reference)
+            out["payload"] = payload_checks(analysis, reference)
         return out
 
     def run_and_collect(self, reference, analysis, manifest=None, broadcast_manifest=True) -> Dict[str, dict]:

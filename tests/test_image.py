@@ -157,3 +157,38 @@ def test_sample_video_frames_unknown_container_raises(spark):
     df = spark.createDataFrame([("x", b"RIFFxxxxxxxxxxxx")], "video_id string, bytes binary")
     with pytest.raises(Exception, match="NotImplementedError|SVV0|ffmpeg"):
         sample_video_frames(df, stride=5).collect()
+
+
+def test_fused_payload_checks(img_ref, img_ana, spark):
+    """payload_checks = pixel stats + PSNR in one pass; orphans (no reference
+    row) keep pixel stats but contribute NULL passes, not failures."""
+    from spark_validate.image.payload import payload_checks
+
+    fused = payload_checks(img_ana, img_ref).toPandas()
+    assert len(fused) == img_ana.count()  # left join: every analysis row
+    assert fused["decode_ok"].all()
+    # agreement with the separate operators (drop planted duplicate ids —
+    # a pandas index join would cross-match them)
+    f = fused.drop_duplicates("image_id", keep=False).set_index("image_id")
+    ps = (
+        decode_pixel_stats(img_ana)
+        .toPandas()
+        .drop_duplicates("image_id", keep=False)
+        .set_index("image_id")
+    )
+    joint = ps.join(f, lsuffix="_sep", how="inner")
+    assert len(joint) > 1500
+    assert np.allclose(joint["px_mean_sep"], joint["px_mean"], equal_nan=True)
+    sep = (
+        psnr_check(img_ana, img_ref)
+        .toPandas()
+        .drop_duplicates("image_id", keep=False)
+        .set_index("image_id")
+    )
+    both = sep.join(f, lsuffix="_sep", how="inner").dropna(subset=["psnr_db_sep"])
+    assert (both["passes_sep"] == both["passes"]).all()
+    # orphans: psnr null, pixel stats present
+    orphans = f[f["psnr_db"].isna()]
+    if len(orphans):
+        assert orphans["px_mean"].notna().all()
+        assert orphans["passes"].isna().all()
