@@ -1,9 +1,11 @@
 from spark_validate.image.synth import synth_image_table, reference_manifest
 from spark_validate.image.payload import decode_pixel_stats, psnr_check
 from spark_validate.image.transforms import (
+    decode_audio_stats,
     extract_image_features,
     resize_images,
     sample_video_frames,
+    synth_audio_payload,
     synth_video_payload,
 )
 
@@ -16,4 +18,6 @@ __all__ = [
     "extract_image_features",
     "sample_video_frames",
     "synth_video_payload",
+    "decode_audio_stats",
+    "synth_audio_payload",
 ]

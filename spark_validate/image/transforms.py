@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from spark_validate.image.payload import _HAS_PIL, _decode
 
 VIDEO_MAGIC = b"SVV0"
+AUDIO_MAGIC = b"SVA0"
 
 
 def _parts(df: DataFrame, partitions: Optional[int]) -> int:
@@ -135,6 +136,77 @@ def extract_image_features(
             yield pd.DataFrame({"image_id": ids, "features": feats})
 
     return src.mapInPandas(op, "image_id string, features array<float>")
+
+
+# ---------------------------------------------------------------------------
+# audio: opaque binary; decode → waveform statistics
+
+
+def synth_audio_payload(audio_id: str, n_samples: int = 4096, sample_rate: int = 16000) -> bytes:
+    """Deterministic fake audio: SVA0 header + content-derived int16 PCM."""
+    import hashlib
+
+    head = AUDIO_MAGIC + int(sample_rate).to_bytes(4, "big") + int(n_samples).to_bytes(4, "big")
+    seed = int.from_bytes(hashlib.sha256(audio_id.encode()).digest()[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pcm = (rng.standard_normal(n_samples) * 8000).astype("<i2")
+    return head + pcm.tobytes()
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    audio_col: str = "bytes",
+    id_col: str = "audio_id",
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Per-clip waveform statistics (duration, RMS, peak, clipping rate) from
+    opaque audio payloads — the audio analog of ``decode_pixel_stats``.
+
+    SVA0 (fake, deterministic) decodes to int16 PCM; any other container
+    raises ``NotImplementedError`` (soundfile/ffmpeg absent here). Plumbing —
+    range repartition, Arrow iterator, schema — is the scale-relevant part.
+    """
+    src = df.repartitionByRange(_parts(df, partitions), id_col).select(
+        F.col(id_col).alias("audio_id"), F.col(audio_col).alias("_a")
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srs, durs, rms, peak, clip = [], [], [], [], [], []
+            for aid, buf in zip(pdf["audio_id"], pdf["_a"]):
+                if buf is None or len(buf) < 12:
+                    continue
+                b = bytes(buf)
+                if b[:4] != AUDIO_MAGIC:
+                    raise NotImplementedError(
+                        "real audio decoding requires soundfile/ffmpeg, which is not "
+                        "installed; only the deterministic SVA0 container is supported here"
+                    )
+                sr = int.from_bytes(b[4:8], "big")
+                n = int.from_bytes(b[8:12], "big")
+                pcm = np.frombuffer(b, dtype="<i2", offset=12, count=min(n, (len(b) - 12) // 2))
+                x = pcm.astype(np.float64) / 32768.0
+                ids.append(aid)
+                srs.append(sr)
+                durs.append(len(x) / sr if sr else float("nan"))
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else float("nan"))
+                peak.append(float(np.abs(x).max()) if len(x) else float("nan"))
+                clip.append(float((np.abs(pcm) >= 32767).mean()) if len(pcm) else float("nan"))
+            yield pd.DataFrame(
+                {
+                    "audio_id": ids,
+                    "sample_rate": np.array(srs, dtype=np.int32),
+                    "duration_s": durs,
+                    "rms": rms,
+                    "peak": peak,
+                    "clipping_rate": clip,
+                }
+            )
+
+    return src.mapInPandas(
+        op,
+        "audio_id string, sample_rate int, duration_s double, rms double, peak double, clipping_rate double",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -192,3 +192,20 @@ def test_fused_payload_checks(img_ref, img_ana, spark):
     if len(orphans):
         assert orphans["px_mean"].notna().all()
         assert orphans["passes"].isna().all()
+
+
+def test_decode_audio_stats(spark):
+    from spark_validate.image import decode_audio_stats, synth_audio_payload
+
+    rows = [(f"a{i}", synth_audio_payload(f"a{i}", n_samples=8000, sample_rate=16000)) for i in range(20)]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    out = decode_audio_stats(df).toPandas()
+    assert len(out) == 20
+    assert (out["sample_rate"] == 16000).all()
+    assert np.allclose(out["duration_s"], 0.5)
+    assert ((out["rms"] > 0.1) & (out["rms"] < 0.5)).all()   # ~8000/32768 sigma
+    assert (out["clipping_rate"] < 0.01).all()
+    # unknown container raises
+    bad = spark.createDataFrame([("x", b"RIFFxxxxxxxxxxxx")], "audio_id string, bytes binary")
+    with pytest.raises(Exception, match="NotImplementedError|SVA0|soundfile"):
+        decode_audio_stats(bad).collect()
