@@ -784,8 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_rank": q_correlation_rank,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
-        # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "embedding_near_dups": q_embedding_near_dups,
+        # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "cbpe_multiclass": q_cbpe_multiclass,
         "pca_reconstruction": q_pca_reconstruction,

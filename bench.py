@@ -229,7 +229,10 @@ def main():
         # evidenced at 4 vs 16 cores by default (override via env)
         n_small = int(os.environ.get("BENCH_SCALING_N", str(max(CPUS // 8, 1))))
         n_big = n_small * 4
-        rows = int(os.environ.get("BENCH_SCALING_ROWS", "200000"))
+        # large enough that per-stage fixed costs (~5 s of stage launches at 16
+        # cores) stay <10% of the timed region after the payload fusion cut
+        # the per-row work by a third
+        rows = int(os.environ.get("BENCH_SCALING_ROWS", "400000"))
         trials = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
         # SAME input and job at N and 4N cores, each in a FRESH process/JVM
         # (the sandbox analog of two separate spark-submit runs); fitted state
