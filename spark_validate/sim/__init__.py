@@ -1,3 +1,8 @@
-from spark_validate.sim.ann import brute_force_topk, lsh_bucket_topk, embedding_near_duplicates
+from spark_validate.sim.ann import (
+    IVFIndex,
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucket_topk,
+)
 
-__all__ = ["brute_force_topk", "lsh_bucket_topk", "embedding_near_duplicates"]
+__all__ = ["brute_force_topk", "lsh_bucket_topk", "embedding_near_duplicates", "IVFIndex"]

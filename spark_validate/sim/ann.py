@@ -177,3 +177,99 @@ def embedding_near_duplicates(
     return j.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the k-means scale path alongside hyperplane LSH
+
+
+class IVFIndex:
+    """IVF-flat ANN: a k-means coarse quantizer fit on a seeded driver sample
+    partitions the corpus into ``n_lists`` inverted lists; a query scans only
+    its ``n_probe`` nearest lists with exact cosine.
+
+    Spark shape: the quantizer (n_lists × dim centroids, a few KB) is the
+    only fitted state — broadcast into a JVM argmin expression that assigns
+    every vector a ``_list`` id. At scale the corpus is written partitioned
+    by ``_list``, so a probe is a partition-pruned scan (same storage story
+    as the LSH `_sig` column); here the pruning is a filter.
+
+    Deterministic: seeded sample, seeded k-means++-style init, fixed
+    iteration count.
+    """
+
+    def __init__(self, n_lists: int = 16, n_probe: int = 2, sample: int = 100_000, seed: int = 42):
+        self.n_lists = n_lists
+        self.n_probe = n_probe
+        self.sample = sample
+        self.seed = seed
+        self.centroids: Optional[np.ndarray] = None
+
+    # -- fit: driver-side k-means on a normalized sample -----------------------
+
+    def fit(self, df: DataFrame, vec_col: str = "embedding") -> "IVFIndex":
+        n = df.count()
+        frac = min(1.0, self.sample / max(n, 1))
+        pdf = df.select(vec_col).sample(fraction=frac, seed=self.seed).toPandas()
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(self.seed)
+        k = min(self.n_lists, len(X))
+        # k-means++ init
+        cent = [X[rng.integers(len(X))]]
+        for _ in range(1, k):
+            d2 = np.min([((X - c) ** 2).sum(axis=1) for c in cent], axis=0)
+            p = d2 / max(d2.sum(), 1e-12)
+            cent.append(X[rng.choice(len(X), p=p)])
+        C = np.stack(cent)
+        for _ in range(15):  # Lloyd iterations, spherical update
+            assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized data
+            for j in range(k):
+                m = X[assign == j]
+                if len(m):
+                    c = m.mean(axis=0)
+                    C[j] = c / max(np.linalg.norm(c), 1e-12)
+        self.centroids = C
+        return self
+
+    # -- assignment: JVM argmax over centroid dot products ---------------------
+
+    def _list_expr(self, vec_col: str):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        vn = F.greatest(_norm(v), F.lit(1e-12))
+        sims = F.array(
+            *[
+                _dot(v, F.array(*[F.lit(float(x)) for x in c])) / vn
+                for c in self.centroids
+            ]
+        )
+        # argmax via array_position(max) — 1-based → 0-based list id
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    def with_list_ids(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Assign each vector its inverted-list id (write-partitionable)."""
+        if self.centroids is None:
+            raise RuntimeError("fit first")
+        return df.withColumn("_list", self._list_expr(vec_col))
+
+    def topk(
+        self,
+        df: DataFrame,
+        query: Sequence[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Exact cosine top-k within the query's ``n_probe`` nearest lists."""
+        if self.centroids is None:
+            raise RuntimeError("fit first")
+        q = np.asarray(query, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        probe = np.argsort(-(self.centroids @ qn))[: self.n_probe].tolist()
+        cand = self.with_list_ids(df, vec_col).filter(F.col("_list").isin([int(x) for x in probe]))
+        sim = cosine_expr(vec_col, query)
+        return (
+            cand.select(F.col(id_col).alias("id"), sim.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("id"))
+            .limit(k)
+        )

@@ -163,3 +163,36 @@ def test_embedding_near_duplicates_dense_cluster_bounded(spark):
     # uncapped, the identical cluster alone would emit ~2e6 pairs
     assert len(nd) < 1000
     assert not any(a < 2000 and b < 2000 for a, b in got)
+
+
+def test_ivf_index_recall_and_pruning(spark, embeddings):
+    """IVF: k-means lists prune the scan; probing a few lists recovers most
+    of the exact top-k; probing ALL lists recovers it exactly."""
+    from spark_validate.sim import IVFIndex, brute_force_topk
+
+    pdf = embeddings.toPandas()
+    q = list(map(float, np.stack(pdf["embedding"].to_numpy())[3]))
+    exact = list(brute_force_topk(embeddings, q, k=10).toPandas()["id"])
+
+    ivf = IVFIndex(n_lists=8, n_probe=3, seed=42).fit(embeddings)
+    got = set(ivf.topk(embeddings, q, k=10).toPandas()["id"])
+    assert len(set(exact) & got) >= 6  # decent recall at 3/8 lists
+
+    # pruning is real: candidate set < corpus
+    n_cand = ivf.with_list_ids(embeddings).filter(
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("_list").isin(
+            [int(x) for x in range(3)]
+        )
+    ).count()
+    assert n_cand < embeddings.count()
+
+    # probing every list == exact brute force
+    ivf_all = IVFIndex(n_lists=8, n_probe=8, seed=42)
+    ivf_all.centroids = ivf.centroids
+    full = list(ivf_all.topk(embeddings, q, k=10).toPandas()["id"])
+    assert full == exact
+
+    # assignment is deterministic and covers all rows
+    lists = ivf.with_list_ids(embeddings).groupBy("_list").count().toPandas()
+    assert lists["count"].sum() == embeddings.count()
+    assert lists["_list"].between(0, 7).all()
