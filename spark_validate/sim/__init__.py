@@ -2,7 +2,16 @@ from spark_validate.sim.ann import (
     IVFIndex,
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_probe_topk,
     lsh_bucket_topk,
+    write_ivf_partitioned,
 )
 
-__all__ = ["brute_force_topk", "lsh_bucket_topk", "embedding_near_duplicates", "IVFIndex"]
+__all__ = [
+    "brute_force_topk",
+    "lsh_bucket_topk",
+    "embedding_near_duplicates",
+    "IVFIndex",
+    "write_ivf_partitioned",
+    "ivf_probe_topk",
+]

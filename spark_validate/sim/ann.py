@@ -273,3 +273,42 @@ class IVFIndex:
             .orderBy(F.desc("cosine"), F.asc("id"))
             .limit(k)
         )
+
+
+def write_ivf_partitioned(
+    index: "IVFIndex",
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus partitioned by inverted list — the storage
+    layout that makes a probe a partition-PRUNED scan (only ``n_probe``
+    directories are read; Iceberg/Hive partition pruning at scale)."""
+    index.with_list_ids(df, vec_col).write.mode(mode).partitionBy("_list").parquet(path)
+
+
+def ivf_probe_topk(
+    index: "IVFIndex",
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over an IVF-partitioned corpus: the `_list IN (probe…)` filter
+    is a partition filter on the parquet layout, so only the probed lists'
+    files are scanned."""
+    if index.centroids is None:
+        raise RuntimeError("fit first")
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = [int(x) for x in np.argsort(-(index.centroids @ qn))[: index.n_probe]]
+    cand = spark.read.parquet(path).filter(F.col("_list").isin(probe))
+    sim = cosine_expr(vec_col, query)
+    return (
+        cand.select(F.col(id_col).alias("id"), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -16,7 +16,7 @@ maintained instead of recomputed.
 from __future__ import annotations
 
 import math
-from typing import Any, Iterator, Tuple
+from typing import Any, Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -51,6 +51,7 @@ def running_group_stats(
     stream: DataFrame,
     group_col: str,
     value_col: str,
+    ttl_ms: Optional[int] = None,
 ) -> DataFrame:
     """Exact running (count, mean, std, min, max) per group across ALL
     micro-batches seen so far.
@@ -58,11 +59,38 @@ def running_group_stats(
     State per group is five scalars — O(#groups) total, the only state shape
     that survives unbounded streams. Rows with null group/value are dropped
     (consistent with the batch calculators' NaN removal).
+
+    ``ttl_ms`` bounds state for unbounded KEY spaces (per-source-file ids,
+    session keys, …): a group idle longer than the TTL is evicted via
+    ``ProcessingTimeTimeout`` — its final stats row is emitted once more,
+    then its five scalars are dropped. Without a TTL, state is O(#groups)
+    forever (fine for closed key sets like formats/partitions).
     """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
 
     def fn(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # final emission for the evicted group, then drop its state
+            n, mean, m2, mn, mx = state.get
+            state.remove()
+            if n > 0:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "group": str(key[0]),
+                            "n": n,
+                            "mean": mean,
+                            "std": math.sqrt(m2 / n),
+                            "min": mn,
+                            "max": mx,
+                        }
+                    ]
+                )
+            return
         if state.exists:
             n, mean, m2, mn, mx = state.get
         else:
@@ -71,6 +99,8 @@ def running_group_stats(
             v = pd.to_numeric(pdf[value_col], errors="coerce").dropna().to_numpy(np.float64)
             n, mean, m2, mn, mx = _merge(n, mean, m2, mn, mx, v)
         state.update((n, mean, m2, mn, mx))
+        if ttl_ms:
+            state.setTimeoutDuration(int(ttl_ms))
         if n == 0:
             return
         yield pd.DataFrame(
@@ -90,5 +120,5 @@ def running_group_stats(
         stream[group_col].cast("string").alias("_g"), stream[value_col].alias(value_col)
     )
     return src.groupBy("_g").applyInPandasWithState(
-        fn, _OUT_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        fn, _OUT_SCHEMA, _STATE_SCHEMA, "update", timeout
     )

@@ -196,3 +196,26 @@ def test_ivf_index_recall_and_pruning(spark, embeddings):
     lists = ivf.with_list_ids(embeddings).groupBy("_list").count().toPandas()
     assert lists["count"].sum() == embeddings.count()
     assert lists["_list"].between(0, 7).all()
+
+
+def test_ivf_partitioned_probe_prunes_scan(spark, embeddings, tmp_path):
+    """Writing by _list makes the probe a partition-PRUNED scan: the physical
+    plan carries a PartitionFilters entry on _list and reads only the probed
+    directories."""
+    from spark_validate.sim import IVFIndex, brute_force_topk, ivf_probe_topk, write_ivf_partitioned
+
+    ivf = IVFIndex(n_lists=8, n_probe=8, seed=42).fit(embeddings)
+    path = str(tmp_path / "ivf")
+    write_ivf_partitioned(ivf, embeddings, path)
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("_list=")]
+    assert len(dirs) >= 4  # corpus actually spread over lists
+
+    pdf = embeddings.toPandas()
+    q = list(map(float, np.stack(pdf["embedding"].to_numpy())[3]))
+    out = ivf_probe_topk(ivf, spark, path, q, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan
+    # full probe == exact brute force, through the partitioned layout
+    assert list(out.toPandas()["id"]) == list(brute_force_topk(embeddings, q, k=10).toPandas()["id"])
