@@ -13,9 +13,10 @@ Index-based chunkers need a global row index. Two strategies:
 
 * ``sort`` — ``row_number()`` over a global window. Exact, but the final sort
   collapses to a single task: only for ≲10M-row inputs (tests, small tiers).
-* ``scalable`` — ``repartitionByRange(order_by)`` then per-partition
-  ``row_number`` + broadcast cumulative partition offsets. All-parallel; the
-  per-partition counts are one tiny extra job over the cached partitioning.
+* ``scalable`` — value-deterministic buckets (broadcast boundary keys from a
+  seeded sample) + per-bucket ``row_number`` + broadcast cumulative offsets.
+  All-parallel, nothing materialized, and recompute-safe: the bucket is a
+  pure function of the order-key value, not of any physical partitioning.
   This is the 10^12-row path; for real deployments, prefer
   :class:`PeriodBasedChunker` / :class:`PartitionChunker`, which need no
   global index at all.
@@ -68,33 +69,53 @@ def with_row_index(
     if strategy != "scalable":
         raise ValueError(f"unknown row-index strategy {strategy!r}")
 
-    n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = df.repartitionByRange(int(n_parts), *[F.col(c) for c in order_by])
-    part = ranged.withColumn("_sv_pid", F.spark_partition_id())
-    # The counting job and the indexing job MUST see identical partition ids,
-    # but recomputation of a range shuffle is not guaranteed stable (sampling
-    # and AQE re-planning can move the bounds between jobs — observed to
-    # mis-assign whole chunks). An eager localCheckpoint pins the partitioning
-    # by materializing it once: both jobs read the same blocks. Unlike
-    # Dataset.persist (held strongly by the CacheManager until an explicit
-    # unpersist — a leak when the consumer materializes long after this helper
-    # returns), checkpoint blocks are released by the ContextCleaner as soon
-    # as the returned DataFrame becomes unreachable; and on executor loss the
-    # job fails loudly instead of silently recomputing inconsistent offsets.
-    part = part.localCheckpoint(eager=True)
-    # Cumulative offsets driver-side (RDD.zipWithIndex's own approach): the
-    # counts job reads the checkpointed blocks and returns ≤ n_parts rows.
-    rows = sorted((r["_sv_pid"], r["count"]) for r in part.groupBy("_sv_pid").count().collect())
+    # VALUE-deterministic bucketing — the 10^12-row design. Early versions
+    # used repartitionByRange + spark_partition_id, but partition ids are a
+    # property of one physical execution: recomputation moved range bounds
+    # between the counting job and the indexing job (observed mis-assigning
+    # whole chunks), and pinning them required materializing the ENTIRE input
+    # (persist/localCheckpoint — catastrophic at scale). Instead the bucket is
+    # a pure function of the ORDER-KEY VALUE against a broadcast boundary
+    # list: every recompute agrees by construction, nothing is materialized,
+    # and the whole index costs two passes (a count-only aggregate + the
+    # windowed pass the caller was paying anyway).
+    n_parts = int(num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    key = F.struct(*[F.col(c) for c in order_by])
+    # 1. boundary keys from a seeded sample (driver-side, tiny)
+    n = df.count()
+    sample_target = max(n_parts * 200, 10_000)
+    frac = min(1.0, sample_target / max(n, 1))
+    sample = [
+        tuple(r)
+        for r in df.select(*order_by).sample(fraction=frac, seed=42).collect()
+    ]
+    sample.sort()
+    bnds = []
+    if sample and n_parts > 1:
+        step = len(sample) / n_parts
+        bnds = [sample[int(i * step)] for i in range(1, n_parts)]
+        bnds = sorted(set(bnds))
+    # bucket id = number of boundaries strictly below the key (monotone in key)
+    bucket = F.lit(0)
+    for b in bnds:
+        blit = F.struct(*[F.lit(v).alias(c) for v, c in zip(b, order_by)])
+        bucket = bucket + (key > blit).cast("int")
+    bucketed = df.withColumn("_sv_bkt", bucket)
+    # 2. per-bucket counts → driver cumulative offsets (≤ n_parts rows)
+    rows = sorted(
+        (r["_sv_bkt"], r["count"]) for r in bucketed.groupBy("_sv_bkt").count().collect()
+    )
     offs, acc = [], 0
-    for pid, cnt in rows:
-        offs.append((int(pid), acc))
+    for bid, cnt in rows:
+        offs.append((int(bid), acc))
         acc += cnt
-    offsets = df.sparkSession.createDataFrame(offs or [(0, 0)], "_sv_pid int, _sv_offset long")
-    w_local = Window.partitionBy("_sv_pid").orderBy(*[F.col(c) for c in order_by])
+    offsets = df.sparkSession.createDataFrame(offs or [(0, 0)], "_sv_bkt int, _sv_offset long")
+    # 3. per-bucket ranks + broadcast offsets
+    w_local = Window.partitionBy("_sv_bkt").orderBy(*[F.col(c) for c in order_by])
     out = (
-        part.join(F.broadcast(offsets), "_sv_pid")
+        bucketed.join(F.broadcast(offsets), "_sv_bkt")
         .withColumn(ROW_INDEX, F.row_number().over(w_local) - F.lit(1) + F.col("_sv_offset"))
-        .drop("_sv_pid", "_sv_offset")
+        .drop("_sv_bkt", "_sv_offset")
     )
     return out
 
