@@ -88,6 +88,7 @@ def with_row_index(
     sample = [
         tuple(r)
         for r in df.select(*order_by).sample(fraction=frac, seed=42).collect()
+        if all(v is not None for v in r)  # null keys sort into bucket 0 below
     ]
     sample.sort()
     bnds = []
@@ -95,11 +96,15 @@ def with_row_index(
         step = len(sample) / n_parts
         bnds = [sample[int(i * step)] for i in range(1, n_parts)]
         bnds = sorted(set(bnds))
-    # bucket id = number of boundaries strictly below the key (monotone in key)
+    # bucket id = number of boundaries strictly below the key (monotone in
+    # key). NULL order keys would make the comparison NULL and the offsets
+    # join would silently drop those rows — coalesce them into bucket 0,
+    # where the window's default nulls-first ordering ranks them lowest
+    # (matching the range partitioner's nulls-first behavior they replace).
     bucket = F.lit(0)
     for b in bnds:
         blit = F.struct(*[F.lit(v).alias(c) for v, c in zip(b, order_by)])
-        bucket = bucket + (key > blit).cast("int")
+        bucket = bucket + F.coalesce((key > blit).cast("int"), F.lit(0))
     bucketed = df.withColumn("_sv_bkt", bucket)
     # 2. per-bucket counts → driver cumulative offsets (≤ n_parts rows)
     rows = sorted(

@@ -133,3 +133,20 @@ def test_period_chunker_anchored_week_matches_pandas(spark):
         got = {r.ts: r.chunk_key for r in ch.assign(sdf).collect()}
         for t in dates:
             assert got[t] == str(pd.Period(t, freq=anchor)), (anchor, t)
+
+
+def test_row_index_null_keys_not_dropped(spark):
+    """NULL order keys must not be silently dropped by the value-bucketed
+    index — they rank first (nulls-first, like the range partitioner)."""
+    import pandas as pd
+    from spark_validate.chunking import ROW_INDEX, with_row_index
+
+    pdf = pd.DataFrame({"k": [5.0, None, 1.0, 3.0, None, 2.0], "v": list("abcdef")})
+    sdf = spark.createDataFrame(pdf)
+    out = with_row_index(sdf, ["k"], strategy="scalable", num_partitions=4).toPandas()
+    assert len(out) == 6  # nothing dropped
+    assert sorted(out[ROW_INDEX]) == list(range(6))
+    # nulls first, then ascending keys
+    ordered = out.sort_values(ROW_INDEX)
+    assert ordered["k"].iloc[:2].isna().all()
+    assert list(ordered["k"].iloc[2:]) == [1.0, 2.0, 3.0, 5.0]
