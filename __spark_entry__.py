@@ -165,14 +165,20 @@ def q_range_check(spark, sf_dir):
 
 
 def q_range_violations(spark, sf_dir):
-    """Exploded violation rows (north rule) for the range check."""
+    """Exploded violation rows (north rule) for the range check.
+
+    The analysis price is deterministically inflated 1.5× on ~0.1% of rows
+    (l_orderkey % 997 == 0) so the violation stream is non-empty: those rows
+    exceed the reference-fitted max."""
     ref, ana = _li_split(spark, sf_dir)
     calc = NumericalRangeCalculator(["l_extendedprice"], chunker=_li_chunker()).fit(ref)
     lo, hi = calc._ranges["l_extendedprice"]
+    bump = F.when(F.pmod(F.col("l_orderkey"), F.lit(997)) == 0, F.lit(1.5)).otherwise(F.lit(1.0))
+    ana = ana.withColumn("l_extendedprice", F.col("l_extendedprice") * bump)
     v = F.col("l_extendedprice")
     return (
         ana.filter((v < F.lit(lo)) | (v > F.lit(hi)))
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", F.round(v, 6).alias("l_extendedprice"))
         .orderBy("l_orderkey", "l_linenumber")
     )
 
@@ -206,8 +212,15 @@ def q_uniqueness(spark, sf_dir):
 
 
 def q_referential_orphans(spark, sf_dir):
-    """Left-anti referential check (north rule): customers with no orders."""
+    """Left-anti referential check (north rule): customers with no orders.
+
+    Five planted customers with shifted keys (+10M) guarantee orphans exist
+    whatever the natural key coverage at this scale."""
     cust = _read(spark, sf_dir, "customer")
+    planted = cust.filter(F.col("c_custkey") < 5).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+    )
+    cust = cust.unionByName(planted)
     orders = _read(spark, sf_dir, "orders")
     chk = ReferentialIntegrityCheck(
         column="c_custkey", manifest=orders, manifest_column="o_custkey", broadcast_manifest=False
@@ -510,11 +523,17 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact duplicate groups over documents (md5 grouping)."""
+    """Exact duplicate groups over documents (md5 grouping).
+
+    Five planted exact copies (doc_id+100000) keep the output non-empty —
+    the testdata's duplicates are near- rather than exact."""
     from spark_validate.text import exact_duplicates
 
     docs = _read(spark, sf_dir, "documents")
-    d = exact_duplicates(docs)
+    planted = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    d = exact_duplicates(docs.unionByName(planted))
     return d.select("fp", "dup_count", F.array_join("ids", ",").alias("ids")).orderBy("fp")
 
 
@@ -738,11 +757,19 @@ def q_domain_classifier(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets."""
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    The corpus gets 10 planted exact-duplicate vectors (vec_id+100000) so the
+    oracle is non-trivial: identical vectors share every band signature, so
+    LSH recall on them is certain; the brute-force oracle sees the same
+    pairs. (The natural testdata has no pairs above the 0.9 threshold.)
+    """
     from spark_validate.sim import embedding_near_duplicates
 
     emb = _read(spark, sf_dir, "embeddings")
-    nd = embedding_near_duplicates(emb, threshold=0.9, n_bands=8, rows_per_band=4)
+    planted = emb.filter(F.col("vec_id") < 10).withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    corpus = emb.unionByName(planted)
+    nd = embedding_near_duplicates(corpus, threshold=0.9, n_bands=8, rows_per_band=4)
     return nd.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
 
 
@@ -942,10 +969,14 @@ FROM ana, bounds GROUP BY chunk_index ORDER BY chunk_index
 
     sql["range_violations"] = f"""
 WITH bounds AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
-                FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}')
-SELECT l_orderkey, l_linenumber, l_extendedprice
-FROM lineitem, bounds
-WHERE l_shipdate >= TIMESTAMP '{LI_CUT}' AND (l_extendedprice < lo OR l_extendedprice > hi)
+                FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}'),
+ana AS (
+  SELECT l_orderkey, l_linenumber,
+         l_extendedprice * CASE WHEN l_orderkey % 997 = 0 THEN 1.5 ELSE 1.0 END AS v
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '{LI_CUT}'
+)
+SELECT l_orderkey, l_linenumber, round(v, 6) AS l_extendedprice
+FROM ana, bounds WHERE v < lo OR v > hi
 ORDER BY l_orderkey, l_linenumber
 """
 
@@ -976,7 +1007,11 @@ FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2
 """
 
     sql["referential_orphans"] = """
-SELECT c_custkey FROM customer
+WITH cust AS (
+  SELECT c_custkey FROM customer
+  UNION ALL SELECT c_custkey + 10000000 FROM customer WHERE c_custkey < 5
+)
+SELECT c_custkey FROM cust
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER BY c_custkey
 """
@@ -1216,9 +1251,13 @@ SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
     sql["dedup_exact"] = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5
+)
 SELECT md5(text) AS fp, count(*) AS dup_count,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
-FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
+FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
 """
 
     # Brute-force shingle Jaccard (k=6 word shingles, distinct): the LSH query
@@ -1417,18 +1456,22 @@ SELECT CAST(row_number() OVER (ORDER BY pearsonr DESC, column_name DESC) AS INT)
 FROM co ORDER BY rank
 """
 
-    # Brute-force all-pairs cosine: exact ground truth for the LSH query's
-    # verify stage. The testdata embeddings contain no pairs above the 0.9
-    # threshold (checked down to 0.8), so this primarily guards against LSH
-    # false positives; recall on planted near-dups is covered by
-    # tests/test_text_sim.py.
+    # Brute-force all-pairs cosine over the corpus + 10 planted exact
+    # duplicates: the ground truth the LSH query must reproduce. Identical
+    # vectors share every band signature (LSH recall certain); the natural
+    # testdata has no pairs above 0.9 (checked down to 0.8), so false
+    # positives are guarded too.
     sql["embedding_near_dups"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 10
+),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.v, b.v)
            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.9 ORDER BY id_a, id_b
 """
