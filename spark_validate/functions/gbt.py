@@ -1,11 +1,14 @@
-"""Tiny histogram-based gradient-boosted trees (binary logloss), pure numpy.
+"""Tiny histogram-based gradient-boosted trees (binary logloss + L2), numpy.
 
 The reference's DomainClassifierCalculator trains LightGBM
 (`/root/reference/nannyml/drift/multivariate/domain_classifier/calculator.py:76-96`),
-which is not installed in this container. This is a deterministic, dependency-
-free stand-in with the same model family (second-order boosted depth-limited
-trees over feature-quantile histogram splits), so the discriminator can pick
-up NONLINEAR chunk-vs-reference drift that a logistic regression misses.
+and its DLE loss models are LightGBM regressors
+(`/root/reference/nannyml/performance_estimation/direct_loss_estimation/dle.py:436-447`);
+LightGBM is not installed in this container. This is a deterministic,
+dependency-free stand-in with the same model family (second-order boosted
+depth-limited trees over feature-quantile histogram splits), so the
+discriminator can pick up NONLINEAR chunk-vs-reference drift that a logistic
+regression misses, and DLE can learn nonlinear loss surfaces a ridge cannot.
 
 Deliberately small: equi-depth bin candidates per feature, greedy gain splits
 with L2 leaf regularization and a Newton leaf step — the LightGBM objective
@@ -115,6 +118,17 @@ def _predict_tree(node: _Node, X: np.ndarray, out: np.ndarray, idx: np.ndarray) 
     _predict_tree(node.right, X, out, idx[~mask])
 
 
+def _make_bins(X_tr: np.ndarray, n_bins: int):
+    """Equi-depth candidate thresholds per feature + bin indices, computed ONCE."""
+    cand, cols = [], []
+    for f in range(X_tr.shape[1]):
+        qs = np.unique(np.quantile(X_tr[:, f], np.linspace(0.02, 0.98, n_bins)))
+        cand.append(qs)
+        cols.append(np.searchsorted(qs, X_tr[:, f], side="left"))
+    binned = np.column_stack(cols) if cols else np.zeros((len(X_tr), 0), dtype=np.int64)
+    return cand, binned, [len(q) for q in cand]
+
+
 def gbdt_train_scores(
     X_tr: np.ndarray,
     y_tr: np.ndarray,
@@ -129,14 +143,7 @@ def gbdt_train_scores(
     """Train on (X_tr, y_tr), return raw margin scores for X_va."""
     p0 = min(max(float(y_tr.mean()), 1e-6), 1 - 1e-6)
     f0 = float(np.log(p0 / (1 - p0)))
-    # equi-depth candidate thresholds per feature + bin indices, computed ONCE
-    cand, cols = [], []
-    for f in range(X_tr.shape[1]):
-        qs = np.unique(np.quantile(X_tr[:, f], np.linspace(0.02, 0.98, n_bins)))
-        cand.append(qs)
-        cols.append(np.searchsorted(qs, X_tr[:, f], side="left"))
-    binned = np.column_stack(cols) if cols else np.zeros((len(X_tr), 0), dtype=np.int64)
-    n_bins_per_f = [len(q) for q in cand]
+    cand, binned, n_bins_per_f = _make_bins(X_tr, n_bins)
     all_idx = np.arange(len(y_tr))
     pred_tr = np.full(len(y_tr), f0)
     pred_va = np.full(len(X_va), f0)
@@ -152,6 +159,98 @@ def gbdt_train_scores(
         _predict_tree(tree, X_va, delta_va, np.arange(len(X_va)))
         pred_va += learning_rate * delta_va
     return pred_va
+
+
+class GBTRegressor:
+    """Histogram GBDT with squared loss — the L2 objective gives g = pred − y,
+    h = 1, so the Newton leaf step is exactly the regularized mean residual.
+    Same split machinery as the classifier above (the reference's DLE trains
+    LightGBM *regressors* on per-row losses, dle.py:436-447). Deterministic;
+    plain-numpy nodes, picklable for Spark broadcast; `state()` round-trips
+    through JSON for the fitted-state store."""
+
+    def __init__(
+        self,
+        n_rounds: int = 60,
+        learning_rate: float = 0.15,
+        max_depth: int = 4,
+        n_bins: int = 32,
+        lam: float = 1.0,
+        min_child: float = 5.0,
+    ):
+        self.n_rounds = n_rounds
+        self.learning_rate = learning_rate
+        self.max_depth = max_depth
+        self.n_bins = n_bins
+        self.lam = lam
+        self.min_child = min_child
+        self.f0 = 0.0
+        self.trees: List[_Node] = []
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "GBTRegressor":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self.f0 = float(y.mean()) if len(y) else 0.0
+        cand, binned, n_bins_per_f = _make_bins(X, self.n_bins)
+        all_idx = np.arange(len(y))
+        pred = np.full(len(y), self.f0)
+        h = np.ones(len(y))
+        self.trees = []
+        for _ in range(self.n_rounds):
+            g = pred - y
+            tree = _fit_tree(X, binned, g, h, all_idx, n_bins_per_f, cand, self.max_depth, self.lam, self.min_child)
+            delta = np.zeros(len(y))
+            _predict_tree(tree, X, delta, all_idx)
+            pred += self.learning_rate * delta
+            self.trees.append(tree)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        out = np.full(len(X), self.f0)
+        idx = np.arange(len(X))
+        delta = np.zeros(len(X))
+        for tree in self.trees:
+            delta[:] = 0.0
+            _predict_tree(tree, X, delta, idx)
+            out += self.learning_rate * delta
+        return out
+
+    # -- JSON-safe state (preorder-flattened trees) ---------------------
+    def state(self) -> dict:
+        def flat(node: _Node, acc: list) -> int:
+            i = len(acc)
+            acc.append(None)
+            if node.feature is None:
+                acc[i] = [-1, node.value, -1, -1]
+            else:
+                acc[i] = [node.feature, node.threshold, -1, -1]
+                acc[i][2] = flat(node.left, acc)
+                acc[i][3] = flat(node.right, acc)
+            return i
+
+        trees = []
+        for t in self.trees:
+            acc: list = []
+            flat(t, acc)
+            trees.append(acc)
+        return {"f0": self.f0, "learning_rate": self.learning_rate, "trees": trees}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "GBTRegressor":
+        def unflat(acc: list, i: int) -> _Node:
+            f, thr_or_val, li, ri = acc[i]
+            if f == -1:
+                return _Node(thr_or_val)
+            n = _Node()
+            n.feature, n.threshold = int(f), float(thr_or_val)
+            n.left, n.right = unflat(acc, li), unflat(acc, ri)
+            return n
+
+        m = cls(learning_rate=float(st["learning_rate"]))
+        m.f0 = float(st["f0"])
+        m.trees = [unflat(acc, 0) for acc in st["trees"]]
+        return m
 
 
 def auc_from_scores(y: np.ndarray, s: np.ndarray) -> float:

@@ -6,11 +6,16 @@ period predicting each row's LOSS (|e|, e², relative or log variants) from
 the features + prediction, then per chunk the estimated metric is the mean
 (or root-mean) of predicted losses.
 
-The reference trains LightGBM regressors; LightGBM is importable-gated here
-and, when absent, the loss model is a closed-form ridge regression over
-standardized features + simple interactions — fit on a seeded driver sample
-(the model is a small coefficient vector either way). Scoring is a broadcast
-vectorized expression; chunk metrics are plain aggregations.
+The reference trains LightGBM regressors (dle.py:436-447); LightGBM is
+importable-gated here and, when absent, the default loss model is the same
+model family re-implemented in numpy — a histogram gradient-boosted tree
+regressor (`spark_validate/functions/gbt.py::GBTRegressor`: second-order
+boosted depth-limited trees over feature-quantile histogram splits), which
+learns the nonlinear loss surfaces DLE exists for. A closed-form ridge over
+standardized features + simple interactions remains as `loss_model='ridge'`.
+Either way the model is fit on a seeded driver sample and is small enough to
+broadcast; scoring is one Arrow-vectorized pass; chunk metrics are plain
+aggregations.
 """
 
 from __future__ import annotations
@@ -86,6 +91,27 @@ class _RidgeLossModel:
         return {"mu": self.mu.tolist(), "sd": self.sd.tolist(), "w": self.w.tolist()}
 
 
+class _GBTLossModel:
+    """Histogram-GBDT loss model (the reference's LightGBM family). Thin
+    wrapper clamping predictions to the non-negative loss domain."""
+
+    def __init__(self, **kw):
+        from spark_validate.functions.gbt import GBTRegressor
+
+        self.params = kw
+        self.model = GBTRegressor(**kw)
+
+    def fit(self, X: np.ndarray, loss: np.ndarray) -> "_GBTLossModel":
+        self.model.fit(X, loss)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.maximum(self.model.predict(X), 0.0)
+
+    def state(self) -> dict:
+        return {"kind": "gbt", **self.model.state()}
+
+
 @dataclass
 class DLE:
     metrics: Sequence[str]
@@ -95,19 +121,27 @@ class DLE:
     chunker: Chunker = field(default_factory=DefaultChunker)
     threshold: object = field(default_factory=StandardDeviationThreshold)
     fit_sample: int = 200_000
+    # 'gbt' (default — the reference's LightGBM family, numpy histogram GBDT),
+    # 'ridge' (closed-form linear), or 'lightgbm' (only if importable).
+    loss_model: str = "gbt"
     # reference tunes its LightGBM loss model with FLAML when
-    # tune_hyperparameters=True (dle.py:143-168). The ridge fallback tunes
-    # its regularization the same spirit: seeded k-fold grid over alphas on
-    # the driver sample, pick the MSE-minimizing alpha. Deterministic.
+    # tune_hyperparameters=True (dle.py:143-168). Same spirit here,
+    # deterministic: seeded k-fold grid on the driver sample picking the
+    # MSE-minimizing config — alphas for ridge, (max_depth, n_rounds) for gbt.
     tune_hyperparameters: bool = False
     tune_alphas: Sequence[float] = (0.01, 0.1, 1.0, 10.0, 100.0)
+    tune_gbt_grid: Sequence[Tuple[int, int]] = ((2, 40), (3, 60), (4, 60), (5, 80))
     tune_folds: int = 3
 
     def __post_init__(self):
         bad = set(self.metrics) - set(DLE_METRICS)
         if bad:
             raise ValueError(f"unknown DLE metrics {sorted(bad)}")
-        self._models: Dict[str, _RidgeLossModel] = {}
+        if self.loss_model not in ("gbt", "ridge", "lightgbm"):
+            raise ValueError(f"unknown loss_model {self.loss_model!r}")
+        if self.loss_model == "lightgbm" and not _HAS_LGBM:
+            raise ValueError("loss_model='lightgbm' but lightgbm is not importable")
+        self._models: Dict[str, object] = {}
         self._thresholds: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
         self._fitted = False
 
@@ -131,8 +165,7 @@ class DLE:
         kinds = {_LOSS_OF[m][0] for m in self.metrics}
         for kind in kinds:
             loss = _loss_values(kind, yt, yp)
-            alpha = self._tune_alpha(X, loss) if self.tune_hyperparameters else 1.0
-            self._models[kind] = _RidgeLossModel(alpha=alpha).fit(X, loss)
+            self._models[kind] = self._fit_loss_model(X, loss)
         self._fitted = True
         ref_long, ref_headers = self._chunk_values(reference)
         ref_long = ref_long.persist()
@@ -153,29 +186,53 @@ class DLE:
         ref_long.unpersist()
         return self
 
-    def _tune_alpha(self, X: np.ndarray, loss: np.ndarray) -> float:
-        """Seeded k-fold grid search over ridge alphas (driver-side numpy;
+    def _fit_loss_model(self, X: np.ndarray, loss: np.ndarray):
+        if self.loss_model == "lightgbm":
+            import lightgbm as lgb
+
+            m = lgb.LGBMRegressor(n_estimators=100, random_state=42)
+            m.fit(X, loss)
+            return m
+        if self.loss_model == "ridge":
+            alpha = self._tune_alpha(X, loss) if self.tune_hyperparameters else 1.0
+            return _RidgeLossModel(alpha=alpha).fit(X, loss)
+        if self.tune_hyperparameters:
+            depth, rounds = min(
+                self.tune_gbt_grid,
+                key=lambda dr: self._cv_mse(lambda: _GBTLossModel(max_depth=dr[0], n_rounds=dr[1]), X, loss),
+            )
+        else:
+            depth, rounds = 4, 60
+        return _GBTLossModel(max_depth=depth, n_rounds=rounds).fit(X, loss)
+
+    def _cv_mse(self, make_model, X: np.ndarray, loss: np.ndarray) -> float:
+        """Seeded k-fold CV MSE of a loss-model factory (driver-side numpy;
         the sample is already bounded by fit_sample)."""
         rng = np.random.default_rng(42)
         idx = rng.permutation(len(X))
         folds = np.array_split(idx, self.tune_folds)
-        best_alpha, best_mse = 1.0, math.inf
-        for alpha in self.tune_alphas:
-            mse = 0.0
-            for i in range(self.tune_folds):
-                val = folds[i]
-                trn = np.concatenate([folds[j] for j in range(self.tune_folds) if j != i])
-                m = _RidgeLossModel(alpha=alpha).fit(X[trn], loss[trn])
-                mse += float(((m.predict(X[val]) - loss[val]) ** 2).mean())
-            if mse < best_mse:
-                best_alpha, best_mse = float(alpha), mse
-        return best_alpha
+        mse = 0.0
+        for i in range(self.tune_folds):
+            val = folds[i]
+            trn = np.concatenate([folds[j] for j in range(self.tune_folds) if j != i])
+            m = make_model().fit(X[trn], loss[trn])
+            mse += float(((m.predict(X[val]) - loss[val]) ** 2).mean())
+        return mse
+
+    def _tune_alpha(self, X: np.ndarray, loss: np.ndarray) -> float:
+        """Seeded k-fold grid search over ridge alphas."""
+        return min(
+            (float(a) for a in self.tune_alphas),
+            key=lambda a: self._cv_mse(lambda: _RidgeLossModel(alpha=a), X, loss),
+        )
 
     def _chunk_values(self, df: DataFrame):
         assigned, headers = assign_chunks(df, self.chunker)
         sc = df.sparkSession.sparkContext
-        models = {k: m for k, m in self._models.items()}
-        bc = sc.broadcast({k: (np.asarray(m.mu), np.asarray(m.sd), np.asarray(m.w)) for k, m in models.items()})
+        # fitted loss models are small (ridge: coefficient vector; gbt: tens
+        # of shallow trees) — broadcast the picklable objects themselves and
+        # score through the uniform .predict() surface
+        bc = sc.broadcast(dict(self._models))
         feature_cols = list(self.feature_column_names)
         y_pred = self.y_pred
         kinds = sorted({_LOSS_OF[m][0] for m in self.metrics})
@@ -187,11 +244,7 @@ class DLE:
             mats = [c.to_numpy(np.float64) for c in cols]
             yp = mats[-1]
             X = np.column_stack(mats[:-1] + [yp, yp * yp])
-            out = {}
-            for kind in kinds:
-                mu, sd, w = bc.value[kind]
-                Xs = np.column_stack([np.ones(len(X)), (X - mu) / sd])
-                out[kind] = np.maximum(Xs @ w, 0.0)
+            out = {kind: np.maximum(np.asarray(bc.value[kind].predict(X), dtype=np.float64), 0.0) for kind in kinds}
             return pd.Series([{k: float(out[k][i]) for k in kinds} for i in range(len(yp))])
 
         scored = assigned.withColumn(
