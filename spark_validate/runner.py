@@ -146,6 +146,16 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
     report: Dict[str, dict] = {}
     fail_fast = bool(config.get("fail_fast", False))
     epoch = int(time.time())
+    db_writer = None
+    if config.get("database"):
+        from spark_validate.io.db import DatabaseWriter
+
+        db_cfg = config["database"]
+        db_writer = DatabaseWriter(
+            db_cfg["connection_string"],
+            table=db_cfg.get("table", "metrics"),
+            model_name=db_cfg.get("model_name"),
+        )
     for check_cfg in config["checks"]:
         name = _check_name(check_cfg)
         violations_error: Optional[str] = None
@@ -180,6 +190,16 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         result = calc.calculate(ana)
         result = result.withColumn("run_id", F.lit(run_id)).withColumn("check", F.lit(name))
         write_results(result, os.path.join(out_dir, "results"), partition_by=["check"])
+
+        db_rows = db_error = None
+        if db_writer is not None:
+            try:
+                db_rows = db_writer.write(result, run_id=f"{run_id}__{name}")
+            except Exception as exc:
+                if fail_fast:
+                    raise
+                db_error = f"{type(exc).__name__}: {' '.join(str(exc).splitlines()[:2]).strip()}"[:500]
+                logger.warning("database write failed for check %r: %s", name, exc)
 
         if hasattr(calc, "violations"):
             try:
@@ -241,6 +261,10 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         }
         if violations_error is not None:
             report[name]["violations_error"] = violations_error
+        if db_rows is not None:
+            report[name]["db_rows"] = db_rows
+        if db_error is not None:
+            report[name]["db_error"] = db_error
         if hasattr(calc, "release_cache"):
             calc.release_cache()  # results are written; cached aggregates can go
     if completed is not None:

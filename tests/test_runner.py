@@ -100,3 +100,49 @@ def test_resume_skips_completed_partitions(spark, workspace):
             "uniqueness__image_id",
             "referential__phash",
         ), name
+
+
+def test_database_writer_sqlite_roundtrip(spark, workspace, tmp_path):
+    """DatabaseWriter parity (ref nannyml/io/db/database_writer.py:19-133):
+    a run row is inserted per write and every metric row links to it; the
+    metric table carries the reference's flattened DbMetric columns."""
+    import sqlite3
+
+    cfg = _config(workspace)
+    cfg["output_dir"] = str(tmp_path / "out")
+    cfg["checks"] = cfg["checks"][:2]  # column_stats + domain
+    db_path = tmp_path / "metrics.db"
+    cfg["database"] = {"connection_string": f"sqlite:///{db_path}", "model_name": "img_model"}
+    report = run_suite(spark, cfg)
+    for name, rep in report.items():
+        assert rep["db_rows"] == rep["rows"], name
+        assert "db_error" not in rep, rep
+
+    conn = sqlite3.connect(db_path)
+    try:
+        runs = conn.execute("SELECT id, run_id, model_name FROM runs ORDER BY id").fetchall()
+        assert len(runs) == 2
+        assert {r[2] for r in runs} == {"img_model"}
+        n_metrics = conn.execute("SELECT COUNT(*) FROM metrics").fetchone()[0]
+        assert n_metrics == sum(rep["rows"] for rep in report.values())
+        # every metric row joins back to its run; alerts round-trip as 0/1
+        orphan = conn.execute(
+            "SELECT COUNT(*) FROM metrics m LEFT JOIN runs r ON m.run_id = r.id WHERE r.id IS NULL"
+        ).fetchone()[0]
+        assert orphan == 0
+        alerts = conn.execute(
+            "SELECT COUNT(*) FROM metrics WHERE alert = 1 AND metric_name = 'unseen_values_rate'"
+        ).fetchone()[0]
+        assert alerts > 0  # the injected bmp rows alert through to the DB
+    finally:
+        conn.close()
+
+
+def test_database_writer_bad_url_surfaces_in_report(spark, workspace, tmp_path):
+    cfg = _config(workspace)
+    cfg["output_dir"] = str(tmp_path / "out2")
+    cfg["checks"] = cfg["checks"][:1]
+    cfg["database"] = {"connection_string": "postgres://nope"}
+    report = run_suite(spark, cfg)
+    (rep,) = report.values()
+    assert "db_error" in rep and "unsupported connection string" in rep["db_error"]
