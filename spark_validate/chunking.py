@@ -265,7 +265,7 @@ class DefaultChunker(CountBasedChunker):
     chunk_number: int = 10
 
 
-# pandas period-alias → (spark date_trunc unit, key format)
+# pandas period-alias → spark date_trunc unit
 _PERIOD_UNITS = {
     "W": "week",
     "M": "month",
@@ -275,6 +275,10 @@ _PERIOD_UNITS = {
     "Q": "quarter",
     "H": "hour",
     "h": "hour",
+    "T": "minute",
+    "min": "minute",
+    "S": "second",
+    "s": "second",
 }
 
 
@@ -315,7 +319,9 @@ def period_key_expr(ts_col: str, offset: str):
         return F.date_format(start, "yyyy")
     if offset == "Q":
         return F.concat(F.date_format(start, "yyyy"), F.lit("Q"), F.quarter(ts).cast("string"))
-    return F.date_format(start, "yyyy-MM-dd HH:mm")  # hour
+    if offset in ("S", "s"):
+        return F.date_format(start, "yyyy-MM-dd HH:mm:ss")
+    return F.date_format(start, "yyyy-MM-dd HH:mm")  # hour / minute
 
 
 @dataclass

@@ -150,3 +150,18 @@ def test_row_index_null_keys_not_dropped(spark):
     ordered = out.sort_values(ROW_INDEX)
     assert ordered["k"].iloc[:2].isna().all()
     assert list(ordered["k"].iloc[2:]) == [1.0, 2.0, 3.0, 5.0]
+
+
+def test_period_chunker_minute_second_match_pandas(spark):
+    """Sub-hour offsets ('T'/'min', 'S') — pandas Period-identical keys, the
+    natural granularity for streaming micro-batch validation."""
+    import pandas as pd
+    from spark_validate.chunking import PeriodBasedChunker
+
+    ts = pd.date_range("2026-03-01 10:15:42", periods=40, freq="73s")
+    sdf = spark.createDataFrame(pd.DataFrame({"ts": ts}))
+    for offset in ("T", "min", "S"):
+        ch = PeriodBasedChunker(offset=offset, timestamp_column="ts")
+        got = {r.ts: r.chunk_key for r in ch.assign(sdf).collect()}
+        for t in ts:
+            assert got[t] == str(pd.Period(t, freq=offset)), (offset, t)
