@@ -106,17 +106,42 @@ def _band_signatures_arrow(vec_col: str, planes: np.ndarray, n_bands: int, rows_
     matmul per Arrow batch (planes ship inside the serialized UDF — a few KB)."""
     from pyspark.sql.functions import pandas_udf
 
+    if rows_per_band > 62:
+        raise ValueError(f"rows_per_band {rows_per_band} exceeds int64 packing (max 62)")
     P = planes.astype(np.float64)
-    weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))  # int64: r>31 at 10^10+ corpora
 
-    @pandas_udf("array<int>")
+    @pandas_udf("array<long>")
     def sigs(v: pd.Series) -> pd.Series:
         X = np.stack(v.to_numpy()).astype(np.float64)
         bits = (X @ P.T) >= 0  # (n, n_bands*rows_per_band)
         packed = bits.reshape(len(X), n_bands, rows_per_band) @ weights  # (n, n_bands)
-        return pd.Series(list(packed.astype(np.int32)))
+        return pd.Series(list(packed.astype(np.int64)))
 
     return sigs(F.col(vec_col))
+
+
+def lsh_plan(n: int, threshold: float, target_recall: float = 0.95) -> tuple:
+    """(n_bands, rows_per_band) for a corpus of ``n`` vectors: r ≈ log2(n)+1
+    keeps worst-case (isotropic) random collisions O(n); b is the smallest
+    band count reaching ``target_recall`` at cosine ``threshold``
+    (per-plane agreement p = 1 − arccos(t)/π, recall = 1 − (1 − p^r)^b)."""
+    import math
+
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    r_max = min(max(8, int(math.ceil(math.log2(max(n, 2)))) + 1), 62)
+    # prefer the largest r (fewest random collisions); where the recall
+    # target would need >64 bands, back r off — candidate load then grows
+    # above O(n) but the target holds (and real corpora cluster, so the
+    # worst-case isotropic load estimate is pessimistic)
+    for r in range(r_max, 7, -1):
+        miss = 1.0 - p**r
+        if miss <= 0:
+            return 1, r
+        b = max(1, int(math.ceil(math.log(1.0 - target_recall) / math.log(miss))))
+        if b <= 64:
+            return b, r
+    return 64, 8
 
 
 def embedding_near_duplicates(
@@ -124,8 +149,8 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_bands: int = 4,
-    rows_per_band: int = 8,
+    n_bands: Optional[int] = None,
+    rows_per_band: Optional[int] = None,
     seed: int = 42,
     dim: Optional[int] = None,
     max_bucket: int = 200,
@@ -149,12 +174,16 @@ def embedding_near_duplicates(
     SIZE rows_per_band TO THE CORPUS: a band has 2^r buckets, so the mean
     bucket holds n/2^r vectors — keep that well under ``max_bucket`` or the
     cap silently drops nearly every bucket and recall collapses (measured
-    0.17 at n=100k with r=8 → 395 vectors/bucket vs cap 200). Rule of thumb
-    r ≥ log2(n / (max_bucket/4)), then pick b for the recall target; e.g.
-    n=1M → r=14, b=8 gives ~0.995 recall at t≈0.987.
+    0.17 at n=100k with r=8 → 395 vectors/bucket vs cap 200). When
+    ``n_bands``/``rows_per_band`` are omitted, ``lsh_plan(count, threshold)``
+    sizes them automatically (one count job — skip it by passing both).
     """
     if n_planes is not None:
         n_bands, rows_per_band = 1, n_planes
+    if n_bands is None or rows_per_band is None:
+        auto_b, auto_r = lsh_plan(df.count(), threshold)
+        n_bands = auto_b if n_bands is None else n_bands
+        rows_per_band = auto_r if rows_per_band is None else rows_per_band
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bands * rows_per_band, seed)

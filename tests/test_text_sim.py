@@ -219,3 +219,39 @@ def test_ivf_partitioned_probe_prunes_scan(spark, embeddings, tmp_path):
     assert "PartitionFilters" in plan and "_list" in plan
     # full probe == exact brute force, through the partitioned layout
     assert list(out.toPandas()["id"]) == list(brute_force_topk(embeddings, q, k=10).toPandas()["id"])
+
+
+def test_lsh_plan_sizing():
+    """Auto-sizing keeps random collisions O(n) and hits the recall target."""
+    import math
+    from spark_validate.sim.ann import lsh_plan
+
+    p = 1 - math.acos(0.95) / math.pi
+    for n in (1_000, 100_000, 10**9, 10**12):
+        b, r = lsh_plan(n, threshold=0.95)
+        assert 8 <= r <= 62 and 1 <= b <= 64
+        recall = 1 - (1 - p**r) ** b
+        assert recall >= 0.95, (n, b, r, recall)  # the target always binds
+        if n <= 10**6:
+            assert r >= math.log2(n)  # O(n) candidates where feasible
+    # the backed-off regime still maximizes r under the band cap
+    b9, r9 = lsh_plan(10**9, threshold=0.95)
+    assert 1 - (1 - p ** (r9 + 1)) ** 64 < 0.95  # r9+1 would miss the target
+
+
+def test_embedding_near_dups_auto_sizing_finds_planted_twin(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((500, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    twin = base[0] + 0.01 * rng.standard_normal(16)
+    vecs = np.vstack([base, twin / np.linalg.norm(twin)])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs.astype(float))})
+    sdf = spark.createDataFrame(pdf)
+    from spark_validate.sim.ann import embedding_near_duplicates
+
+    # no band parameters: lsh_plan sizes from count+threshold
+    pairs = embedding_near_duplicates(sdf, threshold=0.97, dim=16).toPandas()
+    assert {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()} == {(0, 500)}
