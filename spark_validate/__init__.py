@@ -46,6 +46,16 @@ def __getattr__(name):  # lazy top-level API (keeps bare import light)
         from spark_validate.performance.dle import DLE
 
         return DLE
+    if name == "DatabaseWriter":
+        from spark_validate.io.db import DatabaseWriter
+
+        return DatabaseWriter
+    if name == "datasets":
+        import importlib
+
+        # NOT `from spark_validate import datasets` — that re-enters this
+        # __getattr__ before the submodule is bound and recurses forever
+        return importlib.import_module("spark_validate.datasets")
     raise AttributeError(name)
 
 
@@ -63,4 +73,6 @@ __all__ = [
     "PerformanceCalculator",
     "CBPE",
     "DLE",
+    "DatabaseWriter",
+    "datasets",
 ]
