@@ -773,6 +773,32 @@ def q_embedding_near_dups(spark, sf_dir):
     return nd.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
 
 
+_PHASH_MASK = (1 << 3) | (1 << 21) | (1 << 44)  # 3 planted bit flips
+
+
+def q_phash_near_dups(spark, sf_dir):
+    """Perceptual-hash Hamming near-duplicates via banded exact-recall join
+    (spark_validate/image/phash.py). The pseudo-phash is the first 15 hex
+    chars of md5(text) (60 bits — DuckDB computes it bit-identically); 10
+    planted twins differ by exactly the 3-bit _PHASH_MASK, within the
+    max_hamming=4 sweep; random 60-bit pairs never land ≤4 apart."""
+    from spark_validate.image.phash import phash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    ph = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    base = docs.select(F.col("doc_id").alias("image_id"), ph.alias("phash"))
+    planted = (
+        base.filter(F.col("image_id") < 10)
+        .withColumn("image_id", F.col("image_id") + F.lit(100000))
+        .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(_PHASH_MASK)))
+    )
+    corpus = base.unionByName(planted)
+    nd = phash_near_duplicates(corpus, max_hamming=4, bits=60)
+    return nd.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_column_stats": q_chunk_column_stats,
@@ -812,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
+        "phash_near_dups": q_phash_near_dups,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "cbpe_multiclass": q_cbpe_multiclass,
@@ -1474,6 +1501,25 @@ p AS (
   FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.9 ORDER BY id_a, id_b
+"""
+
+    # brute-force Hamming oracle for the banded exact-recall phash join
+    # (spark_validate/image/phash.py; pseudo-phash = md5-hex-prefix, the same
+    # DuckDB-replicable device as the simhash oracle)
+    sql["phash_near_dups"] = f"""
+WITH base AS (
+  SELECT doc_id AS image_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash FROM documents
+),
+corpus AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT image_id + 100000, xor(phash, {_PHASH_MASK}) FROM base WHERE image_id < 10
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM corpus a JOIN corpus b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
+ORDER BY id_a, id_b
 """
 
     return sql

@@ -1,0 +1,140 @@
+"""Perceptual-hash near-duplicate detection — banded Hamming join.
+
+The north-rule image table carries ``phash:int64`` (a 64-bit perceptual
+hash). Two images are near-duplicates when the Hamming distance between
+their phashes is small (≤4 is the common operating point). At 10^12 rows an
+all-pairs comparison is impossible; the banded join is EXACT, not
+probabilistic:
+
+    split the 64 bits into ``n_bands`` disjoint bands; h bit flips can
+    touch at most h bands, so if h ≤ n_bands − 1 at least one band is
+    untouched and the pair collides in that band's bucket (pigeonhole).
+
+With n_bands = max_hamming + 1 recall is therefore 1.0 by construction —
+unlike the cosine/MinHash LSH sweeps there is no miss probability — and the
+``bit_count(xor) ≤ max_hamming`` verify removes the false positives. Same
+bucket-cap guard as the other sweeps: a band value shared by more than
+``max_bucket`` images is a degenerate cluster (e.g. the all-black phash)
+reported separately rather than exploded quadratically.
+
+No reference analog (NannyML has no image ops); topology mirrors
+``text/dedup.py::lsh_candidate_pairs``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _band_exprs(phash_col: str, n_bands: int, bits: int):
+    """Disjoint bit ranges covering ``bits`` (remainder spread left-to-right)."""
+    base, rem = divmod(bits, n_bands)
+    exprs, off = [], 0
+    for j in range(n_bands):
+        width = base + (1 if j < rem else 0)
+        mask = (1 << width) - 1
+        exprs.append(
+            F.shiftrightunsigned(F.col(phash_col), off).bitwiseAND(F.lit(mask)).alias(f"_b{j}")
+        )
+        off += width
+    return exprs
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 4,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    n_bands: Optional[int] = None,
+    bits: int = 64,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(phash_a, phash_b) ≤ max_hamming.
+
+    Exact recall for any pair within ``max_hamming`` when
+    ``n_bands ≥ max_hamming + 1`` (the default). One shuffle on (band,
+    band_value); candidate pairs carry only ids + phashes (fixed width —
+    image bytes never enter the join).
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need ≥ {max_hamming + 1} (pigeonhole)"
+        )
+    sel = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("_ph")).filter(
+        F.col("_ph").isNotNull()
+    )
+    base, rem = divmod(bits, n_bands)
+    band_structs, off = [], 0
+    for j in range(n_bands):
+        width = base + (1 if j < rem else 0)
+        val = F.shiftrightunsigned(F.col("_ph"), off).bitwiseAND(F.lit((1 << width) - 1))
+        band_structs.append(F.struct(F.lit(j).alias("band"), val.alias("val")))
+        off += width
+    # ONE shuffle on (band, band_value) — same topology as the MinHash and
+    # embedding sweeps; pairs carry (id, phash) only, never image bytes
+    exploded = sel.select("id", "_ph", F.explode(F.array(*band_structs)).alias("b")).select(
+        "id", "_ph", "b.band", "b.val"
+    )
+    buckets = (
+        exploded.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "_ph"))).alias("xs"))
+        .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("xs"),
+                        lambda x, idx: F.transform(
+                            F.slice(F.col("xs"), idx + 2, F.size("xs")),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                y["id"].alias("id_b"),
+                                x["_ph"].alias("_pa"),
+                                y["_ph"].alias("_pb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p._pa", "p._pb")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb")))
+    return (
+        pairs.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def phash_degenerate_bands(
+    df: DataFrame,
+    phash_col: str = "phash",
+    n_bands: int = 5,
+    bits: int = 64,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """The clusters the cap excluded: (band, band_value, n_images) above
+    ``max_bucket`` — at corpus scale these ARE the finding (constant-color
+    thumbnails, watermark templates), reported instead of exploded."""
+    sel = df.select(F.col(phash_col).alias("_ph")).filter(F.col("_ph").isNotNull())
+    banded = sel.select(*_band_exprs("_ph", n_bands, bits))
+    out = None
+    for j in range(n_bands):
+        g = (
+            banded.groupBy(F.col(f"_b{j}").alias("band_value"))
+            .agg(F.count(F.lit(1)).alias("n_images"))
+            .filter(F.col("n_images") > max_bucket)
+            .select(F.lit(j).alias("band"), "band_value", "n_images")
+        )
+        out = g if out is None else out.unionByName(g)
+    return out

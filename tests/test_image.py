@@ -209,3 +209,55 @@ def test_decode_audio_stats(spark):
     bad = spark.createDataFrame([("x", b"RIFFxxxxxxxxxxxx")], "audio_id string, bytes binary")
     with pytest.raises(Exception, match="NotImplementedError|SVA0|soundfile"):
         decode_audio_stats(bad).collect()
+
+
+def test_phash_near_duplicates_exact_recall(spark):
+    """Pigeonhole banding: EVERY pair within max_hamming is found (recall 1
+    by construction), nothing beyond it survives the verify."""
+    import numpy as np
+    import pandas as pd
+    from spark_validate.image.phash import phash_near_duplicates
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(-(2**62), 2**62, 300, dtype=np.int64)
+    rows = [{"image_id": f"im{i:04d}", "phash": int(h)} for i, h in enumerate(base)]
+    # twins: flip exactly k bits of image i for k=0..4 (all within threshold)
+    expected = set()
+    for k in range(5):
+        h = int(base[k])
+        for bit in rng.choice(64, size=k, replace=False):
+            h ^= 1 << int(bit)
+        rows.append({"image_id": f"tw{k:04d}", "phash": h})
+        expected.add((f"im{k:04d}", f"tw{k:04d}"))
+    # a far twin: 9 flips — must NOT appear at max_hamming=4
+    h = int(base[10])
+    for bit in range(9):
+        h ^= 1 << (bit * 7)
+    rows.append({"image_id": "far0", "phash": h})
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    got = phash_near_duplicates(sdf, max_hamming=4).toPandas()
+    got_pairs = {tuple(sorted((r.id_a, r.id_b))) for r in got.itertuples()}
+    assert expected <= got_pairs
+    assert ("far0" not in {x for p in got_pairs for x in p})
+    # random 64-bit pairs at hamming<=4 are ~impossible: only planted pairs
+    assert got_pairs == expected
+    # distances are exact
+    by_pair = {tuple(sorted((r.id_a, r.id_b))): r.hamming for r in got.itertuples()}
+    for k in range(5):
+        assert by_pair[(f"im{k:04d}", f"tw{k:04d}")] == k
+
+
+def test_phash_degenerate_cluster_capped_and_reported(spark):
+    import pandas as pd
+    from spark_validate.image.phash import phash_degenerate_bands, phash_near_duplicates
+
+    # 500 identical phashes (constant-color thumbnails) + 2 genuine twins
+    rows = [{"image_id": f"c{i}", "phash": 0} for i in range(500)]
+    p = 0x7EDCBA9876543210  # nonzero in every band, so the twins stay out of the zero-cluster
+    rows += [{"image_id": "a", "phash": p}, {"image_id": "b", "phash": p ^ 3}]
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    got = phash_near_duplicates(sdf, max_hamming=4, max_bucket=100).toPandas()
+    pairs = {tuple(sorted((r.id_a, r.id_b))) for r in got.itertuples()}
+    assert pairs == {("a", "b")}  # the degenerate cluster never explodes
+    deg = phash_degenerate_bands(sdf, max_bucket=100).toPandas()
+    assert (deg["n_images"] == 500).all() and len(deg) == 5  # all 5 bands of zeros
