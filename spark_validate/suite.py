@@ -41,6 +41,8 @@ class ImageValidationSuite:
     fmt_domain: tuple = tuple(FMTS)
     phash_buckets: int = 64
     include_payload_checks: bool = True
+    include_phash_dedup: bool = False  # near-dup sweep (adds one shuffle + verify)
+    phash_max_hamming: int = 4
     salt_buckets: int = 16
 
     def _with_phash_bucket(self, df: DataFrame) -> DataFrame:
@@ -98,7 +100,16 @@ class ImageValidationSuite:
         ).fit(self._with_phash_bucket(reference))
         out["drift_cat"] = drift_cat.calculate(self._with_phash_bucket(analysis))
 
-        # 6. payload checks — ONE fused Arrow pass (pixel stats + PSNR
+        # 6. perceptual near-duplicates (banded exact-recall Hamming join —
+        # recall 1 for hamming ≤ bands−1, no image bytes in the shuffle)
+        if self.include_phash_dedup:
+            from spark_validate.image.phash import phash_near_duplicates
+
+            out["phash_near_dups"] = phash_near_duplicates(
+                analysis, max_hamming=self.phash_max_hamming
+            )
+
+        # 7. payload checks — ONE fused Arrow pass (pixel stats + PSNR
         # equivalence; each side decoded exactly once)
         if self.include_payload_checks:
             out["payload"] = payload_checks(analysis, reference)

@@ -261,3 +261,24 @@ def test_phash_degenerate_cluster_capped_and_reported(spark):
     assert pairs == {("a", "b")}  # the degenerate cluster never explodes
     deg = phash_degenerate_bands(sdf, max_bucket=100).toPandas()
     assert (deg["n_images"] == 500).all() and len(deg) == 5  # all 5 bands of zeros
+
+
+def test_image_suite_phash_dedup_check(spark):
+    """Suite integration: the optional near-dup sweep finds planted twins."""
+    from pyspark.sql import functions as F
+    from spark_validate.suite import ImageValidationSuite
+
+    ref = synth_image_table(spark, 400, n_partitions=4, dup_rate=0.0, orphan_rate=0.0)
+    twins = (
+        ref.filter(F.col("image_id").substr(-2, 2) == "00")
+        .withColumn("image_id", F.concat(F.col("image_id"), F.lit("_tw")))
+        .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(1 << 17)))
+    )
+    ana = ref.unionByName(twins)
+    suite = ImageValidationSuite(include_payload_checks=False, include_phash_dedup=True)
+    out = suite.run(ref, ana)
+    pairs = out["phash_near_dups"].toPandas()
+    n_twins = twins.count()
+    assert n_twins > 0
+    planted = pairs[pairs.hamming == 1]
+    assert len(planted) >= n_twins  # every planted twin collides in an intact band
