@@ -47,6 +47,12 @@ CHUNK_HEADER_COLS = [
 ]
 
 
+# 'auto' row-index strategy: below this row count a single-task window sort
+# is cheap and bounded (~40 bytes/key tuple → ≲200 MB); above it the
+# value-bucketed two-pass path takes over
+SORT_INDEX_THRESHOLD = 5_000_000
+
+
 def with_row_index(
     df: DataFrame,
     order_by: Sequence[str],
@@ -56,13 +62,19 @@ def with_row_index(
     """Add a 0-based contiguous global row index ``_sv_row_index``.
 
     ``order_by`` must be a deterministic total order (include a tiebreaker
-    key). ``strategy``: 'sort' (global window), 'scalable' (range partition +
-    offsets), or 'auto' (scalable when the session's shuffle partitions > 1).
+    key). ``strategy``: 'sort' (global window), 'scalable' (value-bucketed +
+    offsets), or 'auto' — count once and pick 'sort' below
+    ``SORT_INDEX_THRESHOLD`` (a single-task sort of ≤5M key tuples is
+    bounded work and skips the sample/offset jobs — the same
+    small-data/estimated switch the reference applies to KS/Wasserstein,
+    methods.py:405-424), 'scalable' above it.
     """
     if not order_by:
         raise ValueError("order_by must list at least one column (deterministic total order)")
+    n = None
     if strategy == "auto":
-        strategy = "scalable"
+        n = df.count()
+        strategy = "sort" if n <= SORT_INDEX_THRESHOLD else "scalable"
     if strategy == "sort":
         w = Window.orderBy(*[F.col(c) for c in order_by])
         return df.withColumn(ROW_INDEX, F.row_number().over(w) - F.lit(1))
@@ -82,7 +94,8 @@ def with_row_index(
     n_parts = int(num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     key = F.struct(*[F.col(c) for c in order_by])
     # 1. boundary keys from a seeded sample (driver-side, tiny)
-    n = df.count()
+    if n is None:
+        n = df.count()
     sample_target = max(n_parts * 200, 10_000)
     frac = min(1.0, sample_target / max(n, 1))
     sample = [
