@@ -86,6 +86,9 @@ def continuous_distribution(
         cdf = np.r_[0.0, cdf]
         return pd.DataFrame({CHUNK_KEY: key, "x": xs, "density": dens, "cdf": cdf})
 
-    return src.groupBy(CHUNK_KEY).applyInPandas(
+    # compute-dense Arrow stage (per-chunk KDE): pin one shuffle partition per
+    # chunk so AQE byte-based coalescing can't serialize the numpy work
+    n_shuf = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return src.repartition(n_shuf, CHUNK_KEY).groupBy(CHUNK_KEY).applyInPandas(
         per_chunk, f"{CHUNK_KEY} string, x double, density double, cdf double"
     ).withColumnRenamed(CHUNK_KEY, "chunk_key")

@@ -366,8 +366,16 @@ class DomainClassifierCalculator:
                 auc = _logreg_cv_auc(X, y, folds=folds)
             return pd.DataFrame({CHUNK_KEY: [key], "value": [auc]})
 
-        vals = assigned.select(CHUNK_KEY, *column_names).groupBy(CHUNK_KEY).applyInPandas(
-            per_chunk, f"{CHUNK_KEY} string, value double"
+        # compute-dense Arrow stage: force one shuffle partition per chunk so
+        # AQE's BYTE-based coalescing cannot serialize the per-chunk CV-GBDT
+        # onto one task (the group payloads are a few MB but each costs ~1 s
+        # of numpy; measured 29 s → ~5 s at 28 chunks on 32 cores)
+        shuffle_default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        vals = (
+            assigned.select(CHUNK_KEY, *column_names)
+            .repartition(shuffle_default, CHUNK_KEY)
+            .groupBy(CHUNK_KEY)
+            .applyInPandas(per_chunk, f"{CHUNK_KEY} string, value double")
         )
         out = (
             vals.withColumn("method", F.lit("domain_classifier_auroc"))

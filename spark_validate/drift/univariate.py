@@ -721,7 +721,10 @@ class UnivariateDriftCalculator:
             src = assigned.select(
                 CHUNK_KEY, nan_to_null(F.col(c), dtypes[c]).cast("double").alias("_v")
             )
-            res = src.groupBy(CHUNK_KEY).applyInPandas(
+            # compute-dense Arrow stage: pin one shuffle partition per chunk
+            # so AQE byte-based coalescing can't serialize the numpy work
+            n_shuf = int(assigned.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            res = src.repartition(n_shuf, CHUNK_KEY).groupBy(CHUNK_KEY).applyInPandas(
                 per_chunk, f"{CHUNK_KEY} string, method string, value double"
             )
             out.append(res.withColumn("column_name", F.lit(c)).select(CHUNK_KEY, "column_name", "method", "value"))
