@@ -116,6 +116,87 @@ def phash_near_duplicates(
     )
 
 
+class PhashDedupCheck:
+    """Runner-compatible check: per-chunk rate of images involved in at
+    least one ≤max_hamming near-duplicate pair, plus pair-level violation
+    rows. Pair discovery is global (near-dups cross chunk boundaries); the
+    chunk metric attributes each involved image to ITS chunk. Alerts on a
+    constant upper threshold (default: any involvement alerts, the same
+    zero-tolerance default as the range check)."""
+
+    def __init__(
+        self,
+        phash_col: str = "phash",
+        id_col: str = "image_id",
+        max_hamming: int = 4,
+        chunker=None,
+        upper_threshold: float = 0.0,
+        max_bucket: int = 10_000,
+    ):
+        from spark_validate.chunking import DefaultChunker
+
+        self.phash_col = phash_col
+        self.id_col = id_col
+        self.max_hamming = max_hamming
+        self.chunker = chunker or DefaultChunker()
+        self.upper_threshold = upper_threshold
+        self.max_bucket = max_bucket
+
+    def _pairs(self, df: DataFrame) -> DataFrame:
+        return phash_near_duplicates(
+            df,
+            max_hamming=self.max_hamming,
+            phash_col=self.phash_col,
+            id_col=self.id_col,
+            max_bucket=self.max_bucket,
+        )
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        from spark_validate.calculators.base import assign_chunks
+        from spark_validate.checks.constraints import _attach_const_threshold
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned, headers = assign_chunks(df, self.chunker)
+        pairs = self._pairs(df)
+        involved = (
+            pairs.select(F.col("id_a").alias("_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        per_chunk = (
+            assigned.join(involved, assigned[self.id_col] == involved["_id"], "left")
+            .groupBy(CHUNK_KEY)
+            .agg(
+                F.count(F.lit(1)).alias("__rows"),
+                F.count("_id").cast("double").alias("__dups"),
+            )
+            .select(
+                CHUNK_KEY,
+                F.lit(self.phash_col).alias("column_name"),
+                F.lit("near_dup_rate").alias("method"),
+                (F.col("__dups") / F.col("__rows")).cast("double").alias("value"),
+            )
+        )
+        return _attach_const_threshold(per_chunk, headers, period, None, self.upper_threshold)
+
+    def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned = self.chunker.assign(df).select(
+            F.col(self.id_col).alias("id_a"), F.col(CHUNK_KEY).alias("chunk_key")
+        )
+        return self._pairs(df).join(assigned, "id_a").select(
+            F.lit("phash_dedup").alias("check"),
+            F.lit(self.phash_col).alias("column_name"),
+            "chunk_key",
+            F.col("id_a").cast("string").alias("row_id"),
+            F.lit("near_duplicate").alias("violation_kind"),
+            F.concat(F.col("id_b").cast("string"), F.lit("@h="), F.col("hamming").cast("string")).alias(
+                "observed_value"
+            ),
+        )
+
+
 def phash_degenerate_bands(
     df: DataFrame,
     phash_col: str = "phash",

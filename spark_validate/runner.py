@@ -101,6 +101,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             manifest_column=cfg.get("manifest_column"), chunker=chunker,
             broadcast_manifest=cfg.get("broadcast_manifest", True),
         )
+    if kind == "phash_dedup":
+        from spark_validate.image.phash import PhashDedupCheck
+
+        return PhashDedupCheck(
+            phash_col=cfg.get("column", "phash"),
+            id_col=cfg.get("id_column", "image_id"),
+            max_hamming=cfg.get("max_hamming", 4),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "drift":
         return UnivariateDriftCalculator(
             cfg["columns"],

@@ -146,3 +146,28 @@ def test_database_writer_bad_url_surfaces_in_report(spark, workspace, tmp_path):
     report = run_suite(spark, cfg)
     (rep,) = report.values()
     assert "db_error" in rep and "unsupported connection string" in rep["db_error"]
+
+
+def test_phash_dedup_check_in_runner(spark, workspace, tmp_path):
+    """Config-driven perceptual near-dup check: chunk metrics alert on
+    involvement rate, violations carry the pair + Hamming distance."""
+    import pandas as pd
+
+    ana = pd.read_parquet(workspace / "ana")
+    twins = ana.head(12).copy()
+    twins["image_id"] = twins["image_id"] + "_tw"
+    twins["phash"] = twins["phash"] ^ 3  # 2 bit flips
+    spark.createDataFrame(pd.concat([ana, twins])).write.mode("overwrite").parquet(
+        str(tmp_path / "ana2")
+    )
+    cfg = _config(workspace)
+    cfg["output_dir"] = str(tmp_path / "out3")
+    cfg["analysis"] = str(tmp_path / "ana2")
+    cfg["checks"] = [{"type": "phash_dedup", "column": "phash", "id_column": "image_id"}]
+    report = run_suite(spark, cfg)
+    rep = report["phash_dedup__phash"]
+    assert rep["alerts"] > 0
+    v = spark.read.parquet(str(tmp_path / "out3" / "violations")).toPandas()
+    assert (v["violation_kind"] == "near_duplicate").all()
+    assert len(v) >= 12  # each twin pair appears for the id_a side
+    assert v["observed_value"].str.contains("@h=2").all()
