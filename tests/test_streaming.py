@@ -169,3 +169,34 @@ def test_running_group_stats_with_ttl(spark, tmp_path):
         want = pdf[pdf.fmt == g]["value"]
         assert int(out.loc[g, "n"]) == len(want)
         assert np.isclose(out.loc[g, "mean"], want.mean(), atol=1e-9)
+
+
+def test_streaming_image_payload_checks_foreachbatch(spark, tmp_path):
+    """Axes integration: the image payload operators run per micro-batch via
+    foreachBatch — the incremental form of the north-rule payload check (the
+    windowed aggs handle chunk metrics; payload decode is per-row work that
+    composes with any batch granularity)."""
+    from spark_validate.image import decode_pixel_stats, synth_image_table
+
+    img = synth_image_table(spark, 300, n_partitions=3, dup_rate=0.0, orphan_rate=0.0)
+    src = str(tmp_path / "img_stream")
+    img.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(img.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    seen = []
+
+    def per_batch(df, epoch_id):
+        stats = decode_pixel_stats(df, partitions=2)
+        row = stats.agg(
+            F.count(F.lit(1)).alias("rows"), F.min("decode_ok").alias("all_ok")
+        ).first()
+        if row["rows"]:
+            seen.append((row["rows"], bool(row["all_ok"])))
+
+    q = stream.writeStream.foreachBatch(per_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    assert sum(r for r, _ in seen) == 300
+    assert len(seen) >= 2  # maxFilesPerTrigger=1 → several micro-batches
+    assert all(ok for _, ok in seen)
