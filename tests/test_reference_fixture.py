@@ -107,3 +107,52 @@ def test_drifted_weeks_alert_undrifted_do_not(fixture_result):
     # drift magnitude: every drifted chunk's JS exceeds every undrifted one
     for col, g in js.groupby("column_name"):
         assert g[g.chunk_index >= 5]["value"].min() > g[g.chunk_index < 5]["value"].max(), col
+
+
+def test_missing_values_fixture_alert_pattern(spark):
+    """FIXTURES.md F2 — the reference's data-quality golden
+    (`tests/data_quality/test_missing.py:259-328`, exact rates come from its
+    bundled CSVs absent here): 50k reference + 50k analysis in 10+10 default
+    chunks; ~10% NaN in salary_range/driver_tenure through chunk 15, ~22%
+    in the last 5; car_value has none. Expected: car_value rates exactly 0
+    with no alerts; the injected columns alert [False]*15 + [True]*5."""
+    from spark_validate.calculators.stats import MissingValuesCalculator
+    from spark_validate.chunking import DefaultChunker
+
+    rng = np.random.default_rng(42)
+    n = 100_000
+    idx = np.arange(n)
+    chunk20 = idx // 5000  # 10 reference + 10 analysis default chunks
+    rate = np.where(chunk20 >= 15, 0.22, 0.10)
+    pdf = pd.DataFrame(
+        {
+            "id": idx,
+            "car_value": rng.gamma(4.0, 6000.0, n),
+            "salary_range": np.where(
+                rng.uniform(0, 1, n) < rate, None, rng.choice(["0-20K", "20-40K", "40K+"], n)
+            ),
+            "driver_tenure": np.where(rng.uniform(0, 1, n) < rate, np.nan, rng.uniform(0, 30, n)),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    calc = MissingValuesCalculator(
+        ["car_value", "salary_range", "driver_tenure"],
+        chunker=DefaultChunker(order_by=["id"]),
+    ).fit(sdf.filter("id < 50000"))
+    res = pd.concat(
+        [calc.reference_result.toPandas(), calc.calculate(sdf.filter("id >= 50000")).toPandas()]
+    ).reset_index(drop=True)
+    for col, expect_alerts in [
+        ("car_value", [False] * 20),
+        ("salary_range", [False] * 15 + [True] * 5),
+        ("driver_tenure", [False] * 15 + [True] * 5),
+    ]:
+        g = res[(res.column_name == col) & (res.method == "missing_rate")]
+        g = g.sort_values(["period", "chunk_index"], ascending=[False, True])  # reference first
+        assert len(g) == 20, col
+        assert list(g["alert"].fillna(False)) == expect_alerts, col
+        if col == "car_value":
+            assert (g["value"] == 0).all()
+        else:
+            assert np.allclose(g["value"][:15], 0.10, atol=0.02)
+            assert np.allclose(g["value"][15:], 0.22, atol=0.02)
