@@ -148,8 +148,24 @@ class UnivariateDriftCalculator:
         self.continuous_methods = tuple(continuous_methods)
         self.categorical_methods = tuple(categorical_methods)
         self.chunker = chunker or DefaultChunker()
-        # reference default: upper-only 3σ (calculator.py:48-55)
-        self.threshold = threshold or StandardDeviationThreshold(std_lower_multiplier=None)
+        # reference default: upper-only 3σ (calculator.py:48-55). Also accepts
+        # a {method: Threshold} dict for per-method overrides
+        # (calculator.py:116-128); chi2 overrides are ignored with a warning
+        # (calculator.py:176-181 — its alert is the p-value).
+        self._default_threshold = StandardDeviationThreshold(std_lower_multiplier=None)
+        if isinstance(threshold, dict):
+            if "chi2" in threshold:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "ignoring custom threshold for 'chi2' as it does not support "
+                    "custom thresholds for now."
+                )
+                threshold = {k: v for k, v in threshold.items() if k != "chi2"}
+            bad = set(threshold) - set(CONTINUOUS_METHODS) - set(CATEGORICAL_METHODS)
+            if bad:
+                raise ValueError(f"custom thresholds for unknown methods {sorted(bad)}")
+        self.threshold = threshold if threshold is not None else self._default_threshold
         self.treat_as_categorical = set(treat_as_categorical)
         self.treat_as_numerical = set(treat_as_numerical)
         if computation not in ("auto", "exact", "estimated"):
@@ -241,12 +257,16 @@ class UnivariateDriftCalculator:
             .agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s"))
             .collect()
         )
-        thr = self.threshold
         for r in vals:
             method = r["method"]
             if method == "chi2":
                 self._thresholds[(r["column_name"], method)] = (None, None)
                 continue
+            thr = (
+                self.threshold.get(method, self._default_threshold)
+                if isinstance(self.threshold, dict)
+                else self.threshold
+            )
             lo_l, up_l = _LIMITS.get(method, (None, None))
             lo = up = None
             if isinstance(thr, StandardDeviationThreshold):

@@ -229,11 +229,26 @@ class CBPE:
                 )
             )
         if "confusion_matrix" in self.metrics:
+            # expected-count cells with the reference's normalization options
+            # (metrics.py:1404-1498): 'all' = /total, 'true' = per actual row
+            # (tn,fp over expected negatives; fn,tp over expected positives),
+            # 'pred' = per predicted column
+            tp, tn, fp, fn = F.col("tp"), F.col("tn"), F.col("fp"), F.col("fn")
+            norm = self.normalize_confusion_matrix
+            if norm == "all":
+                d = tp + tn + fp + fn
+                tp, tn, fp, fn = tp / d, tn / d, fp / d, fn / d
+            elif norm == "true":
+                tp, fn = tp / (tp + fn), fn / (tp + fn)
+                tn, fp = tn / (tn + fp), fp / (tn + fp)
+            elif norm == "pred":
+                tp, fp = tp / (tp + fp), fp / (tp + fp)
+                tn, fn = tn / (tn + fn), fn / (tn + fn)
             cm = [
-                F.struct(F.lit("true_positive").alias("method"), F.col("tp").cast("double").alias("value")),
-                F.struct(F.lit("true_negative").alias("method"), F.col("tn").cast("double").alias("value")),
-                F.struct(F.lit("false_positive").alias("method"), F.col("fp").cast("double").alias("value")),
-                F.struct(F.lit("false_negative").alias("method"), F.col("fn").cast("double").alias("value")),
+                F.struct(F.lit("true_positive").alias("method"), tp.cast("double").alias("value")),
+                F.struct(F.lit("true_negative").alias("method"), tn.cast("double").alias("value")),
+                F.struct(F.lit("false_positive").alias("method"), fp.cast("double").alias("value")),
+                F.struct(F.lit("false_negative").alias("method"), fn.cast("double").alias("value")),
             ]
             parts.append(
                 counts.select(CHUNK_KEY, "n_chunk", F.explode(F.array(*cm)).alias("kv")).select(

@@ -238,3 +238,34 @@ def test_cbpe_multiclass_auc_ap_run(mc_frame):
     assert ((vals >= 0) & (vals <= 1)).all()
     # the model genuinely ranks well → estimates should be clearly > 0.5
     assert res[res.method == "roc_auc"]["value"].min() > 0.7
+
+
+def test_cbpe_binary_confusion_matrix_normalization(spark, cbpe_frame):
+    """Estimated CM normalization parity (ref metrics.py:1404-1498): 'true'
+    rows and 'pred' columns each sum to 1; 'all' sums to 1 across cells."""
+    sdf, _ = cbpe_frame
+    from spark_validate.chunking import SizeBasedChunker
+
+    out = {}
+    for norm in (None, "all", "true", "pred"):
+        est = CBPE(
+            metrics=("confusion_matrix",),
+            y_true="y_true",
+            y_pred="y_pred",
+            y_pred_proba="score",
+            normalize_confusion_matrix=norm,
+            chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]),
+        ).fit(sdf.filter("is_ref"))
+        res = est.estimate(sdf.filter("NOT is_ref")).toPandas()
+        out[norm] = res.pivot_table(index="chunk_index", columns="method", values="value")
+    raw = out[None]
+    tot = raw.sum(axis=1)
+    allp = out["all"]
+    assert np.allclose(allp.sum(axis=1), 1.0)
+    assert np.allclose(allp["true_positive"], raw["true_positive"] / tot)
+    t = out["true"]
+    assert np.allclose(t["true_positive"] + t["false_negative"], 1.0)
+    assert np.allclose(t["true_negative"] + t["false_positive"], 1.0)
+    p = out["pred"]
+    assert np.allclose(p["true_positive"] + p["false_positive"], 1.0)
+    assert np.allclose(p["true_negative"] + p["false_negative"], 1.0)

@@ -242,3 +242,28 @@ def test_result_schema_contract(spark, frame):
     assert list(res.columns) == RESULT_COLUMNS
     assert res["chunk_key"].iloc[0] == "[0:999]"
     assert set(res["period"]) == {"analysis"}
+
+
+def test_custom_threshold_dict_per_method(spark, frame):
+    """Reference parity (calculator.py:116-128, :176-181): a {method:
+    Threshold} dict overrides per method; chi2 overrides are ignored."""
+    from spark_validate.thresholds import ConstantThreshold
+
+    sdf, _ = frame
+    calc = UnivariateDriftCalculator(
+        column_names=["x", "cat"],
+        continuous_methods=["jensen_shannon", "psi"],
+        categorical_methods=["chi2", "l_infinity"],
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+        threshold={"jensen_shannon": ConstantThreshold(lower=None, upper=0.42), "chi2": ConstantThreshold(upper=1.0)},
+    ).fit(sdf.filter("is_ref"))
+    res = calc.calculate(sdf.filter("NOT is_ref")).toPandas()
+    calc.release_cache()
+    js = res[res.method == "jensen_shannon"]
+    assert (js["upper_threshold"] == 0.42).all() and js["lower_threshold"].isna().all()
+    # non-overridden methods keep the fitted 3σ thresholds (vary by column)
+    psi = res[res.method == "psi"]
+    assert psi["upper_threshold"].notna().all() and (psi["upper_threshold"] != 0.42).all()
+    # chi2 ignores custom thresholds: alert stays the p<0.05 rule
+    chi2 = res[res.method == "chi2"]
+    assert chi2["upper_threshold"].isna().all()
