@@ -4,10 +4,12 @@ from spark_validate.streaming.incremental import (
     attach_thresholds,
 )
 from spark_validate.streaming.stateful import running_group_stats
+from spark_validate.streaming.drift import streaming_univariate_drift
 
 __all__ = [
     "streaming_column_stats",
     "streaming_violations",
     "attach_thresholds",
     "running_group_stats",
+    "streaming_univariate_drift",
 ]

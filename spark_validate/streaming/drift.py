@@ -1,0 +1,158 @@
+"""Streaming univariate drift from batch-fitted state.
+
+The reference is batch-only (APScheduler re-runs, `nannyml/cli/run.py:46-58`).
+Here a FITTED ``UnivariateDriftCalculator`` compiles into a Structured
+Streaming query: a tumbling event-time window is exactly a period chunk, so
+per-window JS / Hellinger / PSI stream out of ONE windowed aggregation —
+per-reference-bin conditional count columns (the fitted bin edges, category
+sets, reference probabilities and mean±kσ thresholds are all broadcast-able
+constants baked into the plan) followed by a pure projection that applies the
+SAME formulas as the batch path (leftover-mass bin included). Values are
+bit-identical to ``calc.calculate`` with a matching period chunker — see
+``test_streaming_drift_matches_batch``.
+
+Scope: js / hellinger / psi (continuous and categorical). KS and Wasserstein
+need cumulative-ECDF machinery across buckets (windowed sort), and
+l_infinity / chi2 need per-unseen-category terms — those stay batch-side;
+run them on the completed window's data via foreachBatch if needed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STREAMABLE = ("jensen_shannon", "hellinger", "psi")
+
+
+def _melt(agg: DataFrame, specs: List[tuple]) -> DataFrame:
+    pairs = [
+        F.struct(
+            F.lit(col).alias("column_name"),
+            F.lit(method).alias("method"),
+            value.cast("double").alias("value"),
+            F.lit(lo).cast("double").alias("lower_threshold"),
+            F.lit(up).cast("double").alias("upper_threshold"),
+        )
+        for col, method, value, lo, up in specs
+    ]
+    out = agg.select("window", F.explode(F.array(*pairs)).alias("kv")).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "kv.column_name",
+        "kv.method",
+        "kv.value",
+        "kv.lower_threshold",
+        "kv.upper_threshold",
+    )
+    alert = (F.col("lower_threshold").isNotNull() & (F.col("value") < F.col("lower_threshold"))) | (
+        F.col("upper_threshold").isNotNull() & (F.col("value") > F.col("upper_threshold"))
+    )
+    return out.withColumn("alert", F.coalesce(alert, F.lit(False)))
+
+
+def _hist_method_exprs(n_col, cnt_cols, probs, methods, psi_eps):
+    """(method → value expr) from per-bin count columns + constant ref probs,
+    replicating the batch formulas (leftover bin, base-2 JS, eps-clamped PSI)."""
+    qs = [c / n_col for c in cnt_cols]
+    leftover = F.greatest(F.lit(1.0) - sum(qs, F.lit(0.0)), F.lit(0.0))
+    out = {}
+    if "jensen_shannon" in methods or "hellinger" in methods:
+        js_terms = []
+        hel_terms = []
+        for p, q in zip(probs, qs):
+            pl = F.lit(float(p))
+            if p > 0:
+                js_terms.append(pl * F.log2(F.lit(2.0) * pl / (pl + q)))
+            js_terms.append(F.when(q > 0, q * F.log2(F.lit(2.0) * q / (pl + q))).otherwise(F.lit(0.0)))
+            hel_terms.append(F.pow(F.lit(math.sqrt(p)) - F.sqrt(q), 2))
+        js_sum = sum(js_terms, F.lit(0.0))
+        if "jensen_shannon" in methods:
+            out["jensen_shannon"] = F.sqrt(
+                F.greatest(F.lit(0.5) * js_sum + F.lit(0.5) * leftover, F.lit(0.0))
+            )
+        if "hellinger" in methods:
+            out["hellinger"] = F.sqrt((sum(hel_terms, F.lit(0.0)) + leftover) / F.lit(2.0))
+    if "psi" in methods:
+        eps = F.lit(psi_eps)
+        terms = []
+        for p, q in zip(probs, qs):
+            pc = F.lit(float(max(p, psi_eps)))
+            qc = F.greatest(q, eps)
+            terms.append((qc - pc) * F.log(qc / pc))
+        q_l = F.greatest(leftover, eps)
+        extra = F.when(leftover > 0, (q_l - eps) * F.log(q_l / eps)).otherwise(F.lit(0.0))
+        out["psi"] = sum(terms, F.lit(0.0)) + extra
+    return out
+
+
+def streaming_univariate_drift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``UnivariateDriftCalculator`` into a streaming
+    drift query. Returns the long-form per-window result stream
+    (window_start/end, column_name, method, value, thresholds, alert).
+    """
+    from spark_validate.drift.univariate import bucket_expr
+
+    if not calc._fitted:
+        raise RuntimeError("fit the calculator on the reference period first")
+    cont_methods = [m for m in calc.continuous_methods if m in _STREAMABLE]
+    cat_methods = [m for m in calc.categorical_methods if m in _STREAMABLE]
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+
+    aggs = []
+    specs = []  # (column, method, value_expr_builder inputs)
+    plan = []  # (col, kind, spec_name, n_bins/cats, probs, methods)
+    for c in calc._cont_cols:
+        st = calc._cont_state[c]
+        needed = set()
+        if {"jensen_shannon", "hellinger"} & set(cont_methods):
+            needed.add("doane")
+        if "psi" in cont_methods:
+            needed.add("psi")
+        v = F.col(c).cast("double")
+        aggs.append(F.count(v).alias(f"{c}__n"))
+        for spec in sorted(needed & set(st.specs)):
+            n_bins, probs = st.specs[spec]
+            b = bucket_expr(v, st.lo, st.hi, n_bins)
+            for i in range(n_bins):
+                aggs.append(
+                    F.sum(F.when(v.isNotNull() & (b == i), 1).otherwise(0)).alias(f"{c}__{spec}__{i}")
+                )
+            methods = (
+                [m for m in cont_methods if m in ("jensen_shannon", "hellinger")]
+                if spec == "doane"
+                else ["psi"]
+            )
+            plan.append((c, spec, n_bins, probs, methods))
+    for c in calc._cat_cols:
+        st = calc._cat_state[c]
+        v = F.col(c).cast("string")
+        aggs.append(F.count(v).alias(f"{c}__n"))
+        cats = sorted(st.counts)
+        for i, val in enumerate(cats):
+            aggs.append(F.sum(F.when(v == F.lit(val), 1).otherwise(0)).alias(f"{c}__cat__{i}"))
+        probs = [st.counts[val] / st.n_ref for val in cats]
+        plan.append((c, "cat", len(cats), probs, cat_methods))
+
+    agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(*aggs)
+
+    for c, spec, n, probs, methods in plan:
+        n_col = F.col(f"{c}__n")
+        prefix = f"{c}__cat__" if spec == "cat" else f"{c}__{spec}__"
+        cnt_cols = [F.col(f"{prefix}{i}") for i in range(n)]
+        exprs = _hist_method_exprs(n_col, cnt_cols, probs, set(methods), calc.psi_eps)
+        for method, value in exprs.items():
+            lo, up = calc._thresholds.get((c, method), (None, None))
+            specs.append((c, method, value, lo, up))
+    return _melt(agg, specs)

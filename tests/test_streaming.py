@@ -200,3 +200,69 @@ def test_streaming_image_payload_checks_foreachbatch(spark, tmp_path):
     assert sum(r for r, _ in seen) == 300
     assert len(seen) >= 2  # maxFilesPerTrigger=1 → several micro-batches
     assert all(ok for _, ok in seen)
+
+
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """A fitted UnivariateDriftCalculator compiled to a streaming query must
+    produce per-window JS/Hellinger/PSI EQUAL to the batch path with the
+    matching period chunker (a tumbling window IS a period chunk)."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.drift import UnivariateDriftCalculator
+    from spark_validate.streaming import streaming_univariate_drift
+
+    rng = np.random.default_rng(21)
+    n = 6000
+    ts = pd.date_range("2024-03-01", periods=n, freq="6s")  # 10 hours
+    drifted = np.arange(n) >= n // 2
+    pdf = pd.DataFrame(
+        {
+            "ts": ts,
+            "x": rng.normal(0, 1, n) + np.where(drifted, 1.2, 0.0),
+            "fmt": np.where(
+                rng.uniform(0, 1, n) < np.where(drifted, 0.4, 0.05), "png", "jpeg"
+            ),
+        }
+    )
+    ref = pdf.iloc[: n // 3]
+    ana = pdf.iloc[n // 3 :]
+    calc = UnivariateDriftCalculator(
+        column_names=["x", "fmt"],
+        continuous_methods=["jensen_shannon", "hellinger", "psi"],
+        categorical_methods=["jensen_shannon", "psi"],
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+    ).fit(spark.createDataFrame(ref))
+
+    # batch values per hourly chunk
+    batch = calc.calculate(spark.createDataFrame(ana)).toPandas()
+    calc.release_cache()
+
+    # same analysis rows through the streaming compilation
+    src = str(tmp_path / "drift_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_univariate_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_res = spark.sql("SELECT * FROM sv_drift").toPandas()
+
+    b = batch.set_index([batch["start_ts"].dt.floor("h"), "column_name", "method"])["value"]
+    s = stream_res.set_index(
+        [pd.to_datetime(stream_res["window_start"]), "column_name", "method"]
+    )["value"]
+    joined = pd.concat([b.rename("batch"), s.rename("stream")], axis=1).dropna()
+    assert len(joined) == len(s)  # every streamed cell has a batch twin
+    assert len(joined) >= 7 * 5  # ~7 analysis hours × 5 (column, method) pairs
+    np.testing.assert_allclose(joined["batch"], joined["stream"], rtol=1e-12)
+    # alerts agree too
+    ba = batch.set_index([batch["start_ts"].dt.floor("h"), "column_name", "method"])["alert"]
+    sa = stream_res.set_index(
+        [pd.to_datetime(stream_res["window_start"]), "column_name", "method"]
+    )["alert"]
+    agree = pd.concat([ba.rename("b"), sa.rename("s")], axis=1).dropna()
+    assert (agree["b"].astype(bool) == agree["s"].astype(bool)).all()
