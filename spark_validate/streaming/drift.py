@@ -106,6 +106,11 @@ def streaming_univariate_drift(
         raise RuntimeError("fit the calculator on the reference period first")
     cont_methods = [m for m in calc.continuous_methods if m in _STREAMABLE]
     cat_methods = [m for m in calc.categorical_methods if m in _STREAMABLE]
+    if not (calc._cont_cols and cont_methods) and not (calc._cat_cols and cat_methods):
+        raise ValueError(
+            f"no streamable methods on the fitted calculator; streaming supports {_STREAMABLE} "
+            "(KS/Wasserstein/l_infinity/chi2 are batch-side — run them via foreachBatch)"
+        )
     src = stream
     if watermark:
         src = src.withWatermark(timestamp_column, watermark)

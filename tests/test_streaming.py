@@ -266,3 +266,19 @@ def test_streaming_drift_matches_batch(spark, tmp_path):
     )["alert"]
     agree = pd.concat([ba.rename("b"), sa.rename("s")], axis=1).dropna()
     assert (agree["b"].astype(bool) == agree["s"].astype(bool)).all()
+
+
+def test_streaming_drift_rejects_unstreamable_method_set(spark):
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.drift import UnivariateDriftCalculator
+    from spark_validate.streaming import streaming_univariate_drift
+
+    pdf = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=200, freq="min"), "x": np.arange(200.0)})
+    calc = UnivariateDriftCalculator(
+        column_names=["x"],
+        continuous_methods=["kolmogorov_smirnov"],
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+    ).fit(spark.createDataFrame(pdf))
+    stream = spark.readStream.format("rate").load().withColumnRenamed("value", "x")
+    with pytest.raises(ValueError, match="no streamable methods"):
+        streaming_univariate_drift(stream.withColumnRenamed("timestamp", "ts"), calc, "ts")
