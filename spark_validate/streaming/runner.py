@@ -1,0 +1,114 @@
+"""Config-driven streaming validation — the runner's always-on sibling.
+
+Batch runner (`spark_validate/runner.py`) = scheduled re-runs with lineage
+resume, like the reference's APScheduler CLI. This module keeps the SAME
+config shape but compiles the checks into Structured Streaming queries:
+
+* ``column_stats`` → windowed per-column stats (+ batch-fitted threshold
+  alerts when a reference table is configured),
+* ``domain`` / ``range`` → append-mode violation row streams,
+* ``drift`` → ``streaming_univariate_drift`` from a calculator fitted on the
+  reference (js/hellinger/psi).
+
+Sinks are parquet directories under ``output_dir`` with per-query checkpoint
+locations (exactly-once file sink semantics; restart-safe, the streaming
+analog of the lineage table). ``run_streaming_suite`` returns the started
+``StreamingQuery`` handles — callers own the lifecycle (tests drain with
+``processAllAvailable``; production runs ``awaitAnyTermination``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_validate.io.readers import read_table
+from spark_validate.runner import build_chunker, build_check, _check_name
+
+
+def _sink(df: DataFrame, out_dir: str, name: str, mode: str):
+    return (
+        df.writeStream.outputMode(mode)
+        .format("parquet")
+        .option("path", os.path.join(out_dir, name))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoints", name))
+    )
+
+
+def run_streaming_suite(spark: SparkSession, config: dict, trigger: Dict[str, str] = None):
+    """Start one streaming query per supported check; returns {name: query}.
+
+    Config = the batch runner's schema plus ``stream`` (readStream source
+    path), ``timestamp_column``, ``window`` and optional ``watermark``.
+    Reference-fitted state (stats thresholds, drift histograms) comes from
+    the batch ``reference`` table — fit is a batch job, monitoring streams.
+    """
+    from spark_validate.streaming.drift import streaming_univariate_drift
+    from spark_validate.streaming.incremental import (
+        attach_thresholds,
+        streaming_column_stats,
+        streaming_violations,
+    )
+
+    out_dir = config["output_dir"]
+    ts = config["timestamp_column"]
+    window = config.get("window", "1 hour")
+    watermark = config.get("watermark")
+    batch_src = config.get("reference")
+    reference = read_table(spark, batch_src) if batch_src else None
+    schema = (
+        read_table(spark, config.get("stream_schema_from", batch_src or config["stream"])).schema
+    )
+    # watermarks are applied by each check builder (a second withWatermark on
+    # the same frame is an error: "Redefining watermark is disallowed")
+    stream = spark.readStream.schema(schema).parquet(config["stream"])
+
+    queries = {}
+    for check_cfg in config["checks"]:
+        kind = check_cfg["type"]
+        name = _check_name(check_cfg)
+        if kind == "column_stats":
+            stats = streaming_column_stats(
+                stream, ts, check_cfg["columns"], window_duration=window, watermark=watermark or window
+            )
+            if reference is not None:
+                import pyspark.sql.functions as F
+
+                thr: Dict[str, tuple] = {}
+                for c in check_cfg["columns"]:
+                    row = reference.agg(
+                        F.avg(c).alias("m"), F.stddev_pop(c).alias("s")
+                    ).first()
+                    if row["m"] is not None and row["s"] is not None:
+                        thr[c] = (row["m"] - 3 * row["s"], row["m"] + 3 * row["s"])
+                stats = attach_thresholds(stats, thr)
+            queries[name] = _sink(stats, out_dir, name, "append").start()
+        elif kind == "domain":
+            for c in check_cfg["columns"]:
+                v = streaming_violations(stream, c, domain=check_cfg["domain"])
+                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append").start()
+        elif kind == "range":
+            if reference is None:
+                raise ValueError("range check needs a reference table to fit [min, max]")
+            import pyspark.sql.functions as F
+
+            for c in check_cfg["columns"]:
+                row = reference.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+                v = streaming_violations(stream, c, valid_range=(row["lo"], row["hi"]))
+                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append").start()
+        elif kind == "drift":
+            if reference is None:
+                raise ValueError("drift check needs a reference table to fit histograms")
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            calc = build_check(spark, check_cfg, chunker)
+            calc.fit(reference)
+            drift = streaming_univariate_drift(
+                stream, calc, ts, window_duration=window, watermark=watermark
+            )
+            queries[name] = _sink(drift, out_dir, name, "append").start()
+            calc.release_cache()
+        else:
+            raise ValueError(f"check type {kind!r} is batch-only (run the batch runner for it)")
+    return queries

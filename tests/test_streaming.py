@@ -282,3 +282,66 @@ def test_streaming_drift_rejects_unstreamable_method_set(spark):
     stream = spark.readStream.format("rate").load().withColumnRenamed("value", "x")
     with pytest.raises(ValueError, match="no streamable methods"):
         streaming_univariate_drift(stream.withColumnRenamed("timestamp", "ts"), calc, "ts")
+
+
+def test_run_streaming_suite_end_to_end(spark, tmp_path):
+    """Config-driven streaming suite: stats windows + violation rows + drift
+    land in parquet sinks with checkpoints; batch-fitted thresholds alert."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    ts = pd.date_range("2024-05-01", periods=n, freq="9s")  # 10 hours
+    drifted = np.arange(n) >= n // 2
+    pdf = pd.DataFrame(
+        {
+            "ts": ts,
+            "w": rng.normal(100, 10, n) + np.where(drifted, 60, 0),
+            "fmt": np.where(rng.uniform(0, 1, n) < 0.01, "bmp", "jpeg"),
+        }
+    )
+    ref_dir = str(tmp_path / "ref")
+    stream_dir = str(tmp_path / "stream")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(pdf.iloc[: n // 4]).write.mode("overwrite").parquet(ref_dir)
+    spark.createDataFrame(pdf.iloc[n // 4 :]).write.mode("overwrite").parquet(stream_dir)
+
+    cfg = {
+        "output_dir": out_dir,
+        "reference": ref_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 hour",
+        "watermark": "0 seconds",
+        "checks": [
+            {"type": "column_stats", "columns": ["w"]},
+            {"type": "domain", "columns": ["fmt"], "domain": ["jpeg", "png"]},
+            {"type": "drift", "columns": ["w"], "continuous_methods": ["jensen_shannon", "psi"]},
+        ],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+        # push the watermark past every real window so append-mode aggs emit
+        sentinel = pdf.iloc[-1:].copy()
+        sentinel["ts"] = sentinel["ts"] + pd.Timedelta(hours=12)
+        spark.createDataFrame(sentinel).write.mode("append").parquet(stream_dir)
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+
+    stats = spark.read.parquet(f"{out_dir}/column_stats__w").toPandas()
+    assert len(stats) >= 7  # ~7.5 streamed hours of windows
+    assert stats["w__alert"].any()  # +60 shift blows the 3σ fitted band
+    viol = spark.read.parquet(f"{out_dir}/domain__fmt").toPandas()
+    assert (viol["violation_kind"] == "unseen_value").all()
+    assert len(viol) > 0
+    drift = spark.read.parquet(f"{out_dir}/drift__w").toPandas()
+    assert set(drift["method"]) == {"jensen_shannon", "psi"}
+    late = drift[pd.to_datetime(drift["window_start"]).dt.hour >= 5]
+    assert late["alert"].any()  # drifted half alerts
+    # checkpoints exist → restart-safe sinks
+    assert (tmp_path / "out" / "_checkpoints" / "column_stats__w").exists()
