@@ -521,6 +521,9 @@ class CBPE:
         long_df, headers = self._estimated_chunk_values(df)
         return self._finalize(long_df, headers, period)
 
+    # runner-protocol alias: estimators "calculate" their estimate
+    calculate = estimate
+
     @property
     def reference_result(self) -> DataFrame:
         if not self._fitted:

@@ -284,6 +284,9 @@ class DLE:
         long_df, headers = self._chunk_values(df)
         return self._finalize(long_df, headers, period)
 
+    # runner-protocol alias: estimators "calculate" their estimate
+    calculate = estimate
+
     @property
     def reference_result(self) -> DataFrame:
         return self._reference_result

@@ -101,6 +101,38 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             manifest_column=cfg.get("manifest_column"), chunker=chunker,
             broadcast_manifest=cfg.get("broadcast_manifest", True),
         )
+    if kind == "performance":
+        from spark_validate.performance import PerformanceCalculator
+
+        return PerformanceCalculator(
+            metrics=tuple(cfg["metrics"]),
+            problem_type=cfg.get("problem_type", "binary_classification"),
+            y_true=cfg.get("y_true", "y_true"),
+            y_pred=cfg.get("y_pred", "y_pred"),
+            y_pred_proba=cfg.get("y_pred_proba"),
+            chunker=chunker,
+        )
+    if kind == "cbpe":
+        from spark_validate.performance.cbpe import CBPE
+
+        return CBPE(
+            metrics=tuple(cfg["metrics"]),
+            problem_type=cfg.get("problem_type", "binary_classification"),
+            y_true=cfg.get("y_true", "y_true"),
+            y_pred=cfg.get("y_pred", "y_pred"),
+            y_pred_proba=cfg.get("y_pred_proba", "y_pred_proba"),
+            chunker=chunker,
+        )
+    if kind == "dle":
+        from spark_validate.performance.dle import DLE
+
+        return DLE(
+            metrics=tuple(cfg["metrics"]),
+            feature_column_names=cfg["feature_columns"],
+            y_true=cfg.get("y_true", "y_true"),
+            y_pred=cfg.get("y_pred", "y_pred"),
+            chunker=chunker,
+        )
     if kind == "phash_dedup":
         from spark_validate.image.phash import PhashDedupCheck
 
@@ -122,7 +154,13 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
 
 
 def _check_name(cfg: dict) -> str:
-    cols = cfg.get("columns") or cfg.get("keys") or [cfg.get("column", "")]
+    cols = (
+        cfg.get("columns")
+        or cfg.get("keys")
+        or cfg.get("metrics")
+        or cfg.get("feature_columns")
+        or [cfg.get("column", "")]
+    )
     return f"{cfg['type']}__{'_'.join(cols)}"
 
 
@@ -144,6 +182,11 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
     store = FittedStore(config.get("store_dir", os.path.join(out_dir, "store")))
     reference = read_table(spark, config["reference"])
     analysis = read_table(spark, config["analysis"])
+    # delayed ground truth arrives separately and joins back by key, exactly
+    # the reference runner's target join (nannyml/runner.py:299-305)
+    if config.get("analysis_targets"):
+        targets = read_table(spark, config["analysis_targets"])
+        analysis = analysis.join(targets, config.get("target_join_column", "id"), "left")
     chunk_cfg = config.get("chunking", {})
     value_derived_chunks = bool(chunk_cfg.get("chunk_period") or chunk_cfg.get("partition_columns"))
     lineage_path = os.path.join(out_dir, "lineage")
@@ -176,7 +219,9 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         # load-or-fit (store hit skips the reference aggregation entirely);
         # domain/uniqueness/referential checks carry no reference-fitted state
         from_store = False
-        needs_fit = check_cfg["type"] in ("column_stats", "missing", "range", "unseen", "drift")
+        needs_fit = check_cfg["type"] in (
+            "column_stats", "missing", "range", "unseen", "drift", "performance", "cbpe", "dle",
+        )
         if needs_fit:
             if hasattr(calc, "get_state"):
                 calc, from_store = store.load_or_fit(

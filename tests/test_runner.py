@@ -171,3 +171,47 @@ def test_phash_dedup_check_in_runner(spark, workspace, tmp_path):
     assert (v["violation_kind"] == "near_duplicate").all()
     assert len(v) >= 12  # each twin pair appears for the id_a side
     assert v["observed_value"].str.contains("@h=2").all()
+
+
+def test_runner_performance_and_cbpe_with_target_join(spark, tmp_path):
+    """Estimator check types + the reference runner's delayed-target join
+    (nannyml/runner.py:299-305): realized performance needs y_true joined
+    back from the targets table; CBPE estimates without it."""
+    from spark_validate.datasets import load_synthetic_car_loan_dataset
+
+    ref, ana, tgt = load_synthetic_car_loan_dataset(spark, n_rows=12_000, n_parts=4)
+    base = tmp_path / "perf"
+    ref.write.mode("overwrite").parquet(str(base / "ref"))
+    ana.write.mode("overwrite").parquet(str(base / "ana"))
+    tgt.write.mode("overwrite").parquet(str(base / "tgt"))
+    cfg = {
+        "run_id": "perfrun",
+        "output_dir": str(base / "out"),
+        "reference": str(base / "ref"),
+        "analysis": str(base / "ana"),
+        "analysis_targets": str(base / "tgt"),
+        "target_join_column": "id",
+        "chunking": {"chunk_period": "W", "timestamp_column": "timestamp"},
+        "checks": [
+            {
+                "type": "performance",
+                "metrics": ["accuracy", "roc_auc"],
+                "y_true": "repaid",
+                "y_pred_proba": "y_pred_proba",
+            },
+            {"type": "cbpe", "metrics": ["accuracy"], "y_true": "repaid"},
+        ],
+    }
+    report = run_suite(spark, cfg)
+    assert set(report) == {"performance__accuracy_roc_auc", "cbpe__accuracy"}
+    res = spark.read.parquet(str(base / "out" / "results")).toPandas()
+    perf = res[(res.check == "performance__accuracy_roc_auc") & (res.method == "accuracy")]
+    est = res[(res.check == "cbpe__accuracy") & (res.method == "accuracy")]
+    assert len(perf) > 0 and len(est) > 0
+    assert perf["value"].between(0.5, 1).all()
+    # the estimate tracks realized accuracy on the same chunks
+    j = perf.set_index("chunk_key")["value"].to_frame("real").join(
+        est.set_index("chunk_key")["value"].to_frame("est"), how="inner"
+    )
+    assert len(j) > 0
+    assert (j["real"] - j["est"]).abs().max() < 0.1
