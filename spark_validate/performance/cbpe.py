@@ -524,6 +524,38 @@ class CBPE:
     # runner-protocol alias: estimators "calculate" their estimate
     calculate = estimate
 
+    # ---- JSON state for the FittedStore (the reference pickles fitted
+    # estimators via its store; here the state is the calibrator breakpoints
+    # + thresholds + sampling-error components — reference_result is not
+    # persisted and is unavailable on a store-loaded instance)
+
+    def get_state(self) -> dict:
+        if not self._fitted:
+            raise RuntimeError("fit first")
+        st = {
+            "thresholds": {m: [lo, up] for m, (lo, up) in self._thresholds.items()},
+            "se": self._se,
+        }
+        if self._calibrators is not None:
+            st["calibrators"] = {str(c): cal.get_state() for c, cal in self._calibrators.items()}
+        elif self._calibrator is not None:
+            st["calibrator"] = self._calibrator.get_state()
+        return st
+
+    def set_state(self, st: dict) -> "CBPE":
+        def mk(d):
+            return NoopCalibrator() if d.get("noop") else IsotonicCalibrator().set_state(d)
+
+        if st.get("calibrators") is not None:
+            self._calibrators = {c: mk(st["calibrators"][str(c)]) for c in self.classes}
+        if st.get("calibrator") is not None:
+            self._calibrator = mk(st["calibrator"])
+        self._thresholds = {m: (v[0], v[1]) for m, v in st["thresholds"].items()}
+        self._se = st.get("se", {})
+        self._reference_result = None
+        self._fitted = True
+        return self
+
     @property
     def reference_result(self) -> DataFrame:
         if not self._fitted:

@@ -88,7 +88,15 @@ class _RidgeLossModel:
         return np.maximum(Xs @ self.w, 0.0)  # losses are non-negative
 
     def state(self) -> dict:
-        return {"mu": self.mu.tolist(), "sd": self.sd.tolist(), "w": self.w.tolist()}
+        return {"kind": "ridge", "alpha": self.alpha, "mu": self.mu.tolist(), "sd": self.sd.tolist(), "w": self.w.tolist()}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "_RidgeLossModel":
+        m = cls(alpha=float(st.get("alpha", 1.0)))
+        m.mu = np.asarray(st["mu"], dtype=np.float64)
+        m.sd = np.asarray(st["sd"], dtype=np.float64)
+        m.w = np.asarray(st["w"], dtype=np.float64)
+        return m
 
 
 class _GBTLossModel:
@@ -110,6 +118,15 @@ class _GBTLossModel:
 
     def state(self) -> dict:
         return {"kind": "gbt", **self.model.state()}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "_GBTLossModel":
+        from spark_validate.functions.gbt import GBTRegressor
+
+        m = cls.__new__(cls)
+        m.params = {}
+        m.model = GBTRegressor.from_state(st)
+        return m
 
 
 @dataclass
@@ -286,6 +303,34 @@ class DLE:
 
     # runner-protocol alias: estimators "calculate" their estimate
     calculate = estimate
+
+    # ---- JSON state for the FittedStore (loss models + thresholds;
+    # reference_result is not persisted). lightgbm models are not
+    # JSON-serializable — get_state refuses, so the runner falls back to
+    # refitting instead of silently dropping the model.
+
+    def get_state(self) -> dict:
+        if not self._fitted:
+            raise RuntimeError("fit first")
+        if self.loss_model == "lightgbm":
+            raise TypeError("lightgbm loss models have no JSON state; refit instead")
+        return {
+            "loss_model": self.loss_model,
+            "models": {k: m.state() for k, m in self._models.items()},
+            "thresholds": {m: [lo, up] for m, (lo, up) in self._thresholds.items()},
+        }
+
+    def set_state(self, st: dict) -> "DLE":
+        self._models = {}
+        for k, ms in st["models"].items():
+            if ms.get("kind") == "gbt":
+                self._models[k] = _GBTLossModel.from_state(ms)
+            else:
+                self._models[k] = _RidgeLossModel.from_state(ms)
+        self._thresholds = {m: (v[0], v[1]) for m, v in st["thresholds"].items()}
+        self._reference_result = None
+        self._fitted = True
+        return self
 
     @property
     def reference_result(self) -> DataFrame:

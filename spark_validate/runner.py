@@ -224,9 +224,12 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         )
         if needs_fit:
             if hasattr(calc, "get_state"):
-                calc, from_store = store.load_or_fit(
-                    f"{run_id}__{name}", calc, lambda c=calc: c.fit(reference)
-                )
+                try:
+                    calc, from_store = store.load_or_fit(
+                        f"{run_id}__{name}", calc, lambda c=calc: c.fit(reference)
+                    )
+                except TypeError as exc:  # model with no JSON state (e.g. lightgbm)
+                    logger.warning("state not storable for %r (%s); fitted without store", name, exc)
             else:
                 calc.fit(reference)
 

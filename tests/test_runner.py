@@ -215,3 +215,56 @@ def test_runner_performance_and_cbpe_with_target_join(spark, tmp_path):
     )
     assert len(j) > 0
     assert (j["real"] - j["est"]).abs().max() < 0.1
+
+
+def test_cbpe_and_dle_store_roundtrip(spark, tmp_path):
+    """Estimator fitted state JSON-round-trips through the FittedStore and
+    a store-loaded instance estimates identically (reference stores fitted
+    estimators too, nannyml/runner.py:169-202)."""
+    import json
+
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.datasets import load_synthetic_car_loan_dataset, load_synthetic_car_price_dataset
+    from spark_validate.performance.cbpe import CBPE
+    from spark_validate.performance.dle import DLE
+
+    ref, ana, _ = load_synthetic_car_loan_dataset(spark, n_rows=8000, n_parts=4)
+    ch = SizeBasedChunker(chunk_size=1000, order_by=["id"])
+    est = CBPE(metrics=("accuracy", "roc_auc"), y_true="repaid", chunker=ch).fit(ref)
+    st = json.loads(json.dumps(est.get_state()))  # JSON-safe
+    est2 = CBPE(metrics=("accuracy", "roc_auc"), y_true="repaid", chunker=ch).set_state(st)
+    a = est.estimate(ana).orderBy("chunk_index", "method").toPandas()
+    b = est2.estimate(ana).orderBy("chunk_index", "method").toPandas()
+    np.testing.assert_allclose(a["value"], b["value"])
+    assert (a["alert"].fillna(False) == b["alert"].fillna(False)).all()
+
+    rref, rana, _ = load_synthetic_car_price_dataset(spark, n_rows=8000, n_parts=4)
+    feats = ["car_age", "km_driven", "price_new", "accident_count"]
+    dle = DLE(metrics=("mae", "rmse"), feature_column_names=feats, chunker=ch).fit(rref)
+    st = json.loads(json.dumps(dle.get_state()))
+    dle2 = DLE(metrics=("mae", "rmse"), feature_column_names=feats, chunker=ch).set_state(st)
+    a = dle.estimate(rana).orderBy("chunk_index", "method").toPandas()
+    b = dle2.estimate(rana).orderBy("chunk_index", "method").toPandas()
+    np.testing.assert_allclose(a["value"], b["value"])
+
+
+def test_runner_estimators_fit_from_store_on_rerun(spark, tmp_path):
+    from spark_validate.datasets import load_synthetic_car_loan_dataset
+
+    ref, ana, _ = load_synthetic_car_loan_dataset(spark, n_rows=6000, n_parts=4)
+    base = tmp_path / "st"
+    ref.write.mode("overwrite").parquet(str(base / "ref"))
+    ana.write.mode("overwrite").parquet(str(base / "ana"))
+    cfg = {
+        "run_id": "storerun",
+        "output_dir": str(base / "out"),
+        "store_dir": str(base / "store"),
+        "reference": str(base / "ref"),
+        "analysis": str(base / "ana"),
+        "chunking": {"chunk_period": "W", "timestamp_column": "timestamp"},
+        "checks": [{"type": "cbpe", "metrics": ["accuracy"], "y_true": "repaid"}],
+    }
+    r1 = run_suite(spark, cfg)
+    assert not r1["cbpe__accuracy"]["fitted_from_store"]
+    r2 = run_suite(spark, cfg)
+    assert r2["cbpe__accuracy"]["fitted_from_store"]  # calibrator loaded, no refit
