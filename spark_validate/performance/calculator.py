@@ -590,6 +590,27 @@ class PerformanceCalculator:
         ref_long.unpersist()
         return self
 
+    # ---- JSON state for the FittedStore (thresholds + SE components +
+    # multiclass label set; reference_result is not persisted)
+
+    def get_state(self) -> dict:
+        if not self._fitted:
+            raise RuntimeError("fit first")
+        return {
+            "thresholds": {m: [lo, up] for m, (lo, up) in self._thresholds.items()},
+            "se": self._se,
+            "classes": self._classes if self.problem_type == "multiclass_classification" else None,
+        }
+
+    def set_state(self, st: dict) -> "PerformanceCalculator":
+        self._thresholds = {m: (v[0], v[1]) for m, v in st["thresholds"].items()}
+        self._se = st.get("se", {})
+        if st.get("classes") is not None:
+            self._classes = list(st["classes"])
+        self._reference_result = None
+        self._fitted = True
+        return self
+
     # ------------------------------------------------------------------ calculate
 
     def _se_expr(self) -> F.Column:

@@ -254,3 +254,40 @@ def test_multiclass_cm_ap_business_value(spark):
         [ap_binary(c.y_true == cls, c[f"p_{cls}"].to_numpy()) for cls in classes]
     )
     assert np.isclose(piv[(0, "average_precision")], want_ap)
+
+
+def test_performance_calculator_state_roundtrip(spark):
+    """Fitted thresholds/SE/classes JSON-round-trip; a store-loaded instance
+    calculates identically (incl. sampling errors) without a reference pass."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.performance.calculator import PerformanceCalculator
+
+    rng = np.random.default_rng(8)
+    n = 6000
+    p = rng.uniform(0.05, 0.95, n)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "y_true": (rng.uniform(0, 1, n) < p).astype(int),
+            "score": p,
+        }
+    )
+    pdf["y_pred"] = (pdf["score"] > 0.5).astype(int)
+    sdf = spark.createDataFrame(pdf)
+    ch = SizeBasedChunker(chunk_size=1000, order_by=["id"])
+    kw = dict(metrics=("accuracy", "roc_auc", "f1"), y_pred_proba="score", chunker=ch)
+    calc = PerformanceCalculator(**kw).fit(sdf.filter("id < 3000"))
+    st = json.loads(json.dumps(calc.get_state()))
+    calc2 = PerformanceCalculator(**kw).set_state(st)
+    a = calc.calculate(sdf.filter("id >= 3000")).orderBy("chunk_index", "method").toPandas()
+    b = calc2.calculate(sdf.filter("id >= 3000")).orderBy("chunk_index", "method").toPandas()
+    np.testing.assert_allclose(a["value"], b["value"])
+    np.testing.assert_allclose(
+        a["sampling_error"].astype(float), b["sampling_error"].astype(float), equal_nan=True
+    )
+    assert (a["upper_threshold"] == b["upper_threshold"]).all()
