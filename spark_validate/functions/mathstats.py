@@ -213,3 +213,21 @@ def wasserstein_1d(a, b) -> float:
     cdf_a = np.searchsorted(a, allv[:-1], side="right") / len(a)
     cdf_b = np.searchsorted(b, allv[:-1], side="right") / len(b)
     return float(np.sum(np.abs(cdf_a - cdf_b) * deltas))
+
+
+def average_precision(y_true, scores) -> float:
+    """Tie-grouped average precision (sklearn semantics: AP = Σ ΔR·P over
+    descending-score thresholds) — numpy mirror of the Spark expression used
+    by PerformanceCalculator (oracle-verified there)."""
+    y = np.asarray(y_true, dtype=np.float64)
+    s = np.asarray(scores, dtype=np.float64)
+    order = np.argsort(-s, kind="mergesort")
+    y, s = y[order], s[order]
+    n_pos = y.sum()
+    if n_pos == 0 or len(y) == 0:
+        return float("nan")
+    boundaries = np.r_[np.nonzero(np.diff(s))[0], len(s) - 1]
+    tp = np.cumsum(y)[boundaries]
+    rec = tp / n_pos
+    prec = tp / (boundaries + 1.0)
+    return float(np.sum(np.diff(np.r_[0.0, rec]) * prec))

@@ -498,6 +498,95 @@ class PerformanceCalculator:
                 se["f1"] = {"std": cf * math.sqrt(max(q * (1 - q), 0.0)), "fraction": rel / n}
             if "roc_auc" in self.metrics and self.y_pred_proba:
                 se["roc_auc"] = self._fit_auroc_se(reference)
+            if "average_precision" in self.metrics and self.y_pred_proba:
+                se["average_precision"] = self._fit_ap_se(reference)
+            if "business_value" in self.metrics and self.business_value_matrix is not None:
+                # std of the per-row weighted value (bse.business_value_
+                # sampling_error_components :803-845) — one pass, no collect
+                (tn_v, fp_v), (fn_v, tp_v) = self.business_value_matrix
+                w = (
+                    F.when((yt == 1) & (yp == 1), float(tp_v))
+                    .when((yt == 0) & (yp == 0), float(tn_v))
+                    .when((yt == 0) & (yp == 1), float(fp_v))
+                    .otherwise(float(fn_v))
+                )
+                bv_std = reference.filter(yt.isNotNull() & yp.isNotNull()).agg(
+                    F.stddev_pop(w)
+                ).first()[0]
+                se["business_value"] = {"std": bv_std, "bv_norm": self.normalize_business_value}
+            if "confusion_matrix" in self.metrics:
+                # per-cell components (bse :387-801): binomial std of the
+                # cell indicator over its normalization denominator
+                norm = self.normalize_confusion_matrix
+                cells = {
+                    "true_positive": (tp, tp + fn, tp + fp),
+                    "false_negative": (fn, tp + fn, tn + fn),
+                    "true_negative": (tn, tn + fp, tn + fn),
+                    "false_positive": (fp, tn + fp, tp + fp),
+                }
+                for cell, (x, row_tot, col_tot) in cells.items():
+                    if norm in (None, "all"):
+                        q = x / n
+                        rel = 1.0
+                    else:
+                        denom = row_tot if norm == "true" else col_tot
+                        q = x / denom if denom > 0 else float("nan")
+                        rel = denom / n
+                    std = math.sqrt(max(q * (1 - q), 0.0)) if q == q else float("nan")
+                    se[cell] = {"std": std, "fraction": rel, "cm_norm": norm}
+        elif self.problem_type == "multiclass_classification":
+            # one OvR counts pass for all per-class components
+            # (`sampling_error/multiclass_classification.py:21-487`)
+            yts = F.col(self.y_true).cast("string")
+            yps = F.col(self.y_pred).cast("string")
+            classes = self._classes or []
+            aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.avg((yts == yps).cast("double")).alias("acc"),
+            ]
+            for i, c in enumerate(classes):
+                t, p_ = yts == str(c), yps == str(c)
+                aggs += [
+                    F.sum((t & p_).cast("double")).alias(f"tp{i}"),
+                    F.sum((~t & p_).cast("double")).alias(f"fp{i}"),
+                    F.sum((t & ~p_).cast("double")).alias(f"fn{i}"),
+                    F.sum((~t & ~p_).cast("double")).alias(f"tn{i}"),
+                ]
+            row = reference.filter(yts.isNotNull() & yps.isNotNull()).agg(*aggs).first()
+            n = row["n"]
+            acc = row["acc"]
+            se["accuracy"] = {"std": math.sqrt(max(acc * (1 - acc), 0.0))}
+
+            def _cls_component(x, rel):
+                q = x / rel if rel > 0 else float("nan")
+                var = q * (1 - q) if q == q else float("nan")
+                return [var, rel / n if n else float("nan")]
+
+            comps = {"f1": [], "precision": [], "recall": [], "specificity": []}
+            for i in range(len(classes)):
+                tp, fp, fn, tn = (row[f"tp{i}"], row[f"fp{i}"], row[f"fn{i}"], row[f"tn{i}"])
+                comps["f1"].append(_cls_component(tp, tp + fp + fn))
+                comps["precision"].append(_cls_component(tp, tp + fp))
+                comps["recall"].append(_cls_component(tp, tp + fn))
+                comps["specificity"].append(_cls_component(tn, tn + fp))
+            for m_, cc in comps.items():
+                if m_ in self.metrics:
+                    se[m_] = {"mc": cc, "scale": 1.0}
+            if "roc_auc" in self.metrics and isinstance(self.y_pred_proba, dict):
+                se["roc_auc"] = {"mc": self._fit_mc_auroc_components(reference), "scale": 1.2}
+            if "business_value" in self.metrics and self.business_value_matrix is not None:
+                w = F.lit(None).cast("double")
+                k = len(classes)
+                for i in range(k):
+                    for j in range(k):
+                        w = F.when(
+                            (yts == str(classes[i])) & (yps == str(classes[j])),
+                            float(self.business_value_matrix[i][j]),
+                        ).otherwise(w)
+                bv_std = reference.filter(yts.isNotNull() & yps.isNotNull()).agg(
+                    F.stddev_pop(w)
+                ).first()[0]
+                se["business_value"] = {"std": bv_std, "bv_norm": self.normalize_business_value}
         elif self.problem_type == "regression":
             err = yt - yp
             row = reference.agg(
@@ -556,6 +645,63 @@ class PerformanceCalculator:
             return {"std": None, "fraction": n1 / n}
         ser = neg_below[y == 1.0] / n0s
         return {"std": float(np.std(ser)), "fraction": n1 / n}
+
+    def _fit_ap_se(self, reference: DataFrame) -> dict:
+        """AP components (`bse.ap_sampling_error_components :95-128`): bootstrap
+        std over N=50 resamples of size min(n/2, 50k), extrapolated 1/√n.
+        Runs on a seeded ≤50k collected sample (same device as AUROC)."""
+        from spark_validate.functions.mathstats import average_precision
+
+        df = reference.select(
+            F.col(self.y_true).cast("double").alias("_y"),
+            F.col(self.y_pred_proba).cast("double").alias("_s"),
+        ).filter(F.col("_y").isNotNull() & F.col("_s").isNotNull())
+        n = df.count()
+        if not n:
+            return {"std": None, "sample_size": None}
+        if n > self.MAX_RESAMPLE_SIZE:
+            df = df.sample(fraction=self.MAX_RESAMPLE_SIZE / n, seed=42)
+        pdf = df.toPandas()
+        y = pdf["_y"].to_numpy(np.float64)
+        s = pdf["_s"].to_numpy(np.float64)
+        sample_size = int(min(n // 2, self.MAX_RESAMPLE_SIZE))
+        if sample_size < 2 or y.sum() == 0 or y.sum() == len(y):
+            return {"std": None, "sample_size": sample_size}
+        rng = np.random.default_rng(42)
+        aps = []
+        for _ in range(50):  # bse.N_EXPERIMENTS
+            idx = rng.choice(len(y), size=min(sample_size, len(y)), replace=True)
+            aps.append(average_precision(y[idx], s[idx]))
+        return {"std": float(np.nanstd(aps)), "sample_size": sample_size}
+
+    def _fit_mc_auroc_components(self, reference: DataFrame) -> list:
+        """Per-class OvR AUROC components (var(ser), fraction) from one
+        seeded ≤50k sample (`mse.auroc_sampling_error_components :27-75`)."""
+        cols = [F.col(self.y_true).cast("string").alias("_y")] + [
+            F.col(self.y_pred_proba[c]).cast("double").alias(f"_s{i}")
+            for i, c in enumerate(self._classes)
+        ]
+        df = reference.select(*cols).dropna()
+        n = df.count()
+        if n > self.MAX_RESAMPLE_SIZE:
+            df = df.sample(fraction=self.MAX_RESAMPLE_SIZE / n, seed=42)
+        pdf = df.toPandas()
+        comps = []
+        for i, c in enumerate(self._classes):
+            y = (pdf["_y"] == str(c)).to_numpy(np.float64)
+            p = pdf[f"_s{i}"].to_numpy(np.float64)
+            if y.mean() > 0.5:
+                y, p = 1.0 - y, 1.0 - p
+            order = np.argsort(p, kind="stable")
+            ys = y[order]
+            n0s = float((1.0 - ys).sum())
+            if n0s == 0 or ys.sum() == 0:
+                comps.append([float("nan"), float("nan")])
+                continue
+            neg_below = np.concatenate(([0.0], np.cumsum(1.0 - ys)[:-1]))
+            ser = neg_below[ys == 1.0] / n0s
+            comps.append([float(np.var(ser)), float(y.mean())])
+        return comps
 
     def fit(self, reference: DataFrame) -> "PerformanceCalculator":
         if self.problem_type == "multiclass_classification":
@@ -618,8 +764,45 @@ class PerformanceCalculator:
         m = F.col("method")
         expr = F.lit(None).cast("double")
         for metric, comp in self._se.items():
+            if "mc" in comp:
+                # macro OvR combine (mse.py:21-24; auroc applies ×1.2 :93-96)
+                parts = [
+                    F.lit(float(var)) / (n * F.lit(float(frac)))
+                    for var, frac in comp["mc"]
+                    if var == var and frac == frac and frac > 0
+                ]
+                if not parts:
+                    continue
+                e = F.lit(float(comp.get("scale", 1.0))) * F.sqrt(sum(parts[1:], parts[0])) / F.lit(
+                    float(len(comp["mc"]))
+                )
+                expr = F.when(m == metric, e).otherwise(expr)
+                continue
             std = comp.get("std")
             if std is None or std != std:
+                continue
+            if "sample_size" in comp:  # bootstrap-extrapolated (AP, bse :131-149)
+                s = comp["sample_size"]
+                if s:
+                    e = F.lit(float(std)) * F.sqrt(F.lit(float(s)) / n)
+                    expr = F.when(m == metric, e).otherwise(expr)
+                continue
+            if "bv_norm" in comp:  # business value (bse :845-867)
+                e = F.lit(float(std)) * F.sqrt(n) if comp["bv_norm"] is None else F.lit(float(std)) / F.sqrt(n)
+                expr = F.when(m == metric, e).otherwise(expr)
+                continue
+            if "cm_norm" in comp:  # confusion-matrix cells (bse :459-801)
+                norm = comp["cm_norm"]
+                frac = comp.get("fraction")
+                if norm is None:
+                    e = F.lit(float(std)) * F.sqrt(n)
+                elif norm == "all":
+                    e = F.lit(float(std)) / F.sqrt(n)
+                else:
+                    if frac is None or frac != frac or frac <= 0:
+                        continue
+                    e = F.lit(float(std)) / F.sqrt(n * F.lit(float(frac)))
+                expr = F.when(m == metric, e).otherwise(expr)
                 continue
             if metric in ("accuracy", "mae", "mape", "mse", "msle"):
                 e = F.lit(float(std)) / F.sqrt(n)

@@ -291,3 +291,84 @@ def test_performance_calculator_state_roundtrip(spark):
         a["sampling_error"].astype(float), b["sampling_error"].astype(float), equal_nan=True
     )
     assert (a["upper_threshold"] == b["upper_threshold"]).all()
+
+
+def test_sampling_errors_cover_ap_bv_cm_and_multiclass(spark):
+    """SE parity for the components round 1 lacked: AP (bootstrap 1/√n
+    extrapolation), business value (per-row value std), CM cells (binomial
+    over the normalization denominator), and the multiclass macro-OvR
+    combine with the reference's ×1.2 AUROC adjustment."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.performance.calculator import PerformanceCalculator
+
+    rng = np.random.default_rng(14)
+    n = 8000
+    p = rng.uniform(0.05, 0.95, n)
+    y = (rng.uniform(0, 1, n) < p).astype(int)
+    pred = (p > 0.5).astype(int)
+    pdf = pd.DataFrame({"id": np.arange(n), "y_true": y, "y_pred": pred, "score": p})
+    sdf = spark.createDataFrame(pdf)
+    ch = SizeBasedChunker(chunk_size=1000, order_by=["id"])
+    bvm = [[0.0, -2.0], [-1.0, 5.0]]
+    calc = PerformanceCalculator(
+        metrics=("average_precision", "business_value", "confusion_matrix"),
+        y_pred_proba="score",
+        business_value_matrix=bvm,
+        chunker=ch,
+    ).fit(sdf.filter("id < 4000"))
+    res = calc.calculate(sdf.filter("id >= 4000")).toPandas()
+    piv = res.set_index(["chunk_index", "method"])["sampling_error"]
+    # every new metric row carries a sampling error
+    for mth in ("average_precision", "business_value", "true_positive", "false_negative"):
+        assert piv.xs(mth, level="method").notna().all(), mth
+    # business value (norm None): SE = ref_row_std · √n_chunk
+    ref = pdf[pdf.id < 4000]
+    w = np.select(
+        [(ref.y_true == 1) & (ref.y_pred == 1), (ref.y_true == 0) & (ref.y_pred == 0),
+         (ref.y_true == 0) & (ref.y_pred == 1)],
+        [bvm[1][1], bvm[0][0], bvm[0][1]],
+        default=bvm[1][0],
+    )
+    assert np.isclose(piv[(0, "business_value")], w.std() * math.sqrt(1000), rtol=1e-6)
+    # CM cell (norm None): SE = sqrt(q(1−q))·√n with q = TP/n_ref
+    q = ((ref.y_true == 1) & (ref.y_pred == 1)).mean()
+    assert np.isclose(piv[(0, "true_positive")], math.sqrt(q * (1 - q)) * math.sqrt(1000), rtol=1e-6)
+    # AP bootstrap SE: positive and sane
+    ap_se = piv.xs("average_precision", level="method")
+    assert ((ap_se > 0) & (ap_se < 0.2)).all()
+
+    # multiclass: macro-OvR combine
+    classes = ["a", "b", "c"]
+    yt = rng.choice(classes, n, p=[0.5, 0.3, 0.2])
+    probs = rng.dirichlet([4, 3, 2], n)
+    yp = np.take(classes, probs.argmax(axis=1))
+    mdf = pd.DataFrame({"id": np.arange(n), "y_true": yt, "y_pred": yp})
+    for i, c in enumerate(classes):
+        mdf[f"p_{c}"] = probs[:, i]
+    msdf = spark.createDataFrame(mdf)
+    mcalc = PerformanceCalculator(
+        problem_type="multiclass_classification",
+        metrics=("f1", "roc_auc", "accuracy"),
+        y_pred_proba={c: f"p_{c}" for c in classes},
+        chunker=ch,
+    ).fit(msdf.filter("id < 4000"))
+    mres = mcalc.calculate(msdf.filter("id >= 4000")).toPandas()
+    mpiv = mres.set_index(["chunk_index", "method"])["sampling_error"]
+    for mth in ("f1", "roc_auc", "accuracy"):
+        assert mpiv.xs(mth, level="method").notna().all(), mth
+    # f1 macro SE oracle from reference-period OvR counts
+    mref = mdf[mdf.id < 4000]
+    vars_fracs = []
+    for c in classes:
+        t, pr = (mref.y_true == c), (mref.y_pred == c)
+        tp = (t & pr).sum(); fp = (~t & pr).sum(); fn = (t & ~pr).sum()
+        rel = tp + fp + fn
+        qc = tp / rel
+        vars_fracs.append((qc * (1 - qc), rel / len(mref)))
+    exp = math.sqrt(sum(v / (1000 * f) for v, f in vars_fracs)) / len(classes)
+    assert np.isclose(mpiv[(0, "f1")], exp, rtol=1e-9)
