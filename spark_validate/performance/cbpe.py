@@ -451,19 +451,23 @@ class CBPE:
 
     def fit(self, reference: DataFrame) -> "CBPE":
         self._fit_calibrator(reference)
-        if self.problem_type == "binary_classification":
-            # sampling-error components: same closed forms as realized performance
-            helper = PerformanceCalculator(
-                metrics=tuple(
-                    m for m in self.metrics if m not in ("business_value", "confusion_matrix", "average_precision")
-                ),
-                y_true=self.y_true,
-                y_pred=self.y_pred,
-                y_pred_proba=self.y_pred_proba,
-                chunker=self.chunker,
-            )
-            helper._fit_se_components(reference)
-            self._se = helper._se
+        # sampling-error components: same closed forms as realized performance
+        # (the reference's CBPE metrics reuse the sampling_error/* modules too)
+        helper = PerformanceCalculator(
+            metrics=tuple(self.metrics),
+            problem_type=self.problem_type,
+            y_true=self.y_true,
+            y_pred=self.y_pred,
+            y_pred_proba=self.y_pred_proba,
+            business_value_matrix=self.business_value_matrix,
+            normalize_business_value=self.normalize_business_value,
+            normalize_confusion_matrix=self.normalize_confusion_matrix,
+            chunker=self.chunker,
+        )
+        if self.problem_type == "multiclass_classification":
+            helper._classes = [str(c) for c in self.classes]
+        helper._fit_se_components(reference)
+        self._se = helper._se
         self._fitted = True
         ref_long, ref_headers = self._estimated_chunk_values(reference)
         ref_long = ref_long.persist()

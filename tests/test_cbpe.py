@@ -269,3 +269,22 @@ def test_cbpe_binary_confusion_matrix_normalization(spark, cbpe_frame):
     p = out["pred"]
     assert np.allclose(p["true_positive"] + p["false_positive"], 1.0)
     assert np.allclose(p["true_negative"] + p["false_negative"], 1.0)
+
+
+def test_cbpe_multiclass_sampling_errors_present(mc_frame):
+    _, sdf = mc_frame
+    from spark_validate.chunking import SizeBasedChunker
+
+    classes = sorted(r[0] for r in sdf.select("y_true").distinct().collect())
+    est = CBPE(
+        metrics=("accuracy", "f1", "roc_auc"),
+        problem_type="multiclass_classification",
+        y_pred_proba={c: f"p_{c}" for c in classes},
+        chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]),
+    ).fit(sdf.filter("is_ref"))
+    res = est.estimate(sdf.filter("NOT is_ref")).toPandas()
+    for mth in ("accuracy", "f1", "roc_auc"):
+        g = res[res.method == mth]
+        assert g["sampling_error"].notna().all(), mth
+        assert (g["sampling_error"] > 0).all(), mth
+        assert g["upper_confidence_boundary"].notna().all(), mth
