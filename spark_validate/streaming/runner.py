@@ -20,7 +20,7 @@ analog of the lineage table). ``run_streaming_suite`` returns the started
 from __future__ import annotations
 
 import os
-from typing import Dict, List
+from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,16 +28,19 @@ from spark_validate.io.readers import read_table
 from spark_validate.runner import build_chunker, build_check, _check_name
 
 
-def _sink(df: DataFrame, out_dir: str, name: str, mode: str):
-    return (
+def _sink(df: DataFrame, out_dir: str, name: str, mode: str, trigger=None):
+    w = (
         df.writeStream.outputMode(mode)
         .format("parquet")
         .option("path", os.path.join(out_dir, name))
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoints", name))
     )
+    if trigger:
+        w = w.trigger(**trigger)
+    return w
 
 
-def run_streaming_suite(spark: SparkSession, config: dict, trigger: Dict[str, str] = None):
+def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dict[str, str]] = None):
     """Start one streaming query per supported check; returns {name: query}.
 
     Config = the batch runner's schema plus ``stream`` (readStream source
@@ -84,11 +87,11 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Dict[str, st
                     if row["m"] is not None and row["s"] is not None:
                         thr[c] = (row["m"] - 3 * row["s"], row["m"] + 3 * row["s"])
                 stats = attach_thresholds(stats, thr)
-            queries[name] = _sink(stats, out_dir, name, "append").start()
+            queries[name] = _sink(stats, out_dir, name, "append", trigger).start()
         elif kind == "domain":
             for c in check_cfg["columns"]:
                 v = streaming_violations(stream, c, domain=check_cfg["domain"])
-                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append").start()
+                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append", trigger).start()
         elif kind == "range":
             if reference is None:
                 raise ValueError("range check needs a reference table to fit [min, max]")
@@ -97,7 +100,7 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Dict[str, st
             for c in check_cfg["columns"]:
                 row = reference.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
                 v = streaming_violations(stream, c, valid_range=(row["lo"], row["hi"]))
-                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append").start()
+                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append", trigger).start()
         elif kind == "drift":
             if reference is None:
                 raise ValueError("drift check needs a reference table to fit histograms")
@@ -107,7 +110,7 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Dict[str, st
             drift = streaming_univariate_drift(
                 stream, calc, ts, window_duration=window, watermark=watermark
             )
-            queries[name] = _sink(drift, out_dir, name, "append").start()
+            queries[name] = _sink(drift, out_dir, name, "append", trigger).start()
             calc.release_cache()
         else:
             raise ValueError(f"check type {kind!r} is batch-only (run the batch runner for it)")
