@@ -282,3 +282,28 @@ def test_image_suite_phash_dedup_check(spark):
     assert n_twins > 0
     planted = pairs[pairs.hamming == 1]
     assert len(planted) >= n_twins  # every planted twin collides in an intact band
+
+
+def test_phash_multiblock_construction_exact_recall(spark):
+    """Manku-style n_blocks > h+1: same exact recall (every ≤h-flip pair
+    leaves m blocks intact in some combination), far fewer random
+    candidates — the 10^8+ operating point."""
+    import numpy as np
+    import pandas as pd
+    from spark_validate.image.phash import phash_near_duplicates
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(-(2**62), 2**62, 400, dtype=np.int64)
+    rows = [{"image_id": f"im{i:04d}", "phash": int(h)} for i, h in enumerate(base)]
+    expected = set()
+    for k in range(5):  # twins at hamming 0..4
+        h = int(base[k])
+        for bit in rng.choice(64, size=k, replace=False):
+            h ^= 1 << int(bit)
+        rows.append({"image_id": f"tw{k:04d}", "phash": h})
+        expected.add((f"im{k:04d}", f"tw{k:04d}"))
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    for nb in (5, 6, 8):
+        got = phash_near_duplicates(sdf, max_hamming=4, n_blocks=nb).toPandas()
+        pairs = {tuple(sorted((r.id_a, r.id_b))) for r in got.itertuples()}
+        assert pairs == expected, nb
