@@ -223,38 +223,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_duplicates(
-    simhashes: DataFrame, max_hamming: int = 3, n_bands: int = 4, n_bits: int = SIMHASH_BITS
+    simhashes: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    n_blocks=None, n_bits: int = SIMHASH_BITS, max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Near-duplicates by Hamming distance ≤ ``max_hamming`` using the classic
-    band trick: any pair within distance d < n_bands shares at least one exact
-    band → bucket-join on bands, verify with popcount."""
-    width = n_bits // n_bands
-    mask = (1 << width) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(F.lit(mask)).alias("band_val"),
-            )
-            for bi in range(n_bands)
-        ]
-    )
-    exploded = simhashes.select("id", "simhash", F.explode(bands).alias("b")).select(
-        "id", "simhash", "b.band", "b.band_val"
-    )
-    left = exploded.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
-    )
-    right = exploded.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
-    )
-    cand = (
-        left.join(right, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    """Near-duplicates by Hamming distance ≤ ``max_hamming`` — delegates to
+    the shared exact Hamming join (`functions/hamming.py`): pigeonhole
+    recall 1, bucket cap, and the Manku multi-block construction for large
+    corpora (pass ``n_blocks > max_hamming+1``). Recall is exact when
+    bands ≥ max_hamming+1; LOOSER thresholds than the band count (the
+    classic simhash similarity sweep, e.g. h=16 over 4 bands) run with
+    probabilistic recall — a near pair is found when some 15-bit band
+    survives untouched."""
+    from spark_validate.functions.hamming import hamming_near_duplicates
+
+    return hamming_near_duplicates(
+        simhashes,
+        max_hamming=max_hamming,
+        hash_col="simhash",
+        id_col="id",
+        n_bands=n_bands,
+        n_blocks=n_blocks,
+        bits=n_bits,
+        max_bucket=max_bucket,
+        enforce_recall=False,  # legacy similarity-sweep semantics
     )
