@@ -92,6 +92,24 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             for c in check_cfg["columns"]:
                 v = streaming_violations(stream, c, domain=check_cfg["domain"])
                 queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append", trigger).start()
+        elif kind == "unseen":
+            import pyspark.sql.functions as F
+
+            if reference is None:
+                raise ValueError("unseen check needs a reference table to fit the seen set")
+            for c in check_cfg["columns"]:
+                seen = [
+                    r[0]
+                    for r in reference.select(F.col(c).cast("string")).distinct().limit(100_001).collect()
+                    if r[0] is not None
+                ]
+                if len(seen) > 100_000:
+                    raise ValueError(
+                        f"column {c!r} has >100k distinct reference values — an unseen-values "
+                        "stream needs a broadcastable seen set; use the batch anti-join check"
+                    )
+                v = streaming_violations(stream, c, domain=seen)
+                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append", trigger).start()
         elif kind == "range":
             if reference is None:
                 raise ValueError("range check needs a reference table to fit [min, max]")

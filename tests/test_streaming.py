@@ -345,3 +345,38 @@ def test_run_streaming_suite_end_to_end(spark, tmp_path):
     assert late["alert"].any()  # drifted half alerts
     # checkpoints exist → restart-safe sinks
     assert (tmp_path / "out" / "_checkpoints" / "column_stats__w").exists()
+
+
+def test_streaming_unseen_check(spark, tmp_path):
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-06-01", periods=600, freq="min"),
+            "fmt": ["jpeg", "png"] * 300,
+        }
+    )
+    ana = pdf.copy()
+    ana.loc[ana.index[::50], "fmt"] = "heic"  # 12 unseen rows
+    ref_dir, stream_dir, out_dir = (str(tmp_path / x) for x in ("r", "s", "o"))
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(ref_dir)
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(stream_dir)
+    qs = run_streaming_suite(
+        spark,
+        {
+            "output_dir": out_dir,
+            "reference": ref_dir,
+            "stream": stream_dir,
+            "timestamp_column": "ts",
+            "checks": [{"type": "unseen", "columns": ["fmt"]}],
+        },
+    )
+    try:
+        for q in qs.values():
+            q.processAllAvailable()
+    finally:
+        for q in qs.values():
+            q.stop()
+    v = spark.read.parquet(f"{out_dir}/unseen__fmt").toPandas()
+    assert len(v) == 12
+    assert (v["fmt"] == "heic").all()
