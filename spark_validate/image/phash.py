@@ -92,6 +92,7 @@ class PhashDedupCheck:
         chunker=None,
         upper_threshold: float = 0.0,
         max_bucket: int = 10_000,
+        n_blocks=None,
     ):
         from spark_validate.chunking import DefaultChunker
 
@@ -101,6 +102,7 @@ class PhashDedupCheck:
         self.chunker = chunker or DefaultChunker()
         self.upper_threshold = upper_threshold
         self.max_bucket = max_bucket
+        self.n_blocks = n_blocks  # Manku table count; None = minimal (h+1)
 
     def _pairs(self, df: DataFrame) -> DataFrame:
         return phash_near_duplicates(
@@ -109,6 +111,7 @@ class PhashDedupCheck:
             phash_col=self.phash_col,
             id_col=self.id_col,
             max_bucket=self.max_bucket,
+            n_blocks=self.n_blocks,
         )
 
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:

@@ -142,6 +142,7 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             max_hamming=cfg.get("max_hamming", 4),
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
+            n_blocks=cfg.get("n_blocks"),
         )
     if kind == "drift":
         return UnivariateDriftCalculator(
