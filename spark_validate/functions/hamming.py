@@ -49,6 +49,33 @@ def _block_ranges(bits: int, n_blocks: int):
     return out
 
 
+def _keys_frame(sel: DataFrame, ranges, combos, hash_alias: str = "_ph"):
+    """(id?, _ph, band, val) — the shared one-shuffle key topology."""
+    block_vals = [
+        F.shiftrightunsigned(F.col(hash_alias), off).bitwiseAND(F.lit((1 << width) - 1))
+        for off, width in ranges
+    ]
+    if len(combos) <= 8:
+        # few tables → pure-JVM key expressions (no Python workers)
+        band_structs = []
+        for t, combo in enumerate(combos):
+            key = F.lit(0).cast("long")
+            shift = 0
+            for j in combo:
+                key = key + F.shiftleft(block_vals[j].cast("long"), shift)
+                shift += ranges[j][1]
+            band_structs.append(F.struct(F.lit(t).alias("band"), key.alias("val")))
+        return sel.select("*", F.explode(F.array(*band_structs)).alias("b")).select(
+            *sel.columns, "b.band", "b.val"
+        )
+    # many tables (Manku construction: C(n_blocks, m) can be 70+) → one
+    # numpy pass per Arrow batch; a 70-struct expression tree was 13×
+    # slower from codegen alone
+    return sel.select(
+        "*", F.posexplode(_band_keys_arrow(hash_alias, ranges, combos))
+    ).select(*sel.columns, F.col("pos").alias("band"), F.col("col").alias("val"))
+
+
 def hamming_near_duplicates(
     df: DataFrame,
     max_hamming: int = 4,
@@ -106,31 +133,8 @@ def hamming_near_duplicates(
         F.col("_ph").isNotNull()
     )
     ranges = _block_ranges(bits, n_blocks)
-    block_vals = [
-        F.shiftrightunsigned(F.col("_ph"), off).bitwiseAND(F.lit((1 << width) - 1))
-        for off, width in ranges
-    ]
     combos = list(itertools.combinations(range(n_blocks), m))
-    if len(combos) <= 8:
-        # few tables → pure-JVM key expressions (no Python workers)
-        band_structs = []
-        for t, combo in enumerate(combos):
-            key = F.lit(0).cast("long")
-            shift = 0
-            for j in combo:
-                key = key + F.shiftleft(block_vals[j].cast("long"), shift)
-                shift += ranges[j][1]
-            band_structs.append(F.struct(F.lit(t).alias("band"), key.alias("val")))
-        keyed = sel.select("id", "_ph", F.explode(F.array(*band_structs)).alias("b")).select(
-            "id", "_ph", "b.band", "b.val"
-        )
-    else:
-        # many tables (Manku construction: C(n_blocks, m) can be 70+) → one
-        # numpy pass per Arrow batch; a 70-struct expression tree was 13×
-        # slower from codegen alone
-        keyed = sel.select(
-            "id", "_ph", F.posexplode(_band_keys_arrow("_ph", ranges, combos))
-        ).select("id", "_ph", F.col("pos").alias("band"), F.col("col").alias("val"))
+    keyed = _keys_frame(sel, ranges, combos)
     # ONE shuffle on (band, band_value) — same topology as the MinHash and
     # embedding sweeps; pairs carry (id, phash) only, never image bytes
     exploded = keyed
@@ -159,6 +163,9 @@ def hamming_near_duplicates(
             ).alias("p")
         )
         .select("p.id_a", "p.id_b", "p._pa", "p._pb")
+        # duplicated id rows (same id twice in the input) would otherwise
+        # pair with themselves and report id@h=0 self-duplicates
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     dist = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb")))
@@ -169,3 +176,32 @@ def hamming_near_duplicates(
     )
 
 
+
+
+def hamming_degenerate_buckets(
+    df: DataFrame,
+    max_hamming: int = 4,
+    hash_col: str = "phash",
+    n_blocks: Optional[int] = None,
+    bits: int = 64,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(band, band_value, n_rows) for buckets the near-dup cap excluded —
+    at corpus scale these ARE the finding (constant-color thumbnails,
+    boilerplate templates). Uses the SAME key construction as
+    ``hamming_near_duplicates`` (one shuffle), so the report cannot drift
+    from the join's actual buckets."""
+    import itertools
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    m = max(n_blocks - max_hamming, 1)
+    ranges = _block_ranges(bits, n_blocks)
+    combos = list(itertools.combinations(range(n_blocks), m))
+    sel = df.select(F.col(hash_col).alias("_ph")).filter(F.col("_ph").isNotNull())
+    keyed = _keys_frame(sel, ranges, combos)
+    return (
+        keyed.groupBy("band", F.col("val").alias("band_value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > max_bucket)
+    )

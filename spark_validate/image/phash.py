@@ -167,18 +167,17 @@ def phash_degenerate_bands(
     bits: int = 64,
     max_bucket: int = 10_000,
 ) -> DataFrame:
-    """The clusters the cap excluded: (band, band_value, n_images) above
-    ``max_bucket`` — at corpus scale these ARE the finding (constant-color
-    thumbnails, watermark templates), reported instead of exploded."""
-    sel = df.select(F.col(phash_col).alias("_ph")).filter(F.col("_ph").isNotNull())
-    banded = sel.select(*_band_exprs("_ph", n_bands, bits))
-    out = None
-    for j in range(n_bands):
-        g = (
-            banded.groupBy(F.col(f"_b{j}").alias("band_value"))
-            .agg(F.count(F.lit(1)).alias("n_images"))
-            .filter(F.col("n_images") > max_bucket)
-            .select(F.lit(j).alias("band"), "band_value", "n_images")
-        )
-        out = g if out is None else out.unionByName(g)
-    return out
+    """The clusters the near-dup cap excluded: (band, band_value, n_images)
+    above ``max_bucket`` — reported instead of exploded. Delegates to the
+    shared keyed topology (one shuffle; cannot drift from the join's actual
+    buckets)."""
+    from spark_validate.functions.hamming import hamming_degenerate_buckets
+
+    return hamming_degenerate_buckets(
+        df,
+        max_hamming=n_bands - 1,
+        hash_col=phash_col,
+        n_blocks=n_bands,
+        bits=bits,
+        max_bucket=max_bucket,
+    ).select("band", "band_value", F.col("n_rows").alias("n_images"))

@@ -97,7 +97,7 @@ class DatabaseWriter:
     def write(self, result: DataFrame, run_id: str = "run") -> int:
         """Write one result frame; returns the number of metric rows written."""
         if self.connection_string.startswith("jdbc:"):
-            return self._write_jdbc(result)
+            return self._write_jdbc(result, run_id)
         if self.connection_string.startswith("sqlite:///"):
             return self._write_sqlite(result, run_id)
         raise ValueError(
@@ -105,13 +105,34 @@ class DatabaseWriter:
             "expected jdbc:<vendor>://... or sqlite:///path"
         )
 
-    def _write_jdbc(self, result: DataFrame) -> int:
+    def _metric_frame(self, result: DataFrame, run_id: str) -> DataFrame:
+        """Conform to the reference's flattened DbMetric column names — the
+        SAME shape both backends write, so queries/dashboards are portable.
+        (JDBC has no driver-side ``runs`` table; the run label is carried on
+        every row instead of a foreign key.)"""
+        from pyspark.sql import functions as F
+
+        cols = [c for c in _METRIC_COLS if c in result.columns]
+        out = result.select(*cols)
+        mid = (
+            F.col("start_ts").cast("long")
+            + (F.col("end_ts").cast("long") - F.col("start_ts").cast("long")) / 2
+        ).cast("timestamp")
+        return (
+            out.withColumn("run_id", F.lit(run_id))
+            .withColumn("timestamp", mid)  # before the renames it references
+            .withColumnRenamed("start_ts", "start_timestamp")
+            .withColumnRenamed("end_ts", "end_timestamp")
+            .withColumnRenamed("method", "metric_name")
+        )
+
+    def _write_jdbc(self, result: DataFrame, run_id: str) -> int:
         # executor-parallel write; the count() is one extra pass over a
         # chunk-cardinality frame (cheap) to honor the rows-written contract
-        n = result.count()
+        frame = self._metric_frame(result, run_id)
+        n = frame.count()
         (
-            result.select(*[c for c in _METRIC_COLS if c in result.columns])
-            .write.format("jdbc")
+            frame.write.format("jdbc")
             .option("url", self.connection_string)
             .option("dbtable", self.table)
             .mode(self.jdbc_mode)

@@ -463,6 +463,9 @@ class PerformanceCalculator:
         yp = F.col(self.y_pred).cast("double")
         se: Dict[str, dict] = {}
         if self.problem_type == "binary_classification":
+            # null labels/predictions are excluded from every cell, so n must
+            # exclude them too (the multiclass branch already filters)
+            reference = reference.filter(yt.isNotNull() & yp.isNotNull())
             row = reference.agg(
                 F.avg((yt == yp).cast("double")).alias("acc"),
                 F.avg(yp).alias("pos_pred_rate"),

@@ -225,12 +225,19 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         )
         if needs_fit:
             if hasattr(calc, "get_state"):
-                try:
-                    calc, from_store = store.load_or_fit(
-                        f"{run_id}__{name}", calc, lambda c=calc: c.fit(reference)
-                    )
-                except TypeError as exc:  # model with no JSON state (e.g. lightgbm)
-                    logger.warning("state not storable for %r (%s); fitted without store", name, exc)
+                key = f"{run_id}__{name}"
+                state = store.load(key)
+                if state is not None:
+                    calc.set_state(state)
+                    from_store = True
+                else:
+                    calc.fit(reference)
+                    # only state persistence is optional — a fit/set_state
+                    # failure must propagate, not be mistaken for this
+                    try:
+                        store.save(key, calc.get_state())
+                    except TypeError as exc:  # no JSON state (e.g. lightgbm)
+                        logger.warning("state not storable for %r (%s); fitted without store", name, exc)
             else:
                 calc.fit(reference)
 

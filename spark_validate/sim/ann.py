@@ -186,6 +186,9 @@ def embedding_near_duplicates(
         rows_per_band = auto_r if rows_per_band is None else rows_per_band
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    # null embeddings (failed upstream embedding jobs) cannot be near-dups;
+    # drop them BEFORE the Arrow pass (np.stack would raise on None)
+    df = df.filter(F.col(vec_col).isNotNull())
     planes = _hyperplanes(dim, n_bands * rows_per_band, seed)
     # all band signatures in ONE Arrow pass: sign bits of X @ planesᵀ packed
     # per band. (A per-plane zip_with/aggregate expression tree — n_bands ×
@@ -309,8 +312,13 @@ class IVFIndex:
 
         @pandas_udf("int")
         def assign(v: pd.Series) -> pd.Series:
-            X = np.stack(v.to_numpy()).astype(np.float64)
-            return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+            vals = v.to_numpy()
+            mask = np.array([x is not None for x in vals])
+            out = np.full(len(vals), -1, dtype=np.int32)  # -1 = no list (null)
+            if mask.any():
+                X = np.stack(vals[mask]).astype(np.float64)
+                out[mask] = np.argmax(X @ C.T, axis=1).astype(np.int32)
+            return pd.Series(out)
 
         return assign(F.col(vec_col))
 

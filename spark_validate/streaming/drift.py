@@ -159,5 +159,9 @@ def streaming_univariate_drift(
         exprs = _hist_method_exprs(n_col, cnt_cols, probs, set(methods), calc.psi_eps)
         for method, value in exprs.items():
             lo, up = calc._thresholds.get((c, method), (None, None))
+            # an all-null window (n = 0) must yield NULL, not a fabricated
+            # value: the q terms go null and greatest(null, 0) would read as
+            # "JS 0 / no drift" while PSI's eps clamp would spike instead
+            value = F.when(n_col > 0, value)
             specs.append((c, method, value, lo, up))
     return _melt(agg, specs)

@@ -91,7 +91,9 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
         elif kind == "domain":
             for c in check_cfg["columns"]:
                 v = streaming_violations(stream, c, domain=check_cfg["domain"])
-                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append", trigger).start()
+                # per-column sink path AND checkpoint: two queries sharing one
+                # checkpointLocation adopt the same query id and collide
+                queries[f"{kind}__{c}"] = _sink(v, out_dir, f"{kind}__{c}", "append", trigger).start()
         elif kind == "unseen":
             import pyspark.sql.functions as F
 
@@ -100,8 +102,11 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             for c in check_cfg["columns"]:
                 seen = [
                     r[0]
-                    for r in reference.select(F.col(c).cast("string")).distinct().limit(100_001).collect()
-                    if r[0] is not None
+                    for r in reference.select(F.col(c).cast("string"))
+                    .filter(F.col(c).isNotNull())
+                    .distinct()
+                    .limit(100_001)
+                    .collect()
                 ]
                 if len(seen) > 100_000:
                     raise ValueError(
@@ -109,7 +114,7 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                         "stream needs a broadcastable seen set; use the batch anti-join check"
                     )
                 v = streaming_violations(stream, c, domain=seen)
-                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append", trigger).start()
+                queries[f"{kind}__{c}"] = _sink(v, out_dir, f"{kind}__{c}", "append", trigger).start()
         elif kind == "range":
             if reference is None:
                 raise ValueError("range check needs a reference table to fit [min, max]")
@@ -118,7 +123,7 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             for c in check_cfg["columns"]:
                 row = reference.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
                 v = streaming_violations(stream, c, valid_range=(row["lo"], row["hi"]))
-                queries[f"{name}__{c}"] = _sink(v, out_dir, name, "append", trigger).start()
+                queries[f"{kind}__{c}"] = _sink(v, out_dir, f"{kind}__{c}", "append", trigger).start()
         elif kind == "drift":
             if reference is None:
                 raise ValueError("drift check needs a reference table to fit histograms")

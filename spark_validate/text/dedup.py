@@ -233,7 +233,11 @@ def simhash_near_duplicates(
     bands ≥ max_hamming+1; LOOSER thresholds than the band count (the
     classic simhash similarity sweep, e.g. h=16 over 4 bands) run with
     probabilistic recall — a near pair is found when some 15-bit band
-    survives untouched."""
+    survives untouched. NOTE: buckets above ``max_bucket`` are excluded
+    (previously this function enumerated them quadratically); a >10k-row
+    identical-fingerprint cluster is boilerplate — surface it via
+    ``functions.hamming.hamming_degenerate_buckets`` and/or
+    ``exact_duplicates`` rather than as an O(n²) pair list."""
     from spark_validate.functions.hamming import hamming_near_duplicates
 
     return hamming_near_duplicates(

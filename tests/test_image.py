@@ -307,3 +307,18 @@ def test_phash_multiblock_construction_exact_recall(spark):
         got = phash_near_duplicates(sdf, max_hamming=4, n_blocks=nb).toPandas()
         pairs = {tuple(sorted((r.id_a, r.id_b))) for r in got.itertuples()}
         assert pairs == expected, nb
+
+
+def test_phash_duplicate_id_rows_produce_no_self_pairs(spark):
+    import pandas as pd
+    from spark_validate.image.phash import phash_near_duplicates
+
+    rows = [
+        {"image_id": "x", "phash": 12345},
+        {"image_id": "x", "phash": 12345},  # duplicated row, same id
+        {"image_id": "y", "phash": 12345 ^ 1},
+    ]
+    got = phash_near_duplicates(spark.createDataFrame(pd.DataFrame(rows)), max_hamming=4).toPandas()
+    pairs = {tuple(sorted((r.id_a, r.id_b))) for r in got.itertuples()}
+    assert ("x", "x") not in pairs
+    assert ("x", "y") in pairs

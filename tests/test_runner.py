@@ -268,3 +268,25 @@ def test_runner_estimators_fit_from_store_on_rerun(spark, tmp_path):
     assert not r1["cbpe__accuracy"]["fitted_from_store"]
     r2 = run_suite(spark, cfg)
     assert r2["cbpe__accuracy"]["fitted_from_store"]  # calibrator loaded, no refit
+
+
+def test_database_writer_jdbc_frame_matches_sqlite_schema(spark, workspace):
+    """Both backends must write the same DbMetric column names — a config
+    switch from sqlite to jdbc must not silently rename columns."""
+    from spark_validate.calculators import ColumnStatsCalculator
+    from spark_validate.chunking import PartitionChunker
+    from spark_validate.io.db import DatabaseWriter
+
+    ref = spark.read.parquet(str(workspace / "ref"))
+    calc = ColumnStatsCalculator(["w"], metrics=("avg",), chunker=PartitionChunker(columns=["part"]))
+    res = calc.fit(ref).calculate(ref)
+    frame = DatabaseWriter("jdbc:postgresql://x/y")._metric_frame(res, run_id="r1")
+    assert set(frame.columns) >= {
+        "run_id", "chunk_key", "chunk_index", "start_timestamp", "end_timestamp",
+        "timestamp", "period", "column_name", "metric_name", "value",
+        "lower_threshold", "upper_threshold", "alert",
+    }
+    row = frame.first()
+    assert row["metric_name"] == "avg" and row["run_id"] == "r1"
+    # partition chunks carry no timestamps; the column still exists, typed
+    assert dict(frame.dtypes)["timestamp"] == "timestamp"

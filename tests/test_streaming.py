@@ -380,3 +380,82 @@ def test_streaming_unseen_check(spark, tmp_path):
     v = spark.read.parquet(f"{out_dir}/unseen__fmt").toPandas()
     assert len(v) == 12
     assert (v["fmt"] == "heic").all()
+
+
+def test_streaming_multi_column_checks_get_distinct_checkpoints(spark, tmp_path):
+    """Two columns in one violation check must start two queries with
+    DISTINCT sink paths + checkpoints (a shared checkpointLocation makes the
+    second query adopt the first's id and collide)."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-07-01", periods=200, freq="min"),
+            "fmt": ["jpeg"] * 190 + ["bmp"] * 10,
+            "codec": ["h264"] * 195 + ["av1"] * 5,
+        }
+    )
+    d = {k: str(tmp_path / k) for k in ("r", "s", "o")}
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d["r"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d["s"])
+    qs = run_streaming_suite(
+        spark,
+        {
+            "output_dir": d["o"],
+            "reference": d["r"],
+            "stream": d["s"],
+            "timestamp_column": "ts",
+            "checks": [{"type": "domain", "columns": ["fmt", "codec"], "domain": ["jpeg", "h264"]}],
+        },
+    )
+    try:
+        assert set(qs) == {"domain__fmt", "domain__codec"}
+        for q in qs.values():
+            q.processAllAvailable()
+    finally:
+        for q in qs.values():
+            q.stop()
+    assert spark.read.parquet(f"{d['o']}/domain__fmt").count() == 10
+    assert spark.read.parquet(f"{d['o']}/domain__codec").count() == 5
+
+
+def test_streaming_drift_all_null_window_yields_null(spark, tmp_path):
+    """An hour where the column is entirely null (upstream outage) must emit
+    NULL drift values and no alert — not 'JS 0' or a spurious PSI spike."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.drift import UnivariateDriftCalculator
+    from spark_validate.streaming import streaming_univariate_drift
+
+    rng = np.random.default_rng(31)
+    ref = pd.DataFrame(
+        {"ts": pd.date_range("2024-08-01", periods=2000, freq="6s"), "x": rng.normal(0, 1, 2000)}
+    )
+    ana = pd.DataFrame(
+        {"ts": pd.date_range("2024-08-02", periods=1200, freq="6s"), "x": rng.normal(0, 1, 1200)}
+    )
+    ana.loc[ana["ts"].dt.hour == 1, "x"] = np.nan  # hour-long outage
+    calc = UnivariateDriftCalculator(
+        column_names=["x"],
+        continuous_methods=["jensen_shannon", "psi"],
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+    ).fit(spark.createDataFrame(ref))
+    src = str(tmp_path / "nullwin")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_univariate_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_nullwin")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    res = spark.sql("SELECT * FROM sv_nullwin").toPandas()
+    calc.release_cache()
+    dead = res[pd.to_datetime(res["window_start"]).dt.hour == 1]
+    live = res[pd.to_datetime(res["window_start"]).dt.hour != 1]
+    assert len(dead) == 2  # both methods emit a row for the window
+    assert dead["value"].isna().all()
+    assert not dead["alert"].any()
+    assert live["value"].notna().all()

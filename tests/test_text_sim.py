@@ -255,3 +255,28 @@ def test_embedding_near_dups_auto_sizing_finds_planted_twin(spark):
     # no band parameters: lsh_plan sizes from count+threshold
     pairs = embedding_near_duplicates(sdf, threshold=0.97, dim=16).toPandas()
     assert {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()} == {(0, 500)}
+
+
+def test_embedding_ops_tolerate_null_vectors(spark):
+    """Null embeddings (failed upstream jobs) must not crash the Arrow
+    paths: near-dups drop them, IVF assigns list -1."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.sim.ann import IVFIndex, embedding_near_duplicates
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((200, 8))
+    rows = [{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(vecs)]
+    twin = vecs[0] + 0.001 * rng.standard_normal(8)
+    rows.append({"vec_id": 900, "embedding": list(map(float, twin))})
+    rows += [{"vec_id": 901, "embedding": None}, {"vec_id": 902, "embedding": None}]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows), "vec_id long, embedding array<double>"
+    )
+    pairs = embedding_near_duplicates(sdf, threshold=0.99, dim=8).toPandas()
+    assert {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()} == {(0, 900)}
+    idx = IVFIndex(n_lists=4, seed=3).fit(sdf.filter("embedding IS NOT NULL"))
+    lists = idx.with_list_ids(sdf, impl="arrow").toPandas()
+    assert (lists[lists.vec_id.isin([901, 902])]["_list"] == -1).all()
+    assert (lists[~lists.vec_id.isin([901, 902])]["_list"] >= 0).all()
