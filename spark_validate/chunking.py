@@ -58,6 +58,7 @@ def with_row_index(
     order_by: Sequence[str],
     strategy: str = "auto",
     num_partitions: Optional[int] = None,
+    total_rows: Optional[int] = None,
 ) -> DataFrame:
     """Add a 0-based contiguous global row index ``_sv_row_index``.
 
@@ -71,9 +72,10 @@ def with_row_index(
     """
     if not order_by:
         raise ValueError("order_by must list at least one column (deterministic total order)")
-    n = None
+    n = total_rows  # caller-supplied count avoids a redundant scan
     if strategy == "auto":
-        n = df.count()
+        if n is None:
+            n = df.count()
         strategy = "sort" if n <= SORT_INDEX_THRESHOLD else "scalable"
     if strategy == "sort":
         w = Window.orderBy(*[F.col(c) for c in order_by])
@@ -114,10 +116,18 @@ def with_row_index(
     # join would silently drop those rows — coalesce them into bucket 0,
     # where the window's default nulls-first ordering ranks them lowest
     # (matching the range partitioner's nulls-first behavior they replace).
-    bucket = F.lit(0)
-    for b in bnds:
-        blit = F.struct(*[F.lit(v).alias(c) for v, c in zip(b, order_by)])
-        bucket = bucket + F.coalesce((key > blit).cast("int"), F.lit(0))
+    # ONE array-literal + filter/size (bounded expression tree): the earlier
+    # per-boundary chained comparisons built an O(n_parts)-deep tree —
+    # thousands of codegen nodes at cluster-scale partition counts.
+    if bnds:
+        bnds_arr = F.array(
+            *[F.struct(*[F.lit(v).alias(c) for v, c in zip(b, order_by)]) for b in bnds]
+        )
+        bucket = F.coalesce(
+            F.size(F.filter(bnds_arr, lambda b: key > b)), F.lit(0)
+        ).cast("int")
+    else:
+        bucket = F.lit(0)
     bucketed = df.withColumn("_sv_bkt", bucket)
     # 2. per-bucket counts → driver cumulative offsets (≤ n_parts rows)
     rows = sorted(
@@ -215,10 +225,16 @@ class SizeBasedChunker(Chunker):
 
     def assign(self, df: DataFrame) -> DataFrame:
         size = int(self.chunk_size)
-        idxed = df if ROW_INDEX in df.columns else with_row_index(df, self._order(), self.index_strategy)
+        n_hint = getattr(self, "_n_hint", None)
+        idxed = (
+            df
+            if ROW_INDEX in df.columns
+            else with_row_index(df, self._order(), self.index_strategy, total_rows=n_hint)
+        )
         # Total count: one cheap job (parquet metadata count when unfiltered);
-        # needed for append/drop and for the last chunk's key end.
-        n = idxed.count()
+        # needed for append/drop and for the last chunk's key end. A parent
+        # CountBasedChunker already counted — reuse via _n_hint.
+        n = n_hint if n_hint is not None else idxed.count()
         n_full = n // size
         rem = n % size
         cid = F.floor(F.col(ROW_INDEX) / F.lit(size))
@@ -258,8 +274,15 @@ class CountBasedChunker(Chunker):
         order = list(self.order_by) if self.order_by else ([self.timestamp_column] if self.timestamp_column else [])
         if not order:
             raise ValueError("CountBasedChunker needs order_by and/or timestamp_column")
-        idxed = df if ROW_INDEX in df.columns else with_row_index(df, order, self.index_strategy)
-        n = idxed.count()
+        # count ONCE on the raw input (cheap metadata count on parquet) and
+        # thread it through the index + size chunker instead of recounting
+        # the windowed frame twice
+        n = df.count()
+        idxed = (
+            df
+            if ROW_INDEX in df.columns
+            else with_row_index(df, order, self.index_strategy, total_rows=n)
+        )
         size = max(n // int(self.chunk_number), 1)
         inner = SizeBasedChunker(
             chunk_size=size,
@@ -268,6 +291,7 @@ class CountBasedChunker(Chunker):
             timestamp_column=self.timestamp_column,
             index_strategy=self.index_strategy,
         )
+        inner._n_hint = n
         return inner.assign(idxed)
 
 

@@ -136,7 +136,6 @@ class UnivariateDriftCalculator:
         psi_n_bins: int = 10,
         psi_eps: float = 1e-4,
         max_categories: int = 100_000,
-        max_out_of_range_values: int = 100_000,
     ):
         bad = set(continuous_methods) - set(CONTINUOUS_METHODS)
         if bad:
@@ -177,7 +176,6 @@ class UnivariateDriftCalculator:
         self._exact_ref: Dict[str, list] = {}  # raw reference values (exact path only)
         self.psi_eps = psi_eps
         self.max_categories = max_categories
-        self.max_out_of_range_values = max_out_of_range_values
         self._cont_state: Dict[str, ContinuousState] = {}
         self._cat_state: Dict[str, CategoricalState] = {}
         self._thresholds: Dict[Tuple[str, str], Tuple[Optional[float], Optional[float]]] = {}

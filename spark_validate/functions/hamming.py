@@ -143,26 +143,16 @@ def hamming_near_duplicates(
         .agg(F.sort_array(F.collect_list(F.struct("id", "_ph"))).alias("xs"))
         .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
     )
+    from spark_validate.functions.pairs import explode_bucket_pairs
+
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("xs"),
-                        lambda x, idx: F.transform(
-                            F.slice(F.col("xs"), idx + 2, F.size("xs")),
-                            lambda y: F.struct(
-                                x["id"].alias("id_a"),
-                                y["id"].alias("id_b"),
-                                x["_ph"].alias("_pa"),
-                                y["_ph"].alias("_pb"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+        explode_bucket_pairs(buckets, "xs")
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a._ph").alias("_pa"),
+            F.col("p.b._ph").alias("_pb"),
         )
-        .select("p.id_a", "p.id_b", "p._pa", "p._pb")
         # duplicated id rows (same id twice in the input) would otherwise
         # pair with themselves and report id@h=0 self-duplicates
         .filter(F.col("id_a") != F.col("id_b"))

@@ -191,7 +191,10 @@ def decode_audio_stats(
                 durs.append(len(x) / sr if sr else float("nan"))
                 rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else float("nan"))
                 peak.append(float(np.abs(x).max()) if len(x) else float("nan"))
-                clip.append(float((np.abs(pcm) >= 32767).mean()) if len(pcm) else float("nan"))
+                # int16 -32768 has no positive counterpart: np.abs wraps it
+                # back to -32768 and negative-rail clipping would go uncounted
+                # — measure on the float samples instead
+                clip.append(float((np.abs(x) >= 32767.0 / 32768.0).mean()) if len(pcm) else float("nan"))
             yield pd.DataFrame(
                 {
                     "audio_id": ids,

@@ -180,8 +180,16 @@ class CBPE:
             out = np.divide(out, denom, out=uniform, where=denom != 0)
             return pd.Series(list(out))
 
-        arr = F.array(*[F.col(self.y_pred_proba[c]).cast("double") for c in self.classes])
-        return df.withColumn("_cal", _cal_all(arr))
+        # NULL probabilities must DROP the row (reference common_nan_removal,
+        # mirroring the binary path) — F.array never yields NULL and Arrow
+        # delivers null elements as NaN, which would otherwise poison every
+        # aggregate in the row's chunk
+        cols = [F.col(self.y_pred_proba[c]).cast("double") for c in self.classes]
+        complete = df
+        for col in cols:
+            complete = complete.filter(col.isNotNull())
+        arr = F.array(*cols)
+        return complete.withColumn("_cal", _cal_all(arr))
 
     # -------------------------------------------------------------- estimation
 

@@ -45,6 +45,11 @@ class CorrelationRanker:
             "chunk_key", F.abs(F.col("value") - F.lit(self._mean_ref_perf)).alias("_perf_change")
         )
         joined = drift_result.select("chunk_key", "column_name", "value", "alert").join(perf, "chunk_key")
+        # PAIRWISE deletion first: the independent moments below each skip
+        # NULLs on their own, so a null in one series would draw the x- and
+        # y-moments from different row sets and bias the correlation
+        # (F.corr/scipy delete pairwise)
+        joined = joined.filter(F.col("value").isNotNull() & F.col("_perf_change").isNotNull())
         # null-safe Pearson from population moments: Spark's corr aggregate
         # throws DIVIDE_BY_ZERO under ANSI when either series is constant
         # (zero variance); here that yields NULL and the column ranks last —

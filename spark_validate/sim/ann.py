@@ -203,21 +203,11 @@ def embedding_near_duplicates(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
+    from spark_validate.functions.pairs import explode_bucket_pairs
+
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, idx: F.transform(
-                            F.slice(F.col("ids"), idx + 2, F.size("ids")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
+        explode_bucket_pairs(buckets, "ids")
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
     va_df = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -260,9 +250,14 @@ class IVFIndex:
     # -- fit: driver-side k-means on a normalized sample -----------------------
 
     def fit(self, df: DataFrame, vec_col: str = "embedding") -> "IVFIndex":
+        df = df.filter(F.col(vec_col).isNotNull())  # failed-embedding rows
         n = df.count()
+        if n == 0:
+            raise ValueError("IVFIndex.fit: no non-null embeddings to fit on")
         frac = min(1.0, self.sample / max(n, 1))
         pdf = df.select(vec_col).sample(fraction=frac, seed=self.seed).toPandas()
+        if len(pdf) == 0:  # tiny corpus + sampling variance
+            pdf = df.select(vec_col).limit(self.sample).toPandas()
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         rng = np.random.default_rng(self.seed)

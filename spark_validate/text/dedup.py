@@ -140,19 +140,13 @@ def lsh_candidate_pairs(
         # buckets beyond max_bucket are degenerate (quadratic pair blowup on
         # near-constant content); real dups still collide in OTHER bands
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, idx: F.transform(
-                        F.slice(F.col("ids"), idx + 2, F.size("ids")), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+    from spark_validate.functions.pairs import explode_bucket_pairs
+
+    return (
+        explode_bucket_pairs(buckets, "ids")
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
 
 
 def ngram_jaccard(
