@@ -43,6 +43,7 @@ class ImageValidationSuite:
     include_payload_checks: bool = True
     include_phash_dedup: bool = False  # near-dup sweep (adds one shuffle + verify)
     phash_max_hamming: int = 4
+    phash_n_blocks: int = 8  # Manku tables: the corpus-scale operating point
     salt_buckets: int = 16
 
     def _with_phash_bucket(self, df: DataFrame) -> DataFrame:
@@ -106,7 +107,7 @@ class ImageValidationSuite:
             from spark_validate.image.phash import phash_near_duplicates
 
             out["phash_near_dups"] = phash_near_duplicates(
-                analysis, max_hamming=self.phash_max_hamming
+                analysis, max_hamming=self.phash_max_hamming, n_blocks=self.phash_n_blocks
             )
 
         # 7. payload checks — ONE fused Arrow pass (pixel stats + PSNR
