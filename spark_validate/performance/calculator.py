@@ -169,12 +169,14 @@ class PerformanceCalculator:
             norm = self.normalize_confusion_matrix
             tot = F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")
             def _n(v, row_tot, col_tot):
+                # a chunk can miss a class entirely → zero row/col totals;
+                # NULL (not DIVIDE_BY_ZERO under ANSI) like the macro metrics
                 if norm == "all":
-                    return v / tot
+                    return _safe_div(v, tot)
                 if norm == "true":
-                    return v / row_tot
+                    return _safe_div(v, row_tot)
                 if norm == "pred":
-                    return v / col_tot
+                    return _safe_div(v, col_tot)
                 return v
             cm_pairs = [
                 F.struct(F.lit("true_positive").alias("method"), _n(F.col("tp"), F.col("tp") + F.col("fn"), F.col("tp") + F.col("fp")).cast("double").alias("value")),
@@ -240,7 +242,9 @@ class PerformanceCalculator:
         cum = grp.withColumn("_cum_tp", F.sum("_tp_g").over(w)).withColumn("_cum_n", F.sum("_n_g").over(w))
         w_tot = Window.partitionBy(*group_cols)
         cum = cum.withColumn("_n_pos", F.sum("_tp_g").over(w_tot))
-        term = (F.col("_tp_g") / F.col("_n_pos")) * (F.col("_cum_tp") / F.col("_cum_n"))
+        # a chunk with zero positives (possible per OvR class) → NULL AP,
+        # not ANSI DIVIDE_BY_ZERO
+        term = _safe_div(F.col("_tp_g"), F.col("_n_pos")) * (F.col("_cum_tp") / F.col("_cum_n"))
         agg = cum.groupBy(*group_cols).agg(
             F.sum(term).alias("_ap"), F.max("_n_pos").alias("_n_pos")
         )
@@ -384,12 +388,15 @@ class PerformanceCalculator:
         if "confusion_matrix" in self.metrics:
             norm = self.normalize_confusion_matrix
             v = F.col("_c")
+            # dense k×k frame includes all-zero rows/cols for classes absent
+            # from a chunk → guard every normalization denominator (NULL, not
+            # ANSI DIVIDE_BY_ZERO)
             if norm == "all":
-                v = v / F.sum("_c").over(w_chunk)
+                v = _safe_div(v, F.sum("_c").over(w_chunk))
             elif norm == "true":
-                v = v / F.sum("_c").over(w_row)
+                v = _safe_div(v, F.sum("_c").over(w_row))
             elif norm == "pred":
-                v = v / F.sum("_c").over(w_col)
+                v = _safe_div(v, F.sum("_c").over(w_col))
             parts.append(
                 dense.select(
                     CHUNK_KEY,
@@ -577,6 +584,43 @@ class PerformanceCalculator:
                     se[m_] = {"mc": cc, "scale": 1.0}
             if "roc_auc" in self.metrics and isinstance(self.y_pred_proba, dict):
                 se["roc_auc"] = {"mc": self._fit_mc_auroc_components(reference), "scale": 1.2}
+            if "average_precision" in self.metrics and isinstance(self.y_pred_proba, dict):
+                # ref average_precision_sampling_error_components
+                # (sampling_error/multiclass_classification.py:417-487):
+                # per-class bootstrap var over N=50 resamples of size
+                # min(n/2, 50k) on binarized OvR labels; chunk SE =
+                # sqrt(mean_c(var_c * s_c) / n_chunk) — the constant
+                # mean_c(var_c*s_c) is all we need to store
+                se["average_precision"] = self._fit_mc_ap_component(reference)
+            if "confusion_matrix" in self.metrics:
+                # ref multiclass_confusion_matrix_sampling_error_components
+                # (:361-414): per-cell binomial std over the normalization
+                # denominator + relevant proportion; same application law as
+                # the binary cm_norm cells, keyed by the dense method name
+                norm = self.normalize_confusion_matrix
+                cm_rows = (
+                    reference.filter(yts.isNotNull() & yps.isNotNull())
+                    .filter(yts.isin([str(c) for c in classes]) & yps.isin([str(c) for c in classes]))
+                    .groupBy(yts.alias("_t"), yps.alias("_p"))
+                    .count()
+                    .collect()
+                )  # ≤ k² rows
+                cm = {(r["_t"], r["_p"]): r["count"] for r in cm_rows}
+                true_marg = {str(c): sum(cm.get((str(c), str(p)), 0) for p in classes) for c in classes}
+                pred_marg = {str(c): sum(cm.get((str(t), str(c)), 0) for t in classes) for c in classes}
+                for t_ in classes:
+                    for p_ in classes:
+                        x = cm.get((str(t_), str(p_)), 0)
+                        if norm == "true":
+                            denom = true_marg[str(t_)]
+                        elif norm == "pred":
+                            denom = pred_marg[str(p_)]
+                        else:  # 'all' and None both use n as the indicator base
+                            denom = n
+                        q = x / denom if denom else float("nan")
+                        std = math.sqrt(max(q * (1 - q), 0.0)) if q == q else float("nan")
+                        rel = (denom / n) if (norm in ("true", "pred") and n) else 1.0
+                        se[f"true_{t_}_pred_{p_}"] = {"std": std, "fraction": rel, "cm_norm": norm}
             if "business_value" in self.metrics and self.business_value_matrix is not None:
                 w = F.lit(None).cast("double")
                 k = len(classes)
@@ -706,6 +750,43 @@ class PerformanceCalculator:
             comps.append([float(np.var(ser)), float(y.mean())])
         return comps
 
+    def _fit_mc_ap_component(self, reference: DataFrame) -> dict:
+        """Macro-OvR AP bootstrap components on one seeded ≤50k sample
+        (`sampling_error/multiclass_classification.py:417-487`): per class,
+        var over N=50 resamples of size min(n/2, 50k); stored as the single
+        constant mean_c(var_c·s_c) so chunk SE = sqrt(C / n_chunk)."""
+        from spark_validate.functions.mathstats import average_precision
+
+        cols = [F.col(self.y_true).cast("string").alias("_y")] + [
+            F.col(self.y_pred_proba[c]).cast("double").alias(f"_s{i}")
+            for i, c in enumerate(self._classes)
+        ]
+        df = reference.select(*cols).dropna()
+        n = df.count()
+        if not n:
+            return {"mc_ap_c": None}
+        if n > self.MAX_RESAMPLE_SIZE:
+            df = df.sample(fraction=self.MAX_RESAMPLE_SIZE / n, seed=42)
+        pdf = df.toPandas()
+        sample_size = int(min(n // 2, self.MAX_RESAMPLE_SIZE))
+        if sample_size < 2:
+            return {"mc_ap_c": None}
+        rng = np.random.default_rng(42)
+        var_times_s = []
+        for i, c in enumerate(self._classes):
+            y = (pdf["_y"] == str(c)).to_numpy(np.float64)
+            p = pdf[f"_s{i}"].to_numpy(np.float64)
+            if y.sum() == 0 or y.sum() == len(y):
+                continue
+            aps = []
+            for _ in range(50):  # mse.N_EXPERIMENTS
+                idx = rng.choice(len(y), sample_size, replace=True)
+                aps.append(average_precision(y[idx], p[idx]))
+            var_times_s.append(float(np.var(aps)) * sample_size)
+        if not var_times_s:
+            return {"mc_ap_c": None}
+        return {"mc_ap_c": float(np.mean(var_times_s))}
+
     def fit(self, reference: DataFrame) -> "PerformanceCalculator":
         if self.problem_type == "multiclass_classification":
             self._classes = sorted(
@@ -767,6 +848,13 @@ class PerformanceCalculator:
         m = F.col("method")
         expr = F.lit(None).cast("double")
         for metric, comp in self._se.items():
+            if "mc_ap_c" in comp:
+                # multiclass AP (mse.py:460-487): SE = sqrt(mean_c(var_c·s_c)/n)
+                c_ = comp["mc_ap_c"]
+                if c_ is not None and c_ == c_:
+                    e = F.sqrt(F.lit(float(c_)) / n)
+                    expr = F.when(m == metric, e).otherwise(expr)
+                continue
             if "mc" in comp:
                 # macro OvR combine (mse.py:21-24; auroc applies ×1.2 :93-96)
                 parts = [

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_validate.calculators.base import assign_chunks, join_headers_long
+from spark_validate.performance.calculator import _safe_div
 from spark_validate.calibration import IsotonicCalibrator, NoopCalibrator, needs_calibration
 from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
 from spark_validate.performance.calculator import PerformanceCalculator
@@ -243,15 +244,18 @@ class CBPE:
             # 'pred' = per predicted column
             tp, tn, fp, fn = F.col("tp"), F.col("tn"), F.col("fp"), F.col("fn")
             norm = self.normalize_confusion_matrix
+            # expected counts are sums of calibrated probas and can hit 0
+            # (e.g. a chunk whose calibrated positives are all exactly 0) —
+            # NULL, not ANSI DIVIDE_BY_ZERO
             if norm == "all":
                 d = tp + tn + fp + fn
-                tp, tn, fp, fn = tp / d, tn / d, fp / d, fn / d
+                tp, tn, fp, fn = (_safe_div(x, d) for x in (tp, tn, fp, fn))
             elif norm == "true":
-                tp, fn = tp / (tp + fn), fn / (tp + fn)
-                tn, fp = tn / (tn + fp), fp / (tn + fp)
+                tp, fn = _safe_div(tp, tp + fn), _safe_div(fn, tp + fn)
+                tn, fp = _safe_div(tn, tn + fp), _safe_div(fp, tn + fp)
             elif norm == "pred":
-                tp, fp = tp / (tp + fp), fp / (tp + fp)
-                tn, fn = tn / (tn + fn), fn / (tn + fn)
+                tp, fp = _safe_div(tp, tp + fp), _safe_div(fp, tp + fp)
+                tn, fn = _safe_div(tn, tn + fn), _safe_div(fn, tn + fn)
             cm = [
                 F.struct(F.lit("true_positive").alias("method"), tp.cast("double").alias("value")),
                 F.struct(F.lit("true_negative").alias("method"), tn.cast("double").alias("value")),
@@ -324,11 +328,13 @@ class CBPE:
                 CHUNK_KEY, "_acc", "n_chunk", "c.tp", "c.fp", "c.fn", "c.tn"
             )
             exprs = {
-                "precision": F.col("tp") / (F.col("tp") + F.col("fp")),
-                "recall": F.col("tp") / (F.col("tp") + F.col("fn")),
-                "specificity": F.col("tn") / (F.col("tn") + F.col("fp")),
+                # zero-able expected denominators → NULL; F.avg skips nulls,
+                # matching the realized macro path
+                "precision": _safe_div(F.col("tp"), F.col("tp") + F.col("fp")),
+                "recall": _safe_div(F.col("tp"), F.col("tp") + F.col("fn")),
+                "specificity": _safe_div(F.col("tn"), F.col("tn") + F.col("fp")),
                 # estimate_f1 (metrics.py:762-787)
-                "f1": F.col("tp") / (F.col("tp") + 0.5 * (F.col("fp") + F.col("fn"))),
+                "f1": _safe_div(F.col("tp"), F.col("tp") + 0.5 * (F.col("fp") + F.col("fn"))),
             }
             macro = percls.groupBy(CHUNK_KEY).agg(
                 F.max("_acc").alias("accuracy"),
@@ -375,12 +381,13 @@ class CBPE:
             if "confusion_matrix" in self.metrics:
                 norm = self.normalize_confusion_matrix
                 v = F.col("v")
+                # expected-count rows/cols can sum to 0 for absent classes
                 if norm == "all":
-                    v = v / F.sum("v").over(w_chunk)
+                    v = _safe_div(v, F.sum("v").over(w_chunk))
                 elif norm == "true":
-                    v = v / F.sum("v").over(w_row)
+                    v = _safe_div(v, F.sum("v").over(w_row))
                 elif norm == "pred":
-                    v = v / F.sum("v").over(w_col)
+                    v = _safe_div(v, F.sum("v").over(w_col))
                 parts.append(
                     cells.select(
                         CHUNK_KEY, "n_chunk", F.col("cell").alias("method"), v.cast("double").alias("value")

@@ -155,6 +155,8 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
 
 
 def _check_name(cfg: dict) -> str:
+    if cfg.get("name"):  # user-supplied key wins (disambiguates twin checks)
+        return str(cfg["name"])
     cols = (
         cfg.get("columns")
         or cfg.get("keys")
@@ -163,6 +165,20 @@ def _check_name(cfg: dict) -> str:
         or [cfg.get("column", "")]
     )
     return f"{cfg['type']}__{'_'.join(cols)}"
+
+
+def _unique_check_names(checks: list) -> list:
+    """One stable name per check config. Twin checks (same type+columns, e.g.
+    two domain checks with different domains) would otherwise share report
+    entries, store keys and streaming checkpoint paths — the second silently
+    overwrites (batch) or collides on the checkpoint (streaming)."""
+    names, seen = [], set()
+    for i, cfg in enumerate(checks):
+        base = _check_name(cfg)
+        name = base if base not in seen else f"{base}__{i}"
+        seen.add(name)
+        names.append(name)
+    return names
 
 
 def _completed_partitions(spark, lineage_path: str, run_id: str) -> Optional[DataFrame]:
@@ -210,8 +226,8 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             table=db_cfg.get("table", "metrics"),
             model_name=db_cfg.get("model_name"),
         )
-    for check_cfg in config["checks"]:
-        name = _check_name(check_cfg)
+    check_names = _unique_check_names(config["checks"])
+    for name, check_cfg in zip(check_names, config["checks"]):
         violations_error: Optional[str] = None
         chunker = build_chunker(chunk_cfg)
         calc = build_check(spark, check_cfg, chunker)

@@ -180,15 +180,23 @@ def embedding_near_duplicates(
     """
     if n_planes is not None:
         n_bands, rows_per_band = 1, n_planes
+    # null embeddings (failed upstream embedding jobs) cannot be near-dups;
+    # drop them BEFORE the dim probe / auto-sizing count / Arrow pass (a NULL
+    # first row would TypeError on len(), and null rows would skew lsh_plan)
+    df = df.filter(F.col(vec_col).isNotNull())
     if n_bands is None or rows_per_band is None:
         auto_b, auto_r = lsh_plan(df.count(), threshold)
         n_bands = auto_b if n_bands is None else n_bands
         rows_per_band = auto_r if rows_per_band is None else rows_per_band
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    # null embeddings (failed upstream embedding jobs) cannot be near-dups;
-    # drop them BEFORE the Arrow pass (np.stack would raise on None)
-    df = df.filter(F.col(vec_col).isNotNull())
+        first = df.select(vec_col).first()
+        if first is None:  # all embeddings null → no pairs (schema-preserving)
+            return df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
+        dim = len(first[0])
     planes = _hyperplanes(dim, n_bands * rows_per_band, seed)
     # all band signatures in ONE Arrow pass: sign bits of X @ planesᵀ packed
     # per band. (A per-plane zip_with/aggregate expression tree — n_bands ×

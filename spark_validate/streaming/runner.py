@@ -69,9 +69,21 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
     stream = spark.readStream.schema(schema).parquet(config["stream"])
 
     queries = {}
-    for check_cfg in config["checks"]:
+    # every started query needs a UNIQUE sink path + checkpointLocation: twin
+    # checks of one kind over the same column would otherwise collide (the
+    # second start() adopts the first query's checkpoint). A user-supplied
+    # ``name`` field wins; otherwise collisions get the check index appended.
+    used: set = set()
+
+    def uniq(base: str, idx: int) -> str:
+        key = base if base not in used else f"{base}__{idx}"
+        used.add(key)
+        return key
+
+    for check_idx, check_cfg in enumerate(config["checks"]):
         kind = check_cfg["type"]
-        name = _check_name(check_cfg)
+        if kind in ("column_stats", "drift"):  # per-column kinds key below
+            name = uniq(check_cfg.get("name") or _check_name(check_cfg), check_idx)
         if kind == "column_stats":
             stats = streaming_column_stats(
                 stream, ts, check_cfg["columns"], window_duration=window, watermark=watermark or window
@@ -92,8 +104,12 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             for c in check_cfg["columns"]:
                 v = streaming_violations(stream, c, domain=check_cfg["domain"])
                 # per-column sink path AND checkpoint: two queries sharing one
-                # checkpointLocation adopt the same query id and collide
-                queries[f"{kind}__{c}"] = _sink(v, out_dir, f"{kind}__{c}", "append", trigger).start()
+                # checkpointLocation adopt the same query id and collide.
+                # `name` is unique per check (twin-check safe); suffix the
+                # column only for multi-column checks (name already ends
+                # with the column for single-column ones)
+                key = uniq(check_cfg.get("name", kind) + f"__{c}", check_idx)
+                queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "unseen":
             import pyspark.sql.functions as F
 
@@ -114,7 +130,8 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                         "stream needs a broadcastable seen set; use the batch anti-join check"
                     )
                 v = streaming_violations(stream, c, domain=seen)
-                queries[f"{kind}__{c}"] = _sink(v, out_dir, f"{kind}__{c}", "append", trigger).start()
+                key = uniq(check_cfg.get("name", kind) + f"__{c}", check_idx)
+                queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "range":
             if reference is None:
                 raise ValueError("range check needs a reference table to fit [min, max]")
@@ -123,7 +140,8 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             for c in check_cfg["columns"]:
                 row = reference.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
                 v = streaming_violations(stream, c, valid_range=(row["lo"], row["hi"]))
-                queries[f"{kind}__{c}"] = _sink(v, out_dir, f"{kind}__{c}", "append", trigger).start()
+                key = uniq(check_cfg.get("name", kind) + f"__{c}", check_idx)
+                queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "drift":
             if reference is None:
                 raise ValueError("drift check needs a reference table to fit histograms")
@@ -131,7 +149,9 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             calc = build_check(spark, check_cfg, chunker)
             calc.fit(reference)
             drift = streaming_univariate_drift(
-                stream, calc, ts, window_duration=window, watermark=watermark
+                # append-mode windowed agg without a watermark fails at query
+                # start — default to the window duration like column_stats
+                stream, calc, ts, window_duration=window, watermark=watermark or window
             )
             queries[name] = _sink(drift, out_dir, name, "append", trigger).start()
             calc.release_cache()

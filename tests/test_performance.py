@@ -372,3 +372,65 @@ def test_sampling_errors_cover_ap_bv_cm_and_multiclass(spark):
         vars_fracs.append((qc * (1 - qc), rel / len(mref)))
     exp = math.sqrt(sum(v / (1000 * f) for v, f in vars_fracs)) / len(classes)
     assert np.isclose(mpiv[(0, "f1")], exp, rtol=1e-9)
+
+
+def test_multiclass_cm_ap_sampling_errors_and_zero_denominators(spark):
+    """Round-3 additions: (a) multiclass CM cells and macro-OvR AP carry
+    sampling errors mirroring the reference's components
+    (sampling_error/multiclass_classification.py:361-487); (b) CM
+    normalization denominators that are 0 (a chunk missing a class) yield
+    NULL values, not an ANSI DIVIDE_BY_ZERO crash."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.performance.calculator import PerformanceCalculator
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    classes = ["a", "b", "c"]
+    yt = rng.choice(classes, n, p=[0.5, 0.3, 0.2])
+    probs = rng.dirichlet([4, 3, 2], n)
+    yp = np.take(classes, probs.argmax(axis=1))
+    pdf = pd.DataFrame({"id": np.arange(n), "y_true": yt, "y_pred": yp})
+    for i, c in enumerate(classes):
+        pdf[f"p_{c}"] = probs[:, i]
+    # analysis chunk 0 (ids 2000-2499): class 'c' never predicted nor true
+    mask = (pdf.id >= 2000) & (pdf.id < 2500)
+    pdf.loc[mask, "y_pred"] = np.where(pdf.loc[mask, "y_pred"] == "c", "a", pdf.loc[mask, "y_pred"])
+    pdf.loc[mask, "y_true"] = np.where(pdf.loc[mask, "y_true"] == "c", "b", pdf.loc[mask, "y_true"])
+    sdf = spark.createDataFrame(pdf)
+    ch = SizeBasedChunker(chunk_size=500, order_by=["id"])
+
+    calc = PerformanceCalculator(
+        problem_type="multiclass_classification",
+        metrics=("confusion_matrix", "average_precision"),
+        y_pred_proba={c: f"p_{c}" for c in classes},
+        normalize_confusion_matrix="pred",
+        chunker=ch,
+    ).fit(sdf.filter("id < 2000"))
+    res = calc.calculate(sdf.filter("id >= 2000")).toPandas()
+    piv = res.set_index(["chunk_index", "method"])
+    # (b) chunk 0 has zero 'pred c' column total → its cells are NULL, job alive
+    assert np.isnan(piv.loc[(0, "true_a_pred_c"), "value"])
+    # other cells normalized per predicted column
+    cdf = pdf[(pdf.id >= 2000) & (pdf.id < 2500)]
+    col_tot = (cdf.y_pred == "a").sum()
+    want = ((cdf.y_true == "b") & (cdf.y_pred == "a")).sum() / col_tot
+    assert np.isclose(piv.loc[(0, "true_b_pred_a"), "value"], want)
+    # (a) SEs: every CM cell and the AP rows carry sampling errors
+    se = res.set_index(["chunk_index", "method"])["sampling_error"]
+    assert se.xs("average_precision", level="method").notna().all()
+    # cell SE oracle (norm='pred'): std=sqrt(q(1-q)) over pred-marginal,
+    # applied as std / sqrt(n_chunk * pred_marginal_fraction)
+    ref = pdf[pdf.id < 2000]
+    x = ((ref.y_true == "a") & (ref.y_pred == "a")).sum()
+    denom = (ref.y_pred == "a").sum()
+    q = x / denom
+    exp = math.sqrt(q * (1 - q)) / math.sqrt(500 * (denom / len(ref)))
+    assert np.isclose(se[(0, "true_a_pred_a")], exp, rtol=1e-9)
+    # AP SE equals sqrt(mean_c(var_c*s_c)/n_chunk) for the stored constant
+    c_const = calc._se["average_precision"]["mc_ap_c"]
+    assert np.isclose(se[(0, "average_precision")], math.sqrt(c_const / 500), rtol=1e-9)

@@ -459,3 +459,45 @@ def test_streaming_drift_all_null_window_yields_null(spark, tmp_path):
     assert dead["value"].isna().all()
     assert not dead["alert"].any()
     assert live["value"].notna().all()
+
+
+def test_streaming_twin_checks_same_column_get_distinct_checkpoints(spark, tmp_path):
+    """Two checks of one kind over the SAME column (e.g. two domain checks
+    with different domains) must not share a sink/checkpointLocation — the
+    second start() would adopt the first query's checkpoint. A user-supplied
+    ``name`` field is honored; otherwise the check index disambiguates."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-07-01", periods=100, freq="min"),
+            "fmt": ["jpeg"] * 90 + ["bmp"] * 10,
+        }
+    )
+    d = {k: str(tmp_path / k) for k in ("r", "s", "o")}
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d["r"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d["s"])
+    qs = run_streaming_suite(
+        spark,
+        {
+            "output_dir": d["o"],
+            "reference": d["r"],
+            "stream": d["s"],
+            "timestamp_column": "ts",
+            "checks": [
+                {"type": "domain", "columns": ["fmt"], "domain": ["jpeg", "bmp"]},
+                {"type": "domain", "columns": ["fmt"], "domain": ["jpeg"]},
+                {"type": "domain", "columns": ["fmt"], "domain": ["bmp"], "name": "bmp_only"},
+            ],
+        },
+    )
+    try:
+        assert set(qs) == {"domain__fmt", "domain__fmt__1", "bmp_only__fmt"}
+        for q in qs.values():
+            q.processAllAvailable()
+    finally:
+        for q in qs.values():
+            q.stop()
+    assert spark.read.parquet(f"{d['o']}/domain__fmt").count() == 0
+    assert spark.read.parquet(f"{d['o']}/domain__fmt__1").count() == 10
+    assert spark.read.parquet(f"{d['o']}/bmp_only__fmt").count() == 90
