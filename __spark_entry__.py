@@ -45,6 +45,23 @@ EV_CHUNK = 1000
 EVENT_DOMAIN = ["click", "view", "purchase"]
 
 
+# --- fit/calc timing split ------------------------------------------------
+# Production reruns load fitted state from the store (runner load-or-fit),
+# so the recurring cost of a query is calculate-only. Every reference fit in
+# the queries below goes through `timed_fit`; bench.py clears _FIT_LOG per
+# query and reports {fit_s, calc_s = total - fit_s}.
+_FIT_LOG: list = []
+
+
+def timed_fit(calc, df, *a, **kw):
+    import time as _time
+
+    t0 = _time.time()
+    out = calc.fit(df, *a, **kw)
+    _FIT_LOG.append(_time.time() - t0)
+    return out
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -102,7 +119,7 @@ def q_missing_rate(spark, sf_dir):
         "d_disc", F.when(F.col("l_discount") < 0.02, F.lit(None)).otherwise(F.col("l_discount"))
     )
     calc = MissingValuesCalculator(["d_disc"], chunker=_li_chunker())
-    calc.fit(nullify(ref))
+    timed_fit(calc, nullify(ref))
     res = calc.calculate(nullify(ana))
     return res.select("chunk_index", "column_name", "method", "value").orderBy("chunk_index")
 
@@ -157,7 +174,7 @@ def q_range_check(spark, sf_dir):
     """NumericalRangeCalculator (§2.3): out-of-range rate per analysis chunk
     vs reference [min, max]; alert on any violation."""
     ref, ana = _li_split(spark, sf_dir)
-    calc = NumericalRangeCalculator(["l_extendedprice"], chunker=_li_chunker()).fit(ref)
+    calc = timed_fit(NumericalRangeCalculator(["l_extendedprice"], chunker=_li_chunker()), ref)
     res = calc.calculate(ana)
     return res.select(
         "chunk_index", F.col("value").alias("oor_rate"), "alert"
@@ -171,7 +188,7 @@ def q_range_violations(spark, sf_dir):
     (l_orderkey % 997 == 0) so the violation stream is non-empty: those rows
     exceed the reference-fitted max."""
     ref, ana = _li_split(spark, sf_dir)
-    calc = NumericalRangeCalculator(["l_extendedprice"], chunker=_li_chunker()).fit(ref)
+    calc = timed_fit(NumericalRangeCalculator(["l_extendedprice"], chunker=_li_chunker()), ref)
     lo, hi = calc._ranges["l_extendedprice"]
     bump = F.when(F.pmod(F.col("l_orderkey"), F.lit(997)) == 0, F.lit(1.5)).otherwise(F.lit(1.0))
     ana = ana.withColumn("l_extendedprice", F.col("l_extendedprice") * bump)
@@ -197,7 +214,7 @@ def q_unseen_values(spark, sf_dir):
     """UnseenValuesCalculator (§2.3): values of o_orderpriority absent from
     the reference period."""
     ref, ana = _ord_split(spark, sf_dir)
-    calc = UnseenValuesCalculator(["o_orderpriority"], chunker=_ord_chunker()).fit(ref)
+    calc = timed_fit(UnseenValuesCalculator(["o_orderpriority"], chunker=_ord_chunker()), ref)
     res = calc.calculate(ana)
     return res.select("chunk_index", F.col("value").alias("unseen_rate")).orderBy("chunk_index")
 
@@ -237,7 +254,7 @@ def _drift_query(spark, sf_dir, table, col, methods, kind, chunker, ref_ana, **k
         chunker=chunker,
         **kw,
     )
-    calc.fit(ref)
+    timed_fit(calc, ref)
     return calc.calculate(ana)
 
 
@@ -437,7 +454,7 @@ def q_perf_binary(spark, sf_dir):
         y_pred_proba="score",
         chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
     )
-    calc.fit(ev)  # thresholds fit on same frame; values are what the oracle compares
+    timed_fit(calc, ev)  # thresholds fit on same frame; values are what the oracle compares
     res = calc.calculate(ev)
     return res.select("chunk_index", "method", F.round("value", 9).alias("value")).orderBy(
         "chunk_index", "method"
@@ -456,7 +473,7 @@ def q_roc_auc(spark, sf_dir):
         y_pred_proba="score",
         chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
     )
-    calc.fit(ev)
+    timed_fit(calc, ev)
     res = calc.calculate(ev)
     return res.select("chunk_index", F.round("value", 9).alias("roc_auc")).orderBy("chunk_index")
 
@@ -473,7 +490,7 @@ def q_average_precision(spark, sf_dir):
         y_pred_proba="score",
         chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
     )
-    calc.fit(ev)
+    timed_fit(calc, ev)
     res = calc.calculate(ev)
     return res.select("chunk_index", F.round("value", 9).alias("average_precision")).orderBy("chunk_index")
 
@@ -494,7 +511,7 @@ def q_regression_metrics(spark, sf_dir):
         problem_type="regression",
         chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
     )
-    calc.fit(d)
+    timed_fit(calc, d)
     res = calc.calculate(d)
     return res.select("chunk_index", "method", F.round("value", 6).alias("value")).orderBy(
         "chunk_index", "method"
@@ -566,7 +583,7 @@ def q_perf_multiclass(spark, sf_dir):
         business_value_matrix=MC_BVM,
         chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
     )
-    calc.fit(ev)
+    timed_fit(calc, ev)
     res = calc.calculate(ev)
     return res.select("chunk_index", "method", F.round("value", 9).alias("value")).orderBy(
         "chunk_index", "method"
@@ -592,7 +609,7 @@ def q_std_median_stats(spark, sf_dir):
 
     ref, ana = _li_split(spark, sf_dir)
     calc = ColumnStatsCalculator(["l_quantity"], metrics=("std", "median"), chunker=_li_chunker())
-    calc.fit(ref)
+    timed_fit(calc, ref)
     res = calc.calculate(ana)
     return (
         res.select("chunk_index", "column_name", "method", F.round("value", 6).alias("value"))
@@ -624,7 +641,7 @@ def q_alert_rank(spark, sf_dir):
         chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
         threshold=ConstantThreshold(upper=0.5),
     )
-    calc.fit(ev)
+    timed_fit(calc, ev)
     res = calc.calculate(ev)
     return alert_count_rank(res).orderBy("rank")
 
@@ -642,18 +659,25 @@ def q_correlation_rank(spark, sf_dir):
     drift = ColumnStatsCalculator(
         ["a1", "a2", "a3"], metrics=("avg",), chunker=chunker, threshold=ConstantThreshold(upper=0.5)
     )
-    drift.fit(ev)
+    timed_fit(drift, ev)
     drift_res = drift.calculate(ev)
     perf = PerformanceCalculator(
         metrics=("accuracy",), y_true="y_true", y_pred="y_pred", chunker=chunker
     )
-    perf.fit(ev)
+    timed_fit(perf, ev)
     perf_res = perf.calculate(ev)
-    ranker = CorrelationRanker().fit(perf_res, metric="accuracy")
+    ranker = timed_fit(CorrelationRanker(), perf_res, metric="accuracy")
     out = ranker.rank(drift_res, perf_res)
-    return out.select("rank", "column_name", F.round("pearsonr", 6).alias("pearsonr"), "n_alerts").orderBy(
-        "rank"
-    )
+    # pearsonr_pvalue is engine output too (ref ranker.py:376-391) but needs a
+    # t-distribution SF DuckDB lacks — verified against a numeric-integration
+    # golden in tests/test_rankers_distribution.py instead
+    return out.select(
+        "rank",
+        "column_name",
+        F.round("pearsonr_correlation", 6).alias("pearsonr"),
+        "has_drifted",
+        "n_alerts",
+    ).orderBy("rank")
 
 
 # --- rows-only entries (no SQL-expressible oracle: fitted state / UDF paths) --
@@ -693,7 +717,7 @@ def q_cbpe_estimated_accuracy(spark, sf_dir):
         y_pred_proba="score",
         chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
     )
-    est.fit(ev)
+    timed_fit(est, ev)
     res = est.estimate(ev.drop("y_true"))
     return res.select("chunk_index", F.round("value", 9).alias("estimated_accuracy")).orderBy("chunk_index")
 
@@ -720,7 +744,7 @@ def q_cbpe_multiclass(spark, sf_dir):
         problem_type="multiclass_classification",
         chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
     )
-    est.fit(ev)
+    timed_fit(est, ev)
     res = est.estimate(ev.drop("y_true_mc"))
     return res.select("chunk_index", "method", F.round("value", 9).alias("value")).orderBy(
         "chunk_index", "method"
@@ -735,7 +759,7 @@ def q_pca_reconstruction(spark, sf_dir):
     calc = DataReconstructionDriftCalculator(
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], chunker=_li_chunker()
     )
-    calc.fit(li_ref)
+    timed_fit(calc, li_ref)
     res = calc.calculate(li_ana)
     return res.select("chunk_index", F.round("value", 9).alias("reconstruction_error")).orderBy("chunk_index")
 
@@ -751,7 +775,7 @@ def q_domain_classifier(spark, sf_dir):
         chunker=_li_chunker(),
         reference_sample=5000,
     )
-    calc.fit(li_ref)
+    timed_fit(calc, li_ref)
     res = calc.calculate(li_ana)
     return res.select("chunk_index", F.round("value", 9).alias("auroc")).orderBy("chunk_index")
 
@@ -1277,14 +1301,23 @@ s AS (
 SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
+    # ids = the 20 smallest member ids (the engine's bounded min-K sample —
+    # full membership is exact_duplicate_members); dup_count always exact
     sql["dedup_exact"] = """
 WITH docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5
+),
+r AS (
+  SELECT md5(text) AS fp, doc_id,
+         count(*) OVER (PARTITION BY md5(text)) AS cnt,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM docs
 )
-SELECT md5(text) AS fp, count(*) AS dup_count,
+SELECT fp, CAST(max(cnt) AS BIGINT) AS dup_count,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
-FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
+FROM r WHERE cnt > 1 AND rn <= 20
+GROUP BY fp ORDER BY fp
 """
 
     # Brute-force shingle Jaccard (k=6 word shingles, distinct): the LSH query
@@ -1479,7 +1512,7 @@ co AS (
   FROM long l JOIN perf p ON p.chunk_index = l.chunk_index GROUP BY 1
 )
 SELECT CAST(row_number() OVER (ORDER BY pearsonr DESC, column_name DESC) AS INT) AS rank,
-       column_name, round(pearsonr, 6) AS pearsonr, n_alerts
+       column_name, round(pearsonr, 6) AS pearsonr, n_alerts > 0 AS has_drifted, n_alerts
 FROM co ORDER BY rank
 """
 

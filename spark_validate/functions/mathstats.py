@@ -231,3 +231,81 @@ def average_precision(y_true, scores) -> float:
     rec = tp / n_pos
     prec = tp / (boundaries + 1.0)
     return float(np.sum(np.diff(np.r_[0.0, rec]) * prec))
+
+
+def _beta_contfrac(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (modified Lentz method,
+    the public Numerical Recipes `betacf` algorithm)."""
+    tiny = 1.0e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, _MAX_ITER + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < _EPS:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if math.isnan(a) or math.isnan(b) or math.isnan(x):
+        return float("nan")
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _beta_contfrac(a, b, x) / a
+    return 1.0 - bt * _beta_contfrac(b, a, 1.0 - x) / b
+
+
+def t_sf_two_sided(t: float, df: float) -> float:
+    """Two-sided Student-t survival probability P(|T| > |t|) =
+    I_{df/(df+t²)}(df/2, 1/2)."""
+    if math.isnan(t) or df <= 0:
+        return float("nan")
+    if math.isinf(t):
+        return 0.0
+    return min(max(betainc_reg(df / 2.0, 0.5, df / (df + t * t)), 0.0), 1.0)
+
+
+def pearsonr_pvalue(r, n) -> float:
+    """Two-sided p-value for a Pearson correlation under H0: ρ=0
+    (`scipy.stats.pearsonr` semantics: t = r·√((n−2)/(1−r²)), t-dist with
+    n−2 dof). NaN for n ≤ 2 or undefined r (constant series)."""
+    if r is None or n is None or n <= 2 or (isinstance(r, float) and math.isnan(r)):
+        return float("nan")
+    r = max(min(float(r), 1.0), -1.0)
+    if abs(r) == 1.0:
+        return 0.0
+    t = r * math.sqrt((n - 2) / (1.0 - r * r))
+    return t_sf_two_sided(t, float(n - 2))

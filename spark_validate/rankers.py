@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _none_if_nan(v):
+    import math
+
+    return None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v)
+
+
 def alert_count_rank(result: DataFrame, only_drifting: bool = False) -> DataFrame:
     """(rank, n_alerts, column_name) — 1-based, most alerts first."""
     agg = result.groupBy("column_name").agg(
@@ -58,12 +64,46 @@ class CorrelationRanker:
         num = F.avg(x * y) - F.avg(x) * F.avg(y)
         den = F.stddev_pop(x) * F.stddev_pop(y)
         agg = joined.groupBy("column_name").agg(
-            F.when(den != 0, num / den).alias("pearsonr"),
+            F.when(den != 0, num / den).alias("pearsonr_correlation"),
+            F.count(F.lit(1)).alias("_n"),
             F.sum(F.col("alert").cast("int")).alias("n_alerts"),
         )
         if only_drifting:
             agg = agg.filter(F.col("n_alerts") > 0)
-        w = Window.orderBy(F.desc("pearsonr"), F.desc("column_name"))  # single task: input ≤ #columns rows
-        return agg.withColumn("rank", F.row_number().over(w)).select(
-            "rank", "column_name", "pearsonr", "n_alerts"
+        # p-values (ref ranker.py:376-391 scipy.stats.pearsonr): the agg is
+        # ≤ #columns rows, so the t-distribution SF runs driver-side on the
+        # collected result — no Python UDF enters any distributed plan
+        from spark_validate.functions.mathstats import pearsonr_pvalue
+
+        rows = agg.collect()
+        spark = drift_result.sparkSession
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("column_name", agg.schema["column_name"].dataType),
+                T.StructField("pearsonr_correlation", T.DoubleType()),
+                T.StructField("pearsonr_pvalue", T.DoubleType()),
+                T.StructField("has_drifted", T.BooleanType()),
+                T.StructField("n_alerts", T.LongType()),
+            ]
+        )
+        out = spark.createDataFrame(
+            [
+                (
+                    r["column_name"],
+                    float(r["pearsonr_correlation"]) if r["pearsonr_correlation"] is not None else None,
+                    _none_if_nan(pearsonr_pvalue(r["pearsonr_correlation"], r["_n"])),
+                    bool(r["n_alerts"] > 0) if r["n_alerts"] is not None else False,
+                    int(r["n_alerts"]) if r["n_alerts"] is not None else 0,
+                )
+                for r in rows
+            ],
+            schema,
+        )
+        w = Window.orderBy(
+            F.desc("pearsonr_correlation"), F.desc("column_name")
+        )  # single task: input ≤ #columns rows
+        return out.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "column_name", "pearsonr_correlation", "pearsonr_pvalue", "has_drifted", "n_alerts"
         )

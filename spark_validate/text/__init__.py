@@ -1,5 +1,6 @@
 from spark_validate.text.dedup import (
     exact_duplicates,
+    exact_duplicate_members,
     minhash_signatures,
     lsh_candidate_pairs,
     ngram_jaccard,
@@ -15,6 +16,7 @@ from spark_validate.text.quality import (
 
 __all__ = [
     "exact_duplicates",
+    "exact_duplicate_members",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard",

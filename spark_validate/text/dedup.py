@@ -54,14 +54,52 @@ def _shingles(text_col: str, k: int):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(fingerprint, dup_count, ids) for texts appearing more than once."""
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_ids: int = 20
+) -> DataFrame:
+    """(fingerprint, dup_count, ids) for texts appearing more than once.
+
+    ``dup_count`` is exact (map-side-combined counts — skew-safe at any
+    cluster size). ``ids`` carries the ``max_ids`` SMALLEST member ids: a
+    deterministic sample, NOT the full membership. At corpus scale a
+    boilerplate cluster (10^8 copies of an empty/common doc is guaranteed at
+    100 TB) would otherwise build a 10^8-element array inside one
+    aggregation buffer → executor OOM — the same hot-bucket hazard the
+    Hamming join caps (`spark_validate/functions/hamming.py:171`). The min-K
+    sample is built in two partition-bounded levels: per input partition
+    keep the K smallest (buffer ≤ rows-per-partition, set by
+    ``files.maxPartitionBytes``), then merge the per-partition K-arrays
+    (buffer ≤ K × partitions-touching-the-fingerprint). The result is a
+    pure function of the data — the global K smallest ids — so oracles
+    replicate it. Full membership at scale: :func:`exact_duplicate_members`.
+    """
+    k = int(max_ids)
     fp = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp"))
+    per_part = fp.groupBy("fp", F.spark_partition_id().alias("_pid")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.slice(F.sort_array(F.collect_list("id")), 1, k).alias("_ids"),
+    )
     return (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list("id")).alias("ids"))
+        per_part.groupBy("fp")
+        .agg(
+            F.sum("_cnt").alias("dup_count"),
+            F.slice(F.sort_array(F.flatten(F.collect_list("_ids"))), 1, k).alias("ids"),
+        )
         .filter(F.col("dup_count") > 1)
     )
+
+
+def exact_duplicate_members(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exploded (fp, id, dup_count) rows — one per member of every duplicate
+    group. The scale-safe FULL listing: no per-group array is ever built, so
+    a 10^8-copy boilerplate cluster is just 10^8 ordinary rows streamed to
+    whatever sink consumes them. Pair with :func:`exact_duplicates` when the
+    sampled ``ids`` column isn't enough."""
+    fp = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp"))
+    counts = (
+        fp.groupBy("fp").agg(F.count(F.lit(1)).alias("dup_count")).filter(F.col("dup_count") > 1)
+    )
+    return fp.join(counts, "fp").select("fp", "id", "dup_count")
 
 
 def minhash_signatures(

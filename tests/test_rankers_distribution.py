@@ -52,7 +52,11 @@ def test_correlation_ranker(spark, rk_frame):
     ranker = CorrelationRanker().fit(drift.reference_result.filter(F.col("column_name") == "x"), "avg")
     ranked = ranker.rank(drift_res, perf).toPandas()
     assert ranked["column_name"].iloc[0] == "x"
-    assert ranked["pearsonr"].iloc[0] > 0.99
+    assert ranked["pearsonr_correlation"].iloc[0] > 0.99
+    # reference-parity columns (ranker.py:376-391)
+    assert set(ranked.columns) >= {"pearsonr_correlation", "pearsonr_pvalue", "has_drifted"}
+    assert ranked["pearsonr_pvalue"].iloc[0] < 0.05  # near-perfect corr
+    assert ranked["has_drifted"].equals(ranked["n_alerts"] > 0)
 
 
 def test_categorical_distribution(spark, rk_frame):
@@ -83,3 +87,36 @@ def test_continuous_distribution(spark, rk_frame):
     for key, grp in out.groupby("chunk_key"):
         assert abs(grp["cdf"].iloc[-1] - 1.0) < 0.1
         assert (grp["density"] >= 0).all()
+
+
+def test_pearsonr_pvalue_matches_numeric_integration():
+    """The homegrown t-distribution SF (regularized incomplete beta) against
+    a scipy-free numeric integration of the Student-t density."""
+    import math
+
+    import numpy as np
+
+    from spark_validate.functions.mathstats import pearsonr_pvalue, t_sf_two_sided
+
+    def t_sf_numeric(t, df):
+        # integrate the t-density from |t| to a far cutoff (Simpson)
+        c = math.exp(math.lgamma((df + 1) / 2) - math.lgamma(df / 2)) / math.sqrt(df * math.pi)
+        # heavy tails at tiny df need a far cutoff (t-density ~ x^-(df+1))
+        cutoff = abs(t) + (200.0 if df >= 5 else 20000.0)
+        xs = np.linspace(abs(t), cutoff, 4_000_001)
+        ys = c * (1 + xs * xs / df) ** (-(df + 1) / 2)
+        from numpy import trapz
+
+        return 2.0 * float(np.trapz(ys, xs))
+
+    for r, n in [(0.5, 10), (-0.9, 5), (0.1, 100), (0.05, 1000), (0.8, 4)]:
+        t = r * math.sqrt((n - 2) / (1 - r * r))
+        want = t_sf_numeric(t, n - 2)
+        got = pearsonr_pvalue(r, n)
+        assert abs(got - want) < 1e-6, (r, n, got, want)
+    # scipy golden values (precomputed): pearsonr(r=0.5,n=10) -> 0.14112...
+    assert abs(pearsonr_pvalue(0.5, 10) - 0.141121) < 1e-5
+    assert pearsonr_pvalue(1.0, 10) == 0.0
+    assert math.isnan(pearsonr_pvalue(0.5, 2))
+    assert math.isnan(pearsonr_pvalue(None, 10))
+    assert t_sf_two_sided(0.0, 5) == 1.0

@@ -280,3 +280,40 @@ def test_embedding_ops_tolerate_null_vectors(spark):
     lists = idx.with_list_ids(sdf, impl="arrow").toPandas()
     assert (lists[lists.vec_id.isin([901, 902])]["_list"] == -1).all()
     assert (lists[~lists.vec_id.isin([901, 902])]["_list"] >= 0).all()
+
+
+def test_exact_duplicates_hot_fingerprint_bounded(spark):
+    """Adversarial: a 1M-row identical-text cluster (the 100 TB boilerplate
+    case) must complete with a BOUNDED ids array — dup_count exact, ids =
+    the 20 smallest member ids — plus exact_duplicate_members as the
+    scale-safe full listing."""
+    from pyspark.sql import functions as F
+
+    from spark_validate.text import exact_duplicate_members, exact_duplicates
+
+    n = 1_000_000
+    df = (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("lorem ipsum boilerplate footer text").alias("text"),
+        )
+    )
+    # plus one small ordinary duplicate group and a unique doc
+    extra = spark.createDataFrame(
+        [(n + 1, "rare text"), (n + 2, "rare text"), (n + 3, "unique text")],
+        "doc_id long, text string",
+    )
+    out = exact_duplicates(df.unionByName(extra)).orderBy("fp").collect()
+    assert len(out) == 2
+    by_cnt = {r["dup_count"]: r for r in out}
+    hot = by_cnt[n]
+    assert len(hot["ids"]) == 20
+    assert hot["ids"] == list(range(20))  # global min-K, partition-independent
+    small = by_cnt[2]
+    assert small["ids"] == [n + 1, n + 2]
+    # full listing: one row per member, no arrays anywhere
+    mem = exact_duplicate_members(df.unionByName(extra))
+    agg = mem.groupBy("fp").agg(F.count(F.lit(1)).alias("c"), F.max("dup_count").alias("d")).collect()
+    assert sorted((r["c"], r["d"]) for r in agg) == [(2, 2), (n, n)]
