@@ -1555,4 +1555,28 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 4
 ORDER BY id_a, id_b
 """
 
+    # --- frozen-golden oracles for the fitted-model queries -----------------
+    # CBPE / PCA / domain-classifier carry fitted state (isotonic
+    # calibrators, eigenvectors, a boosted tree) no SQL can express. They ARE
+    # deterministic end to end: seeded fits + 9-decimal rounding make the
+    # output a pure function of the input (tools/make_goldens.py re-runs each
+    # under two deliberately different Spark configurations — 8 vs 32 cores,
+    # default vs 1 MB file splits — and requires identical value hashes
+    # before freezing). The frozen parquet is the oracle; the events row
+    # count keys the right scale factor from one static SQL string. The
+    # numpy-replica tests (test_cbpe.py, test_multivariate.py) separately
+    # pin the math to the reference pipeline.
+    for gname, gcols in [
+        ("cbpe_estimated_accuracy", "chunk_index, estimated_accuracy"),
+        ("cbpe_multiclass", "chunk_index, method, value"),
+        ("pca_reconstruction", "chunk_index, reconstruction_error"),
+        ("domain_classifier", "chunk_index, auroc"),
+    ]:
+        sql[gname] = f"""
+SELECT {gcols}
+FROM read_parquet('/root/repo/goldens/*/{gname}.parquet')
+WHERE _n_events = (SELECT count(*) FROM events)
+ORDER BY chunk_index
+"""
+
     return sql

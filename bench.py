@@ -75,18 +75,36 @@ def build_image_tables(spark, n_rows, parts):
 
     from spark_validate.image import synth_image_table
 
+    from spark_validate.io import read_table
+
     if n_rows not in _IMG_DIRS:
         d = tempfile.mkdtemp(prefix=f"svbench_img_{n_rows}_")
-        synth_image_table(spark, n_rows, n_partitions=parts, dup_rate=0.0, orphan_rate=0.0).write.mode(
-            "overwrite"
-        ).parquet(f"{d}/ref")
-        synth_image_table(
-            spark, n_rows, n_partitions=parts, dup_rate=0.0001, orphan_rate=0.001,
-            unseen_fmt_rate=0.001, drift=False, seed=42,  # same seed → PSNR joins line up
-        ).write.mode("overwrite").parquet(f"{d}/ana")
+        # north-rule input shape: PARTITIONED CATALOG TABLES (fmt-partitioned
+        # external tables — the builtin-catalog stand-in for Iceberg; the
+        # suite reads them through the table: form so partition filters
+        # prune at the scan). External paths let the fresh-JVM scaling
+        # children read the same files without re-registering metadata.
+        for side, kw in (
+            ("ref", dict(dup_rate=0.0, orphan_rate=0.0)),
+            ("ana", dict(dup_rate=0.0001, orphan_rate=0.001, unseen_fmt_rate=0.001,
+                         drift=False, seed=42)),  # same seed → PSNR joins line up
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS sv_bench_img_{side}_{n_rows}")
+            synth_image_table(spark, n_rows, n_partitions=parts, **kw).write.mode(
+                "overwrite"
+            ).option("path", f"{d}/{side}").partitionBy("fmt").saveAsTable(
+                f"sv_bench_img_{side}_{n_rows}"
+            )
         _IMG_DIRS[n_rows] = d
     d = _IMG_DIRS[n_rows]
-    return spark.read.parquet(f"{d}/ref"), spark.read.parquet(f"{d}/ana")
+    try:
+        return (
+            read_table(spark, f"table:sv_bench_img_ref_{n_rows}"),
+            read_table(spark, f"table:sv_bench_img_ana_{n_rows}"),
+        )
+    except Exception:
+        # fresh-JVM scaling child: same files, partition-discovering read
+        return spark.read.parquet(f"{d}/ref"), spark.read.parquet(f"{d}/ana")
 
 
 def run_image_suite(spark, n_rows, parts) -> dict:

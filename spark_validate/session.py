@@ -36,6 +36,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # catalog tables (saveAsTable / table: reads) land here instead of
+        # ./spark-warehouse; on an Iceberg deployment the catalog config
+        # replaces this (see io/readers.py)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_VALIDATE_WAREHOUSE", "/tmp/spark_validate_warehouse"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_VALIDATE_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")

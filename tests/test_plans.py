@@ -105,3 +105,42 @@ def test_drift_histogram_cache_lifecycle(spark, lineitem):
     assert n_cached() > base  # shared histogram lives while results are read
     calc.release_cache()
     assert n_cached() == base  # and is fully released afterwards
+
+
+def test_catalog_table_partition_pruning_and_append(spark):
+    """Iceberg-shaped evidence (north rule: the input IS a catalog table):
+    the image table materialized as a fmt-partitioned catalog table is read
+    through the ``table:`` form, and a fmt filter prunes AT THE SCAN — the
+    file index serves only the matching partition directories, the sandbox
+    analog of Iceberg metadata pruning. Results append back via the
+    ``table:`` sink."""
+    from pyspark.sql import functions as F
+
+    from spark_validate.image import synth_image_table
+    from spark_validate.io import read_table, save_catalog_table, write_results
+
+    img = synth_image_table(spark, 2000, n_partitions=4, dup_rate=0.0, orphan_rate=0.0)
+    save_catalog_table(img, "sv_imgcat", partition_by=["fmt"])
+
+    full = read_table(spark, "table:sv_imgcat")
+    fmts = [r[0] for r in full.select("fmt").distinct().collect()]
+    assert len(fmts) >= 3
+    one = read_table(spark, "table:sv_imgcat").filter(F.col("fmt") == fmts[0]).select("image_id", "w")
+    # 1) plan: partition filter present at the scan node
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("fmt" in l for l in pf), plan
+    # 2) files: the pruned scan serves a strict subset of the table's files
+    assert 0 < len(one.inputFiles()) < len(full.inputFiles())
+    # 3) results append back through the table: sink (V2 writeTo on Iceberg,
+    #    insertInto fallback on the builtin catalog)
+    res = one.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit(str(fmts[0])).alias("fmt"), "n"
+    )
+    spark.sql("DROP TABLE IF EXISTS sv_imgcat_results")
+    write_results(res, "table:sv_imgcat_results")
+    write_results(res, "table:sv_imgcat_results")  # second write = true append
+    out = spark.read.table("sv_imgcat_results").collect()
+    assert len(out) == 2 and all(r["n"] == one.count() for r in out)
+    spark.sql("DROP TABLE IF EXISTS sv_imgcat")
+    spark.sql("DROP TABLE IF EXISTS sv_imgcat_results")

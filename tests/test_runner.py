@@ -290,3 +290,28 @@ def test_database_writer_jdbc_frame_matches_sqlite_schema(spark, workspace):
     assert row["metric_name"] == "avg" and row["run_id"] == "r1"
     # partition chunks carry no timestamps; the column still exists, typed
     assert dict(frame.dtypes)["timestamp"] == "timestamp"
+
+
+def test_run_suite_from_catalog_tables(spark, workspace):
+    """North-rule input shape: reference and analysis come from PARTITIONED
+    catalog tables read through the ``table:`` form (the sandbox stand-in
+    for Iceberg), end-to-end through the runner with partition chunking."""
+    from spark_validate.io import save_catalog_table
+
+    save_catalog_table(
+        spark.read.parquet(str(workspace / "ref")), "sv_runner_ref", partition_by=["part"]
+    )
+    save_catalog_table(
+        spark.read.parquet(str(workspace / "ana")), "sv_runner_ana", partition_by=["part"]
+    )
+    cfg = _config(workspace)
+    cfg["reference"] = "table:sv_runner_ref"
+    cfg["analysis"] = "table:sv_runner_ana"
+    cfg["output_dir"] = str(workspace / "out_cat")
+    cfg["store_dir"] = str(workspace / "store_cat")
+    report = run_suite(spark, cfg)
+    assert report["domain__fmt"]["alerts"] > 0
+    res = spark.read.parquet(str(workspace / "out_cat" / "results"))
+    assert res.filter(F.col("check") == "domain__fmt").count() == 4
+    spark.sql("DROP TABLE IF EXISTS sv_runner_ref")
+    spark.sql("DROP TABLE IF EXISTS sv_runner_ana")
