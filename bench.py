@@ -187,6 +187,7 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
         t0 = time.time()
         payload_pass()
         walls.append(time.time() - t0)
+    print(f"payload_reps_s={[round(w, 2) for w in walls]}", file=sys.stderr)
     return min(walls)
 
 
@@ -201,19 +202,53 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
 _PROBE_SNIPPET = (
     "import numpy as np\n"
     "x = np.arange(2_000_000, dtype=np.float64)\n"
-    "for _ in range(150):\n"
+    "for _ in range({iters}):\n"
     "    x = np.sqrt(x * x + 1.0)\n"
 )
 PROBE_TOL = 1.30
 
 
-def host_probe(workers: int) -> float:
+class TrialMonitor:
+    """Samples a 1-worker probe every few seconds WHILE a trial runs.
+    Bracketing probes miss bursty contention (a 2 s snapshot can land in a
+    lull while the 30-90 s trial overlaps a burst); the in-trial median is
+    the contention record that decides pair validity."""
+
+    def __init__(self, interval: float = 4.0):
+        import threading
+
+        self.samples: list = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, args=(interval,), daemon=True)
+
+    def _loop(self, interval: float):
+        while not self._stop.is_set():
+            self.samples.append(host_probe(1))
+            self._stop.wait(interval)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._t.join(timeout=30)
+
+    def median(self) -> float:
+        if not self.samples:
+            return float("nan")
+        ss = sorted(self.samples)
+        k = len(ss)
+        return ss[k // 2] if k % 2 else (ss[k // 2 - 1] + ss[k // 2]) / 2
+
+
+def host_probe(workers: int, iters: int = 150) -> float:
     import subprocess
 
     t0 = time.time()
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _PROBE_SNIPPET],
+            [sys.executable, "-c", _PROBE_SNIPPET.format(iters=iters)],
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
@@ -222,6 +257,36 @@ def host_probe(workers: int) -> float:
     for pr in procs:
         pr.wait()
     return time.time() - t0
+
+
+
+CAPACITY_PROBES: list = []  # (w, probe_s, effective_cores) — reported in JSON
+
+
+def effective_capacity_pick(cpus: int) -> tuple:
+    """Largest power-of-two worker count the host delivers near-linearly:
+    heavier probes (500 iters ≈ 3 s compute) so the per-process spawn cost
+    doesn't read as contention; accept w while effective concurrency
+    w·p1/pw ≥ 0.75·w. Also returns the pick's probe ratio pw/p1 — the
+    host's measured self-contention at that parallelism, which calibrates
+    how elevated an in-trial probe may read while OUR OWN 4N leg runs."""
+    p1 = min(host_probe(1, iters=500) for _ in range(2))
+    CAPACITY_PROBES.clear()
+    CAPACITY_PROBES.append([1, round(p1, 2), 1.0])
+    pick, pick_ratio = 4, 1.2
+    for w in (8, 16):
+        if w > cpus:
+            break
+        pw = min(host_probe(w, iters=500) for _ in range(3))
+        eff_c = w * p1 / pw
+        CAPACITY_PROBES.append([w, round(pw, 2), round(eff_c, 1)])
+        print(f"scaling: capacity probe {w}-way {pw:.2f}s vs single {p1:.2f}s "
+              f"(effective = {eff_c:.1f} cores)", file=sys.stderr)
+        if eff_c >= 0.75 * w:
+            pick, pick_ratio = w, pw / p1
+        else:
+            break
+    return pick, pick_ratio
 
 
 def new_session(cores: int):
@@ -292,12 +357,25 @@ def main():
         # advertises 32 vCPUs but throughput saturates near 16 concurrently
         # busy cores (shared tenancy), so the two-cluster-size criterion is
         # evidenced at 4 vs 16 cores by default (override via env)
-        n_small = int(os.environ.get("BENCH_SCALING_N", str(max(CPUS // 8, 1))))
-        n_big = n_small * 4
-        # large enough that per-stage fixed costs (~5 s of stage launches at 16
-        # cores) stay <10% of the timed region after the payload fusion cut
-        # the per-row work by a third
-        rows = int(os.environ.get("BENCH_SCALING_ROWS", "400000"))
+        # The two-cluster-size criterion is only meaningful INSIDE the
+        # host's deliverable envelope: this VM advertises 32 vCPUs but
+        # shared tenancy caps real parallel throughput well below that (and
+        # it varies by day — measured 8 effective cores on one day, ~16 on
+        # another). Measure it: w parallel single-thread probes should take
+        # ~the single-probe time while w is within capacity; pick the
+        # largest power-of-two 4N the host actually delivers (probe wall
+        # ≤ 1.25× single), then evidence N = 4N/4 vs 4N.
+        env_n = os.environ.get("BENCH_SCALING_N")
+        if env_n is not None:
+            n_small = int(env_n)
+            n_big = n_small * 4
+            big_ratio = 1.4
+        else:
+            n_big, big_ratio = effective_capacity_pick(CPUS)
+            n_small = max(n_big // 4, 1)
+        # size the input so the 4N timed region is ~30 s — large enough that
+        # per-stage fixed costs (~3-5 s of stage launches) stay <10% of it
+        rows = int(os.environ.get("BENCH_SCALING_ROWS", str(25_000 * n_big)))
         target_pairs = int(os.environ.get("BENCH_SCALING_TRIALS", "5"))
         max_attempts = int(os.environ.get("BENCH_SCALING_MAX_ATTEMPTS", str(target_pairs * 3)))
         # SAME input and job at N and 4N cores, each in a FRESH process/JVM
@@ -311,7 +389,17 @@ def main():
         # cannot inflate the reference probe.
         build_image_tables(spark, rows, CPUS * 2)  # materialize once, shared
         img_dir = _IMG_DIRS[rows]
-        p0 = min(host_probe(n_big) for _ in range(2))
+        p0 = min(host_probe(n_big) for _ in range(2))   # 4N-way pre-pair gate
+        p1 = min(host_probe(1) for _ in range(3))       # 1-worker in-trial envelope
+        # the 4N leg saturates the measured envelope BY DESIGN, so its
+        # in-trial probe self-contends by ~big_ratio; only elevation beyond
+        # that is external noise. Validity is evaluated against the FINAL
+        # envelope p1 (see post-hoc loop below).
+        tol_4n = PROBE_TOL * max(big_ratio, 1.0)
+
+        def _pair_ok(t):
+            return t["m_n"] <= PROBE_TOL * p1 and t["m_4n"] <= tol_4n * p1
+
         trials = []
         attempt = 0
         while attempt < max_attempts:
@@ -324,39 +412,33 @@ def main():
                       file=sys.stderr)
                 time.sleep(5)
                 continue
+            def run_level(cores):
+                with TrialMonitor() as mon:
+                    wall = _scaling_subprocess(cores, rows, img_dir)
+                return wall, mon.median()
             if attempt % 2:
-                t_n = _scaling_subprocess(n_small, rows, img_dir)
-                t_4n = _scaling_subprocess(n_big, rows, img_dir)
+                t_n, m_n = run_level(n_small)
+                t_4n, m_4n = run_level(n_big)
             else:
-                t_4n = _scaling_subprocess(n_big, rows, img_dir)
-                t_n = _scaling_subprocess(n_small, rows, img_dir)
-            # the kernel spends several seconds reclaiming the exited child
-            # JVM's heap — probe repeatedly and keep the min so self-inflicted
-            # teardown cost doesn't masquerade as external host noise
-            pa = float("inf")
-            for _ in range(3):
-                time.sleep(3)
-                pa = min(pa, host_probe(n_big))
-                if pa <= PROBE_TOL * p0:
-                    break
-            p0 = min(p0, pa)
+                t_4n, m_4n = run_level(n_big)
+                t_n, m_n = run_level(n_small)
+            p1 = min(p1, m_n, m_4n)
             eff = (rows / t_4n) / (4 * rows / t_n)
             trials.append(
                 {"n_s": round(t_n, 2), "x4_s": round(t_4n, 2), "eff": round(eff, 3),
-                 "pb": round(pb, 2), "pa": round(pa, 2)}
+                 "pb": round(pb, 2), "m_n": round(m_n, 2), "m_4n": round(m_4n, 2)}
             )
-            n_valid = sum(
-                1 for t in trials
-                if "eff" in t and max(t["pb"], t["pa"]) <= PROBE_TOL * p0
-            )
+            n_valid = sum(1 for t in trials if "eff" in t and _pair_ok(t))
             print(f"scaling pair: n={t_n:.1f}s 4n={t_4n:.1f}s eff={eff:.3f} "
-                  f"probes=({pb:.2f},{pa:.2f}) valid_so_far={n_valid}", file=sys.stderr)
+                  f"in-trial probes=({m_n:.2f},{m_4n:.2f}) valid_so_far={n_valid}",
+                  file=sys.stderr)
             if n_valid >= target_pairs:
                 break
-        # post-hoc validity against the FINAL envelope
+        # post-hoc validity against the FINAL envelopes (an initially busy
+        # host cannot inflate the reference probes)
         for t in trials:
             if "eff" in t:
-                t["ok"] = 1 if max(t["pb"], t["pa"]) <= PROBE_TOL * p0 else 0
+                t["ok"] = 1 if _pair_ok(t) else 0
         valid = [t for t in trials if t.get("ok")]
         pool = valid or [t for t in trials if "eff" in t]  # never empty-divide
         effs = sorted(t["eff"] for t in pool)
@@ -371,6 +453,9 @@ def main():
             "protocol": "paired fresh-JVM runs, alternating order, 4N-way host probes; "
                         f"pairs with probe >{PROBE_TOL}x envelope excluded",
             "probe_envelope_s": round(p0, 2),
+            "probe1_envelope_s": round(p1, 2),
+            "self_contention_ratio_4n": round(big_ratio, 2),
+            "capacity_probes": CAPACITY_PROBES,
             "pairs_run": sum(1 for t in trials if "eff" in t),
             "pairs_valid": len(valid),
             "trials": trials,

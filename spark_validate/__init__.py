@@ -50,6 +50,10 @@ def __getattr__(name):  # lazy top-level API (keeps bare import light)
         from spark_validate.io.db import DatabaseWriter
 
         return DatabaseWriter
+    if name in ("filter_result", "result_to_wide", "values_with_alerts"):
+        from spark_validate import result as _result
+
+        return getattr(_result, name)
     if name == "datasets":
         import importlib
 
@@ -74,5 +78,8 @@ __all__ = [
     "CBPE",
     "DLE",
     "DatabaseWriter",
+    "filter_result",
+    "result_to_wide",
+    "values_with_alerts",
     "datasets",
 ]

@@ -69,3 +69,61 @@ def conform_result(df: DataFrame) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
     return df.select(*cols)
+
+
+def filter_result(
+    df: DataFrame,
+    period: str | None = None,
+    metrics=None,
+    columns=None,
+    methods=None,
+) -> DataFrame:
+    """Reference-compat accessor (`nannyml/base.py:104-186`
+    ``Result.filter(period, metrics)``): narrow a long result frame by
+    period ('reference'/'analysis'/'all'), metric/method names, and column
+    names. ``metrics`` and ``methods`` are aliases (the reference uses
+    'metrics' for performance results and methods for drift)."""
+    out = df
+    if period and period != "all":
+        out = out.filter(F.col("period") == period)
+    sel = metrics if metrics is not None else methods
+    if sel is not None:
+        sel = [sel] if isinstance(sel, str) else list(sel)
+        out = out.filter(F.col("method").isin(sel))
+    if columns is not None:
+        columns = [columns] if isinstance(columns, str) else list(columns)
+        out = out.filter(F.col("column_name").isin(columns))
+    return out
+
+
+def result_to_wide(df: DataFrame, values: str = "value") -> DataFrame:
+    """Reference-compat ``to_df(multilevel=True)`` analog
+    (`nannyml/base.py:188-244`): pivot the long frame to one row per chunk
+    with a ``<column>__<method>`` column per (column_name, method) pair —
+    the flat-Spark stand-in for the pandas MultiIndex. Pivot width is
+    #columns × #methods (bounded by the check config, not the data), so the
+    pivot is safe at any row scale."""
+    keyed = df.withColumn(
+        "_cm",
+        F.when(
+            F.col("column_name").isNotNull() & (F.col("column_name") != ""),
+            F.concat_ws("__", "column_name", "method"),
+        ).otherwise(F.col("method")),
+    )
+    idx = ["chunk_key", "chunk_index", "start_ts", "end_ts", "period"]
+    return (
+        keyed.groupBy(*idx)
+        .pivot("_cm")
+        .agg(F.first(values))
+        .orderBy("chunk_index")
+    )
+
+
+def values_with_alerts(df: DataFrame, method: str, column: str | None = None):
+    """Reference-compat ``values(key)`` / ``alerts(key)`` accessor pair
+    (`nannyml/base.py:246-312`): the (chunk, value, alert) series for one
+    method (and optionally one column)."""
+    out = df.filter(F.col("method") == method)
+    if column is not None:
+        out = out.filter(F.col("column_name") == column)
+    return out.select("chunk_key", "chunk_index", "value", "alert").orderBy("chunk_index")

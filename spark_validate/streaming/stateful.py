@@ -52,6 +52,9 @@ def running_group_stats(
     group_col: str,
     value_col: str,
     ttl_ms: Optional[int] = None,
+    event_time_col: Optional[str] = None,
+    watermark: str = "10 minutes",
+    event_ttl: str = "1 hour",
 ) -> DataFrame:
     """Exact running (count, mean, std, min, max) per group across ALL
     micro-batches seen so far.
@@ -60,15 +63,30 @@ def running_group_stats(
     that survives unbounded streams. Rows with null group/value are dropped
     (consistent with the batch calculators' NaN removal).
 
-    ``ttl_ms`` bounds state for unbounded KEY spaces (per-source-file ids,
-    session keys, …): a group idle longer than the TTL is evicted via
-    ``ProcessingTimeTimeout`` — its final stats row is emitted once more,
-    then its five scalars are dropped. Without a TTL, state is O(#groups)
-    forever (fine for closed key sets like formats/partitions).
+    State eviction for unbounded KEY spaces (per-source-file ids, session
+    keys, …) — without one of these, state is O(#groups) forever (fine only
+    for closed key sets like formats/partitions):
+
+    * ``ttl_ms`` — wall-clock eviction via ``ProcessingTimeTimeout``: a
+      group idle longer than the TTL emits its final stats row once more,
+      then drops its five scalars.
+    * ``event_time_col`` — WATERMARK-driven eviction via
+      ``EventTimeTimeout``: the stream gets ``withWatermark(event_time_col,
+      watermark)``, and a group whose newest event is older than
+      (watermark − ``event_ttl``) is evicted deterministically from the
+      DATA's clock, replay-safe — the right semantics for reprocessable
+      sources. A key that re-appears after eviction starts FRESH (n counts
+      only post-eviction rows).
     """
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
-    )
+    if event_time_col is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        stream = stream.withWatermark(event_time_col, watermark)
+        ttl_delta = pd.Timedelta(event_ttl)
+    else:
+        ttl_delta = None
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+        )
 
     def fn(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -95,12 +113,20 @@ def running_group_stats(
             n, mean, m2, mn, mx = state.get
         else:
             n, mean, m2, mn, mx = 0, 0.0, 0.0, math.inf, -math.inf
+        max_ev_ms = None
         for pdf in pdfs:
             v = pd.to_numeric(pdf[value_col], errors="coerce").dropna().to_numpy(np.float64)
             n, mean, m2, mn, mx = _merge(n, mean, m2, mn, mx, v)
+            if event_time_col is not None and len(pdf):
+                ts = pd.to_datetime(pdf[event_time_col]).max()
+                ms = int(ts.value // 1_000_000)
+                max_ev_ms = ms if max_ev_ms is None else max(max_ev_ms, ms)
         state.update((n, mean, m2, mn, mx))
         if ttl_ms:
             state.setTimeoutDuration(int(ttl_ms))
+        elif event_time_col is not None and max_ev_ms is not None:
+            # evicted once the watermark passes newest-event + event_ttl
+            state.setTimeoutTimestamp(max_ev_ms + int(ttl_delta.total_seconds() * 1000))
         if n == 0:
             return
         yield pd.DataFrame(
@@ -116,9 +142,10 @@ def running_group_stats(
             ]
         )
 
-    src = stream.filter(stream[group_col].isNotNull()).select(
-        stream[group_col].cast("string").alias("_g"), stream[value_col].alias(value_col)
-    )
+    keep = [stream[group_col].cast("string").alias("_g"), stream[value_col].alias(value_col)]
+    if event_time_col is not None:
+        keep.append(stream[event_time_col].alias(event_time_col))  # keeps the watermark attached
+    src = stream.filter(stream[group_col].isNotNull()).select(*keep)
     return src.groupBy("_g").applyInPandasWithState(
         fn, _OUT_SCHEMA, _STATE_SCHEMA, "update", timeout
     )

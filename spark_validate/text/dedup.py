@@ -144,7 +144,7 @@ def lsh_candidate_pairs(
     n_bands: int = 16,
     rows_per_band: Optional[int] = None,
     max_bucket: int = 200,
-    n_hashes: Optional[int] = None,
+    n_hashes: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: split signatures into bands, hash each
     band, join ids landing in the same (band, band_hash) bucket.
@@ -153,11 +153,13 @@ def lsh_candidate_pairs(
     inside a bucket is quadratic in bucket size, which is exactly the LSH
     guarantee being bought: buckets are tiny unless documents truly collide.
 
-    Pass ``n_hashes`` (the signature width) to keep the plan fully lazy; when
-    omitted, a one-row probe job reads it from the data.
+    ``n_hashes`` must equal the signature width (64 = the
+    ``minhash_signatures`` default). It is a plan constant, so it cannot be
+    probed from the data without an eager job — the round-2 version ran a
+    one-row ``first()`` when it was omitted; now the default simply matches
+    the signature default. Too large a value raises at run time (ANSI
+    ``element_at`` bounds); a smaller one bands over a signature prefix.
     """
-    if n_hashes is None:
-        n_hashes = len(signatures.select("signature").first()["signature"])
     r = rows_per_band or max(n_hashes // n_bands, 1)
     bands = F.array(
         *[
@@ -226,7 +228,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     # Measured 29k docs/s at 100k docs on local[32] — 4× the per-token-Python
     # FNV predecessor and 7× a pure JVM fold (explode+groupBy shuffles every
     # token; a 60-wide HOF zip_with interprets its lambda per token — both
-    # measured slower). No shuffle: one narrow map pass, scale-safe.
+    # measured slower). Round-3 negative result: "full vectorization"
+    # (pandas str.split → flat object array → np.unique/pd.factorize →
+    # 60-wide gather + reduceat) measured 6-10× SLOWER than this loop —
+    # materializing millions of token objects and a tokens×60 matrix costs
+    # more than the tight cache loop's small per-doc arrays. No shuffle:
+    # one narrow map pass, scale-safe.
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         from hashlib import md5

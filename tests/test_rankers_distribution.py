@@ -120,3 +120,29 @@ def test_pearsonr_pvalue_matches_numeric_integration():
     assert math.isnan(pearsonr_pvalue(0.5, 2))
     assert math.isnan(pearsonr_pvalue(None, 10))
     assert t_sf_two_sided(0.0, 5) == 1.0
+
+
+def test_result_compat_accessors(spark, rk_frame):
+    """Reference Result-object compat surface (nannyml/base.py:104-312):
+    filter by period/metrics/columns, wide pivot, values/alerts series."""
+    from spark_validate import filter_result, result_to_wide, values_with_alerts
+
+    sdf, _ = rk_frame
+    calc = SummaryStatsAvgCalculator(["x", "y"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    calc.fit(sdf.filter("is_ref"))
+    res = calc.calculate(sdf.filter("NOT is_ref"))
+
+    only_x = filter_result(res, period="analysis", metrics="avg", columns="x").toPandas()
+    assert set(only_x["column_name"]) == {"x"}
+    assert set(only_x["method"]) == {"avg"}
+    assert set(only_x["period"]) == {"analysis"}
+    assert filter_result(res, period="all").count() == res.count()
+
+    wide = result_to_wide(res).toPandas()
+    assert "x__avg" in wide.columns and "y__avg" in wide.columns
+    long_x = res.filter("column_name = 'x'").orderBy("chunk_index").toPandas()
+    assert np.allclose(wide.sort_values("chunk_index")["x__avg"].to_numpy(), long_x["value"].to_numpy())
+
+    va = values_with_alerts(res, "avg", "x").toPandas()
+    assert list(va.columns) == ["chunk_key", "chunk_index", "value", "alert"]
+    assert len(va) == len(long_x)

@@ -501,3 +501,73 @@ def test_streaming_twin_checks_same_column_get_distinct_checkpoints(spark, tmp_p
     assert spark.read.parquet(f"{d['o']}/domain__fmt").count() == 0
     assert spark.read.parquet(f"{d['o']}/domain__fmt__1").count() == 10
     assert spark.read.parquet(f"{d['o']}/bmp_only__fmt").count() == 90
+
+
+def test_running_group_stats_event_time_eviction_and_fresh_restart(spark, tmp_path):
+    """Watermark-driven state eviction (EventTimeTimeout): a group whose
+    newest event falls behind (watermark − event_ttl) is evicted — final row
+    emitted, five scalars dropped — and the SAME key re-appearing later
+    starts fresh (n counts only post-eviction rows). This is what keeps
+    keyed running stats bounded over an unbounded keyspace."""
+    import os as _os
+    import time as _time
+
+    from spark_validate.streaming import running_group_stats
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # batch 1: groups a+b at t0
+    b1 = pd.DataFrame(
+        {
+            "ts": [base] * 6,
+            "value": [1.0, 2.0, 3.0, 10.0, 20.0, 30.0],
+            "fmt": ["a", "a", "a", "b", "b", "b"],
+        }
+    )
+    # batch 2: only b, 3 hours later → watermark advances past a's timeout
+    b2 = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(hours=3)] * 2, "value": [40.0, 50.0], "fmt": ["b", "b"]}
+    )
+    # batch 3: a re-appears at t0+4h → must restart fresh
+    b3 = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(hours=4)] * 2, "value": [100.0, 200.0], "fmt": ["a", "a"]}
+    )
+    src = str(tmp_path / "evict_in")
+    _os.makedirs(src)
+    for i, pdf in enumerate([b1, b2, b3]):
+        f = str(tmp_path / f"part_{i}.parquet")
+        spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode("overwrite").parquet(f)
+        # one visible file per micro-batch, in order (source sorts by mtime)
+        for name in _os.listdir(f):
+            if name.endswith(".parquet"):
+                dst = _os.path.join(src, f"b{i}.parquet")
+                _os.rename(_os.path.join(f, name), dst)
+                _os.utime(dst, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stats = running_group_stats(
+        stream, "fmt", "value", event_time_col="ts", watermark="1 minute", event_ttl="1 hour"
+    )
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sv_evict")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM sv_evict").toPandas()
+    a_ns = out[out.group == "a"]["n"].tolist()
+    # a: batch1 row (n=3), final eviction row (n=3), fresh restart (n=2) —
+    # NOT n=5, which would mean the evicted state leaked back
+    assert a_ns.count(3) >= 1
+    assert a_ns[-1] == 2, a_ns
+    a_last = out[out.group == "a"].iloc[-1]
+    assert np.isclose(a_last["mean"], 150.0)
+    assert np.isclose(a_last["min"], 100.0)
+    # b stayed live the whole time: running n reaches 5 with exact stats
+    b_last = out[out.group == "b"].iloc[-1]
+    assert int(b_last["n"]) == 5
+    assert np.isclose(b_last["mean"], np.mean([10, 20, 30, 40, 50]))

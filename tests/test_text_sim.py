@@ -317,3 +317,31 @@ def test_exact_duplicates_hot_fingerprint_bounded(spark):
     mem = exact_duplicate_members(df.unionByName(extra))
     agg = mem.groupBy("fp").agg(F.count(F.lit(1)).alias("c"), F.max("dup_count").alias("d")).collect()
     assert sorted((r["c"], r["d"]) for r in agg) == [(2, 2), (n, n)]
+
+
+def test_ivf_probe_reads_only_probed_partitions(spark, embeddings, tmp_path):
+    """The n_probe < n_lists case the round-2 verdict asked for: the probe
+    scan must READ only the probed lists' files (inputFiles a strict subset,
+    all under the probed _list= directories), not merely carry a filter."""
+    from spark_validate.sim import IVFIndex, ivf_probe_topk, write_ivf_partitioned
+
+    ivf = IVFIndex(n_lists=8, n_probe=2, seed=42).fit(embeddings)
+    path = str(tmp_path / "ivf2")
+    write_ivf_partitioned(ivf, embeddings, path)
+
+    pdf = embeddings.toPandas()
+    q = list(map(float, np.stack(pdf["embedding"].to_numpy())[3]))
+    out = ivf_probe_topk(ivf, spark, path, q, k=5)
+
+    qn = np.asarray(q) / np.linalg.norm(q)
+    probe = set(np.argsort(-(ivf.centroids @ qn))[:2].tolist())
+    read = out.inputFiles()
+    total = spark.read.parquet(path).inputFiles()
+    assert 0 < len(read) < len(total), (len(read), len(total))
+    for f in read:
+        assert any(f"_list={p}/" in f for p in probe), f
+    # the query IS corpus vector 3 → its own list is probed first; top-1 must
+    # be itself at cosine ~1
+    top = out.toPandas()
+    assert int(top["id"].iloc[0]) == int(pdf["vec_id"].iloc[3])
+    assert top["cosine"].iloc[0] > 0.999999
