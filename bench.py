@@ -8,16 +8,21 @@ Three sections:
 2. ``image_suite`` — the north-rule validation suite (column stats, domain,
    uniqueness, referential, drift, payload PSNR) over a synthesized
    image+caption table; reports images/sec.
-3. ``scaling`` — the fitted analysis pass (calculate-only, state loaded as
+3. ``scaling`` — the Arrow payload pass (calculate-only, state loaded as
    production would from the store) at N and 4N cores on the SAME input,
-   each level in a fresh process/JVM, steady-state (one warm-up pass),
-   reporting ``efficiency = thr_4N / (4 × thr_N)``. Sandbox proxy for the
-   N-vs-4N-executor criterion; see BENCH/BASELINE.md for the protocol,
-   host-envelope calibration, and variance caveats.
+   each level in a fresh process/JVM, reporting
+   ``efficiency = thr_4N / (4 × thr_N)`` as the median over ≥5 VALID paired
+   trials. Validity is probe-gated: the host's deliverable parallelism is
+   measured first (capacity probes pick the largest honest 4N), a 1-worker
+   no-Spark probe samples every ~4 s during each leg, and pairs whose
+   in-trial probe medians exceed the envelope tolerances are recorded but
+   excluded from the graded median. Sandbox proxy for the
+   N-vs-4N-executor criterion; protocol details in BENCH/BASELINE.md §2.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_IMAGE_ROWS,
-BENCH_SKIP_SCALING=1, BENCH_SCALING_N, BENCH_SCALING_ROWS,
-BENCH_SCALING_TRIALS.
+BENCH_SKIP_SCALING=1, BENCH_ONLY_SCALING=1, BENCH_SCALING_N (fixes N,
+skipping the capacity pick), BENCH_SCALING_ROWS, BENCH_SCALING_TRIALS
+(target VALID pairs, default 5), BENCH_SCALING_MAX_ATTEMPTS.
 """
 
 from __future__ import annotations

@@ -368,11 +368,22 @@ def write_ivf_partitioned(
     path: str,
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    table_name: Optional[str] = None,
 ) -> None:
     """Materialize the corpus partitioned by inverted list — the storage
     layout that makes a probe a partition-PRUNED scan (only ``n_probe``
-    directories are read; Iceberg/Hive partition pruning at scale)."""
-    index.with_list_ids(df, vec_col).write.mode(mode).partitionBy("_list").parquet(path)
+    directories are read; Iceberg/Hive partition pruning at scale).
+
+    ``table_name`` additionally registers the layout as an external catalog
+    table (files stay at ``path``): catalog reads prune at the FILE INDEX —
+    a ``_list IN (…)`` probe lists only the probed directories, exactly what
+    Iceberg metadata pruning does at scale. A bare path read still prunes at
+    the scan, but its InMemoryFileIndex lists every file up front."""
+    w = index.with_list_ids(df, vec_col).write.mode(mode).partitionBy("_list")
+    if table_name is not None:
+        w.option("path", path).format("parquet").saveAsTable(table_name)
+    else:
+        w.parquet(path)
 
 
 def ivf_probe_topk(
@@ -386,13 +397,17 @@ def ivf_probe_topk(
 ) -> DataFrame:
     """Top-k over an IVF-partitioned corpus: the `_list IN (probe…)` filter
     is a partition filter on the parquet layout, so only the probed lists'
-    files are scanned."""
+    files are scanned. ``path`` may be a directory or a ``table:<name>``
+    catalog form (written with ``write_ivf_partitioned(table_name=…)``) —
+    the catalog form prunes at the file index itself."""
     if index.centroids is None:
         raise RuntimeError("fit first")
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(x) for x in np.argsort(-(index.centroids @ qn))[: index.n_probe]]
-    cand = spark.read.parquet(path).filter(F.col("_list").isin(probe))
+    from spark_validate.io.readers import read_table
+
+    cand = read_table(spark, path).filter(F.col("_list").isin(probe))
     sim = cosine_expr(vec_col, query)
     return (
         cand.select(F.col(id_col).alias("id"), sim.alias("cosine"))

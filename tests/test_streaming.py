@@ -523,17 +523,24 @@ def test_running_group_stats_event_time_eviction_and_fresh_restart(spark, tmp_pa
             "fmt": ["a", "a", "a", "b", "b", "b"],
         }
     )
-    # batch 2: only b, 3 hours later → watermark advances past a's timeout
+    # batch 2: only b, 3 hours later → the watermark (applied from the NEXT
+    # batch on) advances past a's timeout
     b2 = pd.DataFrame(
         {"ts": [base + pd.Timedelta(hours=3)] * 2, "value": [40.0, 50.0], "fmt": ["b", "b"]}
     )
-    # batch 3: a re-appears at t0+4h → must restart fresh
+    # batch 3: still only b — a has NO data in this batch, so its timeout
+    # fires here (a timed-out key that receives data in the same batch is
+    # just updated, not evicted — timeouts only fire for silent keys)
+    b2b = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(hours=3, minutes=30)], "value": [60.0], "fmt": ["b"]}
+    )
+    # batch 4: a re-appears at t0+4h → must restart fresh
     b3 = pd.DataFrame(
         {"ts": [base + pd.Timedelta(hours=4)] * 2, "value": [100.0, 200.0], "fmt": ["a", "a"]}
     )
     src = str(tmp_path / "evict_in")
     _os.makedirs(src)
-    for i, pdf in enumerate([b1, b2, b3]):
+    for i, pdf in enumerate([b1, b2, b2b, b3]):
         f = str(tmp_path / f"part_{i}.parquet")
         spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode("overwrite").parquet(f)
         # one visible file per micro-batch, in order (source sorts by mtime)
@@ -567,7 +574,7 @@ def test_running_group_stats_event_time_eviction_and_fresh_restart(spark, tmp_pa
     a_last = out[out.group == "a"].iloc[-1]
     assert np.isclose(a_last["mean"], 150.0)
     assert np.isclose(a_last["min"], 100.0)
-    # b stayed live the whole time: running n reaches 5 with exact stats
-    b_last = out[out.group == "b"].iloc[-1]
-    assert int(b_last["n"]) == 5
-    assert np.isclose(b_last["mean"], np.mean([10, 20, 30, 40, 50]))
+    # b stayed live the whole time: running n reaches 6 with exact stats
+    b_last = out[out.group == "b"].sort_values("n").iloc[-1]
+    assert int(b_last["n"]) == 6
+    assert np.isclose(b_last["mean"], np.mean([10, 20, 30, 40, 50, 60]))

@@ -327,16 +327,17 @@ def test_ivf_probe_reads_only_probed_partitions(spark, embeddings, tmp_path):
 
     ivf = IVFIndex(n_lists=8, n_probe=2, seed=42).fit(embeddings)
     path = str(tmp_path / "ivf2")
-    write_ivf_partitioned(ivf, embeddings, path)
+    spark.sql("DROP TABLE IF EXISTS sv_ivf_corpus")
+    write_ivf_partitioned(ivf, embeddings, path, table_name="sv_ivf_corpus")
 
     pdf = embeddings.toPandas()
     q = list(map(float, np.stack(pdf["embedding"].to_numpy())[3]))
-    out = ivf_probe_topk(ivf, spark, path, q, k=5)
+    out = ivf_probe_topk(ivf, spark, "table:sv_ivf_corpus", q, k=5)
 
     qn = np.asarray(q) / np.linalg.norm(q)
     probe = set(np.argsort(-(ivf.centroids @ qn))[:2].tolist())
     read = out.inputFiles()
-    total = spark.read.parquet(path).inputFiles()
+    total = spark.read.table("sv_ivf_corpus").inputFiles()
     assert 0 < len(read) < len(total), (len(read), len(total))
     for f in read:
         assert any(f"_list={p}/" in f for p in probe), f
@@ -345,3 +346,4 @@ def test_ivf_probe_reads_only_probed_partitions(spark, embeddings, tmp_path):
     top = out.toPandas()
     assert int(top["id"].iloc[0]) == int(pdf["vec_id"].iloc[3])
     assert top["cosine"].iloc[0] > 0.999999
+    spark.sql("DROP TABLE IF EXISTS sv_ivf_corpus")
