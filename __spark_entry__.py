@@ -554,6 +554,20 @@ def q_dedup_exact(spark, sf_dir):
     return d.select("fp", "dup_count", F.array_join("ids", ",").alias("ids")).orderBy("fp")
 
 
+def q_dedup_members(spark, sf_dir):
+    """Exploded full duplicate-group membership — the scale-safe listing that
+    pairs with dedup_exact's bounded min-K sample (no per-group array is
+    ever built; a 10^8-copy boilerplate cluster is just ordinary rows)."""
+    from spark_validate.text import exact_duplicate_members
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    m = exact_duplicate_members(docs.unionByName(planted))
+    return m.select("fp", F.col("id").alias("doc_id"), "dup_count").orderBy("fp", "doc_id")
+
+
 MC_CLASSES = ["a", "b", "c"]
 MC_BVM = [[1.0, -0.5, -1.0], [-2.0, 2.0, -0.25], [0.0, -3.0, 3.0]]
 
@@ -854,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_metrics": q_regression_metrics,
         "ann_topk": q_ann_topk,
         "dedup_exact": q_dedup_exact,
+        "dedup_members": q_dedup_members,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
         "perf_multiclass": q_perf_multiclass,
@@ -1318,6 +1333,19 @@ SELECT fp, CAST(max(cnt) AS BIGINT) AS dup_count,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
 FROM r WHERE cnt > 1 AND rn <= 20
 GROUP BY fp ORDER BY fp
+"""
+
+    sql["dedup_members"] = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5
+),
+c AS (
+  SELECT md5(text) AS fp, doc_id,
+         count(*) OVER (PARTITION BY md5(text)) AS dup_count
+  FROM docs
+)
+SELECT fp, doc_id, dup_count FROM c WHERE dup_count > 1 ORDER BY fp, doc_id
 """
 
     # Brute-force shingle Jaccard (k=6 word shingles, distinct): the LSH query

@@ -367,6 +367,59 @@ def load_config(path: str) -> dict:
         return json.loads(text)
 
 
+def render_path_template(template: str, now=None) -> str:
+    """Reference-compat output-path templating
+    (`nannyml/config.py:154-170` ``_render_path_template``): the same
+    ``{{minute}} {{hour}} {{day}} {{weeknumber}} {{month}} {{year}}``
+    variables, via plain substitution instead of jinja2 (not in this
+    runtime, and the reference only ever renders these six scalars)."""
+    import datetime as _dt
+
+    now = now or _dt.datetime.now()
+    vals = {
+        "minute": now.strftime("%M"),
+        "hour": now.strftime("%H"),
+        "day": now.strftime("%d"),
+        "weeknumber": str(now.date().isocalendar()[1]),
+        "month": now.strftime("%m"),
+        "year": now.strftime("%Y"),
+    }
+    out = template
+    for k, v in vals.items():
+        out = out.replace("{{" + k + "}}", v).replace("{{ " + k + " }}", v)
+    return out
+
+
+def run_scheduled(spark, config: dict, run_fn=None, sleep_fn=None, max_runs=None) -> list:
+    """Reference-compat scheduling loop (`nannyml/cli/run.py:23-58`): a
+    ``scheduling: {interval_seconds: N}`` config block re-runs the suite
+    every N seconds (the reference's APScheduler interval trigger; cron
+    belongs to an external orchestrator — the streaming runner covers the
+    continuous case natively). Each run renders path templates fresh and
+    gets a unique ``run_id`` suffix so lineage rows don't collide.
+    ``run_fn``/``sleep_fn``/``max_runs`` exist for tests."""
+    import copy
+    import time as _time
+
+    run_fn = run_fn or run_suite
+    sleep_fn = sleep_fn or _time.sleep
+    interval = (config.get("scheduling") or {}).get("interval_seconds")
+    reports = []
+    i = 0
+    while True:
+        cfg = copy.deepcopy(config)
+        for key in ("output_dir", "store_dir"):
+            if key in cfg:
+                cfg[key] = render_path_template(cfg[key])
+        if interval:
+            cfg["run_id"] = f"{cfg.get('run_id', 'run')}__{i}"
+        reports.append(run_fn(spark, cfg))
+        i += 1
+        if not interval or (max_runs is not None and i >= max_runs):
+            return reports
+        sleep_fn(interval)
+
+
 def main():  # pragma: no cover - thin CLI
     import argparse
 
@@ -376,9 +429,11 @@ def main():  # pragma: no cover - thin CLI
     ap.add_argument("--config", required=True)
     args = ap.parse_args()
     spark = get_spark("spark_validate_runner")
-    report = run_suite(spark, load_config(args.config))
-    for k, v in report.items():
-        print(k, v)
+    config = load_config(args.config)
+    reports = run_scheduled(spark, config)
+    for report in reports:
+        for k, v in report.items():
+            print(k, v)
 
 
 if __name__ == "__main__":

@@ -315,3 +315,42 @@ def test_run_suite_from_catalog_tables(spark, workspace):
     assert res.filter(F.col("check") == "domain__fmt").count() == 4
     spark.sql("DROP TABLE IF EXISTS sv_runner_ref")
     spark.sql("DROP TABLE IF EXISTS sv_runner_ana")
+
+
+def test_path_templating_and_scheduling_loop(spark, workspace):
+    """Reference parity for the CLI's scheduling loop + jinja-style output
+    path templates (nannyml/cli/run.py:23-58, config.py:154-170): templated
+    dirs render per run, the interval loop re-runs with unique run_ids."""
+    import datetime
+
+    from spark_validate.runner import render_path_template, run_scheduled
+
+    now = datetime.datetime(2026, 8, 17, 9, 7)
+    assert (
+        render_path_template("/out/{{year}}/{{month}}/{{day}}/{{hour}}{{minute}}", now)
+        == "/out/2026/08/17/0907"
+    )
+    assert render_path_template("/out/{{ weeknumber }}", now) == "/out/34"
+
+    cfg = _config(workspace)
+    cfg["checks"] = cfg["checks"][:1]
+    cfg["output_dir"] = str(workspace / "out_{{year}}")
+    cfg["scheduling"] = {"interval_seconds": 60}
+    seen = []
+
+    def fake_run(spark_, c):
+        seen.append((c["run_id"], c["output_dir"]))
+        return {"ok": {"rows": 1}}
+
+    sleeps = []
+    reports = run_scheduled(spark, cfg, run_fn=fake_run, sleep_fn=sleeps.append, max_runs=3)
+    assert len(reports) == 3
+    assert [r for r, _ in seen] == ["testrun__0", "testrun__1", "testrun__2"]
+    assert all(d.endswith(f"out_{datetime.date.today().year}") for _, d in seen)
+    assert sleeps == [60, 60]
+    # one-off (no scheduling block) runs exactly once with the original id
+    cfg2 = _config(workspace)
+    cfg2["checks"] = cfg2["checks"][:1]
+    seen.clear()
+    reports = run_scheduled(spark, cfg2, run_fn=fake_run, sleep_fn=sleeps.append)
+    assert len(reports) == 1 and seen[0][0] == "testrun"
