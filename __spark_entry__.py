@@ -568,6 +568,20 @@ def q_dedup_members(spark, sf_dir):
     return m.select("fp", F.col("id").alias("doc_id"), "dup_count").orderBy("fp", "doc_id")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: MinHash LSH pairs → exact-Jaccard verify →
+    distributed connected components (hash-min + pointer jumping,
+    functions/graph.py) → per-document cluster label, size, and canonical
+    ``keep`` decision. Oracle = brute-force Jaccard pairs + a recursive-CTE
+    reachability closure in DuckDB — an entirely independent CC algorithm."""
+    from spark_validate.text import near_duplicate_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_duplicate_clusters(
+        docs, threshold=0.8, n_hashes=32, shingle_k=6, n_bands=16
+    ).orderBy("doc_id")
+
+
 MC_CLASSES = ["a", "b", "c"]
 MC_BVM = [[1.0, -0.5, -1.0], [-2.0, 2.0, -0.25], [0.0, -3.0, 3.0]]
 
@@ -869,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_members": q_dedup_members,
+        "dedup_clusters": q_dedup_clusters,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
         "perf_multiclass": q_perf_multiclass,
@@ -1346,6 +1361,51 @@ c AS (
   FROM docs
 )
 SELECT fp, doc_id, dup_count FROM c WHERE dup_count > 1 ORDER BY fp, doc_id
+"""
+
+    # Connected components via a recursive reachability CTE over brute-force
+    # Jaccard pairs — independent of the engine's hash-min/pointer-jump
+    # algorithm; same shingle CTEs as minhash_near_dups below.
+    sql["dedup_clusters"] = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 6
+              THEN list_distinct([array_to_string(t[i:i+5], ' ') for i in generate_series(1, len(t) - 5)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, CAST(sz.n AS BIGINT) AS cluster_size,
+       l.doc_id = l.cluster_id AS keep
+FROM lab l JOIN sz USING (cluster_id) ORDER BY doc_id
 """
 
     # Brute-force shingle Jaccard (k=6 word shingles, distinct): the LSH query

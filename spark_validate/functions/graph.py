@@ -1,0 +1,118 @@
+"""Distributed connected components over a candidate-pair graph.
+
+The near-duplicate sweeps (MinHash LSH ``text/dedup.py``, exact Hamming
+``functions/hamming.py``, embedding bands ``sim/ann.py``) all emit verified
+*pairs*. A training-data pipeline needs *clusters*: one canonical document
+kept per connected component of the pair graph, the rest dropped. The
+reference engine has no analog (NannyML stops at per-chunk metrics); this is
+one of the beyond-reference training-data operators (SURVEY.md §2.12).
+
+Algorithm: hash-min label propagation **with per-round pointer jumping**
+(shortcutting), the DataFrame re-expression of HASH-TO-MIN from Rastogi et
+al., "Finding Connected Components in Map-Reduce in Logarithmic Rounds"
+(ICDE 2013). Each round every node lowers its label to the minimum of its
+own label and its neighbours' labels (one shuffle join + one groupBy over a
+STATIC edge set), then labels are shortcut through themselves
+(``comp := comp(comp)``, one self-join). Plain neighbour propagation alone
+converges in O(diameter) rounds — an adversarial path graph would need one
+round per hop — while the shortcut step halves every label chain each round,
+giving O(log n) rounds on any topology. Near-dup graphs (dense clusters
+around a hub) typically converge in 2–4 rounds.
+
+Scale notes for the 1000-executor case:
+- The edge set is never rewritten, so each round costs exactly three
+  shuffles on the same id key (msgs join, groupBy min, shortcut join) — AQE
+  coalesces them, and no round materializes anything wider than
+  ``(id, comp)`` longs.
+- No ``collect_list`` of neighbourhoods: a 10^8-degree boilerplate hub (the
+  classic web-corpus failure) costs 10^8 *rows* of messages spread across
+  partitions, not one 10^8-element aggregation buffer on one executor.
+- Iterative plans grow linearly in lineage; every round's label frame is
+  ``localCheckpoint``-ed (eager) to truncate it. On a real cluster with
+  executor churn prefer a reliable ``spark.sparkContext.setCheckpointDir``
+  and pass ``use_local_checkpoint=False``.
+- Convergence is a single co-partitioned changed-count per round (join on
+  id), not a full frame comparison.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    use_local_checkpoint: bool = True,
+    stats: Optional[dict] = None,
+) -> DataFrame:
+    """``(id, component)`` for every node appearing in ``pairs``, where
+    ``component`` is the minimum node id reachable from ``id`` — a
+    deterministic, order-independent cluster label (min over a set).
+
+    ``pairs`` is an undirected edge list; duplicate and self edges are
+    tolerated. Nodes may be any orderable type (long doc ids, string image
+    ids) — ``min`` on strings clusters on lexicographic order, which is
+    still deterministic. Isolated nodes never appear in ``pairs`` and so not
+    in the result; callers left-join and ``coalesce`` to the node's own id.
+
+    Raises ``RuntimeError`` if labels have not stabilized after
+    ``max_iter`` rounds (log₂ of the longest path; 25 covers > 10^7-node
+    chains) rather than returning a silently-wrong partial clustering.
+
+    ``stats``, when passed a dict, receives ``{"rounds": n}`` — used by
+    tests to pin the logarithmic round count.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True) if use_local_checkpoint else edges.persist()
+
+    labels = edges.select("u").distinct().select(F.col("u").alias("id"), F.col("u").alias("comp"))
+    labels = labels.localCheckpoint(eager=True) if use_local_checkpoint else labels.persist()
+
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        # 1. neighbour propagation: comp(v) may lower to comp(u) for u—v
+        msgs = edges.join(labels.withColumnRenamed("id", "u"), "u").select(
+            F.col("v").alias("id"), "comp"
+        )
+        lowered = labels.union(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        # 2. pointer jump: comp := comp(comp). Every comp value is itself a
+        # node id present in `labels`, so the join always resolves.
+        jump = lowered.select(F.col("id").alias("_cid"), F.col("comp").alias("_ccomp"))
+        new_labels = (
+            lowered.join(jump, lowered["comp"] == jump["_cid"], "left")
+            .select("id", F.least("comp", F.coalesce("_ccomp", "comp")).alias("comp"))
+        )
+        new_labels = (
+            new_labels.localCheckpoint(eager=True) if use_local_checkpoint else new_labels.persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        if not use_local_checkpoint:
+            labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - defensive
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds grow as log2 of the longest path)"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels

@@ -6,6 +6,7 @@ from spark_validate.text.dedup import (
     ngram_jaccard,
     simhash,
     simhash_near_duplicates,
+    near_duplicate_clusters,
 )
 from spark_validate.text.quality import (
     with_text_features,
@@ -22,6 +23,7 @@ __all__ = [
     "ngram_jaccard",
     "simhash",
     "simhash_near_duplicates",
+    "near_duplicate_clusters",
     "with_text_features",
     "with_language_id",
     "with_quality_score",

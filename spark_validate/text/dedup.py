@@ -290,3 +290,54 @@ def simhash_near_duplicates(
         max_bucket=max_bucket,
         enforce_recall=False,  # legacy similarity-sweep semantics
     )
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    shingle_k: int = 6,
+    n_bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash signatures → LSH
+    candidate pairs → exact shingle-Jaccard verify at ``threshold`` →
+    connected components → one row per document with its cluster label and
+    the canonical-representative decision.
+
+    Columns: ``(doc_id, cluster_id, cluster_size, keep)`` where
+    ``cluster_id`` is the minimum doc id in the component (deterministic),
+    ``cluster_size`` counts the component's members, and ``keep`` marks the
+    canonical representative (``doc_id == cluster_id``) — the standard
+    retention policy for a training-corpus dedup pass. Singletons keep
+    themselves with ``cluster_size = 1``.
+
+    At 16 bands × 2 rows the LSH miss probability at j ≥ 0.8 is ≤ 8e-8, so
+    the component structure matches brute-force all-pairs Jaccard (the
+    DuckDB oracle computes exactly that with a recursive CTE).
+    """
+    from spark_validate.functions.graph import connected_components
+
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    pairs = lsh_candidate_pairs(sigs, n_bands=n_bands, max_bucket=max_bucket, n_hashes=n_hashes)
+    verified = ngram_jaccard(df, pairs, text_col=text_col, id_col=id_col, shingle_k=shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("cluster_id"))
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        out.join(F.broadcast(sizes.filter(F.col("cluster_size") > 1)).withColumnRenamed("cluster_size", "_bs"), "cluster_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce("_bs", F.lit(1)).alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+    )

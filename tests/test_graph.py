@@ -1,0 +1,117 @@
+"""connected_components + near_duplicate_clusters.
+
+Expected components come from a 20-line Python union-find — an independent
+oracle, not a re-run of the Spark algorithm.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from spark_validate.functions.graph import connected_components
+from spark_validate.text import near_duplicate_clusters
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully resolve: component = min id (union-by-min keeps roots minimal)
+    return {x: find(x) for x in parent}
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats = {}
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(df, stats=stats, **kw).collect()
+    }
+    return got, stats
+
+
+def test_two_triangles_and_bridge(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)]
+    got, _ = _cc(spark, edges)
+    assert got == {(n, 1) for n in [1, 2, 3, 10, 11, 12]}
+
+
+def test_path_graph_converges_logarithmically(spark):
+    # Worst case for plain label propagation: a 64-node chain needs 63
+    # neighbour-propagation rounds; pointer jumping must cut that to O(log n).
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got, stats = _cc(spark, edges)
+    assert got == {(i, 0) for i in range(n)}
+    assert stats["rounds"] <= 10, f"path-64 took {stats['rounds']} rounds (expected O(log n))"
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expect = _union_find(edges)
+    got, _ = _cc(spark, edges)
+    assert got == set(expect.items())
+
+
+def test_duplicate_and_reversed_edges_tolerated(spark):
+    edges = [(5, 4), (4, 5), (5, 4), (8, 9)]
+    got, _ = _cc(spark, edges)
+    assert got == {(4, 4), (5, 4), (8, 8), (9, 8)}
+
+
+def test_string_ids(spark):
+    df = spark.createDataFrame([("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string")
+    got = {(r["id"], r["comp"]) for r in connected_components(df).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_near_duplicate_clusters_end_to_end(spark):
+    # Three exact-ish families + unique docs. Family texts share >0.8
+    # shingle Jaccard inside, ~0 across.
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again every single day",
+        "spark dataframes shuffle on wide dependencies unless the planner broadcasts one side",
+        "completely unrelated third document about cooking pasta with garlic and olive oil",
+    ]
+    rows = []
+    did = 0
+    for fam, text in enumerate(base):
+        for _ in range(3):  # 3 near-identical members per family
+            rows.append((did, text + (" tail" if did % 2 else "")))
+            did += 1
+    for i in range(4):  # singletons
+        rows.append((did, f"unique document number {i} with entirely distinct words token{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = near_duplicate_clusters(df, threshold=0.5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == len(rows)
+    # family members cluster to the family min id
+    for fam in range(3):
+        ids = [fam * 3, fam * 3 + 1, fam * 3 + 2]
+        for i in ids:
+            assert by_id[i]["cluster_id"] == ids[0]
+            assert by_id[i]["cluster_size"] == 3
+            assert by_id[i]["keep"] == (i == ids[0])
+    # singletons keep themselves
+    for i in range(9, 13):
+        assert by_id[i]["cluster_id"] == i and by_id[i]["cluster_size"] == 1 and by_id[i]["keep"]
+
+
+def test_clusters_plan_has_no_python_or_cartesian(spark, documents):
+    plan = near_duplicate_clusters(documents.limit(50))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
