@@ -851,6 +851,25 @@ def q_phash_near_dups(spark, sf_dir):
     )
 
 
+def q_phash_clusters(spark, sf_dir):
+    """Image dedup clusters: the Hamming pair graph (same corpus as
+    phash_near_dups, 10 planted 3-bit twins) collapsed to connected
+    components with canonical-keep selection (image/phash.py::phash_clusters).
+    Oracle = DuckDB brute-force Hamming pairs + recursive reachability CTE."""
+    from spark_validate.image.phash import phash_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    ph = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    base = docs.select(F.col("doc_id").alias("image_id"), ph.alias("phash"))
+    planted = (
+        base.filter(F.col("image_id") < 10)
+        .withColumn("image_id", F.col("image_id") + F.lit(100000))
+        .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(_PHASH_MASK)))
+    )
+    corpus = base.unionByName(planted)
+    return phash_clusters(corpus, max_hamming=4, bits=60).orderBy("image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_column_stats": q_chunk_column_stats,
@@ -893,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
         "phash_near_dups": q_phash_near_dups,
+        "phash_clusters": q_phash_clusters,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "cbpe_multiclass": q_cbpe_multiclass,
@@ -1641,6 +1661,42 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
 FROM corpus a JOIN corpus b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 4
 ORDER BY id_a, id_b
+"""
+
+    # Image-axis clusters: brute-force Hamming pairs -> recursive-CTE
+    # reachability closure (independent of the engine's CC algorithm).
+    sql["phash_clusters"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS image_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash FROM documents
+),
+corpus AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT image_id + 100000, xor(phash, {_PHASH_MASK}) FROM base WHERE image_id < 10
+),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM corpus a JOIN corpus b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+lab AS (
+  SELECT c.image_id, coalesce(cp.cluster_id, c.image_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp cp ON cp.id = c.image_id
+),
+sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+SELECT l.image_id, l.cluster_id, CAST(sz.n AS BIGINT) AS cluster_size,
+       l.image_id = l.cluster_id AS keep
+FROM lab l JOIN sz USING (cluster_id) ORDER BY image_id
 """
 
     # --- frozen-golden oracles for the fitted-model queries -----------------

@@ -181,3 +181,51 @@ def phash_degenerate_bands(
         bits=bits,
         max_bucket=max_bucket,
     ).select("band", "band_value", F.col("n_rows").alias("n_images"))
+
+
+def phash_clusters(
+    df: DataFrame,
+    max_hamming: int = 4,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    n_bands: Optional[int] = None,
+    n_blocks: Optional[int] = None,
+    bits: int = 64,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Image dedup CLUSTERS: the Hamming pair graph collapsed to connected
+    components, one row per image — ``(image_id, cluster_id, cluster_size,
+    keep)`` with ``cluster_id`` = min image id in the component and ``keep``
+    marking the canonical representative. The image-axis twin of
+    ``text/dedup.py::near_duplicate_clusters``; the component step is the
+    shared ``functions/graph.py::connected_components`` (hash-min + pointer
+    jumping, O(log n) rounds)."""
+    from spark_validate.functions.graph import connected_components
+
+    pairs = phash_near_duplicates(
+        df,
+        max_hamming=max_hamming,
+        phash_col=phash_col,
+        id_col=id_col,
+        n_bands=n_bands,
+        n_blocks=n_blocks,
+        bits=bits,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    out = (
+        df.select(F.col(id_col).alias("image_id"))
+        .join(comp.withColumnRenamed("id", "image_id"), "image_id", "left")
+        .select("image_id", F.coalesce("comp", "image_id").alias("cluster_id"))
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return out.join(
+        F.broadcast(sizes.filter(F.col("cluster_size") > 1)).withColumnRenamed("cluster_size", "_bs"),
+        "cluster_id",
+        "left",
+    ).select(
+        "image_id",
+        "cluster_id",
+        F.coalesce("_bs", F.lit(1)).alias("cluster_size"),
+        (F.col("image_id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -115,3 +115,19 @@ def test_clusters_plan_has_no_python_or_cartesian(spark, documents):
     plan = near_duplicate_clusters(documents.limit(50))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_phash_clusters_planted_twins(spark):
+    from spark_validate.image.phash import phash_clusters
+
+    rows = [(i, (i * 0x9E3779B97F4A7C15) & ((1 << 60) - 1)) for i in range(40)]
+    rows += [(100 + i, rows[i][1] ^ 0b111) for i in range(5)]  # 3-bit twins of 0..4
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    out = {r["image_id"]: r for r in phash_clusters(df, max_hamming=4, bits=60).collect()}
+    assert len(out) == 45
+    for i in range(5):
+        assert out[i]["cluster_id"] == i and out[i]["keep"]
+        assert out[100 + i]["cluster_id"] == i and not out[100 + i]["keep"]
+        assert out[i]["cluster_size"] == 2 == out[100 + i]["cluster_size"]
+    for i in range(5, 40):
+        assert out[i]["cluster_size"] == 1 and out[i]["keep"]
