@@ -347,3 +347,38 @@ def test_ivf_probe_reads_only_probed_partitions(spark, embeddings, tmp_path):
     assert int(top["id"].iloc[0]) == int(pdf["vec_id"].iloc[3])
     assert top["cosine"].iloc[0] > 0.999999
     spark.sql("DROP TABLE IF EXISTS sv_ivf_corpus")
+
+
+def test_minhash_signatures_match_reference_fold(spark, docs):
+    """The codegen window-shingle pipeline must stay bit-identical to the
+    direct single-pass HOF fold it replaced (same hash family, same shingle
+    strings, same minima)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from spark_validate.text.dedup import _shingles, _H32, _P
+
+    n_hashes, k, seed = 16, 3, 42
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _H32, n_hashes, dtype=np.int64)
+    b = rng.integers(0, _H32, n_hashes, dtype=np.int64)
+    base = F.transform(_shingles("text", k), lambda s: F.pmod(F.xxhash64(s), F.lit(_H32)))
+    ab = F.array(
+        *[F.struct(F.lit(int(a[i])).alias("a"), F.lit(int(b[i])).alias("b")) for i in range(n_hashes)]
+    )
+    fold = F.aggregate(
+        base,
+        F.array_repeat(F.lit(_P).cast("long"), n_hashes),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, F.pmod(c["a"] * h + c["b"], F.lit(_P)))
+        ),
+    )
+    ref = docs.select(F.col("doc_id").alias("id"), fold.alias("signature"))
+    new = minhash_signatures(docs, n_hashes=n_hashes, shingle_k=k, seed=seed)
+    assert ref.count() == new.count()
+    mism = (
+        ref.alias("r")
+        .join(new.alias("n"), "id")
+        .filter(F.col("r.signature") != F.col("n.signature"))
+        .count()
+    )
+    assert mism == 0
