@@ -226,15 +226,18 @@ class SizeBasedChunker(Chunker):
     def assign(self, df: DataFrame) -> DataFrame:
         size = int(self.chunk_size)
         n_hint = getattr(self, "_n_hint", None)
+        # Total count: one cheap job (parquet metadata count when unfiltered);
+        # needed for append/drop, the last chunk's key end, AND the 'auto'
+        # index-strategy switch — counted ONCE here, before the window is
+        # attached, and threaded into with_row_index (previously 'auto'
+        # counted a second time inside with_row_index). A parent
+        # CountBasedChunker already counted — reuse via _n_hint.
+        n = n_hint if n_hint is not None else df.count()
         idxed = (
             df
             if ROW_INDEX in df.columns
-            else with_row_index(df, self._order(), self.index_strategy, total_rows=n_hint)
+            else with_row_index(df, self._order(), self.index_strategy, total_rows=n)
         )
-        # Total count: one cheap job (parquet metadata count when unfiltered);
-        # needed for append/drop and for the last chunk's key end. A parent
-        # CountBasedChunker already counted — reuse via _n_hint.
-        n = n_hint if n_hint is not None else idxed.count()
         n_full = n // size
         rem = n % size
         cid = F.floor(F.col(ROW_INDEX) / F.lit(size))
