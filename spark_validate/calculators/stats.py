@@ -221,6 +221,13 @@ class ColumnStatsCalculator:
         return out
 
     def fit(self, reference: DataFrame) -> "ColumnStatsCalculator":
+        from spark_validate.functions.fitcache import cached_for_fit, chunker_columns
+
+        cols = list(self.column_names) + chunker_columns(self.chunker)
+        with cached_for_fit(reference, columns=cols) as ref:
+            return self._fit(ref)
+
+    def _fit(self, reference: DataFrame) -> "ColumnStatsCalculator":
         ref_long, ref_headers = self._chunk_values(reference)
         ref_long = ref_long.persist()
         thr = fit_thresholds_grouped(ref_long, ["column_name", "method"], self.threshold)

@@ -69,6 +69,13 @@ class DataReconstructionDriftCalculator:
     # ------------------------------------------------------------------ fit
 
     def fit(self, reference: DataFrame) -> "DataReconstructionDriftCalculator":
+        from spark_validate.functions.fitcache import cached_for_fit, chunker_columns
+
+        cols = list(self.column_names) + chunker_columns(self.chunker)
+        with cached_for_fit(reference, columns=cols) as ref:
+            return self._fit(ref)
+
+    def _fit(self, reference: DataFrame) -> "DataReconstructionDriftCalculator":
         cont, cat = self._split(reference)
         n = reference.count()
         # imputation + encoding statistics in one pass each

@@ -240,6 +240,13 @@ class UnivariateDriftCalculator:
     # -- fit -------------------------------------------------------------------
 
     def fit(self, reference: DataFrame) -> "UnivariateDriftCalculator":
+        from spark_validate.functions.fitcache import cached_for_fit, chunker_columns
+
+        cols = list(self.column_names) + chunker_columns(self.chunker)
+        with cached_for_fit(reference, columns=cols) as ref:
+            return self._fit(ref)
+
+    def _fit(self, reference: DataFrame) -> "UnivariateDriftCalculator":
         cont, cat = self._split_kinds(reference)
         self._cont_cols, self._cat_cols = cont, cat
         dtypes = dict(reference.dtypes)

@@ -788,6 +788,24 @@ class PerformanceCalculator:
         return {"mc_ap_c": float(np.mean(var_times_s))}
 
     def fit(self, reference: DataFrame) -> "PerformanceCalculator":
+        from spark_validate.functions.fitcache import cached_for_fit, chunker_columns
+
+        if isinstance(self.y_pred_proba, dict):
+            proba_cols = list(self.y_pred_proba.values())
+        elif self.y_pred_proba and self.problem_type == "multiclass_classification":
+            # string proba in multiclass = per-class prefix convention
+            # (_proba_col: f"{y_pred_proba}_{cls}"); classes aren't known until
+            # fit, so include every prefixed column plus the bare name
+            proba_cols = [self.y_pred_proba] + [
+                c for c in reference.columns if c.startswith(f"{self.y_pred_proba}_")
+            ]
+        else:
+            proba_cols = [self.y_pred_proba] if self.y_pred_proba else []
+        cols = [self.y_true, self.y_pred] + proba_cols + chunker_columns(self.chunker)
+        with cached_for_fit(reference, columns=cols) as ref:
+            return self._fit(ref)
+
+    def _fit(self, reference: DataFrame) -> "PerformanceCalculator":
         if self.problem_type == "multiclass_classification":
             self._classes = sorted(
                 r[0] for r in reference.select(F.col(self.y_true).cast("string")).distinct().collect()

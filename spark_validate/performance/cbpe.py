@@ -465,6 +465,18 @@ class CBPE:
     # -------------------------------------------------------------- fit / estimate
 
     def fit(self, reference: DataFrame) -> "CBPE":
+        from spark_validate.functions.fitcache import cached_for_fit, chunker_columns
+
+        proba_cols = (
+            list(self.y_pred_proba.values())
+            if isinstance(self.y_pred_proba, dict)
+            else [self.y_pred_proba]
+        )
+        cols = [self.y_true, self.y_pred] + proba_cols + chunker_columns(self.chunker)
+        with cached_for_fit(reference, columns=cols) as ref:
+            return self._fit(ref)
+
+    def _fit(self, reference: DataFrame) -> "CBPE":
         self._fit_calibrator(reference)
         # sampling-error components: same closed forms as realized performance
         # (the reference's CBPE metrics reuse the sampling_error/* modules too)
