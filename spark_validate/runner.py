@@ -144,6 +144,19 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             upper_threshold=cfg.get("upper_threshold", 0.0),
             n_blocks=cfg.get("n_blocks"),
         )
+    if kind == "text_dedup":
+        from spark_validate.text.dedup import TextDedupCheck
+
+        return TextDedupCheck(
+            text_col=cfg.get("column", "text"),
+            id_col=cfg.get("id_column", "doc_id"),
+            threshold=cfg.get("threshold", 0.8),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+            n_hashes=cfg.get("n_hashes", 32),
+            shingle_k=cfg.get("shingle_k", 6),
+            n_bands=cfg.get("n_bands", 16),
+        )
     if kind == "drift":
         return UnivariateDriftCalculator(
             cfg["columns"],

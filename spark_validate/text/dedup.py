@@ -361,3 +361,95 @@ def near_duplicate_clusters(
             (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
         )
     )
+
+
+class TextDedupCheck:
+    """Runner-compatible check: per-chunk rate of documents that are
+    NON-CANONICAL members of a near-duplicate cluster (the fraction a dedup
+    pass would drop), plus violation rows naming each dropped doc's cluster.
+    Cluster discovery is global (near-dups cross chunk boundaries — the same
+    topology note as ``image/phash.py::PhashDedupCheck``); the chunk metric
+    attributes each duplicate to ITS chunk. Alerts on a constant upper
+    threshold (default 0.0: any duplicate alerts)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.8,
+        chunker=None,
+        upper_threshold: float = 0.0,
+        n_hashes: int = 32,
+        shingle_k: int = 6,
+        n_bands: int = 16,
+        max_bucket: int = 200,
+    ):
+        from spark_validate.chunking import DefaultChunker
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.chunker = chunker or DefaultChunker()
+        self.upper_threshold = upper_threshold
+        self.n_hashes = n_hashes
+        self.shingle_k = shingle_k
+        self.n_bands = n_bands
+        self.max_bucket = max_bucket
+
+    def _clusters(self, df: DataFrame) -> DataFrame:
+        return near_duplicate_clusters(
+            df,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            threshold=self.threshold,
+            n_hashes=self.n_hashes,
+            shingle_k=self.shingle_k,
+            n_bands=self.n_bands,
+            max_bucket=self.max_bucket,
+        )
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        from spark_validate.calculators.base import assign_chunks
+        from spark_validate.checks.constraints import _attach_const_threshold
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned, headers = assign_chunks(df, self.chunker)
+        dropped = self._clusters(df).filter(~F.col("keep")).select(F.col("doc_id").alias("_id"))
+        per_chunk = (
+            assigned.join(dropped, assigned[self.id_col] == dropped["_id"], "left")
+            .groupBy(CHUNK_KEY)
+            .agg(
+                F.count(F.lit(1)).alias("__rows"),
+                F.count("_id").cast("double").alias("__dups"),
+            )
+            .select(
+                CHUNK_KEY,
+                F.lit(self.text_col).alias("column_name"),
+                F.lit("near_dup_drop_rate").alias("method"),
+                (F.col("__dups") / F.col("__rows")).cast("double").alias("value"),
+            )
+        )
+        return _attach_const_threshold(per_chunk, headers, period, None, self.upper_threshold)
+
+    def violations(self, df: DataFrame, row_id=None) -> DataFrame:
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned = self.chunker.assign(df).select(
+            F.col(self.id_col).alias("doc_id"), F.col(CHUNK_KEY).alias("chunk_key")
+        )
+        return (
+            self._clusters(df)
+            .filter(~F.col("keep"))
+            .join(assigned, "doc_id")
+            .select(
+                F.lit("text_dedup").alias("check"),
+                F.lit(self.text_col).alias("column_name"),
+                "chunk_key",
+                F.col("doc_id").cast("string").alias("row_id"),
+                F.lit("near_duplicate").alias("violation_kind"),
+                F.concat(
+                    F.lit("cluster="), F.col("cluster_id").cast("string"),
+                    F.lit(" size="), F.col("cluster_size").cast("string"),
+                ).alias("observed_value"),
+            )
+        )

@@ -354,3 +354,51 @@ def test_path_templating_and_scheduling_loop(spark, workspace):
     seen.clear()
     reports = run_scheduled(spark, cfg2, run_fn=fake_run, sleep_fn=sleeps.append)
     assert len(reports) == 1 and seen[0][0] == "testrun"
+
+
+def test_text_dedup_check_in_runner(spark, workspace, tmp_path):
+    """Config-driven text near-dup check: cluster discovery is global, the
+    chunk metric is the per-chunk drop rate, violations name the cluster."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 400
+    base = pd.DataFrame(
+        {
+            "image_id": [f"d{i:04d}" for i in range(n)],
+            "part": rng.choice(["p0", "p1"], n),
+            "caption": [
+                " ".join(f"tok{x}" for x in rng.integers(0, 10**9, 12)) for _ in range(n)
+            ],
+        }
+    )
+    twins = base.head(8).copy()
+    twins["image_id"] = twins["image_id"] + "_tw"
+    twins["caption"] = twins["caption"] + " extra"
+    spark.createDataFrame(pd.concat([base, twins])).write.mode("overwrite").parquet(
+        str(tmp_path / "docs")
+    )
+    cfg = {
+        "run_id": "textdedup",
+        "output_dir": str(tmp_path / "outt"),
+        "store_dir": str(tmp_path / "storet"),
+        "reference": str(tmp_path / "docs"),
+        "analysis": str(tmp_path / "docs"),
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [
+            {
+                "type": "text_dedup",
+                "column": "caption",
+                "id_column": "image_id",
+                "threshold": 0.5,
+            }
+        ],
+    }
+    report = run_suite(spark, cfg)
+    rep = report["text_dedup__caption"]
+    assert rep["alerts"] > 0
+    v = spark.read.parquet(str(tmp_path / "outt" / "violations")).toPandas()
+    assert (v["violation_kind"] == "near_duplicate").all()
+    assert len(v) == 8  # exactly the non-canonical twin of each planted pair
+    assert v["observed_value"].str.contains("size=2").all()
+    assert v["row_id"].str.endswith("_tw").all()  # min-id canonical keeps the original
