@@ -131,3 +131,27 @@ def test_phash_clusters_planted_twins(spark):
         assert out[i]["cluster_size"] == 2 == out[100 + i]["cluster_size"]
     for i in range(5, 40):
         assert out[i]["cluster_size"] == 1 and out[i]["keep"]
+
+
+def test_empty_pair_graph(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    # clusters over a corpus with no near-dups: all singletons, all kept
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = near_duplicate_clusters(docs).collect()
+    assert all(r["cluster_size"] == 1 and r["keep"] for r in out)
+
+
+def test_star_hub_graph(spark):
+    # 20k-spoke hub: the skew shape a boilerplate doc produces. Messages are
+    # rows, not one aggregation buffer; must converge in O(1) rounds.
+    hub_edges = [(0, i) for i in range(1, 20_001)]
+    df = spark.createDataFrame(hub_edges, "id_a long, id_b long")
+    stats = {}
+    out = connected_components(df, stats=stats)
+    assert out.filter(F.col("comp") != 0).count() == 0
+    assert out.count() == 20_001
+    assert stats["rounds"] <= 3
