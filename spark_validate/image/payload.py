@@ -104,7 +104,15 @@ def decode_pixel_stats(df: DataFrame, partitions: Optional[int] = None) -> DataF
     Python calls cross the JVM boundary.
     """
     n_parts = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    src = df.repartitionByRange(n_parts, "image_id").select("image_id", "bytes", "w", "h")
+    # repartitionByRange samples the input to pick bounds — impossible on a
+    # stream; hash repartition spreads oversized payloads just as well there
+    # (range order only matters for the batch suite's storage locality)
+    spread = (
+        df.repartition(n_parts, "image_id")
+        if df.isStreaming
+        else df.repartitionByRange(n_parts, "image_id")
+    )
+    src = spread.select("image_id", "bytes", "w", "h")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -155,6 +155,35 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             queries[name] = _sink(drift, out_dir, name, "append", trigger).start()
             calc.release_cache()
+        elif kind == "payload":
+            # north-rule image-payload checks on the stream: stateless Arrow
+            # decode per micro-batch (mapInPandas — no state, no watermark),
+            # violations = decode failures + pixel-mean outside reference-
+            # fitted 3σ bounds (fitted from a bounded batch decode, like the
+            # other reference-fitted streaming checks)
+            import pyspark.sql.functions as F
+
+            from spark_validate.image.payload import decode_pixel_stats
+
+            stats_stream = decode_pixel_stats(stream, partitions=check_cfg.get("partitions"))
+            lo = hi = None
+            if reference is not None:
+                sample_n = int(check_cfg.get("reference_sample", 10_000))
+                refpx = decode_pixel_stats(reference.limit(sample_n))
+                row = refpx.agg(F.avg("px_mean").alias("m"), F.stddev_pop("px_mean").alias("s")).first()
+                if row["m"] is not None and row["s"] is not None:
+                    lo, hi = row["m"] - 3 * row["s"], row["m"] + 3 * row["s"]
+            cond = ~F.col("decode_ok")
+            if lo is not None:
+                cond = cond | (F.col("px_mean") < lo) | (F.col("px_mean") > hi)
+            v = stats_stream.filter(cond).withColumn(
+                "violation_kind",
+                F.when(~F.col("decode_ok"), F.lit("decode_failure")).otherwise(
+                    F.lit("pixel_stat_out_of_range")
+                ),
+            )
+            key = uniq(check_cfg.get("name", kind), check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         else:
             raise ValueError(f"check type {kind!r} is batch-only (run the batch runner for it)")
     return queries

@@ -578,3 +578,42 @@ def test_running_group_stats_event_time_eviction_and_fresh_restart(spark, tmp_pa
     b_last = out[out.group == "b"].sort_values("n").iloc[-1]
     assert int(b_last["n"]) == 6
     assert np.isclose(b_last["mean"], np.mean([10, 20, 30, 40, 50, 60]))
+
+
+def test_streaming_payload_check(spark, tmp_path):
+    """North-rule payload checks on a stream: stateless Arrow decode per
+    micro-batch; decode failures land in the violations sink."""
+    from spark_validate.image.synth import synth_image_table
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    pdf = synth_image_table(spark, 400, n_partitions=4).toPandas()
+    pdf["ts"] = pd.date_range("2024-06-01", periods=len(pdf), freq="1s")
+    ref = pdf.iloc[:200]
+    ana = pdf.iloc[200:].copy()
+    bad_ids = set(ana["image_id"].iloc[:7])
+    ana.loc[ana.index[:7], "bytes"] = [b"corrupt" for _ in range(7)]  # undecodable
+
+    ref_dir, stream_dir, out_dir = (str(tmp_path / d) for d in ("ref", "stream", "out"))
+    spark.createDataFrame(ref).write.mode("overwrite").parquet(ref_dir)
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(stream_dir)
+
+    cfg = {
+        "output_dir": out_dir,
+        "reference": ref_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "checks": [{"type": "payload", "reference_sample": 100}],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    v = spark.read.parquet(f"{out_dir}/payload").toPandas()
+    fails = v[v["violation_kind"] == "decode_failure"]
+    assert set(fails["image_id"]) == bad_ids
+    # the healthy tail may graze a 100-sample 3σ band; decode failures must
+    # not be drowned out by it
+    assert (v["violation_kind"] == "pixel_stat_out_of_range").sum() <= 3
