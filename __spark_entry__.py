@@ -825,6 +825,19 @@ def q_embedding_near_dups(spark, sf_dir):
     return nd.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Embedding dedup clusters: cosine near-dup pairs (same planted-twin
+    corpus as embedding_near_dups) collapsed to connected components with
+    canonical-keep selection (sim/ann.py::embedding_clusters). Oracle =
+    DuckDB brute-force cosine pairs + recursive reachability CTE."""
+    from spark_validate.sim import embedding_clusters
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 10).withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    corpus = emb.unionByName(planted)
+    return embedding_clusters(corpus, threshold=0.9, n_bands=8, rows_per_band=4).orderBy("vec_id")
+
+
 _PHASH_MASK = (1 << 3) | (1 << 21) | (1 << 44)  # 3 planted bit flips
 
 
@@ -911,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_clusters": q_embedding_clusters,
         "phash_near_dups": q_phash_near_dups,
         "phash_clusters": q_phash_clusters,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
@@ -1642,6 +1656,40 @@ p AS (
   FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.9 ORDER BY id_a, id_b
+"""
+
+    # Embedding-axis clusters: brute-force cosine pairs -> recursive-CTE
+    # reachability closure (independent of the engine's CC algorithm).
+    sql["embedding_clusters"] = """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 10
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+lab AS (
+  SELECT c.vec_id, coalesce(cp.cluster_id, c.vec_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp cp ON cp.id = c.vec_id
+),
+sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+SELECT l.vec_id, l.cluster_id, CAST(sz.n AS BIGINT) AS cluster_size,
+       l.vec_id = l.cluster_id AS keep
+FROM lab l JOIN sz USING (cluster_id) ORDER BY vec_id
 """
 
     # brute-force Hamming oracle for the banded exact-recall phash join

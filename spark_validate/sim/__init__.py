@@ -2,6 +2,7 @@ from spark_validate.sim.ann import (
     IVFIndex,
     brute_force_topk,
     embedding_near_duplicates,
+    embedding_clusters,
     ivf_probe_topk,
     lsh_bucket_topk,
     write_ivf_partitioned,
@@ -11,6 +12,7 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucket_topk",
     "embedding_near_duplicates",
+    "embedding_clusters",
     "IVFIndex",
     "write_ivf_partitioned",
     "ivf_probe_topk",

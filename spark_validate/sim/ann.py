@@ -414,3 +414,51 @@ def ivf_probe_topk(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+def embedding_clusters(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: Optional[int] = None,
+    rows_per_band: Optional[int] = None,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Embedding dedup CLUSTERS: the cosine near-dup pair graph collapsed to
+    connected components — ``(vec_id, cluster_id, cluster_size, keep)``,
+    ``cluster_id`` = min id in the component, ``keep`` = the canonical
+    representative. The embedding-axis member of the cluster trilogy
+    (``text/dedup.py::near_duplicate_clusters``,
+    ``image/phash.py::phash_clusters``) — all three share
+    ``functions/graph.py::connected_components``."""
+    from spark_validate.functions.graph import connected_components
+
+    pairs = embedding_near_duplicates(
+        df,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    out = (
+        df.select(F.col(id_col).alias("vec_id"))
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select("vec_id", F.coalesce("comp", "vec_id").alias("cluster_id"))
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return out.join(
+        F.broadcast(sizes.filter(F.col("cluster_size") > 1)).withColumnRenamed("cluster_size", "_bs"),
+        "cluster_id",
+        "left",
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce("_bs", F.lit(1)).alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+    )
