@@ -115,4 +115,49 @@ def connected_components(
         )
     if stats is not None:
         stats["rounds"] = rounds
+    if not use_local_checkpoint:
+        # edges are no longer needed once labels stabilize; the RETURNED
+        # labels frame stays persisted — callers that keep it long-term on a
+        # shared cluster own its unpersist.
+        edges.unpersist(blocking=False)
     return labels
+
+
+def label_clusters(
+    members: DataFrame,
+    pairs: DataFrame,
+    member_col: str,
+    node_col: Optional[str] = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Shared tail of every dedup-clusters operator: collapse ``pairs`` to
+    components, label every member row, attach cluster sizes and the
+    canonical ``keep`` flag — ``(member_col, cluster_id, cluster_size,
+    keep)``.
+
+    ``node_col`` (default: ``member_col``) maps each member to its node in
+    the pair graph — used by the text path, where exact duplicates are
+    pre-collapsed to one representative node (the group's min member id)
+    before the LSH sweep. Because every representative is the minimum of its
+    group, the component minimum over representatives IS the global minimum
+    member id, so ``keep = member == cluster_id`` still marks exactly one
+    canonical member per cluster.
+
+    The sizes join carries no ``broadcast`` hint on purpose: the number of
+    non-singleton clusters is unbounded (a mostly-paired corpus has O(n/2)
+    of them — a forced broadcast is a driver OOM at corpus scale). AQE
+    broadcasts it automatically whenever it actually is small.
+    """
+    node_col = node_col or member_col
+    comp = connected_components(pairs, src="id_a", dst="id_b", max_iter=max_iter)
+    base = (
+        members.join(comp.withColumnRenamed("id", node_col), node_col, "left")
+        .select(member_col, F.coalesce("comp", F.col(node_col)).alias("cluster_id"))
+    )
+    sizes = base.groupBy("cluster_id").agg(F.count("*").alias("_bs")).filter(F.col("_bs") > 1)
+    return base.join(sizes, "cluster_id", "left").select(
+        member_col,
+        "cluster_id",
+        F.coalesce("_bs", F.lit(1)).cast("long").alias("cluster_size"),
+        (F.col(member_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -200,10 +200,20 @@ def phash_clusters(
     ``text/dedup.py::near_duplicate_clusters``; the component step is the
     shared ``functions/graph.py::connected_components`` (hash-min + pointer
     jumping, O(log n) rounds)."""
-    from spark_validate.functions.graph import connected_components
+    from spark_validate.functions.graph import label_clusters
 
+    # exact-equal phashes pre-collapse to their min-id representative: a
+    # boilerplate image copied 10^8 times is ONE node in the Hamming graph
+    # (instead of an over-cap bucket silently dropped), and the component
+    # minimum over representatives equals the global minimum image id
+    nn = df.filter(F.col(phash_col).isNotNull())  # NULL phash = singleton
+    reps = (
+        nn.select(F.col(id_col).alias("_rid"), F.col(phash_col).alias(phash_col))
+        .groupBy(phash_col)
+        .agg(F.min("_rid").alias(id_col))
+    )
     pairs = phash_near_duplicates(
-        df,
+        reps,
         max_hamming=max_hamming,
         phash_col=phash_col,
         id_col=id_col,
@@ -212,20 +222,14 @@ def phash_clusters(
         bits=bits,
         max_bucket=max_bucket,
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
-    out = (
-        df.select(F.col(id_col).alias("image_id"))
-        .join(comp.withColumnRenamed("id", "image_id"), "image_id", "left")
-        .select("image_id", F.coalesce("comp", "image_id").alias("cluster_id"))
+    members = (
+        nn.select(F.col(id_col).alias("image_id"), F.col(phash_col).alias("_ph"))
+        .join(reps.select(F.col(phash_col).alias("_ph"), F.col(id_col).alias("_rep")), "_ph")
+        .select("image_id", "_rep")
+        .unionByName(
+            df.filter(F.col(phash_col).isNull()).select(
+                F.col(id_col).alias("image_id"), F.col(id_col).alias("_rep")
+            )
+        )
     )
-    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return out.join(
-        F.broadcast(sizes.filter(F.col("cluster_size") > 1)).withColumnRenamed("cluster_size", "_bs"),
-        "cluster_id",
-        "left",
-    ).select(
-        "image_id",
-        "cluster_id",
-        F.coalesce("_bs", F.lit(1)).alias("cluster_size"),
-        (F.col("image_id") == F.col("cluster_id")).alias("keep"),
-    )
+    return label_clusters(members, pairs, member_col="image_id", node_col="_rep")

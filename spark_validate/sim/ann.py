@@ -433,10 +433,20 @@ def embedding_clusters(
     (``text/dedup.py::near_duplicate_clusters``,
     ``image/phash.py::phash_clusters``) — all three share
     ``functions/graph.py::connected_components``."""
-    from spark_validate.functions.graph import connected_components
+    from spark_validate.functions.graph import label_clusters
 
+    # byte-identical embeddings (re-ingested copies) pre-collapse to their
+    # min-id representative — same boilerplate-vs-bucket-cap reasoning as the
+    # text/phash variants; grouping on the array key shuffles the vectors
+    # once, which the signature pass was going to pay anyway
+    nn = df.filter(F.col(vec_col).isNotNull())  # NULL embedding = singleton
+    reps = (
+        nn.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias(vec_col))
+        .groupBy(vec_col)
+        .agg(F.min("_rid").alias(id_col))
+    )
     pairs = embedding_near_duplicates(
-        df,
+        reps,
         threshold=threshold,
         vec_col=vec_col,
         id_col=id_col,
@@ -445,20 +455,14 @@ def embedding_clusters(
         seed=seed,
         max_bucket=max_bucket,
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
-    out = (
-        df.select(F.col(id_col).alias("vec_id"))
-        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
-        .select("vec_id", F.coalesce("comp", "vec_id").alias("cluster_id"))
+    members = (
+        nn.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .join(reps.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_rep")), "_v")
+        .select("vec_id", "_rep")
+        .unionByName(
+            df.filter(F.col(vec_col).isNull()).select(
+                F.col(id_col).alias("vec_id"), F.col(id_col).alias("_rep")
+            )
+        )
     )
-    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return out.join(
-        F.broadcast(sizes.filter(F.col("cluster_size") > 1)).withColumnRenamed("cluster_size", "_bs"),
-        "cluster_id",
-        "left",
-    ).select(
-        "vec_id",
-        "cluster_id",
-        F.coalesce("_bs", F.lit(1)).alias("cluster_size"),
-        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
-    )
+    return label_clusters(members, pairs, member_col="vec_id", node_col="_rep")

@@ -168,11 +168,21 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             stats_stream = decode_pixel_stats(stream, partitions=check_cfg.get("partitions"))
             lo = hi = None
             if reference is not None:
+                import math
+
                 sample_n = int(check_cfg.get("reference_sample", 10_000))
                 refpx = decode_pixel_stats(reference.limit(sample_n))
-                row = refpx.agg(F.avg("px_mean").alias("m"), F.stddev_pop("px_mean").alias("s")).first()
-                if row["m"] is not None and row["s"] is not None:
-                    lo, hi = row["m"] - 3 * row["s"], row["m"] + 3 * row["s"]
+                # px_mean is NaN (not NULL) for failed decodes; avg/stddev
+                # propagate NaN, and NaN bounds would flag EVERY streamed
+                # image (NaN compares greater than any double in Spark)
+                row = (
+                    refpx.filter(F.col("decode_ok") & ~F.isnan("px_mean"))
+                    .agg(F.avg("px_mean").alias("m"), F.stddev_pop("px_mean").alias("s"))
+                    .first()
+                )
+                m, sd = row["m"], row["s"]
+                if m is not None and sd is not None and not (math.isnan(m) or math.isnan(sd)):
+                    lo, hi = m - 3 * sd, m + 3 * sd
             cond = ~F.col("decode_ok")
             if lo is not None:
                 cond = cond | (F.col("px_mean") < lo) | (F.col("px_mean") > hi)

@@ -131,7 +131,13 @@ def minhash_signatures(
     # mins shrink the agg exchange to #docs × n_hashes. Bit-identical output
     # to the fold (asserted in test_text_sim).
     k = shingle_k
-    toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("t"))
+    # NULL text coalesces to '' so the doc still yields its (empty) shingle
+    # row — under ANSI, size(NULL)=NULL would fail BOTH length filters below
+    # and silently drop the document from the output
+    safe_text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.lower(F.trim(safe_text)), r"\s+").alias("t")
+    )
     long_d = toks.filter(F.size("t") >= k).select(
         "id", F.posexplode("t").alias("pos", "tok"), F.size("t").alias("n")
     )
@@ -337,30 +343,45 @@ def near_duplicate_clusters(
     At 16 bands × 2 rows the LSH miss probability at j ≥ 0.8 is ≤ 8e-8, so
     the component structure matches brute-force all-pairs Jaccard (the
     DuckDB oracle computes exactly that with a recursive CTE).
-    """
-    from spark_validate.functions.graph import connected_components
 
-    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    EXACT duplicates are pre-collapsed to one representative node (the
+    group's min id) before the LSH sweep. This is semantics-preserving
+    (identical texts have Jaccard 1 and always co-cluster; the cluster
+    minimum over representatives equals the global minimum id) and it is
+    what makes the boilerplate case survive at corpus scale: 10^8 copies of
+    one document are ONE node in the pair graph instead of an over-
+    ``max_bucket`` bucket that the LSH cap would otherwise silently drop,
+    mis-labelling every copy a singleton. Near-identical (non-exact)
+    boilerplate above ``max_bucket`` variants per bucket is still capped —
+    surface those via ``lsh`` bucket reports / ``exact_duplicates`` first.
+    """
+    from spark_validate.functions.graph import label_clusters
+
+    # NULL texts stay singletons (they are missing data, not duplicates of
+    # each other — and the DuckDB oracle's NULL propagation agrees)
+    nn = df.filter(F.col(text_col).isNotNull())
+    fp = F.md5(F.col(text_col))
+    rep_docs = (
+        nn.select(F.col(id_col).alias("id"), fp.alias("_fp"), F.col(text_col).alias(text_col))
+        .groupBy("_fp")
+        .agg(F.min("id").alias("id"), F.min(text_col).alias(text_col))
+    )
+    sigs = minhash_signatures(rep_docs, text_col=text_col, id_col="id", n_hashes=n_hashes, shingle_k=shingle_k)
     pairs = lsh_candidate_pairs(sigs, n_bands=n_bands, max_bucket=max_bucket, n_hashes=n_hashes)
-    verified = ngram_jaccard(df, pairs, text_col=text_col, id_col=id_col, shingle_k=shingle_k).filter(
+    verified = ngram_jaccard(rep_docs, pairs, text_col=text_col, id_col="id", shingle_k=shingle_k).filter(
         F.col("jaccard") >= threshold
     )
-    comp = connected_components(verified, src="id_a", dst="id_b")
-    out = (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .select("doc_id", F.coalesce("comp", "doc_id").alias("cluster_id"))
-    )
-    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return (
-        out.join(F.broadcast(sizes.filter(F.col("cluster_size") > 1)).withColumnRenamed("cluster_size", "_bs"), "cluster_id", "left")
-        .select(
-            "doc_id",
-            "cluster_id",
-            F.coalesce("_bs", F.lit(1)).alias("cluster_size"),
-            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    members = (
+        nn.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
+        .join(rep_docs.select("_fp", F.col("id").alias("_rep")), "_fp")
+        .select("doc_id", "_rep")
+        .unionByName(
+            df.filter(F.col(text_col).isNull()).select(
+                F.col(id_col).alias("doc_id"), F.col(id_col).alias("_rep")
+            )
         )
     )
+    return label_clusters(members, verified, member_col="doc_id", node_col="_rep")
 
 
 class TextDedupCheck:
@@ -397,7 +418,13 @@ class TextDedupCheck:
         self.max_bucket = max_bucket
 
     def _clusters(self, df: DataFrame) -> DataFrame:
-        return near_duplicate_clusters(
+        # the runner calls calculate(ana) then violations(ana) on the SAME
+        # frame; the cluster pipeline runs eagerly (iterative CC), so memoize
+        # the labeled frame per input instead of paying LSH+CC twice
+        cached = getattr(self, "_cc_cache", None)
+        if cached is not None and cached[0] is df:
+            return cached[1]
+        out = near_duplicate_clusters(
             df,
             text_col=self.text_col,
             id_col=self.id_col,
@@ -406,7 +433,9 @@ class TextDedupCheck:
             shingle_k=self.shingle_k,
             n_bands=self.n_bands,
             max_bucket=self.max_bucket,
-        )
+        ).localCheckpoint(eager=True)
+        self._cc_cache = (df, out)
+        return out
 
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
         from spark_validate.calculators.base import assign_chunks

@@ -155,3 +155,26 @@ def test_star_hub_graph(spark):
     assert out.filter(F.col("comp") != 0).count() == 0
     assert out.count() == 20_001
     assert stats["rounds"] <= 3
+
+
+def test_exact_boilerplate_cluster_survives_bucket_cap(spark):
+    # 300 identical copies > max_bucket=200: pre-collapse makes them ONE node,
+    # so the cap cannot silently singleton them (the review-flagged hazard)
+    rows = [(i, "the exact same boilerplate line of text repeated everywhere") for i in range(300)]
+    rows += [(1000 + i, f"distinct{i} filler{i} words{i} here{i} now{i} ok{i} end{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in near_duplicate_clusters(df, max_bucket=200).collect()}
+    for i in range(300):
+        assert out[i]["cluster_id"] == 0 and out[i]["cluster_size"] == 300
+        assert out[i]["keep"] == (i == 0)
+    for i in range(1000, 1005):
+        assert out[i]["cluster_size"] == 1 and out[i]["keep"]
+
+
+def test_null_text_stays_singleton(spark):
+    rows = [(0, "alpha beta gamma delta epsilon zeta eta"), (1, None), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in near_duplicate_clusters(df).collect()}
+    assert len(out) == 3
+    for i in (1, 2):
+        assert out[i]["cluster_id"] == i and out[i]["cluster_size"] == 1 and out[i]["keep"]

@@ -382,3 +382,12 @@ def test_minhash_signatures_match_reference_fold(spark, docs):
         .count()
     )
     assert mism == 0
+
+
+def test_minhash_null_text_yields_signature_row(spark):
+    # under ANSI, size(NULL)=NULL would drop the doc from both shingle
+    # branches; the coalesce keeps one row per input doc
+    df = spark.createDataFrame([(0, "some words here"), (1, None)], "doc_id long, text string")
+    sigs = minhash_signatures(df, n_hashes=8, shingle_k=3)
+    assert sigs.count() == 2
+    assert {r["id"] for r in sigs.collect()} == {0, 1}
