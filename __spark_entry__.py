@@ -568,6 +568,25 @@ def q_dedup_members(spark, sf_dir):
     return m.select("fp", F.col("id").alias("doc_id"), "dup_count").orderBy("fp", "doc_id")
 
 
+def q_language_id(spark, sf_dir):
+    """Stopword-ratio language heuristic (text/quality.py::with_language_id):
+    per language, token occurrences hitting its 10-word stopword profile / n;
+    argmax with (score, lang) lexicographic tie-break — replicated exactly in
+    DuckDB via a langs VALUES table + row_number ordering."""
+    from spark_validate.text import with_language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        with_language_id(docs)
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.round("lang_pred_score", 9).alias("lang_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: MinHash LSH pairs → exact-Jaccard verify →
     distributed connected components (hash-min + pointer jumping,
@@ -916,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_members": q_dedup_members,
         "dedup_clusters": q_dedup_clusters,
+        "language_id": q_language_id,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
         "perf_multiclass": q_perf_multiclass,
@@ -1395,6 +1415,44 @@ c AS (
   FROM docs
 )
 SELECT fp, doc_id, dup_count FROM c WHERE dup_count > 1 ORDER BY fp, doc_id
+"""
+
+    # Stopword-ratio language heuristic: occurrences (with duplicates) of each
+    # language's 10 stopwords / token count; argmax with Spark's
+    # struct(score, lang) lexicographic tie-break = ORDER BY score DESC,
+    # lang DESC; zero hits -> 'und'.
+    sql["language_id"] = r"""
+WITH langs(lang, words) AS (VALUES
+  ('en', ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for']),
+  ('es', ['el', 'la', 'de', 'que', 'y', 'en', 'un', 'una', 'es', 'por']),
+  ('fr', ['le', 'la', 'de', 'et', 'un', 'une', 'est', 'que', 'pour', 'dans']),
+  ('de', ['der', 'die', 'das', 'und', 'ist', 'ein', 'eine', 'zu', 'den', 'von']),
+  ('zh', ['的', '是', '在', '了', '和', '有', '我', '不', '这', '他'])
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+occ AS (
+  SELECT e.doc_id, l.lang, count(*) AS c
+  FROM ex e JOIN langs l ON list_contains(l.words, e.tok)
+  GROUP BY e.doc_id, l.lang
+),
+sc AS (
+  SELECT t.doc_id, l.lang,
+         CAST(coalesce(o.c, 0) AS DOUBLE) / greatest(len(t.t), 1) AS score
+  FROM toks t CROSS JOIN langs l
+  LEFT JOIN occ o ON o.doc_id = t.doc_id AND o.lang = l.lang
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM sc
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       round(score, 9) AS lang_score
+FROM best WHERE rn = 1 ORDER BY doc_id
 """
 
     # Connected components via a recursive reachability CTE over brute-force
