@@ -88,13 +88,21 @@ def test_drift_histogram_cache_lifecycle(spark, lineitem):
     from spark_validate.chunking import SizeBasedChunker
     from spark_validate.drift.univariate import UnivariateDriftCalculator
 
-    def n_cached():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    import time
+
+    def cached_ids():
+        return {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
     order = ["l_shipdate", "l_orderkey", "l_linenumber"]
     ref = lineitem.filter("l_shipdate < DATE'1998-07-01'")
     ana = lineitem.filter("l_shipdate >= DATE'1998-07-01'")
-    base = n_cached()
+    # Identity-based via the delta of cached RDD ids, not a global count:
+    # other tests' non-blocking unpersists drain asynchronously on the shared
+    # session, so global counts are racy — but their ids can only DISAPPEAR
+    # from storage, never appear, so ids new since `before` belong to this
+    # calculator. (df.rdd.id() can't be used directly: the Python-facing
+    # .rdd wrapper is a different RDD than the JVM-cached one.)
+    before = cached_ids()
     calc = UnivariateDriftCalculator(
         column_names=["l_extendedprice", "l_quantity"],
         continuous_methods=["jensen_shannon", "hellinger", "psi", "wasserstein"],
@@ -102,9 +110,15 @@ def test_drift_histogram_cache_lifecycle(spark, lineitem):
     ).fit(ref)
     res = calc.calculate(ana)
     assert res.count() > 0
-    assert n_cached() > base  # shared histogram lives while results are read
+    # shared histogram lives while results are read
+    live = cached_ids() - before
+    assert live and len(calc._live_caches) > 0
     calc.release_cache()
-    assert n_cached() == base  # and is fully released afterwards
+    for _ in range(50):  # release is unpersist(blocking=False) — poll
+        if not (live & cached_ids()):
+            break
+        time.sleep(0.2)
+    assert not (live & cached_ids())  # and is fully released afterwards
 
 
 def test_catalog_table_partition_pruning_and_append(spark):
