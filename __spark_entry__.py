@@ -601,6 +601,55 @@ def q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+SAMPLE_RATES = {"en": 0.8, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.1}
+SAMPLE_DEFAULT = 0.05
+SAMPLE_SALT = "s42"
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (text/decontaminate.py): per-training-doc
+    5-gram overlap against a deterministic eval split (doc_id % 20 == 0),
+    broadcast benchmark universe — no corpus shuffle by gram."""
+    from spark_validate.text import ngram_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return (
+        ngram_overlap(train, bench, n=5, threshold=0.2)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            "overlap_rate",
+            "contaminated",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (text/sampling.py):
+    per-language quota rates via md5-prefix hash thresholds — a pure narrow
+    filter, reproducible bit-identically in any engine with md5."""
+    from spark_validate.text import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs,
+            SAMPLE_RATES,
+            stratum_col="lang",
+            key_col="doc_id",
+            default_rate=SAMPLE_DEFAULT,
+            salt=SAMPLE_SALT,
+            keep_bucket=True,
+        )
+        .select("doc_id", "lang", "source", "sample_bucket")
+        .orderBy("doc_id")
+    )
+
+
 MC_CLASSES = ["a", "b", "c"]
 MC_BVM = [[1.0, -0.5, -1.0], [-2.0, 2.0, -0.25], [0.0, -3.0, 3.0]]
 
@@ -936,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_members": q_dedup_members,
         "dedup_clusters": q_dedup_clusters,
         "language_id": q_language_id,
+        "decontamination": q_decontamination,
+        "corpus_sample": q_corpus_sample,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
         "perf_multiclass": q_perf_multiclass,
@@ -1453,6 +1504,53 @@ SELECT doc_id,
        CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
        round(score, 9) AS lang_score
 FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+    # Benchmark decontamination: same 5-gram construction as the dedup
+    # oracles; benchmark universe = distinct grams of the doc_id%20==0 split;
+    # contamination decided on the UNROUNDED ratio (IEEE division is
+    # deterministic across engines), displayed rounded.
+    sql["decontamination"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t) - 4)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+ex AS (SELECT doc_id, unnest(s) AS g FROM train),
+hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM ex WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.s) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(t.s), 9) AS overlap_rate,
+       CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(t.s) >= 0.2 AS contaminated
+FROM train t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+"""
+
+    # Deterministic stratified sampling: keep iff the md5-prefix bucket of
+    # 's42:<doc_id>' sorts below the per-language hex threshold
+    # (rate·2^32 as 8 lowercase hex chars — string order == numeric order).
+    from spark_validate.text import rate_to_hex
+
+    _case = " ".join(
+        f"WHEN '{k}' THEN '{rate_to_hex(v)}'" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    _thr = f"CASE lang {_case} ELSE '{rate_to_hex(SAMPLE_DEFAULT)}' END"
+    sql["corpus_sample"] = f"""
+SELECT doc_id, lang, source,
+       substr(md5('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_bucket
+FROM documents
+WHERE substr(md5('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8) < {_thr}
+ORDER BY doc_id
 """
 
     # Connected components via a recursive reachability CTE over brute-force

@@ -8,6 +8,13 @@ from spark_validate.text.dedup import (
     simhash_near_duplicates,
     near_duplicate_clusters,
 )
+from spark_validate.text.decontaminate import benchmark_ngrams, ngram_overlap
+from spark_validate.text.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    rate_to_hex,
+    stratified_sample,
+)
 from spark_validate.text.quality import (
     with_text_features,
     with_language_id,
@@ -16,6 +23,12 @@ from spark_validate.text.quality import (
 )
 
 __all__ = [
+    "benchmark_ngrams",
+    "ngram_overlap",
+    "deterministic_sample",
+    "hash_bucket",
+    "rate_to_hex",
+    "stratified_sample",
     "exact_duplicates",
     "exact_duplicate_members",
     "minhash_signatures",

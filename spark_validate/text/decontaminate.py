@@ -1,0 +1,97 @@
+"""Benchmark decontamination — n-gram overlap between a training corpus and
+an evaluation/benchmark set.
+
+Beyond-reference operator for training-data pipelines (NannyML has no text
+ops; the practice is public: GPT-3 appendix C and Llama 2 report flagging
+training documents that share long word n-grams with evaluation benchmarks).
+
+Spark-first topology, sized for a 100 TB corpus vs a small benchmark:
+
+* The benchmark n-gram universe is distinct-aggregated over the (small)
+  benchmark side only and **broadcast** by default — the common case is a
+  few thousand eval documents vs billions of training docs, so the per-doc
+  membership test is a narrow map-side semi-join: no shuffle of the corpus
+  by gram, no hot-gram skew (stopword-heavy grams like "of the" are hot
+  keys only under a shuffle join; a broadcast join never shuffles them).
+* Per-doc counts are ONE groupBy(id) over the semi-join survivors; docs
+  with zero overlap re-enter via a left join keyed the same way, so the
+  exchange is reused.
+* With ``broadcast_benchmark=False`` (a benchmark too large to broadcast)
+  the same plan runs as a shuffle hash join; AQE skew-join handles hot
+  grams.
+
+Everything is deterministic column expressions (tokenize → shingle →
+md5-free string grams) — the DuckDB oracle replicates it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_validate.text.dedup import _shingles
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Distinct word n-grams across the benchmark set — one column ``g``.
+
+    Documents shorter than ``n`` tokens contribute their whole text as a
+    single gram (same convention as the dedup shinglers, so a verbatim copy
+    of a short benchmark doc still collides).
+    """
+    return (
+        benchmark.select(F.coalesce(F.col(text_col), F.lit("")).alias("_sv_txt"))
+        .select(F.explode(F.array_distinct(_shingles("_sv_txt", n))).alias("g"))
+        .distinct()
+    )
+
+
+def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_sv_txt"),
+        )
+        .select("id", F.array_distinct(_shingles("_sv_txt", n)).alias("s"))
+    )
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-training-doc benchmark contamination:
+    ``(id, n_ngrams, n_overlap, overlap_rate, contaminated)``.
+
+    ``n_ngrams``  = distinct word ``n``-grams in the doc,
+    ``n_overlap`` = how many of them occur anywhere in the benchmark set,
+    ``contaminated`` = ``overlap_rate >= threshold``. A verbatim copy of a
+    benchmark document scores 1.0; ``threshold`` tunes how aggressive the
+    drop is (public practice uses long n-grams, n=8..13, with low
+    thresholds).
+    """
+    bench = benchmark_ngrams(benchmark, text_col=text_col, n=n)
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    sh = _doc_grams(docs, text_col, id_col, n)
+    base = sh.select("id", F.size("s").alias("n_ngrams"))
+    hits = (
+        sh.select("id", F.explode("s").alias("g"))
+        .join(bench, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    rate = F.col("n_overlap") / F.col("n_ngrams")
+    return (
+        base.join(hits, "id", "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .withColumn("overlap_rate", F.round(rate, 9))
+        .withColumn("contaminated", rate >= F.lit(float(threshold)))
+    )

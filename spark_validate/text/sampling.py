@@ -1,0 +1,92 @@
+"""Deterministic corpus sampling — hash-threshold and stratified variants.
+
+Beyond-reference operator for training-data pipelines: corpus construction
+needs reproducible downsampling (rebuild the same corpus from the same
+inputs), per-source/per-language quota mixing, and decisions that are a
+pure function of the ROW (so a re-run, a recompute after executor loss, or
+a different partitioning all agree — ``df.sample()`` gives none of that).
+
+Mechanism: ``keep = substr(md5(salt || ':' || key), 1, 8) < hex(rate·2^32)``.
+The md5-hex prefix is uniform over [0, 2^32) and its LOWERCASE-HEX string
+order equals its numeric order, so one string comparison implements the
+threshold — bit-identically replicable in any engine with md5 (the DuckDB
+oracle runs the same expression verbatim).
+
+Scale: a narrow map-side filter — no shuffle, no RNG state, no driver
+coordination; stratified rates compile to one bounded CASE chain (#strata
+literals). At 100 TB this composes with scan pruning: the filter sits
+directly above the parquet reader.
+
+NULL sampling keys hash to NULL and are dropped (documented; pass a
+coalesced key column if nulls must be retained).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BUCKET_COL = "sample_bucket"
+
+
+def rate_to_hex(rate: float) -> str:
+    """8-hex-char threshold for a keep probability in [0, 1]."""
+    r = float(rate)
+    if r <= 0.0:
+        return "00000000"
+    if r >= 1.0:
+        return "g"  # sorts after every hex digit → keeps all rows
+    return format(int(r * (1 << 32)), "08x")
+
+
+def hash_bucket(key: Column, salt: str = "s42") -> Column:
+    """Uniform 8-hex-char bucket, a pure function of (salt, key)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 8
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "s42",
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls below ``rate`` — reproducible
+    Bernoulli(rate) sampling keyed on ``key_col``. Changing ``salt`` draws an
+    independent sample; keeping it fixed makes every re-run identical."""
+    b = hash_bucket(F.col(key_col), salt)
+    out = df.withColumn(_HASH_BUCKET_COL, b).filter(
+        F.col(_HASH_BUCKET_COL) < F.lit(rate_to_hex(rate))
+    )
+    return out if keep_bucket else out.drop(_HASH_BUCKET_COL)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "s42",
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Per-stratum keep rates (e.g. language/source quota mixing): one CASE
+    chain of hex thresholds, then the same single narrow filter."""
+    items = sorted(rates.items())
+    thr: Column
+    if not items:
+        thr = F.lit(rate_to_hex(default_rate))
+    else:
+        cases = F.when(
+            F.col(stratum_col) == F.lit(items[0][0]), F.lit(rate_to_hex(items[0][1]))
+        )
+        for value, r in items[1:]:
+            cases = cases.when(F.col(stratum_col) == F.lit(value), F.lit(rate_to_hex(r)))
+        thr = cases.otherwise(F.lit(rate_to_hex(default_rate)))
+    b = hash_bucket(F.col(key_col), salt)
+    out = df.withColumn(_HASH_BUCKET_COL, b).filter(F.col(_HASH_BUCKET_COL) < thr)
+    return out if keep_bucket else out.drop(_HASH_BUCKET_COL)

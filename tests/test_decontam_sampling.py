@@ -1,0 +1,136 @@
+"""Benchmark decontamination (n-gram overlap) + deterministic sampling."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from spark_validate.text import (
+    deterministic_sample,
+    hash_bucket,
+    ngram_overlap,
+    rate_to_hex,
+    stratified_sample,
+)
+
+
+def test_ngram_overlap_flags_planted_copy(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # verbatim copy
+            (2, "alpha beta gamma delta epsilon iota kappa lambda"),  # partial
+            (3, "one two three four five six seven eight"),  # clean
+            (4, None),  # null text stays a (clean) row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in ngram_overlap(docs, bench, n=5, threshold=0.5).collect()
+    }
+    assert out[1]["overlap_rate"] == 1.0 and out[1]["contaminated"]
+    # doc 2: of its 4 5-grams only [alpha..epsilon] occurs in the benchmark
+    assert out[2]["n_ngrams"] == 4 and out[2]["n_overlap"] == 1
+    assert out[2]["overlap_rate"] == 0.25 and not out[2]["contaminated"]
+    assert out[3]["n_overlap"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_overlap"] == 0  # null text → no grams in common
+
+
+def test_ngram_overlap_short_doc_whole_text_gram(spark):
+    # docs shorter than n tokens fall back to the whole text as one gram:
+    # a verbatim short benchmark doc still collides
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other text")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in ngram_overlap(docs, bench, n=5).collect()}
+    assert rows[1]["overlap_rate"] == 1.0
+    assert rows[2]["n_overlap"] == 0
+
+
+def test_ngram_overlap_shuffle_join_path_agrees(spark, documents):
+    bench = documents.filter(F.col("doc_id") % 20 == 0)
+    train = documents.filter(F.col("doc_id") % 20 != 0)
+    a = ngram_overlap(train, bench, n=5, broadcast_benchmark=True)
+    b = ngram_overlap(train, bench, n=5, broadcast_benchmark=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hash_bucket_is_md5_prefix(spark):
+    # the bucket must be exactly the md5-hex prefix so any engine (the DuckDB
+    # oracle included) reproduces the same sample
+    df = spark.createDataFrame([(17,), (42,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id"), "s42").alias("b")).collect()
+    }
+    for k, v in got.items():
+        assert v == hashlib.md5(f"s42:{k}".encode()).hexdigest()[:8]
+
+
+def test_deterministic_sample_rate_and_reproducibility(spark):
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    s1 = deterministic_sample(df, 0.3, salt="a")
+    s2 = deterministic_sample(df, 0.3, salt="a")
+    n1 = s1.count()
+    assert n1 == s2.count()
+    assert abs(n1 / 20000 - 0.3) < 0.02  # uniform within ~4σ
+    # nested property: a higher-rate sample contains the lower-rate one
+    wide = {r["doc_id"] for r in deterministic_sample(df, 0.6, salt="a").collect()}
+    narrow = {r["doc_id"] for r in s1.collect()}
+    assert narrow <= wide
+    # different salt → essentially independent draw
+    other = {r["doc_id"] for r in deterministic_sample(df, 0.3, salt="b").collect()}
+    assert abs(len(narrow & other) / 20000 - 0.09) < 0.02
+
+
+def test_deterministic_sample_extremes(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    assert deterministic_sample(df, 0.0).count() == 0
+    assert deterministic_sample(df, 1.0).count() == 100
+
+
+def test_stratified_sample_rates(spark):
+    df = (
+        spark.range(30000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "de")
+            .otherwise("zh"),
+        )
+    )
+    out = stratified_sample(
+        df, {"en": 0.8, "de": 0.2}, stratum_col="lang", default_rate=0.05
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["en"] / 10000 - 0.8) < 0.03
+    assert abs(got["de"] / 10000 - 0.2) < 0.03
+    assert abs(got.get("zh", 0) / 10000 - 0.05) < 0.02
+
+
+def test_rate_to_hex_monotone_bounds():
+    assert rate_to_hex(0.0) == "00000000"
+    assert rate_to_hex(1.0) == "g"  # sorts after all hex
+    assert rate_to_hex(0.25) < rate_to_hex(0.5) < rate_to_hex(0.75) < "g"
+
+
+def test_sampling_and_overlap_plans_are_narrow(spark, documents):
+    # sampling must be a pure filter (no shuffle); the broadcast overlap join
+    # must not shuffle the corpus by gram
+    plan = deterministic_sample(documents, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    bench = documents.filter(F.col("doc_id") % 20 == 0)
+    train = documents.filter(F.col("doc_id") % 20 != 0)
+    oplan = (
+        ngram_overlap(train, bench, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in oplan or "BroadcastExchange" in oplan
+    assert "CartesianProduct" not in oplan and "BatchEvalPython" not in oplan
