@@ -144,6 +144,19 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             upper_threshold=cfg.get("upper_threshold", 0.0),
             n_blocks=cfg.get("n_blocks"),
         )
+    if kind == "decontamination":
+        from spark_validate.text.decontaminate import DecontaminationCheck
+
+        return DecontaminationCheck(
+            benchmark=read_table(spark, cfg["benchmark"]),
+            text_col=cfg.get("column", "text"),
+            id_col=cfg.get("id_column", "doc_id"),
+            n=cfg.get("n", 5),
+            threshold=cfg.get("threshold", 0.5),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+            broadcast_benchmark=cfg.get("broadcast_benchmark", True),
+        )
     if kind == "text_dedup":
         from spark_validate.text.dedup import TextDedupCheck
 

@@ -95,3 +95,89 @@ def ngram_overlap(
         .withColumn("overlap_rate", F.round(rate, 9))
         .withColumn("contaminated", rate >= F.lit(float(threshold)))
     )
+
+
+class DecontaminationCheck:
+    """Runner-compatible check: per-chunk rate of training documents whose
+    n-gram overlap with the configured benchmark set crosses ``threshold``,
+    plus violation rows naming each contaminated doc's overlap. Alerts on a
+    constant upper threshold (default 0.0: any contamination alerts) —
+    same contract as ``TextDedupCheck`` / ``PhashDedupCheck``."""
+
+    def __init__(
+        self,
+        benchmark: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 5,
+        threshold: float = 0.5,
+        chunker=None,
+        upper_threshold: float = 0.0,
+        broadcast_benchmark: bool = True,
+    ):
+        from spark_validate.chunking import DefaultChunker
+
+        self.benchmark = benchmark
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.threshold = threshold
+        self.chunker = chunker or DefaultChunker()
+        self.upper_threshold = upper_threshold
+        self.broadcast_benchmark = broadcast_benchmark
+
+    def _contaminated(self, df: DataFrame) -> DataFrame:
+        return ngram_overlap(
+            df,
+            self.benchmark,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            n=self.n,
+            threshold=self.threshold,
+            broadcast_benchmark=self.broadcast_benchmark,
+        ).filter(F.col("contaminated"))
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        from spark_validate.calculators.base import assign_chunks
+        from spark_validate.checks.constraints import _attach_const_threshold
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned, headers = assign_chunks(df, self.chunker)
+        bad = self._contaminated(df).select(F.col("id").alias("_id"))
+        per_chunk = (
+            assigned.join(bad, assigned[self.id_col] == bad["_id"], "left")
+            .groupBy(CHUNK_KEY)
+            .agg(
+                F.count(F.lit(1)).alias("__rows"),
+                F.count("_id").cast("double").alias("__bad"),
+            )
+            .select(
+                CHUNK_KEY,
+                F.lit(self.text_col).alias("column_name"),
+                F.lit("contamination_rate").alias("method"),
+                (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
+            )
+        )
+        return _attach_const_threshold(per_chunk, headers, period, None, self.upper_threshold)
+
+    def violations(self, df: DataFrame, row_id=None) -> DataFrame:
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned = self.chunker.assign(df).select(
+            F.col(self.id_col).alias("id"), F.col(CHUNK_KEY).alias("chunk_key")
+        )
+        return (
+            self._contaminated(df)
+            .join(assigned, "id")
+            .select(
+                F.lit("decontamination").alias("check"),
+                F.lit(self.text_col).alias("column_name"),
+                "chunk_key",
+                F.col("id").cast("string").alias("row_id"),
+                F.lit("benchmark_contamination").alias("violation_kind"),
+                F.concat(
+                    F.lit("overlap_rate="), F.round("overlap_rate", 4).cast("string"),
+                    F.lit(" n_overlap="), F.col("n_overlap").cast("string"),
+                ).alias("observed_value"),
+            )
+        )

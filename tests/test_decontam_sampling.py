@@ -119,6 +119,52 @@ def test_rate_to_hex_monotone_bounds():
     assert rate_to_hex(0.25) < rate_to_hex(0.5) < rate_to_hex(0.75) < "g"
 
 
+def test_decontamination_check_in_runner(spark, tmp_path):
+    """Config-driven decontamination check: per-chunk contaminated-doc rate
+    + violation rows carrying the overlap, benchmark read from its own
+    table path (like referential's manifest)."""
+    import pandas as pd
+
+    from spark_validate.runner import run_suite
+
+    rows = []
+    for i in range(200):
+        toks = [f"w{(i * 17 + j) % 10_000_019}" for j in range(20)]
+        rows.append((i, " ".join(toks), "p0" if i % 2 == 0 else "p1"))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "part"])
+    bench = docs.head(5).copy()  # docs 0..4 ARE the benchmark → contaminated
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    spark.createDataFrame(bench.drop(columns=["part"])).write.mode("overwrite").parquet(
+        str(tmp_path / "bench")
+    )
+    cfg = {
+        "run_id": "decon",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": str(tmp_path / "docs"),
+        "analysis": str(tmp_path / "docs"),
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [
+            {
+                "type": "decontamination",
+                "column": "text",
+                "id_column": "doc_id",
+                "benchmark": str(tmp_path / "bench"),
+                "n": 5,
+                "threshold": 0.5,
+            }
+        ],
+    }
+    report = run_suite(spark, cfg)
+    rep = report["decontamination__text"]
+    assert rep["alerts"] > 0
+    viol = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    bad = viol.filter(F.col("check") == "decontamination__text")  # runner keys by check name
+    ids = {int(r["row_id"]) for r in bad.collect()}
+    assert ids == {0, 1, 2, 3, 4}
+    assert bad.first()["violation_kind"] == "benchmark_contamination"
+
+
 def test_sampling_and_overlap_plans_are_narrow(spark, documents):
     # sampling must be a pure filter (no shuffle); the broadcast overlap join
     # must not shuffle the corpus by gram
