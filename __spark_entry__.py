@@ -539,6 +539,40 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (sim/ann.py::IVFIndex) with n_probe == n_lists: the
+    k-means coarse quantizer, JVM argmax list assignment, and probe-list
+    selection all execute, and probing every list makes the result provably
+    the exact brute-force top-k — so the fitted-quantizer path is
+    SQL-oracle-checkable (same oracle as ann_topk). Cosine folded
+    sequentially in index order to mirror DuckDB's list_dot_product; ordered
+    by the ROUNDED value so near-ties rank identically on both engines."""
+    import numpy as np
+
+    from spark_validate.sim.ann import IVFIndex, _dot
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = [float(x) for x in qrow]
+    qq = 0.0
+    for x in q:  # sequential, mirrors list_dot_product's loop order
+        qq += x * x
+    idx = IVFIndex(n_lists=8, n_probe=8, seed=42)
+    timed_fit(idx, emb)
+    qn = np.asarray(q, dtype=np.float64)
+    qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
+    probe = [int(x) for x in np.argsort(-(idx.centroids @ qn))[: idx.n_probe]]
+    cand = idx.with_list_ids(emb).filter(F.col("_list").isin(probe))
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cos = _dot(v, qlit) / (F.sqrt(_dot(v, v)) * F.lit(math.sqrt(qq)))
+    return (
+        cand.select(F.col("vec_id"), F.round(cos, 9).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact duplicate groups over documents (md5 grouping).
 
@@ -981,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_precision": q_average_precision,
         "regression_metrics": q_regression_metrics,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_members": q_dedup_members,
         "dedup_clusters": q_dedup_clusters,
@@ -1435,6 +1470,9 @@ s AS (
 )
 SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+
+    # IVF with every list probed IS exact brute force — identical oracle
+    sql["ann_ivf_topk"] = sql["ann_topk"]
 
     # ids = the 20 smallest member ids (the engine's bounded min-K sample —
     # full membership is exact_duplicate_members); dup_count always exact
