@@ -155,6 +155,26 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             queries[name] = _sink(drift, out_dir, name, "append", trigger).start()
             calc.release_cache()
+        elif kind == "decontamination":
+            # validate the corpus INGEST stream against a static benchmark:
+            # stateless stream-static semi join on the broadcast gram
+            # universe + one watermarked windowed agg holding state only for
+            # docs that touch the benchmark at all
+            from spark_validate.text.decontaminate import streaming_ngram_contamination
+
+            v = streaming_ngram_contamination(
+                stream,
+                read_table(spark, check_cfg["benchmark"]),
+                ts_col=ts,
+                text_col=check_cfg.get("column", "text"),
+                id_col=check_cfg.get("id_column", "doc_id"),
+                n=check_cfg.get("n", 5),
+                threshold=check_cfg.get("threshold", 0.5),
+                window_duration=window,
+                watermark=watermark or window,
+            )
+            key = uniq(check_cfg.get("name", kind), check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "payload":
             # north-rule image-payload checks on the stream: stateless Arrow
             # decode per micro-batch (mapInPandas — no state, no watermark),

@@ -26,6 +26,8 @@ md5-free string grams) — the DuckDB oracle replicates it exactly.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -94,6 +96,70 @@ def ngram_overlap(
         .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
         .withColumn("overlap_rate", F.round(rate, 9))
         .withColumn("contaminated", rate >= F.lit(float(threshold)))
+    )
+
+
+def streaming_ngram_contamination(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Contaminated-document stream: validate a corpus INGEST stream against
+    a static benchmark set in-flight.
+
+    Topology (all streaming-legal, nothing stateful beyond the windowed agg):
+    watermark on the raw stream (BEFORE any filtering join, so clean docs
+    still advance event time) → explode the stream's n-grams →
+    **stream-static LEFT SEMI join** against the broadcast benchmark gram
+    universe (stateless — no stream state) → one ``groupBy(window, id)``
+    counting surviving grams (``n_ngrams`` rides along via ``first``).
+    Zero-overlap documents never survive the semi join, so the aggregate
+    only ever holds state for documents that touch the benchmark at all —
+    the stream analog of emitting violations, not verdicts-for-everyone.
+    Emits one append-mode row per contaminated doc once its window closes.
+    """
+    wm = watermark or window_duration
+    bench = F.broadcast(benchmark_ngrams(benchmark, text_col=text_col, n=n))
+    sh = (
+        stream.select(
+            F.col(id_col).alias("id"),
+            F.col(ts_col).alias("_sv_ts"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_sv_txt"),
+        )
+        # watermark BEFORE the semi join: rows the join drops (clean docs)
+        # must still advance event time, or a stream of clean documents
+        # would never close any window
+        .withWatermark("_sv_ts", wm)
+        .select("id", "_sv_ts", F.array_distinct(_shingles("_sv_txt", n)).alias("s"))
+    )
+    ex = sh.select("id", "_sv_ts", F.size("s").alias("n_ngrams"), F.explode("s").alias("g"))
+    hits = ex.join(bench, "g", "left_semi")
+    agg = (
+        hits
+        .groupBy(F.window("_sv_ts", window_duration).alias("window"), F.col("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.first("n_ngrams").alias("n_ngrams"),
+        )
+    )
+    rate = F.col("n_overlap") / F.col("n_ngrams")
+    return (
+        agg.filter(rate >= F.lit(float(threshold)))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col("id").cast("string").alias("row_id"),
+            F.col("n_ngrams"),
+            F.col("n_overlap"),
+            F.round(rate, 9).alias("overlap_rate"),
+            F.lit("benchmark_contamination").alias("violation_kind"),
+        )
     )
 
 

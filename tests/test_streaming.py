@@ -617,3 +617,65 @@ def test_streaming_payload_check(spark, tmp_path):
     # the healthy tail may graze a 100-sample 3σ band; decode failures must
     # not be drowned out by it
     assert (v["violation_kind"] == "pixel_stat_out_of_range").sum() <= 3
+
+
+def test_streaming_decontamination_check(spark, tmp_path):
+    """Corpus ingest stream validated against a static benchmark in-flight:
+    verbatim benchmark copies land in the violations sink with rate 1.0;
+    clean docs never enter the aggregate (semi-join drops them)."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    bench_rows = []
+    for i in range(5):
+        bench_rows.append((1000 + i, " ".join(f"b{i}t{j}" for j in range(20))))
+    bench = pd.DataFrame(bench_rows, columns=["doc_id", "text"])
+
+    stream_rows = []
+    for i in range(60):
+        if i < 4:  # planted verbatim copies of benchmark docs
+            text = bench.iloc[i]["text"]
+        else:
+            text = " ".join(f"c{i}t{j}" for j in range(20))
+        stream_rows.append((i, text))
+    ana = pd.DataFrame(stream_rows, columns=["doc_id", "text"])
+    ana["ts"] = pd.date_range("2024-06-01", periods=len(ana), freq="1s")
+
+    bench_dir, stream_dir, out_dir = (str(tmp_path / d) for d in ("bench", "stream", "out"))
+    spark.createDataFrame(bench).write.mode("overwrite").parquet(bench_dir)
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(stream_dir)
+
+    cfg = {
+        "output_dir": out_dir,
+        "stream": stream_dir,
+        "stream_schema_from": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 minute",
+        "watermark": "0 seconds",
+        "checks": [
+            {
+                "type": "decontamination",
+                "column": "text",
+                "id_column": "doc_id",
+                "benchmark": bench_dir,
+                "n": 5,
+                "threshold": 0.5,
+            }
+        ],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+        # push the watermark past every real window so append-mode aggs emit
+        sentinel = ana.iloc[-1:].copy()
+        sentinel["ts"] = sentinel["ts"] + pd.Timedelta(hours=2)
+        spark.createDataFrame(sentinel).write.mode("append").parquet(stream_dir)
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    v = spark.read.parquet(f"{out_dir}/decontamination").toPandas()
+    assert set(v["row_id"].astype(int)) == {0, 1, 2, 3}
+    assert (v["overlap_rate"] == 1.0).all()
+    assert (v["violation_kind"] == "benchmark_contamination").all()
