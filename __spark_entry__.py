@@ -985,6 +985,39 @@ def q_phash_clusters(spark, sf_dir):
     return phash_clusters(corpus, max_hamming=4, bits=60).orderBy("image_id")
 
 
+def q_header_verdicts(spark, sf_dir):
+    """Structural payload-header validation (image/header.py): Spark builds
+    SVI0 payload BYTES from the documents table with four planted corruption
+    modes (NULL payload, truncated header, bit-rotted magic, header dims
+    disagreeing with metadata) plus an unknown declared fmt, then classifies
+    each row by PARSING the binary (substring/hex/conv — zero UDF). The
+    DuckDB oracle never touches bytes: it predicts every verdict straight
+    from the planting arithmetic — two genuinely independent paths."""
+    from spark_validate.image.header import SVI0_SPEC, header_issue_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (F.lit(16) + did % 64).cast("int")
+    h = (F.lit(16) + (did * 7) % 64).cast("int")
+    hdr_w = F.when(did % 29 == 0, w + F.lit(1)).otherwise(w).cast("int")
+    magic = F.when(did % 23 == 0, F.lit("DEADBEEF")).otherwise(F.lit("53564930"))
+    hexp = F.concat(
+        magic, F.lpad(F.hex(hdr_w), 8, "0"), F.lpad(F.hex(h), 8, "0"), F.lit("AB")
+    )
+    hexp = F.when(did % 37 == 0, F.substring(hexp, 1, 8)).otherwise(hexp)
+    img = docs.select(
+        did.alias("image_id"),
+        F.when(did % 41 == 0, F.lit("tiff")).otherwise(F.lit("png")).alias("fmt"),
+        w.alias("w"),
+        h.alias("h"),
+        F.when(did % 31 == 0, F.lit(None).cast("binary")).otherwise(F.unhex(hexp)).alias("bytes"),
+    )
+    issue = header_issue_expr(
+        F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"), {"png": SVI0_SPEC}
+    )
+    return img.select("image_id", "fmt", issue.alias("issue")).orderBy("image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_column_stats": q_chunk_column_stats,
@@ -1033,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "phash_near_dups": q_phash_near_dups,
         "phash_clusters": q_phash_clusters,
+        "header_verdicts": q_header_verdicts,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "cbpe_multiclass": q_cbpe_multiclass,
@@ -1903,6 +1937,25 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
 FROM corpus a JOIN corpus b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 4
 ORDER BY id_a, id_b
+"""
+
+    # Structural header verdicts: the engine PARSES the binary payload it
+    # built (substring/hex/conv over real bytes); this oracle never touches
+    # bytes — it predicts each verdict from the planting arithmetic alone.
+    # Precedence mirrors image/header.py::header_issue_expr: null payload,
+    # then unknown declared fmt, then (within the fmt branch) truncation
+    # before magic before dims.
+    sql["header_verdicts"] = """
+SELECT doc_id AS image_id,
+       CASE WHEN doc_id % 41 = 0 THEN 'tiff' ELSE 'png' END AS fmt,
+       CASE WHEN doc_id % 31 = 0 THEN 'null_payload'
+            WHEN doc_id % 41 = 0 THEN 'unknown_format'
+            WHEN doc_id % 37 = 0 THEN 'truncated'
+            WHEN doc_id % 23 = 0 THEN 'magic_mismatch'
+            WHEN doc_id % 29 = 0 THEN 'dim_mismatch'
+            ELSE NULL END AS issue
+FROM documents
+ORDER BY image_id
 """
 
     # Image-axis clusters: brute-force Hamming pairs -> recursive-CTE

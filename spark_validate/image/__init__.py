@@ -1,5 +1,12 @@
 from spark_validate.image.synth import synth_image_table, reference_manifest
 from spark_validate.image.payload import decode_pixel_stats, psnr_check
+from spark_validate.image.header import (
+    REAL_SPECS,
+    SVI0_SPEC,
+    PayloadHeaderCheck,
+    header_issue_expr,
+    svi0_specs,
+)
 from spark_validate.image.transforms import (
     decode_audio_stats,
     extract_image_features,

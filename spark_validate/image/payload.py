@@ -78,8 +78,17 @@ def _decode(buf: Optional[bytes]) -> Optional[np.ndarray]:
 
         from PIL import Image
 
-        return np.asarray(Image.open(io.BytesIO(bytes(buf)))).ravel()
-    raise NotImplementedError("real image codec required but PIL is not installed")
+        try:
+            return np.asarray(Image.open(io.BytesIO(bytes(buf)))).ravel()
+        except Exception:  # corrupt real image: a finding, not a crash
+            return None
+    # Unknown magic without a real codec → decode failure (decode_ok=False).
+    # A VALIDATOR must classify corrupt payloads, not die on the first
+    # bit-rotten blob of 10^12 (one NotImplementedError in a task kills the
+    # whole job). A PIL-less run over real images reports decode rate 0 —
+    # loud and immediately diagnosable; transforms (whose OUTPUT needs the
+    # codec) keep their explicit NotImplementedError gate.
+    return None
 
 
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -13,6 +13,8 @@ row id — no RNG state):
 * unseen ``fmt`` values in the analysis slice (domain-check targets)
 * drifted w/h distribution in the analysis slice (drift targets)
 * oversized ``bytes`` outliers (skew targets)
+* structurally corrupt payloads — wrong magic or header dims disagreeing
+  with the metadata columns (payload-header-check targets)
 """
 
 from __future__ import annotations
@@ -44,6 +46,8 @@ def synth_image_table(
     unseen_fmt_rate: float = 0.0,
     drift: bool = False,
     oversized_rate: float = 0.0005,
+    corrupt_magic_rate: float = 0.0,
+    dim_mismatch_rate: float = 0.0,
     payload_kb: int = 1,
     seed: int = 42,
 ) -> DataFrame:
@@ -100,8 +104,20 @@ def synth_image_table(
     if payload_kb <= 0:
         payload = F.lit(None).cast("binary")
     else:
+        magic = F.lit("53564930")
+        if corrupt_magic_rate > 0:  # bit-rotted container signature
+            corrupt_flag = F.pmod(F.xxhash64(rid, F.lit(seed + 12)), F.lit(1_000_000)) < F.lit(
+                int(corrupt_magic_rate * 1_000_000)
+            )
+            magic = F.when(corrupt_flag, F.lit("DEADBEEF")).otherwise(magic)
+        hdr_w = w
+        if dim_mismatch_rate > 0:  # header dims disagreeing with metadata
+            dim_flag = F.pmod(F.xxhash64(rid, F.lit(seed + 13)), F.lit(1_000_000)) < F.lit(
+                int(dim_mismatch_rate * 1_000_000)
+            )
+            hdr_w = F.when(dim_flag, w + F.lit(1)).otherwise(w)
         payload = F.unhex(
-            F.concat(F.lit("53564930"), F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"), body)
+            F.concat(magic, F.lpad(F.hex(hdr_w), 8, "0"), F.lpad(F.hex(h), 8, "0"), body)
         )
 
     return df.select(

@@ -144,6 +144,23 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             upper_threshold=cfg.get("upper_threshold", 0.0),
             n_blocks=cfg.get("n_blocks"),
         )
+    if kind == "payload_header":
+        from spark_validate.image.header import REAL_SPECS, PayloadHeaderCheck, svi0_specs
+
+        specs = None  # None → SVI0 spec per synth fmt (this container's codec world)
+        if cfg.get("specs") == "real":
+            specs = REAL_SPECS
+        elif cfg.get("fmts"):  # bounded fmt universe from the check config
+            specs = svi0_specs(cfg["fmts"])
+        return PayloadHeaderCheck(
+            fmt_col=cfg.get("fmt_column", "fmt"),
+            bytes_col=cfg.get("column", "bytes"),
+            w_col=cfg.get("w_column", "w"),
+            h_col=cfg.get("h_column", "h"),
+            specs=specs,
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "decontamination":
         from spark_validate.text.decontaminate import DecontaminationCheck
 

@@ -402,3 +402,43 @@ def test_text_dedup_check_in_runner(spark, workspace, tmp_path):
     assert len(v) == 8  # exactly the non-canonical twin of each planted pair
     assert v["observed_value"].str.contains("size=2").all()
     assert v["row_id"].str.endswith("_tw").all()  # min-id canonical keeps the original
+
+
+def test_payload_header_check_in_runner(spark, tmp_path):
+    """Config-driven structural header check: per-chunk violation rate
+    alerts on planted magic/dim corruption, violations carry the issue kind
+    and the observed header hex; a clean run stays silent."""
+    from spark_validate.image.synth import synth_image_table
+
+    synth_image_table(
+        spark, 1200, n_partitions=3, dup_rate=0.0, orphan_rate=0.0, seed=5
+    ).write.mode("overwrite").parquet(str(tmp_path / "ref"))
+    synth_image_table(
+        spark, 1200, n_partitions=3, dup_rate=0.0, orphan_rate=0.0,
+        corrupt_magic_rate=0.03, dim_mismatch_rate=0.03, seed=6,
+    ).write.mode("overwrite").parquet(str(tmp_path / "ana"))
+    cfg = {
+        "run_id": "hdr",
+        "output_dir": str(tmp_path / "out"),
+        "reference": str(tmp_path / "ref"),
+        "analysis": str(tmp_path / "ana"),
+        "chunking": {"chunk_number": 4, "order_by": ["image_id"]},
+        "checks": [{"type": "payload_header", "column": "bytes"}],
+    }
+    report = run_suite(spark, cfg)
+    rep = report["payload_header__bytes"]
+    assert rep["alerts"] > 0
+    v = spark.read.parquet(str(tmp_path / "out" / "violations")).toPandas()
+    kinds = set(v["violation_kind"])
+    assert kinds == {"magic_mismatch", "dim_mismatch"}
+    # observed_value is the first header bytes: corrupt magic is visible
+    assert (
+        v.loc[v.violation_kind == "magic_mismatch", "observed_value"].str.startswith("DEADBEEF").all()
+    )
+    assert (
+        v.loc[v.violation_kind == "dim_mismatch", "observed_value"].str.startswith("53564930").all()
+    )
+
+    cfg2 = dict(cfg, output_dir=str(tmp_path / "out_clean"), analysis=str(tmp_path / "ref"))
+    report2 = run_suite(spark, cfg2)
+    assert report2["payload_header__bytes"]["alerts"] == 0
