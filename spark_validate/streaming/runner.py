@@ -175,6 +175,46 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             key = uniq(check_cfg.get("name", kind), check_idx)
             queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "payload_header":
+            # structural header triage on the ingest stream: magic + header-
+            # dim checks compile to substring/hex/conv column expressions —
+            # stateless, no watermark, no Python — so bit-rot is caught at
+            # scan speed BEFORE any decode pass touches the micro-batch
+            import pyspark.sql.functions as F
+
+            from spark_validate.image.header import REAL_SPECS, header_issue_expr, svi0_specs
+
+            if check_cfg.get("specs") == "real":
+                specs = REAL_SPECS
+            elif check_cfg.get("fmts"):
+                specs = svi0_specs(check_cfg["fmts"])
+            else:
+                from spark_validate.image.synth import FMTS, UNSEEN_FMT
+
+                specs = svi0_specs([*FMTS, UNSEEN_FMT])
+            bytes_col = check_cfg.get("column", "bytes")
+            id_col = check_cfg.get("id_column", "image_id")
+            issue = header_issue_expr(
+                F.col(bytes_col),
+                F.col(check_cfg.get("fmt_column", "fmt")),
+                F.col(check_cfg.get("w_column", "w")),
+                F.col(check_cfg.get("h_column", "h")),
+                specs,
+            )
+            v = (
+                stream.withColumn("violation_kind", issue)
+                .filter(F.col("violation_kind").isNotNull())
+                .select(
+                    F.lit("payload_header").alias("check"),
+                    F.lit(bytes_col).alias("column_name"),
+                    F.col(ts),
+                    F.col(id_col).cast("string").alias("row_id"),
+                    F.col("violation_kind"),
+                    F.hex(F.substring(F.col(bytes_col), 1, 16)).alias("observed_value"),
+                )
+            )
+            key = uniq(check_cfg.get("name", kind), check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "payload":
             # north-rule image-payload checks on the stream: stateless Arrow
             # decode per micro-batch (mapInPandas — no state, no watermark),

@@ -679,3 +679,53 @@ def test_streaming_decontamination_check(spark, tmp_path):
     assert set(v["row_id"].astype(int)) == {0, 1, 2, 3}
     assert (v["overlap_rate"] == 1.0).all()
     assert (v["violation_kind"] == "benchmark_contamination").all()
+
+
+def test_streaming_payload_header_check(spark, tmp_path):
+    """Structural header triage in-flight: planted magic corruption and
+    header/metadata dim disagreement land in the violations sink from pure
+    column expressions — no decode, no state, no watermark."""
+    from spark_validate.image.synth import synth_image_table
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    pdf = synth_image_table(
+        spark, 400, n_partitions=4, dup_rate=0.0, orphan_rate=0.0,
+        corrupt_magic_rate=0.02, dim_mismatch_rate=0.02, seed=9,
+    ).toPandas()
+    pdf["ts"] = pd.date_range("2024-06-01", periods=len(pdf), freq="1s")
+    stream_dir, out_dir = (str(tmp_path / d) for d in ("stream", "out"))
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(stream_dir)
+
+    cfg = {
+        "output_dir": out_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "checks": [{"type": "payload_header"}],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    v = spark.read.parquet(f"{out_dir}/payload_header").toPandas()
+    assert set(v["violation_kind"]) == {"magic_mismatch", "dim_mismatch"}
+    assert v.loc[v.violation_kind == "magic_mismatch", "observed_value"].str.startswith("DEADBEEF").all()
+    # every flagged row is real: recompute the batch verdicts over the same
+    # parquet and compare the flagged id sets
+    from pyspark.sql import functions as F
+
+    from spark_validate.image.header import header_issue_expr, svi0_specs
+    from spark_validate.image.synth import FMTS, UNSEEN_FMT
+
+    batch = spark.read.parquet(stream_dir)
+    issue = header_issue_expr(
+        F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"),
+        svi0_specs([*FMTS, UNSEEN_FMT]),
+    )
+    expected = {
+        r["image_id"]
+        for r in batch.select("image_id", issue.alias("i")).filter(F.col("i").isNotNull()).collect()
+    }
+    assert set(v["row_id"]) == expected and len(expected) > 0
