@@ -143,11 +143,13 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
     from spark_validate.checks import DomainCheck, ReferentialIntegrityCheck, UniquenessCheck
     from spark_validate.chunking import PartitionChunker
     from spark_validate.drift import UnivariateDriftCalculator
+    from spark_validate.image.header import PayloadHeaderCheck
     from spark_validate.image.payload import payload_checks
     from spark_validate.image.synth import FMTS
 
     ref, ana = build_image_tables(spark, n_rows, parts)
     chunker = PartitionChunker()
+    hdr = PayloadHeaderCheck(chunker=chunker)
     stats = ColumnStatsCalculator(["w", "h"], metrics=("missing_rate", "avg", "min", "max"), chunker=chunker).fit(ref)
     dom = DomainCheck(["fmt"], domain=list(FMTS), chunker=chunker)
     uniq = UniquenessCheck(["image_id"], chunker=chunker, salt_buckets=16)
@@ -164,6 +166,7 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
             .unionByName(dom.calculate(ana))
             .unionByName(uniq.calculate(ana))
             .unionByName(refchk.calculate(ana))
+            .unionByName(hdr.calculate(ana))
             .unionByName(drift.calculate(ana))
         )
         results.agg(F.count(F.lit(1)), F.sum(F.col("alert").cast("int"))).collect()

@@ -5,6 +5,7 @@ Composes the engine's checks exactly as BASELINE.json's north_star describes:
 * per-partition column stats (null rate, min/max w/h) — one
   ``groupBy(partition).agg`` pass
 * fmt domain check
+* structural payload headers (magic + header-dim consistency, zero-UDF)
 * image_id uniqueness — two-phase (optionally salted) hash aggregate
 * phash referential check vs a reference manifest (broadcast or sort-merge
   anti-join)
@@ -41,6 +42,7 @@ class ImageValidationSuite:
     fmt_domain: tuple = tuple(FMTS)
     phash_buckets: int = 64
     include_payload_checks: bool = True
+    include_header_check: bool = True
     include_phash_dedup: bool = False  # near-dup sweep (adds one shuffle + verify)
     phash_max_hamming: int = 4
     phash_n_blocks: int = 8  # Manku tables: the corpus-scale operating point
@@ -70,6 +72,15 @@ class ImageValidationSuite:
         dom = DomainCheck(["fmt"], domain=list(self.fmt_domain), chunker=self.chunker)
         out["fmt_domain"] = dom.calculate(analysis)
         out["fmt_violations"] = dom.violations(analysis, row_id="image_id")
+
+        # 2b. structural payload headers — magic + header-dim consistency as
+        # pure column expressions (scan-speed triage BEFORE the Arrow decode)
+        if self.include_header_check:
+            from spark_validate.image.header import PayloadHeaderCheck
+
+            hdr = PayloadHeaderCheck(chunker=self.chunker)
+            out["payload_header"] = hdr.calculate(analysis)
+            out["header_violations"] = hdr.violations(analysis, row_id="image_id")
 
         # 3. image_id uniqueness (salted two-phase)
         uniq = UniquenessCheck(["image_id"], chunker=self.chunker, salt_buckets=self.salt_buckets)
