@@ -48,6 +48,7 @@ def synth_image_table(
     oversized_rate: float = 0.0005,
     corrupt_magic_rate: float = 0.0,
     dim_mismatch_rate: float = 0.0,
+    empty_caption_rate: float = 0.0,
     payload_kb: int = 1,
     seed: int = 42,
 ) -> DataFrame:
@@ -79,6 +80,11 @@ def synth_image_table(
         _pick(_WORDS, rid, seed + 6),
         _pick(_WORDS, rid, seed + 7),
     )
+    if empty_caption_rate > 0:  # degraded-caption targets (quality checks)
+        ec_flag = F.pmod(F.xxhash64(rid, F.lit(seed + 14)), F.lit(1_000_000)) < F.lit(
+            int(empty_caption_rate * 1_000_000)
+        )
+        caption = F.when(ec_flag, F.lit("")).otherwise(caption)
 
     # phash keyed by image_id so duplicate ids share a phash; orphans re-hash
     # with a different salt, guaranteeing absence from any same-seed manifest

@@ -6,6 +6,7 @@ Composes the engine's checks exactly as BASELINE.json's north_star describes:
   ``groupBy(partition).agg`` pass
 * fmt domain check
 * structural payload headers (magic + header-dim consistency, zero-UDF)
+* caption quality (token/char/quality features with fitted 3σ thresholds)
 * image_id uniqueness — two-phase (optionally salted) hash aggregate
 * phash referential check vs a reference manifest (broadcast or sort-merge
   anti-join)
@@ -43,6 +44,7 @@ class ImageValidationSuite:
     phash_buckets: int = 64
     include_payload_checks: bool = True
     include_header_check: bool = True
+    include_caption_checks: bool = True
     include_phash_dedup: bool = False  # near-dup sweep (adds one shuffle + verify)
     phash_max_hamming: int = 4
     phash_n_blocks: int = 8  # Manku tables: the corpus-scale operating point
@@ -120,6 +122,20 @@ class ImageValidationSuite:
             out["phash_near_dups"] = phash_near_duplicates(
                 analysis, max_hamming=self.phash_max_hamming, n_blocks=self.phash_n_blocks
             )
+
+        # 6b. caption-side quality: the table is image+CAPTION pairs — derive
+        # token/char/quality features as pure column expressions (text/
+        # quality.py, fully codegen'd) and run the standard stats calculator
+        # with reference-fitted 3σ thresholds over them. Degraded caption
+        # batches (empty/truncated/noise-flooded) alert like any other drift.
+        if self.include_caption_checks:
+            from spark_validate.text.quality import with_quality_score
+
+            cap_cols = ["token_count", "char_count", "quality_score"]
+            cq = ColumnStatsCalculator(
+                cap_cols, metrics=("missing_rate", "avg"), chunker=self.chunker
+            ).fit(with_quality_score(reference, "caption"))
+            out["caption_quality"] = cq.calculate(with_quality_score(analysis, "caption"))
 
         # 7. payload checks — ONE fused Arrow pass (pixel stats + PSNR
         # equivalence; each side decoded exactly once)

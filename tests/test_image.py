@@ -435,3 +435,26 @@ def test_payload_header_check_counts_planted_corruption(spark):
     assert float(res_clean["value"].sum()) == 0.0
     assert not bool(res_clean["alert"].any())
     dirty.unpersist()
+
+
+def test_suite_caption_quality_alerts_on_degraded_captions(spark):
+    """Caption-side validation: a batch with planted empty captions drops
+    avg quality_score / char_count below the reference-fitted 3σ band and
+    alerts; a same-distribution batch stays silent."""
+    from spark_validate.suite import ImageValidationSuite
+
+    ref = synth_image_table(spark, 2000, n_partitions=4, dup_rate=0.0, orphan_rate=0.0, seed=3)
+    bad = synth_image_table(
+        spark, 2000, n_partitions=4, dup_rate=0.0, orphan_rate=0.0, seed=4,
+        empty_caption_rate=0.25,
+    )
+    suite = ImageValidationSuite(include_payload_checks=False)
+    res = suite.run(ref, bad)["caption_quality"].toPandas()
+    degraded = res[(res.method == "avg") & (res.column_name == "char_count")]
+    assert bool(degraded["alert"].any())
+
+    ok = synth_image_table(spark, 2000, n_partitions=4, dup_rate=0.0, orphan_rate=0.0, seed=5)
+    res_ok = suite.run(ref, ok)["caption_quality"].toPandas()
+    assert not bool(
+        res_ok[(res_ok.method == "avg") & (res_ok.column_name == "char_count")]["alert"].any()
+    )
