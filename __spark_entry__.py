@@ -1018,6 +1018,34 @@ def q_header_verdicts(spark, sf_dir):
     return img.select("image_id", "fmt", issue.alias("issue")).orderBy("image_id")
 
 
+def q_schema_verdicts(spark, sf_dir):
+    """Schema-contract verdicts (checks/schema.py): Spark compares the
+    parquet scan's inferred schema to a contract with one planted type
+    mismatch (l_linenumber declared bigint, actually int) and one planted
+    missing column (l_comment — TPC-H has it, this testdata doesn't). The
+    DuckDB oracle runs the SAME contract against DuckDB's OWN independently
+    inferred schema (DESCRIBE) with a type-name mapping — two engines'
+    schema-inference paths must converge on identical verdicts."""
+    from spark_validate.checks.schema import SchemaCheck
+
+    contract = {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "bigint",  # planted: scan says int
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp_ntz",
+        "l_comment": "string",  # planted: absent from this testdata
+    }
+    li = _read(spark, sf_dir, "lineitem")
+    return SchemaCheck(expected=contract).verdicts(li).orderBy("column_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_column_stats": q_chunk_column_stats,
@@ -1067,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": q_phash_near_dups,
         "phash_clusters": q_phash_clusters,
         "header_verdicts": q_header_verdicts,
+        "schema_verdicts": q_schema_verdicts,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "cbpe_multiclass": q_cbpe_multiclass,
@@ -1956,6 +1985,36 @@ SELECT doc_id AS image_id,
             ELSE NULL END AS issue
 FROM documents
 ORDER BY image_id
+"""
+
+    # Schema-contract verdicts from DuckDB's OWN schema inference (DESCRIBE),
+    # mapped to Spark type names — independent of the engine's df.dtypes path.
+    sql["schema_verdicts"] = """
+WITH contract(column_name, expected_type) AS (VALUES
+  ('l_orderkey','bigint'), ('l_partkey','bigint'), ('l_suppkey','bigint'),
+  ('l_linenumber','bigint'), ('l_quantity','double'),
+  ('l_extendedprice','double'), ('l_discount','double'), ('l_tax','double'),
+  ('l_returnflag','string'), ('l_linestatus','string'),
+  ('l_shipdate','timestamp_ntz'), ('l_comment','string')
+),
+actual AS (
+  SELECT column_name,
+         CASE lower(column_type)
+           WHEN 'integer' THEN 'int'
+           WHEN 'varchar' THEN 'string'
+           WHEN 'timestamp' THEN 'timestamp_ntz'
+           ELSE lower(column_type)
+         END AS actual_type
+  FROM (DESCRIBE SELECT * FROM lineitem)
+)
+SELECT c.column_name,
+       c.expected_type,
+       a.actual_type,
+       CASE WHEN a.column_name IS NULL THEN 'missing_column'
+            WHEN a.actual_type <> c.expected_type THEN 'type_mismatch'
+            ELSE 'ok' END AS status
+FROM contract c LEFT JOIN actual a USING (column_name)
+ORDER BY column_name
 """
 
     # Image-axis clusters: brute-force Hamming pairs -> recursive-CTE

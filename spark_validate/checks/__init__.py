@@ -5,6 +5,7 @@ from spark_validate.checks.constraints import (
     UniquenessCheck,
     ReferentialIntegrityCheck,
 )
+from spark_validate.checks.schema import SchemaCheck
 
 __all__ = [
     "NumericalRangeCalculator",
@@ -12,4 +13,5 @@ __all__ = [
     "DomainCheck",
     "UniquenessCheck",
     "ReferentialIntegrityCheck",
+    "SchemaCheck",
 ]

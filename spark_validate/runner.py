@@ -144,6 +144,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             upper_threshold=cfg.get("upper_threshold", 0.0),
             n_blocks=cfg.get("n_blocks"),
         )
+    if kind == "schema":
+        from spark_validate.checks.schema import SchemaCheck
+
+        return SchemaCheck(
+            expected=cfg["expected"],
+            required=cfg.get("required", ()),
+            allow_extra=cfg.get("allow_extra", True),
+            chunker=chunker,
+        )
     if kind == "payload_header":
         from spark_validate.image.header import REAL_SPECS, PayloadHeaderCheck, svi0_specs
 
@@ -205,6 +214,7 @@ def _check_name(cfg: dict) -> str:
         or cfg.get("keys")
         or cfg.get("metrics")
         or cfg.get("feature_columns")
+        or cfg.get("required")
         or [cfg.get("column", "")]
     )
     return f"{cfg['type']}__{'_'.join(cols)}"

@@ -175,6 +175,36 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             key = uniq(check_cfg.get("name", kind), check_idx)
             queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "schema":
+            # metadata tier runs ONCE at query-build time (the stream's schema
+            # is fixed for the query's lifetime) — a broken contract fails
+            # before the query starts; the data tier streams required-null
+            # violations as a stateless filter
+            import pyspark.sql.functions as F
+
+            from spark_validate.checks.schema import SchemaCheck
+
+            sc = SchemaCheck(
+                expected=check_cfg["expected"],
+                required=check_cfg.get("required", ()),
+                allow_extra=check_cfg.get("allow_extra", True),
+            )
+            bad = [r for r in sc._verdict_rows(dict(stream.dtypes)) if r[3] not in ("ok", "ok_extra")]
+            if bad and check_cfg.get("fail_on_schema", True):
+                raise ValueError(f"stream schema violates the contract: {bad}")
+            present = [c for c in sc.required if c in stream.columns]
+            if present:
+                cond = F.lit(False)
+                for c in present:
+                    cond = cond | F.col(c).isNull()
+                v = stream.filter(cond).select(
+                    F.lit("schema").alias("check"),
+                    F.col(ts),
+                    F.lit("required_null").alias("violation_kind"),
+                    *[F.col(c).isNull().alias(f"{c}_null") for c in present],
+                )
+                key = uniq(check_cfg.get("name", kind), check_idx)
+                queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "payload_header":
             # structural header triage on the ingest stream: magic + header-
             # dim checks compile to substring/hex/conv column expressions —

@@ -2,6 +2,7 @@
 
 Composes the engine's checks exactly as BASELINE.json's north_star describes:
 
+* schema contract (name/type verdicts at metadata cost + required non-null)
 * per-partition column stats (null rate, min/max w/h) — one
   ``groupBy(partition).agg`` pass
 * fmt domain check
@@ -36,6 +37,17 @@ from spark_validate.drift import UnivariateDriftCalculator
 from spark_validate.image.payload import payload_checks
 from spark_validate.image.synth import FMTS
 
+# BASELINE.json input_hint: the exact shape of the north-rule table
+NORTH_SCHEMA = {
+    "image_id": "string",
+    "bytes": "binary",
+    "w": "int",
+    "h": "int",
+    "fmt": "string",
+    "caption": "string",
+    "phash": "bigint",
+}
+
 
 @dataclass
 class ImageValidationSuite:
@@ -45,6 +57,7 @@ class ImageValidationSuite:
     include_payload_checks: bool = True
     include_header_check: bool = True
     include_caption_checks: bool = True
+    include_schema_check: bool = True
     include_phash_dedup: bool = False  # near-dup sweep (adds one shuffle + verify)
     phash_max_hamming: int = 4
     phash_n_blocks: int = 8  # Manku tables: the corpus-scale operating point
@@ -61,6 +74,21 @@ class ImageValidationSuite:
         broadcast_manifest: bool = True,
     ) -> Dict[str, DataFrame]:
         out: Dict[str, DataFrame] = {}
+
+        # 0. schema contract — metadata tier costs zero executor work (the
+        # schema comes from the catalog/parquet footer), so a widened or
+        # missing column fails BEFORE any task launches; the data tier
+        # enforces required non-null keys per chunk
+        if self.include_schema_check:
+            from spark_validate.checks.schema import SchemaCheck
+
+            sc = SchemaCheck(
+                expected=dict(NORTH_SCHEMA),
+                required=("image_id", "bytes"),
+                chunker=self.chunker,
+            )
+            out["schema"] = sc.calculate(analysis)
+            out["schema_verdicts"] = sc.verdicts(analysis)
 
         # 1. column stats with reference-fitted thresholds (single agg pass)
         stats = ColumnStatsCalculator(

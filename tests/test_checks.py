@@ -123,3 +123,80 @@ def test_referential_integrity(spark, qframe):
     assert np.isclose(res["value"].mean(), (a["cat"] == "NEW").mean(), atol=0.05)
     v = chk.violations(ana).toPandas()
     assert set(v["observed_value"]) == {"NEW"}
+
+
+# --- schema contract (checks/schema.py) ---------------------------------------
+
+
+def test_schema_verdicts_classify_each_kind(spark):
+    from spark_validate.checks.schema import SchemaCheck
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0)], "image_id string, w int, extra double"
+    )
+    chk = SchemaCheck(
+        expected={"image_id": "string", "w": "bigint", "bytes": "binary"},
+        allow_extra=False,
+    )
+    got = {r["column_name"]: r["status"] for r in chk.verdicts(df).collect()}
+    assert got == {
+        "image_id": "ok",
+        "w": "type_mismatch",
+        "bytes": "missing_column",
+        "extra": "unexpected_column",
+    }
+    assert chk.n_schema_violations(df) == 3
+    # aliases: a contract written with engine-agnostic spellings still matches
+    ok = SchemaCheck(expected={"image_id": "varchar", "w": "integer", "extra": "double"})
+    assert ok.n_schema_violations(df) == 0
+
+
+def test_schema_check_required_nulls_alert_and_violations(spark):
+    import pandas as pd
+
+    from spark_validate.checks.schema import SchemaCheck
+    from spark_validate.chunking import SizeBasedChunker
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{k}" if k % 7 else None for k in range(100)],
+            "w": list(range(100)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    chk = SchemaCheck(
+        expected={"image_id": "string", "w": "bigint"},
+        required=("image_id", "bytes"),  # bytes missing from the frame entirely
+        chunker=SizeBasedChunker(chunk_size=50, order_by=["w"]),
+    )
+    res = chk.calculate(df).toPandas()
+    nulls = res[res.method == "required_null_rate"]
+    by_col = nulls.groupby("column_name")["value"].sum()
+    assert by_col["image_id"] > 0
+    assert (nulls[nulls.column_name == "bytes"]["value"] == 1.0).all()  # absent column
+    assert bool(nulls["alert"].all())  # upper threshold 0: any null alerts
+    meta = res[res.method == "schema_violations"]
+    # 'bytes' is both required and contracted? not contracted here → metadata
+    # violations = 0 (both contract columns match)
+    assert (meta["value"] == 0.0).all()
+
+    v = chk.violations(df, row_id="w").toPandas()
+    assert len(v) == 15  # k % 7 == 0 for k in 0..99
+    assert (v["violation_kind"] == "required_null").all()
+
+
+def test_schema_check_clean_table_silent(spark):
+    from spark_validate.checks.schema import SchemaCheck
+    from spark_validate.chunking import SizeBasedChunker
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("image_id"), F.col("id").cast("int").alias("w")
+    )
+    chk = SchemaCheck(
+        expected={"image_id": "string", "w": "int"},
+        required=("image_id",),
+        chunker=SizeBasedChunker(chunk_size=50, order_by=["image_id"]),
+    )
+    res = chk.calculate(df).toPandas()
+    assert not bool(res["alert"].any())
+    assert chk.violations(df).count() == 0

@@ -442,3 +442,34 @@ def test_payload_header_check_in_runner(spark, tmp_path):
     cfg2 = dict(cfg, output_dir=str(tmp_path / "out_clean"), analysis=str(tmp_path / "ref"))
     report2 = run_suite(spark, cfg2)
     assert report2["payload_header__bytes"]["alerts"] == 0
+
+
+def test_schema_check_in_runner(spark, workspace, tmp_path):
+    """Config-driven schema contract: a type mismatch in the contract shows
+    up as per-chunk schema_violations alerts; required-null enforcement
+    rides the same check."""
+    cfg = _config(workspace)
+    cfg["output_dir"] = str(tmp_path / "out_schema")
+    cfg["checks"] = [
+        {
+            "type": "schema",
+            "name": "schema_contract",
+            "expected": {
+                "image_id": "string",
+                "w": "int",  # workspace synthesizes bigint → type_mismatch
+                "h": "bigint",
+                "fmt": "string",
+                "part": "string",
+                "phash": "bigint",
+            },
+            "required": ["image_id"],
+        }
+    ]
+    report = run_suite(spark, cfg)
+    rep = report["schema_contract"]
+    assert rep["alerts"] > 0  # every chunk carries the schema_violations alert
+    res = spark.read.parquet(str(tmp_path / "out_schema" / "results")).toPandas()
+    meta = res[res.method == "schema_violations"]
+    assert (meta["value"] == 1.0).all() and bool(meta["alert"].all())
+    nulls = res[res.method == "required_null_rate"]
+    assert (nulls["value"] == 0.0).all() and not bool(nulls["alert"].any())

@@ -729,3 +729,54 @@ def test_streaming_payload_header_check(spark, tmp_path):
         for r in batch.select("image_id", issue.alias("i")).filter(F.col("i").isNotNull()).collect()
     }
     assert set(v["row_id"]) == expected and len(expected) > 0
+
+
+def test_streaming_schema_check(spark, tmp_path):
+    """Schema contract on a stream: a broken contract refuses to start; a
+    valid one streams required-null violations statelessly."""
+    import pytest
+
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{k}" if k % 9 else None for k in range(90)],
+            "w": list(range(90)),
+        }
+    )
+    pdf["ts"] = pd.date_range("2024-06-01", periods=len(pdf), freq="1s")
+    stream_dir, out_dir = (str(tmp_path / d) for d in ("stream", "out"))
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(stream_dir)
+
+    base = {
+        "output_dir": out_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+    }
+    # metadata break → the suite refuses to start the query
+    with pytest.raises(ValueError, match="schema"):
+        run_streaming_suite(
+            spark,
+            dict(base, checks=[{"type": "schema", "expected": {"image_id": "int"}}]),
+        )
+
+    cfg = dict(
+        base,
+        checks=[
+            {
+                "type": "schema",
+                "expected": {"image_id": "string", "w": "bigint", "ts": "timestamp"},
+                "required": ["image_id"],
+            }
+        ],
+    )
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    v = spark.read.parquet(f"{out_dir}/schema").toPandas()
+    assert len(v) == 10  # k % 9 == 0 for k in 0..89
+    assert (v["violation_kind"] == "required_null").all()
