@@ -1018,6 +1018,36 @@ def q_header_verdicts(spark, sf_dir):
     return img.select("image_id", "fmt", issue.alias("issue")).orderBy("image_id")
 
 
+def q_phash_decontamination(spark, sf_dir):
+    """Image eval-set leakage (image/phash.py::phash_contamination): corpus
+    images within Hamming ≤4 of a benchmark manifest via the asymmetric
+    banded probe (broadcast manifest keys → narrow map, zero corpus
+    shuffles). Benchmark = docs 0-19's pseudo-phashes; corpus additionally
+    carries planted 3-bit near-copies at shifted ids. Oracle = DuckDB
+    brute-force corpus×benchmark Hamming join."""
+    from spark_validate.image.phash import phash_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    ph = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    base = docs.select(F.col("doc_id").alias("image_id"), ph.alias("phash"))
+    planted = (
+        base.filter(F.col("image_id") < 20)
+        .withColumn("image_id", F.col("image_id") + F.lit(100000))
+        .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(_PHASH_MASK)))
+    )
+    corpus = base.unionByName(planted)
+    bench = base.filter(F.col("image_id") < 20).select(
+        F.col("image_id").alias("bench_id"), "phash"
+    )
+    got = phash_contamination(
+        corpus, bench, max_hamming=4, bits=60,
+        benchmark_id_col="bench_id", benchmark_phash_col="phash",
+    )
+    return got.select(
+        "image_id", "bench_id", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("image_id", "bench_id")
+
+
 def q_schema_verdicts(spark, sf_dir):
     """Schema-contract verdicts (checks/schema.py): Spark compares the
     parquet scan's inferred schema to a contract with one planted type
@@ -1096,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_clusters": q_phash_clusters,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
+        "phash_decontamination": q_phash_decontamination,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
         "cbpe_multiclass": q_cbpe_multiclass,
@@ -1985,6 +2016,24 @@ SELECT doc_id AS image_id,
             ELSE NULL END AS issue
 FROM documents
 ORDER BY image_id
+"""
+
+    # Image eval-set leakage: brute-force corpus x benchmark Hamming join —
+    # independent of the engine's banded-probe construction.
+    sql["phash_decontamination"] = f"""
+WITH base AS (
+  SELECT doc_id AS image_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash FROM documents
+),
+corpus AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT image_id + 100000, xor(phash, {_PHASH_MASK}) FROM base WHERE image_id < 20
+),
+bench AS (SELECT image_id AS bench_id, phash AS bphash FROM base WHERE image_id < 20)
+SELECT c.image_id, b.bench_id,
+       CAST(bit_count(xor(c.phash, b.bphash)) AS INTEGER) AS hamming
+FROM corpus c JOIN bench b ON bit_count(xor(c.phash, b.bphash)) <= 4
+ORDER BY image_id, bench_id
 """
 
     # Schema-contract verdicts from DuckDB's OWN schema inference (DESCRIBE),

@@ -195,3 +195,65 @@ def hamming_degenerate_buckets(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") > max_bucket)
     )
+
+
+def hamming_matches(
+    df: DataFrame,
+    manifest: DataFrame,
+    max_hamming: int = 4,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+    manifest_hash_col: Optional[str] = None,
+    manifest_id_col: Optional[str] = None,
+    n_blocks: Optional[int] = None,
+    bits: int = 64,
+    broadcast_manifest: bool = True,
+) -> DataFrame:
+    """Asymmetric probe: ``(id, match_id, hamming)`` for every df row whose
+    hash lies within ``max_hamming`` of SOME manifest hash.
+
+    Same Manku block construction and exact-recall pigeonhole guarantee as
+    ``hamming_near_duplicates``, but corpus-vs-manifest instead of
+    corpus-vs-self: both sides are banded identically and equi-joined on
+    ``(band, value)``. With a broadcast manifest (eval benchmarks are
+    thousands of rows, corpora are billions) the whole probe is a NARROW
+    map over the corpus scan — zero shuffles; the corpus is read once,
+    candidates verify with ``bit_count(xor)`` inline. Non-broadcast falls
+    back to a standard shuffle equi-join on the band keys (AQE picks the
+    strategy when the manifest size is borderline).
+    """
+    import itertools
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need ≥ {max_hamming + 1} (pigeonhole)"
+        )
+    m = n_blocks - max_hamming
+    ranges = _block_ranges(bits, n_blocks)
+    combos = list(itertools.combinations(range(n_blocks), m))
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_ph")).filter(
+        F.col("_ph").isNotNull()
+    )
+    msel = manifest.select(
+        F.col(manifest_id_col or id_col).alias("id"),
+        F.col(manifest_hash_col or hash_col).alias("_ph"),
+    ).filter(F.col("_ph").isNotNull())
+
+    keyed = _keys_frame(sel, ranges, combos)
+    mkeyed = _keys_frame(msel, ranges, combos).select(
+        F.col("id").alias("match_id"), F.col("_ph").alias("_mph"), "band", "val"
+    )
+    if broadcast_manifest:
+        mkeyed = F.broadcast(mkeyed)
+    dist = F.bit_count(F.col("_ph").bitwiseXOR(F.col("_mph")))
+    return (
+        keyed.join(mkeyed, ["band", "val"])
+        .select("id", "match_id", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair colliding in several band combinations must count once
+        .distinct()
+    )

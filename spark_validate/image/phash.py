@@ -233,3 +233,122 @@ def phash_clusters(
         )
     )
     return label_clusters(members, pairs, member_col="image_id", node_col="_rep")
+
+
+def phash_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    max_hamming: int = 4,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    benchmark_phash_col: Optional[str] = None,
+    benchmark_id_col: Optional[str] = None,
+    n_blocks: Optional[int] = None,
+    bits: int = 64,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(image_id, bench_id, hamming) for corpus images perceptually matching
+    an eval-benchmark manifest — eval-set leakage detection for images, the
+    visual analog of text n-gram decontamination (text/decontaminate.py).
+    A training corpus containing near-copies of benchmark images inflates
+    every evaluation run on them; at 10^12 images this must be a broadcast
+    narrow map over the corpus scan, never a corpus-side shuffle — see
+    functions/hamming.py::hamming_matches for the construction."""
+    from spark_validate.functions.hamming import hamming_matches
+
+    return hamming_matches(
+        df,
+        benchmark,
+        max_hamming=max_hamming,
+        hash_col=phash_col,
+        id_col=id_col,
+        manifest_hash_col=benchmark_phash_col,
+        manifest_id_col=benchmark_id_col,
+        n_blocks=n_blocks,
+        bits=bits,
+        broadcast_manifest=broadcast_benchmark,
+    ).select(F.col("id").alias(id_col), F.col("match_id").alias("bench_id"), "hamming")
+
+
+class PhashDecontaminationCheck:
+    """Runner-compatible check: per-chunk rate of corpus images within
+    ``max_hamming`` of some benchmark image, plus violation rows naming the
+    matched benchmark id and distance. ConstantThreshold(upper=0) default —
+    any leakage alerts (same contract as the text DecontaminationCheck)."""
+
+    def __init__(
+        self,
+        benchmark: DataFrame,
+        phash_col: str = "phash",
+        id_col: str = "image_id",
+        max_hamming: int = 4,
+        n_blocks: Optional[int] = None,
+        chunker=None,
+        upper_threshold: float = 0.0,
+        broadcast_benchmark: bool = True,
+    ):
+        from spark_validate.chunking import DefaultChunker
+
+        self.benchmark = benchmark
+        self.phash_col = phash_col
+        self.id_col = id_col
+        self.max_hamming = max_hamming
+        self.n_blocks = n_blocks
+        self.chunker = chunker or DefaultChunker()
+        self.upper_threshold = upper_threshold
+        self.broadcast_benchmark = broadcast_benchmark
+
+    def _matches(self, df: DataFrame) -> DataFrame:
+        return phash_contamination(
+            df,
+            self.benchmark,
+            max_hamming=self.max_hamming,
+            phash_col=self.phash_col,
+            id_col=self.id_col,
+            n_blocks=self.n_blocks,
+            broadcast_benchmark=self.broadcast_benchmark,
+        )
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        from spark_validate.calculators.base import assign_chunks
+        from spark_validate.checks.constraints import _attach_const_threshold
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned, headers = assign_chunks(df, self.chunker)
+        # one match row per contaminated image (an image near several
+        # benchmark rows still counts once in the rate)
+        bad = self._matches(df).select(F.col(self.id_col).alias("_id")).distinct()
+        per_chunk = (
+            assigned.join(bad, assigned[self.id_col] == bad["_id"], "left")
+            .groupBy(CHUNK_KEY)
+            .agg(
+                F.count(F.lit(1)).alias("__rows"),
+                F.count("_id").cast("double").alias("__bad"),
+            )
+            .select(
+                CHUNK_KEY,
+                F.lit(self.phash_col).alias("column_name"),
+                F.lit("image_contamination_rate").alias("method"),
+                (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
+            )
+        )
+        return _attach_const_threshold(per_chunk, headers, period, None, self.upper_threshold)
+
+    def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned = self.chunker.assign(df)
+        m = self._matches(df)
+        return (
+            assigned.join(m, self.id_col)
+            .select(
+                F.lit("phash_decontamination").alias("check"),
+                F.lit(self.phash_col).alias("column_name"),
+                F.col(CHUNK_KEY),
+                F.col(self.id_col).cast("string").alias("row_id"),
+                F.lit("benchmark_near_match").alias("violation_kind"),
+                F.concat_ws(
+                    "@h=", F.col("bench_id").cast("string"), F.col("hamming").cast("string")
+                ).alias("observed_value"),
+            )
+        )

@@ -170,6 +170,19 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "phash_decontamination":
+        from spark_validate.image.phash import PhashDecontaminationCheck
+
+        return PhashDecontaminationCheck(
+            benchmark=read_table(spark, cfg["benchmark"]),
+            phash_col=cfg.get("column", "phash"),
+            id_col=cfg.get("id_column", "image_id"),
+            max_hamming=cfg.get("max_hamming", 4),
+            n_blocks=cfg.get("n_blocks"),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+            broadcast_benchmark=cfg.get("broadcast_benchmark", True),
+        )
     if kind == "decontamination":
         from spark_validate.text.decontaminate import DecontaminationCheck
 

@@ -458,3 +458,80 @@ def test_suite_caption_quality_alerts_on_degraded_captions(spark):
     assert not bool(
         res_ok[(res_ok.method == "avg") & (res_ok.column_name == "char_count")]["alert"].any()
     )
+
+
+# --- phash decontamination (image/phash.py::phash_contamination) -------------
+
+
+def test_phash_contamination_exact_vs_bruteforce(spark):
+    """The banded corpus-vs-benchmark probe returns EXACTLY the brute-force
+    match set (pigeonhole recall 1) on random 64-bit hashes with planted
+    near-copies at hamming 0..4, at both block settings."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.image.phash import phash_contamination
+
+    rng = np.random.default_rng(31)
+    corpus = rng.integers(-(2**62), 2**62, 600, dtype=np.int64)
+    bench = rng.integers(-(2**62), 2**62, 30, dtype=np.int64)
+    # plant corpus rows near benchmark hashes at distances 0..4
+    for k in range(10):
+        flips = 0
+        h = int(bench[k % len(bench)])
+        for b in range(k % 5):
+            h ^= 1 << (7 * b + 3)
+            flips += 1
+        corpus[50 + k] = h
+    cdf = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"c{i}" for i in range(len(corpus))], "phash": corpus})
+    )
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"b{i}" for i in range(len(bench))], "phash": bench})
+    )
+    expected = {
+        (f"c{i}", f"b{j}", int(bin(int(np.uint64(corpus[i]) ^ np.uint64(bench[j]))).count("1")))
+        for i in range(len(corpus))
+        for j in range(len(bench))
+        if bin(int(np.uint64(corpus[i]) ^ np.uint64(bench[j]))).count("1") <= 4
+    }
+    assert len(expected) >= 10
+    for n_blocks in (5, 8):
+        got = {
+            (r.image_id, r.bench_id, r.hamming)
+            for r in phash_contamination(cdf, bdf, max_hamming=4, n_blocks=n_blocks).collect()
+        }
+        assert got == expected, n_blocks
+
+
+def test_phash_decontamination_check_rates_and_violations(spark):
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.image.phash import PhashDecontaminationCheck
+
+    rng = np.random.default_rng(7)
+    corpus = rng.integers(-(2**62), 2**62, 400, dtype=np.int64)
+    bench = rng.integers(-(2**62), 2**62, 10, dtype=np.int64)
+    corpus[5] = bench[0]            # exact leak
+    corpus[250] = bench[1] ^ (1 << 9)  # 1-bit leak
+    cdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": [f"c{i:04d}" for i in range(len(corpus))], "phash": corpus}
+        )
+    )
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"b{i}" for i in range(len(bench))], "phash": bench})
+    )
+    chk = PhashDecontaminationCheck(
+        bdf, chunker=SizeBasedChunker(chunk_size=200, order_by=["image_id"])
+    )
+    res = chk.calculate(cdf).toPandas().sort_values("chunk_key").reset_index(drop=True)
+    assert len(res) == 2
+    assert res["value"].tolist() == [1 / 200, 1 / 200]
+    assert bool(res["alert"].all())
+    v = chk.violations(cdf).toPandas()
+    assert set(v["row_id"]) == {"c0005", "c0250"}
+    assert set(v["violation_kind"]) == {"benchmark_near_match"}
+    assert sorted(v["observed_value"]) == ["b0@h=0", "b1@h=1"]

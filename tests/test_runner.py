@@ -473,3 +473,35 @@ def test_schema_check_in_runner(spark, workspace, tmp_path):
     assert (meta["value"] == 1.0).all() and bool(meta["alert"].all())
     nulls = res[res.method == "required_null_rate"]
     assert (nulls["value"] == 0.0).all() and not bool(nulls["alert"].any())
+
+
+def test_phash_decontamination_check_in_runner(spark, workspace, tmp_path):
+    """Config-driven image eval-leakage check: corpus rows perceptually
+    near a benchmark manifest alert and land in violations with bench id +
+    Hamming distance."""
+    import pandas as pd
+
+    ana = pd.read_parquet(workspace / "ana")
+    bench = ana.head(6)[["image_id", "phash"]].copy()
+    bench["image_id"] = [f"bench{i}" for i in range(len(bench))]
+    bench["phash"] = bench["phash"] ^ 2  # 1 bit away from 6 corpus rows
+    spark.createDataFrame(bench).write.mode("overwrite").parquet(str(tmp_path / "bench"))
+
+    cfg = _config(workspace)
+    cfg["output_dir"] = str(tmp_path / "out_decon")
+    cfg["checks"] = [
+        {
+            "type": "phash_decontamination",
+            "column": "phash",
+            "id_column": "image_id",
+            "benchmark": str(tmp_path / "bench"),
+            "max_hamming": 4,
+        }
+    ]
+    report = run_suite(spark, cfg)
+    rep = report["phash_decontamination__phash"]
+    assert rep["alerts"] > 0
+    v = spark.read.parquet(str(tmp_path / "out_decon" / "violations")).toPandas()
+    assert (v["violation_kind"] == "benchmark_near_match").all()
+    assert set(ana.head(6)["image_id"]) <= set(v["row_id"])
+    assert v["observed_value"].str.contains("@h=1").all()
