@@ -367,6 +367,37 @@ def q_js_price(spark, sf_dir):
     return res.select("chunk_index", F.round("value", 9).alias("js_distance")).orderBy("chunk_index")
 
 
+def q_drift_all_methods(spark, sf_dir):
+    """Amortized multi-method drift — the real production path (§2.2).
+
+    The per-method driver queries isolate one formula each so every oracle
+    stays independently readable; production runs ONE
+    ``UnivariateDriftCalculator`` over many columns × methods per scan
+    (reference parity: ``nannyml/drift/univariate/calculator.py`` computes
+    every requested method in one ``calculate()``). This entry evidences the
+    amortized cost: one fit over the reference, one analysis pass, and the
+    shared per-kind histogram exchanges produce 11 (column, method) series —
+    4 continuous methods × {l_extendedprice, l_quantity} + 3 categorical
+    methods on l_returnflag. The oracle is the UNION of 11 independently
+    derived DuckDB series.
+    """
+    ref, ana = _li_split(spark, sf_dir)
+    calc = UnivariateDriftCalculator(
+        column_names=["l_extendedprice", "l_quantity", "l_returnflag"],
+        continuous_methods=("jensen_shannon", "hellinger", "psi", "kolmogorov_smirnov"),
+        categorical_methods=("jensen_shannon", "hellinger", "l_infinity"),
+        chunker=_li_chunker(),
+        n_bins_doane=10,
+        n_bins_ecdf=1000,
+        computation="estimated",
+    )
+    timed_fit(calc, ref)
+    res = calc.calculate(ana)
+    return res.select(
+        "column_name", "method", "chunk_index", F.round("value", 9).alias("value")
+    ).orderBy("column_name", "method", "chunk_index")
+
+
 def q_top_categories(spark, sf_dir):
     """Top-K categories per period chunk (§2.5 categorical distribution)."""
     ev = _read(spark, sf_dir, "events")
@@ -1097,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_qty": q_wasserstein_qty,
         "hellinger_price": q_hellinger_price,
         "js_price": q_js_price,
+        "drift_all_methods": q_drift_all_methods,
         "top_categories": q_top_categories,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1453,6 +1485,63 @@ FROM cdf GROUP BY 1 ORDER BY 1
 )
 SELECT chunk_index, round({expr}, 9) AS {alias} FROM terms ORDER BY chunk_index
 """
+
+    # drift_all_methods: UNION of 11 independently derived per-series oracles —
+    # same formulas as the per-method entries, parameterized by column, so the
+    # combined Spark pass is checked series-by-series.
+    _js_expr = "sqrt(greatest(0.5 * (jp + jq) + 0.5 * greatest(leftover, 0), 0))"
+    _hel_expr = "sqrt((hel_sq + greatest(leftover, 0)) / 2)"
+    _terms_tail = """
+, terms AS (
+  SELECT chunk_index,
+         sum(CASE WHEN p > 0 THEN p * log2(2 * p / (p + q)) ELSE 0 END) AS jp,
+         sum(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) AS jq,
+         sum(power(sqrt(p) - sqrt(q), 2)) AS hel_sq,
+         1 - sum(q) AS leftover
+  FROM dense GROUP BY 1
+)
+SELECT chunk_index, round({expr}, 9) AS value FROM terms
+"""
+    _psi_tail = """
+, terms AS (
+  SELECT chunk_index,
+         sum((greatest(q, 1e-4) - greatest(p, 1e-4)) * ln(greatest(q, 1e-4) / greatest(p, 1e-4))) AS psi_bins,
+         greatest(1 - sum(q), 0) AS leftover
+  FROM dense GROUP BY 1
+)
+SELECT chunk_index,
+       round(psi_bins + CASE WHEN leftover > 0
+             THEN (greatest(leftover, 1e-4) - 1e-4) * ln(greatest(leftover, 1e-4) / 1e-4) ELSE 0 END, 9) AS value
+FROM terms
+"""
+    _ks_tail = """
+, cdf AS (
+  SELECT chunk_index, bucket,
+         sum(p) OVER (PARTITION BY chunk_index ORDER BY bucket) AS ref_cdf,
+         CAST(n_below AS DOUBLE) / n + sum(q) OVER (PARTITION BY chunk_index ORDER BY bucket) AS chunk_cdf
+  FROM dense
+)
+SELECT chunk_index, round(max(abs(ref_cdf - chunk_cdf)), 9) AS value FROM cdf GROUP BY 1
+"""
+    _series = []
+    for _col in ("l_extendedprice", "l_quantity"):
+        _series.append((_col, "jensen_shannon", _cont_dense_sql(_col, 10, ref_f, ana_f) + _terms_tail.format(expr=_js_expr)))
+        _series.append((_col, "hellinger", _cont_dense_sql(_col, 10, ref_f, ana_f) + _terms_tail.format(expr=_hel_expr)))
+        _series.append((_col, "psi", _cont_dense_sql(_col, 10, ref_f, ana_f) + _psi_tail))
+        _series.append((_col, "kolmogorov_smirnov", _cont_dense_sql(_col, 1000, ref_f, ana_f) + _ks_tail))
+    _series.append(("l_returnflag", "jensen_shannon", _cat_drift_sql(_js_expr, "value", 9)))
+    _series.append(("l_returnflag", "hellinger", _cat_drift_sql(_hel_expr, "value", 9)))
+    _series.append(
+        ("l_returnflag", "l_infinity", f"SELECT chunk_index, l_infinity AS value FROM ({sql['l_infinity']}) li")
+    )
+    sql["drift_all_methods"] = (
+        "SELECT column_name, method, chunk_index, value FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT '{c}' AS column_name, '{m}' AS method, chunk_index, value FROM (\n{s}\n) AS s_{i}"
+            for i, (c, m, s) in enumerate(_series)
+        )
+        + "\n) u ORDER BY column_name, method, chunk_index"
+    )
 
     sql["top_categories"] = """
 WITH counts AS (
