@@ -398,6 +398,32 @@ def q_drift_all_methods(spark, sf_dir):
     ).orderBy("column_name", "method", "chunk_index")
 
 
+EMB_DIM = 64
+EMB_CHUNK = 50
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift (beyond-reference §2.12): centroid cosine
+    distance, standardized per-dim mean shift (L∞) and norm-distribution JS
+    per analysis chunk vs the reference half — all as dim-bounded codegen'd
+    column expressions in ONE groupBy pass (`drift/embedding.py`). Even/odd
+    vec_id split; the oracle re-derives every fitted statistic (per-dim
+    means/stds, norm histogram) independently in DuckDB."""
+    from spark_validate.drift.embedding import EmbeddingDriftCalculator
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    ana = emb.filter(F.col("vec_id") % 2 == 1)
+    calc = EmbeddingDriftCalculator(
+        dim=EMB_DIM, chunker=SizeBasedChunker(chunk_size=EMB_CHUNK, order_by=["vec_id"])
+    )
+    timed_fit(calc, ref)
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index", "method", F.round("value", 9).alias("value")
+    ).orderBy("method", "chunk_index")
+
+
 def q_top_categories(spark, sf_dir):
     """Top-K categories per period chunk (§2.5 categorical distribution)."""
     ev = _read(spark, sf_dir, "events")
@@ -1129,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hellinger_price": q_hellinger_price,
         "js_price": q_js_price,
         "drift_all_methods": q_drift_all_methods,
+        "embedding_drift": q_embedding_drift,
         "top_categories": q_top_categories,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1262,8 +1289,95 @@ dense AS (
 """
 
 
+def _embedding_drift_sql() -> str:
+    """DuckDB replica of q_embedding_drift: re-derives the fitted per-dim
+    means/stds and the reference norm histogram independently, then computes
+    the three chunk metrics with the engine's exact arithmetic shapes
+    (x*x norm fold in dim order, w = (hi-lo)/n_bins division, integer-count
+    bin probabilities) so discrete bucket classification is bit-identical and
+    float noise stays inside round(…, 9)."""
+    d, nb, ck = EMB_DIM, 10, EMB_CHUNK
+
+    def elem(i):  # engine: coalesce(get(emb, i).cast(double), 0.0)
+        return f"coalesce(CAST(embedding[{i + 1}] AS DOUBLE), 0.0)"
+
+    def raw(i):  # engine: get(emb, i).cast(double) — avg/std skip NULLs
+        return f"CAST(embedding[{i + 1}] AS DOUBLE)"
+
+    norm_fold = " + ".join(f"({elem(i)} * {elem(i)})" for i in range(d))
+    norm = f"(CASE WHEN embedding IS NULL THEN NULL ELSE sqrt({norm_fold}) END)"
+    bucket = (
+        f"(CASE WHEN {norm} IS NULL THEN NULL "
+        f"WHEN {norm} < lo THEN -1 WHEN {norm} > hi THEN {nb} "
+        f"WHEN {norm} = hi THEN {nb - 1} "
+        f"ELSE least(CAST(floor(({norm} - lo) / ((hi - lo) / {nb})) AS INT), {nb - 1}) END)"
+    )
+    ref_stats = ", ".join(
+        [f"avg({raw(i)}) AS m{i}" for i in range(d)]
+        + [f"stddev_samp({raw(i)}) AS s{i}" for i in range(d)]
+    )
+    chunk_stats = ", ".join(
+        [f"avg({raw(i)}) AS a{i}" for i in range(d)]
+        + [f"count({norm}) AS nn"]
+        + [f"sum(CASE WHEN {bucket} = {k} THEN 1 ELSE 0 END) AS h{k}" for k in range(nb)]
+    )
+    ref_hist = ", ".join(
+        f"CAST(sum(CASE WHEN {bucket} = {k} THEN 1 ELSE 0 END) AS DOUBLE) / count({norm}) AS p{k}"
+        for k in range(nb)
+    )
+    dot = " + ".join(f"(a{i} * m{i})" for i in range(d))
+    m2 = " + ".join(f"(a{i} * a{i})" for i in range(d))
+    r2 = " + ".join(f"(m{i} * m{i})" for i in range(d))
+    cosine = (
+        f"CASE WHEN sqrt({m2}) * sqrt({r2}) > 0 "
+        f"THEN 1.0 - ({dot}) / (sqrt({m2}) * sqrt({r2})) END"
+    )
+    linf = "greatest(" + ", ".join(
+        f"CASE WHEN m{i} IS NOT NULL AND s{i} IS NOT NULL AND s{i} > 0 "
+        f"THEN abs(a{i} - m{i}) / s{i} END"
+        for i in range(d)
+    ) + ")"
+    q = {k: f"(CAST(h{k} AS DOUBLE) / nn)" for k in range(nb)}
+    jp = " + ".join(
+        f"(CASE WHEN p{k} > 0 THEN p{k} * log2(2.0 * p{k} / (p{k} + {q[k]})) ELSE 0.0 END)"
+        for k in range(nb)
+    )
+    jq = " + ".join(
+        f"(CASE WHEN {q[k]} > 0 THEN {q[k]} * log2(2.0 * {q[k]} / (p{k} + {q[k]})) ELSE 0.0 END)"
+        for k in range(nb)
+    )
+    qsum = " + ".join(q[k] for k in range(nb))
+    js = (
+        f"CASE WHEN nn > 0 THEN sqrt(greatest(0.5 * ({jp} + {jq}) "
+        f"+ 0.5 * greatest(1.0 - ({qsum}), 0.0), 0.0)) END"
+    )
+    return f"""
+WITH refe AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0),
+refstats AS (SELECT {ref_stats} FROM refe),
+bounds AS (SELECT min({norm}) AS lo, max({norm}) AS hi FROM refe),
+refp AS (SELECT {ref_hist} FROM refe CROSS JOIN bounds),
+ana AS (
+  SELECT embedding,
+         CAST(floor((row_number() OVER (ORDER BY vec_id) - 1) / {ck}) AS INT) AS chunk_index
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+chunkagg AS (SELECT chunk_index, {chunk_stats} FROM ana CROSS JOIN bounds GROUP BY 1)
+SELECT chunk_index, method, value FROM (
+  SELECT chunk_index, 'centroid_cosine' AS method, round({cosine}, 9) AS value
+  FROM chunkagg CROSS JOIN refstats
+  UNION ALL
+  SELECT chunk_index, 'mean_shift_linf' AS method, round({linf}, 9) AS value
+  FROM chunkagg CROSS JOIN refstats
+  UNION ALL
+  SELECT chunk_index, 'norm_js' AS method, round({js}, 9) AS value
+  FROM chunkagg CROSS JOIN refp
+) u ORDER BY method, chunk_index
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+    sql["embedding_drift"] = _embedding_drift_sql()
 
     sql["chunk_column_stats"] = f"""
 WITH ana AS ({_LI_ANA})

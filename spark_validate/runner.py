@@ -209,6 +209,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             shingle_k=cfg.get("shingle_k", 6),
             n_bands=cfg.get("n_bands", 16),
         )
+    if kind == "embedding_drift":
+        from spark_validate.drift.embedding import EmbeddingDriftCalculator
+
+        return EmbeddingDriftCalculator(
+            embedding_col=cfg.get("column", "embedding"),
+            methods=tuple(cfg.get("methods", ("centroid_cosine", "mean_shift_linf", "norm_js"))),
+            chunker=chunker,
+            dim=cfg.get("dim"),
+            n_bins=cfg.get("n_bins", 10),
+        )
     if kind == "drift":
         return UnivariateDriftCalculator(
             cfg["columns"],
@@ -303,7 +313,8 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         # domain/uniqueness/referential checks carry no reference-fitted state
         from_store = False
         needs_fit = check_cfg["type"] in (
-            "column_stats", "missing", "range", "unseen", "drift", "performance", "cbpe", "dle",
+            "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
+            "performance", "cbpe", "dle",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

@@ -1,0 +1,164 @@
+"""EmbeddingDriftCalculator vs an independent numpy replica, plus plumbing
+(state round-trip, NULL rows, planted drift detection, no-UDF plan)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_validate.chunking import SizeBasedChunker
+from spark_validate.drift.embedding import EmbeddingDriftCalculator
+
+DIM = 8
+N_REF = 400
+N_ANA = 200
+CHUNK = 50
+
+
+def _vec(rng, shift=None, scale=1.0):
+    v = rng.standard_normal(DIM) * scale + 1.0
+    if shift is not None:
+        v = v + shift
+    return v.tolist()
+
+
+# directional shift: first half of the dims only — rotates the centroid
+# (a uniform all-dims shift is parallel to the reference centroid and is
+# correctly invisible to the cosine metric; mean_shift_linf catches it)
+_DIR_SHIFT = np.array([0.8] * (DIM // 2) + [0.0] * (DIM - DIM // 2))
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rng = np.random.default_rng(7)
+    # base mean 1.0 per dim: realistic embeddings have a non-zero centroid
+    # (a zero-centroid reference makes cosine-to-centroid noise, not signal)
+    ref_rows = [(i, _vec(rng)) for i in range(N_REF)]
+    # analysis: chunks 0-1 in-distribution, chunk 2 directionally shifted,
+    # chunk 3 scaled (norm distribution change)
+    ana_rows = []
+    for i in range(N_ANA):
+        chunk = i // CHUNK
+        shift = _DIR_SHIFT if chunk == 2 else None
+        scale = 2.0 if chunk == 3 else 1.0
+        ana_rows.append((i, _vec(rng, shift, scale)))
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(ref_rows, schema),
+        spark.createDataFrame(ana_rows, schema),
+        np.array([r[1] for r in ref_rows]),
+        np.array([r[1] for r in ana_rows]),
+    )
+
+
+def _numpy_replica(ref, ana, n_bins=10):
+    mu = ref.mean(axis=0)
+    sigma = ref.std(axis=0, ddof=1)
+    norms_ref = np.linalg.norm(ref, axis=1)
+    lo, hi = norms_ref.min(), norms_ref.max()
+    edges = np.linspace(lo, hi, n_bins + 1)
+    p = np.histogram(norms_ref, bins=edges)[0] / len(norms_ref)
+    out = {}
+    for c in range(len(ana) // CHUNK):
+        chunk = ana[c * CHUNK : (c + 1) * CHUNK]
+        m = chunk.mean(axis=0)
+        cos = float(m @ mu / (np.linalg.norm(m) * np.linalg.norm(mu)))
+        linf = float(np.max(np.abs(m - mu) / sigma))
+        norms = np.linalg.norm(chunk, axis=1)
+        inb = norms[(norms >= lo) & (norms <= hi)]
+        b = np.minimum(np.floor((inb - lo) / (hi - lo) * n_bins).astype(int), n_bins - 1)
+        q = np.bincount(b, minlength=n_bins) / len(norms)
+        leftover = max(1.0 - q.sum(), 0.0)
+        jp = sum(pi * math.log2(2 * pi / (pi + qi)) for pi, qi in zip(p, q) if pi > 0)
+        jq = sum(qi * math.log2(2 * qi / (pi + qi)) for pi, qi in zip(p, q) if qi > 0)
+        js = math.sqrt(max(0.5 * (jp + jq) + 0.5 * leftover, 0.0))
+        out[c] = {"centroid_cosine": 1.0 - cos, "mean_shift_linf": linf, "norm_js": js}
+    return out
+
+
+def test_matches_numpy_replica(spark, frames):
+    ref_df, ana_df, ref_np, ana_np = frames
+    calc = EmbeddingDriftCalculator(chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["vec_id"]))
+    calc.fit(ref_df)
+    got = {
+        (r["chunk_index"], r["method"]): r["value"]
+        for r in calc.calculate(ana_df).collect()
+    }
+    want = _numpy_replica(ref_np, ana_np)
+    assert len(got) == 3 * (N_ANA // CHUNK)
+    for c, metrics in want.items():
+        for m, v in metrics.items():
+            assert got[(c, m)] == pytest.approx(v, abs=1e-9), (c, m)
+
+
+def test_planted_drift_alerts(spark, frames):
+    ref_df, ana_df, _, _ = frames
+    calc = EmbeddingDriftCalculator(chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["vec_id"]))
+    calc.fit(ref_df)
+    res = calc.calculate(ana_df).collect()
+    by = {(r["chunk_index"], r["method"]): r for r in res}
+    # the directionally-shifted chunk fires both centroid metrics; the scaled
+    # chunk fires the norm-distribution metric; in-distribution chunks stay quiet
+    assert by[(2, "mean_shift_linf")]["alert"] and by[(2, "centroid_cosine")]["alert"]
+    assert by[(3, "norm_js")]["alert"]
+    for m in ("centroid_cosine", "mean_shift_linf", "norm_js"):
+        assert not by[(0, m)]["alert"] and not by[(1, m)]["alert"], m
+
+
+def test_state_roundtrip_and_null_rows(spark, frames):
+    ref_df, ana_df, _, _ = frames
+    calc = EmbeddingDriftCalculator(chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["vec_id"]))
+    calc.fit(ref_df)
+    clone = EmbeddingDriftCalculator(
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["vec_id"])
+    ).set_state(calc.get_state())
+    a = calc.calculate(ana_df).orderBy("chunk_index", "method").collect()
+    b = clone.calculate(ana_df).orderBy("chunk_index", "method").collect()
+    assert [(r["value"], r["alert"]) for r in a] == [(r["value"], r["alert"]) for r in b]
+    # NULL embeddings: skipped by means/norms, never crash, never alert-poison
+    with_nulls = ana_df.withColumn(
+        "embedding", F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(F.col("embedding"))
+    )
+    rows = calc.calculate(with_nulls).collect()
+    assert all(r["value"] is not None for r in rows)
+
+
+def test_runner_embedding_drift_check(spark, frames, tmp_path):
+    from spark_validate.runner import run_suite
+
+    ref_df, ana_df, _, _ = frames
+    ref_path, ana_path = str(tmp_path / "ref.parquet"), str(tmp_path / "ana.parquet")
+    ref_df.write.parquet(ref_path)
+    ana_df.write.parquet(ana_path)
+    cfg = {
+        "run_id": "embdrift",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": ref_path,
+        "analysis": ana_path,
+        "chunking": {"chunk_size": CHUNK, "order_by": ["vec_id"]},
+        "checks": [{"type": "embedding_drift", "column": "embedding", "dim": DIM}],
+    }
+    report = run_suite(spark, cfg)
+    (entry,) = report.values()
+    assert entry["rows"] == 3 * (N_ANA // CHUNK)
+    assert entry["alerts"] >= 2  # the planted chunks fire
+    # second run loads fitted state from the store (calculate-only rerun)
+    report2 = run_suite(spark, {**cfg, "run_id": "embdrift"})
+    (entry2,) = report2.values()
+    assert entry2["fitted_from_store"] is True
+    # same-run_id reruns append to results/ (size-based chunks don't prune);
+    # the calculate-only pass reproduces the same metric rows and alerts
+    assert entry2["rows"] == 2 * entry["rows"] and entry2["alerts"] == 2 * entry["alerts"]
+
+
+def test_plan_is_udf_free(spark, frames):
+    ref_df, ana_df, _, _ = frames
+    calc = EmbeddingDriftCalculator(chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["vec_id"]))
+    calc.fit(ref_df)
+    from tests.test_plans import plan_str
+
+    plan = plan_str(calc.calculate(ana_df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
