@@ -4,7 +4,7 @@ from spark_validate.streaming.incremental import (
     attach_thresholds,
 )
 from spark_validate.streaming.stateful import running_group_stats
-from spark_validate.streaming.drift import streaming_univariate_drift
+from spark_validate.streaming.drift import streaming_embedding_drift, streaming_univariate_drift
 
 __all__ = [
     "streaming_column_stats",
@@ -12,4 +12,5 @@ __all__ = [
     "attach_thresholds",
     "running_group_stats",
     "streaming_univariate_drift",
+    "streaming_embedding_drift",
 ]

@@ -165,3 +165,32 @@ def streaming_univariate_drift(
             value = F.when(n_col > 0, value)
             specs.append((c, method, value, lo, up))
     return _melt(agg, specs)
+
+
+def streaming_embedding_drift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``EmbeddingDriftCalculator``
+    (`spark_validate/drift/embedding.py`) into a streaming drift query:
+    a tumbling event-time window is exactly a chunk, so the centroid-cosine /
+    mean-shift-L∞ / norm-JS metrics stream out of ONE windowed aggregation —
+    the fitted per-dim means/stds and norm-histogram probabilities are plan
+    constants, and the metric projections are the calculator's own
+    ``_metric_exprs`` (bit-identical formulas to the batch path)."""
+    if calc._fitted is None:
+        raise RuntimeError("fit the calculator on the reference period first")
+    st = calc._fitted
+    src = stream.withWatermark(timestamp_column, watermark or window_duration)
+    agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(
+        *calc._mean_aggs(), *calc._hist_aggs(st["norm_lo"], st["norm_hi"])
+    )
+    thr = st.get("thresholds") or {}
+    specs = []
+    for method, value in calc._metric_exprs():
+        lo, up = thr.get((calc.embedding_col, method), (None, None))
+        specs.append((calc.embedding_col, method, value, lo, up))
+    return _melt(agg, specs)

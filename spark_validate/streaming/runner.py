@@ -155,6 +155,18 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             queries[name] = _sink(drift, out_dir, name, "append", trigger).start()
             calc.release_cache()
+        elif kind == "embedding_drift":
+            if reference is None:
+                raise ValueError("embedding_drift check needs a reference table to fit")
+            from spark_validate.streaming.drift import streaming_embedding_drift
+
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            calc = build_check(spark, check_cfg, chunker)
+            calc.fit(reference)
+            emb_drift = streaming_embedding_drift(
+                stream, calc, ts, window_duration=window, watermark=watermark or window
+            )
+            queries[name] = _sink(emb_drift, out_dir, name, "append", trigger).start()
         elif kind == "decontamination":
             # validate the corpus INGEST stream against a static benchmark:
             # stateless stream-static semi join on the broadcast gram

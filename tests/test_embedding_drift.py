@@ -153,6 +153,48 @@ def test_runner_embedding_drift_check(spark, frames, tmp_path):
     assert entry2["rows"] == 2 * entry["rows"] and entry2["alerts"] == 2 * entry["alerts"]
 
 
+def test_streaming_embedding_drift_matches_batch(spark, frames, tmp_path):
+    """The streaming compilation must equal the batch path per hourly window
+    (a tumbling window IS a period chunk)."""
+    import pandas as pd
+
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.streaming import streaming_embedding_drift
+
+    ref_df, ana_df, _, _ = frames
+    # give analysis rows hourly timestamps: 50 rows per hour = one chunk/hour
+    ts = F.to_timestamp(
+        F.lit("2024-03-01 00:00:00").cast("timestamp")
+        + (F.col("vec_id") / CHUNK).cast("int") * F.expr("INTERVAL 1 HOUR")
+    )
+    ana_ts = ana_df.withColumn("ts", ts)
+    ref_ts = ref_df.withColumn("ts", ts)
+    calc = EmbeddingDriftCalculator(chunker=PeriodBasedChunker(offset="h", timestamp_column="ts"))
+    calc.fit(ref_ts)
+    batch = {
+        (str(r["start_ts"]), r["method"]): r["value"]
+        for r in calc.calculate(ana_ts).collect()
+    }
+
+    src = str(tmp_path / "emb_stream")
+    ana_ts.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_embedding_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_emb_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM sv_emb_drift").collect()
+    q.stop()
+    assert len(rows) == len(batch)
+    for r in rows:
+        want = batch[(str(r["window_start"]), r["method"])]
+        assert r["value"] == pytest.approx(want, abs=1e-12), r["method"]
+
+
 def test_plan_is_udf_free(spark, frames):
     ref_df, ana_df, _, _ = frames
     calc = EmbeddingDriftCalculator(chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["vec_id"]))
