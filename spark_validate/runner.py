@@ -269,12 +269,31 @@ def _completed_partitions(spark, lineage_path: str, run_id: str) -> Optional[Dat
     )
 
 
+def apply_derived_columns(df, derived: Optional[dict]):
+    """Attach config-declared virtual columns: ``{name: sql_expr}``. Names
+    must not collide with physical columns (silent shadowing would corrupt
+    every downstream check)."""
+    if not derived:
+        return df
+    clash = set(derived) & set(df.columns)
+    if clash:
+        raise ValueError(f"derived_columns shadow existing columns: {sorted(clash)}")
+    return df.selectExpr("*", *[f"{expr} AS {name}" for name, expr in derived.items()])
+
+
 def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
     run_id = config["run_id"]
     out_dir = config["output_dir"]
     store = FittedStore(config.get("store_dir", os.path.join(out_dir, "store")))
     reference = read_table(spark, config["reference"])
     analysis = read_table(spark, config["analysis"])
+    # derived (virtual) columns: SQL expressions materialized on BOTH periods
+    # before any check runs, so constraint/drift/stats checks can target
+    # expression-valued features (length(bytes), w/h aspect, w*h pixels…)
+    # without a separate ETL pass. Pure projections — Catalyst fuses them
+    # into the scan, so at 10^12 rows they cost nothing beyond the expression.
+    reference = apply_derived_columns(reference, config.get("derived_columns"))
+    analysis = apply_derived_columns(analysis, config.get("derived_columns"))
     # delayed ground truth arrives separately and joins back by key, exactly
     # the reference runner's target join (nannyml/runner.py:299-305)
     if config.get("analysis_targets"):

@@ -59,14 +59,20 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
     ts = config["timestamp_column"]
     window = config.get("window", "1 hour")
     watermark = config.get("watermark")
+    from spark_validate.runner import apply_derived_columns
+
     batch_src = config.get("reference")
     reference = read_table(spark, batch_src) if batch_src else None
+    if reference is not None:
+        reference = apply_derived_columns(reference, config.get("derived_columns"))
     schema = (
         read_table(spark, config.get("stream_schema_from", batch_src or config["stream"])).schema
     )
     # watermarks are applied by each check builder (a second withWatermark on
     # the same frame is an error: "Redefining watermark is disallowed")
-    stream = spark.readStream.schema(schema).parquet(config["stream"])
+    stream = apply_derived_columns(
+        spark.readStream.schema(schema).parquet(config["stream"]), config.get("derived_columns")
+    )
 
     queries = {}
     # every started query needs a UNIQUE sink path + checkpointLocation: twin

@@ -505,3 +505,36 @@ def test_phash_decontamination_check_in_runner(spark, workspace, tmp_path):
     assert (v["violation_kind"] == "benchmark_near_match").all()
     assert set(ana.head(6)["image_id"]) <= set(v["row_id"])
     assert v["observed_value"].str.contains("@h=1").all()
+
+
+def test_derived_columns(spark, workspace):
+    """Config-declared virtual columns (SQL expressions over the physical
+    schema) are checkable like physical columns — range + stats over
+    aspect = w/h and pixels = w*h — and shadowing a real column is refused."""
+    from spark_validate.runner import apply_derived_columns
+
+    cfg = {
+        "run_id": "derived",
+        "output_dir": str(workspace / "out_derived"),
+        "store_dir": str(workspace / "store_derived"),
+        "reference": str(workspace / "ref"),
+        "analysis": str(workspace / "ana"),
+        "derived_columns": {"aspect": "w / h", "pixels": "CAST(w AS BIGINT) * h"},
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [
+            {"type": "range", "columns": ["aspect"]},
+            {"type": "column_stats", "columns": ["pixels"], "metrics": ["avg", "max"]},
+        ],
+    }
+    report = run_suite(spark, cfg)
+    assert report["range__aspect"]["rows"] == 4  # one per partition chunk
+    res = spark.read.parquet(str(workspace / "out_derived" / "results"))
+    mx = (
+        res.filter((F.col("column_name") == "pixels") & (F.col("method") == "max"))
+        .agg(F.max("value"))
+        .first()[0]
+    )
+    assert mx == 256 * 256
+
+    with pytest.raises(ValueError, match="shadow"):
+        apply_derived_columns(spark.read.parquet(str(workspace / "ana")), {"w": "h"})
