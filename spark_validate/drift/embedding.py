@@ -298,6 +298,7 @@ class EmbeddingDriftCalculator:
             raise RuntimeError("not fitted")
         return {
             "dim": self.dim,
+            "embedding_col": self.embedding_col,
             "mu": self._fitted["mu"],
             "sigma": self._fitted["sigma"],
             "norm_lo": self._fitted["norm_lo"],
@@ -311,6 +312,11 @@ class EmbeddingDriftCalculator:
 
     def set_state(self, state: dict) -> "EmbeddingDriftCalculator":
         self.dim = int(state["dim"])
+        # the state is self-contained: restore every knob the fitted
+        # statistics depend on, so a config change between fit and restore
+        # cannot silently mispair probs with a different binning
+        self.embedding_col = state.get("embedding_col", self.embedding_col)
+        self.n_bins = len(state["norm_probs"])
         self._fitted = {
             "mu": state["mu"],
             "sigma": state["sigma"],

@@ -271,14 +271,20 @@ def _completed_partitions(spark, lineage_path: str, run_id: str) -> Optional[Dat
 
 def apply_derived_columns(df, derived: Optional[dict]):
     """Attach config-declared virtual columns: ``{name: sql_expr}``. Names
-    must not collide with physical columns (silent shadowing would corrupt
-    every downstream check)."""
+    must not collide with existing columns (silent shadowing would corrupt
+    every downstream check) — compared case-insensitively, matching Spark's
+    default column resolution. Expressions are folded sequentially in config
+    order, so a derived column may reference earlier derived columns;
+    Catalyst collapses the chained projections into one."""
     if not derived:
         return df
-    clash = set(derived) & set(df.columns)
-    if clash:
-        raise ValueError(f"derived_columns shadow existing columns: {sorted(clash)}")
-    return df.selectExpr("*", *[f"{expr} AS {name}" for name, expr in derived.items()])
+    seen = {c.lower() for c in df.columns}
+    for name, expr in derived.items():
+        if name.lower() in seen:
+            raise ValueError(f"derived_columns shadow existing columns: [{name!r}]")
+        seen.add(name.lower())
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    return df
 
 
 def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
@@ -287,18 +293,21 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
     store = FittedStore(config.get("store_dir", os.path.join(out_dir, "store")))
     reference = read_table(spark, config["reference"])
     analysis = read_table(spark, config["analysis"])
-    # derived (virtual) columns: SQL expressions materialized on BOTH periods
-    # before any check runs, so constraint/drift/stats checks can target
-    # expression-valued features (length(bytes), w/h aspect, w*h pixels…)
-    # without a separate ETL pass. Pure projections — Catalyst fuses them
-    # into the scan, so at 10^12 rows they cost nothing beyond the expression.
-    reference = apply_derived_columns(reference, config.get("derived_columns"))
-    analysis = apply_derived_columns(analysis, config.get("derived_columns"))
     # delayed ground truth arrives separately and joins back by key, exactly
     # the reference runner's target join (nannyml/runner.py:299-305)
     if config.get("analysis_targets"):
         targets = read_table(spark, config["analysis_targets"])
         analysis = analysis.join(targets, config.get("target_join_column", "id"), "left")
+    # derived (virtual) columns: SQL expressions materialized on BOTH periods
+    # before any check runs, so constraint/drift/stats checks can target
+    # expression-valued features (length(bytes), w/h aspect, w*h pixels…)
+    # without a separate ETL pass. Pure projections — Catalyst fuses them
+    # into the scan, so at 10^12 rows they cost nothing beyond the expression.
+    # Applied AFTER the targets join so expressions may reference delayed
+    # ground-truth columns (e.g. abs(y_pred - y_true)) and so the shadowing
+    # guard sees target-delivered columns too.
+    reference = apply_derived_columns(reference, config.get("derived_columns"))
+    analysis = apply_derived_columns(analysis, config.get("derived_columns"))
     chunk_cfg = config.get("chunking", {})
     value_derived_chunks = bool(chunk_cfg.get("chunk_period") or chunk_cfg.get("partition_columns"))
     lineage_path = os.path.join(out_dir, "lineage")

@@ -110,9 +110,13 @@ def test_state_roundtrip_and_null_rows(spark, frames):
     ref_df, ana_df, _, _ = frames
     calc = EmbeddingDriftCalculator(chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["vec_id"]))
     calc.fit(ref_df)
+    # restore into a calculator configured with a DIFFERENT n_bins: the state
+    # is self-contained and must win (mispaired probs vs binning is silent
+    # corruption otherwise)
     clone = EmbeddingDriftCalculator(
-        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["vec_id"])
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["vec_id"]), n_bins=7
     ).set_state(calc.get_state())
+    assert clone.n_bins == calc.n_bins and clone.dim == calc.dim
     a = calc.calculate(ana_df).orderBy("chunk_index", "method").collect()
     b = clone.calculate(ana_df).orderBy("chunk_index", "method").collect()
     assert [(r["value"], r["alert"]) for r in a] == [(r["value"], r["alert"]) for r in b]
@@ -156,8 +160,6 @@ def test_runner_embedding_drift_check(spark, frames, tmp_path):
 def test_streaming_embedding_drift_matches_batch(spark, frames, tmp_path):
     """The streaming compilation must equal the batch path per hourly window
     (a tumbling window IS a period chunk)."""
-    import pandas as pd
-
     from spark_validate.chunking import PeriodBasedChunker
     from spark_validate.streaming import streaming_embedding_drift
 

@@ -538,3 +538,13 @@ def test_derived_columns(spark, workspace):
 
     with pytest.raises(ValueError, match="shadow"):
         apply_derived_columns(spark.read.parquet(str(workspace / "ana")), {"w": "h"})
+    # Spark resolves columns case-insensitively by default — so must the guard
+    with pytest.raises(ValueError, match="shadow"):
+        apply_derived_columns(spark.read.parquet(str(workspace / "ana")), {"W": "h"})
+    # derived columns may reference earlier derived columns (config order)
+    chained = apply_derived_columns(
+        spark.read.parquet(str(workspace / "ana")),
+        {"pixels": "CAST(w AS BIGINT) * h", "log_pixels": "ln(pixels)"},
+    )
+    assert {"pixels", "log_pixels"} <= set(chained.columns)
+    assert chained.filter("abs(log_pixels - ln(pixels)) > 1e-12").count() == 0
