@@ -516,6 +516,23 @@ class UnivariateDriftCalculator:
         # ONE exploded count shuffle feeds every continuous method; persisted
         # via the managed registry (see release_cache) so branches share it.
         hist_all = self._persist(self._continuous_histogram(assigned, self._cont_cols, dtypes, chunked=True))
+        n_branches = sum(
+            (
+                bool({"jensen_shannon", "hellinger"} & methods),
+                bool({"kolmogorov_smirnov", "wasserstein"} & methods),
+                "psi" in methods,
+            )
+        )
+        if n_branches > 1:
+            # Materialize the shared cache EAGERLY when several method
+            # branches consume it. The branches evaluate concurrently inside
+            # one action; first readers of a cold cache serialize on the
+            # block-manager's per-block compute-or-wait locks while holding
+            # task slots, which destabilizes the whole multi-branch schedule.
+            # Measured (11-series drift_all_methods, sf0.1, 3 runs each):
+            # calculate 8-45 s (wild variance) cold vs 10.7±0.2 s with this
+            # one up-front count — equal best case, far lower variance.
+            hist_all.count()
         if {"jensen_shannon", "hellinger"} & methods:
             dense = self._dense_hist(hist_all, spark, "doane")
             out.extend(self._hist_distance_methods(dense, methods & {"jensen_shannon", "hellinger"}))
@@ -781,6 +798,12 @@ class UnivariateDriftCalculator:
         # One count shuffle shared by every categorical method; persisted via
         # the managed registry (see release_cache).
         counts = self._persist(self._categorical_counts(assigned, self._cat_cols, dtypes, chunked=True))
+        # Eager materialization: even a single method reads `counts` through
+        # two subtrees (totals + the dense join), and multi-method runs add
+        # l_infinity/chi2 branches — concurrent cold-cache readers serialize
+        # on block locks while holding task slots (see _calc_continuous for
+        # the measured variance this causes). One count settles the cache.
+        counts.count()
         ref_rows = []
         for c in self._cat_cols:
             st = self._cat_state[c]
