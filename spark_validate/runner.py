@@ -395,6 +395,39 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
                     .withColumn("run_id", F.lit(run_id))
                     .withColumn("check", F.lit(name))
                 )
+                # 100 TB safety valve: a 10% violation rate over 10^12 rows is
+                # 10^11 exploded rows — more output than input. Optional
+                # deterministic hash-threshold sampling (pure narrow filter,
+                # zero shuffle, identical rows on every rerun/recompute; the
+                # corpus-sampling primitive reused); per-chunk violation RATES
+                # in results/ stay exact either way.
+                rate = config.get("violations_sample_rate")
+                if rate is not None and float(rate) < 1.0:
+                    from spark_validate.text.sampling import deterministic_sample
+
+                    # key = every identity column available; rows without a
+                    # row_id that also share kind/column/observed value are
+                    # literally interchangeable and sample as a group
+                    v = v.withColumn(
+                        "_sv_vkey",
+                        F.concat_ws(
+                            "|",
+                            "chunk_key",
+                            "row_id",
+                            "violation_kind",
+                            "column_name",
+                            "observed_value",
+                        ),
+                    )
+                    # salt intentionally run-independent: the kept subset is a
+                    # pure function of the violation rows, so reruns and
+                    # resumed runs agree on which rows were preserved
+                    v = deterministic_sample(
+                        v,
+                        float(rate),
+                        key_col="_sv_vkey",
+                        salt=str(config.get("violations_sample_salt", "sv")),
+                    ).drop("_sv_vkey")
                 write_results(v, os.path.join(out_dir, "violations"), partition_by=["check"])
             except Exception as exc:  # violations sink is a north-rule output:
                 # never swallow silently — log, record in the run report, and

@@ -548,3 +548,44 @@ def test_derived_columns(spark, workspace):
     )
     assert {"pixels", "log_pixels"} <= set(chained.columns)
     assert chained.filter("abs(log_pixels - ln(pixels)) > 1e-12").count() == 0
+
+
+def test_violations_sample_rate(spark, workspace):
+    """violations_sample_rate keeps a deterministic hash-threshold subset of
+    exploded violation rows (identical across reruns) while per-chunk rates
+    in results/ stay exact."""
+    base = {
+        "run_id": "vsample",
+        "store_dir": str(workspace / "store_vs"),
+        "reference": str(workspace / "ref"),
+        "analysis": str(workspace / "ana"),
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [{"type": "domain", "columns": ["fmt"], "domain": ["jpeg", "png", "webp"]}],
+    }
+    full_cfg = {**base, "output_dir": str(workspace / "out_vfull")}
+    run_suite(spark, full_cfg)
+    full = spark.read.parquet(str(workspace / "out_vfull" / "violations"))
+    n_full = full.count()
+    assert n_full == 20  # the injected bmp rows
+
+    s_cfg = {**base, "output_dir": str(workspace / "out_vs"), "violations_sample_rate": 0.5}
+    run_suite(spark, s_cfg)
+    rows = lambda df: sorted(
+        (r["chunk_key"], r["column_name"], r["violation_kind"], r["observed_value"])
+        for r in df.collect()
+    )
+    sampled1 = rows(spark.read.parquet(str(workspace / "out_vs" / "violations")))
+    assert 0 < len(sampled1) < n_full
+    # per-chunk RATES are computed from the full data, not the sample
+    res_full = spark.read.parquet(str(workspace / "out_vfull" / "results"))
+    res_s = spark.read.parquet(str(workspace / "out_vs" / "results"))
+    vals = lambda df: sorted((r["chunk_key"], r["value"]) for r in df.collect())
+    assert vals(res_full) == vals(res_s)
+
+    # a fresh run over the same data keeps the IDENTICAL subset (the sample
+    # is a pure function of the rows, not of run_id or partitioning)
+    s_cfg2 = {**base, "run_id": "vsample2", "output_dir": str(workspace / "out_vs2"),
+              "violations_sample_rate": 0.5}
+    run_suite(spark, s_cfg2)
+    again = rows(spark.read.parquet(str(workspace / "out_vs2" / "violations")))
+    assert again == sampled1
