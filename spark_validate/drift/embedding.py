@@ -151,26 +151,37 @@ class EmbeddingDriftCalculator:
         mu = [row[f"__m{i}"] for i in range(self.dim)]
         sigma = [row[f"__s{i}"] for i in range(self.dim)]
         lo, hi = float(row["__lo"]), float(row["__hi"])
-        # second (bounded) pass: reference norm-histogram probabilities
-        hrow = reference.agg(*self._hist_aggs(lo, hi)).first().asDict()
-        n_norm = hrow["__nnorm"]
-        probs = [(hrow[f"__h{k}"] or 0) / n_norm for k in range(self.n_bins)]
         self._fitted = {
             "mu": [None if m is None else float(m) for m in mu],
             "sigma": [None if s is None else float(s) for s in sigma],
             "norm_lo": lo,
             "norm_hi": hi,
-            "norm_probs": [float(p) for p in probs],
         }
+        # second — and last — reference pass: the per-chunk aggregate needed
+        # for threshold fitting ALSO carries the norm-histogram counts, and
+        # integer per-chunk counts sum EXACTLY to the global histogram, so
+        # the reference probabilities come from one tiny aggregation over the
+        # ≤#chunks-row frame instead of a third scan.
+        wide_ref = self._chunk_wide(reference).persist()
+        hrow = wide_ref.agg(
+            F.sum("__nnorm").alias("__nnorm"),
+            *[F.sum(f"__h{k}").alias(f"__h{k}") for k in range(self.n_bins)],
+        ).first().asDict()
+        n_norm = hrow["__nnorm"]
+        if not n_norm:
+            raise ValueError("reference has no non-null embeddings")
+        self._fitted["norm_probs"] = [
+            float((hrow[f"__h{k}"] or 0) / n_norm) for k in range(self.n_bins)
+        ]
         # thresholds from the reference's own per-chunk drift values
-        ref_long = self._chunk_long(reference).persist()
+        ref_long = self._long_from_wide(wide_ref)
         thr = fit_thresholds_grouped(ref_long, ["column_name", "method"], self.threshold)
         self._fitted["thresholds"] = {
             (r["column_name"], r["method"]): (r["lower_threshold"], r["upper_threshold"])
             for r in thr.collect()
         }
         self._reference_result = self._finalize(ref_long, period="reference")
-        ref_long.unpersist()
+        wide_ref.unpersist()
         return self
 
     # -- calculate ---------------------------------------------------------------
@@ -231,10 +242,11 @@ class EmbeddingDriftCalculator:
             pairs.append(("norm_js", F.when(n > 0, js).cast("double")))
         return pairs
 
-    def _chunk_long(self, df: DataFrame) -> DataFrame:
-        """(headers…, chunk_key, column_name, method, value) — ONE scan, ONE
-        shuffle: all metric inputs aggregate in the same groupBy; the chunk
-        header fields ride along (same device as ColumnStatsCalculator)."""
+    def _chunk_wide(self, df: DataFrame) -> DataFrame:
+        """Per-chunk wide aggregate (dim means + norm-histogram counts +
+        header fields + chunk index) — ONE scan, ONE shuffle: all metric
+        inputs aggregate in the same groupBy; the chunk header fields ride
+        along (same device as ColumnStatsCalculator)."""
         from pyspark.sql import Window
 
         st = self._fitted
@@ -254,7 +266,13 @@ class EmbeddingDriftCalculator:
         )
         order_col = "start_index" if has_idx else ("start_ts" if ts else CHUNK_KEY)
         # single-task window by design: input is the ≤#chunks-row aggregate
-        wide = wide.withColumn(CHUNK_INDEX, F.row_number().over(Window.orderBy(order_col)) - F.lit(1))
+        return wide.withColumn(
+            CHUNK_INDEX, F.row_number().over(Window.orderBy(order_col)) - F.lit(1)
+        )
+
+    def _long_from_wide(self, wide: DataFrame) -> DataFrame:
+        """Melt the wide per-chunk aggregate into long metric rows (needs the
+        full fitted state: the metric projections bake in mu/sigma/probs)."""
         pairs = [
             F.struct(
                 F.lit(self.embedding_col).alias("column_name"),
@@ -283,7 +301,7 @@ class EmbeddingDriftCalculator:
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
         if self._fitted is None:
             raise RuntimeError("call fit(reference) before calculate()")
-        return self._finalize(self._chunk_long(df), period)
+        return self._finalize(self._long_from_wide(self._chunk_wide(df)), period)
 
     @property
     def reference_result(self) -> DataFrame:
