@@ -967,6 +967,40 @@ def q_domain_classifier(spark, sf_dir):
     return res.select("chunk_index", F.round("value", 9).alias("auroc")).orderBy("chunk_index")
 
 
+def q_dle_estimated_mae(spark, sf_dir):
+    """DLE label-free regression performance estimation (§2.8, reference
+    `performance_estimation/direct_loss_estimation/dle.py:300-447`): a GBDT
+    loss model fit on reference (feature, y_pred) → |error|, then per-chunk
+    mean predicted loss on unlabeled analysis. Fitted-model state (a boosted
+    tree) — frozen-golden oracle like CBPE/PCA/domain-classifier."""
+    from spark_validate.performance.dle import DLE
+
+    ev = _read(spark, sf_dir, "events")
+    # deterministic regression triple: heteroscedastic noise (scale grows
+    # with f2) gives the loss model a real signal to learn
+    noise = F.pmod(F.col("event_id") * F.lit(48271), F.lit(1000)).cast("double") / 500.0 - 1.0
+    d = (
+        ev.withColumn("f1", F.abs(F.col("value")))
+        .withColumn("f2", F.pmod(F.col("event_id"), F.lit(97)).cast("double") / 97.0)
+        .withColumn("yp", F.col("f1") * 2 + F.col("f2") * 5)
+        .withColumn("yt", F.col("yp") + noise * (F.lit(1.0) + F.col("f2") * 4))
+    )
+    ref = d.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    ana = d.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).drop("yt")
+    est = DLE(
+        metrics=("mae", "rmse"),
+        feature_column_names=["f1", "f2"],
+        y_pred="yp",
+        y_true="yt",
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    timed_fit(est, ref)
+    res = est.estimate(ana)
+    return res.select("chunk_index", "method", F.round("value", 9).alias("value")).orderBy(
+        "chunk_index", "method"
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -1188,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_decontamination": q_phash_decontamination,
         # rows-only checks (fitted-state / UDF paths with no SQL oracle)
         "cbpe_estimated_accuracy": q_cbpe_estimated_accuracy,
+        "dle_estimated_mae": q_dle_estimated_mae,
         "cbpe_multiclass": q_cbpe_multiclass,
         "pca_reconstruction": q_pca_reconstruction,
         "domain_classifier": q_domain_classifier,
@@ -1325,9 +1360,12 @@ def _embedding_drift_sql() -> str:
         f"CAST(sum(CASE WHEN {bucket} = {k} THEN 1 ELSE 0 END) AS DOUBLE) / count({norm}) AS p{k}"
         for k in range(nb)
     )
-    dot = " + ".join(f"(a{i} * m{i})" for i in range(d))
-    m2 = " + ".join(f"(a{i} * a{i})" for i in range(d))
-    r2 = " + ".join(f"(m{i} * m{i})" for i in range(d))
+    # reference-subspace convention (mirrors drift/embedding.py): dims whose
+    # reference mean is NULL are EXCLUDED from dot/m2/r2; an analysis-side
+    # NULL mean inside the subspace still propagates NULL
+    dot = " + ".join(f"(CASE WHEN m{i} IS NULL THEN 0.0 ELSE a{i} * m{i} END)" for i in range(d))
+    m2 = " + ".join(f"(CASE WHEN m{i} IS NULL THEN 0.0 ELSE a{i} * a{i} END)" for i in range(d))
+    r2 = " + ".join(f"(CASE WHEN m{i} IS NULL THEN 0.0 ELSE m{i} * m{i} END)" for i in range(d))
     cosine = (
         f"CASE WHEN sqrt({m2}) * sqrt({r2}) > 0 "
         f"THEN 1.0 - ({dot}) / (sqrt({m2}) * sqrt({r2})) END"
@@ -2321,6 +2359,7 @@ FROM lab l JOIN sz USING (cluster_id) ORDER BY image_id
         ("cbpe_multiclass", "chunk_index, method, value"),
         ("pca_reconstruction", "chunk_index, reconstruction_error"),
         ("domain_classifier", "chunk_index, auroc"),
+        ("dle_estimated_mae", "chunk_index, method, value"),
     ]:
         sql[gname] = f"""
 SELECT {gcols}

@@ -45,3 +45,53 @@ def nan_to_null(col: F.Column, dtype: str) -> F.Column:
 def join_headers_long(long_df: DataFrame, headers: DataFrame, period: str) -> DataFrame:
     """Attach chunk headers (broadcast — one row per chunk) + period label."""
     return long_df.join(F.broadcast(headers), CHUNK_KEY, "left").withColumn("period", F.lit(period))
+
+
+def presample_chunks(
+    assigned: DataFrame,
+    headers: DataFrame,
+    cap: int,
+    hash_cols: Optional[list] = None,
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic per-chunk hash-sample to ≤ ~``cap`` rows, applied BEFORE
+    any chunk shuffle.
+
+    The sampling contract for per-chunk-model operators (SURVEY §7.3):
+    per-chunk model training at 10^12 scale is inherently sampled — a chunk
+    must never reach a single Python worker unbounded. This filter is a pure
+    NARROW operation (no shuffle, no window): per-chunk row counts come from
+    the already-computed ``headers`` aggregate (≤ #chunks rows, collected
+    driver-side — the same bounded device the reference uses for
+    MAX_RESAMPLE_SIZE sampling), and each row survives iff
+    ``hash(row) / 2^63 < cap / n_chunk``. Chunks at or under ``cap`` pass
+    through untouched (no filter is even added when none exceed it, so
+    small-scale goldens are bit-identical).
+
+    Determinism: the hash is ``xxhash64`` over ``hash_cols`` (defaults to the
+    chunker's row index when present — unique per row — else the full row
+    struct) plus the chunk key and a fixed seed; the kept set is a pure
+    function of the data, independent of partitioning or cluster size.
+    The kept count is binomial around ``cap`` (±~1% at cap=10k).
+    """
+    from spark_validate.chunking import ROW_INDEX
+
+    counts = headers.select(CHUNK_KEY, "n_rows").collect()
+    frac = {r[CHUNK_KEY]: cap / r["n_rows"] for r in counts if r["n_rows"] > cap}
+    if not frac:
+        return assigned
+    if hash_cols is None:
+        hash_cols = [ROW_INDEX] if ROW_INDEX in assigned.columns else [
+            c for c in assigned.columns if c != CHUNK_KEY
+        ]
+    frac_map = F.create_map(
+        *[lit for k, v in sorted(frac.items()) for lit in (F.lit(k), F.lit(float(v)))]
+    )
+    u = (
+        F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in hash_cols]), F.col(CHUNK_KEY), F.lit(seed)),
+            F.lit(1_000_000_007),
+        ).cast("double")
+        / 1_000_000_007.0
+    )
+    return assigned.filter(F.coalesce(frac_map[F.col(CHUNK_KEY)], F.lit(1.0)) > u)

@@ -77,30 +77,73 @@ class ColumnStatsCalculator:
     def _needs(self, metric: str) -> bool:
         return metric in self.metrics
 
-    def _agg_exprs(self, dtypes: Dict[str, str]) -> List[F.Column]:
-        exprs = [F.count(F.lit(1)).alias("__rows")]
+    def _agg_exprs(self, dtypes: Dict[str, str], prefix: str = "") -> List[F.Column]:
+        exprs = [F.count(F.lit(1)).alias(f"{prefix}__rows")]
         for c in self.column_names:
             v = nan_to_null(F.col(c), dtypes[c])
             if self._needs("missing_count") or self._needs("missing_rate"):
-                exprs.append((F.count(F.lit(1)) - F.count(v)).cast("double").alias(f"{c}__missing_count"))
+                exprs.append((F.count(F.lit(1)) - F.count(v)).cast("double").alias(f"{prefix}{c}__missing_count"))
             if self._needs("avg"):
-                exprs.append(F.avg(v).alias(f"{c}__avg"))
+                exprs.append(F.avg(v).alias(f"{prefix}{c}__avg"))
             if self._needs("sum"):
-                exprs.append(F.sum(v).cast("double").alias(f"{c}__sum"))
+                exprs.append(F.sum(v).cast("double").alias(f"{prefix}{c}__sum"))
             if self._needs("std"):
-                exprs.append(F.stddev_samp(v).alias(f"{c}__std"))
+                exprs.append(F.stddev_samp(v).alias(f"{prefix}{c}__std"))
             if self._needs("median"):
                 if self.exact_median:
-                    exprs.append(F.expr(f"percentile({c}, 0.5)").alias(f"{c}__median"))
+                    exprs.append(F.expr(f"percentile({c}, 0.5)").alias(f"{prefix}{c}__median"))
                 else:
-                    exprs.append(F.percentile_approx(v, 0.5, 100_000).cast("double").alias(f"{c}__median"))
+                    exprs.append(F.percentile_approx(v, 0.5, 100_000).cast("double").alias(f"{prefix}{c}__median"))
             if self._needs("min"):
-                exprs.append(F.min(v).cast("double").alias(f"{c}__min"))
+                exprs.append(F.min(v).cast("double").alias(f"{prefix}{c}__min"))
             if self._needs("max"):
-                exprs.append(F.max(v).cast("double").alias(f"{c}__max"))
+                exprs.append(F.max(v).cast("double").alias(f"{prefix}{c}__max"))
             if self._needs("count"):
-                exprs.append(F.count(v).cast("double").alias(f"{c}__count"))
+                exprs.append(F.count(v).cast("double").alias(f"{prefix}{c}__count"))
         return exprs
+
+    def _melt_wide(self, wide: DataFrame, prefix: str = "") -> DataFrame:
+        """Wide per-chunk aggregate (with header cols riding along) → long
+        form. Shared by the standalone path and the fused-suite path (the
+        latter passes a per-check column prefix)."""
+        from spark_validate.chunking import CHUNK_INDEX
+
+        pairs = []
+        for c in self.column_names:
+            for m in self.metrics:
+                if m == "missing_rate":
+                    val = F.col(f"{prefix}{c}__missing_count") / F.col(f"{prefix}__rows")
+                else:
+                    val = F.col(f"{prefix}{c}__{m}")
+                pairs.append(
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.lit(m).alias("method"),
+                        val.cast("double").alias("value"),
+                    )
+                )
+        hdr_cols = [CHUNK_INDEX, "start_index", "end_index", "start_ts", "end_ts"]
+        return (
+            wide.select(
+                CHUNK_KEY, *hdr_cols, F.col(f"{prefix}__rows").alias("n_chunk"),
+                F.explode(F.array(*pairs)).alias("kv"),
+            )
+            .select(CHUNK_KEY, *hdr_cols, "n_chunk", "kv.column_name", "kv.method", "kv.value")
+        )
+
+    def fuse_contrib(self, dtypes: Dict[str, str], prefix: str):
+        """Suite-fusion hook: (agg expressions with prefixed aliases,
+        finisher(wide, period) → result). The fused runner computes ONE
+        groupBy(chunk) aggregation carrying every check's expressions — one
+        scan and one shuffle of the fact table for the whole suite."""
+        if self._fitted is None:
+            raise RuntimeError("fit first")
+        exprs = self._agg_exprs(dtypes, prefix)
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            return self._finalize(self._melt_wide(wide, prefix), None, period)
+
+        return exprs, fin
 
     def _chunk_values(self, df: DataFrame) -> DataFrame:
         """(chunk_key, column_name, method, value, n_chunk) — long form.
@@ -131,28 +174,7 @@ class ColumnStatsCalculator:
         wide = wide.withColumn(  # single task by design: input is the per-chunk aggregate, ≤ #chunks rows
             CHUNK_INDEX, F.row_number().over(Window.orderBy(order_col)) - F.lit(1)
         )
-        pairs = []
-        for c in self.column_names:
-            for m in self.metrics:
-                if m == "missing_rate":
-                    val = F.col(f"{c}__missing_count") / F.col("__rows")
-                else:
-                    val = F.col(f"{c}__{m}")
-                pairs.append(
-                    F.struct(
-                        F.lit(c).alias("column_name"),
-                        F.lit(m).alias("method"),
-                        val.cast("double").alias("value"),
-                    )
-                )
-        hdr_cols = [CHUNK_INDEX, "start_index", "end_index", "start_ts", "end_ts"]
-        long_df = (
-            wide.select(
-                CHUNK_KEY, *hdr_cols, F.col("__rows").alias("n_chunk"), F.explode(F.array(*pairs)).alias("kv")
-            )
-            .select(CHUNK_KEY, *hdr_cols, "n_chunk", "kv.column_name", "kv.method", "kv.value")
-        )
-        return long_df, None
+        return self._melt_wide(wide), None
 
     # -- fit -----------------------------------------------------------------
 

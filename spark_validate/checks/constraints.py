@@ -40,7 +40,12 @@ def _attach_const_threshold(long_df: DataFrame, headers, period, lower, upper) -
         .withColumn("upper_threshold", F.lit(upper).cast("double"))
         .withColumn("alert", alert_expr())
     )
+    if headers is None:  # fused path: header columns already ride in long_df
+        return conform_result(out.withColumn("period", F.lit(period)))
     return conform_result(join_headers_long(out, headers, period))
+
+
+_FUSE_HDR_COLS = ("chunk_index", "start_index", "end_index", "start_ts", "end_ts")
 
 
 @dataclass
@@ -94,6 +99,34 @@ class NumericalRangeCalculator:
             CHUNK_KEY, "kv.column_name", "kv.method", "kv.value"
         )
         return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        """Suite-fusion hook (see ColumnStatsCalculator.fuse_contrib)."""
+        if self._ranges is None:
+            raise RuntimeError("fit first")
+        exprs = [F.count(F.lit(1)).alias(f"{prefix}__rows")]
+        for c in self.column_names:
+            exprs.append(F.sum(self._oor(c, dtypes)).cast("double").alias(f"{prefix}{c}__oor"))
+        method = "out_of_range_rate" if self.normalize else "out_of_range_count"
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            pairs = [
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(method).alias("method"),
+                    (
+                        (F.col(f"{prefix}{c}__oor") / F.col(f"{prefix}__rows"))
+                        if self.normalize else F.col(f"{prefix}{c}__oor")
+                    ).cast("double").alias("value"),
+                )
+                for c in self.column_names
+            ]
+            long_df = wide.select(
+                CHUNK_KEY, *_FUSE_HDR_COLS, F.explode(F.array(*pairs)).alias("kv")
+            ).select(CHUNK_KEY, *_FUSE_HDR_COLS, "kv.column_name", "kv.method", "kv.value")
+            return _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
+
+        return exprs, fin
 
     def get_state(self) -> dict:
         if self._ranges is None:
@@ -190,6 +223,42 @@ class UnseenValuesCalculator:
         if isinstance(seen, list):
             return (v.isNotNull() & ~v.isin(seen)).cast("int")
         raise RuntimeError("large-cardinality column requires join path (calculate handles it)")
+
+    @property
+    def fusable(self) -> bool:
+        """Fusable only when every seen-set is a broadcastable list — the
+        high-cardinality anti-join path needs its own join, not an agg expr."""
+        return self._seen is not None and all(isinstance(s, list) for s in self._seen.values())
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        """Suite-fusion hook (see ColumnStatsCalculator.fuse_contrib)."""
+        if self._seen is None:
+            raise RuntimeError("fit first")
+        if not self.fusable:
+            raise RuntimeError("high-cardinality seen-set: not fusable (anti-join path)")
+        method = "unseen_values_rate" if self.normalize else "unseen_values_count"
+        exprs = [F.count(F.lit(1)).alias(f"{prefix}__rows")]
+        for c in self.column_names:
+            exprs.append(F.sum(self._unseen_flag(c)).cast("double").alias(f"{prefix}{c}__unseen"))
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            pairs = [
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(method).alias("method"),
+                    (
+                        (F.col(f"{prefix}{c}__unseen") / F.col(f"{prefix}__rows"))
+                        if self.normalize else F.col(f"{prefix}{c}__unseen")
+                    ).cast("double").alias("value"),
+                )
+                for c in self.column_names
+            ]
+            long_df = wide.select(
+                CHUNK_KEY, *_FUSE_HDR_COLS, F.explode(F.array(*pairs)).alias("kv")
+            ).select(CHUNK_KEY, *_FUSE_HDR_COLS, "kv.column_name", "kv.method", "kv.value")
+            return _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
+
+        return exprs, fin
 
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
         if self._seen is None:

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_validate.calculators.base import assign_chunks
-from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
+from spark_validate.chunking import CHUNK_KEY, ROW_INDEX, Chunker, DefaultChunker
 
 
 def categorical_distribution(
@@ -63,18 +63,29 @@ def continuous_distribution(
     max_chunk_sample: int = 50_000,
 ) -> DataFrame:
     """(chunk_key, x, density, cdf) — ~``points`` KDE points per chunk."""
+    from spark_validate.calculators.base import presample_chunks
     from spark_validate.functions.mathstats import gaussian_kde_at
 
     chunker = chunker or DefaultChunker()
-    assigned, _ = assign_chunks(df, chunker)
-    src = assigned.select(CHUNK_KEY, F.col(column).cast("double").alias("_v")).filter(
-        F.col("_v").isNotNull()
-    )
+    assigned, headers = assign_chunks(df, chunker)
+    src = assigned.select(
+        CHUNK_KEY,
+        *([c for c in (ROW_INDEX,) if c in assigned.columns]),
+        F.col(column).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    # sampling contract (SURVEY §7.3): the KDE sample is taken BEFORE the
+    # chunk shuffle — a narrow hash-threshold filter bounded by headers'
+    # n_rows — so an oversized chunk never materializes in one Arrow worker.
+    # (headers counts include the null rows dropped above, so the effective
+    # sample is ≤ max_chunk_sample; under-cap chunks are untouched.)
+    src = presample_chunks(src, headers, max_chunk_sample)
+    if ROW_INDEX in src.columns:
+        src = src.drop(ROW_INDEX)
 
     def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[CHUNK_KEY].iloc[0]
         vals = pdf["_v"].to_numpy()
-        if len(vals) > max_chunk_sample:
+        if len(vals) > max_chunk_sample * 1.1:  # safety net; presample bounds this
             rng = np.random.default_rng(42)
             vals = rng.choice(vals, max_chunk_sample, replace=False)
         lo, hi = vals.min(), vals.max()

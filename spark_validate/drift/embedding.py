@@ -93,8 +93,9 @@ class EmbeddingDriftCalculator:
     def _norm_bucket(self, lo: float, hi: float) -> Column:
         """Reference-range equal-width bucket of the L2 norm; −1 below, n_bins
         above, top edge closed — same convention as the continuous univariate
-        histogram. Degenerate reference range (hi == lo): one bucket holds
-        every exactly-equal value."""
+        histogram. Degenerate reference range (hi == lo): every exactly-equal
+        value lands in the TOP bucket (n_bins − 1), consistent with the
+        non-degenerate ``norm == hi`` rule."""
         norm = l2_norm_expr(F.col(self.embedding_col), self.dim)
         n = self.n_bins
         if hi <= lo:
@@ -102,7 +103,7 @@ class EmbeddingDriftCalculator:
                 F.when(norm.isNull(), F.lit(None).cast("int"))
                 .when(norm < F.lit(lo), F.lit(-1))
                 .when(norm > F.lit(lo), F.lit(n))
-                .otherwise(F.lit(0))
+                .otherwise(F.lit(n - 1))
             )
         w = (hi - lo) / n
         return (
@@ -157,16 +158,14 @@ class EmbeddingDriftCalculator:
             "norm_lo": lo,
             "norm_hi": hi,
         }
-        # second — and last — reference pass: the per-chunk aggregate needed
-        # for threshold fitting ALSO carries the norm-histogram counts, and
-        # integer per-chunk counts sum EXACTLY to the global histogram, so
-        # the reference probabilities come from one tiny aggregation over the
-        # ≤#chunks-row frame instead of a third scan.
+        # global norm histogram over the FULL reference — not summed from the
+        # per-chunk aggregate: a chunker with incomplete='drop' excludes the
+        # final partial chunk's rows from chunk sums, which would make
+        # norm_probs inconsistent with the mu/sigma/lo/hi fitted on every row
+        # above. The extra aggregation re-reads the fit-time cached
+        # projection (cached_for_fit), so no third scan of storage happens.
+        hrow = reference.agg(*self._hist_aggs(lo, hi)).first().asDict()
         wide_ref = self._chunk_wide(reference).persist()
-        hrow = wide_ref.agg(
-            F.sum("__nnorm").alias("__nnorm"),
-            *[F.sum(f"__h{k}").alias(f"__h{k}") for k in range(self.n_bins)],
-        ).first().asDict()
         n_norm = hrow["__nnorm"]
         if not n_norm:
             raise ValueError("reference has no non-null embeddings")
@@ -191,6 +190,12 @@ class EmbeddingDriftCalculator:
         mu, sigma = st["mu"], st["sigma"]
         pairs = []
         if "centroid_cosine" in self.methods:
+            # reference-subspace convention: dims with NO reference signal
+            # (all-NULL at fit time → mu[i] is None) are excluded from dot,
+            # m2 AND r2 — the cosine is computed inside the subspace the
+            # reference defines. A dim NULL only in an analysis chunk still
+            # propagates NULL (no silent zero-fill). The DuckDB oracle
+            # (__spark_entry__._embedding_drift_sql) mirrors this exactly.
             dot = None
             m2 = None
             r2 = 0.0

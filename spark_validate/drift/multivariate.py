@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_validate.calculators.base import assign_chunks, join_headers_long
+from spark_validate.calculators.base import assign_chunks, join_headers_long, presample_chunks
 from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
 from spark_validate.result import conform_result
 from spark_validate.thresholds import ConstantThreshold, StandardDeviationThreshold, alert_expr
@@ -303,6 +303,14 @@ class DomainClassifierCalculator:
     chunker: Chunker = field(default_factory=DefaultChunker)
     threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(0.45, 0.65))
     reference_sample: int = 10_000
+    # sampling contract (SURVEY §7.3): each ANALYSIS chunk is hash-sampled to
+    # ≤ ~chunk_sample rows BEFORE the chunk shuffle — per-chunk CV training
+    # must never materialize an unbounded chunk in one Arrow worker. The
+    # reference caps its train set the same way (len cap via
+    # `drift/multivariate/domain_classifier/calculator.py` 10k default);
+    # ours is deterministic (xxhash threshold), so results are a pure
+    # function of the data at any cluster size.
+    chunk_sample: int = 10_000
     cv_folds: int = 5
     # 'gbdt' (default): numpy histogram-GBDT — same model family as the
     # reference's LightGBM, catches nonlinear chunk-vs-reference drift.
@@ -343,6 +351,8 @@ class DomainClassifierCalculator:
         if self._ref_pdf is None:
             raise RuntimeError("fit first")
         assigned, headers = assign_chunks(df, self.chunker)
+        if self.chunk_sample:
+            assigned = presample_chunks(assigned, headers, self.chunk_sample)
         ref_X = self._encode(self._ref_pdf)
         bc = df.sparkSession.sparkContext.broadcast(ref_X)
         cat_codes = self._cat_codes

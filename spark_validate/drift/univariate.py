@@ -352,22 +352,38 @@ class UnivariateDriftCalculator:
                 st.specs[spec] = (n_bins, probs)
 
     def _fit_categorical(self, reference: DataFrame, cols: List[str], dtypes) -> None:
-        counts_df = self._categorical_counts(reference, cols, dtypes)
-        rows = (
-            counts_df.groupBy("column_name", "value")
+        # Driver safety at scale: the collect is bounded BEFORE it happens.
+        # Top-max_categories is taken Spark-side (rank window over the
+        # per-column counts — deterministic tie-break on value), so a
+        # high-cardinality column misconfigured as categorical (an id
+        # string) collects ≤ max_categories rows per column instead of the
+        # full distinct set; n_ref comes from a one-row-per-column total so
+        # the tail's leftover mass is still exact.
+        agg = (
+            self._categorical_counts(reference, cols, dtypes)
+            .groupBy("column_name", "value")
             .agg(F.sum("cnt").alias("cnt"))
-            .collect()
+            .persist()
         )
+        try:
+            totals = {
+                r["column_name"]: r["tot"]
+                for r in agg.groupBy("column_name").agg(F.sum("cnt").alias("tot")).collect()
+            }
+            w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
+            rows = (
+                agg.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= self.max_categories)
+                .drop("_rk")
+                .collect()
+            )
+        finally:
+            agg.unpersist()
         per_col: Dict[str, Dict[str, int]] = {c: {} for c in cols}
         for r in rows:
             per_col[r["column_name"]][r["value"]] = r["cnt"]
         for c in cols:
-            cmap = per_col[c]
-            if len(cmap) > self.max_categories:
-                # keep the heaviest categories; the tail folds into leftover mass
-                cmap = dict(sorted(cmap.items(), key=lambda kv: -kv[1])[: self.max_categories])
-            n_ref = sum(per_col[c].values())
-            self._cat_state[c] = CategoricalState(n_ref=n_ref, counts=cmap)
+            self._cat_state[c] = CategoricalState(n_ref=totals.get(c, 0), counts=per_col[c])
 
     # -- shared exploded count passes -------------------------------------------
 

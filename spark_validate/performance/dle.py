@@ -176,6 +176,10 @@ class DLE:
             .sample(fraction=frac, seed=42)
             .toPandas()
         )
+        # toPandas() row order follows partition order (cores / file splits);
+        # sort so the fitted loss model is a pure function of the sample SET —
+        # cheap on a ≤fit_sample driver frame, required for frozen goldens
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
         X = self._design(pdf)
         yt = pdf[self.y_true].to_numpy(np.float64)
         yp = pdf[self.y_pred].to_numpy(np.float64)

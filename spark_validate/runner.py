@@ -331,12 +331,14 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             model_name=db_cfg.get("model_name"),
         )
     check_names = _unique_check_names(config["checks"])
+
+    # ---- phase 1: build + load-or-fit every check --------------------------
+    # (fit must precede the fused pass: fuse_contrib needs fitted state)
+    prepared = []  # (name, check_cfg, chunker, calc, from_store, fit_secs)
     for name, check_cfg in zip(check_names, config["checks"]):
-        violations_error: Optional[str] = None
         chunker = build_chunker(chunk_cfg)
         calc = build_check(spark, check_cfg, chunker)
-        t0 = time.time()
-
+        t_fit0 = time.time()
         # load-or-fit (store hit skips the reference aggregation entirely);
         # domain/uniqueness/referential checks carry no reference-fitted state
         from_store = False
@@ -361,6 +363,30 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
                         logger.warning("state not storable for %r (%s); fitted without store", name, exc)
             else:
                 calc.fit(reference)
+        prepared.append((name, check_cfg, chunker, calc, from_store, time.time() - t_fit0))
+
+    # ---- fused shared-scan pass ---------------------------------------------
+    # One groupBy(chunk) aggregation for every agg-shaped check (stats /
+    # missing / range / domain / unseen-list): one scan + one shuffle of the
+    # analysis table instead of one per check. Results are identical to the
+    # standalone path (same expressions, batched). Disabled on resume runs —
+    # per-check partition pruning gives each check a different input.
+    fused_results: Dict[str, DataFrame] = {}
+    fused_wide = None
+    if bool(config.get("fused", True)) and completed is None:
+        from spark_validate.fused import fused_calculate, is_fusable
+
+        fusable = {n: c for (n, _cfg, _ch, c, _fs, _ts) in prepared if is_fusable(c)}
+        if len(fusable) > 1:
+            shared_chunker = prepared[0][2]
+            fused_results, fused_wide = fused_calculate(fusable, analysis, shared_chunker)
+            logger.info("fused pass covers %d/%d checks: %s",
+                        len(fusable), len(prepared), sorted(fusable))
+
+    # ---- phase 2: calculate / write / lineage per check ----------------------
+    for name, check_cfg, chunker, calc, from_store, fit_secs in prepared:
+        violations_error: Optional[str] = None
+        t0 = time.time() - fit_secs  # report secs include this check's fit
 
         # resume: prune completed partitions from the INPUT (scan-level skip)
         ana = analysis
@@ -374,7 +400,9 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
                 assigned = chunker.assign(analysis)
                 ana = assigned.join(F.broadcast(mine), CHUNK_KEY, "left_anti").drop(CHUNK_KEY)
 
-        result = calc.calculate(ana)
+        result = fused_results.get(name)
+        if result is None:
+            result = calc.calculate(ana)
         result = result.withColumn("run_id", F.lit(run_id)).withColumn("check", F.lit(name))
         write_results(result, os.path.join(out_dir, "results"), partition_by=["check"])
 
@@ -407,16 +435,21 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
 
                     # key = every identity column available; rows without a
                     # row_id that also share kind/column/observed value are
-                    # literally interchangeable and sample as a group
+                    # literally interchangeable and sample as a group.
+                    # to_json(struct(...)) is collision-resistant: NULLs and
+                    # '|' inside values stay distinguishable (concat_ws would
+                    # silently skip NULL fields and merge on embedded '|',
+                    # correlating kept rows and skewing the effective rate)
                     v = v.withColumn(
                         "_sv_vkey",
-                        F.concat_ws(
-                            "|",
-                            "chunk_key",
-                            "row_id",
-                            "violation_kind",
-                            "column_name",
-                            "observed_value",
+                        F.to_json(
+                            F.struct(
+                                "chunk_key",
+                                "row_id",
+                                "violation_kind",
+                                "column_name",
+                                "observed_value",
+                            )
                         ),
                     )
                     # salt intentionally run-independent: the kept subset is a
@@ -489,6 +522,8 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             calc.release_cache()  # results are written; cached aggregates can go
     if completed is not None:
         completed.unpersist(blocking=False)
+    if fused_wide is not None:
+        fused_wide.unpersist(blocking=False)
     return report
 
 
@@ -528,20 +563,32 @@ def render_path_template(template: str, now=None) -> str:
     return out
 
 
-def run_scheduled(spark, config: dict, run_fn=None, sleep_fn=None, max_runs=None) -> list:
+def run_scheduled(spark, config: dict, run_fn=None, sleep_fn=None, max_runs=None, now_fn=None) -> list:
     """Reference-compat scheduling loop (`nannyml/cli/run.py:23-58`): a
-    ``scheduling: {interval_seconds: N}`` config block re-runs the suite
-    every N seconds (the reference's APScheduler interval trigger; cron
-    belongs to an external orchestrator — the streaming runner covers the
-    continuous case natively). Each run renders path templates fresh and
-    gets a unique ``run_id`` suffix so lineage rows don't collide.
-    ``run_fn``/``sleep_fn``/``max_runs`` exist for tests."""
+    ``scheduling: {interval_seconds: N}`` block re-runs the suite every N
+    seconds (APScheduler interval trigger), and ``scheduling: {cron:
+    "*/5 * * * *"}`` re-runs on a five-field cron expression (APScheduler
+    ``CronTrigger.from_crontab`` parity — spark_validate.cron, stdlib-only).
+    Each run renders path templates fresh and gets a unique ``run_id``
+    suffix so lineage rows don't collide. ``run_fn``/``sleep_fn``/
+    ``max_runs``/``now_fn`` exist for tests."""
     import copy
     import time as _time
+    from datetime import datetime
 
     run_fn = run_fn or run_suite
     sleep_fn = sleep_fn or _time.sleep
-    interval = (config.get("scheduling") or {}).get("interval_seconds")
+    now_fn = now_fn or datetime.now
+    sched = config.get("scheduling") or {}
+    interval = sched.get("interval_seconds")
+    cron_expr = sched.get("cron")
+    if interval and cron_expr:
+        raise ValueError("scheduling: give interval_seconds OR cron, not both")
+    if cron_expr:
+        from spark_validate.cron import parse_cron
+
+        parse_cron(cron_expr)  # fail fast on a bad expression
+    recurring = bool(interval or cron_expr)
     reports = []
     i = 0
     while True:
@@ -549,13 +596,19 @@ def run_scheduled(spark, config: dict, run_fn=None, sleep_fn=None, max_runs=None
         for key in ("output_dir", "store_dir"):
             if key in cfg:
                 cfg[key] = render_path_template(cfg[key])
-        if interval:
+        if recurring:
             cfg["run_id"] = f"{cfg.get('run_id', 'run')}__{i}"
         reports.append(run_fn(spark, cfg))
         i += 1
-        if not interval or (max_runs is not None and i >= max_runs):
+        if not recurring or (max_runs is not None and i >= max_runs):
             return reports
-        sleep_fn(interval)
+        if cron_expr:
+            from spark_validate.cron import next_fire
+
+            now = now_fn()
+            sleep_fn(max((next_fire(cron_expr, now) - now).total_seconds(), 0.0))
+        else:
+            sleep_fn(interval)
 
 
 def main():  # pragma: no cover - thin CLI

@@ -67,3 +67,46 @@ def test_car_price_dataset_dle_detects_drift_degradation(spark):
     # km_driven drifts up in the last quarter → noise scale grows → estimated
     # MAE in the final chunks exceeds the first chunks
     assert res["value"].iloc[-1] > res["value"].iloc[0]
+
+
+def test_titanic_dataset_contract(spark):
+    from spark_validate.datasets import load_titanic_dataset
+
+    ref, ana, tgt = load_titanic_dataset(spark, n_rows=1309, n_parts=4)
+    assert ref.count() + ana.count() == 1309
+    assert "Survived" in ref.columns and "Survived" not in ana.columns
+    assert set(tgt.columns) == {"PassengerId", "Survived"}
+    pdf = ref.toPandas()
+    # kaggle-like shape: missing ages, class-skewed fares, binary target
+    assert pdf["Age"].isna().mean() > 0.1
+    assert pdf.groupby("Pclass")["Fare"].mean()[1] > pdf.groupby("Pclass")["Fare"].mean()[3]
+    assert set(pdf["Survived"].unique()) <= {0, 1}
+    # survival structure a drift/performance calculator can find
+    by_sex = pdf.groupby("Sex")["Survived"].mean()
+    assert by_sex["female"] > by_sex["male"] + 0.2
+
+
+def test_california_housing_dataset_contract(spark):
+    from spark_validate.datasets import load_modified_california_housing_dataset
+
+    ref, ana, tgt = load_modified_california_housing_dataset(spark, n_rows=8000, n_parts=4)
+    assert "clf_target" in ref.columns and "clf_target" not in ana.columns
+    # analysis second half carries the MedInc drift → univariate drift fires
+    from spark_validate.drift import UnivariateDriftCalculator
+
+    calc = UnivariateDriftCalculator(
+        ["MedInc"], continuous_methods=("jensen_shannon",),
+        chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]),
+    ).fit(ref)
+    res = calc.calculate(ana).orderBy("chunk_index").toPandas()
+    assert res["value"].iloc[-1] > res["value"].iloc[0] + 0.05
+
+
+def test_us_census_dataset_contract(spark):
+    from spark_validate.datasets import load_us_census_ma_employment_data
+
+    ref, ana, tgt = load_us_census_ma_employment_data(spark, n_rows=8000, n_parts=4)
+    assert {"AGEP", "SCHL", "y_pred_proba"} <= set(ref.columns)
+    assert "employed" not in ana.columns and "employed" in tgt.columns
+    pdf = ref.toPandas()
+    assert 0.4 < pdf["employed"].mean() < 0.95

@@ -206,3 +206,42 @@ def test_plan_is_udf_free(spark, frames):
     plan = plan_str(calc.calculate(ana_df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_constant_norm_degenerate_range(spark):
+    """hi == lo reference norm range: exactly-equal values land in the TOP
+    bucket (n_bins - 1), matching the non-degenerate norm == hi rule and the
+    DuckDB oracle convention; identical analysis data → norm_js == 0."""
+    rows = [(i, [3.0, 4.0]) for i in range(100)]  # every norm exactly 5.0
+    schema = "vec_id long, embedding array<double>"
+    sdf = spark.createDataFrame(rows, schema)
+    calc = EmbeddingDriftCalculator(
+        methods=("norm_js",), chunker=SizeBasedChunker(chunk_size=50, order_by=["vec_id"]), dim=2
+    )
+    calc.fit(sdf)
+    probs = calc._fitted["norm_probs"]
+    assert probs[-1] == pytest.approx(1.0) and sum(probs[:-1]) == 0.0
+    res = calc.calculate(sdf).toPandas()
+    assert (res["value"].abs() < 1e-12).all()
+
+
+def test_fit_histogram_includes_dropped_partial_chunk(spark):
+    """norm_probs come from the FULL reference even when the chunker drops
+    the final partial chunk — the fitted state stays internally consistent
+    with the full-table mu/sigma/lo/hi pass."""
+    # 105 rows, chunk_size 50, incomplete='drop' → rows 100-104 are dropped
+    # from chunk aggregates; give ONLY those rows the global max norm
+    rows = [(i, [1.0, 0.0]) for i in range(100)] + [(i, [10.0, 0.0]) for i in range(100, 105)]
+    schema = "vec_id long, embedding array<double>"
+    sdf = spark.createDataFrame(rows, schema)
+    calc = EmbeddingDriftCalculator(
+        methods=("norm_js",),
+        chunker=SizeBasedChunker(chunk_size=50, order_by=["vec_id"], incomplete="drop"),
+        dim=2,
+    )
+    calc.fit(sdf)
+    st = calc._fitted
+    assert st["norm_hi"] == pytest.approx(10.0)
+    # the top bucket holds the 5 dropped-chunk rows: 5/105
+    assert st["norm_probs"][-1] == pytest.approx(5 / 105)
+    assert sum(st["norm_probs"]) == pytest.approx(1.0)

@@ -162,3 +162,72 @@ def test_domain_classifier_gbdt_catches_nonlinear_drift(spark):
     lin.fit(spark.createDataFrame(ref))
     lres = lin.calculate(spark.createDataFrame(a)).orderBy("chunk_index").toPandas()
     assert lres["value"].iloc[1] < 0.6
+
+
+class TestChunkPresampling:
+    """SURVEY §7.3 sampling contract: per-chunk-model operators bound the
+    rows reaching a single Python worker BEFORE the chunk shuffle."""
+
+    def test_presample_bounds_oversized_chunks(self, spark):
+        from pyspark.sql import functions as F
+
+        from spark_validate.calculators.base import assign_chunks, presample_chunks
+        from spark_validate.chunking import CHUNK_KEY, SizeBasedChunker
+
+        n = 30_000
+        pdf = pd.DataFrame({"id": np.arange(n), "x": np.arange(n) * 0.5})
+        sdf = spark.createDataFrame(pdf)
+        assigned, headers = assign_chunks(sdf, SizeBasedChunker(chunk_size=15_000, order_by=["id"]))
+        cap = 1_000
+        sampled = presample_chunks(assigned, headers, cap)
+        per_chunk = {
+            r[CHUNK_KEY]: r["cnt"]
+            for r in sampled.groupBy(CHUNK_KEY).agg(F.count("*").alias("cnt")).collect()
+        }
+        assert len(per_chunk) == 2
+        for k, c in per_chunk.items():
+            # binomial around cap: ±5 sigma ≈ ±160 at cap=1000
+            assert cap * 0.84 <= c <= cap * 1.16, (k, c)
+
+    def test_presample_deterministic_and_noop_under_cap(self, spark):
+        from spark_validate.calculators.base import assign_chunks, presample_chunks
+        from spark_validate.chunking import SizeBasedChunker
+
+        pdf = pd.DataFrame({"id": np.arange(4_000), "x": np.arange(4_000) * 1.5})
+        sdf = spark.createDataFrame(pdf)
+        assigned, headers = assign_chunks(sdf, SizeBasedChunker(chunk_size=2_000, order_by=["id"]))
+        # under cap: the exact same plan object comes back (no filter added)
+        assert presample_chunks(assigned, headers, 2_000) is assigned
+        # over cap: two invocations keep the identical row set
+        a = set(r["id"] for r in presample_chunks(assigned, headers, 500).select("id").collect())
+        b = set(r["id"] for r in presample_chunks(assigned, headers, 500).select("id").collect())
+        assert a == b and 400 <= len(a) <= 1_200
+
+    def test_domain_classifier_presamples_before_worker(self, spark):
+        """A chunk over chunk_sample is hash-filtered BEFORE the chunk
+        shuffle: the result plan carries the xxhash64 threshold filter and
+        the AUROC stays a pure function of the data (two runs identical)."""
+        rng = np.random.default_rng(7)
+        n_ref, n_ana = 2_000, 12_000
+        pdf = pd.DataFrame({
+            "id": np.arange(n_ref + n_ana),
+            "x1": rng.standard_normal(n_ref + n_ana),
+            "x2": rng.standard_normal(n_ref + n_ana),
+        })
+        sdf = spark.createDataFrame(pdf)
+        calc = DomainClassifierCalculator(
+            ["x1", "x2"],
+            chunker=SizeBasedChunker(chunk_size=n_ana, order_by=["id"]),
+            chunk_sample=1_000,
+            reference_sample=1_000,
+            cv_folds=2,
+        )
+        calc.fit(sdf.filter(f"id < {n_ref}"))
+        res = calc.calculate(sdf.filter(f"id >= {n_ref}"))
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan.lower(), "presample filter missing from the physical plan"
+        r1 = res.collect()
+        r2 = calc.calculate(sdf.filter(f"id >= {n_ref}")).collect()
+        assert len(r1) == 1
+        assert r1[0]["value"] == r2[0]["value"]
+        assert 0.0 <= r1[0]["value"] <= 1.0

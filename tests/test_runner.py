@@ -589,3 +589,68 @@ def test_violations_sample_rate(spark, workspace):
     run_suite(spark, s_cfg2)
     again = rows(spark.read.parquet(str(workspace / "out_vs2" / "violations")))
     assert again == sampled1
+
+
+def test_fused_matches_standalone(spark, workspace):
+    """The fused shared-scan pass returns row-for-row identical results to
+    the per-check path (same expressions, batched into one aggregation)."""
+    ws = workspace
+
+    def cfg(tag, fused):
+        return {
+            "run_id": "fusedrun",
+            "output_dir": str(ws / f"out_{tag}"),
+            "store_dir": str(ws / f"store_{tag}"),
+            "reference": str(ws / "ref"),
+            "analysis": str(ws / "ana"),
+            "chunking": {"partition_columns": ["part"]},
+            "fused": fused,
+            "checks": [
+                {"type": "column_stats", "columns": ["w", "h"],
+                 "metrics": ["missing_rate", "avg", "min", "max", "std"]},
+                {"type": "missing", "columns": ["w"]},
+                {"type": "range", "columns": ["w", "h"]},
+                {"type": "domain", "columns": ["fmt"], "domain": ["jpeg", "png", "webp"]},
+            ],
+        }
+
+    run_suite(spark, cfg("f", True))
+    run_suite(spark, cfg("s", False))
+    key = ["check", "chunk_key", "column_name", "method"]
+    f = (
+        spark.read.parquet(str(ws / "out_f" / "results")).toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    s = (
+        spark.read.parquet(str(ws / "out_s" / "results")).toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    assert len(f) == len(s) and len(f) > 0
+    pd.testing.assert_frame_equal(f[s.columns], s, check_exact=False, rtol=1e-12, atol=1e-12)
+
+
+def test_fused_plan_single_scan(spark, workspace):
+    """The fused pass issues ONE aggregation over the fact table: every
+    fusable check's result projects from the same persisted wide frame."""
+    from spark_validate.calculators import ColumnStatsCalculator
+    from spark_validate.checks import DomainCheck, NumericalRangeCalculator
+    from spark_validate.chunking import PartitionChunker
+    from spark_validate.fused import fused_calculate
+
+    ref = spark.read.parquet(str(workspace / "ref"))
+    ana = spark.read.parquet(str(workspace / "ana"))
+    chunker = PartitionChunker(columns=["part"])
+    stats = ColumnStatsCalculator(["w"], metrics=("avg",), chunker=chunker).fit(ref)
+    rng = NumericalRangeCalculator(["w", "h"], chunker=chunker).fit(ref)
+    dom = DomainCheck(["fmt"], domain=["jpeg", "png", "webp"], chunker=chunker)
+    results, wide = fused_calculate(
+        {"stats": stats, "range": rng, "domain": dom}, ana, chunker
+    )
+    try:
+        plan = results["range"]._jdf.queryExecution().executedPlan().toString()
+        # the check result reads the cached wide aggregate, not the parquet scan
+        assert "InMemoryTableScan" in plan or "Scan parquet" not in plan
+        for name, df in results.items():
+            assert df.count() > 0, name
+    finally:
+        wide.unpersist()

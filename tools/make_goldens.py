@@ -30,6 +30,7 @@ GOLDEN_QUERIES = [
     "cbpe_multiclass",
     "pca_reconstruction",
     "domain_classifier",
+    "dle_estimated_mae",
 ]
 
 
