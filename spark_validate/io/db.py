@@ -41,10 +41,19 @@ _METRIC_COLS = [
     "alert",
 ]
 
+_SQLITE_DDL_MODELS = (
+    # reference `nannyml/io/db/entities.py:25-44` Model entity: upserted by
+    # name so repeated runs of the same monitored model share one row
+    "CREATE TABLE IF NOT EXISTS models ("
+    " id INTEGER PRIMARY KEY AUTOINCREMENT,"
+    " name TEXT NOT NULL UNIQUE)"
+)
+
 _SQLITE_DDL_RUNS = (
     "CREATE TABLE IF NOT EXISTS runs ("
     " id INTEGER PRIMARY KEY AUTOINCREMENT,"
     " run_id TEXT NOT NULL,"
+    " model_id INTEGER REFERENCES models(id),"
     " model_name TEXT,"
     " execution_timestamp TEXT NOT NULL)"
 )
@@ -149,11 +158,24 @@ class DatabaseWriter:
         cols = sel.columns
         conn = sqlite3.connect(path)
         try:
+            conn.execute(_SQLITE_DDL_MODELS)
             conn.execute(_SQLITE_DDL_RUNS)
             conn.execute(_SQLITE_DDL_METRICS.format(table=self.table))
+            model_pk = None
+            if self.model_name:
+                # upsert-by-name (reference `database_writer.py:80-92` upserts
+                # the Model entity before creating the Run)
+                conn.execute(
+                    "INSERT INTO models (name) VALUES (?) ON CONFLICT(name) DO NOTHING",
+                    (self.model_name,),
+                )
+                model_pk = conn.execute(
+                    "SELECT id FROM models WHERE name = ?", (self.model_name,)
+                ).fetchone()[0]
             cur = conn.execute(
-                "INSERT INTO runs (run_id, model_name, execution_timestamp) VALUES (?, ?, ?)",
-                (run_id, self.model_name, _dt.datetime.now(_dt.timezone.utc).isoformat()),
+                "INSERT INTO runs (run_id, model_id, model_name, execution_timestamp)"
+                " VALUES (?, ?, ?, ?)",
+                (run_id, model_pk, self.model_name, _dt.datetime.now(_dt.timezone.utc).isoformat()),
             )
             run_pk = cur.lastrowid
             insert = (

@@ -409,6 +409,14 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         db_rows = db_error = None
         if db_writer is not None:
             try:
+                if config["database"].get("table_per_check"):
+                    # reference parity: one SQL table per calculator
+                    # (`nannyml/io/db/entities.py:45-120` defines per-metric
+                    # entity tables); table name = <base>_<check>, sanitized
+                    import re as _re
+
+                    base = config["database"].get("table", "metrics")
+                    db_writer.table = _re.sub(r"\W+", "_", f"{base}_{name}").strip("_")
                 db_rows = db_writer.write(result, run_id=f"{run_id}__{name}")
             except Exception as exc:
                 if fail_fast:

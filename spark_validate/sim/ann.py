@@ -437,16 +437,24 @@ def embedding_clusters(
 
     # byte-identical embeddings (re-ingested copies) pre-collapse to their
     # min-id representative — same boilerplate-vs-bucket-cap reasoning as the
-    # text/phash variants; grouping on the array key shuffles the vectors
-    # once, which the signature pass was going to pay anyway
+    # text/phash variants. The collapse keys on a 128-bit vector fingerprint
+    # (two independent xxhash64 seeds), NOT the raw array: the groupBy's
+    # shuffle sorts/compares 16-byte keys instead of dim×8-byte arrays, and
+    # the members join below moves only (id, fingerprint) pairs — at 10^9
+    # vectors that join would otherwise re-shuffle the whole vector column.
+    # Collision odds over 128 bits are ~n²/2^129 (≈1e-21 at 10^9 rows).
     nn = df.filter(F.col(vec_col).isNotNull())  # NULL embedding = singleton
+    fp = [
+        F.xxhash64(F.col(vec_col), F.lit(1)).alias("_fp1"),
+        F.xxhash64(F.col(vec_col), F.lit(2)).alias("_fp2"),
+    ]
+    keyed = nn.select(F.col(id_col), F.col(vec_col), *fp)
     reps = (
-        nn.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias(vec_col))
-        .groupBy(vec_col)
-        .agg(F.min("_rid").alias(id_col))
+        keyed.groupBy("_fp1", "_fp2")
+        .agg(F.min(id_col).alias(id_col), F.first(vec_col).alias(vec_col))
     )
     pairs = embedding_near_duplicates(
-        reps,
+        reps.select(id_col, vec_col),
         threshold=threshold,
         vec_col=vec_col,
         id_col=id_col,
@@ -456,8 +464,8 @@ def embedding_clusters(
         max_bucket=max_bucket,
     )
     members = (
-        nn.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-        .join(reps.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_rep")), "_v")
+        keyed.select(F.col(id_col).alias("vec_id"), "_fp1", "_fp2")
+        .join(reps.select("_fp1", "_fp2", F.col(id_col).alias("_rep")), ["_fp1", "_fp2"])
         .select("vec_id", "_rep")
         .unionByName(
             df.filter(F.col(vec_col).isNull()).select(

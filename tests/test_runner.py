@@ -654,3 +654,46 @@ def test_fused_plan_single_scan(spark, workspace):
             assert df.count() > 0, name
     finally:
         wide.unpersist()
+
+
+def test_database_model_upsert_and_table_per_check(spark, workspace, tmp_path):
+    """Reference entity parity: models upserted by name (one row across
+    runs), runs carry model_id FK, and table_per_check writes one metrics
+    table per calculator (`nannyml/io/db/entities.py:25-120`)."""
+    import sqlite3
+
+    db = tmp_path / "m.db"
+    cfg = {
+        "run_id": "dbrun",
+        "output_dir": str(workspace / "out_db"),
+        "store_dir": str(workspace / "store_db"),
+        "reference": str(workspace / "ref"),
+        "analysis": str(workspace / "ana"),
+        "chunking": {"partition_columns": ["part"]},
+        "database": {
+            "connection_string": f"sqlite:///{db}",
+            "table": "metrics",
+            "model_name": "image_catalog",
+            "table_per_check": True,
+        },
+        "checks": [
+            {"type": "missing", "columns": ["w"]},
+            {"type": "domain", "columns": ["fmt"], "domain": ["jpeg", "png", "webp"]},
+        ],
+    }
+    run_suite(spark, cfg)
+    cfg2 = dict(cfg, run_id="dbrun2", output_dir=str(workspace / "out_db2"),
+                store_dir=str(workspace / "store_db2"))
+    run_suite(spark, cfg2)
+    conn = sqlite3.connect(db)
+    try:
+        assert conn.execute("SELECT count(*) FROM models").fetchone()[0] == 1
+        runs = conn.execute("SELECT model_id FROM runs").fetchall()
+        assert len(runs) == 4 and all(r[0] == 1 for r in runs)  # 2 checks × 2 suite runs
+        tables = {r[0] for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'").fetchall()}
+        assert {"metrics_missing__w", "metrics_domain__fmt"} <= tables
+        n = conn.execute("SELECT count(*) FROM metrics_missing__w").fetchone()[0]
+        assert n > 0
+    finally:
+        conn.close()
