@@ -885,6 +885,25 @@ def q_minhash_near_dups(spark, sf_dir):
     return ngram_jaccard(docs, pairs, shingle_k=6).filter(F.col("jaccard") >= 0.8).orderBy("id_a", "id_b")
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard similarity over an explicit candidate set
+    (the task's 'n-gram Jaccard' dedup method as a first-class operator, not
+    just MinHash's verify stage). Candidates = all pairs of a deterministic
+    1-in-40 doc subset; at scale the candidate frame comes from LSH and this
+    is the broadcast verify join (text/dedup.py::ngram_jaccard). The ratio is
+    a double division of two integer set sizes — bit-identical in DuckDB."""
+    from spark_validate.text import ngram_jaccard
+
+    docs = _read(spark, sf_dir, "documents")
+    sub = docs.filter(F.col("doc_id") % 40 == 0)
+    ids = sub.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.join(
+        sub.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    jac = ngram_jaccard(sub, pairs, shingle_k=3)
+    return jac.filter(F.col("jaccard") > 0).orderBy("id_a", "id_b")
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     from spark_validate.text import simhash
 
@@ -949,6 +968,26 @@ def q_pca_reconstruction(spark, sf_dir):
     timed_fit(calc, li_ref)
     res = calc.calculate(li_ana)
     return res.select("chunk_index", F.round("value", 9).alias("reconstruction_error")).orderBy("chunk_index")
+
+
+def q_continuous_dist(spark, sf_dir):
+    """ContinuousDistributionCalculator (§2.5, reference
+    `nannyml/distribution/continuous/calculator.py:16-206`): ~50-point
+    per-chunk Gaussian-KDE joyplot grid, evaluated inside applyInPandas on a
+    deterministic pre-shuffle hash sample. No SQL expresses the KDE, but the
+    output is a pure function of the input (seeded presample, 9-decimal
+    rounding absorbs summation-order noise) — frozen-golden oracle like
+    CBPE/PCA/DLE."""
+    from spark_validate.distribution import continuous_distribution
+
+    li = _read(spark, sf_dir, "lineitem")
+    res = continuous_distribution(li, "l_extendedprice", chunker=_li_chunker(), points=25)
+    return res.select(
+        "chunk_key",
+        F.round("x", 9).alias("x"),
+        F.round("density", 9).alias("density"),
+        F.round("cdf", 9).alias("cdf"),
+    ).orderBy("chunk_key", "x")
 
 
 def q_domain_classifier(spark, sf_dir):
@@ -1212,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_rank": q_alert_rank,
         "correlation_rank": q_correlation_rank,
         "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_clusters": q_embedding_clusters,
@@ -1226,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbpe_multiclass": q_cbpe_multiclass,
         "pca_reconstruction": q_pca_reconstruction,
         "domain_classifier": q_domain_classifier,
+        "continuous_dist": q_continuous_dist,
     }
 
 
@@ -2001,6 +2042,29 @@ verified AS (
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8 ORDER BY id_a, id_b
 """
 
+    # exact word-3-gram Jaccard over the 1-in-40 candidate subset; same
+    # shingle construction as the minhash CTEs (k=3: slices t[i:i+2]).
+    sql["ngram_jaccard_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 40 = 0
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t) - 2)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard > 0 ORDER BY id_a, id_b
+"""
+
     # 60-bit SimHash replicated exactly: token hash = first 15 hex chars of
     # md5(token); each token occurrence votes ±1 per bit; bit j set iff the
     # vote sum is positive (spark_validate/text/dedup.py::simhash).
@@ -2354,18 +2418,19 @@ FROM lab l JOIN sz USING (cluster_id) ORDER BY image_id
     # count keys the right scale factor from one static SQL string. The
     # numpy-replica tests (test_cbpe.py, test_multivariate.py) separately
     # pin the math to the reference pipeline.
-    for gname, gcols in [
-        ("cbpe_estimated_accuracy", "chunk_index, estimated_accuracy"),
-        ("cbpe_multiclass", "chunk_index, method, value"),
-        ("pca_reconstruction", "chunk_index, reconstruction_error"),
-        ("domain_classifier", "chunk_index, auroc"),
-        ("dle_estimated_mae", "chunk_index, method, value"),
+    for gname, gcols, gorder in [
+        ("cbpe_estimated_accuracy", "chunk_index, estimated_accuracy", "chunk_index"),
+        ("cbpe_multiclass", "chunk_index, method, value", "chunk_index, method"),
+        ("pca_reconstruction", "chunk_index, reconstruction_error", "chunk_index"),
+        ("domain_classifier", "chunk_index, auroc", "chunk_index"),
+        ("dle_estimated_mae", "chunk_index, method, value", "chunk_index, method"),
+        ("continuous_dist", "chunk_key, x, density, cdf", "chunk_key, x"),
     ]:
         sql[gname] = f"""
 SELECT {gcols}
 FROM read_parquet('/root/repo/goldens/*/{gname}.parquet')
 WHERE _n_events = (SELECT count(*) FROM events)
-ORDER BY chunk_index
+ORDER BY {gorder}
 """
 
     return sql

@@ -325,6 +325,12 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         from spark_validate.io.db import DatabaseWriter
 
         db_cfg = config["database"]
+        if "connection_string" not in db_cfg:
+            raise ValueError(
+                "database config requires 'connection_string' "
+                "(e.g. sqlite:////path/to/metrics.db or jdbc:postgresql://...); "
+                f"got keys {sorted(db_cfg)}"
+            )
         db_writer = DatabaseWriter(
             db_cfg["connection_string"],
             table=db_cfg.get("table", "metrics"),

@@ -697,3 +697,13 @@ def test_database_model_upsert_and_table_per_check(spark, workspace, tmp_path):
         assert n > 0
     finally:
         conn.close()
+
+
+def test_database_config_missing_connection_string_raises(spark, workspace):
+    """A database block without connection_string fails fast with an
+    actionable message (not a KeyError deep in run_suite)."""
+    cfg = _config(workspace)
+    cfg["checks"] = cfg["checks"][:1]
+    cfg["database"] = {"url": "sqlite:///nope.db"}
+    with pytest.raises(ValueError, match="connection_string"):
+        run_suite(spark, cfg)

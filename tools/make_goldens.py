@@ -31,6 +31,7 @@ GOLDEN_QUERIES = [
     "pca_reconstruction",
     "domain_classifier",
     "dle_estimated_mae",
+    "continuous_dist",
 ]
 
 
