@@ -83,7 +83,14 @@ def build_image_tables(spark, n_rows, parts):
     from spark_validate.io import read_table
 
     if n_rows not in _IMG_DIRS:
-        d = tempfile.mkdtemp(prefix=f"svbench_img_{n_rows}_")
+        # deterministic path + done marker: a relaunched bench (or the
+        # fresh-JVM scaling children) reuses tables built minutes ago
+        # instead of paying the multi-minute synth again
+        d = os.path.join(tempfile.gettempdir(), f"svbench_img_{n_rows}_v2")
+        if os.path.exists(os.path.join(d, "_DONE")):
+            _IMG_DIRS[n_rows] = d
+            return spark.read.parquet(f"{d}/ref"), spark.read.parquet(f"{d}/ana")
+        os.makedirs(d, exist_ok=True)
         # north-rule input shape: PARTITIONED CATALOG TABLES (fmt-partitioned
         # external tables — the builtin-catalog stand-in for Iceberg; the
         # suite reads them through the table: form so partition filters
@@ -100,6 +107,7 @@ def build_image_tables(spark, n_rows, parts):
             ).option("path", f"{d}/{side}").partitionBy("fmt").saveAsTable(
                 f"sv_bench_img_{side}_{n_rows}"
             )
+        open(os.path.join(d, "_DONE"), "w").close()
         _IMG_DIRS[n_rows] = d
     d = _IMG_DIRS[n_rows]
     try:
@@ -131,24 +139,46 @@ def run_image_suite(spark, n_rows, parts) -> dict:
 def run_suite_amortized(spark) -> dict:
     """Fused shared-scan suite vs the same checks standalone (verdict r3 #4).
 
-    Four agg-shaped checks (stats×5 metrics, missing via stats, range,
-    domain) over the sf lineitem split: the standalone path pays one scan +
-    one chunk-assignment sort + one shuffle PER check; the fused path pays
-    them once and projects each check's result from the persisted ≤#chunks
-    wide aggregate. Row-identical results are pinned by
-    tests/test_runner.py::test_fused_matches_standalone."""
+    Four agg-shaped checks (stats×5 metrics incl. missing, range, domain,
+    unseen) over a materialized ~3.6M-row analysis parquet: the standalone
+    path pays one scan + one chunk-assignment sort + one shuffle PER check;
+    the fused path pays them once and projects each check's result from the
+    persisted ≤#chunks wide aggregate. Row-identical results are pinned by
+    tests/test_runner.py::test_fused_matches_standalone.
+
+    The input is written once (untimed) at 6× lineitem so the timed passes
+    are scan/sort-dominated like a real suite — at sf0.1's raw 600k rows the
+    per-stage launch floor (~0.3-0.6 s on this VM) swamps the scans and the
+    comparison reads as noise (round-3 lesson: speedup 0.92 on a loaded
+    host at raw size)."""
     from pyspark.sql import functions as F
 
     from spark_validate.calculators import ColumnStatsCalculator
-    from spark_validate.checks import DomainCheck, NumericalRangeCalculator
+    from spark_validate.checks import DomainCheck, NumericalRangeCalculator, UnseenValuesCalculator
     from spark_validate.chunking import SizeBasedChunker
     from spark_validate.fused import fused_calculate
 
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    ref = li.filter("l_orderkey % 2 = 0")
-    ana = li.filter("l_orderkey % 2 = 1")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    )
+    amort_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"sv_bench_amortized_{_sf_from_dir(SF_DIR)}"
+    )
+    if not os.path.isdir(os.path.join(amort_dir, "_SUCCESS_DONE")):
+        (
+            li.withColumn("copy", F.explode(F.sequence(F.lit(1), F.lit(6))))
+            .write.mode("overwrite").parquet(amort_dir)
+        )
+        os.makedirs(os.path.join(amort_dir, "_SUCCESS_DONE"), exist_ok=True)
+    big = spark.read.parquet(amort_dir)
+    ref = big.filter("l_orderkey % 2 = 0")
+    ana = big.filter("l_orderkey % 2 = 1")
     n_ana = ana.count()
-    chunker = SizeBasedChunker(chunk_size=max(n_ana // 6, 1), order_by=["l_orderkey", "l_linenumber"])
+    # 'copy' breaks the explode ties so chunk assignment is deterministic
+    chunker = SizeBasedChunker(
+        chunk_size=max(n_ana // 6, 1), order_by=["l_orderkey", "l_linenumber", "copy"]
+    )
     checks = {
         "stats": ColumnStatsCalculator(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
@@ -156,6 +186,7 @@ def run_suite_amortized(spark) -> dict:
         ).fit(ref),
         "range": NumericalRangeCalculator(["l_quantity", "l_extendedprice"], chunker=chunker).fit(ref),
         "domain": DomainCheck(["l_returnflag"], domain=["A", "N", "R"], chunker=chunker),
+        "unseen": UnseenValuesCalculator(["l_linestatus"], chunker=chunker).fit(ref),
     }
 
     def drain(df):
@@ -174,6 +205,7 @@ def run_suite_amortized(spark) -> dict:
     wide.unpersist()
     return {
         "checks": len(checks),
+        "rows": n_ana,
         "standalone_s": round(standalone_s, 2),
         "fused_s": round(fused_s, 2),
         "speedup": round(standalone_s / fused_s, 2) if fused_s > 0 else None,
@@ -343,15 +375,32 @@ def effective_capacity_pick(cpus: int) -> tuple:
     probe ratio pw/p1 — the host's measured self-contention at that
     parallelism, which calibrates how elevated an in-trial probe may read
     while OUR OWN 4N leg runs."""
-    p1 = min(host_probe(1, iters=500) for _ in range(2))
+    def _med3(fn):
+        xs = sorted(fn() for _ in range(3))
+        return xs[1]
+
+    # MEDIAN of 3, not min: the pick estimates what the host SUSTAINS over a
+    # multi-minute leg; min-of-k picks the single luckiest snapshot. Measured
+    # failure: a 16-way probe once read 3.69s vs single 3.78s — physically
+    # impossible (16 parallel copies of a 3s compute can't beat one), i.e.
+    # the single probe was the contaminated one — and the run then picked
+    # 4/16 on a host sustaining ~7 effective cores: first pair eff 0.358,
+    # every subsequent pair gate-refused. Hence also the clamp (pw >= p1)
+    # and a CONFIRMATION probe round: a level is accepted only if a second,
+    # later round still clears the bar (worse of the two rounds counts).
+    p1 = _med3(lambda: host_probe(1, iters=500))
     CAPACITY_PROBES.clear()
     CAPACITY_PROBES.append([1, round(p1, 2), 1.0])
     pick, pick_ratio = 4, 1.2
     for w in (8, 16):
         if w > cpus:
             break
-        pw = min(host_probe(w, iters=500) for _ in range(3))
+        pw = max(_med3(lambda: host_probe(w, iters=500)), p1)
         eff_c = w * p1 / pw
+        if eff_c >= 0.85 * w:  # confirmation round before accepting
+            pw2 = max(_med3(lambda: host_probe(w, iters=500)), p1)
+            pw = max(pw, pw2)
+            eff_c = w * p1 / pw
         CAPACITY_PROBES.append([w, round(pw, 2), round(eff_c, 1)])
         print(f"scaling: capacity probe {w}-way {pw:.2f}s vs single {p1:.2f}s "
               f"(effective = {eff_c:.1f} cores)", file=sys.stderr)
@@ -372,7 +421,37 @@ def new_session(cores: int):
         active.stop()
         # new master requires a fresh context
         SparkSession._instantiatedSession = None
-    return get_spark("bench", cores=cores, shuffle_partitions=cores)
+    # Right-size the JVM to its core allotment. Without this a local[4] JVM
+    # on a 32-CPU box sizes GC/JIT/compiler thread pools for 32 CPUs; under
+    # taskset pinning those threads thrash the small allotment and the
+    # 64g-heap GC's mmap churn sends TLB-shootdown IPIs to EVERY host CPU —
+    # measured 27% of total host CPU in kernel mode during a pinned 4-core
+    # leg, elevating even off-allotment probe walls ~2×. On a real cluster
+    # the executor launcher does exactly this (container-aware JVMs).
+    return get_spark(
+        "bench", cores=cores, shuffle_partitions=cores,
+        extra_conf={"spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}"},
+    )
+
+
+def _cpu_pin_prefix(cores: int) -> list:
+    """Pin a scaling leg to exactly ``cores`` CPUs (taskset, inherited by the
+    child JVM, its GC threads AND its Python/Arrow workers).
+
+    This is the executor-cgroup analog: on a real cluster an executor with
+    ``spark.executor.cores=c`` runs its task threads, GC and its Python
+    workers inside a c-core allotment. Unpinned local[c] does NOT — the
+    Arrow pipeline (JVM serialization overlapping Python decode) lets a
+    "1-core" leg consume ~1.7 host cores (measured), inflating the N leg
+    and starving the 4N leg on a tenancy-capped host, which deflates
+    measured N→4N efficiency below what a real executor scale-out shows.
+    Pinning makes demand equal the allotment at both sizes. Disable with
+    BENCH_SCALING_PIN=0 (falls back to unpinned local[c])."""
+    import shutil
+
+    if os.environ.get("BENCH_SCALING_PIN", "1") == "1" and shutil.which("taskset"):
+        return ["taskset", "-c", "0" if cores <= 1 else f"0-{cores - 1}"]
+    return []
 
 
 def _scaling_subprocess(cores: int, rows: int, img_dir: str) -> float:
@@ -382,8 +461,11 @@ def _scaling_subprocess(cores: int, rows: int, img_dir: str) -> float:
 
     env = dict(os.environ)
     env.update({"SV_SCALING_CORES": str(cores), "SV_SCALING_ROWS": str(rows), "SV_SCALING_DIR": img_dir})
+    # a leg's working set is n_rows × ~1 KB payloads; a right-sized heap
+    # avoids the 64g default's GC region churn inside the pinned allotment
+    env.setdefault("SPARK_VALIDATE_DRIVER_MEM", "12g")
     res = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
+        [*_cpu_pin_prefix(cores), sys.executable, os.path.abspath(__file__), "--scaling-worker"],
         env=env,
         capture_output=True,
         text=True,
@@ -439,6 +521,15 @@ def init_scaling(spark):
         "img_dir": _IMG_DIRS[rows],
         "p0": min(host_probe(n_big) for _ in range(2)),  # 4N-way pre-pair gate
         "p1": min(host_probe(1) for _ in range(3)),      # 1-worker in-trial envelope
+        # Single-box hardware ceiling: per-worker compute speed drops between
+        # N-active and 4N-active occupancy (turbo/all-core clocks, shared
+        # caches) even on a PERFECTLY idle host. probe-wall ratio
+        # p(N)/(p(4N)) bounds the efficiency any perfectly-scaling job can
+        # measure on one box; a real N→4N EXECUTOR scale-out adds nodes with
+        # their own clocks/caches/DRAM and does not pay this. Reported so
+        # raw efficiencies are interpretable against it.
+        "p_nsmall": min(host_probe(n_small, iters=500) for _ in range(2)),
+        "p_nbig500": min(host_probe(n_big, iters=500) for _ in range(2)),
         "trials": [],
         "attempts": 0,
         "target": int(os.environ.get("BENCH_SCALING_TRIALS", "5")),
@@ -447,13 +538,39 @@ def init_scaling(spark):
     return state
 
 
+LEG_TOL = 1.25  # max leg wall vs the session-best wall at the same core count
+
+
 def _pair_ok(state, t):
     # the 4N leg saturates the measured envelope BY DESIGN, so its in-trial
     # probe self-contends by ~big_ratio; only elevation beyond that is
     # external noise. Evaluated against the FINAL (minimum-observed)
     # envelope p1, so an initially-busy host cannot inflate the reference.
     tol_4n = PROBE_TOL * max(state["big_ratio"], 1.0)
-    return t["m_n"] <= PROBE_TOL * state["p1"] and t["m_4n"] <= tol_4n * state["p1"]
+    if not (t["m_n"] <= PROBE_TOL * state["p1"] and t["m_4n"] <= tol_4n * state["p1"]):
+        return False
+    # Leg-wall envelope: the in-trial probe samples every ~4 s and its
+    # MEDIAN can sit low while a burst eats half a leg (observed: a 4N leg
+    # at 2.7× its session-best wall with probe median only 1.38× — raw eff
+    # 0.254 on an uncontended-by-probe pair). Work per leg is fixed, so the
+    # session-typical wall at each core count is a capability envelope; a
+    # leg beyond LEG_TOL× it is contaminated no matter what the probe median
+    # says. Symmetric (applies to both legs), so it strikes artificially-
+    # HIGH efficiencies (slow N leg) too. The envelope is the MEDIAN
+    # completed wall, not the minimum: walls have fast outliers as well as
+    # slow ones (JIT/turbo luck — measured 4N walls 19.4–30.4 s in one
+    # session, median 25.6), and a min-based bar lets two lucky legs strike
+    # the majority of honest pairs.
+    completed = [u for u in state["trials"] if "eff" in u]
+
+    def _med(xs):
+        xs = sorted(xs)
+        k = len(xs)
+        return xs[k // 2] if k % 2 else (xs[k // 2 - 1] + xs[k // 2]) / 2
+
+    env_n = _med([u["n_s"] for u in completed])
+    env_4n = _med([u["x4_s"] for u in completed])
+    return t["n_s"] <= LEG_TOL * env_n and t["x4_s"] <= LEG_TOL * env_4n
 
 
 def _valid_count(state):
@@ -536,14 +653,21 @@ def summarize_scaling(state) -> dict:
     pool = valid or completed
     best = max(pool, key=lambda t: t["eff"]) if pool else None
     effs = sorted(t["eff"] for t in pool)
+    ceiling = None
+    if state.get("p_nsmall") and state.get("p_nbig500"):
+        ceiling = round(state["p_nsmall"] / state["p_nbig500"], 3)
     return {
         "job": "arrow payload validation pass (decode+pixel-stats+PSNR), state pre-fitted; "
                "relational suite excluded (stage-launch-floored at sandbox size, see BENCH/BASELINE.md)",
         "protocol": "paired fresh-JVM runs, alternating order, run FIRST on the cold host with "
-                    f"post-suite top-up; pairs with in-trial probe >{PROBE_TOL}x final envelope excluded",
+                    f"post-suite top-up; pairs with in-trial probe >{PROBE_TOL}x final envelope "
+                    f"or either leg wall >{LEG_TOL}x the session-median wall at that core count excluded; "
+                    "legs taskset-pinned to their core allotment with -XX:ActiveProcessorCount "
+                    "(executor-cgroup analog)",
         "rows": state["rows"],
         "cores_n": state["n_small"],
         "cores_4n": state["n_big"],
+        "cpu_pinned": bool(_cpu_pin_prefix(1)),  # taskset executor-allotment analog
         "probe_envelope_s": round(state["p0"], 2),
         "probe1_envelope_s": round(state["p1"], 2),
         "self_contention_ratio_4n": round(state["big_ratio"], 2),
@@ -562,6 +686,15 @@ def summarize_scaling(state) -> dict:
         "efficiency_raw_median": _median([t["eff"] for t in completed]),
         "efficiency_best": round(best["eff"], 3) if best else None,
         "efficiency_range": [effs[0], effs[-1]] if effs else None,
+        # measured single-box per-worker clock ratio at N- vs 4N-occupancy:
+        # the max efficiency a perfectly-scaling job can show on ONE box
+        # (a real multi-node 4N adds independent clocks/caches/DRAM)
+        "hw_ceiling_single_box": ceiling,
+        "efficiency_vs_ceiling": (
+            round((_median([t["eff"] for t in valid]) or _median([t["eff"] for t in completed]))
+                  / ceiling, 3)
+            if ceiling and (valid or completed) else None
+        ),
     }
 
 
@@ -588,7 +721,8 @@ def compact_line(out: dict) -> str:
         slim["scaling"] = {k: s.get(k) for k in (
             "rows", "cores_n", "cores_4n", "pairs_run", "pairs_valid", "refused_pretrial",
             "efficiency_median", "efficiency_raw_median", "efficiency_best",
-            "efficiency_range", "throughput_n", "throughput_4n", "capacity_probes",
+            "efficiency_range", "hw_ceiling_single_box", "efficiency_vs_ceiling",
+            "throughput_n", "throughput_4n", "capacity_probes",
         )}
         slim["scaling"]["detail"] = "BENCH/last_run_detail.json"
     if "suite_amortized" in out:
@@ -626,7 +760,7 @@ def main():
         scaling_state = init_scaling(spark)
         run_scaling_block(
             scaling_state,
-            budget_s=float(os.environ.get("BENCH_SCALING_TIME_BUDGET_S", "1500")),
+            budget_s=float(os.environ.get("BENCH_SCALING_TIME_BUDGET_S", "2400")),
         )
 
     # 2. query suite + image suite
@@ -641,7 +775,12 @@ def main():
         img_wall = time.time() - t1
         out["image_suite"] = img
 
-        out["suite_amortized"] = run_suite_amortized(spark)
+        # non-fatal: a sub-benchmark bug must not kill the whole artifact
+        # (a crash here once discarded a finished 58-query suite run)
+        try:
+            out["suite_amortized"] = run_suite_amortized(spark)
+        except Exception as exc:
+            out["suite_amortized"] = {"error": f"{type(exc).__name__}: {str(exc)[:300]}"}
 
     out["value"] = round(queries_wall + img_wall, 2)
 
@@ -651,7 +790,7 @@ def main():
         if _valid_count(scaling_state) < scaling_state["target"]:
             run_scaling_block(
                 scaling_state,
-                budget_s=float(os.environ.get("BENCH_SCALING_TOPUP_BUDGET_S", "900")),
+                budget_s=float(os.environ.get("BENCH_SCALING_TOPUP_BUDGET_S", "1200")),
             )
         out["scaling"] = summarize_scaling(scaling_state)
 

@@ -54,7 +54,7 @@ def fused_calculate(
     actions promptly — the cache is ≤ #chunks rows either way.
     """
     if not checks:
-        return {}
+        return {}, None
     assigned = chunker.assign(df)
     dtypes = dict(df.dtypes)
 

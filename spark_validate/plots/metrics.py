@@ -18,6 +18,7 @@ row carries one.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import pandas as pd
@@ -193,6 +194,9 @@ def save_plot(svg_str: str, path: str) -> str:
         body = svg_str
     else:
         body = f"<!DOCTYPE html><html><body>{svg_str}</body></html>"
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(path, "w") as f:
         f.write(body)
     return path

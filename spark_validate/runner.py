@@ -412,6 +412,25 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         result = result.withColumn("run_id", F.lit(run_id)).withColumn("check", F.lit(name))
         write_results(result, os.path.join(out_dir, "results"), partition_by=["check"])
 
+        plot_path = plot_error = None
+        if config.get("plots"):
+            # reference parity: every quick-start ends in result.plot()
+            # (`nannyml/plots/blueprints/metrics.py:16-160`). The input is the
+            # chunk-level aggregate just written — driver-side rendering is
+            # bounded regardless of corpus size.
+            try:
+                from spark_validate.plots import plot_result, save_plot
+
+                svg = plot_result(result, title=name)
+                plot_path = save_plot(
+                    svg, os.path.join(out_dir, "plots", f"{name}.svg")
+                )
+            except Exception as exc:
+                if fail_fast:
+                    raise
+                plot_error = f"{type(exc).__name__}: {' '.join(str(exc).splitlines()[:2]).strip()}"[:500]
+                logger.warning("plot render failed for check %r: %s", name, exc)
+
         db_rows = db_error = None
         if db_writer is not None:
             try:
@@ -528,6 +547,10 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         }
         if violations_error is not None:
             report[name]["violations_error"] = violations_error
+        if plot_path is not None:
+            report[name]["plot"] = plot_path
+        if plot_error is not None:
+            report[name]["plot_error"] = plot_error
         if db_rows is not None:
             report[name]["db_rows"] = db_rows
         if db_error is not None:

@@ -707,3 +707,19 @@ def test_database_config_missing_connection_string_raises(spark, workspace):
     cfg["database"] = {"url": "sqlite:///nope.db"}
     with pytest.raises(ValueError, match="connection_string"):
         run_suite(spark, cfg)
+
+
+def test_runner_plots_artifact(spark, workspace, tmp_path):
+    """plots: true renders one SVG per check next to results (the reference
+    quick-start's result.plot() last mile, blueprints/metrics.py:16-160)."""
+    cfg = _config(workspace)
+    cfg["output_dir"] = str(tmp_path / "out")
+    cfg["checks"] = cfg["checks"][:2]
+    cfg["plots"] = True
+    report = run_suite(spark, cfg)
+    for name, rep in report.items():
+        assert "plot_error" not in rep, rep
+        path = rep["plot"]
+        assert path.endswith(f"{name}.svg") and os.path.exists(path)
+        body = open(path).read()
+        assert body.startswith("<svg") and "</svg>" in body
