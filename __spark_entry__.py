@@ -460,6 +460,18 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", F.md5(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters per document (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, top-word share, duplicate-line fraction, and
+    top-{2,3}-gram share. One gram-count shuffle + one per-doc pivot
+    aggregation (text/quality.py::repetition_stats); every fraction is a
+    single int→double division, bit-identical in DuckDB."""
+    from spark_validate.text import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, ngrams=(2, 3)).orderBy("doc_id")
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality scoring features: token stats + space ratio (exact arithmetic)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1233,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
+        "repetition_quality": q_repetition_quality,
         "perf_binary": q_perf_binary,
         "roc_auc": q_roc_auc,
         "average_precision": q_average_precision,
@@ -1765,6 +1778,57 @@ SELECT doc_id,
        CAST(length(text) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1) AS chars_per_token,
        CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
 FROM documents ORDER BY doc_id
+"""
+
+    # replicates text/quality.py::repetition_stats exactly: same tokenizer
+    # (split lower(trim(text)) on \s+, drop empties), same n-gram slices,
+    # same single int->double divisions. Lines = split on \n, drop
+    # whitespace-only.
+    sql["repetition_quality"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 0 AS k, unnest(l) AS g FROM base
+  UNION ALL
+  SELECT doc_id, 1 AS k, unnest(w) AS g FROM base
+  UNION ALL
+  SELECT doc_id, 2 AS k,
+         unnest([array_to_string(w[i:i+1], ' ') for i in generate_series(1, len(w) - 1)]) AS g
+  FROM base
+  UNION ALL
+  SELECT doc_id, 3 AS k,
+         unnest([array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)]) AS g
+  FROM base
+),
+counts AS (
+  SELECT doc_id, k, g, count(*) AS c FROM grams GROUP BY doc_id, k, g
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN k = 1 THEN c END) AS nw,
+         count(CASE WHEN k = 1 THEN 1 END) AS dw,
+         max(CASE WHEN k = 1 THEN c END) AS tw,
+         sum(CASE WHEN k = 0 THEN c END) AS nl,
+         count(CASE WHEN k = 0 THEN 1 END) AS dl,
+         sum(CASE WHEN k = 2 THEN c END) AS t2,
+         max(CASE WHEN k = 2 THEN c END) AS m2,
+         sum(CASE WHEN k = 3 THEN c END) AS t3,
+         max(CASE WHEN k = 3 THEN c END) AS m3
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.nw, 0) AS BIGINT) AS n_words,
+       CAST(p.nw - p.dw AS DOUBLE) / p.nw AS dup_word_frac,
+       CAST(p.tw AS DOUBLE) / p.nw AS top_word_frac,
+       CAST(p.nl - p.dl AS DOUBLE) / p.nl AS dup_line_frac,
+       CAST(p.m2 AS DOUBLE) / p.t2 AS top_2gram_frac,
+       CAST(p.m3 AS DOUBLE) / p.t3 AS top_3gram_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
 """
 
     sql["perf_binary"] = f"""

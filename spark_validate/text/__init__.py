@@ -20,6 +20,7 @@ from spark_validate.text.quality import (
     with_language_id,
     with_quality_score,
     with_fingerprint,
+    repetition_stats,
 )
 
 __all__ = [
@@ -41,4 +42,5 @@ __all__ = [
     "with_language_id",
     "with_quality_score",
     "with_fingerprint",
+    "repetition_stats",
 ]

@@ -89,3 +89,103 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
         lambda acc, x: F.pmod(acc * F.lit(31) + F.pmod(F.xxhash64(x), F.lit(_P57)), F.lit(_P57)),
     )
     return df.withColumn(out_col, fp)
+
+
+def _ngram_array(words, n: int):
+    """Word n-grams of an already-split token array, as space-joined strings.
+    zip_with over shifted slices — pure codegen, no UDF, no explode."""
+    if n == 1:
+        return words
+    out = F.slice(words, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    for i in range(1, n):
+        nxt = F.slice(words, i + 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
+        out = F.zip_with(out, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngrams: tuple = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    'repetitious text' filters; reference model: NannyML-style per-entity
+    quality metrics re-expressed as Spark aggregations).
+
+    Returns one row per document:
+      * ``n_words``          — non-empty whitespace tokens
+      * ``dup_word_frac``    — fraction of tokens that are repeats of an
+        earlier token: (n_words − n_distinct) / n_words
+      * ``top_word_frac``    — occurrences of the most frequent token / n_words
+      * ``dup_line_frac``    — (n_lines − n_distinct_lines) / n_lines
+        (0 for single-line text)
+      * ``top_{n}gram_frac`` per n in ``ngrams`` — occurrences of the most
+        frequent word-n-gram / total n-gram count (NULL when the doc has
+        fewer than n words)
+
+    Scale shape: one long (doc, gram-kind, gram) frame — lines are kind 0,
+    unigrams kind 1, n-grams kind n — reduced by ONE map-side-combined
+    count shuffle keyed by the gram itself, then ONE per-doc pivot
+    aggregation. No joins between kinds, no per-doc O(n²) higher-order
+    scans, no collect; a doc's grams are its own shuffle keys, so
+    corpus-wide hot words never concentrate on one reducer. dup/top
+    fractions are single int→double divisions (bit-identical across
+    engines)."""
+    toks = F.filter(_tokens(text_col), lambda x: x != "")
+    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != "")
+
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_w"), lines.alias("_l"))
+
+    gram_frames = [
+        base.select("_id", F.lit(0).alias("_k"), F.explode("_l").alias("_g")),
+        base.select("_id", F.lit(1).alias("_k"), F.explode("_w").alias("_g")),
+    ]
+    for n in ngrams:
+        gram_frames.append(
+            base.select(
+                "_id", F.lit(n).alias("_k"), F.explode(_ngram_array(F.col("_w"), n)).alias("_g")
+            )
+        )
+    grams = gram_frames[0]
+    for f in gram_frames[1:]:
+        grams = grams.unionByName(f)
+
+    counts = grams.groupBy("_id", "_k", "_g").agg(F.count(F.lit(1)).alias("_c"))
+
+    def _tot(k):
+        return F.sum(F.when(F.col("_k") == k, F.col("_c")))
+
+    def _top(k):
+        return F.max(F.when(F.col("_k") == k, F.col("_c")))
+
+    def _dst(k):
+        return F.count(F.when(F.col("_k") == k, F.lit(1)))
+
+    aggs = [
+        _tot(1).alias("_nw"),
+        _dst(1).alias("_dw"),
+        _top(1).alias("_tw"),
+        _tot(0).alias("_nl"),
+        _dst(0).alias("_dl"),
+    ]
+    for n in ngrams:
+        aggs += [_tot(n).alias(f"_t{n}"), _top(n).alias(f"_m{n}")]
+    per_doc = counts.groupBy("_id").agg(*aggs)
+
+    out_cols = [
+        F.coalesce(F.col("_nw"), F.lit(0)).cast("long").alias("n_words"),
+        ((F.col("_nw") - F.col("_dw")).cast("double") / F.col("_nw")).alias("dup_word_frac"),
+        (F.col("_tw").cast("double") / F.col("_nw")).alias("top_word_frac"),
+        ((F.col("_nl") - F.col("_dl")).cast("double") / F.col("_nl")).alias("dup_line_frac"),
+    ]
+    for n in ngrams:
+        out_cols.append(
+            (F.col(f"_m{n}").cast("double") / F.col(f"_t{n}")).alias(f"top_{n}gram_frac")
+        )
+    # left join back so empty/whitespace-only docs keep a row (NULL fracs)
+    ids = df.select(F.col(id_col).alias("_id"))
+    return (
+        ids.join(per_doc, "_id", "left")
+        .select(F.col("_id").alias(id_col), *out_cols)
+    )

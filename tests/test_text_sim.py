@@ -391,3 +391,46 @@ def test_minhash_null_text_yields_signature_row(spark):
     sigs = minhash_signatures(df, n_hashes=8, shingle_k=3)
     assert sigs.count() == 2
     assert {r["id"] for r in sigs.collect()} == {0, 1}
+
+
+def test_repetition_stats_hand_computed(spark):
+    from spark_validate.text import repetition_stats
+
+    rows = [
+        (0, "a b a b a"),            # words {a:3,b:2}; bigrams {a b:2, b a:2}; trigrams {a b a:2, b a b:1}
+        (1, "x"),                     # one word: no n-grams
+        (2, ""),                      # empty doc keeps its row, NULL fracs
+        (3, "l1\nl2\nl1\nl2\nl3"),   # 5 lines, 3 distinct
+        (4, "one two three four"),    # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert len(out) == 5
+    r0 = out[0]
+    assert r0["n_words"] == 5
+    assert r0["dup_word_frac"] == (5 - 2) / 5
+    assert r0["top_word_frac"] == 3 / 5
+    assert r0["top_2gram_frac"] == 2 / 4
+    assert r0["top_3gram_frac"] == 2 / 3
+    assert r0["dup_line_frac"] == 0.0
+    r1 = out[1]
+    assert r1["n_words"] == 1 and r1["top_word_frac"] == 1.0
+    assert r1["top_2gram_frac"] is None and r1["top_3gram_frac"] is None
+    r2 = out[2]
+    assert r2["n_words"] == 0 and r2["dup_word_frac"] is None
+    r3 = out[3]
+    assert r3["dup_line_frac"] == (5 - 3) / 5
+    assert r3["dup_word_frac"] == (5 - 3) / 5
+    r4 = out[4]
+    assert r4["dup_word_frac"] == 0.0 and r4["top_word_frac"] == 1 / 4
+
+
+def test_repetition_stats_no_per_doc_quadratic_scan(spark):
+    # plan shape: gram counting is explode + hash aggregate (map-side
+    # combined), not a higher-order filter-inside-transform O(n^2) per doc
+    from spark_validate.text import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b c a")], "doc_id long, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "Generate explode" in plan
