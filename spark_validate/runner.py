@@ -209,6 +209,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             shingle_k=cfg.get("shingle_k", 6),
             n_bands=cfg.get("n_bands", 16),
         )
+    if kind == "repetition":
+        from spark_validate.text.quality import RepetitionCheck
+
+        return RepetitionCheck(
+            text_col=cfg.get("column", "text"),
+            id_col=cfg.get("id_column", "doc_id"),
+            rules=cfg.get("rules"),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "embedding_drift":
         from spark_validate.drift.embedding import EmbeddingDriftCalculator
 

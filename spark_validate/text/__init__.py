@@ -21,6 +21,8 @@ from spark_validate.text.quality import (
     with_quality_score,
     with_fingerprint,
     repetition_stats,
+    RepetitionCheck,
+    GOPHER_REPETITION_RULES,
 )
 
 __all__ = [
@@ -43,4 +45,6 @@ __all__ = [
     "with_quality_score",
     "with_fingerprint",
     "repetition_stats",
+    "RepetitionCheck",
+    "GOPHER_REPETITION_RULES",
 ]

@@ -189,3 +189,113 @@ def repetition_stats(
         ids.join(per_doc, "_id", "left")
         .select(F.col("_id").alias(id_col), *out_cols)
     )
+
+
+# Gopher (Rae et al. 2021, table A1) repetition filter limits, word-level
+GOPHER_REPETITION_RULES = {
+    "dup_line_frac": 0.30,
+    "top_2gram_frac": 0.20,
+    "top_3gram_frac": 0.18,
+}
+
+
+class RepetitionCheck:
+    """Runner-compatible check: per-chunk rate of documents whose repetition
+    signals exceed the configured Gopher-style limits — one result row per
+    (chunk, rule) with value = fraction of the chunk's docs over that rule's
+    max, plus violation rows naming each offending doc, rule, and observed
+    fraction. Metric computation is global (one gram-count shuffle for the
+    whole frame via ``repetition_stats``); the per-chunk rate attributes
+    each doc to ITS chunk. Alerts on a constant upper threshold (default
+    0.0: any over-limit doc alerts)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        rules: dict | None = None,
+        chunker=None,
+        upper_threshold: float = 0.0,
+    ):
+        from spark_validate.chunking import DefaultChunker
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.rules = dict(rules or GOPHER_REPETITION_RULES)
+        self.chunker = chunker or DefaultChunker()
+        self.upper_threshold = upper_threshold
+        ns = sorted(
+            int(m.split("_")[1].rstrip("gramfrc")) for m in self.rules if "gram_frac" in m
+        )
+        self._ngrams = tuple(ns) or (2,)
+
+    def _stats(self, df: DataFrame) -> DataFrame:
+        cached = getattr(self, "_stats_cache", None)
+        if cached is not None and cached[0] is df:
+            return cached[1]
+        out = repetition_stats(
+            df, text_col=self.text_col, id_col=self.id_col, ngrams=self._ngrams
+        )
+        self._stats_cache = (df, out)
+        return out
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        from spark_validate.calculators.base import assign_chunks
+        from spark_validate.checks.constraints import _attach_const_threshold
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned, headers = assign_chunks(df, self.chunker)
+        stats = self._stats(df).withColumnRenamed(self.id_col, "_sid")
+        joined = assigned.join(
+            stats, assigned[self.id_col] == stats["_sid"], "left"
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for metric, limit in sorted(self.rules.items()):
+            aggs.append(
+                F.count(F.when(F.col(metric) > limit, F.lit(1))).cast("double").alias(metric)
+            )
+        wide = joined.groupBy(CHUNK_KEY).agg(*aggs)
+        long_parts = [
+            wide.select(
+                CHUNK_KEY,
+                F.lit(self.text_col).alias("column_name"),
+                F.lit(f"{metric}_rate").alias("method"),
+                (F.col(metric) / F.col("__rows")).cast("double").alias("value"),
+            )
+            for metric in sorted(self.rules)
+        ]
+        long_df = long_parts[0]
+        for p in long_parts[1:]:
+            long_df = long_df.unionByName(p)
+        return _attach_const_threshold(long_df, headers, period, None, self.upper_threshold)
+
+    def violations(self, df: DataFrame, row_id=None) -> DataFrame:
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned = self.chunker.assign(df).select(
+            F.col(self.id_col).alias("_aid"), F.col(CHUNK_KEY).alias("chunk_key")
+        )
+        stats = self._stats(df)
+        parts = []
+        for metric, limit in sorted(self.rules.items()):
+            parts.append(
+                stats.filter(F.col(metric) > limit).select(
+                    F.col(self.id_col),
+                    F.lit(metric).alias("_metric"),
+                    F.col(metric).cast("string").alias("_observed"),
+                )
+            )
+        offenders = parts[0]
+        for p in parts[1:]:
+            offenders = offenders.unionByName(p)
+        return (
+            offenders.join(assigned, offenders[self.id_col] == assigned["_aid"])
+            .select(
+                F.lit("repetition").alias("check"),
+                F.lit(self.text_col).alias("column_name"),
+                "chunk_key",
+                F.col(self.id_col).cast("string").alias("row_id"),
+                F.concat(F.col("_metric"), F.lit("_over_limit")).alias("violation_kind"),
+                F.col("_observed").alias("observed_value"),
+            )
+        )

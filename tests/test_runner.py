@@ -723,3 +723,50 @@ def test_runner_plots_artifact(spark, workspace, tmp_path):
         assert path.endswith(f"{name}.svg") and os.path.exists(path)
         body = open(path).read()
         assert body.startswith("<svg") and "</svg>" in body
+
+
+def test_repetition_check_in_runner(spark, workspace, tmp_path):
+    """Gopher-style repetition filter as a config check: per-chunk rate of
+    over-limit docs per rule, violation rows name the rule + observed frac."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 200
+    cap = [" ".join(f"tok{x}" for x in rng.integers(0, 10**9, 20)) for _ in range(n)]
+    df = pd.DataFrame(
+        {
+            "image_id": [f"d{i:04d}" for i in range(n)],
+            "part": ["p0" if i < n // 2 else "p1" for i in range(n)],
+            "caption": cap,
+        }
+    )
+    # plant 5 highly repetitive docs in p1 (one word repeated -> every frac = max)
+    df.loc[df.index[-5:], "caption"] = "spam spam spam spam spam spam spam spam"
+    spark.createDataFrame(df).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    cfg = {
+        "run_id": "rep",
+        "output_dir": str(tmp_path / "outr"),
+        "store_dir": str(tmp_path / "storer"),
+        "reference": str(tmp_path / "docs"),
+        "analysis": str(tmp_path / "docs"),
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [
+            {"type": "repetition", "column": "caption", "id_column": "image_id"}
+        ],
+    }
+    report = run_suite(spark, cfg)
+    rep = report["repetition__caption"]
+    assert rep["alerts"] > 0
+    res = spark.read.parquet(str(tmp_path / "outr" / "results" / "check=repetition__caption"))
+    rows = {(r["chunk_key"], r["method"]): r["value"] for r in res.collect()}
+    # 3 default rules x 2 chunks
+    assert len(rows) == 6
+    assert rows[("part=p1", "top_2gram_frac_rate")] == 5 / 100
+    assert rows[("part=p0", "top_2gram_frac_rate")] == 0.0
+    viol = spark.read.parquet(str(tmp_path / "outr" / "violations" / "check=repetition__caption"))
+    v = viol.toPandas()
+    assert set(v["row_id"].unique()) == {f"d{i:04d}" for i in range(n - 5, n)}
+    assert set(v["violation_kind"].unique()) == {
+        "top_2gram_frac_over_limit",
+        "top_3gram_frac_over_limit",
+    }
