@@ -472,6 +472,19 @@ def q_repetition_quality(spark, sf_dir):
     return repetition_stats(docs, ngrams=(2, 3)).orderBy("doc_id")
 
 
+def q_boilerplate_rate(spark, sf_dir):
+    """Corpus-common n-gram boilerplate rate per document (the CCNet /
+    RefinedWeb line-dedup analog at word-5-gram level): fraction of each
+    doc's distinct 5-grams occurring in >= 2 documents corpus-wide. ONE
+    map-side-combined gram-frequency shuffle + one reused-exchange semi-join
+    back (text/boilerplate.py::common_ngram_rate); the rate is a single
+    int->double division, bit-identical in DuckDB."""
+    from spark_validate.text import common_ngram_rate
+
+    docs = _read(spark, sf_dir, "documents")
+    return common_ngram_rate(docs, n=5, min_docs=2, threshold=0.5).orderBy("doc_id")
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality scoring features: token stats + space ratio (exact arithmetic)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1246,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
         "repetition_quality": q_repetition_quality,
+        "boilerplate_rate": q_boilerplate_rate,
         "perf_binary": q_perf_binary,
         "roc_auc": q_roc_auc,
         "average_precision": q_average_precision,
@@ -1829,6 +1843,35 @@ SELECT d.doc_id,
        CAST(p.m3 AS DOUBLE) / p.t3 AS top_3gram_frac
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
+"""
+
+    # replicates text/boilerplate.py::common_ngram_rate exactly: same 5-gram
+    # shingler as the dedup/decontamination oracles, document frequency =
+    # count over per-doc-distinct grams, flagged decided on the UNROUNDED
+    # ratio.
+    sql["boilerplate_rate"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t) - 4)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_common
+  FROM ex e JOIN dfreq d USING (g) WHERE d.df >= 2 GROUP BY e.doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.s) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+       round(CAST(coalesce(h.n_common, 0) AS DOUBLE) / len(s.s), 9) AS common_rate,
+       CAST(coalesce(h.n_common, 0) AS DOUBLE) / len(s.s) >= 0.5 AS flagged
+FROM sh s LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
 """
 
     sql["perf_binary"] = f"""

@@ -219,6 +219,18 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "boilerplate":
+        from spark_validate.text.boilerplate import BoilerplateCheck
+
+        return BoilerplateCheck(
+            text_col=cfg.get("column", "text"),
+            id_col=cfg.get("id_column", "doc_id"),
+            n=cfg.get("n", 5),
+            min_docs=cfg.get("min_docs", 2),
+            threshold=cfg.get("threshold", 0.5),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "embedding_drift":
         from spark_validate.drift.embedding import EmbeddingDriftCalculator
 

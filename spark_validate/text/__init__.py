@@ -15,6 +15,7 @@ from spark_validate.text.sampling import (
     rate_to_hex,
     stratified_sample,
 )
+from spark_validate.text.boilerplate import BoilerplateCheck, common_ngram_rate
 from spark_validate.text.quality import (
     with_text_features,
     with_language_id,
@@ -47,4 +48,6 @@ __all__ = [
     "repetition_stats",
     "RepetitionCheck",
     "GOPHER_REPETITION_RULES",
+    "BoilerplateCheck",
+    "common_ngram_rate",
 ]

@@ -770,3 +770,46 @@ def test_repetition_check_in_runner(spark, workspace, tmp_path):
         "top_2gram_frac_over_limit",
         "top_3gram_frac_over_limit",
     }
+
+
+def test_boilerplate_check_in_runner(spark, workspace, tmp_path):
+    """Corpus-common n-gram boilerplate as a config check: per-chunk flagged
+    rate + mean common rate; violation rows name flagged docs."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 120
+    cap = [" ".join(f"w{x}" for x in rng.integers(0, 10**9, 12)) for _ in range(n)]
+    df = pd.DataFrame(
+        {
+            "image_id": [f"d{i:04d}" for i in range(n)],
+            "part": ["p0" if i < n // 2 else "p1" for i in range(n)],
+            "caption": cap,
+        }
+    )
+    # plant 4 docs in p1 sharing one templated caption (pure boilerplate)
+    df.loc[df.index[-4:], "caption"] = "click here to subscribe to our newsletter today"
+    spark.createDataFrame(df).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    cfg = {
+        "run_id": "boil",
+        "output_dir": str(tmp_path / "outb"),
+        "store_dir": str(tmp_path / "storeb"),
+        "reference": str(tmp_path / "docs"),
+        "analysis": str(tmp_path / "docs"),
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [
+            {"type": "boilerplate", "column": "caption", "id_column": "image_id", "n": 5}
+        ],
+    }
+    report = run_suite(spark, cfg)
+    rep = report["boilerplate__caption"]
+    assert rep["alerts"] > 0
+    res = spark.read.parquet(str(tmp_path / "outb" / "results" / "check=boilerplate__caption"))
+    rows = {(r["chunk_key"], r["method"]): r["value"] for r in res.collect()}
+    assert rows[("part=p1", "boilerplate_doc_rate")] == 4 / 60
+    assert rows[("part=p0", "boilerplate_doc_rate")] == 0.0
+    assert rows[("part=p1", "mean_common_rate")] > rows[("part=p0", "mean_common_rate")]
+    viol = spark.read.parquet(str(tmp_path / "outb" / "violations" / "check=boilerplate__caption"))
+    v = viol.toPandas()
+    assert set(v["row_id"].unique()) == {f"d{i:04d}" for i in range(n - 4, n)}
+    assert set(v["violation_kind"].unique()) == {"common_ngram_rate_over_limit"}

@@ -434,3 +434,46 @@ def test_repetition_stats_no_per_doc_quadratic_scan(spark):
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "Generate explode" in plan
+
+
+def test_common_ngram_rate_hand_computed(spark):
+    from spark_validate.text import common_ngram_rate
+
+    rows = [
+        (0, "a b c d e"),        # grams (n=3): "a b c","b c d","c d e"
+        (1, "a b c x y"),        # shares "a b c" with doc 0
+        (2, "p q r s t"),        # shares nothing
+        (3, "hi"),               # short doc -> whole text is one gram
+        (4, "hi"),               # exact dup of 3: its single gram is common
+        (5, None),               # NULL text -> one empty gram, keeps a row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in common_ngram_rate(df, n=3, min_docs=2, threshold=0.5).collect()
+    }
+    assert len(out) == 6
+    assert out[0]["n_grams"] == 3 and out[0]["n_common"] == 1
+    assert out[0]["common_rate"] == round(1 / 3, 9) and out[0]["flagged"] is False
+    assert out[1]["n_common"] == 1
+    assert out[2]["n_common"] == 0 and out[2]["flagged"] is False
+    # both "hi" docs: single gram shared by 2 docs -> rate 1.0, flagged
+    for d in (3, 4):
+        assert out[d]["n_grams"] == 1 and out[d]["n_common"] == 1
+        assert out[d]["flagged"] is True
+    # NULL text -> the empty gram occurs in 1 doc only
+    assert out[5]["n_grams"] == 1 and out[5]["n_common"] == 0
+
+
+def test_common_ngram_rate_plan_shape(spark):
+    # gram frequency is one map-side-combined hash aggregate; membership
+    # returns via a hash join on the gram (left_semi), never a cartesian
+    from spark_validate.text import common_ngram_rate
+
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    plan = (
+        common_ngram_rate(df, n=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
