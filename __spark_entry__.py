@@ -476,7 +476,7 @@ def q_boilerplate_rate(spark, sf_dir):
     """Corpus-common n-gram boilerplate rate per document (the CCNet /
     RefinedWeb line-dedup analog at word-5-gram level): fraction of each
     doc's distinct 5-grams occurring in >= 2 documents corpus-wide. ONE
-    map-side-combined gram-frequency shuffle + one reused-exchange semi-join
+    map-side-combined gram-frequency shuffle + a gram-keyed LEFT SEMI join
     back (text/boilerplate.py::common_ngram_rate); the rate is a single
     int->double division, bit-identical in DuckDB."""
     from spark_validate.text import common_ngram_rate

@@ -19,12 +19,16 @@ Scale shape (the part that must survive 10^12 docs):
   * Document frequency per gram is ONE map-side-combined count shuffle keyed
     by the gram string. Grams are already distinct within a doc, so
     ``count(*)`` IS document frequency — no count-distinct buffer.
-  * Membership comes back via a hash join of the exploded (doc, gram) frame
-    against the per-gram frequency frame ON THE SAME KEY the aggregation
-    used: both sides hash-partition on ``g`` over the identical child plan,
-    so Catalyst reuses one exchange (ReusedExchange) instead of shuffling
-    the corpus twice. A gram shared by k docs contributes k join rows —
-    linear in true membership, never quadratic.
+  * Membership comes back via a LEFT SEMI hash join of the exploded
+    (doc, gram) frame against the >=min_docs gram set, keyed on the gram.
+    The probe side's gram build (scan + explode) is recomputed rather than
+    cached — a narrow all-codegen pipeline that is far cheaper than
+    materializing an exploded corpus at 10^12 docs. Under AQE a small
+    common-gram set broadcasts (the observed plan at test scale:
+    BroadcastHashJoin LeftSemi); past broadcast size it degrades to a
+    shuffled hash join on ``g``, the same key the frequency aggregation
+    already spread, so skew stays bounded by true gram membership — linear
+    fan-out, never quadratic.
   * No collect, no driver-side state, no per-doc O(n^2): hot boilerplate
     grams spread across reducers by gram value exactly like the repetition
     and decontamination shuffles.
