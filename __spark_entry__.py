@@ -485,6 +485,53 @@ def q_boilerplate_rate(spark, sf_dir):
     return common_ngram_rate(docs, n=5, min_docs=2, threshold=0.5).orderBy("doc_id")
 
 
+def q_pii_scan(spark, sf_dir):
+    """PII detection + redaction (training-data pipeline op;
+    text/pii.py): per-doc match counts for email / ipv4 / ssn / phone
+    patterns plus the redacted-text length. PII spans are injected
+    deterministically from doc_id (the synthetic corpus has none) with
+    expressions DuckDB replicates exactly; the scan itself is pure
+    codegen regexp_extract_all / regexp_replace — identical RE2/Java
+    semantics by the pattern-dialect contract in text/pii.py."""
+    from spark_validate.text import redact_pii, with_pii_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com today"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(
+                F.lit(" server 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".17 logged"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 5, F.lit(" ssn 123-45-6789 phone (415) 555-0173")
+        ).otherwise(F.lit("")),
+    )
+    df = docs.select("doc_id", inj.alias("text"))
+    out = redact_pii(with_pii_counts(df, "text"), "text", out_col="redacted")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_ssn",
+        "n_phone",
+        "pii_total",
+        "has_pii",
+        F.length("redacted").cast("bigint").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality scoring features: token stats + space ratio (exact arithmetic)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1260,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "repetition_quality": q_repetition_quality,
         "boilerplate_rate": q_boilerplate_rate,
+        "pii_scan": q_pii_scan,
         "perf_binary": q_perf_binary,
         "roc_auc": q_roc_auc,
         "average_precision": q_average_precision,
@@ -1872,6 +1920,49 @@ SELECT s.doc_id,
        round(CAST(coalesce(h.n_common, 0) AS DOUBLE) / len(s.s), 9) AS common_rate,
        CAST(coalesce(h.n_common, 0) AS DOUBLE) / len(s.s) >= 0.5 AS flagged
 FROM sh s LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+"""
+
+    # replicates text/pii.py exactly: same injected spans, same RE2-safe
+    # patterns (group 1 extraction on both engines), same redaction order
+    # (email -> ipv4 -> ssn -> phone); 'g' flag because DuckDB's
+    # regexp_replace is first-match-only by default while Spark's is global.
+    sql["pii_scan"] = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com today'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 3
+                 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 logged'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 5
+                 THEN ' ssn 123-45-6789 phone (415) 555-0173'
+                 ELSE '' END AS text
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})', 1)) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(text, '(\b(?:\d{1,3}\.){3}\d{1,3}\b)', 1)) AS INT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '(\b\d{3}-\d{2}-\d{4}\b)', 1)) AS INT) AS n_ssn,
+         CAST(len(regexp_extract_all(text, '(\(\d{3}\) ?\d{3}[- ]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b)', 1)) AS INT) AS n_phone
+  FROM inj
+)
+SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+       CAST(n_email + n_ipv4 + n_ssn + n_phone AS INT) AS pii_total,
+       (n_email + n_ipv4 + n_ssn + n_phone) > 0 AS has_pii,
+       CAST(length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})', '<EMAIL>', 'g'),
+               '(\b(?:\d{1,3}\.){3}\d{1,3}\b)', '<IPV4>', 'g'),
+             '(\b\d{3}-\d{2}-\d{4}\b)', '<SSN>', 'g'),
+           '(\(\d{3}\) ?\d{3}[- ]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b)', '<PHONE>', 'g')
+       ) AS BIGINT) AS redacted_len
+FROM scanned ORDER BY doc_id
 """
 
     sql["perf_binary"] = f"""

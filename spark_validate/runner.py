@@ -231,6 +231,17 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "pii":
+        from spark_validate.text.pii import PiiRateCheck
+
+        return PiiRateCheck(
+            text_col=cfg.get("column", "text"),
+            id_col=cfg.get("id_column", "doc_id"),
+            kinds=cfg.get("kinds"),
+            patterns=cfg.get("patterns"),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "embedding_drift":
         from spark_validate.drift.embedding import EmbeddingDriftCalculator
 

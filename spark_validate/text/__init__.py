@@ -16,6 +16,7 @@ from spark_validate.text.sampling import (
     stratified_sample,
 )
 from spark_validate.text.boilerplate import BoilerplateCheck, common_ngram_rate
+from spark_validate.text.pii import PII_PATTERNS, PiiRateCheck, redact_pii, with_pii_counts
 from spark_validate.text.quality import (
     with_text_features,
     with_language_id,
@@ -50,4 +51,8 @@ __all__ = [
     "GOPHER_REPETITION_RULES",
     "BoilerplateCheck",
     "common_ngram_rate",
+    "PII_PATTERNS",
+    "PiiRateCheck",
+    "redact_pii",
+    "with_pii_counts",
 ]
