@@ -532,6 +532,48 @@ def q_pii_scan(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_url_scan(spark, sf_dir):
+    """URL extraction + domain-blocklist flags (training-data curation op;
+    text/urls.py): per-doc URL count, lowercased host list, and blocked-URL
+    count against ['bad-site.org'] (apex + subdomain suffix match). URLs are
+    injected deterministically from doc_id; the scan is pure codegen
+    regexp_extract_all + higher-order transform/filter — RE2/Java-identical
+    per the pattern-dialect contract."""
+    from spark_validate.text import with_blocklist_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit(" see https://cdn.example.com/img/"),
+                F.col("doc_id").cast("string"),
+                F.lit(".jpg ok"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 4,
+            F.concat(
+                F.lit(" via http://ads.bad-site.org/track?id="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 16 == 7, F.lit(" mirror https://Bad-Site.org done")).otherwise(
+            F.lit("")
+        ),
+    )
+    df = docs.select("doc_id", inj.alias("text"))
+    out = with_blocklist_flags(df, ["bad-site.org"])
+    return out.select(
+        "doc_id",
+        "n_urls",
+        F.array_join("hosts", " ").alias("hosts_str"),
+        "n_blocked_urls",
+        "is_blocked",
+    ).orderBy("doc_id")
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality scoring features: token stats + space ratio (exact arithmetic)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1308,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality": q_repetition_quality,
         "boilerplate_rate": q_boilerplate_rate,
         "pii_scan": q_pii_scan,
+        "url_scan": q_url_scan,
         "perf_binary": q_perf_binary,
         "roc_auc": q_roc_auc,
         "average_precision": q_average_precision,
@@ -1962,6 +2005,39 @@ SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
              '(\b\d{3}-\d{2}-\d{4}\b)', '<SSN>', 'g'),
            '(\(\d{3}\) ?\d{3}[- ]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b)', '<PHONE>', 'g')
        ) AS BIGINT) AS redacted_len
+FROM scanned ORDER BY doc_id
+"""
+
+    # replicates text/urls.py exactly: same URL/host patterns (group-1
+    # extraction), same lowercasing, same apex-or-subdomain blocklist match.
+    sql["url_scan"] = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 1
+                 THEN ' see https://cdn.example.com/img/' || CAST(doc_id AS VARCHAR) || '.jpg ok'
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 4
+                 THEN ' via http://ads.bad-site.org/track?id=' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 16 = 7
+                 THEN ' mirror https://Bad-Site.org done'
+                 ELSE '' END AS text
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(text, '(https?://[A-Za-z0-9.-]+(?::\d{1,5})?(?:/[^\s]*)?)', 1),
+           u -> lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1))
+         ) AS hosts
+  FROM inj
+)
+SELECT doc_id,
+       CAST(len(hosts) AS INT) AS n_urls,
+       coalesce(array_to_string(hosts, ' '), '') AS hosts_str,  -- DuckDB: empty-list join is NULL, Spark: ''
+       CAST(len(list_filter(hosts, h -> h = 'bad-site.org' OR ends_with(h, '.bad-site.org'))) AS INT) AS n_blocked_urls,
+       len(list_filter(hosts, h -> h = 'bad-site.org' OR ends_with(h, '.bad-site.org'))) > 0 AS is_blocked
 FROM scanned ORDER BY doc_id
 """
 

@@ -242,6 +242,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "url_blocklist":
+        from spark_validate.text.urls import UrlBlocklistCheck
+
+        return UrlBlocklistCheck(
+            domains=cfg["domains"],
+            text_col=cfg.get("column", "text"),
+            id_col=cfg.get("id_column", "doc_id"),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "embedding_drift":
         from spark_validate.drift.embedding import EmbeddingDriftCalculator
 

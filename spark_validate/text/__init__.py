@@ -17,6 +17,13 @@ from spark_validate.text.sampling import (
 )
 from spark_validate.text.boilerplate import BoilerplateCheck, common_ngram_rate
 from spark_validate.text.pii import PII_PATTERNS, PiiRateCheck, redact_pii, with_pii_counts
+from spark_validate.text.urls import (
+    URL_PATTERN,
+    UrlBlocklistCheck,
+    blocklist_filter,
+    with_blocklist_flags,
+    with_urls,
+)
 from spark_validate.text.quality import (
     with_text_features,
     with_language_id,
@@ -55,4 +62,9 @@ __all__ = [
     "PiiRateCheck",
     "redact_pii",
     "with_pii_counts",
+    "URL_PATTERN",
+    "UrlBlocklistCheck",
+    "blocklist_filter",
+    "with_blocklist_flags",
+    "with_urls",
 ]
