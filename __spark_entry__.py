@@ -574,6 +574,28 @@ def q_url_scan(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM perplexity quality scoring (Wenzek et al. 2020;
+    text/lm.py): bigram LM with add-1 smoothing fitted on the even-doc_id
+    half of the corpus, odd-half docs scored by per-token cross-entropy
+    (bits) and perplexity. Fit = two map-side-combined gram-count aggs with
+    Spark-side top-K truncation before collect (caps >> this corpus's vocab,
+    so the untruncated DuckDB oracle is exact); score = narrow gram explode
+    joined to the broadcast model. Floats rounded to 6 on both sides (log2
+    may differ in the last ulp between Java and libm)."""
+    from spark_validate.text.lm import NgramLMQuality
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = NgramLMQuality().fit(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = lm.score(docs.filter(F.col("doc_id") % 2 == 1))
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("perplexity", 6).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality scoring features: token stats + space ratio (exact arithmetic)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1351,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_rate": q_boilerplate_rate,
         "pii_scan": q_pii_scan,
         "url_scan": q_url_scan,
+        "lm_quality": q_lm_quality,
         "perf_binary": q_perf_binary,
         "roc_auc": q_roc_auc,
         "average_precision": q_average_precision,
@@ -2039,6 +2062,38 @@ SELECT doc_id,
        CAST(len(list_filter(hosts, h -> h = 'bad-site.org' OR ends_with(h, '.bad-site.org'))) AS INT) AS n_blocked_urls,
        len(list_filter(hosts, h -> h = 'bad-site.org' OR ends_with(h, '.bad-site.org'))) > 0 AS is_blocked
 FROM scanned ORDER BY doc_id
+"""
+
+    # replicates text/lm.py::NgramLMQuality exactly: same tokenizer, same
+    # space-joined bigram keys, same add-1 formula with V = |ref vocab| + 1;
+    # untruncated counts are exact because the engine's top-K caps exceed
+    # this corpus's vocabulary. round(6) absorbs last-ulp log2 differences.
+    sql["lm_quality"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, [struct_pack(w1 := t[i], gram := t[i] || ' ' || t[i+1]) for i in generate_series(1, len(t)-1)] AS gs
+  FROM toks WHERE len(t) >= 2
+),
+ex AS (SELECT doc_id, unnest(gs, recursive := true) FROM bi),
+uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0) GROUP BY w),
+big AS (SELECT gram, count(*) AS c12 FROM ex WHERE doc_id % 2 = 0 GROUP BY gram),
+v AS (SELECT count(*) + 1 AS v FROM uni),
+terms AS (
+  SELECT a.doc_id, -log2(CAST(coalesce(b.c12, 0) + 1 AS DOUBLE) / (coalesce(u.c1, 0) + v.v)) AS bits
+  FROM ex a LEFT JOIN uni u ON a.w1 = u.w LEFT JOIN big b ON a.gram = b.gram CROSS JOIN v
+  WHERE a.doc_id % 2 = 1
+),
+per AS (SELECT doc_id, count(*) AS n_bigrams, avg(bits) AS h FROM terms GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(p.h, 6) AS cross_entropy,
+       round(power(2.0, p.h), 6) AS perplexity
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
 """
 
     sql["perf_binary"] = f"""

@@ -242,6 +242,17 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "lm_quality":
+        from spark_validate.text.lm import LMQualityCheck
+
+        return LMQualityCheck(
+            text_col=cfg.get("column", "text"),
+            id_col=cfg.get("id_column", "doc_id"),
+            chunker=chunker,
+            std_multiplier=cfg.get("std_multiplier", 3.0),
+            max_vocab=cfg.get("max_vocab", 50_000),
+            max_bigrams=cfg.get("max_bigrams", 200_000),
+        )
     if kind == "url_blocklist":
         from spark_validate.text.urls import UrlBlocklistCheck
 
@@ -393,7 +404,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         from_store = False
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
-            "performance", "cbpe", "dle",
+            "performance", "cbpe", "dle", "lm_quality",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

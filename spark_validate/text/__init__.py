@@ -17,6 +17,7 @@ from spark_validate.text.sampling import (
 )
 from spark_validate.text.boilerplate import BoilerplateCheck, common_ngram_rate
 from spark_validate.text.pii import PII_PATTERNS, PiiRateCheck, redact_pii, with_pii_counts
+from spark_validate.text.lm import LMQualityCheck, NgramLMQuality
 from spark_validate.text.urls import (
     URL_PATTERN,
     UrlBlocklistCheck,
@@ -62,6 +63,8 @@ __all__ = [
     "PiiRateCheck",
     "redact_pii",
     "with_pii_counts",
+    "LMQualityCheck",
+    "NgramLMQuality",
     "URL_PATTERN",
     "UrlBlocklistCheck",
     "blocklist_filter",

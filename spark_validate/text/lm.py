@@ -1,0 +1,282 @@
+"""N-gram language-model quality scoring — the CCNet-style perplexity filter
+(Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+Web Crawl Data", LREC 2020): fit a bigram LM with Laplace (add-1) smoothing
+on the reference corpus, score each analysis document by per-token
+cross-entropy (bits) and perplexity; high perplexity = unusual text = low
+quality. CCNet uses a 5-gram KenLM; the bigram order here keeps the model
+exactly replicable in the DuckDB oracle while preserving the pipeline shape
+(fit-on-reference → broadcast model → narrow scoring scan).
+
+No reference analog (NannyML has no text ops); the fit/score/state contract
+follows the drift-calculator conventions so the runner's load-or-fit store
+applies.
+
+Scale design (10^12 docs):
+
+* FIT is two map-side-combined gram-count aggregations over the reference,
+  followed by a Spark-side top-K truncation (window rank by count desc, key
+  asc) BEFORE the driver collect — the same bounded-collect device as the
+  categorical drift fit; an id-string column misconfigured as text cannot
+  OOM the driver. Fit on a hash-sample of the reference when even the
+  top-K pass is too hot (the model converges long before 10^12 tokens).
+* SCORE is one narrow gram-explode joined to the BROADCAST model (≤ top-K
+  rows) plus a per-doc aggregation whose shuffle moves one partial row per
+  (doc, partition) — the corpus text itself is never shuffled.
+* Truncated (dropped) grams score as unseen — count 0 under add-1 — so
+  truncation degrades smoothly; with the default caps nothing is dropped
+  below ~50k distinct tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tok_array(text_col: str):
+    # shared tokenizer contract with text/quality.py::repetition_stats
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, gram) rows; gram = 'w1 w2' (space-joined is unambiguous —
+    tokens were split on whitespace). Docs with < 2 tokens emit nothing."""
+    toks = _tok_array(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)).alias("gram"),
+        ),
+    )
+    return (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("__id"), F.explode(pairs).alias("p"))
+        .select("__id", "p.w1", "p.gram")
+    )
+
+
+class NgramLMQuality:
+    """Bigram LM with add-1 smoothing:
+    ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`` with ``V = |vocab| + 1``
+    (the +1 is the OOV bucket); unseen/OOV grams take count 0. Per document:
+    ``cross_entropy = mean(-log2 p)`` over its bigram transitions and
+    ``perplexity = 2^cross_entropy``; docs with < 2 tokens get NULLs."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_vocab: int = 50_000,
+        max_bigrams: int = 200_000,
+    ):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.max_vocab = max_vocab
+        self.max_bigrams = max_bigrams
+        self._uni: Optional[dict] = None  # w -> count
+        self._bi: Optional[dict] = None  # "w1 w2" -> count
+        self._v: Optional[int] = None
+
+    def _topk(self, counts: DataFrame, key: str, k: int) -> dict:
+        from pyspark.sql import Window
+
+        ranked = counts.withColumn(
+            "__r",
+            F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col(key).asc())),
+        ).filter(F.col("__r") <= k)
+        return {r[key]: r["cnt"] for r in ranked.select(key, "cnt").collect()}
+
+    def fit(self, reference: DataFrame) -> "NgramLMQuality":
+        toks = _tok_array(self.text_col)
+        uni = (
+            reference.select(F.explode(toks).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        bi = (
+            _doc_bigrams(reference, self.text_col, self.id_col)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        self._uni = self._topk(uni, "w", self.max_vocab)
+        self._bi = self._topk(bi, "gram", self.max_bigrams)
+        self._v = len(self._uni) + 1
+        return self
+
+    def _model_frames(self, spark: SparkSession):
+        uni = spark.createDataFrame(
+            [(w, int(c)) for w, c in self._uni.items()] or [("", 0)], "w1 string, c1 long"
+        )
+        bi = spark.createDataFrame(
+            [(g, int(c)) for g, c in self._bi.items()] or [("", 0)], "gram string, c12 long"
+        )
+        return F.broadcast(uni), F.broadcast(bi)
+
+    def score(self, df: DataFrame) -> DataFrame:
+        """Per-doc (id, n_bigrams, cross_entropy, perplexity). Keeps a row
+        for every input doc; < 2 tokens ⇒ n_bigrams 0, NULL entropy."""
+        if self._uni is None:
+            raise RuntimeError("fit first")
+        spark = df.sparkSession
+        uni, bi = self._model_frames(spark)
+        grams = _doc_bigrams(df, self.text_col, self.id_col)
+        scored = (
+            grams.join(uni, "w1", "left")
+            .join(bi, "gram", "left")
+            .select(
+                "__id",
+                (
+                    -F.log2(
+                        (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(self._v))
+                    )
+                ).alias("bits"),
+            )
+        )
+        per_doc = scored.groupBy("__id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.avg("bits").alias("cross_entropy"),
+        )
+        ids = df.select(F.col(self.id_col).alias("__id")).distinct()
+        return (
+            ids.join(per_doc, "__id", "left")
+            .select(
+                F.col("__id").alias(self.id_col),
+                F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+                F.col("cross_entropy"),
+                F.pow(F.lit(2.0), F.col("cross_entropy")).alias("perplexity"),
+            )
+        )
+
+    def get_state(self) -> dict:
+        if self._uni is None:
+            raise RuntimeError("fit first")
+        return {
+            "unigrams": self._uni,
+            "bigrams": self._bi,
+            "v": self._v,
+            "max_vocab": self.max_vocab,
+            "max_bigrams": self.max_bigrams,
+        }
+
+    def set_state(self, state: dict) -> "NgramLMQuality":
+        self._uni = dict(state["unigrams"])
+        self._bi = dict(state["bigrams"])
+        self._v = int(state["v"])
+        return self
+
+
+class LMQualityCheck:
+    """Runner-compatible check: per-chunk mean cross-entropy and mean
+    perplexity of the chunk's scorable docs, thresholded at
+    reference-mean ± multiplier·reference-std of PER-DOC cross-entropy
+    (the StandardDeviationThreshold convention, reference
+    `nannyml/thresholds.py:205-239`); violation rows name docs whose
+    perplexity exceeds the fitted doc-level upper bound."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        chunker=None,
+        std_multiplier: float = 3.0,
+        max_vocab: int = 50_000,
+        max_bigrams: int = 200_000,
+    ):
+        from spark_validate.chunking import DefaultChunker
+
+        self.lm = NgramLMQuality(text_col, id_col, max_vocab, max_bigrams)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.chunker = chunker or DefaultChunker()
+        self.std_multiplier = std_multiplier
+        self._mu = self._sigma = None
+
+    def fit(self, reference: DataFrame) -> "LMQualityCheck":
+        self.lm.fit(reference)
+        row = (
+            self.lm.score(reference)
+            .agg(F.avg("cross_entropy").alias("mu"), F.stddev("cross_entropy").alias("sigma"))
+            .first()
+        )
+        self._mu = float(row["mu"]) if row["mu"] is not None else 0.0
+        self._sigma = float(row["sigma"]) if row["sigma"] is not None else 0.0
+        return self
+
+    def _bounds(self):
+        d = self.std_multiplier * self._sigma
+        return self._mu - d, self._mu + d
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        from spark_validate.calculators.base import assign_chunks
+        from spark_validate.checks.constraints import _attach_const_threshold
+        from spark_validate.chunking import CHUNK_KEY
+
+        if self._mu is None:
+            raise RuntimeError("fit first")
+        assigned, headers = assign_chunks(df, self.chunker)
+        scores = self.lm.score(df).withColumnRenamed(self.id_col, "__sid")
+        joined = assigned.join(scores, assigned[self.id_col] == scores["__sid"], "left")
+        wide = joined.groupBy(CHUNK_KEY).agg(
+            F.avg("cross_entropy").alias("h"), F.avg("perplexity").alias("p")
+        )
+        lo, hi = self._bounds()
+        pairs = [
+            F.struct(
+                F.lit(self.text_col).alias("column_name"),
+                F.lit("mean_cross_entropy").alias("method"),
+                F.col("h").cast("double").alias("value"),
+            ),
+            F.struct(
+                F.lit(self.text_col).alias("column_name"),
+                F.lit("mean_perplexity").alias("method"),
+                F.col("p").cast("double").alias("value"),
+            ),
+        ]
+        long_df = wide.select(CHUNK_KEY, F.explode(F.array(*pairs)).alias("kv")).select(
+            CHUNK_KEY, "kv.column_name", "kv.method", "kv.value"
+        )
+        out = _attach_const_threshold(long_df, headers, period, lo, hi)
+        # only the entropy rows carry the fitted bounds; perplexity rows are
+        # informational (its scale is 2^H — the entropy bounds do not apply)
+        keep = F.col("method") == "mean_cross_entropy"
+        return (
+            out.withColumn("lower_threshold", F.when(keep, F.col("lower_threshold")))
+            .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
+            .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
+        )
+
+    def get_state(self) -> dict:
+        return {"lm": self.lm.get_state(), "mu": self._mu, "sigma": self._sigma}
+
+    def set_state(self, state: dict) -> "LMQualityCheck":
+        self.lm.set_state(state["lm"])
+        self._mu = float(state["mu"])
+        self._sigma = float(state["sigma"])
+        return self
+
+    def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
+        from spark_validate.chunking import CHUNK_KEY
+
+        rid = row_id or self.id_col
+        _, hi = self._bounds()
+        assigned = self.chunker.assign(df)
+        scores = self.lm.score(df).withColumnRenamed(self.id_col, "__sid")
+        bad = assigned.join(scores, assigned[rid] == scores["__sid"], "inner").filter(
+            F.col("cross_entropy") > hi
+        )
+        return bad.select(
+            F.lit("lm_quality").alias("check"),
+            F.lit(self.text_col).alias("column_name"),
+            F.col(CHUNK_KEY),
+            F.col(rid).cast("string").alias("row_id"),
+            F.lit("high_perplexity").alias("violation_kind"),
+            F.round(F.col("perplexity"), 3).cast("string").alias("observed_value"),
+        )
