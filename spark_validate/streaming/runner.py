@@ -302,6 +302,61 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             key = uniq(check_cfg.get("name", kind), check_idx)
             queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "pii":
+            # PII scrubbing on the ingest stream: the batch check's codegen
+            # regex flags are row-local, so the violation stream is a pure
+            # stateless filter — no watermark, no state store, scan-speed
+            import pyspark.sql.functions as F
+
+            from spark_validate.text.pii import PII_PATTERNS, with_pii_counts
+
+            text_col = check_cfg.get("column", "text")
+            id_col = check_cfg.get("id_column", "doc_id")
+            kinds = check_cfg.get("kinds") or list(
+                check_cfg.get("patterns") or PII_PATTERNS
+            )
+            counted = with_pii_counts(
+                stream, text_col, kinds=kinds, patterns=check_cfg.get("patterns")
+            )
+            v = counted.filter(F.col("has_pii")).select(
+                F.lit("pii").alias("check"),
+                F.lit(text_col).alias("column_name"),
+                F.col(ts),
+                F.col(id_col).cast("string").alias("row_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.when(F.col(f"n_{k}") > 0, F.lit(f"pii_{k}"))
+                        for k in kinds
+                    ],
+                ).alias("violation_kind"),
+                F.col("pii_total").cast("string").alias("observed_value"),
+            )
+            key = uniq(check_cfg.get("name", kind), check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "url_blocklist":
+            # blocked-domain citations on the ingest stream — same stateless
+            # row-local shape as pii
+            import pyspark.sql.functions as F
+
+            from spark_validate.text.urls import domain_match, with_blocklist_flags
+
+            text_col = check_cfg.get("column", "text")
+            id_col = check_cfg.get("id_column", "doc_id")
+            domains = check_cfg["domains"]
+            flagged = with_blocklist_flags(stream, domains, text_col)
+            v = flagged.filter(F.col("is_blocked")).select(
+                F.lit("url_blocklist").alias("check"),
+                F.lit(text_col).alias("column_name"),
+                F.col(ts),
+                F.col(id_col).cast("string").alias("row_id"),
+                F.lit("blocked_domain").alias("violation_kind"),
+                F.array_join(
+                    F.filter(F.col("hosts"), lambda h: domain_match(h, domains)), " "
+                ).alias("observed_value"),
+            )
+            key = uniq(check_cfg.get("name", kind), check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         else:
             raise ValueError(f"check type {kind!r} is batch-only (run the batch runner for it)")
     return queries

@@ -780,3 +780,60 @@ def test_streaming_schema_check(spark, tmp_path):
     v = spark.read.parquet(f"{out_dir}/schema").toPandas()
     assert len(v) == 10  # k % 9 == 0 for k in 0..89
     assert (v["violation_kind"] == "required_null").all()
+
+
+def test_streaming_pii_and_url_checks(spark, tmp_path):
+    """PII + blocked-domain scrubbing on the ingest stream: stateless codegen
+    filters (no state, no watermark) land offending docs in the violation
+    sinks with kind-named rows; clean docs never appear."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    rows = []
+    for i in range(40):
+        if i in (3, 17):
+            text = f"mail me at user{i}@leak.example thanks"
+        elif i == 9:
+            text = "ssn 123-45-6789 and server 10.0.0.9"
+        elif i in (5, 25):
+            text = f"img http://cdn.tracker.net/{i}.png here"
+        else:
+            text = f"doc {i} says nothing sensitive"
+        rows.append((i, text))
+    ana = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ana["ts"] = pd.date_range("2024-06-01", periods=len(ana), freq="1s")
+    stream_dir, out_dir = (str(tmp_path / d) for d in ("stream", "out"))
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(stream_dir)
+
+    cfg = {
+        "output_dir": out_dir,
+        "stream": stream_dir,
+        "stream_schema_from": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 minute",
+        "checks": [
+            {"type": "pii", "column": "text", "id_column": "doc_id"},
+            {
+                "type": "url_blocklist",
+                "column": "text",
+                "id_column": "doc_id",
+                "domains": ["tracker.net"],
+            },
+        ],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+
+    pii = spark.read.parquet(f"{out_dir}/pii").toPandas()
+    assert set(pii["row_id"].astype(int)) == {3, 17, 9}
+    kinds = dict(zip(pii["row_id"].astype(int), pii["violation_kind"]))
+    assert kinds[3] == "pii_email"
+    assert kinds[9] == "pii_ipv4 pii_ssn"  # multi-kind doc names every kind
+
+    urls = spark.read.parquet(f"{out_dir}/url_blocklist").toPandas()
+    assert set(urls["row_id"].astype(int)) == {5, 25}
+    assert (urls["observed_value"] == "cdn.tracker.net").all()
