@@ -1206,6 +1206,32 @@ def q_embedding_clusters(spark, sf_dir):
     return embedding_clusters(corpus, threshold=0.9, n_bands=8, rows_per_band=4).orderBy("vec_id")
 
 
+def q_embedding_decontamination(spark, sf_dir):
+    """Eval-set leakage by embedding cosine (sim/ann.py::
+    embedding_decontaminate) — the semantic sibling of the text n-gram and
+    image phash decontamination queries. Benchmark = the vec_id<20 vectors
+    re-keyed; corpus = the full table plus 5 planted verbatim copies
+    (vec_id+200000). The benchmark matrix is broadcast and every corpus
+    batch does ONE exact Arrow matmul — zero corpus shuffle; the oracle is
+    the brute-force cross cosine in DuckDB."""
+    from spark_validate.sim import embedding_decontaminate
+
+    emb = _read(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(200000)
+    )
+    corpus = emb.unionByName(planted)
+    leaks = embedding_decontaminate(
+        corpus, bench, threshold=0.95, bench_id_col="bench_id"
+    )
+    return leaks.select(
+        "vec_id", "bench_id", F.round("cosine", 6).alias("cosine")
+    ).orderBy("vec_id", "bench_id")
+
+
 _PHASH_MASK = (1 << 3) | (1 << 21) | (1 << 44)  # 3 planted bit flips
 
 
@@ -1396,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_clusters": q_embedding_clusters,
+        "embedding_decontamination": q_embedding_decontamination,
         "phash_near_dups": q_phash_near_dups,
         "phash_clusters": q_phash_clusters,
         "header_verdicts": q_header_verdicts,
@@ -2582,6 +2609,28 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.9 ORDER B
 
     # Embedding-axis clusters: brute-force cosine pairs -> recursive-CTE
     # reachability closure (independent of the engine's CC algorithm).
+    # brute-force corpus x benchmark cosine — exact, like the engine's
+    # broadcast matmul (same 1e-12 norm floor on both sides)
+    sql["embedding_decontamination"] = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 5
+),
+bench AS (
+  SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS b FROM embeddings WHERE vec_id < 20
+),
+p AS (
+  SELECT c.vec_id, bench.bench_id,
+         list_dot_product(c.v, bench.b)
+           / (greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12)
+              * greatest(sqrt(list_dot_product(bench.b, bench.b)), 1e-12)) AS cosine
+  FROM corpus c CROSS JOIN bench
+)
+SELECT vec_id, bench_id, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.95
+ORDER BY vec_id, bench_id
+"""
+
     sql["embedding_clusters"] = """
 WITH RECURSIVE corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -1,6 +1,7 @@
 from spark_validate.sim.ann import (
     IVFIndex,
     brute_force_topk,
+    embedding_decontaminate,
     embedding_near_duplicates,
     embedding_clusters,
     ivf_probe_topk,
@@ -11,6 +12,7 @@ from spark_validate.sim.ann import (
 __all__ = [
     "brute_force_topk",
     "lsh_bucket_topk",
+    "embedding_decontaminate",
     "embedding_near_duplicates",
     "embedding_clusters",
     "IVFIndex",

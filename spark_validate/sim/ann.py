@@ -229,6 +229,102 @@ def embedding_near_duplicates(
     )
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: Optional[str] = None,
+    bench_id_col: Optional[str] = None,
+    max_benchmark: int = 100_000,
+    batch_top1_only: bool = False,
+) -> DataFrame:
+    """Eval-set leakage by embedding cosine — the semantic sibling of the
+    text n-gram decontamination (`text/decontaminate.py`) and the image
+    phash decontamination (`image/phash.py`): flag corpus rows whose
+    embedding is ≥ ``threshold`` cosine-similar to ANY benchmark vector.
+
+    Same asymmetric topology as the other two: the benchmark (eval sets are
+    small and bounded — enforced by ``max_benchmark``) is collected,
+    L2-normalized, and BROADCAST as one dense matrix; the 10^12-row corpus
+    is scanned ONCE by an Arrow ``mapInPandas`` pass computing the exact
+    ``X @ Bᵀ`` similarity block per batch. Zero corpus-side shuffle, zero
+    candidate-generation misses (this is exact, not LSH — affordable
+    because the benchmark side is tiny: 64-dim × 100k benchmark = 25 MB
+    broadcast, and each Arrow batch does one BLAS matmul).
+
+    Emits one row per leaked (corpus row × benchmark row) pair:
+    ``(id_col, bench_id, cosine)``; with ``batch_top1_only`` only the best
+    benchmark match per corpus row (argmax) is emitted.
+    """
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    bench_rows = (
+        benchmark.select(F.col(bid), F.col(bvec))
+        .filter(F.col(bvec).isNotNull())
+        .limit(max_benchmark + 1)
+        .collect()
+    )
+    if len(bench_rows) > max_benchmark:
+        raise ValueError(
+            f"benchmark exceeds max_benchmark={max_benchmark} rows — an eval set this "
+            "large should be pre-reduced (dedup/centroids) or checked via the banded "
+            "LSH path (embedding_near_duplicates over the union)"
+        )
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    id_dtype = dict(corpus.dtypes)[id_col]
+    bench_id_dtype = dict(benchmark.dtypes)[bid]
+    out_schema = f"{id_col} {id_dtype}, bench_id {bench_id_dtype}, cosine double"
+    if not bench_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+
+    bench_ids = [r[0] for r in bench_rows]
+    B = np.asarray([r[1] for r in bench_rows], dtype=np.float64)
+    B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((bench_ids, B))
+
+    thr = float(threshold)
+    top1 = bool(batch_top1_only)
+
+    def score(batches):
+        ids_b, mat_b = bc.value
+        ids_arr = np.asarray(ids_b, dtype=object)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = X @ mat_b.T  # (batch, n_bench)
+            if top1:
+                j = S.argmax(axis=1)
+                best = S[np.arange(len(S)), j]
+                keep = best >= thr
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[keep],
+                        "bench_id": ids_arr[j[keep]],
+                        "cosine": best[keep],
+                    }
+                )
+            else:
+                ci, bj = np.nonzero(S >= thr)
+                if len(ci) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[ci],
+                        "bench_id": ids_arr[bj],
+                        "cosine": S[ci, bj],
+                    }
+                )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index — the k-means scale path alongside hyperplane LSH
 

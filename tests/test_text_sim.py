@@ -477,3 +477,62 @@ def test_common_ngram_rate_plan_shape(spark):
     assert "HashAggregate" in plan
     assert "LeftSemi" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_embedding_decontaminate_exact_recall(spark):
+    """Broadcast-matmul eval-set leakage: planted verbatim and near-verbatim
+    copies are found with exact cosines; unrelated vectors never flag;
+    top-1 mode emits only the argmax benchmark row."""
+    import numpy as np
+
+    from spark_validate.sim import embedding_decontaminate
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    bench_vecs = rng.normal(size=(4, dim))
+    corpus_rows = []
+    # ids 0..3: verbatim benchmark copies; 4: tiny perturbation of bench 2;
+    # 5..24: random (orthogonal-ish at dim 16 — below 0.95 w.h.p.)
+    for i in range(4):
+        corpus_rows.append((i, bench_vecs[i].tolist()))
+    corpus_rows.append((4, (bench_vecs[2] + 0.01 * rng.normal(size=dim)).tolist()))
+    for i in range(5, 25):
+        corpus_rows.append((i, rng.normal(size=dim).tolist()))
+    corpus_rows.append((99, None))  # null embedding is skipped, not an error
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(100 + i, bench_vecs[i].tolist()) for i in range(4)],
+        "bench_id long, embedding array<double>",
+    )
+    out = embedding_decontaminate(
+        corpus, bench, threshold=0.95, bench_id_col="bench_id"
+    ).collect()
+    got = {(r["vec_id"], r["bench_id"]): r["cosine"] for r in out}
+    assert set(got) == {(0, 100), (1, 101), (2, 102), (3, 103), (4, 102)}
+    for i in range(4):
+        assert abs(got[(i, 100 + i)] - 1.0) < 1e-12  # verbatim -> cosine 1
+    assert 0.95 <= got[(4, 102)] < 1.0
+
+    top1 = embedding_decontaminate(
+        corpus, bench, threshold=0.95, bench_id_col="bench_id", batch_top1_only=True
+    ).collect()
+    assert {(r["vec_id"], r["bench_id"]) for r in top1} == set(got)  # one bench hit each
+
+
+def test_embedding_decontaminate_bounds(spark):
+    import pytest as _pytest
+
+    from spark_validate.sim import embedding_decontaminate
+
+    corpus = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    big_bench = spark.range(10).select(
+        F.col("id").alias("bench_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="max_benchmark"):
+        embedding_decontaminate(corpus, big_bench, bench_id_col="bench_id", max_benchmark=5)
+    # empty benchmark -> empty result with the declared schema
+    empty = embedding_decontaminate(
+        corpus, big_bench.filter("bench_id < 0"), bench_id_col="bench_id"
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "bench_id", "cosine"]
