@@ -144,15 +144,19 @@ class NgramLMQuality:
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.avg("bits").alias("cross_entropy"),
         )
-        ids = df.select(F.col(self.id_col).alias("__id")).distinct()
-        return (
-            ids.join(per_doc, "__id", "left")
-            .select(
-                F.col("__id").alias(self.id_col),
-                F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-                F.col("cross_entropy"),
-                F.pow(F.lit(2.0), F.col("cross_entropy")).alias("perplexity"),
-            )
+        # docs with < 2 tokens come from a NARROW filter + union, not a
+        # corpus-wide distinct + join (at 10^12 docs that distinct is a full
+        # id shuffle for rows the gram aggregation already covers)
+        short = df.filter(F.size(_tok_array(self.text_col)) < 2).select(
+            F.col(self.id_col).alias("__id"),
+            F.lit(0).cast("bigint").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("cross_entropy"),
+        )
+        return per_doc.unionByName(short).select(
+            F.col("__id").alias(self.id_col),
+            "n_bigrams",
+            "cross_entropy",
+            F.pow(F.lit(2.0), F.col("cross_entropy")).alias("perplexity"),
         )
 
     def get_state(self) -> dict:
