@@ -85,12 +85,11 @@ class NgramLMQuality:
         self._v: Optional[int] = None
 
     def _topk(self, counts: DataFrame, key: str, k: int) -> dict:
-        from pyspark.sql import Window
-
-        ranked = counts.withColumn(
-            "__r",
-            F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col(key).asc())),
-        ).filter(F.col("__r") <= k)
+        # orderBy + limit compiles to TakeOrderedAndProject — per-partition
+        # top-K merged at the driver. (A global row_number window would sort
+        # ALL distinct grams in ONE partition: a 10^9-bigram reference corpus
+        # would funnel through a single task.)
+        ranked = counts.orderBy(F.col("cnt").desc(), F.col(key).asc()).limit(k)
         return {r[key]: r["cnt"] for r in ranked.select(key, "cnt").collect()}
 
     def fit(self, reference: DataFrame) -> "NgramLMQuality":
