@@ -2078,8 +2078,8 @@ WITH inj AS (
 scanned AS (
   SELECT doc_id,
          list_transform(
-           regexp_extract_all(text, '(https?://[A-Za-z0-9.-]+(?::\d{1,5})?(?:/[^\s]*)?)', 1),
-           u -> lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1))
+           regexp_extract_all(text, '(https?://(?:[^\s/@]+@)?[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?(?::\d{1,5})?(?:/[^\s]*)?)', 1),
+           u -> lower(regexp_extract(u, 'https?://(?:[^\s/@]+@)?([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)', 1))
          ) AS hosts
   FROM inj
 )

@@ -24,7 +24,9 @@ Scale design (10^12 docs):
   (doc, partition) — the corpus text itself is never shuffled.
 * Truncated (dropped) grams score as unseen — count 0 under add-1 — so
   truncation degrades smoothly; with the default caps nothing is dropped
-  below ~50k distinct tokens.
+  below ~50k distinct tokens. Kept bigrams are additionally restricted to
+  kept-vocab heads so every smoothed probability stays < 1 (a kept bigram
+  with a truncated head would take c1 = 0 while keeping its own count).
 """
 
 from __future__ import annotations
@@ -105,7 +107,16 @@ class NgramLMQuality:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         self._uni = self._topk(uni, "w", self.max_vocab)
-        self._bi = self._topk(bi, "gram", self.max_bigrams)
+        # drop bigrams whose w1 fell out of the kept vocab: such a gram would
+        # score with c1=0 while keeping its own count, and (c12+1)/(0+V) can
+        # exceed 1 (negative bits) once c12 >= V — junk stuffed with one hot
+        # truncated-head bigram would score as top quality. With w1 kept,
+        # c1 >= c12 always (a token occurs at least as often as any bigram it
+        # heads), so p < 1 is structural.
+        self._bi = {
+            g: c for g, c in self._topk(bi, "gram", self.max_bigrams).items()
+            if g.split(" ", 1)[0] in self._uni
+        }
         self._v = len(self._uni) + 1
         return self
 
@@ -173,6 +184,8 @@ class NgramLMQuality:
         self._uni = dict(state["unigrams"])
         self._bi = dict(state["bigrams"])
         self._v = int(state["v"])
+        self.max_vocab = int(state.get("max_vocab", self.max_vocab))
+        self.max_bigrams = int(state.get("max_bigrams", self.max_bigrams))
         return self
 
 
@@ -200,6 +213,7 @@ class LMQualityCheck:
         self.id_col = id_col
         self.chunker = chunker or DefaultChunker()
         self.std_multiplier = std_multiplier
+        self._fitted = False
         self._mu = self._sigma = None
 
     def fit(self, reference: DataFrame) -> "LMQualityCheck":
@@ -209,11 +223,18 @@ class LMQualityCheck:
             .agg(F.avg("cross_entropy").alias("mu"), F.stddev("cross_entropy").alias("sigma"))
             .first()
         )
-        self._mu = float(row["mu"]) if row["mu"] is not None else 0.0
-        self._sigma = float(row["sigma"]) if row["sigma"] is not None else 0.0
+        # a degenerate reference (<2 scorable docs) has no stddev: leave the
+        # bounds NULL — results carry no thresholds and never alert (the
+        # alert expr is NULL-safe), instead of a silently hair-trigger
+        # (mu, mu) band
+        self._mu = float(row["mu"]) if row["mu"] is not None else None
+        self._sigma = float(row["sigma"]) if row["sigma"] is not None else None
+        self._fitted = True
         return self
 
     def _bounds(self):
+        if self._mu is None or self._sigma is None:
+            return None, None
         d = self.std_multiplier * self._sigma
         return self._mu - d, self._mu + d
 
@@ -222,7 +243,7 @@ class LMQualityCheck:
         from spark_validate.checks.constraints import _attach_const_threshold
         from spark_validate.chunking import CHUNK_KEY
 
-        if self._mu is None:
+        if not self._fitted:
             raise RuntimeError("fit first")
         assigned, headers = assign_chunks(df, self.chunker)
         scores = self.lm.score(df).withColumnRenamed(self.id_col, "__sid")
@@ -257,23 +278,30 @@ class LMQualityCheck:
         )
 
     def get_state(self) -> dict:
+        if not self._fitted:
+            raise RuntimeError("fit first")
         return {"lm": self.lm.get_state(), "mu": self._mu, "sigma": self._sigma}
 
     def set_state(self, state: dict) -> "LMQualityCheck":
         self.lm.set_state(state["lm"])
-        self._mu = float(state["mu"])
-        self._sigma = float(state["sigma"])
+        self._mu = float(state["mu"]) if state["mu"] is not None else None
+        self._sigma = float(state["sigma"]) if state["sigma"] is not None else None
+        self._fitted = True
         return self
 
     def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
         from spark_validate.chunking import CHUNK_KEY
 
+        if not self._fitted:
+            raise RuntimeError("fit first")
         rid = row_id or self.id_col
         _, hi = self._bounds()
         assigned = self.chunker.assign(df)
+        # join on id_col (the scoring key); rid is only the REPORTED column,
+        # like every sibling check
         scores = self.lm.score(df).withColumnRenamed(self.id_col, "__sid")
-        bad = assigned.join(scores, assigned[rid] == scores["__sid"], "inner").filter(
-            F.col("cross_entropy") > hi
+        bad = assigned.join(scores, assigned[self.id_col] == scores["__sid"], "inner").filter(
+            F.lit(hi is not None) & (F.col("cross_entropy") > F.lit(hi))
         )
         return bad.select(
             F.lit("lm_quality").alias("check"),

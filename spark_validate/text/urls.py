@@ -23,9 +23,17 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# scheme + host[:port][/path]; path stops at whitespace. RE2/Java identical.
-URL_PATTERN = r"(https?://[A-Za-z0-9.-]+(?::\d{1,5})?(?:/[^\s]*)?)"
-HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+# scheme + optional userinfo@ + host[:port][/path]; path stops at whitespace.
+# The host must START and END on an alphanumeric so sentence-final
+# punctuation ('visit https://bad-site.org. next') is not swallowed into the
+# host — a trailing dot would defeat the blocklist suffix match. Userinfo is
+# consumed explicitly so 'http://x@bad-site.org/p' resolves host to the
+# domain, not 'x'. RE2/Java identical (no lookaround/backrefs).
+URL_PATTERN = (
+    r"(https?://(?:[^\s/@]+@)?[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?"
+    r"(?::\d{1,5})?(?:/[^\s]*)?)"
+)
+HOST_PATTERN = r"https?://(?:[^\s/@]+@)?([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)"
 
 
 def with_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -55,10 +63,15 @@ def with_blocklist_flags(
     df: DataFrame,
     domains: Sequence[str],
     text_col: str = "text",
+    assume_extracted: bool = False,
 ) -> DataFrame:
-    """Add ``n_blocked_urls`` and ``is_blocked`` per document. Builds on
-    :func:`with_urls` when its columns are absent."""
-    out = df if "hosts" in df.columns else with_urls(df, text_col)
+    """Add ``n_blocked_urls`` and ``is_blocked`` per document. Always
+    re-extracts from ``text_col`` (``with_urls`` replaces any same-named
+    columns) unless the caller explicitly vouches for an existing
+    ``hosts`` column with ``assume_extracted=True`` — a crawl table that
+    happens to ship a metadata column named ``hosts`` must not silently
+    short-circuit the scan of the configured text column."""
+    out = df if (assume_extracted and "hosts" in df.columns) else with_urls(df, text_col)
     blocked = F.filter(F.col("hosts"), lambda h: domain_match(h, domains))
     return out.withColumn("n_blocked_urls", F.size(blocked).cast("int")).withColumn(
         "is_blocked", F.size(blocked) > 0
@@ -148,12 +161,8 @@ class UrlBlocklistCheck:
         assigned, headers = assign_chunks(df, self.chunker)
         wide = assigned.groupBy(CHUNK_KEY).agg(*self._aggs())
         long_df = self._long(wide, ())
-        # only the blocked rate alerts; urls_per_doc is informational
         out = _attach_const_threshold(long_df, headers, period, None, self.upper_threshold)
-        return out.withColumn(
-            "alert",
-            F.when(F.col("method") == "urls_per_doc", F.lit(False)).otherwise(F.col("alert")),
-        )
+        return self._strip_informational(out)
 
     def fuse_contrib(self, dtypes, prefix: str):
         from spark_validate.checks.constraints import _FUSE_HDR_COLS, _attach_const_threshold
@@ -164,12 +173,22 @@ class UrlBlocklistCheck:
             out = _attach_const_threshold(
                 self._long(wide, _FUSE_HDR_COLS, prefix), None, period, None, self.upper_threshold
             )
-            return out.withColumn(
-                "alert",
-                F.when(F.col("method") == "urls_per_doc", F.lit(False)).otherwise(F.col("alert")),
-            )
+            return self._strip_informational(out)
 
         return exprs, fin
+
+    @staticmethod
+    def _strip_informational(out: DataFrame) -> DataFrame:
+        # only the blocked rate alerts; urls_per_doc is informational — it
+        # must not carry the blocked-rate threshold either (a stored row
+        # saying value=1.0, upper_threshold=0.0, alert=false contradicts
+        # itself for any downstream consumer)
+        keep = F.col("method") == "blocked_doc_rate"
+        return (
+            out.withColumn("lower_threshold", F.when(keep, F.col("lower_threshold")))
+            .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
+            .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
+        )
 
     def get_state(self) -> dict:
         return {"domains": self.domains}

@@ -50,12 +50,18 @@ def test_lm_oov_floor_and_short_docs(spark, fitted):
 def test_lm_topk_truncation_bounds_state(spark):
     ref = spark.createDataFrame(REF, "doc_id long, text string")
     lm = NgramLMQuality(max_vocab=3, max_bigrams=4).fit(ref)
-    assert len(lm._uni) == 3 and len(lm._bi) == 4
+    assert len(lm._uni) == 3
     # deterministic pick: count desc, key asc — 'the'(4) then 'a'(2),'and'... ties by word
     assert "the" in lm._uni
-    # truncated grams score as unseen (count 0), not as errors
+    # every kept bigram's head is in the kept vocab: a bigram whose w1 was
+    # truncated would score with c1=0 and could reach p > 1 (negative bits)
+    assert all(g.split(" ", 1)[0] in lm._uni for g in lm._bi)
+    # truncated grams score as unseen (count 0), not as errors, and bits
+    # stay positive for every transition
     ana = spark.createDataFrame([(1, "rug and mat")], "doc_id long, text string")
-    assert lm.score(ana).first()["cross_entropy"] is not None
+    row = lm.score(ana).first()
+    assert row["cross_entropy"] is not None and row["cross_entropy"] > 0
+    assert row["perplexity"] > 1
 
 
 def test_lm_state_roundtrip(spark, fitted):
@@ -64,6 +70,28 @@ def test_lm_state_roundtrip(spark, fitted):
     a = fitted.score(ana).first()
     b = clone.score(ana).first()
     assert a["cross_entropy"] == b["cross_entropy"]
+
+
+def test_lm_check_degenerate_reference_and_guards(spark):
+    """A reference with no scorable stddev leaves the bounds NULL (no alert)
+    instead of a hair-trigger (mu, mu) band; pre-fit access raises cleanly."""
+    from spark_validate.chunking import CountBasedChunker
+
+    check = LMQualityCheck(chunker=CountBasedChunker(chunk_number=2, order_by=["doc_id"]))
+    with pytest.raises(RuntimeError, match="fit first"):
+        check.calculate(spark.createDataFrame(REF, "doc_id long, text string"))
+    with pytest.raises(RuntimeError, match="fit first"):
+        check.violations(spark.createDataFrame(REF, "doc_id long, text string"))
+
+    one_doc = spark.createDataFrame([(0, "only one doc here")], "doc_id long, text string")
+    check.fit(one_doc)
+    ana = spark.createDataFrame(REF, "doc_id long, text string")
+    res = check.calculate(ana).filter("method = 'mean_cross_entropy'").collect()
+    assert res and all(r["upper_threshold"] is None and not r["alert"] for r in res)
+    assert check.violations(ana).count() == 0
+    # state roundtrip preserves the NULL bounds
+    clone = LMQualityCheck().set_state(check.get_state())
+    assert clone._bounds() == (None, None)
 
 
 def test_lm_quality_check_in_runner(spark, tmp_path):

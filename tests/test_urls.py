@@ -45,6 +45,27 @@ def test_blocklist_match_semantics(spark):
     assert {r["doc_id"] for r in kept.collect()} == {0, 1, 4, 5}
 
 
+def test_url_edge_cases(spark):
+    """Sentence-final punctuation and userinfo must not defeat the blocklist;
+    a pre-existing 'hosts' column must not short-circuit the text scan."""
+    rows = [
+        (0, "visit https://bad.tracker.net. next sentence"),  # trailing period
+        (1, "login http://alice@tracker.net/home now"),  # userinfo@host
+        (2, "bare https://tracker.net, comma after"),  # trailing comma
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in with_blocklist_flags(df, BLOCK).collect()}
+    assert out[0]["hosts"] == ["bad.tracker.net"] and out[0]["is_blocked"]
+    assert out[1]["hosts"] == ["tracker.net"] and out[1]["is_blocked"]
+    assert out[2]["hosts"] == ["tracker.net"] and out[2]["is_blocked"]
+
+    # a crawl table shipping an unrelated 'hosts' metadata column: the text
+    # column is still scanned (hosts recomputed), unless explicitly vouched
+    trap = df.withColumn("hosts", F.array(F.lit("decoy.example")))
+    out2 = {r["doc_id"]: r.asDict() for r in with_blocklist_flags(trap, BLOCK).collect()}
+    assert out2[1]["is_blocked"] and out2[1]["hosts"] == ["tracker.net"]
+
+
 def test_url_check_in_runner_fused(spark, tmp_path):
     """url_blocklist as a config check rides the fused suite pass; values
     match the standalone calculate() path."""
@@ -90,6 +111,14 @@ def test_url_check_in_runner_fused(spark, tmp_path):
     assert got[("part=p0", "blocked_doc_rate")] == (2 / 40, True)
     assert got[("part=p1", "blocked_doc_rate")] == (2 / 40, True)
     assert got[("part=p0", "urls_per_doc")] == (1.0, False)  # informational, never alerts
+    # informational rows carry no thresholds either (a row with value=1.0,
+    # upper_threshold=0.0, alert=false would contradict itself)
+    thr = {
+        (r["chunk_key"], r["method"]): (r["lower_threshold"], r["upper_threshold"])
+        for r in res.filter("period='analysis'").collect()
+    }
+    assert thr[("part=p0", "urls_per_doc")] == (None, None)
+    assert thr[("part=p0", "blocked_doc_rate")][1] == 0.0
 
     df = spark.read.parquet(str(tmp_path / "docs"))
     alone = UrlBlocklistCheck(
