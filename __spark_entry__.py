@@ -444,12 +444,19 @@ def q_top_categories(spark, sf_dir):
 
 
 def q_token_count(spark, sf_dir):
-    """Text token counting (training-data pipeline op) — whitespace tokens."""
+    """Text token counting (training-data pipeline op) — whitespace tokens
+    plus the GPT-2-style 'BPE-ish' subword-run count (text/quality.py::
+    with_bpe_token_count; contraction suffixes / letter runs / digit runs /
+    punctuation runs — the Java↔RE2-identical simplification of the GPT-2
+    pretokenizer, so DuckDB counts the same tokens)."""
+    from spark_validate.text.quality import with_bpe_token_count
+
     docs = _read(spark, sf_dir, "documents")
     n_space = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
-    return docs.select(
+    return with_bpe_token_count(docs).select(
         "doc_id",
         (n_space + 1).cast("bigint").alias("token_count"),
+        "bpe_token_count",
         F.length("text").cast("bigint").alias("n_chars_actual"),
     ).orderBy("doc_id")
 
@@ -1917,9 +1924,10 @@ ranked AS (
 SELECT day_key, event_type, cnt, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 2 ORDER BY day_key, rank
 """
 
-    sql["token_count"] = """
+    sql["token_count"] = r"""
 SELECT doc_id,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS token_count,
+       CAST(len(regexp_extract_all(text, '(''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)', 1)) AS BIGINT) AS bpe_token_count,
        CAST(length(text) AS BIGINT) AS n_chars_actual
 FROM documents ORDER BY doc_id
 """

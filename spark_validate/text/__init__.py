@@ -26,6 +26,7 @@ from spark_validate.text.urls import (
     with_urls,
 )
 from spark_validate.text.quality import (
+    with_bpe_token_count,
     with_text_features,
     with_language_id,
     with_quality_score,
@@ -50,6 +51,7 @@ __all__ = [
     "simhash",
     "simhash_near_duplicates",
     "near_duplicate_clusters",
+    "with_bpe_token_count",
     "with_text_features",
     "with_language_id",
     "with_quality_score",

@@ -45,6 +45,26 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer, simplified to the Java↔RE2-identical dialect
+# (the original uses a negative lookahead RE2 lacks): contraction suffixes,
+# letter runs, digit runs, punctuation/symbol runs. Whitespace is not a
+# token. One outer capture group — extracted as group 1 on both engines.
+BPE_TOKEN_PATTERN = r"('(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)"
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "bpe_token_count"
+) -> DataFrame:
+    """Subword-style token count — the 'BPE-ish regex' counter that
+    approximates an LLM tokenizer's token count far better than whitespace
+    splitting (punctuation, contractions and digit runs count separately).
+    Pure codegen regexp_extract_all; narrow, no shuffle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return df.withColumn(
+        out_col, F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), F.lit(1))).cast("long")
+    )
+
+
 def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-ratio language heuristic: per language, the fraction of tokens
     hitting its stopword profile; argmax wins ('und' when nothing hits)."""

@@ -536,3 +536,21 @@ def test_embedding_decontaminate_bounds(spark):
     )
     assert empty.count() == 0
     assert empty.columns == ["vec_id", "bench_id", "cosine"]
+
+
+def test_bpe_token_count_hand_computed(spark):
+    """GPT-2-style pretokenizer simplification: contractions split, digit and
+    punctuation runs count separately, whitespace is not a token."""
+    from spark_validate.text.quality import with_bpe_token_count
+
+    rows = [
+        (0, "hello world"),            # 2
+        (1, "don't stop"),             # don | 't | stop = 3
+        (2, "v2.0-beta (x86)!"),       # v|2|.|0|-|beta|(|x|86|)! = 10 (')!' is one punct run)
+        (3, ""),                       # 0
+        (4, None),                     # NULL -> 0
+        (5, "  spaced   out  "),       # 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bpe_token_count"] for r in with_bpe_token_count(df).collect()}
+    assert out == {0: 2, 1: 3, 2: 10, 3: 0, 4: 0, 5: 2}
