@@ -2100,7 +2100,8 @@ FROM scanned ORDER BY doc_id
 """
 
     # replicates text/lm.py::NgramLMQuality exactly: same tokenizer, same
-    # space-joined bigram keys, same add-1 formula with V = |ref vocab| + 1;
+    # space-joined bigram keys, same add-1 formula with V = |ref vocab| + 1
+    # and the same unigram backoff for OOV heads (denominator N_tokens + V);
     # untruncated counts are exact because the engine's top-K caps exceed
     # this corpus's vocabulary. round(6) absorbs last-ulp log2 differences.
     sql["lm_quality"] = r"""
@@ -2109,16 +2110,23 @@ WITH toks AS (
   FROM documents
 ),
 bi AS (
-  SELECT doc_id, [struct_pack(w1 := t[i], gram := t[i] || ' ' || t[i+1]) for i in generate_series(1, len(t)-1)] AS gs
+  SELECT doc_id, [struct_pack(w1 := t[i], w2 := t[i+1], gram := t[i] || ' ' || t[i+1]) for i in generate_series(1, len(t)-1)] AS gs
   FROM toks WHERE len(t) >= 2
 ),
 ex AS (SELECT doc_id, unnest(gs, recursive := true) FROM bi),
 uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0) GROUP BY w),
 big AS (SELECT gram, count(*) AS c12 FROM ex WHERE doc_id % 2 = 0 GROUP BY gram),
-v AS (SELECT count(*) + 1 AS v FROM uni),
+v AS (SELECT count(*) + 1 AS v, (SELECT sum(c1) FROM uni) AS n_tokens FROM uni),
 terms AS (
-  SELECT a.doc_id, -log2(CAST(coalesce(b.c12, 0) + 1 AS DOUBLE) / (coalesce(u.c1, 0) + v.v)) AS bits
-  FROM ex a LEFT JOIN uni u ON a.w1 = u.w LEFT JOIN big b ON a.gram = b.gram CROSS JOIN v
+  SELECT a.doc_id,
+         -log2(CASE WHEN u.c1 IS NOT NULL
+                    THEN CAST(coalesce(b.c12, 0) + 1 AS DOUBLE) / (u.c1 + v.v)
+                    ELSE CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE) / CAST(v.n_tokens + v.v AS DOUBLE) END) AS bits
+  FROM ex a
+  LEFT JOIN uni u ON a.w1 = u.w
+  LEFT JOIN uni u2 ON a.w2 = u2.w
+  LEFT JOIN big b ON a.gram = b.gram
+  CROSS JOIN v
   WHERE a.doc_id % 2 = 1
 ),
 per AS (SELECT doc_id, count(*) AS n_bigrams, avg(bits) AS h FROM terms GROUP BY doc_id)

@@ -46,7 +46,7 @@ def _tok_array(text_col: str):
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, w1, gram) rows; gram = 'w1 w2' (space-joined is unambiguous —
+    """(id, w1, w2, gram) rows; gram = 'w1 w2' (space-joined is unambiguous —
     tokens were split on whitespace). Docs with < 2 tokens emit nothing."""
     toks = _tok_array(text_col)
     idx = F.sequence(F.lit(0), F.size(toks) - 2)
@@ -54,20 +54,29 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         idx,
         lambda i: F.struct(
             F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
             F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)).alias("gram"),
         ),
     )
     return (
         df.filter(F.size(toks) >= 2)
         .select(F.col(id_col).alias("__id"), F.explode(pairs).alias("p"))
-        .select("__id", "p.w1", "p.gram")
+        .select("__id", "p.w1", "p.w2", "p.gram")
     )
 
 
 class NgramLMQuality:
-    """Bigram LM with add-1 smoothing:
-    ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`` with ``V = |vocab| + 1``
-    (the +1 is the OOV bucket); unseen/OOV grams take count 0. Per document:
+    """Bigram LM with add-1 smoothing and unigram backoff for unknown heads:
+
+    * w1 in vocab: ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)``
+    * w1 OOV (backoff, stupid-backoff flavor — Brants et al. EMNLP 2007):
+      ``p(w2) = (c(w2) + 1) / (N_tokens + V)``
+
+    with ``V = |vocab| + 1`` (the +1 is the OOV bucket); unseen/OOV counts
+    are 0. The backoff keeps the score monotone: pure OOV gibberish floors
+    at ``1/(N_tokens+V)`` — strictly below every known-head transition's
+    ``1/(c1+V)`` — where a pure add-1 bigram would give unknown heads
+    ``1/V`` and rank gibberish ABOVE rare-but-real text. Per document:
     ``cross_entropy = mean(-log2 p)`` over its bigram transitions and
     ``perplexity = 2^cross_entropy``; docs with < 2 tokens get NULLs."""
 
@@ -85,6 +94,7 @@ class NgramLMQuality:
         self._uni: Optional[dict] = None  # w -> count
         self._bi: Optional[dict] = None  # "w1 w2" -> count
         self._v: Optional[int] = None
+        self._n_tokens: Optional[int] = None  # untruncated reference token total
 
     def _topk(self, counts: DataFrame, key: str, k: int) -> dict:
         # orderBy + limit compiles to TakeOrderedAndProject — per-partition
@@ -101,6 +111,9 @@ class NgramLMQuality:
             .groupBy("w")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        uni = uni.persist()
+        total = uni.agg(F.sum("cnt")).first()[0]
+        self._n_tokens = int(total) if total is not None else 0
         bi = (
             _doc_bigrams(reference, self.text_col, self.id_col)
             .groupBy("gram")
@@ -118,16 +131,19 @@ class NgramLMQuality:
             if g.split(" ", 1)[0] in self._uni
         }
         self._v = len(self._uni) + 1
+        uni.unpersist()
         return self
 
     def _model_frames(self, spark: SparkSession):
-        uni = spark.createDataFrame(
-            [(w, int(c)) for w, c in self._uni.items()] or [("", 0)], "w1 string, c1 long"
+        uni_rows = [(w, int(c)) for w, c in self._uni.items()]
+        uni = spark.createDataFrame(uni_rows or [("", 0)], "w1 string, c1 long")
+        uni2 = spark.createDataFrame(
+            [(w, c) for w, c in uni_rows] or [("", 0)], "w2 string, c2 long"
         )
         bi = spark.createDataFrame(
             [(g, int(c)) for g, c in self._bi.items()] or [("", 0)], "gram string, c12 long"
         )
-        return F.broadcast(uni), F.broadcast(bi)
+        return F.broadcast(uni), F.broadcast(uni2), F.broadcast(bi)
 
     def score(self, df: DataFrame) -> DataFrame:
         """Per-doc (id, n_bigrams, cross_entropy, perplexity). Keeps a row
@@ -135,20 +151,22 @@ class NgramLMQuality:
         if self._uni is None:
             raise RuntimeError("fit first")
         spark = df.sparkSession
-        uni, bi = self._model_frames(spark)
+        uni, uni2, bi = self._model_frames(spark)
         grams = _doc_bigrams(df, self.text_col, self.id_col)
+        # known head: add-1 bigram; OOV head: add-1 unigram backoff on w2
+        # (denominator N_tokens+V ≥ any c1+V, so gibberish floors strictly
+        # below every known-head transition)
+        p = F.when(
+            F.col("c1").isNotNull(),
+            (F.coalesce(F.col("c12"), F.lit(0)) + 1) / (F.col("c1") + F.lit(self._v)),
+        ).otherwise(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1) / F.lit(float(self._n_tokens + self._v))
+        )
         scored = (
             grams.join(uni, "w1", "left")
+            .join(uni2, "w2", "left")
             .join(bi, "gram", "left")
-            .select(
-                "__id",
-                (
-                    -F.log2(
-                        (F.coalesce(F.col("c12"), F.lit(0)) + 1)
-                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(self._v))
-                    )
-                ).alias("bits"),
-            )
+            .select("__id", (-F.log2(p)).alias("bits"))
         )
         per_doc = scored.groupBy("__id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -176,6 +194,7 @@ class NgramLMQuality:
             "unigrams": self._uni,
             "bigrams": self._bi,
             "v": self._v,
+            "n_tokens": self._n_tokens,
             "max_vocab": self.max_vocab,
             "max_bigrams": self.max_bigrams,
         }
@@ -184,6 +203,7 @@ class NgramLMQuality:
         self._uni = dict(state["unigrams"])
         self._bi = dict(state["bigrams"])
         self._v = int(state["v"])
+        self._n_tokens = int(state["n_tokens"])
         self.max_vocab = int(state.get("max_vocab", self.max_vocab))
         self.max_bigrams = int(state.get("max_bigrams", self.max_bigrams))
         return self

@@ -41,10 +41,25 @@ def test_lm_oov_floor_and_short_docs(spark, fitted):
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r.asDict() for r in fitted.score(ana).collect()}
-    # fully-OOV transitions: p = 1/V exactly -> perplexity = V
-    assert abs(out[1]["perplexity"] - fitted._v) < 1e-9
+    # fully-OOV transitions take the unigram backoff floor: p = 1/(N_tokens+V)
+    # exactly -> perplexity = N_tokens + V (17 ref tokens + V=10 here). This
+    # floor is strictly WORSE than any known-head transition's 1/(c1+V) —
+    # the monotonicity pure add-1 lacks (gibberish must never beat real text)
+    assert abs(out[1]["perplexity"] - (fitted._n_tokens + fitted._v)) < 1e-9
+    assert fitted._n_tokens == 17
     for d in (3, 5, 7):  # <2 tokens keeps the row with NULL entropy
         assert out[d]["n_bigrams"] == 0 and out[d]["cross_entropy"] is None
+
+
+def test_lm_gibberish_never_beats_known_head_transitions(spark, fitted):
+    """The backoff ordering guarantee: the worst all-known-head doc (every
+    transition unseen) still scores strictly below pure OOV gibberish."""
+    ana = spark.createDataFrame(
+        [(1, "mat rug and on sat"), (2, "zzz qqq www yyy xxx")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cross_entropy"] for r in fitted.score(ana).collect()}
+    assert out[1] < out[2]
 
 
 def test_lm_topk_truncation_bounds_state(spark):
