@@ -263,6 +263,20 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "embedding_leakage":
+        from spark_validate.sim.ann import EmbeddingLeakageCheck
+
+        return EmbeddingLeakageCheck(
+            benchmark=read_table(spark, cfg["benchmark"]),
+            threshold=cfg.get("threshold", 0.95),
+            vec_col=cfg.get("column", "embedding"),
+            id_col=cfg.get("id_column", "vec_id"),
+            bench_id_col=cfg.get("benchmark_id_column"),
+            bench_vec_col=cfg.get("benchmark_column"),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+            max_benchmark=cfg.get("max_benchmark", 100_000),
+        )
     if kind == "embedding_drift":
         from spark_validate.drift.embedding import EmbeddingDriftCalculator
 

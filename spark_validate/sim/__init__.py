@@ -1,6 +1,7 @@
 from spark_validate.sim.ann import (
     IVFIndex,
     brute_force_topk,
+    EmbeddingLeakageCheck,
     embedding_decontaminate,
     embedding_near_duplicates,
     embedding_clusters,
@@ -12,6 +13,7 @@ from spark_validate.sim.ann import (
 __all__ = [
     "brute_force_topk",
     "lsh_bucket_topk",
+    "EmbeddingLeakageCheck",
     "embedding_decontaminate",
     "embedding_near_duplicates",
     "embedding_clusters",

@@ -325,6 +325,96 @@ def embedding_decontaminate(
     return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
+class EmbeddingLeakageCheck:
+    """Runner-compatible check: per-chunk rate of corpus rows whose embedding
+    is ≥ ``threshold`` cosine-similar to some benchmark vector, plus
+    violation rows naming the matched benchmark id and cosine.
+    ConstantThreshold(upper=0) default — any leakage alerts (same contract
+    as the text DecontaminationCheck and PhashDecontaminationCheck; this is
+    the embedding member of that triple). Fit is a no-op (the benchmark is
+    configuration); the match pass is :func:`embedding_decontaminate` —
+    broadcast benchmark matmul, zero corpus shuffle."""
+
+    def __init__(
+        self,
+        benchmark: DataFrame,
+        threshold: float = 0.95,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        bench_id_col: Optional[str] = None,
+        bench_vec_col: Optional[str] = None,
+        chunker=None,
+        upper_threshold: float = 0.0,
+        max_benchmark: int = 100_000,
+    ):
+        from spark_validate.chunking import DefaultChunker
+
+        self.benchmark = benchmark
+        self.threshold = threshold
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.bench_id_col = bench_id_col
+        self.bench_vec_col = bench_vec_col
+        self.chunker = chunker or DefaultChunker()
+        self.upper_threshold = upper_threshold
+        self.max_benchmark = max_benchmark
+
+    def fit(self, reference: DataFrame) -> "EmbeddingLeakageCheck":
+        return self
+
+    def _matches(self, df: DataFrame) -> DataFrame:
+        return embedding_decontaminate(
+            df,
+            self.benchmark,
+            threshold=self.threshold,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            bench_id_col=self.bench_id_col,
+            bench_vec_col=self.bench_vec_col,
+            max_benchmark=self.max_benchmark,
+        )
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        from spark_validate.calculators.base import assign_chunks
+        from spark_validate.checks.constraints import _attach_const_threshold
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned, headers = assign_chunks(df, self.chunker)
+        # a row near several benchmark vectors still counts once in the rate
+        bad = self._matches(df).select(F.col(self.id_col).alias("_id")).distinct()
+        per_chunk = (
+            assigned.join(bad, assigned[self.id_col] == bad["_id"], "left")
+            .groupBy(CHUNK_KEY)
+            .agg(
+                F.count(F.lit(1)).alias("__rows"),
+                F.count("_id").cast("double").alias("__bad"),
+            )
+            .select(
+                CHUNK_KEY,
+                F.lit(self.vec_col).alias("column_name"),
+                F.lit("embedding_leakage_rate").alias("method"),
+                (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
+            )
+        )
+        return _attach_const_threshold(per_chunk, headers, period, None, self.upper_threshold)
+
+    def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned = self.chunker.assign(df)
+        m = self._matches(df)
+        return assigned.join(m, self.id_col).select(
+            F.lit("embedding_leakage").alias("check"),
+            F.lit(self.vec_col).alias("column_name"),
+            F.col(CHUNK_KEY),
+            F.col(self.id_col).cast("string").alias("row_id"),
+            F.lit("benchmark_cosine_match").alias("violation_kind"),
+            F.concat_ws(
+                "@cos=", F.col("bench_id").cast("string"), F.round("cosine", 4).cast("string")
+            ).alias("observed_value"),
+        )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index — the k-means scale path alongside hyperplane LSH
 

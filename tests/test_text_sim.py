@@ -554,3 +554,68 @@ def test_bpe_token_count_hand_computed(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["bpe_token_count"] for r in with_bpe_token_count(df).collect()}
     assert out == {0: 2, 1: 3, 2: 10, 3: 0, 4: 0, 5: 2}
+
+
+def test_embedding_leakage_check_in_runner(spark, tmp_path):
+    """embedding_leakage as a config check: per-chunk leaked-row rate against
+    a benchmark table; violation rows name the benchmark id and cosine."""
+    import numpy as np
+
+    from spark_validate.runner import run_suite
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    bench_vecs = rng.normal(size=(3, dim))
+    rows = []
+    for i in range(40):
+        part = "p0" if i < 20 else "p1"
+        if i in (7, 30):  # leaked copies of benchmark vec 1
+            v = bench_vecs[1].tolist()
+        else:
+            v = rng.normal(size=dim).tolist()
+        rows.append({"vec_id": i, "part": part, "embedding": v})
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(
+        str(tmp_path / "corpus")
+    )
+    spark.createDataFrame(
+        [(100 + i, bench_vecs[i].tolist()) for i in range(3)],
+        "bench_id long, embedding array<double>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "bench"))
+    cfg = {
+        "run_id": "leak",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": str(tmp_path / "corpus"),
+        "analysis": str(tmp_path / "corpus"),
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [
+            {
+                "type": "embedding_leakage",
+                "column": "embedding",
+                "id_column": "vec_id",
+                "benchmark": str(tmp_path / "bench"),
+                "benchmark_id_column": "bench_id",
+                "threshold": 0.95,
+            }
+        ],
+    }
+    report = run_suite(spark, cfg)
+    assert report["embedding_leakage__embedding"]["alerts"] > 0
+    res = spark.read.parquet(
+        str(tmp_path / "out" / "results" / "check=embedding_leakage__embedding")
+    )
+    got = {
+        (r["chunk_key"], r["method"]): (r["value"], r["alert"])
+        for r in res.filter("period='analysis'").collect()
+    }
+    assert got[("part=p0", "embedding_leakage_rate")] == (1 / 20, True)
+    assert got[("part=p1", "embedding_leakage_rate")] == (1 / 20, True)
+
+    viol = spark.read.parquet(
+        str(tmp_path / "out" / "violations" / "check=embedding_leakage__embedding")
+    )
+    v = viol.toPandas()
+    assert set(v["row_id"]) == {"7", "30"}
+    assert all(ov.startswith("101@cos=1.0") for ov in v["observed_value"])
