@@ -165,6 +165,15 @@ class ImageValidationSuite:
             ).fit(with_quality_score(reference, "caption"))
             out["caption_quality"] = cq.calculate(with_quality_score(analysis, "caption"))
 
+            # 6c. caption PII scrubbing: per-chunk rate of captions carrying
+            # email/ipv4/ssn/phone spans — pure codegen regex flags in the
+            # same chunk aggregation shape; any PII caption alerts
+            from spark_validate.text.pii import PiiRateCheck
+
+            out["caption_pii"] = PiiRateCheck(
+                text_col="caption", id_col="image_id", chunker=self.chunker
+            ).calculate(analysis)
+
         # 7. payload checks — ONE fused Arrow pass (pixel stats + PSNR
         # equivalence; each side decoded exactly once)
         if self.include_payload_checks:

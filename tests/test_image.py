@@ -535,3 +535,30 @@ def test_phash_decontamination_check_rates_and_violations(spark):
     assert set(v["row_id"]) == {"c0005", "c0250"}
     assert set(v["violation_kind"]) == {"benchmark_near_match"}
     assert sorted(v["observed_value"]) == ["b0@h=0", "b1@h=1"]
+
+
+def test_suite_caption_pii_flags_planted_spans(spark):
+    """Caption PII scrubbing inside the image suite: planted email spans in
+    the analysis batch alert (any PII caption trips the upper=0 bound);
+    the clean synthetic captions stay silent."""
+    from pyspark.sql import functions as F
+
+    from spark_validate.suite import ImageValidationSuite
+
+    ref = synth_image_table(spark, 1000, n_partitions=2, dup_rate=0.0, orphan_rate=0.0, seed=3)
+    ana = synth_image_table(spark, 1000, n_partitions=2, dup_rate=0.0, orphan_rate=0.0, seed=4)
+    leaky = ana.withColumn(
+        "caption",
+        F.when(
+            F.xxhash64("image_id") % 50 == 0,
+            F.concat(F.col("caption"), F.lit(" contact admin@leak.example")),
+        ).otherwise(F.col("caption")),
+    )
+    suite = ImageValidationSuite(include_payload_checks=False)
+    res = suite.run(ref, leaky)["caption_pii"].toPandas()
+    email = res[res.method == "pii_email_rate"]
+    assert float(email["value"].sum()) > 0 and bool(email["alert"].any())
+
+    res_clean = suite.run(ref, ana)["caption_pii"].toPandas()
+    assert float(res_clean["value"].sum()) == 0.0
+    assert not bool(res_clean["alert"].any())
