@@ -357,6 +357,68 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             key = uniq(check_cfg.get("name", kind), check_idx)
             queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "lm_quality":
+            # reference-fitted bigram-LM perplexity on the ingest stream: the
+            # model + doc-level 3σ entropy bound fit in batch (like the other
+            # reference-fitted streaming checks); each micro-batch is scored
+            # STATELESSLY by an Arrow mapInPandas over the broadcast model —
+            # a doc is row-local, so no per-doc aggregation state is needed.
+            # score_texts is formula-identical to the batch join path
+            # (pinned by test_streaming_lm_matches_batch).
+            import pandas as pd
+            import pyspark.sql.functions as F
+
+            from spark_validate.text.lm import LMQualityCheck
+
+            if reference is None:
+                raise ValueError("lm_quality check needs a reference table to fit the model")
+            text_col = check_cfg.get("column", "text")
+            id_col = check_cfg.get("id_column", "doc_id")
+            chk = LMQualityCheck(
+                text_col=text_col,
+                id_col=id_col,
+                std_multiplier=check_cfg.get("std_multiplier", 3.0),
+                max_vocab=check_cfg.get("max_vocab", 50_000),
+                max_bigrams=check_cfg.get("max_bigrams", 200_000),
+            ).fit(reference)
+            _, hi = chk._bounds()
+            bc = spark.sparkContext.broadcast(chk.lm.get_state())
+            out_schema = f"{id_col} string, {ts} timestamp, cross_entropy double"
+
+            def score_batches(batches):
+                from spark_validate.text.lm import NgramLMQuality
+
+                lm = NgramLMQuality().set_state(bc.value)
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    scored = lm.score_texts(pdf[text_col])
+                    yield pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].astype(str),
+                            ts: pdf[ts],
+                            "cross_entropy": [h for (_n, h) in scored],
+                        }
+                    )
+
+            scored = stream.select(id_col, ts, text_col).mapInPandas(score_batches, out_schema)
+            if hi is None:
+                # degenerate reference: no bound — nothing can alert
+                v = scored.filter(F.lit(False))
+            else:
+                v = scored.filter(F.col("cross_entropy") > F.lit(hi))
+            v = v.select(
+                F.lit("lm_quality").alias("check"),
+                F.lit(text_col).alias("column_name"),
+                F.col(ts),
+                F.col(id_col).alias("row_id"),
+                F.lit("high_perplexity").alias("violation_kind"),
+                F.round(F.pow(F.lit(2.0), F.col("cross_entropy")), 3).cast("string").alias(
+                    "observed_value"
+                ),
+            )
+            key = uniq(check_cfg.get("name", kind), check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         else:
             raise ValueError(f"check type {kind!r} is batch-only (run the batch runner for it)")
     return queries

@@ -187,6 +187,40 @@ class NgramLMQuality:
             F.pow(F.lit(2.0), F.col("cross_entropy")).alias("perplexity"),
         )
 
+    def score_texts(self, texts) -> list:
+        """Driver/worker-side scorer over an iterable of raw texts — the SAME
+        model and formula as :meth:`score`, evaluated with dict lookups
+        instead of joins (used by the stateless streaming check, where a
+        per-doc aggregation would need watermark state the row-local doc
+        already makes unnecessary). Tokenizer parity with the Spark path:
+        ASCII ``\\s+`` split (Java's ``\\s`` is ASCII-only) of
+        ``lower(trim(text))``. Returns one ``(n_bigrams, cross_entropy)``
+        per text; < 2 tokens ⇒ ``(0, None)``."""
+        import math
+        import re
+
+        if self._uni is None:
+            raise RuntimeError("fit first")
+        uni, bi, v, denom = self._uni, self._bi, self._v, float(self._n_tokens + self._v)
+        out = []
+        for text in texts:
+            toks = [t for t in re.split(r"\s+", (text or "").strip().lower(), flags=re.ASCII) if t]
+            if len(toks) < 2:
+                out.append((0, None))
+                continue
+            bits = 0.0
+            n = len(toks) - 1
+            for i in range(n):
+                w1, w2 = toks[i], toks[i + 1]
+                c1 = uni.get(w1)
+                if c1 is not None:
+                    p = (bi.get(w1 + " " + w2, 0) + 1) / (c1 + v)
+                else:
+                    p = (uni.get(w2, 0) + 1) / denom
+                bits -= math.log2(p)
+            out.append((n, bits / n))
+        return out
+
     def get_state(self) -> dict:
         if self._uni is None:
             raise RuntimeError("fit first")

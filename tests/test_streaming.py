@@ -837,3 +837,67 @@ def test_streaming_pii_and_url_checks(spark, tmp_path):
     urls = spark.read.parquet(f"{out_dir}/url_blocklist").toPandas()
     assert set(urls["row_id"].astype(int)) == {5, 25}
     assert (urls["observed_value"] == "cdn.tracker.net").all()
+
+
+def test_streaming_lm_matches_batch(spark, tmp_path):
+    """Streaming lm_quality: the stateless per-micro-batch scorer
+    (score_texts dict-lookup path) must equal the batch join path to 1e-12
+    on the same docs, and the violation stream names exactly the docs the
+    batch check's doc-level bound flags."""
+    from spark_validate.streaming.runner import run_streaming_suite
+    from spark_validate.text.lm import LMQualityCheck, NgramLMQuality
+
+    normal = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(60):
+        text = normal if i % 3 != 0 else f"qqz{i} wxv{i} jkp{i} bnm{i}"
+        rows.append((i, text))
+    ana = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ana["ts"] = pd.date_range("2024-06-01", periods=len(ana), freq="1s")
+    ref = ana[ana["doc_id"] % 3 != 0]  # fit on the clean docs only
+    ref_dir, stream_dir, out_dir = (str(tmp_path / d) for d in ("ref", "stream", "out"))
+    spark.createDataFrame(ref).write.mode("overwrite").parquet(ref_dir)
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(stream_dir)
+
+    # equality: dict-lookup scorer vs the batch join path
+    df = spark.createDataFrame(ana)
+    lm = NgramLMQuality().fit(spark.read.parquet(ref_dir))
+    batch = {r["doc_id"]: r["cross_entropy"] for r in lm.score(df).collect()}
+    stream_scored = lm.score_texts(list(ana["text"]))
+    for (doc_id, _t, _ts), (_n, h) in zip(ana.itertuples(index=False), stream_scored):
+        if batch[doc_id] is None:
+            assert h is None
+        else:
+            assert abs(batch[doc_id] - h) < 1e-12, doc_id
+
+    cfg = {
+        "output_dir": out_dir,
+        "stream": stream_dir,
+        "stream_schema_from": stream_dir,
+        "reference": ref_dir,
+        "timestamp_column": "ts",
+        "window": "1 minute",
+        "checks": [{"type": "lm_quality", "column": "text", "id_column": "doc_id"}],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+
+    v = spark.read.parquet(f"{out_dir}/lm_quality").toPandas()
+    # batch check's doc-level bound flags exactly the gibberish docs
+    from spark_validate.chunking import CountBasedChunker
+
+    chk = LMQualityCheck(
+        chunker=CountBasedChunker(chunk_number=2, order_by=["doc_id"])
+    ).fit(spark.read.parquet(ref_dir))
+    batch_viol = set(
+        chk.violations(df.withColumn("ts", F.current_timestamp()))
+        .toPandas()["row_id"]
+        .astype(int)
+    )
+    assert set(v["row_id"].astype(int)) == batch_viol
+    assert batch_viol == {i for i in range(60) if i % 3 == 0}
