@@ -1927,7 +1927,7 @@ SELECT day_key, event_type, cnt, CAST(rank AS INT) AS rank FROM ranked WHERE ran
     sql["token_count"] = r"""
 SELECT doc_id,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS token_count,
-       CAST(len(regexp_extract_all(text, '(''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)', 1)) AS BIGINT) AS bpe_token_count,
+       CAST(len(regexp_extract_all(text, '(''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^ \t\n\x0B\f\r\p{L}\p{N}]+)', 1)) AS BIGINT) AS bpe_token_count,
        CAST(length(text) AS BIGINT) AS n_chars_actual
 FROM documents ORDER BY doc_id
 """

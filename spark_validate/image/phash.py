@@ -310,33 +310,20 @@ class PhashDecontaminationCheck:
         )
 
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
-        from spark_validate.calculators.base import assign_chunks
-        from spark_validate.checks.constraints import _attach_const_threshold
-        from spark_validate.chunking import CHUNK_KEY
+        from spark_validate.checks.contamination import contamination_rate
 
-        assigned, headers = assign_chunks(df, self.chunker)
         # one match row per contaminated image (an image near several
         # benchmark rows still counts once in the rate)
         bad = self._matches(df).select(F.col(self.id_col).alias("_id")).distinct()
-        per_chunk = (
-            assigned.join(bad, assigned[self.id_col] == bad["_id"], "left")
-            .groupBy(CHUNK_KEY)
-            .agg(
-                F.count(F.lit(1)).alias("__rows"),
-                F.count("_id").cast("double").alias("__bad"),
-            )
-            .select(
-                CHUNK_KEY,
-                F.lit(self.phash_col).alias("column_name"),
-                F.lit("image_contamination_rate").alias("method"),
-                (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
-            )
+        return contamination_rate(
+            df, self.chunker, bad, self.id_col, self.phash_col,
+            "image_contamination_rate", self.upper_threshold, period,
         )
-        return _attach_const_threshold(per_chunk, headers, period, None, self.upper_threshold)
 
     def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
         from spark_validate.chunking import CHUNK_KEY
 
+        rid = row_id or self.id_col
         assigned = self.chunker.assign(df)
         m = self._matches(df)
         return (
@@ -345,7 +332,7 @@ class PhashDecontaminationCheck:
                 F.lit("phash_decontamination").alias("check"),
                 F.lit(self.phash_col).alias("column_name"),
                 F.col(CHUNK_KEY),
-                F.col(self.id_col).cast("string").alias("row_id"),
+                F.col(rid).cast("string").alias("row_id"),
                 F.lit("benchmark_near_match").alias("violation_kind"),
                 F.concat_ws(
                     "@h=", F.col("bench_id").cast("string"), F.col("hamming").cast("string")

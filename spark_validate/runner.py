@@ -425,9 +425,19 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
                 key = f"{run_id}__{name}"
                 state = store.load(key)
                 if state is not None:
-                    calc.set_state(state)
-                    from_store = True
-                else:
+                    try:
+                        calc.set_state(state)
+                        from_store = True
+                    except (KeyError, TypeError, ValueError) as exc:
+                        # stale state from an older engine version (e.g. a
+                        # field the formula now requires): refit + resave
+                        # rather than abort the run — silently defaulting the
+                        # missing field would change scores, refitting can't
+                        logger.warning(
+                            "stored state for %r is stale (%s); refitting", name, exc
+                        )
+                        state = None
+                if state is None:
                     calc.fit(reference)
                     # only state persistence is optional — a fit/set_state
                     # failure must propagate, not be mistaken for this

@@ -229,6 +229,41 @@ def embedding_near_duplicates(
     )
 
 
+def prepare_benchmark(
+    benchmark: DataFrame,
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    max_benchmark: int = 100_000,
+):
+    """Collect + L2-normalize + broadcast the benchmark matrix ONCE.
+
+    Returns ``(bench_id_dtype, broadcast)`` for reuse across several
+    :func:`embedding_decontaminate` passes over the same benchmark (a suite
+    run scores reference, analysis AND violations — re-collecting a ~100 MB
+    matrix three times per run is pure waste). ``broadcast`` is None for an
+    empty benchmark."""
+    bench_rows = (
+        benchmark.select(F.col(bench_id_col), F.col(bench_vec_col))
+        .filter(F.col(bench_vec_col).isNotNull())
+        .limit(max_benchmark + 1)
+        .collect()
+    )
+    if len(bench_rows) > max_benchmark:
+        raise ValueError(
+            f"benchmark exceeds max_benchmark={max_benchmark} rows — an eval set this "
+            "large should be pre-reduced (dedup/centroids) or checked via the banded "
+            "LSH path (embedding_near_duplicates over the union)"
+        )
+    bench_id_dtype = dict(benchmark.dtypes)[bench_id_col]
+    if not bench_rows:
+        return bench_id_dtype, None
+    bench_ids = [r[0] for r in bench_rows]
+    B = np.asarray([r[1] for r in bench_rows], dtype=np.float64)
+    B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+    bc = benchmark.sparkSession.sparkContext.broadcast((bench_ids, B))
+    return bench_id_dtype, bc
+
+
 def embedding_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -239,6 +274,7 @@ def embedding_decontaminate(
     bench_id_col: Optional[str] = None,
     max_benchmark: int = 100_000,
     batch_top1_only: bool = False,
+    prepared=None,
 ) -> DataFrame:
     """Eval-set leakage by embedding cosine — the semantic sibling of the
     text n-gram decontamination (`text/decontaminate.py`) and the image
@@ -259,31 +295,17 @@ def embedding_decontaminate(
     benchmark match per corpus row (argmax) is emitted.
     """
     bid = bench_id_col or id_col
-    bvec = bench_vec_col or vec_col
-    bench_rows = (
-        benchmark.select(F.col(bid), F.col(bvec))
-        .filter(F.col(bvec).isNotNull())
-        .limit(max_benchmark + 1)
-        .collect()
-    )
-    if len(bench_rows) > max_benchmark:
-        raise ValueError(
-            f"benchmark exceeds max_benchmark={max_benchmark} rows — an eval set this "
-            "large should be pre-reduced (dedup/centroids) or checked via the banded "
-            "LSH path (embedding_near_duplicates over the union)"
+    if prepared is None:
+        prepared = prepare_benchmark(
+            benchmark, bench_id_col=bid, bench_vec_col=bench_vec_col or vec_col,
+            max_benchmark=max_benchmark,
         )
+    bench_id_dtype, bc = prepared
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     id_dtype = dict(corpus.dtypes)[id_col]
-    bench_id_dtype = dict(benchmark.dtypes)[bid]
     out_schema = f"{id_col} {id_dtype}, bench_id {bench_id_dtype}, cosine double"
-    if not bench_rows:
+    if bc is None:  # empty benchmark
         return corpus.sparkSession.createDataFrame([], out_schema)
-
-    bench_ids = [r[0] for r in bench_rows]
-    B = np.asarray([r[1] for r in bench_rows], dtype=np.float64)
-    B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((bench_ids, B))
 
     thr = float(threshold)
     top1 = bool(batch_top1_only)
@@ -363,6 +385,16 @@ class EmbeddingLeakageCheck:
         return self
 
     def _matches(self, df: DataFrame) -> DataFrame:
+        # collect/normalize/broadcast the benchmark matrix once per check
+        # instance; a suite run calls _matches up to three times
+        # (calculate(reference), calculate(analysis), violations)
+        if not hasattr(self, "_prepared"):
+            self._prepared = prepare_benchmark(
+                self.benchmark,
+                bench_id_col=self.bench_id_col or self.id_col,
+                bench_vec_col=self.bench_vec_col or self.vec_col,
+                max_benchmark=self.max_benchmark,
+            )
         return embedding_decontaminate(
             df,
             self.benchmark,
@@ -372,42 +404,30 @@ class EmbeddingLeakageCheck:
             bench_id_col=self.bench_id_col,
             bench_vec_col=self.bench_vec_col,
             max_benchmark=self.max_benchmark,
+            prepared=self._prepared,
         )
 
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
-        from spark_validate.calculators.base import assign_chunks
-        from spark_validate.checks.constraints import _attach_const_threshold
-        from spark_validate.chunking import CHUNK_KEY
+        from spark_validate.checks.contamination import contamination_rate
 
-        assigned, headers = assign_chunks(df, self.chunker)
         # a row near several benchmark vectors still counts once in the rate
         bad = self._matches(df).select(F.col(self.id_col).alias("_id")).distinct()
-        per_chunk = (
-            assigned.join(bad, assigned[self.id_col] == bad["_id"], "left")
-            .groupBy(CHUNK_KEY)
-            .agg(
-                F.count(F.lit(1)).alias("__rows"),
-                F.count("_id").cast("double").alias("__bad"),
-            )
-            .select(
-                CHUNK_KEY,
-                F.lit(self.vec_col).alias("column_name"),
-                F.lit("embedding_leakage_rate").alias("method"),
-                (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
-            )
+        return contamination_rate(
+            df, self.chunker, bad, self.id_col, self.vec_col,
+            "embedding_leakage_rate", self.upper_threshold, period,
         )
-        return _attach_const_threshold(per_chunk, headers, period, None, self.upper_threshold)
 
     def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
         from spark_validate.chunking import CHUNK_KEY
 
+        rid = row_id or self.id_col
         assigned = self.chunker.assign(df)
         m = self._matches(df)
         return assigned.join(m, self.id_col).select(
             F.lit("embedding_leakage").alias("check"),
             F.lit(self.vec_col).alias("column_name"),
             F.col(CHUNK_KEY),
-            F.col(self.id_col).cast("string").alias("row_id"),
+            F.col(rid).cast("string").alias("row_id"),
             F.lit("benchmark_cosine_match").alias("violation_kind"),
             F.concat_ws(
                 "@cos=", F.col("bench_id").cast("string"), F.round("cosine", 4).cast("string")

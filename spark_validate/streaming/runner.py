@@ -401,11 +401,20 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                         }
                     )
 
-            scored = stream.select(id_col, ts, text_col).mapInPandas(score_batches, out_schema)
             if hi is None:
-                # degenerate reference: no bound — nothing can alert
-                v = scored.filter(F.lit(False))
+                # degenerate reference: no bound — nothing can ever alert, so
+                # skip the per-batch scoring entirely (a filter(False) ABOVE
+                # the mapInPandas would still tokenize and score every row of
+                # every micro-batch forever for a guaranteed-empty sink)
+                v = stream.select(id_col, ts).filter(F.lit(False)).select(
+                    F.col(id_col).cast("string").alias(id_col),
+                    F.col(ts),
+                    F.lit(None).cast("double").alias("cross_entropy"),
+                )
             else:
+                scored = stream.select(id_col, ts, text_col).mapInPandas(
+                    score_batches, out_schema
+                )
                 v = scored.filter(F.col("cross_entropy") > F.lit(hi))
             v = v.select(
                 F.lit("lm_quality").alias("check"),

@@ -204,27 +204,13 @@ class DecontaminationCheck:
         ).filter(F.col("contaminated"))
 
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
-        from spark_validate.calculators.base import assign_chunks
-        from spark_validate.checks.constraints import _attach_const_threshold
-        from spark_validate.chunking import CHUNK_KEY
+        from spark_validate.checks.contamination import contamination_rate
 
-        assigned, headers = assign_chunks(df, self.chunker)
         bad = self._contaminated(df).select(F.col("id").alias("_id"))
-        per_chunk = (
-            assigned.join(bad, assigned[self.id_col] == bad["_id"], "left")
-            .groupBy(CHUNK_KEY)
-            .agg(
-                F.count(F.lit(1)).alias("__rows"),
-                F.count("_id").cast("double").alias("__bad"),
-            )
-            .select(
-                CHUNK_KEY,
-                F.lit(self.text_col).alias("column_name"),
-                F.lit("contamination_rate").alias("method"),
-                (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
-            )
+        return contamination_rate(
+            df, self.chunker, bad, self.id_col, self.text_col,
+            "contamination_rate", self.upper_threshold, period,
         )
-        return _attach_const_threshold(per_chunk, headers, period, None, self.upper_threshold)
 
     def violations(self, df: DataFrame, row_id=None) -> DataFrame:
         from spark_validate.chunking import CHUNK_KEY

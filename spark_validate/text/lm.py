@@ -193,9 +193,12 @@ class NgramLMQuality:
         instead of joins (used by the stateless streaming check, where a
         per-doc aggregation would need watermark state the row-local doc
         already makes unnecessary). Tokenizer parity with the Spark path:
-        ASCII ``\\s+`` split (Java's ``\\s`` is ASCII-only) of
-        ``lower(trim(text))``. Returns one ``(n_bigrams, cross_entropy)``
-        per text; < 2 tokens ⇒ ``(0, None)``."""
+        ASCII ``\\s+`` split (Java's ``\\s`` is ASCII-only; Python's
+        ``re.ASCII`` \\s is the same six chars) of ``lower(text)`` with
+        empties dropped — NO Python ``str.strip()``, whose Unicode whitespace
+        set would strip NBSP/U+2028-edged text the Java path keeps glued to
+        its first token. Returns one ``(n_bigrams, cross_entropy)`` per
+        text; < 2 tokens ⇒ ``(0, None)``."""
         import math
         import re
 
@@ -204,7 +207,7 @@ class NgramLMQuality:
         uni, bi, v, denom = self._uni, self._bi, self._v, float(self._n_tokens + self._v)
         out = []
         for text in texts:
-            toks = [t for t in re.split(r"\s+", (text or "").strip().lower(), flags=re.ASCII) if t]
+            toks = [t for t in re.split(r"\s+", (text or "").lower(), flags=re.ASCII) if t]
             if len(toks) < 2:
                 out.append((0, None))
                 continue

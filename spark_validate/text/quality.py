@@ -49,7 +49,10 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 # (the original uses a negative lookahead RE2 lacks): contraction suffixes,
 # letter runs, digit runs, punctuation/symbol runs. Whitespace is not a
 # token. One outer capture group — extracted as group 1 on both engines.
-BPE_TOKEN_PATTERN = r"('(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)"
+# Whitespace is spelled as an explicit class, NOT \s: Java's \s includes
+# vertical tab (\x0B) while RE2's does not, so \s inside the negated class
+# would make the two engines disagree on any text containing a VT.
+BPE_TOKEN_PATTERN = r"('(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^ \t\n\x0B\f\r\p{L}\p{N}]+)"
 
 
 def with_bpe_token_count(

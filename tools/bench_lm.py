@@ -95,9 +95,18 @@ def main():
                 "docs_per_sec_score": round(N / score_s, 1),
                 "model_unigrams": len(lm._uni),
                 "model_bigrams": len(lm._bi),
-                "min_gibberish_entropy": round(float(agg["min_gib"]), 4),
-                "max_normal_entropy": round(float(agg["max_norm"]), 4),
-                "separation_ok": bool(agg["min_gib"] > agg["max_norm"]),
+                "min_gibberish_entropy": (
+                    round(float(agg["min_gib"]), 4) if agg["min_gib"] is not None else None
+                ),
+                "max_normal_entropy": (
+                    round(float(agg["max_norm"]), 4) if agg["max_norm"] is not None else None
+                ),
+                # None when N is too small for any held-out gibberish doc
+                "separation_ok": (
+                    bool(agg["min_gib"] > agg["max_norm"])
+                    if agg["min_gib"] is not None and agg["max_norm"] is not None
+                    else None
+                ),
             }
         )
     )
