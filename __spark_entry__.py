@@ -219,6 +219,53 @@ def q_unseen_values(spark, sf_dir):
     return res.select("chunk_index", F.col("value").alias("unseen_rate")).orderBy("chunk_index")
 
 
+def _ev_split(spark, sf_dir):
+    """events reference/analysis split by event_id parity (deterministic at
+    every SF; the size chunker orders the analysis side by event_id)."""
+    ev = _read(spark, sf_dir, "events")
+    ref = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    ana = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    return ref, ana
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """ZScoreOutlierCalculator (§2.3 profile extension): per-chunk rate of
+    analysis values beyond reference-fitted mu ± 3σ. Moments come from exact
+    decimal sums so the fitted bounds are bit-identical to the oracle's."""
+    from spark_validate.checks import ZScoreOutlierCalculator
+    from spark_validate.thresholds import ConstantThreshold
+
+    ref, ana = _ev_split(spark, sf_dir)
+    calc = timed_fit(
+        ZScoreOutlierCalculator(
+            ["value"], z=3.0,
+            chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+            threshold=ConstantThreshold(None, 0.025),
+        ),
+        ref,
+    )
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index", F.col("value").alias("outlier_rate"), "alert"
+    ).orderBy("chunk_index")
+
+
+def q_cardinality_stats(spark, sf_dir):
+    """CardinalityCalculator exact path (§2.3 profile extension): per-chunk
+    distinct count + ratio via the two-phase (chunk, value) aggregation."""
+    from spark_validate.checks import CardinalityCalculator
+
+    ev = _read(spark, sf_dir, "events")
+    calc = CardinalityCalculator(
+        ["user_id", "event_type"],
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    res = calc.calculate(ev)
+    return res.select("chunk_index", "column_name", "method", "value").orderBy(
+        "chunk_index", "column_name", "method"
+    )
+
+
 def q_uniqueness(spark, sf_dir):
     """Two-phase duplicate detection (north rule §2.3 extension)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1387,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unseen_values": q_unseen_values,
         "uniqueness": q_uniqueness,
         "referential_orphans": q_referential_orphans,
+        "zscore_outliers": q_zscore_outliers,
+        "cardinality_stats": q_cardinality_stats,
         "js_categorical": q_js_categorical,
         "l_infinity": q_l_infinity,
         "chi2": q_chi2,
@@ -1714,6 +1763,53 @@ SELECT chunk_index,
        CAST(sum(CASE WHEN o_orderpriority NOT IN (SELECT o_orderpriority FROM seen) THEN 1 ELSE 0 END) AS DOUBLE)
          / count(*) AS unseen_rate
 FROM ana GROUP BY chunk_index ORDER BY chunk_index
+"""
+
+    # zscore_outliers: the CTE chain mirrors ZScoreOutlierCalculator.fit's
+    # double arithmetic op-for-op (decimal sums are exact/order-independent;
+    # mu, var, sigma, lo, hi are then plain IEEE doubles on both engines)
+    sql["zscore_outliers"] = f"""
+WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
+moments AS (
+  SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+         count(value) AS n
+  FROM ref
+),
+fitted AS (
+  SELECT s / n AS mu, sqrt(greatest(ss / n - (s / n) * (s / n), 0)) AS sigma FROM moments
+),
+bounds AS (SELECT mu - 3.0 * sigma AS lo, mu + 3.0 * sigma AS hi FROM fitted),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index, value
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT chunk_index,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS outlier_rate,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS DOUBLE) / count(*) > 0.025 AS alert
+FROM ana, bounds GROUP BY chunk_index ORDER BY chunk_index
+"""
+
+    sql["cardinality_stats"] = f"""
+WITH ev AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         user_id, event_type
+  FROM events
+),
+per AS (
+  SELECT chunk_index, 'user_id' AS column_name,
+         CAST(count(DISTINCT user_id) AS DOUBLE) AS d, count(*) AS n
+  FROM ev GROUP BY chunk_index
+  UNION ALL
+  SELECT chunk_index, 'event_type' AS column_name,
+         CAST(count(DISTINCT event_type) AS DOUBLE) AS d, count(*) AS n
+  FROM ev GROUP BY chunk_index
+)
+SELECT * FROM (
+  SELECT chunk_index, column_name, 'distinct_count' AS method, d AS value FROM per
+  UNION ALL
+  SELECT chunk_index, column_name, 'distinct_ratio' AS method, d / n AS value FROM per
+) u ORDER BY chunk_index, column_name, method
 """
 
     sql["uniqueness"] = """

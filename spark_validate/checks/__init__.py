@@ -5,9 +5,12 @@ from spark_validate.checks.constraints import (
     UniquenessCheck,
     ReferentialIntegrityCheck,
 )
+from spark_validate.checks.profile import CardinalityCalculator, ZScoreOutlierCalculator
 from spark_validate.checks.schema import SchemaCheck
 
 __all__ = [
+    "CardinalityCalculator",
+    "ZScoreOutlierCalculator",
     "NumericalRangeCalculator",
     "UnseenValuesCalculator",
     "DomainCheck",

@@ -1,0 +1,288 @@
+"""Column-profile checks: fitted z-score outlier rates and cardinality.
+
+Both extend the reference's data-quality calculator family
+(`nannyml/data_quality/simple/metrics.py`, `nannyml/data_quality/range/
+calculator.py:117-143`) with two profile dimensions every production
+validation engine carries (Deequ/GreatExpectations surface) but NannyML
+lacks; they follow the same fit-small-state / one-chunked-aggregation
+execution shape as every other check here.
+
+* :class:`ZScoreOutlierCalculator` — fit per-column mean/std on the
+  reference, report the per-chunk rate of analysis values beyond
+  ``mu ± z·sigma``. Cross-engine determinism (the DuckDB oracle must
+  hash-match): moments are computed from EXACT decimal sums (value and
+  value² each cast to a fixed-scale decimal before summation — decimal
+  addition is order-independent, so the fitted mu/sigma are bit-identical
+  no matter the partitioning), then mu/sigma/lo/hi are derived with plain
+  IEEE double arithmetic that the oracle SQL mirrors expression-for-
+  expression.
+* :class:`CardinalityCalculator` — per-chunk distinct count / ratio.
+  ``exact=True`` (default) runs a two-phase aggregation:
+  ``groupBy(chunk, value) → groupBy(chunk)`` — map-side partial
+  aggregation means the shuffle carries one row per distinct
+  (chunk, value), and hot values spread across reducers by value exactly
+  like the uniqueness check. ``exact=False`` switches to
+  ``approx_count_distinct`` (HLL++, one pass, rel. error ~2%) which is a
+  pure aggregate expression and therefore joins the fused shared-scan
+  pass — the 100 TB default, with the exact path as the audit/oracle
+  companion.
+
+Scale notes:
+  * z-score calculate is a pure codegen aggregate of fitted constants —
+    fusable into the suite's single shared scan.
+  * exact cardinality is NOT fusable (its first phase keys by
+    (chunk, value), a shuffle the shared pass doesn't have); the approx
+    path is.
+  * fit decimal sums use DECIMAL(38,6): overflow needs > ~10^31 total
+    magnitude — at 10^12 rows that still leaves 10^19 per-value headroom.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_validate.calculators.base import assign_chunks, nan_to_null
+from spark_validate.checks.constraints import _FUSE_HDR_COLS, _attach_const_threshold
+from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
+from spark_validate.thresholds import ConstantThreshold
+
+_DEC_V = "decimal(38,6)"  # value sums: exact for inputs with <= 6 decimals
+_DEC_S = "decimal(38,6)"  # value^2 sums: the double product rounds to 6 dp
+                          # identically in Spark and DuckDB (no tie point of
+                          # a half-even/half-up split is exactly representable
+                          # as a binary double), so both engines sum the SAME
+                          # exact decimals
+
+
+@dataclass
+class ZScoreOutlierCalculator:
+    """Per-chunk rate of values beyond ``mu ± z·sigma`` fitted on reference.
+
+    The classic streaming-quality anomaly gate (Deequ's ``hasApproxQuantile``
+    family / NannyML's StandardDeviationThreshold applied at the ROW level
+    instead of the metric level — `nannyml/thresholds.py:169-247`).
+    """
+
+    column_names: Sequence[str]
+    z: float = 3.0
+    normalize: bool = True
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=None))
+    _bounds: Optional[Dict[str, tuple]] = None  # col -> (mu, sigma, lo, hi)
+
+    def fit(self, reference: DataFrame) -> "ZScoreOutlierCalculator":
+        dtypes = dict(reference.dtypes)
+        aggs = []
+        for c in self.column_names:
+            v = nan_to_null(F.col(c), dtypes[c])
+            vd = v.cast("double")  # int columns: v*v would overflow long under ANSI
+            aggs += [
+                F.sum(vd.cast(_DEC_V)).alias(f"{c}__s"),
+                F.sum((vd * vd).cast(_DEC_S)).alias(f"{c}__ss"),
+                F.count(v).alias(f"{c}__n"),
+            ]
+        row = reference.agg(*aggs).first().asDict()
+        self._bounds = {}
+        for c in self.column_names:
+            n = row[f"{c}__n"]
+            if not n:
+                self._bounds[c] = (None, None, None, None)
+                continue
+            # plain double arithmetic, mirrored verbatim in oracle SQL
+            mu = float(row[f"{c}__s"]) / n
+            var = float(row[f"{c}__ss"]) / n - mu * mu
+            sigma = math.sqrt(max(var, 0.0))
+            lo = mu - self.z * sigma
+            hi = mu + self.z * sigma
+            self._bounds[c] = (mu, sigma, lo, hi)
+        return self
+
+    def _flag(self, c: str, dtypes) -> F.Column:
+        mu, sigma, lo, hi = self._bounds[c]
+        v = nan_to_null(F.col(c), dtypes[c])
+        if mu is None:
+            return F.lit(0)
+        return (v.isNotNull() & ((v < F.lit(lo)) | (v > F.lit(hi)))).cast("int")
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        if self._bounds is None:
+            raise RuntimeError("fit first")
+        dtypes = dict(df.dtypes)
+        assigned, headers = assign_chunks(df, self.chunker)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in self.column_names:
+            aggs.append(F.sum(self._flag(c, dtypes)).cast("double").alias(f"{c}__out"))
+        wide = assigned.groupBy(CHUNK_KEY).agg(*aggs)
+        long_df = self._melt(wide, prefix="")
+        return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+
+    def _melt(self, wide: DataFrame, prefix: str, hdr_cols=()) -> DataFrame:
+        method = "zscore_outlier_rate" if self.normalize else "zscore_outlier_count"
+        pairs = [
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(method).alias("method"),
+                (
+                    (F.col(f"{prefix}{c}__out") / F.col(f"{prefix}__rows"))
+                    if self.normalize else F.col(f"{prefix}{c}__out")
+                ).cast("double").alias("value"),
+            )
+            for c in self.column_names
+        ]
+        return wide.select(CHUNK_KEY, *hdr_cols, F.explode(F.array(*pairs)).alias("kv")).select(
+            CHUNK_KEY, *hdr_cols, "kv.column_name", "kv.method", "kv.value"
+        )
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        """Suite-fusion hook (see ColumnStatsCalculator.fuse_contrib)."""
+        if self._bounds is None:
+            raise RuntimeError("fit first")
+        exprs = [F.count(F.lit(1)).alias(f"{prefix}__rows")]
+        for c in self.column_names:
+            exprs.append(F.sum(self._flag(c, dtypes)).cast("double").alias(f"{prefix}{c}__out"))
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            long_df = self._melt(wide, prefix=prefix, hdr_cols=_FUSE_HDR_COLS)
+            return _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
+
+        return exprs, fin
+
+    def get_state(self) -> dict:
+        if self._bounds is None:
+            raise RuntimeError("fit first")
+        return {"z": self.z, "bounds": {c: list(v) for c, v in self._bounds.items()}}
+
+    def set_state(self, state: dict) -> "ZScoreOutlierCalculator":
+        self.z = float(state["z"])
+        self._bounds = {c: tuple(v) for c, v in state["bounds"].items()}
+        return self
+
+    def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
+        if self._bounds is None:
+            raise RuntimeError("fit first")
+        dtypes = dict(df.dtypes)
+        assigned = self.chunker.assign(df)
+        parts = []
+        for c in self.column_names:
+            mu, sigma, lo, hi = self._bounds[c]
+            if mu is None:
+                continue
+            v = nan_to_null(F.col(c), dtypes[c])
+            parts.append(
+                assigned.filter(v.isNotNull() & ((v < F.lit(lo)) | (v > F.lit(hi)))).select(
+                    F.lit("zscore_outliers").alias("check"),
+                    F.lit(c).alias("column_name"),
+                    F.col(CHUNK_KEY),
+                    (F.col(row_id).cast("string") if row_id else F.lit(None).cast("string")).alias("row_id"),
+                    F.lit("zscore_outlier").alias("violation_kind"),
+                    F.col(c).cast("string").alias("observed_value"),
+                )
+            )
+        if not parts:
+            raise RuntimeError("no fitted columns (all-null reference)")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+@dataclass
+class CardinalityCalculator:
+    """Per-chunk distinct count + distinct ratio per column.
+
+    No fit: cardinality is a profile stat (optionally alert via constant
+    thresholds on the ratio — e.g. an id column whose per-chunk ratio
+    drops below 1.0 is duplicating).
+    """
+
+    column_names: Sequence[str]
+    exact: bool = True
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=None))
+
+    @property
+    def fusable(self) -> bool:
+        """Only the approx (HLL++) path is a pure aggregate expression."""
+        return not self.exact
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        assigned, headers = assign_chunks(df, self.chunker)
+        if not self.exact:
+            wide = assigned.groupBy(CHUNK_KEY).agg(
+                F.count(F.lit(1)).alias("__rows"),
+                *[F.approx_count_distinct(c).alias(f"{c}__d") for c in self.column_names],
+            )
+            long_df = self._melt(wide, prefix="", approx=True)
+            return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+        # exact path: ONE scan for every column — explode to a long
+        # (chunk, column, value-as-string) frame, then a two-level agg:
+        # L1 (chunk, col, value) partial counts collapse duplicates map-side,
+        # L2 per (chunk, col) sees one row per distinct value. Values are
+        # string-cast so heterogeneous columns share the frame (injective for
+        # the atomic types a cardinality check targets); NULLs keep their own
+        # L1 group so L2's sum(cnt) is the chunk row count while count(v)
+        # counts only non-null distinct values — COUNT(DISTINCT) semantics.
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("c"), F.col(c).cast("string").alias("v"))
+            for c in self.column_names
+        ])
+        ex = assigned.select(CHUNK_KEY, F.explode(pairs).alias("kv")).select(
+            CHUNK_KEY, "kv.c", "kv.v"
+        )
+        l2 = (
+            ex.groupBy(CHUNK_KEY, "c", "v")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .groupBy(CHUNK_KEY, "c")
+            .agg(F.sum("_cnt").alias("__rows"), F.count("v").alias("__d"))
+        )
+        long_df = l2.select(
+            CHUNK_KEY,
+            F.col("c").alias("column_name"),
+            F.explode(F.array(
+                F.struct(
+                    F.lit("distinct_count").alias("method"),
+                    F.col("__d").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("distinct_ratio").alias("method"),
+                    (F.col("__d") / F.col("__rows")).cast("double").alias("value"),
+                ),
+            )).alias("kv"),
+        ).select(CHUNK_KEY, "column_name", "kv.method", "kv.value")
+        return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+
+    def _melt(self, wide: DataFrame, prefix: str, approx: bool, hdr_cols=()) -> DataFrame:
+        cnt = "approx_distinct_count" if approx else "distinct_count"
+        rat = "approx_distinct_ratio" if approx else "distinct_ratio"
+        pairs = []
+        for c in self.column_names:
+            pairs.append(F.struct(
+                F.lit(c).alias("column_name"), F.lit(cnt).alias("method"),
+                F.col(f"{prefix}{c}__d").cast("double").alias("value"),
+            ))
+            pairs.append(F.struct(
+                F.lit(c).alias("column_name"), F.lit(rat).alias("method"),
+                (F.col(f"{prefix}{c}__d") / F.col(f"{prefix}__rows")).cast("double").alias("value"),
+            ))
+        return wide.select(CHUNK_KEY, *hdr_cols, F.explode(F.array(*pairs)).alias("kv")).select(
+            CHUNK_KEY, *hdr_cols, "kv.column_name", "kv.method", "kv.value"
+        )
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        """Suite-fusion hook — approx path only (`fusable` gates this)."""
+        if self.exact:
+            raise RuntimeError("exact cardinality needs its own (chunk, value) shuffle: not fusable")
+        exprs = [F.count(F.lit(1)).alias(f"{prefix}__rows")]
+        for c in self.column_names:
+            exprs.append(F.approx_count_distinct(c).alias(f"{prefix}{c}__d"))
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            long_df = self._melt(wide, prefix=prefix, approx=True, hdr_cols=_FUSE_HDR_COLS)
+            return _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
+
+        return exprs, fin

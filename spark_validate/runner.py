@@ -263,6 +263,27 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "zscore_outliers":
+        from spark_validate.checks.profile import ZScoreOutlierCalculator
+        from spark_validate.thresholds import ConstantThreshold
+
+        return ZScoreOutlierCalculator(
+            column_names=cfg["columns"],
+            z=cfg.get("z", 3.0),
+            normalize=cfg.get("normalize", True),
+            chunker=chunker,
+            threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
+        )
+    if kind == "cardinality":
+        from spark_validate.checks.profile import CardinalityCalculator
+        from spark_validate.thresholds import ConstantThreshold
+
+        return CardinalityCalculator(
+            column_names=cfg["columns"],
+            exact=cfg.get("exact", True),
+            chunker=chunker,
+            threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
+        )
     if kind == "embedding_leakage":
         from spark_validate.sim.ann import EmbeddingLeakageCheck
 
@@ -418,7 +439,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         from_store = False
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
-            "performance", "cbpe", "dle", "lm_quality",
+            "performance", "cbpe", "dle", "lm_quality", "zscore_outliers",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

@@ -1,0 +1,128 @@
+"""Profile checks: z-score outlier rates (fitted) + cardinality."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_validate.checks import CardinalityCalculator, ZScoreOutlierCalculator
+from spark_validate.chunking import SizeBasedChunker
+from spark_validate.thresholds import ConstantThreshold
+
+
+@pytest.fixture(scope="module")
+def pframe(spark):
+    rng = np.random.default_rng(11)
+    n_ref, n_ana = 3000, 2000
+    # reference ~N(50, 10); analysis has a planted tail of extreme values
+    x = np.concatenate([rng.normal(50, 10, n_ref), rng.normal(50, 10, n_ana)])
+    x[n_ref + 100 : n_ref + 140] = 250.0  # 40 planted outliers in chunk 0
+    cat = rng.choice(list("abcdefgh"), n_ref + n_ana)
+    pdf = pd.DataFrame({"id": np.arange(n_ref + n_ana), "x": np.round(x, 2), "cat": cat})
+    pdf["is_ref"] = pdf["id"] < n_ref
+    return spark.createDataFrame(pdf), pdf
+
+
+def _np_bounds(ref_x, z=3.0):
+    mu, sigma = ref_x.mean(), ref_x.std(ddof=0)
+    return mu - z * sigma, mu + z * sigma
+
+
+def test_zscore_outlier_rates_match_numpy(spark, pframe):
+    sdf, pdf = pframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    calc = ZScoreOutlierCalculator(["x"], z=3.0, chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    calc.fit(ref)
+    mu, sigma, lo, hi = calc._bounds["x"]
+    r = pdf[pdf.is_ref]["x"].to_numpy()
+    assert np.isclose(mu, r.mean()) and np.isclose(sigma, r.std(ddof=0))
+    res = calc.calculate(ana).orderBy("chunk_index").toPandas()
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    for i in range(4):
+        chunk = a.iloc[i * 500 : (i + 1) * 500]
+        exp = ((chunk["x"] < lo) | (chunk["x"] > hi)).mean()
+        assert np.isclose(res["value"].iloc[i], exp)
+    assert res["value"].iloc[0] >= 40 / 500  # planted outliers land in chunk 0
+    v = calc.violations(ana, row_id="id").toPandas()
+    assert len(v) == ((a["x"] < lo) | (a["x"] > hi)).sum()
+    assert set(v["violation_kind"]) == {"zscore_outlier"}
+
+
+def test_zscore_state_roundtrip_and_nan(spark, pframe):
+    sdf, _ = pframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    # NaNs must be treated as NULL on both fit and calculate (reference drops them)
+    nanify = lambda df: df.withColumn(  # noqa: E731
+        "x", F.when(F.pmod("id", F.lit(97)) == 0, F.lit(float("nan"))).otherwise(F.col("x"))
+    )
+    calc = ZScoreOutlierCalculator(["x"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    calc.fit(nanify(ref))
+    assert all(np.isfinite(v) for v in calc._bounds["x"])
+    st = json.loads(json.dumps(calc.get_state()))
+    calc2 = ZScoreOutlierCalculator(["x"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"])).set_state(st)
+    a = calc.calculate(nanify(ana)).orderBy("chunk_index").toPandas()
+    b = calc2.calculate(nanify(ana)).orderBy("chunk_index").toPandas()
+    assert np.allclose(a["value"], b["value"])
+
+
+def test_zscore_fused_matches_standalone(spark, pframe):
+    from spark_validate.fused import fused_calculate, is_fusable
+
+    sdf, _ = pframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    chunker = SizeBasedChunker(chunk_size=500, order_by=["id"])
+    calc = ZScoreOutlierCalculator(["x"], chunker=chunker, threshold=ConstantThreshold(None, 0.01))
+    calc.fit(ref)
+    assert is_fusable(calc)
+    fused, wide = fused_calculate({"zs": calc, "card": CardinalityCalculator(["cat"], exact=False, chunker=chunker)}, ana, chunker)
+    try:
+        got = fused["zs"].orderBy("chunk_index").toPandas()
+        exp = calc.calculate(ana).orderBy("chunk_index").toPandas()
+        assert np.allclose(got["value"], exp["value"])
+        assert (got["alert"] == exp["alert"]).all()
+    finally:
+        if wide is not None:
+            wide.unpersist()
+
+
+def test_cardinality_exact_matches_pandas(spark, pframe):
+    sdf, pdf = pframe
+    nullify = lambda df: df.withColumn(  # noqa: E731
+        "cat", F.when(F.pmod("id", F.lit(10)) == 0, F.lit(None)).otherwise(F.col("cat"))
+    )
+    calc = CardinalityCalculator(["cat"], chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]))
+    res = nullify(sdf).transform(calc.calculate).toPandas()
+    p = pdf.copy()
+    p.loc[p["id"] % 10 == 0, "cat"] = None
+    cnt = res[res.method == "distinct_count"].sort_values("chunk_index")
+    rat = res[res.method == "distinct_ratio"].sort_values("chunk_index")
+    for i in range(5):
+        chunk = p.iloc[i * 1000 : (i + 1) * 1000]
+        assert cnt["value"].iloc[i] == chunk["cat"].nunique()  # NULLs excluded
+        assert np.isclose(rat["value"].iloc[i], chunk["cat"].nunique() / 1000)
+    assert not res["alert"].any()  # informational by default (no thresholds)
+
+
+def test_cardinality_approx_close_and_fusable(spark, pframe):
+    sdf, pdf = pframe
+    exact = CardinalityCalculator(["id"], chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]))
+    approx = CardinalityCalculator(["id"], exact=False, chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]))
+    assert not exact.fusable and approx.fusable
+    e = exact.calculate(sdf).filter("method = 'distinct_count'").orderBy("chunk_index").toPandas()
+    a = approx.calculate(sdf).filter("method = 'approx_distinct_count'").orderBy("chunk_index").toPandas()
+    # HLL++ default rsd = 5%
+    assert np.allclose(a["value"], e["value"], rtol=0.06)
+
+
+def test_zscore_all_null_reference_column(spark, pframe):
+    sdf, _ = pframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    calc = ZScoreOutlierCalculator(["x", "allnull"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    withnull = lambda df: df.withColumn("allnull", F.lit(None).cast("double"))  # noqa: E731
+    calc.fit(withnull(ref))
+    assert calc._bounds["allnull"] == (None, None, None, None)
+    res = calc.calculate(withnull(ana)).toPandas()
+    nullrows = res[res.column_name == "allnull"]
+    assert (nullrows["value"] == 0).all()  # degenerate column: no outliers, no crash

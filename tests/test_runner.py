@@ -611,6 +611,8 @@ def test_fused_matches_standalone(spark, workspace):
                 {"type": "missing", "columns": ["w"]},
                 {"type": "range", "columns": ["w", "h"]},
                 {"type": "domain", "columns": ["fmt"], "domain": ["jpeg", "png", "webp"]},
+                {"type": "zscore_outliers", "columns": ["w"], "z": 2.0},
+                {"type": "cardinality", "columns": ["fmt"], "exact": False},
             ],
         }
 
