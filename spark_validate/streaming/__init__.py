@@ -1,16 +1,19 @@
 from spark_validate.streaming.incremental import (
     streaming_column_stats,
+    streaming_cardinality,
     streaming_violations,
     attach_thresholds,
 )
-from spark_validate.streaming.stateful import running_group_stats
+from spark_validate.streaming.stateful import running_group_stats, streaming_duplicate_keys
 from spark_validate.streaming.drift import streaming_embedding_drift, streaming_univariate_drift
 
 __all__ = [
     "streaming_column_stats",
+    "streaming_cardinality",
     "streaming_violations",
     "attach_thresholds",
     "running_group_stats",
+    "streaming_duplicate_keys",
     "streaming_univariate_drift",
     "streaming_embedding_drift",
 ]

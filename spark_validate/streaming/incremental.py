@@ -57,9 +57,12 @@ def streaming_violations(
     column: str,
     domain: Optional[Sequence[str]] = None,
     valid_range: Optional[Tuple[float, float]] = None,
+    range_kind: str = "out_of_range",
 ) -> DataFrame:
     """Row-level violation stream (domain and/or range) — a stateless filter,
-    so it runs in append mode with no watermark requirement."""
+    so it runs in append mode with no watermark requirement. ``range_kind``
+    labels range trips (the fitted z-score gate reuses the range machinery
+    with its own label)."""
     v = F.col(column)
     cond = F.lit(False)
     kind = F.lit(None).cast("string")
@@ -71,10 +74,43 @@ def streaming_violations(
         lo, hi = valid_range
         bad_range = v.isNotNull() & ((v < F.lit(lo)) | (v > F.lit(hi)))
         cond = cond | bad_range
-        kind = F.when(bad_range, F.lit("out_of_range")).otherwise(kind)
+        kind = F.when(bad_range, F.lit(range_kind)).otherwise(kind)
     return stream.filter(cond).withColumn("violation_kind", kind).withColumn(
         "column_name", F.lit(column)
     )
+
+
+def streaming_cardinality(
+    stream: DataFrame,
+    timestamp_column: str,
+    columns: Sequence[str],
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-window approximate distinct count/ratio per column — the streaming
+    analog of CardinalityCalculator's approx path (a tumbling window is a
+    chunk). HLL++ sketches merge inside the windowed aggregation, so state
+    per (window × column) is one bounded sketch — exact distinct counting
+    is a batch job (unbounded per-window state on a stream)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))
+    out = (
+        stream.withWatermark(timestamp_column, watermark)
+        .groupBy(F.window(timestamp_column, window_duration).alias("chunk_window"))
+        .agg(*aggs)
+        .select(
+            F.col("chunk_window.start").alias("start_ts"),
+            F.col("chunk_window.end").alias("end_ts"),
+            "*",
+        )
+        .drop("chunk_window")
+    )
+    for c in columns:
+        out = out.withColumn(
+            f"{c}__approx_distinct_ratio", F.col(f"{c}__approx_distinct") / F.col("n_rows")
+        )
+    return out
 
 
 def attach_thresholds(

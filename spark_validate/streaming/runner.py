@@ -148,6 +148,63 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 v = streaming_violations(stream, c, valid_range=(row["lo"], row["hi"]))
                 key = uniq(check_cfg.get("name", kind) + f"__{c}", check_idx)
                 queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "zscore_outliers":
+            # reference-fitted mu±zσ row gate on the ingest stream: the fit is
+            # a batch job (exact decimal-sum moments); the stream side is a
+            # stateless filter per column — the range-check machinery with the
+            # z-score label
+            if reference is None:
+                raise ValueError("zscore_outliers check needs a reference table to fit moments")
+            from spark_validate.checks.profile import ZScoreOutlierCalculator
+
+            zcalc = ZScoreOutlierCalculator(
+                check_cfg["columns"], z=check_cfg.get("z", 3.0)
+            ).fit(reference)
+            for c in check_cfg["columns"]:
+                mu, sigma, lo, hi = zcalc._bounds[c]
+                if mu is None:
+                    continue  # all-null reference column: no bounds, no stream
+                v = streaming_violations(
+                    stream, c, valid_range=(lo, hi), range_kind="zscore_outlier"
+                )
+                key = uniq(check_cfg.get("name", kind) + f"__{c}", check_idx)
+                queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "cardinality":
+            # windowed HLL++ distinct count/ratio (approx only on a stream —
+            # exact per-window distinct state is unbounded)
+            from spark_validate.streaming.incremental import streaming_cardinality
+
+            card = streaming_cardinality(
+                stream, ts, check_cfg["columns"], window_duration=window, watermark=watermark or window
+            )
+            key = uniq(check_cfg.get("name") or _check_name(check_cfg), check_idx)
+            queries[key] = _sink(card, out_dir, key, "append", trigger).start()
+        elif kind == "uniqueness":
+            # stateful duplicate-key violation stream: one long of state per
+            # key, watermark-evicted — the ingest-time uniqueness gate
+            from spark_validate.streaming.stateful import streaming_duplicate_keys
+            import pyspark.sql.functions as F
+
+            dups = streaming_duplicate_keys(
+                stream,
+                check_cfg["keys"],
+                id_col=check_cfg.get("id_column"),
+                event_time_col=ts,
+                watermark=watermark or "10 minutes",
+                event_ttl=check_cfg.get("event_ttl", "1 hour"),
+            )
+            v = dups.select(
+                F.lit("uniqueness").alias("check"),
+                F.lit("+".join(check_cfg["keys"])).alias("column_name"),
+                F.col(ts),
+                F.col("row_id"),
+                F.lit("duplicate_key").alias("violation_kind"),
+                F.concat_ws("#", F.col("key"), F.col("occurrence").cast("string")).alias(
+                    "observed_value"
+                ),
+            )
+            key = uniq(check_cfg.get("name", kind), check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "drift":
             if reference is None:
                 raise ValueError("drift check needs a reference table to fit histograms")

@@ -149,3 +149,102 @@ def running_group_stats(
     return src.groupBy("_g").applyInPandasWithState(
         fn, _OUT_SCHEMA, _STATE_SCHEMA, "update", timeout
     )
+
+
+def streaming_duplicate_keys(
+    stream: DataFrame,
+    key_columns,
+    id_col: Optional[str] = None,
+    event_time_col: Optional[str] = None,
+    watermark: str = "10 minutes",
+    event_ttl: str = "1 hour",
+    ttl_ms: Optional[int] = None,
+) -> DataFrame:
+    """Streaming uniqueness check — a duplicate-key VIOLATION stream.
+
+    The batch ``UniquenessCheck`` is a two-phase ``groupBy(key)`` over the
+    full frame; on a stream the key space is unbounded, so this is the
+    genuinely stateful analog: per key, state is ONE long (occurrences seen
+    so far, plus the newest event time when event-time eviction is on). The
+    first occurrence of a key is silent; every later row emits one violation
+    carrying its occurrence ordinal (2, 3, …) — rows are final, so the
+    operator runs in append mode and feeds the parquet file sink directly.
+
+    Eviction mirrors :func:`running_group_stats`: ``event_time_col`` arms
+    watermark-driven ``EventTimeTimeout`` (a key idle past
+    watermark − ``event_ttl`` drops its state; replay-deterministic),
+    ``ttl_ms`` arms wall-clock ``ProcessingTimeTimeout``. A key that
+    re-appears after eviction starts fresh — duplicates farther apart than
+    the TTL are the batch check's job (run it over the compacted table);
+    this operator is the INGEST gate for the near-in-time duplicate floods
+    uniqueness checks exist to catch.
+
+    Keys are compared on a ``to_json(struct(key_columns))`` encoding —
+    NULL-safe and separator-collision-free (same device as the runner's
+    violations sampling key).
+    """
+    import pyspark.sql.functions as F
+
+    if event_time_col is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        stream = stream.withWatermark(event_time_col, watermark)
+        ttl_delta = pd.Timedelta(event_ttl)
+    else:
+        ttl_delta = None
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+        )
+
+    out_schema = "key string, occurrence long, row_id string"
+    if event_time_col is not None:
+        out_schema += f", {event_time_col} timestamp"
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # duplicates were already emitted; nothing final
+            return
+        (n,) = state.get if state.exists else (0,)
+        max_ev_ms = None
+        for pdf in pdfs:
+            bn = len(pdf)
+            if bn == 0:
+                continue
+            ords = list(range(n + 1, n + bn + 1))
+            n += bn
+            if event_time_col is not None:
+                ts = pd.to_datetime(pdf[event_time_col]).max()
+                ms = int(ts.value // 1_000_000)
+                max_ev_ms = ms if max_ev_ms is None else max(max_ev_ms, ms)
+            dup_mask = [o > 1 for o in ords]
+            if not any(dup_mask):
+                continue
+            out = {
+                "key": [str(key[0])] * sum(dup_mask),
+                "occurrence": [o for o in ords if o > 1],
+                "row_id": (
+                    pdf.loc[dup_mask, "_rid"].astype(str).tolist()
+                    if "_rid" in pdf.columns
+                    else [None] * sum(dup_mask)
+                ),
+            }
+            if event_time_col is not None:
+                out[event_time_col] = pdf.loc[dup_mask, event_time_col].tolist()
+            yield pd.DataFrame(out)
+        state.update((n,))
+        if ttl_ms:
+            state.setTimeoutDuration(int(ttl_ms))
+        elif event_time_col is not None and max_ev_ms is not None:
+            state.setTimeoutTimestamp(max_ev_ms + int(ttl_delta.total_seconds() * 1000))
+
+    kjson = F.to_json(F.struct(*[F.col(c) for c in key_columns])).alias("_k")
+    keep = [kjson]
+    if id_col is not None:
+        keep.append(F.col(id_col).cast("string").alias("_rid"))
+    if event_time_col is not None:
+        keep.append(F.col(event_time_col))
+    src = stream.select(*keep)
+    return src.groupBy("_k").applyInPandasWithState(
+        fn, out_schema, "n long", "append", timeout
+    )

@@ -901,3 +901,130 @@ def test_streaming_lm_matches_batch(spark, tmp_path):
     )
     assert set(v["row_id"].astype(int)) == batch_viol
     assert batch_viol == {i for i in range(60) if i % 3 == 0}
+
+
+def test_streaming_profile_and_uniqueness_checks(spark, tmp_path):
+    """Round-4 streaming kinds: zscore_outliers (batch-fitted stateless gate),
+    cardinality (windowed HLL++), uniqueness (stateful duplicate-key stream)."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    rng = np.random.default_rng(7)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-07-01", periods=n, freq="min"),
+            "value": rng.normal(10, 2, n),
+            "key": [f"k{i}" for i in range(n)],
+        }
+    )
+    ref = pdf.copy()
+    ana = pdf.copy()
+    ana.loc[[50, 200, 400], "value"] = 300.0  # z ≫ 6 under the fitted moments
+    ana.loc[[100, 130, 160, 190, 220], "key"] = "dupA"  # 5 rows, one key
+    ref_dir, stream_dir, out_dir = (str(tmp_path / x) for x in ("r", "s", "o"))
+    spark.createDataFrame(ref).write.mode("overwrite").parquet(ref_dir)
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(stream_dir)
+
+    qs = run_streaming_suite(
+        spark,
+        {
+            "output_dir": out_dir,
+            "reference": ref_dir,
+            "stream": stream_dir,
+            "timestamp_column": "ts",
+            "window": "1 hour",
+            "watermark": "0 seconds",
+            "checks": [
+                {"type": "zscore_outliers", "columns": ["value"], "z": 6.0},
+                {"type": "cardinality", "columns": ["key"]},
+                {"type": "uniqueness", "keys": ["key"], "id_column": "key"},
+            ],
+        },
+    )
+    try:
+        for q in qs.values():
+            q.processAllAvailable()
+        # advance the watermark past every real window so append-mode
+        # windowed aggs emit their rows
+        sentinel = ana.iloc[-1:].copy()
+        sentinel["ts"] = sentinel["ts"] + pd.Timedelta(hours=24)
+        sentinel["key"] = "sentinel"  # fresh key: must not trip uniqueness
+        spark.createDataFrame(sentinel).write.mode("append").parquet(stream_dir)
+        for q in qs.values():
+            q.processAllAvailable()
+    finally:
+        for q in qs.values():
+            q.stop()
+
+    z = spark.read.parquet(f"{out_dir}/zscore_outliers__value").toPandas()
+    assert len(z) == 3 and (z["violation_kind"] == "zscore_outlier").all()
+    assert (z["value"] == 300.0).all()
+
+    card = spark.read.parquet(f"{out_dir}/cardinality__key").toPandas()
+    full = card[card["n_rows"] == 60].sort_values("start_ts")
+    assert len(full) >= 9  # 10 one-hour windows of 60 rows (+ sentinel window)
+    # the dupA rows collapse ~4 distinct keys inside their windows; HLL++
+    # stays within its ~5% rsd of the exact per-window count
+    exact = (
+        ana.assign(w=ana["ts"].dt.floor("h")).groupby("w")["key"].nunique()
+    )
+    got = dict(zip(full["start_ts"], full["key__approx_distinct"]))
+    for w, d in exact.items():
+        if w in got:
+            assert abs(got[w] - d) <= max(3, 0.06 * d)
+
+    u = spark.read.parquet(f"{out_dir}/uniqueness").toPandas()
+    assert len(u) == 4  # 5 occurrences of dupA → 4 violations
+    assert (u["violation_kind"] == "duplicate_key").all()
+    assert (u["row_id"] == "dupA").all()
+    occs = sorted(int(o.split("#")[-1]) for o in u["observed_value"])
+    assert occs == [2, 3, 4, 5]
+
+
+def test_streaming_duplicate_keys_eviction_fresh_restart(spark, tmp_path):
+    """EventTimeTimeout eviction for the duplicate-key state: a key silent
+    past (watermark − event_ttl) drops its counter, and the SAME key
+    re-appearing later is a FRESH first occurrence — occurrences restart at
+    2, they don't continue from the evicted count."""
+    import os as _os
+
+    from spark_validate.streaming.stateful import streaming_duplicate_keys
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda ts_list, keys: pd.DataFrame(  # noqa: E731
+        {"ts": ts_list, "value": [0.0] * len(keys), "fmt": keys}
+    )
+    b1 = mk([base] * 3, ["x", "x", "f1"])  # x twice → one violation (occ 2)
+    b2 = mk([base + pd.Timedelta(hours=3)] * 2, ["f2", "f3"])  # watermark →3h
+    b3 = mk([base + pd.Timedelta(hours=3, minutes=30)], ["f4"])  # x times out
+    b4 = mk([base + pd.Timedelta(hours=4)] * 2, ["x", "x"])  # fresh → occ 2
+    src = str(tmp_path / "dup_in")
+    _os.makedirs(src)
+    for i, pdf in enumerate([b1, b2, b3, b4]):
+        f = str(tmp_path / f"dpart_{i}.parquet")
+        spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode("overwrite").parquet(f)
+        for name in _os.listdir(f):
+            if name.endswith(".parquet"):
+                dst = _os.path.join(src, f"b{i}.parquet")
+                _os.rename(_os.path.join(f, name), dst)
+                _os.utime(dst, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    dups = streaming_duplicate_keys(
+        stream, ["fmt"], id_col="fmt", event_time_col="ts",
+        watermark="1 minute", event_ttl="1 hour",
+    )
+    q = (
+        dups.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sv_dups")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dups"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM sv_dups").toPandas()
+    xs = out[out["row_id"] == "x"].sort_values("ts")
+    # evicted between batch 1 and 4: occurrences are [2, 2], NOT [2, 3, 4]
+    assert xs["occurrence"].tolist() == [2, 2], out
+    assert len(out) == 2  # the filler keys are all unique — no violations
