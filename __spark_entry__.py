@@ -909,6 +909,57 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Composed curation pipeline (text/curate.py): quality gate → PII drop
+    → URL blocklist → exact-dedup keep-min → benchmark decontamination, with
+    FIRST-FAIL attribution per doc. Sequential semantics: the dedup keeper
+    set and the decontamination overlap run over the SURVIVORS of earlier
+    stages. PII/URL spans injected deterministically (the pii_scan/url_scan
+    devices); five planted exact copies exercise the dedup stage."""
+    from spark_validate.text.curate import curate
+
+    docs = _read(spark, sf_dir, "documents")
+    inj = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com today"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 4,
+                F.concat(
+                    F.lit(" via http://ads.bad-site.org/track?id="),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    planted = inj.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    corpus = inj.unionByName(planted)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    res = curate(
+        corpus,
+        [
+            {"stage": "quality", "min_chars": 150},
+            {"stage": "pii", "action": "drop", "kinds": ["email"]},
+            {"stage": "url_blocklist", "domains": ["bad-site.org"]},
+            {"stage": "exact_dedup"},
+            {"stage": "decontaminate", "benchmark": bench, "n": 5, "threshold": 0.5},
+        ],
+        text_col="text",
+        id_col="doc_id",
+    )
+    return res.annotated.select("doc_id", "dropped_by").orderBy("doc_id")
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified corpus sampling (text/sampling.py):
     per-language quota rates via md5-prefix hash thresholds — a pure narrow
@@ -1467,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "language_id": q_language_id,
         "decontamination": q_decontamination,
+        "curation_pipeline": q_curation_pipeline,
         "corpus_sample": q_corpus_sample,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
@@ -2416,6 +2468,85 @@ SELECT t.doc_id,
        round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(t.s), 9) AS overlap_rate,
        CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(t.s) >= 0.2 AS contaminated
 FROM train t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+"""
+
+    # Composed curation pipeline: the pii_scan / url_scan / dedup_exact /
+    # decontamination fragments chained with sequential-survivor semantics
+    # and first-fail CASE attribution — mirrors text/curate.py stage order.
+    sql["curation_pipeline"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com today'
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 4
+                 THEN ' via http://ads.bad-site.org/track?id=' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id < 5
+),
+flags AS (
+  SELECT doc_id, text,
+         length(text) < 150 AS f_quality,
+         len(regexp_extract_all(text, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})', 1)) > 0 AS f_pii,
+         len(list_filter(
+           list_transform(
+             regexp_extract_all(text, '(https?://(?:[^\s/@]+@)?[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?(?::\d{1,5})?(?:/[^\s]*)?)', 1),
+             u -> lower(regexp_extract(u, 'https?://(?:[^\s/@]+@)?([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)', 1))
+           ),
+           h -> h = 'bad-site.org' OR ends_with(h, '.bad-site.org')
+         )) > 0 AS f_url
+  FROM corpus
+),
+surv3 AS (SELECT doc_id, text FROM flags WHERE NOT f_quality AND NOT f_pii AND NOT f_url),
+keepers AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id FROM surv3 GROUP BY 1),
+dd AS (
+  SELECT f.*, coalesce(k.keep_id IS NOT NULL AND f.doc_id <> k.keep_id, FALSE) AS f_dedup
+  FROM flags f LEFT JOIN keepers k ON md5(f.text) = k.fp
+),
+surv4 AS (
+  SELECT doc_id, text FROM dd
+  WHERE NOT f_quality AND NOT f_pii AND NOT f_url AND NOT f_dedup
+),
+toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM surv4),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t) - 4)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+),
+btoks AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 20 = 0
+),
+bench AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(t) >= 5
+         THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t) - 4)])
+         ELSE [array_to_string(t, ' ')] END
+  ) AS g FROM btoks
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hits AS (SELECT doc_id, count(*) AS n_overlap FROM ex WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
+cont AS (
+  SELECT sh.doc_id,
+         CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(sh.s) >= 0.5 AS contaminated
+  FROM sh LEFT JOIN hits h USING (doc_id)
+)
+SELECT d.doc_id,
+       CASE WHEN d.f_quality THEN 'quality'
+            WHEN d.f_pii THEN 'pii'
+            WHEN d.f_url THEN 'url_blocklist'
+            WHEN d.f_dedup THEN 'exact_dedup'
+            WHEN coalesce(c.contaminated, FALSE) THEN 'decontaminate'
+            ELSE NULL END AS dropped_by
+FROM dd d LEFT JOIN cont c USING (doc_id)
+ORDER BY doc_id
 """
 
     # Deterministic stratified sampling: keep iff the md5-prefix bucket of

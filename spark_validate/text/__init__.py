@@ -16,6 +16,7 @@ from spark_validate.text.sampling import (
     stratified_sample,
 )
 from spark_validate.text.boilerplate import BoilerplateCheck, common_ngram_rate
+from spark_validate.text.curate import CurationResult, curate
 from spark_validate.text.pii import PII_PATTERNS, PiiRateCheck, redact_pii, with_pii_counts
 from spark_validate.text.lm import LMQualityCheck, NgramLMQuality
 from spark_validate.text.urls import (
@@ -61,6 +62,8 @@ __all__ = [
     "GOPHER_REPETITION_RULES",
     "BoilerplateCheck",
     "common_ngram_rate",
+    "CurationResult",
+    "curate",
     "PII_PATTERNS",
     "PiiRateCheck",
     "redact_pii",

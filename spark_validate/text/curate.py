@@ -1,0 +1,271 @@
+"""Declarative corpus-curation pipeline — compose this package's filter /
+transform / dedup / decontamination ops into one run with first-fail
+attribution and a per-stage attrition report.
+
+Public pipelines (C4, CCNet, Gopher §A, RefinedWeb §4, Dolma) are exactly
+this shape: an ordered list of quality gates, scrubbers, dedup passes and
+benchmark-decontamination filters, each reported as "docs in → docs out".
+The reference has no pipeline runner (NannyML monitors; it doesn't curate),
+so this is north-rule extension surface built on the already-verified ops.
+
+Execution model (the 100 TB shape):
+
+* Every ROW-LOCAL stage (quality bounds, language gate, PII, URL blocklist,
+  deterministic sampling) contributes a codegen boolean column — they all
+  evaluate inside ONE projection over a single corpus scan, whatever their
+  count. Transform stages (PII redaction) rewrite the text column in the
+  same projection.
+* Each CORPUS-SHAPED stage (exact dedup, near dedup, decontamination,
+  LM scoring) runs its own aggregation/join over the SURVIVORS of every
+  earlier stage — sequential semantics: if the canonical copy of a
+  duplicate group was already dropped by a quality gate, the next copy is
+  kept. Catalyst pushes the accumulated row-local filters into each such
+  stage's scan (predicate pushdown), so the expensive stages only read
+  rows that are still alive.
+* Attribution is FIRST-FAIL: each doc gets a ``dropped_by`` label naming
+  the earliest stage (in config order) that rejects it — computed as one
+  ``coalesce`` over the stage flags, so the report needs ONE aggregation,
+  not one count-action per stage.
+
+No stage collects to the driver; joins against dropped-id sets are
+broadcast when small and shuffled hash joins past that (AQE decides).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationResult:
+    """Outcome of :func:`curate`.
+
+    * ``curated`` — surviving docs, original schema (plus any transform,
+      e.g. redacted text).
+    * ``annotated`` — every input doc with ``dropped_by`` (NULL = survived)
+      — the curation analog of the violations table.
+    * ``stage_names`` — attribution labels in pipeline order.
+    """
+
+    curated: DataFrame
+    annotated: DataFrame
+    stage_names: List[str]
+
+    def report(self) -> DataFrame:
+        """(stage, docs_dropped, docs_remaining) in pipeline order — ONE
+        aggregation over ``annotated`` (≤ #stages+1 result rows collected)."""
+        spark = self.annotated.sparkSession
+        rows = self.annotated.groupBy("dropped_by").agg(F.count(F.lit(1)).alias("n")).collect()
+        counts = {r["dropped_by"]: r["n"] for r in rows}
+        total = sum(counts.values())
+        out = [("input", 0, total)]
+        remaining = total
+        for nm in self.stage_names:
+            d = counts.get(nm, 0)
+            remaining -= d
+            out.append((nm, d, remaining))
+        return spark.createDataFrame(out, "stage string, docs_dropped long, docs_remaining long")
+
+
+def _quality_flag(text_col: str, spec: dict) -> F.Column:
+    """Row-local quality bounds; token convention matches quality.py
+    (tokens = spaces + 1 on the raw text)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_space = n_chars - F.length(F.regexp_replace(t, r" ", ""))
+    n_words = n_space + 1
+    conds = []
+    if "min_chars" in spec:
+        conds.append(n_chars < int(spec["min_chars"]))
+    if "max_chars" in spec:
+        conds.append(n_chars > int(spec["max_chars"]))
+    if "min_words" in spec:
+        conds.append(n_words < int(spec["min_words"]))
+    if "max_words" in spec:
+        conds.append(n_words > int(spec["max_words"]))
+    if "max_digit_ratio" in spec:
+        n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+        conds.append(
+            (n_digit.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"))
+            > float(spec["max_digit_ratio"])
+        )
+    if not conds:
+        raise ValueError("quality stage needs at least one bound (min_chars/max_chars/min_words/max_words/max_digit_ratio)")
+    flag = conds[0]
+    for c in conds[1:]:
+        flag = flag | c
+    return flag
+
+
+def curate(
+    df: DataFrame,
+    stages: Sequence[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> CurationResult:
+    """Run the staged curation pipeline over ``df``.
+
+    Each stage is a dict with a ``stage`` key and stage-specific params
+    (optional ``name`` overrides the attribution label):
+
+    * ``quality`` — min_chars / max_chars / min_words / max_words /
+      max_digit_ratio (row-local).
+    * ``lang`` — ``allowed: [en, ...]`` via the stopword language-ID
+      heuristic (row-local).
+    * ``pii`` — ``action: redact`` (default; rewrites the text column,
+      drops nothing) or ``action: drop``; optional ``kinds`` (row-local).
+    * ``url_blocklist`` — ``domains: [...]`` apex-or-subdomain match
+      (row-local).
+    * ``sample`` — ``rate`` (+ optional ``salt``) deterministic Bernoulli
+      keep (row-local).
+    * ``exact_dedup`` — keep the min-id copy of each md5(text) group
+      among surviving docs.
+    * ``near_dedup`` — MinHash/LSH clustering over survivors; keep the
+      canonical (min-id) member per cluster. Params: threshold, n_hashes,
+      shingle_k, n_bands, max_bucket.
+    * ``decontaminate`` — ``benchmark`` (DataFrame) + n / threshold:
+      drop survivors whose distinct word-n-gram overlap vs the benchmark
+      crosses the threshold.
+    * ``lm_quality`` — ``reference`` (DataFrame) + ``max_bits`` (+
+      max_vocab / max_bigrams): fit the bigram LM on the reference, drop
+      survivors whose cross-entropy exceeds ``max_bits``.
+    """
+    work = df
+    flags: List[Tuple[str, str]] = []  # (label, flag column)
+    used = set()
+
+    def survivors() -> DataFrame:
+        out = work
+        for _, fc in flags:
+            out = out.filter(~F.coalesce(F.col(fc), F.lit(False)))
+        return out
+
+    def join_flag(bad_ids: DataFrame, fc: str) -> DataFrame:
+        """Mark work rows whose id appears in ``bad_ids`` (one column)."""
+        b = bad_ids.toDF("_sv_bad").distinct()
+        return work.join(
+            b, work[id_col] == F.col("_sv_bad"), "left"
+        ).withColumn(fc, F.col("_sv_bad").isNotNull()).drop("_sv_bad")
+
+    for i, spec in enumerate(stages):
+        kind = spec["stage"]
+        name = spec.get("name", kind)
+        if name in used:
+            name = f"{name}_{i}"
+        fc = f"__sv_drop_{i}"
+
+        if kind == "quality":
+            work = work.withColumn(fc, _quality_flag(text_col, spec))
+        elif kind == "lang":
+            from spark_validate.text.quality import with_language_id
+
+            allowed = [str(x) for x in spec["allowed"]]
+            before = set(work.columns)
+            tagged = with_language_id(work, text_col)
+            work = tagged.withColumn(fc, ~F.col("lang_pred").isin(allowed)).drop(
+                *(set(tagged.columns) - before - {fc})
+            )
+        elif kind == "pii":
+            from spark_validate.text.pii import PII_PATTERNS
+
+            pats = dict(spec.get("patterns") or PII_PATTERNS)
+            kinds = list(spec.get("kinds") or pats)
+            t = F.coalesce(F.col(text_col), F.lit(""))
+            if spec.get("action", "redact") == "drop":
+                has = F.lit(False)
+                for k in kinds:
+                    has = has | (F.size(F.regexp_extract_all(t, F.lit(pats[k]), F.lit(1))) > 0)
+                work = work.withColumn(fc, has)
+            else:
+                from spark_validate.text.pii import redact_pii
+
+                work = redact_pii(work, text_col, kinds=kinds, patterns=pats)
+                continue  # transform only — no flag, no attribution slot
+        elif kind == "url_blocklist":
+            from spark_validate.text.urls import with_blocklist_flags
+
+            before = set(work.columns)
+            flagged = with_blocklist_flags(work, spec["domains"], text_col)
+            work = flagged.withColumn(fc, F.coalesce(F.col("is_blocked"), F.lit(False))).drop(
+                *(set(flagged.columns) - before - {fc})
+            )
+        elif kind == "sample":
+            from spark_validate.text.sampling import hash_bucket, rate_to_hex
+
+            b = hash_bucket(F.col(id_col), spec.get("salt", "s42"))
+            work = work.withColumn(fc, ~(b < F.lit(rate_to_hex(float(spec["rate"])))))
+        elif kind == "exact_dedup":
+            sv = survivors()
+            mins = (
+                sv.groupBy(F.md5(F.col(text_col)).alias("_sv_fp"))
+                .agg(F.min(id_col).alias("_sv_keep"))
+            )
+            work = (
+                work.join(mins, F.md5(work[text_col]) == F.col("_sv_fp"), "left")
+                .withColumn(
+                    fc, F.col("_sv_keep").isNotNull() & (F.col(id_col) != F.col("_sv_keep"))
+                )
+                .drop("_sv_fp", "_sv_keep")
+            )
+        elif kind == "near_dedup":
+            from spark_validate.text.dedup import near_duplicate_clusters
+
+            sv = survivors()
+            clusters = near_duplicate_clusters(
+                sv,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=spec.get("threshold", 0.8),
+                n_hashes=spec.get("n_hashes", 32),
+                shingle_k=spec.get("shingle_k", 6),
+                n_bands=spec.get("n_bands", 16),
+                max_bucket=spec.get("max_bucket", 200),
+            )
+            # cluster frame names its id column "doc_id" regardless of id_col
+            work = join_flag(clusters.filter(~F.col("keep")).select("doc_id"), fc)
+        elif kind == "decontaminate":
+            from spark_validate.text.decontaminate import ngram_overlap
+
+            sv = survivors()
+            ov = ngram_overlap(
+                sv,
+                spec["benchmark"],
+                text_col=text_col,
+                id_col=id_col,
+                n=spec.get("n", 5),
+                threshold=spec.get("threshold", 0.5),
+                broadcast_benchmark=spec.get("broadcast_benchmark", True),
+            )
+            work = join_flag(ov.filter(F.col("contaminated")).select("id"), fc)
+        elif kind == "lm_quality":
+            from spark_validate.text.lm import NgramLMQuality
+
+            lm = NgramLMQuality(
+                text_col=text_col,
+                id_col=id_col,
+                max_vocab=spec.get("max_vocab", 50_000),
+                max_bigrams=spec.get("max_bigrams", 200_000),
+            ).fit(spec["reference"])
+            sv = survivors()
+            bad = lm.score(sv).filter(
+                F.col("cross_entropy") > F.lit(float(spec["max_bits"]))
+            )
+            work = join_flag(bad.select(id_col), fc)
+        else:
+            raise ValueError(f"unknown curation stage {kind!r}")
+        flags.append((name, fc))
+        used.add(name)
+
+    if flags:
+        dropped_by = F.coalesce(
+            *[F.when(F.coalesce(F.col(fc), F.lit(False)), F.lit(nm)) for nm, fc in flags]
+        )
+    else:
+        dropped_by = F.lit(None).cast("string")
+    annotated = work.withColumn("dropped_by", dropped_by).drop(*[fc for _, fc in flags])
+    curated = annotated.filter(F.col("dropped_by").isNull()).drop("dropped_by")
+    return CurationResult(curated=curated, annotated=annotated, stage_names=[n for n, _ in flags])

@@ -1,0 +1,166 @@
+"""Curation pipeline: stage composition, first-fail attribution, sequential
+survivor semantics, transforms."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_validate.text import curate
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+LONG = "the quick brown fox jumps over the lazy dog and keeps running far away " * 3
+
+
+def test_first_fail_attribution_and_report(spark):
+    df = _docs(
+        spark,
+        [
+            (1, LONG),                                   # survives
+            (2, "too short"),                            # quality
+            (3, LONG + " mail me at a@b.com now"),       # pii (drop)
+            (4, LONG + " see http://x.bad.org/p"),       # url_blocklist
+            (5, LONG),                                   # exact dup of 1 → dropped
+            (6, "short AND a@b.com"),                    # quality wins (first fail)
+        ],
+    )
+    res = curate(
+        df,
+        [
+            {"stage": "quality", "min_chars": 50},
+            {"stage": "pii", "action": "drop", "kinds": ["email"]},
+            {"stage": "url_blocklist", "domains": ["bad.org"]},
+            {"stage": "exact_dedup"},
+        ],
+    )
+    got = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
+    assert got == {
+        1: None,
+        2: "quality",
+        3: "pii",
+        4: "url_blocklist",
+        5: "exact_dedup",
+        6: "quality",
+    }
+    assert sorted(r["doc_id"] for r in res.curated.collect()) == [1]
+    rep = {r["stage"]: (r["docs_dropped"], r["docs_remaining"]) for r in res.report().collect()}
+    assert rep["input"] == (0, 6)
+    assert rep["quality"] == (2, 4)
+    assert rep["pii"] == (1, 3)
+    assert rep["url_blocklist"] == (1, 2)
+    assert rep["exact_dedup"] == (1, 1)
+
+
+def test_sequential_dedup_keeper_over_survivors(spark):
+    """If the min-id copy of a duplicate group is dropped by an EARLIER
+    stage, the next surviving copy becomes the keeper — the keeper set is
+    computed over survivors, not the raw corpus."""
+    df = _docs(
+        spark,
+        [
+            (1, LONG + " leak@pii.com"),  # min-id copy killed by pii first
+            (2, LONG + " leak@pii.com"),  # same text → keeper among survivors
+            (3, LONG + " leak@pii.com"),  # duplicate of 2 → dedup drops it
+        ],
+    )
+    res = curate(
+        df,
+        [
+            {"stage": "pii", "action": "drop", "kinds": ["email"]},
+            {"stage": "exact_dedup"},
+        ],
+    )
+    got = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
+    assert got == {1: "pii", 2: "pii", 3: "pii"}  # all share the pii text!
+    # now make only doc 1 carry PII: 2 becomes keeper, 3 dedup-dropped
+    df2 = _docs(
+        spark,
+        [(1, LONG + " leak@pii.com"), (2, LONG), (3, LONG)],
+    )
+    res2 = curate(
+        df2,
+        [
+            {"stage": "pii", "action": "drop", "kinds": ["email"]},
+            {"stage": "exact_dedup"},
+        ],
+    )
+    got2 = {r["doc_id"]: r["dropped_by"] for r in res2.annotated.collect()}
+    assert got2 == {1: "pii", 2: None, 3: "exact_dedup"}
+
+
+def test_redact_transform_feeds_later_stages(spark):
+    """pii action=redact rewrites the text column IN the pipeline: two docs
+    differing only in their email become exact duplicates after redaction."""
+    df = _docs(
+        spark,
+        [(1, LONG + " alice@a.com"), (2, LONG + " bob@b.org"), (3, LONG + " x")],
+    )
+    res = curate(
+        df,
+        [
+            {"stage": "pii", "action": "redact", "kinds": ["email"]},
+            {"stage": "exact_dedup"},
+        ],
+    )
+    got = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
+    assert got == {1: None, 2: "exact_dedup", 3: None}
+    # redaction visible in the surviving text
+    t1 = res.curated.filter("doc_id = 1").select("text").first()[0]
+    assert "<EMAIL>" in t1 and "alice" not in t1
+    # transform stages take no attribution slot
+    assert res.stage_names == ["exact_dedup"]
+
+
+def test_decontaminate_and_sample_stages(spark):
+    bench = _docs(spark, [(100, LONG)])
+    df = _docs(
+        spark,
+        [(1, LONG), (2, "completely different words all over this text here okay")],
+    )
+    res = curate(
+        df,
+        [{"stage": "decontaminate", "benchmark": bench, "n": 5, "threshold": 0.5}],
+    )
+    got = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
+    assert got == {1: "decontaminate", 2: None}
+    # deterministic sampling: same salt → same kept set on rerun
+    big = _docs(spark, [(i, f"doc number {i} with stable text") for i in range(200)])
+    r1 = curate(big, [{"stage": "sample", "rate": 0.3}])
+    r2 = curate(big, [{"stage": "sample", "rate": 0.3}])
+    k1 = sorted(r["doc_id"] for r in r1.curated.collect())
+    k2 = sorted(r["doc_id"] for r in r2.curated.collect())
+    assert k1 == k2 and 20 < len(k1) < 100
+
+
+def test_lang_and_lm_stages(spark):
+    en = "the cat sat of the and to in is it that for the house " * 4
+    es = "el la de que y en un una es por el la de que y en " * 4
+    df = _docs(spark, [(1, en), (2, es)])
+    res = curate(df, [{"stage": "lang", "allowed": ["en"]}])
+    got = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
+    assert got == {1: None, 2: "lang"}
+    # lm_quality: gibberish scores above the bits bound, normal text below
+    ref = _docs(spark, [(i, en) for i in range(10, 20)])
+    df2 = _docs(spark, [(1, en), (2, "zxq qvw plk mnb vcx " * 8)])
+    res2 = curate(
+        df2, [{"stage": "lm_quality", "reference": ref, "max_bits": 6.0}]
+    )
+    got2 = {r["doc_id"]: r["dropped_by"] for r in res2.annotated.collect()}
+    assert got2 == {1: None, 2: "lm_quality"}
+
+
+def test_duplicate_stage_names_deduplicated(spark):
+    df = _docs(spark, [(1, LONG), (2, "x"), (3, "y" * 600)])
+    res = curate(
+        df,
+        [
+            {"stage": "quality", "min_chars": 50},
+            {"stage": "quality", "max_chars": 500},
+        ],
+    )
+    assert res.stage_names == ["quality", "quality_1"]
+    got = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
+    assert got == {1: None, 2: "quality", 3: "quality_1"}
