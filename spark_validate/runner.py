@@ -712,7 +712,13 @@ def run_scheduled(spark, config: dict, run_fn=None, sleep_fn=None, max_runs=None
     import time as _time
     from datetime import datetime
 
-    run_fn = run_fn or run_suite
+    if run_fn is None:
+        if config.get("curation"):  # curation job: same CLI, same scheduling
+            from spark_validate.text.curate import run_curation
+
+            run_fn = run_curation
+        else:
+            run_fn = run_suite
     sleep_fn = sleep_fn or _time.sleep
     now_fn = now_fn or datetime.now
     sched = config.get("scheduling") or {}

@@ -71,6 +71,50 @@ class CurationResult:
         return spark.createDataFrame(out, "stage string, docs_dropped long, docs_remaining long")
 
 
+def run_curation(spark, config: dict) -> dict:
+    """Config-driven curation job — the curation sibling of
+    ``runner.run_suite`` (same config file style; the runner CLI dispatches
+    here when the config carries a ``curation`` stage list).
+
+    Config keys: ``input`` (path or ``table:`` ref), ``output_dir``,
+    ``text_column`` / ``id_column``, ``curation`` (stage list — stage
+    ``benchmark`` / ``reference`` values are read as tables), optional
+    ``write_annotated`` (default False: the annotated frame is a full
+    corpus copy — at 10^12 docs you keep the curated output + the report,
+    not a second corpus).
+
+    Writes ``curated/`` (+ ``annotated/``) and ``report/`` parquet under
+    ``output_dir``; returns the report as ``{stage: (dropped, remaining)}``.
+    """
+    import copy
+    import os
+
+    from spark_validate.io.readers import read_table, write_results
+
+    df = read_table(spark, config["input"])
+    stages = copy.deepcopy(list(config["curation"]))
+    for spec in stages:
+        for key in ("benchmark", "reference"):
+            if key in spec and isinstance(spec[key], str):
+                spec[key] = read_table(spark, spec[key])
+    res = curate(
+        df,
+        stages,
+        text_col=config.get("text_column", "text"),
+        id_col=config.get("id_column", "doc_id"),
+    )
+    out_dir = config["output_dir"]
+    write_results(res.curated, os.path.join(out_dir, "curated"))
+    if config.get("write_annotated"):
+        write_results(res.annotated, os.path.join(out_dir, "annotated"))
+    report = res.report()
+    write_results(report, os.path.join(out_dir, "report"))
+    return {
+        r["stage"]: {"docs_dropped": r["docs_dropped"], "docs_remaining": r["docs_remaining"]}
+        for r in report.collect()
+    }
+
+
 def _quality_flag(text_col: str, spec: dict) -> F.Column:
     """Row-local quality bounds; token convention matches quality.py
     (tokens = spaces + 1 on the raw text)."""

@@ -164,3 +164,43 @@ def test_duplicate_stage_names_deduplicated(spark):
     assert res.stage_names == ["quality", "quality_1"]
     got = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
     assert got == {1: None, 2: "quality", 3: "quality_1"}
+
+
+def test_run_curation_config_job(spark, tmp_path):
+    """Config-driven curation job: curated/annotated/report sinks + stage
+    table refs resolved via read_table; the runner CLI dispatches on the
+    `curation` key (run_scheduled picks run_curation)."""
+    from spark_validate.runner import run_scheduled
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [LONG, "tiny", LONG, LONG + " a@b.com", "unique words here and there okay fine", LONG],
+        }
+    )
+    bench = pd.DataFrame({"doc_id": [99], "text": ["unique words here and there okay fine"]})
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    spark.createDataFrame(bench).write.mode("overwrite").parquet(str(tmp_path / "bench"))
+    cfg = {
+        "input": str(tmp_path / "in"),
+        "output_dir": str(tmp_path / "out"),
+        "write_annotated": True,
+        "curation": [
+            {"stage": "quality", "min_chars": 30},
+            {"stage": "pii", "action": "redact"},
+            {"stage": "exact_dedup"},
+            {"stage": "decontaminate", "benchmark": str(tmp_path / "bench"), "threshold": 0.5},
+        ],
+    }
+    (report,) = run_scheduled(spark, cfg)
+    assert report["input"]["docs_remaining"] == 6
+    assert report["quality"]["docs_dropped"] == 1  # "tiny"
+    # docs 0/2/5 identical; 3 redacts to LONG + " <EMAIL>" (still distinct)
+    assert report["exact_dedup"]["docs_dropped"] == 2
+    assert report["decontaminate"]["docs_dropped"] == 1  # benchmark verbatim
+    assert report["decontaminate"]["docs_remaining"] == 2
+    cur = spark.read.parquet(str(tmp_path / "out" / "curated")).toPandas()
+    assert sorted(cur["doc_id"]) == [0, 3]
+    assert "<EMAIL>" in cur[cur.doc_id == 3]["text"].iloc[0]
+    ann = spark.read.parquet(str(tmp_path / "out" / "annotated")).toPandas()
+    assert len(ann) == 6 and ann["dropped_by"].isna().sum() == 2
