@@ -171,6 +171,10 @@ def curate(
     * ``near_dedup`` — MinHash/LSH clustering over survivors; keep the
       canonical (min-id) member per cluster. Params: threshold, n_hashes,
       shingle_k, n_bands, max_bucket.
+    * ``phash_dedup`` — image-axis: Hamming near-dup clusters over a
+      ``phash`` column (params: phash_column, max_hamming, n_blocks,
+      max_bucket); canonical min-id keep. Lets one pipeline curate an
+      image+caption table end-to-end (caption gates + image dedup).
     * ``decontaminate`` — ``benchmark`` (DataFrame) + n / threshold:
       drop survivors whose distinct word-n-gram overlap vs the benchmark
       crosses the threshold.
@@ -271,6 +275,22 @@ def curate(
             )
             # cluster frame names its id column "doc_id" regardless of id_col
             work = join_flag(clusters.filter(~F.col("keep")).select("doc_id"), fc)
+        elif kind == "phash_dedup":
+            # image-axis dedup: Hamming near-dup clusters over the phash
+            # column (text_col plays no part); canonical min-id keep
+            from spark_validate.image.phash import phash_clusters
+
+            sv = survivors()
+            clusters = phash_clusters(
+                sv,
+                max_hamming=spec.get("max_hamming", 4),
+                phash_col=spec.get("phash_column", "phash"),
+                id_col=id_col,
+                n_blocks=spec.get("n_blocks"),
+                max_bucket=spec.get("max_bucket", 10_000),
+            )
+            # cluster frame names its member column "image_id"
+            work = join_flag(clusters.filter(~F.col("keep")).select("image_id"), fc)
         elif kind == "decontaminate":
             from spark_validate.text.decontaminate import ngram_overlap
 

@@ -204,3 +204,34 @@ def test_run_curation_config_job(spark, tmp_path):
     assert "<EMAIL>" in cur[cur.doc_id == 3]["text"].iloc[0]
     ann = spark.read.parquet(str(tmp_path / "out" / "annotated")).toPandas()
     assert len(ann) == 6 and ann["dropped_by"].isna().sum() == 2
+
+
+def test_image_caption_pipeline_with_phash_dedup(spark):
+    """One pipeline curates an image+caption table: caption gates (quality,
+    pii redact) + image-axis Hamming near-dup keep — the north-rule
+    image+caption shape end-to-end."""
+    cap = "a photo of a dog on a beach with waves and sand and sun " * 2
+    rows = [
+        # (image_id, phash, caption)
+        (1, 0x1111222233334444, cap),
+        (2, 0x1111222233334445, cap + "x"),   # 1 bit from #1 → near-dup, dropped
+        (3, 0x7777888899990000, cap + "yy"),  # far in Hamming → kept
+        (4, 0x0F0F0F0F0F0F0F0F, "short"),     # caption quality drop
+        (5, 0x00FF00FF00FF00FF, cap + " email me a@b.co"),  # redacted, kept
+    ]
+    pdf = pd.DataFrame(rows, columns=["image_id", "phash", "caption"])
+    df = spark.createDataFrame(pdf)
+    res = curate(
+        df,
+        [
+            {"stage": "quality", "min_chars": 30},
+            {"stage": "pii", "action": "redact", "kinds": ["email"]},
+            {"stage": "phash_dedup", "max_hamming": 4},
+        ],
+        text_col="caption",
+        id_col="image_id",
+    )
+    got = {r["image_id"]: r["dropped_by"] for r in res.annotated.collect()}
+    assert got == {1: None, 2: "phash_dedup", 3: None, 4: "quality", 5: None}
+    c5 = res.curated.filter("image_id = 5").select("caption").first()[0]
+    assert "<EMAIL>" in c5 and "a@b.co" not in c5
