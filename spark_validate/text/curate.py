@@ -54,6 +54,12 @@ class CurationResult:
     curated: DataFrame
     annotated: DataFrame
     stage_names: List[str]
+    _persisted: Optional[list] = None
+
+    def unpersist(self) -> None:
+        """Release frames cached by ``curate(..., persist=True)``."""
+        for f in self._persisted or ():
+            f.unpersist(blocking=False)
 
     def report(self) -> DataFrame:
         """(stage, docs_dropped, docs_remaining) in pipeline order — ONE
@@ -102,6 +108,7 @@ def run_curation(spark, config: dict) -> dict:
         stages,
         text_col=config.get("text_column", "text"),
         id_col=config.get("id_column", "doc_id"),
+        persist=bool(config.get("persist", True)),
     )
     out_dir = config["output_dir"]
     write_results(res.curated, os.path.join(out_dir, "curated"))
@@ -109,6 +116,7 @@ def run_curation(spark, config: dict) -> dict:
         write_results(res.annotated, os.path.join(out_dir, "annotated"))
     report = res.report()
     write_results(report, os.path.join(out_dir, "report"))
+    res.unpersist()
     return {
         r["stage"]: {"docs_dropped": r["docs_dropped"], "docs_remaining": r["docs_remaining"]}
         for r in report.collect()
@@ -150,6 +158,7 @@ def curate(
     stages: Sequence[dict],
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool = False,
 ) -> CurationResult:
     """Run the staged curation pipeline over ``df``.
 
@@ -185,6 +194,8 @@ def curate(
     work = df
     flags: List[Tuple[str, str]] = []  # (label, flag column)
     used = set()
+    persisted: List[DataFrame] = []
+    corpus_shaped = ("exact_dedup", "near_dedup", "phash_dedup", "decontaminate", "lm_quality")
 
     def survivors() -> DataFrame:
         out = work
@@ -205,6 +216,14 @@ def curate(
         if name in used:
             name = f"{name}_{i}"
         fc = f"__sv_drop_{i}"
+        if persist and kind in corpus_shaped:
+            # without this, every corpus-shaped stage lazily re-derives the
+            # whole upstream pipeline (the scan count grows with each such
+            # stage — the measured sf0.01 5-stage plan re-reads the corpus
+            # 13×); persisting here makes each corpus stage and the final
+            # projection read the cached upstream frame instead
+            work = work.persist()
+            persisted.append(work)
 
         if kind == "quality":
             work = work.withColumn(fc, _quality_flag(text_col, spec))
@@ -332,4 +351,9 @@ def curate(
         dropped_by = F.lit(None).cast("string")
     annotated = work.withColumn("dropped_by", dropped_by).drop(*[fc for _, fc in flags])
     curated = annotated.filter(F.col("dropped_by").isNull()).drop("dropped_by")
-    return CurationResult(curated=curated, annotated=annotated, stage_names=[n for n, _ in flags])
+    return CurationResult(
+        curated=curated,
+        annotated=annotated,
+        stage_names=[n for n, _ in flags],
+        _persisted=persisted or None,
+    )

@@ -235,3 +235,29 @@ def test_image_caption_pipeline_with_phash_dedup(spark):
     assert got == {1: None, 2: "phash_dedup", 3: None, 4: "quality", 5: None}
     c5 = res.curated.filter("image_id = 5").select("caption").first()[0]
     assert "<EMAIL>" in c5 and "a@b.co" not in c5
+
+
+def test_persist_path_identical_results_and_cached_plan(spark):
+    """persist=True caches the upstream frame ahead of each corpus-shaped
+    stage: identical results, and the final plan reads the cache instead of
+    re-deriving the pipeline (InMemoryTableScan replaces repeated scans)."""
+    df = _docs(
+        spark,
+        [(i, LONG + f" tail {i}") for i in range(1, 8)]
+        + [(8, LONG + " tail 1"), (9, "small")],
+    )
+    stages = [
+        {"stage": "quality", "min_chars": 50},
+        {"stage": "exact_dedup"},
+        {"stage": "decontaminate", "benchmark": _docs(spark, [(0, LONG + " tail 2")]), "threshold": 0.9},
+    ]
+    plain = curate(df, stages)
+    cached = curate(df, stages, persist=True)
+    try:
+        a = plain.annotated.orderBy("doc_id").toPandas()
+        b = cached.annotated.orderBy("doc_id").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+        plan = cached.annotated._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        cached.unpersist()
