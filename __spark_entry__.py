@@ -960,6 +960,47 @@ def q_curation_pipeline(spark, sf_dir):
     return res.annotated.select("doc_id", "dropped_by").orderBy("doc_id")
 
 
+def _snapshot_pair(spark, sf_dir):
+    """OLD = documents; NEW = documents with deterministic removals
+    (doc_id % 31 == 1), additions (+200000 copies of doc_id < 10) and text
+    changes (' v2' appended on doc_id % 17 == 2)."""
+    old = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        old.filter(F.pmod(F.col("doc_id"), F.lit(31)) != 1)
+        .withColumn(
+            "text",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(17)) == 2,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            old.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + F.lit(200000)).alias("doc_id"), "text"
+            )
+        )
+    )
+    return old, new
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (checks/snapshot.py): added/removed/changed rows between
+    two corpus versions via ONE null-safe full-outer key join."""
+    from spark_validate.checks import snapshot_diff
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff(old, new, ["doc_id"]).orderBy("doc_id")
+
+
+def q_snapshot_summary(spark, sf_dir):
+    """Snapshot diff summary: per-status counts incl. the unchanged bulk
+    (aggregated map-side, never emitted row-by-row)."""
+    from spark_validate.checks import snapshot_diff_summary
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff_summary(old, new, ["doc_id"]).orderBy("status")
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified corpus sampling (text/sampling.py):
     per-language quota rates via md5-prefix hash thresholds — a pure narrow
@@ -1519,6 +1560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "decontamination": q_decontamination,
         "curation_pipeline": q_curation_pipeline,
+        "snapshot_diff": q_snapshot_diff,
+        "snapshot_summary": q_snapshot_summary,
         "corpus_sample": q_corpus_sample,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
@@ -2547,6 +2590,41 @@ SELECT d.doc_id,
             ELSE NULL END AS dropped_by
 FROM dd d LEFT JOIN cont c USING (doc_id)
 ORDER BY doc_id
+"""
+
+    _SNAP_NEW = """
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 17 = 2 THEN ' v2' ELSE '' END AS text
+  FROM documents WHERE doc_id % 31 <> 1
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 10
+"""
+    sql["snapshot_diff"] = f"""
+WITH o AS (SELECT doc_id, text FROM documents),
+n AS ({_SNAP_NEW})
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+            END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+           END IS NOT NULL
+ORDER BY doc_id
+"""
+
+    sql["snapshot_summary"] = f"""
+WITH o AS (SELECT doc_id, text FROM documents),
+n AS ({_SNAP_NEW})
+SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_rows
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+GROUP BY 1 ORDER BY 1
 """
 
     # Deterministic stratified sampling: keep iff the md5-prefix bucket of

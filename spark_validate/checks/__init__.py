@@ -7,10 +7,13 @@ from spark_validate.checks.constraints import (
 )
 from spark_validate.checks.profile import CardinalityCalculator, ZScoreOutlierCalculator
 from spark_validate.checks.schema import SchemaCheck
+from spark_validate.checks.snapshot import snapshot_diff, snapshot_diff_summary
 
 __all__ = [
     "CardinalityCalculator",
     "ZScoreOutlierCalculator",
+    "snapshot_diff",
+    "snapshot_diff_summary",
     "NumericalRangeCalculator",
     "UnseenValuesCalculator",
     "DomainCheck",

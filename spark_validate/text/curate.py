@@ -184,6 +184,9 @@ def curate(
       ``phash`` column (params: phash_column, max_hamming, n_blocks,
       max_bucket); canonical min-id keep. Lets one pipeline curate an
       image+caption table end-to-end (caption gates + image dedup).
+    * ``embedding_dedup`` — embedding-axis: cosine near-dup clusters over a
+      vector column (params: vector_column, threshold, n_bands,
+      rows_per_band, max_bucket); canonical min-id keep.
     * ``decontaminate`` — ``benchmark`` (DataFrame) + n / threshold:
       drop survivors whose distinct word-n-gram overlap vs the benchmark
       crosses the threshold.
@@ -195,7 +198,10 @@ def curate(
     flags: List[Tuple[str, str]] = []  # (label, flag column)
     used = set()
     persisted: List[DataFrame] = []
-    corpus_shaped = ("exact_dedup", "near_dedup", "phash_dedup", "decontaminate", "lm_quality")
+    corpus_shaped = (
+        "exact_dedup", "near_dedup", "phash_dedup", "embedding_dedup",
+        "decontaminate", "lm_quality",
+    )
 
     def survivors() -> DataFrame:
         out = work
@@ -310,6 +316,23 @@ def curate(
             )
             # cluster frame names its member column "image_id"
             work = join_flag(clusters.filter(~F.col("keep")).select("image_id"), fc)
+        elif kind == "embedding_dedup":
+            # embedding-axis dedup: cosine near-dup clusters over a vector
+            # column; canonical min-id keep (third member of the trilogy)
+            from spark_validate.sim.ann import embedding_clusters
+
+            sv = survivors()
+            clusters = embedding_clusters(
+                sv,
+                threshold=spec.get("threshold", 0.95),
+                vec_col=spec.get("vector_column", "embedding"),
+                id_col=id_col,
+                n_bands=spec.get("n_bands"),
+                rows_per_band=spec.get("rows_per_band"),
+                max_bucket=spec.get("max_bucket", 200),
+            )
+            # cluster frame names its member column "vec_id"
+            work = join_flag(clusters.filter(~F.col("keep")).select("vec_id"), fc)
         elif kind == "decontaminate":
             from spark_validate.text.decontaminate import ngram_overlap
 

@@ -200,3 +200,25 @@ def test_schema_check_clean_table_silent(spark):
     res = chk.calculate(df).toPandas()
     assert not bool(res["alert"].any())
     assert chk.violations(df).count() == 0
+
+
+def test_snapshot_diff_nullsafe_semantics(spark):
+    from spark_validate.checks import snapshot_diff, snapshot_diff_summary
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": ["a", None, "c", None, "e"], "w": [1, 1, 1, 1, 1]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [2, 3, 4, 5, 6], "v": ["b", "c", None, "e", "f"], "w": [1, 1, 2, 1, 1]}
+        )
+    )
+    # k=1 removed; k=2 null→'b' changed; k=3 same but w same → unchanged;
+    # k=4 v null→null BUT w 1→2 → changed; k=5 fully equal; k=6 added
+    d = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert d == {1: "removed", 2: "changed", 4: "changed", 6: "added"}
+    s = {r["status"]: r["n_rows"] for r in snapshot_diff_summary(old, new, ["k"]).collect()}
+    assert s == {"removed": 1, "changed": 2, "unchanged": 2, "added": 1}
+    # compare_cols restriction: only v → k=4's w change is invisible
+    d2 = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()}
+    assert d2 == {1: "removed", 2: "changed", 6: "added"}

@@ -261,3 +261,28 @@ def test_persist_path_identical_results_and_cached_plan(spark):
         assert "InMemoryTableScan" in plan
     finally:
         cached.unpersist()
+
+
+def test_embedding_dedup_stage(spark):
+    """Embedding-axis dedup stage: near-identical vectors collapse to the
+    min-id representative among survivors."""
+    import numpy as np
+
+    base = np.array([1.0, 0.0, 0.5, 0.2])
+    rows = [
+        (1, "short", [float(x) for x in base]),                    # quality drop
+        (2, LONG, [float(x) for x in base * 2.0]),                 # same direction as 1 → keeper (1 already dropped)
+        (3, LONG + " b", [float(x) for x in base * 3.0 + 1e-4]),   # cos ~1 vs 2 → dropped
+        (4, LONG + " c", [0.0, 1.0, 0.0, 0.0]),                    # orthogonal → kept
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "embedding"])
+    df = spark.createDataFrame(pdf)
+    res = curate(
+        df,
+        [
+            {"stage": "quality", "min_chars": 30},
+            {"stage": "embedding_dedup", "threshold": 0.99},
+        ],
+    )
+    got = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
+    assert got == {1: "quality", 2: None, 3: "embedding_dedup", 4: None}
