@@ -111,11 +111,14 @@ def run_curation(spark, config: dict) -> dict:
         persist=bool(config.get("persist", True)),
     )
     out_dir = config["output_dir"]
-    write_results(res.curated, os.path.join(out_dir, "curated"))
+    # overwrite, not append: re-running a curation job into the same
+    # output_dir must replace the curated corpus, not duplicate it (the
+    # suite runner's append + lineage-resume semantics don't apply here)
+    write_results(res.curated, os.path.join(out_dir, "curated"), mode="overwrite")
     if config.get("write_annotated"):
-        write_results(res.annotated, os.path.join(out_dir, "annotated"))
+        write_results(res.annotated, os.path.join(out_dir, "annotated"), mode="overwrite")
     report = res.report()
-    write_results(report, os.path.join(out_dir, "report"))
+    write_results(report, os.path.join(out_dir, "report"), mode="overwrite")
     res.unpersist()
     return {
         r["stage"]: {"docs_dropped": r["docs_dropped"], "docs_remaining": r["docs_remaining"]}

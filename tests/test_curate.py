@@ -204,6 +204,11 @@ def test_run_curation_config_job(spark, tmp_path):
     assert "<EMAIL>" in cur[cur.doc_id == 3]["text"].iloc[0]
     ann = spark.read.parquet(str(tmp_path / "out" / "annotated")).toPandas()
     assert len(ann) == 6 and ann["dropped_by"].isna().sum() == 2
+    # idempotent rerun: sinks overwrite, not append (no corpus duplication)
+    (report2,) = run_scheduled(spark, cfg)
+    assert report2 == report
+    cur2 = spark.read.parquet(str(tmp_path / "out" / "curated")).toPandas()
+    assert len(cur2) == len(cur)
 
 
 def test_image_caption_pipeline_with_phash_dedup(spark):
