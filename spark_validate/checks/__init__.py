@@ -7,11 +7,16 @@ from spark_validate.checks.constraints import (
 )
 from spark_validate.checks.profile import CardinalityCalculator, ZScoreOutlierCalculator
 from spark_validate.checks.schema import SchemaCheck
-from spark_validate.checks.snapshot import snapshot_diff, snapshot_diff_summary
+from spark_validate.checks.snapshot import (
+    SnapshotDiffCheck,
+    snapshot_diff,
+    snapshot_diff_summary,
+)
 
 __all__ = [
     "CardinalityCalculator",
     "ZScoreOutlierCalculator",
+    "SnapshotDiffCheck",
     "snapshot_diff",
     "snapshot_diff_summary",
     "NumericalRangeCalculator",

@@ -263,6 +263,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "snapshot":
+        from spark_validate.checks.snapshot import SnapshotDiffCheck
+
+        return SnapshotDiffCheck(
+            key_columns=cfg["keys"],
+            compare_columns=cfg.get("compare_columns"),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold"),
+        )
     if kind == "zscore_outliers":
         from spark_validate.checks.profile import ZScoreOutlierCalculator
         from spark_validate.thresholds import ConstantThreshold
@@ -439,7 +448,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         from_store = False
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
-            "performance", "cbpe", "dle", "lm_quality", "zscore_outliers",
+            "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

@@ -815,3 +815,47 @@ def test_boilerplate_check_in_runner(spark, workspace, tmp_path):
     v = viol.toPandas()
     assert set(v["row_id"].unique()) == {f"d{i:04d}" for i in range(n - 4, n)}
     assert set(v["violation_kind"].unique()) == {"common_ngram_rate_over_limit"}
+
+
+def test_snapshot_check_in_runner(spark, tmp_path):
+    """`snapshot` check: reference = old snapshot, analysis = new; per-chunk
+    added/changed rates + the full diff (incl. removed keys with NULL chunk)
+    as violation rows."""
+    old = pd.DataFrame(
+        {
+            "image_id": [f"id{i}" for i in range(100)],
+            "w": [64] * 100,
+            "part": ["p0"] * 50 + ["p1"] * 50,
+        }
+    )
+    new = old.copy()
+    new = new[new["image_id"] != "id7"]            # removed
+    new.loc[new["image_id"] == "id3", "w"] = 128   # changed (p0)
+    new.loc[new["image_id"] == "id60", "w"] = 256  # changed (p1)
+    extra = pd.DataFrame({"image_id": ["idX1", "idX2"], "w": [64, 64], "part": ["p0", "p0"]})
+    new = pd.concat([new, extra], ignore_index=True)
+    spark.createDataFrame(old).write.mode("overwrite").parquet(str(tmp_path / "ref"))
+    spark.createDataFrame(new).write.mode("overwrite").parquet(str(tmp_path / "ana"))
+    cfg = {
+        "run_id": "snaprun",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": str(tmp_path / "ref"),
+        "analysis": str(tmp_path / "ana"),
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [{"type": "snapshot", "keys": ["image_id"], "upper_threshold": 0.01}],
+    }
+    report = run_suite(spark, cfg)
+    (rep,) = report.values()
+    res = spark.read.parquet(str(tmp_path / "out" / "results")).toPandas()
+    res = res.set_index(["chunk_key", "method"])["value"]
+    assert np.isclose(res[("part=p0", "added_rate")], 2 / 51)  # 49 old + 2 added
+    assert np.isclose(res[("part=p0", "changed_rate")], 1 / 51)
+    assert np.isclose(res[("part=p1", "added_rate")], 0.0)
+    assert np.isclose(res[("part=p1", "changed_rate")], 1 / 50)
+    assert rep["alerts"] >= 3  # both rates over the 1% bar in p0, changed in p1
+    v = spark.read.parquet(str(tmp_path / "out" / "violations")).toPandas()
+    kinds = v["violation_kind"].value_counts().to_dict()
+    assert kinds == {"changed": 2, "added": 2, "removed": 1}
+    removed = v[v["violation_kind"] == "removed"]
+    assert removed["row_id"].tolist() == ["id7"] and removed["chunk_key"].isna().all()
