@@ -59,6 +59,36 @@ def plot_continuous_distribution(result, title: Optional[str] = None,
     return svg.to_string()
 
 
+def plot_curation_funnel(report, title: Optional[str] = None, width: int = 760,
+                         row_height: int = 34) -> str:
+    """Curation attrition funnel: one bar per pipeline stage, width ∝ docs
+    remaining after the stage, the dropped count annotated. Input is the
+    ``CurationResult.report()`` frame ``(stage, docs_dropped,
+    docs_remaining)`` in pipeline order (≤ #stages+1 rows)."""
+    pdf = _to_pandas(report)
+    need = {"stage", "docs_dropped", "docs_remaining"}
+    if not need <= set(pdf.columns):
+        raise ValueError(f"curation report frame needs columns {sorted(need)}")
+    total = max(int(pdf["docs_remaining"].max()), 1)
+    ml, mr, mt = 150, 170, 34
+    height = mt + len(pdf) * row_height + 16
+    svg = SVG(width, height)
+    if title:
+        svg.text(width / 2, 20, title, size=14, anchor="middle", bold=True)
+    span = width - ml - mr
+    for i, r in pdf.reset_index(drop=True).iterrows():
+        y = mt + i * row_height
+        w = span * (int(r["docs_remaining"]) / total)
+        color = _PALETTE[i % len(_PALETTE)]
+        svg.rect(ml, y + 4, max(w, 1.0), row_height - 10, fill=color, opacity=0.75)
+        svg.text(ml - 8, y + row_height / 2 + 3, str(r["stage"]), size=11, anchor="end")
+        note = f"{int(r['docs_remaining']):,} kept"
+        if int(r["docs_dropped"]):
+            note += f"  (−{int(r['docs_dropped']):,})"
+        svg.text(ml + max(w, 1.0) + 8, y + row_height / 2 + 3, note, size=10, fill="#555")
+    return svg.to_string()
+
+
 def plot_categorical_distribution(result, title: Optional[str] = None,
                                   width: int = 920, height: int = 360) -> str:
     """(chunk_key, value, freq) → per-chunk stacked frequency bars."""

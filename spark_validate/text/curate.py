@@ -119,6 +119,14 @@ def run_curation(spark, config: dict) -> dict:
         write_results(res.annotated, os.path.join(out_dir, "annotated"), mode="overwrite")
     report = res.report()
     write_results(report, os.path.join(out_dir, "report"), mode="overwrite")
+    if config.get("plots"):
+        from spark_validate.plots.distributions import plot_curation_funnel
+        from spark_validate.plots.metrics import save_plot
+
+        save_plot(
+            plot_curation_funnel(report, title=config.get("run_id", "curation")),
+            os.path.join(out_dir, "plots", "curation_funnel.svg"),
+        )
     res.unpersist()
     return {
         r["stage"]: {"docs_dropped": r["docs_dropped"], "docs_remaining": r["docs_remaining"]}

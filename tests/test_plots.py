@@ -96,3 +96,20 @@ def test_categorical_stacked_bars(tmp_path):
     assert open(p).read().startswith("<!DOCTYPE html>")
     p2 = save_plot(svg, str(tmp_path / "d.svg"))
     assert open(p2).read().startswith("<svg")
+
+
+def test_curation_funnel(tmp_path):
+    from spark_validate.plots.distributions import plot_curation_funnel
+
+    rep = pd.DataFrame(
+        {
+            "stage": ["input", "quality", "pii", "exact_dedup"],
+            "docs_dropped": [0, 120, 30, 50],
+            "docs_remaining": [1000, 880, 850, 800],
+        }
+    )
+    svg = plot_curation_funnel(rep, title="nightly curation")
+    assert svg.startswith("<svg") and svg.count("<rect") >= 4
+    assert "exact_dedup" in svg and "(−50)" in svg and "800" in svg
+    with pytest.raises(ValueError):
+        plot_curation_funnel(pd.DataFrame({"stage": ["x"]}))
