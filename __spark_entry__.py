@@ -992,6 +992,22 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new, ["doc_id"]).orderBy("doc_id")
 
 
+def q_snapshot_chunk_rates(spark, sf_dir):
+    """SnapshotDiffCheck (runner kind `snapshot`): per-chunk added/changed
+    rates of the NEW snapshot vs the OLD, size-chunked on doc_id."""
+    from spark_validate.checks import SnapshotDiffCheck
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    chk = SnapshotDiffCheck(
+        ["doc_id"], chunker=SizeBasedChunker(chunk_size=100, order_by=["doc_id"]),
+        upper_threshold=0.05,
+    ).fit(old)
+    res = chk.calculate(new)
+    return res.select("chunk_index", "method", "value", "alert").orderBy(
+        "chunk_index", "method"
+    )
+
+
 def q_snapshot_summary(spark, sf_dir):
     """Snapshot diff summary: per-status counts incl. the unchanged bulk
     (aggregated map-side, never emitted row-by-row)."""
@@ -1562,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "snapshot_diff": q_snapshot_diff,
         "snapshot_summary": q_snapshot_summary,
+        "snapshot_chunk_rates": q_snapshot_chunk_rates,
         "corpus_sample": q_corpus_sample,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
@@ -2613,6 +2630,35 @@ WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
            WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
            END IS NOT NULL
 ORDER BY doc_id
+"""
+
+    sql["snapshot_chunk_rates"] = f"""
+WITH o AS (SELECT doc_id, text FROM documents),
+n AS ({_SNAP_NEW}),
+d AS (
+  SELECT n.doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+              END AS status
+  FROM n LEFT JOIN o ON o.doc_id = n.doc_id
+),
+ch AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 100) AS INT) AS chunk_index,
+         status
+  FROM d
+),
+agg AS (
+  SELECT chunk_index,
+         CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS added_rate,
+         CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS changed_rate
+  FROM ch GROUP BY chunk_index
+)
+SELECT chunk_index, method, value, value > 0.05 AS alert
+FROM (
+  SELECT chunk_index, 'added_rate' AS method, added_rate AS value FROM agg
+  UNION ALL
+  SELECT chunk_index, 'changed_rate' AS method, changed_rate AS value FROM agg
+) u ORDER BY chunk_index, method
 """
 
     sql["snapshot_summary"] = f"""
