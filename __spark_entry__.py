@@ -266,6 +266,41 @@ def q_cardinality_stats(spark, sf_dir):
     )
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """IQROutlierCalculator (§2.3 profile extension): per-chunk rate beyond
+    the reference-fitted Tukey fences Q1−1.5·IQR .. Q3+1.5·IQR. Exact-fit
+    percentiles are bit-identical to DuckDB's quantile_cont."""
+    from spark_validate.checks import IQROutlierCalculator
+    from spark_validate.thresholds import ConstantThreshold
+
+    ref, ana = _ev_split(spark, sf_dir)
+    calc = timed_fit(
+        IQROutlierCalculator(
+            ["value"], k=1.5,
+            chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+            threshold=ConstantThreshold(None, 0.10),
+        ),
+        ref,
+    )
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index", F.col("value").alias("outlier_rate"), "alert"
+    ).orderBy("chunk_index")
+
+
+def q_quantile_stats(spark, sf_dir):
+    """QuantileStatsCalculator exact path (§2.4 extension): per-chunk
+    p25/p50/p75/p90/p99 — exact percentile is interpolation-identical to
+    DuckDB quantile_cont; the approx (GK sketch) path is the 10^12-row
+    default and is pytest-verified against this one."""
+    from spark_validate.checks import QuantileStatsCalculator
+
+    _, ana = _li_split(spark, sf_dir)
+    calc = QuantileStatsCalculator(["l_extendedprice"], exact=True, chunker=_li_chunker())
+    res = calc.calculate(ana)
+    return res.select("chunk_index", "method", "value").orderBy("chunk_index", "method")
+
+
 def q_uniqueness(spark, sf_dir):
     """Two-phase duplicate detection (north rule §2.3 extension)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1544,6 +1579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": q_referential_orphans,
         "zscore_outliers": q_zscore_outliers,
         "cardinality_stats": q_cardinality_stats,
+        "iqr_outliers": q_iqr_outliers,
+        "quantile_stats": q_quantile_stats,
         "js_categorical": q_js_categorical,
         "l_infinity": q_l_infinity,
         "chi2": q_chi2,
@@ -1922,6 +1959,37 @@ SELECT * FROM (
   UNION ALL
   SELECT chunk_index, column_name, 'distinct_ratio' AS method, d / n AS value FROM per
 ) u ORDER BY chunk_index, column_name, method
+"""
+
+    sql["iqr_outliers"] = f"""
+WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
+q AS (
+  SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM ref
+),
+bounds AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index, value
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT chunk_index,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS outlier_rate,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS DOUBLE) / count(*) > 0.10 AS alert
+FROM ana, bounds GROUP BY chunk_index ORDER BY chunk_index
+"""
+
+    sql["quantile_stats"] = f"""
+WITH ana AS ({_LI_ANA})
+SELECT chunk_index, method, value FROM (
+  SELECT chunk_index, 'p25' AS method, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS value FROM ana GROUP BY chunk_index
+  UNION ALL
+  SELECT chunk_index, 'p50', quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) FROM ana GROUP BY chunk_index
+  UNION ALL
+  SELECT chunk_index, 'p75', quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) FROM ana GROUP BY chunk_index
+  UNION ALL
+  SELECT chunk_index, 'p90', quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) FROM ana GROUP BY chunk_index
+  UNION ALL
+  SELECT chunk_index, 'p99', quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) FROM ana GROUP BY chunk_index
+) u ORDER BY chunk_index, method
 """
 
     sql["uniqueness"] = """

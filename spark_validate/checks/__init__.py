@@ -5,7 +5,12 @@ from spark_validate.checks.constraints import (
     UniquenessCheck,
     ReferentialIntegrityCheck,
 )
-from spark_validate.checks.profile import CardinalityCalculator, ZScoreOutlierCalculator
+from spark_validate.checks.profile import (
+    CardinalityCalculator,
+    IQROutlierCalculator,
+    QuantileStatsCalculator,
+    ZScoreOutlierCalculator,
+)
 from spark_validate.checks.schema import SchemaCheck
 from spark_validate.checks.snapshot import (
     SnapshotDiffCheck,
@@ -15,6 +20,8 @@ from spark_validate.checks.snapshot import (
 
 __all__ = [
     "CardinalityCalculator",
+    "IQROutlierCalculator",
+    "QuantileStatsCalculator",
     "ZScoreOutlierCalculator",
     "SnapshotDiffCheck",
     "snapshot_diff",

@@ -73,7 +73,12 @@ class ZScoreOutlierCalculator:
     normalize: bool = True
     chunker: Chunker = field(default_factory=DefaultChunker)
     threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=None))
-    _bounds: Optional[Dict[str, tuple]] = None  # col -> (mu, sigma, lo, hi)
+    _bounds: Optional[Dict[str, tuple]] = None  # col -> (stat1, stat2, lo, hi)
+
+    # subclasses (IQR) reuse the whole flag/melt/violations machinery and
+    # only swap the fitted-bounds recipe + labels
+    _method_base = "zscore_outlier"
+    _check_name = "zscore_outliers"
 
     def fit(self, reference: DataFrame) -> "ZScoreOutlierCalculator":
         dtypes = dict(reference.dtypes)
@@ -122,7 +127,7 @@ class ZScoreOutlierCalculator:
         return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
 
     def _melt(self, wide: DataFrame, prefix: str, hdr_cols=()) -> DataFrame:
-        method = "zscore_outlier_rate" if self.normalize else "zscore_outlier_count"
+        method = f"{self._method_base}_rate" if self.normalize else f"{self._method_base}_count"
         pairs = [
             F.struct(
                 F.lit(c).alias("column_name"),
@@ -175,11 +180,11 @@ class ZScoreOutlierCalculator:
             v = nan_to_null(F.col(c), dtypes[c])
             parts.append(
                 assigned.filter(v.isNotNull() & ((v < F.lit(lo)) | (v > F.lit(hi)))).select(
-                    F.lit("zscore_outliers").alias("check"),
+                    F.lit(self._check_name).alias("check"),
                     F.lit(c).alias("column_name"),
                     F.col(CHUNK_KEY),
                     (F.col(row_id).cast("string") if row_id else F.lit(None).cast("string")).alias("row_id"),
-                    F.lit("zscore_outlier").alias("violation_kind"),
+                    F.lit(self._method_base).alias("violation_kind"),
                     F.col(c).cast("string").alias("observed_value"),
                 )
             )
@@ -189,6 +194,159 @@ class ZScoreOutlierCalculator:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+
+@dataclass
+class IQROutlierCalculator(ZScoreOutlierCalculator):
+    """Tukey-fence outlier rate: values beyond ``[Q1 − k·IQR, Q3 + k·IQR]``
+    fitted on the reference (k = 1.5 is Tukey's classic fence). Robust
+    sibling of the z-score gate — heavy-tailed columns where mean/std are
+    themselves dragged by the outliers still get sane fences.
+
+    ``exact_fit=True`` (default) fits Q1/Q3 with Spark's exact ``percentile``
+    (bit-identical to DuckDB's ``quantile_cont``, so oracles replicate the
+    fences exactly) — it buffers the reference column per partition, fine
+    for fit-time on a bounded reference. ``exact_fit=False`` switches to the
+    ``approx_percentile`` sketch (bounded memory) for huge references.
+    Everything after fit (flag aggregation, fusion, violations, state) is
+    the shared bounds-gate machinery.
+    """
+
+    k: float = 1.5
+    exact_fit: bool = True
+
+    _method_base = "iqr_outlier"
+    _check_name = "iqr_outliers"
+
+    def fit(self, reference: DataFrame) -> "IQROutlierCalculator":
+        dtypes = dict(reference.dtypes)
+        fn = "percentile" if self.exact_fit else "approx_percentile"
+        suffix = "" if self.exact_fit else ", 10000"
+        # percentile ignores NULLs; NaNs normalized to NULL first
+        named = reference.select(
+            *[
+                nan_to_null(F.col(c), dtypes[c]).cast("double").alias(f"_sv_{c}")
+                for c in self.column_names
+            ]
+        )
+        aggs = [
+            F.expr(f"{fn}(_sv_{c}, array(0.25, 0.75){suffix})").alias(f"{c}__q")
+            for c in self.column_names
+        ]
+        row = named.agg(*aggs).first().asDict()
+        self._bounds = {}
+        for c in self.column_names:
+            q = row[f"{c}__q"]
+            if q is None or q[0] is None:
+                self._bounds[c] = (None, None, None, None)
+                continue
+            q1, q3 = float(q[0]), float(q[1])
+            iqr = q3 - q1
+            lo = q1 - self.k * iqr
+            hi = q3 + self.k * iqr
+            self._bounds[c] = (q1, q3, lo, hi)
+        return self
+
+    def get_state(self) -> dict:
+        if self._bounds is None:
+            raise RuntimeError("fit first")
+        return {"k": self.k, "bounds": {c: list(v) for c, v in self._bounds.items()}}
+
+    def set_state(self, state: dict) -> "IQROutlierCalculator":
+        self.k = float(state["k"])
+        self._bounds = {c: tuple(v) for c, v in state["bounds"].items()}
+        return self
+
+
+@dataclass
+class QuantileStatsCalculator:
+    """Per-chunk quantile profile (p25/p50/p75/p90/p99 by default).
+
+    ``exact=False`` (default) uses ``approx_percentile`` — Spark's
+    GK-sketch aggregate with bounded memory per (chunk × column), the only
+    shape that survives 10^12-row chunks; ``accuracy`` trades memory for
+    error (1/accuracy relative rank error). ``exact=True`` uses exact
+    ``percentile`` (buffers each chunk's column in the agg — audit/oracle
+    companion, same convention as CardinalityCalculator's exact path).
+    Both paths are pure aggregate expressions, so both fuse into the
+    shared-scan suite pass.
+    """
+
+    column_names: Sequence[str]
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99)
+    exact: bool = False
+    accuracy: int = 10_000
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=None))
+
+    def _agg_exprs(self, dtypes, prefix: str):
+        qs = "array(" + ", ".join(repr(float(q)) for q in self.quantiles) + ")"
+        exprs = []
+        for c in self.column_names:
+            fn = (
+                f"percentile(_sv_{c}, {qs})"
+                if self.exact
+                else f"approx_percentile(_sv_{c}, {qs}, {int(self.accuracy)})"
+            )
+            exprs.append(F.expr(fn).alias(f"{prefix}{c}__q"))
+        return exprs
+
+    def _named(self, df: DataFrame):
+        """NaN→NULL + double-cast inputs under stable aliases (percentile
+        rejects NaN-bearing doubles silently into the sort order otherwise)."""
+        dtypes = dict(df.dtypes)
+        cols = [
+            nan_to_null(F.col(c), dtypes[c]).cast("double").alias(f"_sv_{c}")
+            for c in self.column_names
+        ]
+        return df.select("*", *cols)
+
+    def _label(self, q: float) -> str:
+        return f"p{q * 100:g}"
+
+    def _melt(self, wide: DataFrame, prefix: str, hdr_cols=()) -> DataFrame:
+        pairs = []
+        for c in self.column_names:
+            for i, q in enumerate(self.quantiles):
+                pairs.append(F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(self._label(q)).alias("method"),
+                    F.col(f"{prefix}{c}__q")[i].cast("double").alias("value"),
+                ))
+        return wide.select(CHUNK_KEY, *hdr_cols, F.explode(F.array(*pairs)).alias("kv")).select(
+            CHUNK_KEY, *hdr_cols, "kv.column_name", "kv.method", "kv.value"
+        )
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        assigned, headers = assign_chunks(df, self.chunker)
+        assigned = self._named(assigned)
+        wide = assigned.groupBy(CHUNK_KEY).agg(*self._agg_exprs(dict(df.dtypes), ""))
+        long_df = self._melt(wide, prefix="")
+        return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        """Suite-fusion hook. NOTE: the fused pass aggregates the RAW frame,
+        so the NaN→NULL normalization must ride inside the expressions here
+        (no pre-projection is possible)."""
+        qs = "array(" + ", ".join(repr(float(q)) for q in self.quantiles) + ")"
+        exprs = []
+        for c in self.column_names:
+            if dtypes.get(c) in ("double", "float"):
+                src = f"CAST(CASE WHEN isnan(`{c}`) THEN NULL ELSE `{c}` END AS DOUBLE)"
+            else:
+                src = f"CAST(`{c}` AS DOUBLE)"
+            fn = (
+                f"percentile({src}, {qs})"
+                if self.exact
+                else f"approx_percentile({src}, {qs}, {int(self.accuracy)})"
+            )
+            exprs.append(F.expr(fn).alias(f"{prefix}{c}__q"))
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            long_df = self._melt(wide, prefix=prefix, hdr_cols=_FUSE_HDR_COLS)
+            return _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
+
+        return exprs, fin
 
 
 @dataclass

@@ -283,6 +283,30 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
         )
+    if kind == "iqr_outliers":
+        from spark_validate.checks.profile import IQROutlierCalculator
+        from spark_validate.thresholds import ConstantThreshold
+
+        return IQROutlierCalculator(
+            column_names=cfg["columns"],
+            k=cfg.get("k", 1.5),
+            exact_fit=cfg.get("exact_fit", True),
+            normalize=cfg.get("normalize", True),
+            chunker=chunker,
+            threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
+        )
+    if kind == "quantiles":
+        from spark_validate.checks.profile import QuantileStatsCalculator
+        from spark_validate.thresholds import ConstantThreshold
+
+        return QuantileStatsCalculator(
+            column_names=cfg["columns"],
+            quantiles=tuple(cfg.get("quantiles", (0.25, 0.5, 0.75, 0.9, 0.99))),
+            exact=cfg.get("exact", False),
+            accuracy=cfg.get("accuracy", 10_000),
+            chunker=chunker,
+            threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
+        )
     if kind == "cardinality":
         from spark_validate.checks.profile import CardinalityCalculator
         from spark_validate.thresholds import ConstantThreshold
@@ -449,6 +473,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
             "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
+            "iqr_outliers",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

@@ -126,3 +126,75 @@ def test_zscore_all_null_reference_column(spark, pframe):
     res = calc.calculate(withnull(ana)).toPandas()
     nullrows = res[res.column_name == "allnull"]
     assert (nullrows["value"] == 0).all()  # degenerate column: no outliers, no crash
+
+
+def test_iqr_outlier_rates_match_numpy(spark, pframe):
+    from spark_validate.checks import IQROutlierCalculator
+
+    sdf, pdf = pframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    calc = IQROutlierCalculator(["x"], k=1.5, chunker=SizeBasedChunker(chunk_size=500, order_by=["id"]))
+    calc.fit(ref)
+    q1, q3, lo, hi = calc._bounds["x"]
+    r = pdf[pdf.is_ref]["x"].to_numpy()
+    nq1, nq3 = np.percentile(r, [25, 75])
+    assert np.isclose(q1, nq1) and np.isclose(q3, nq3)
+    assert np.isclose(lo, nq1 - 1.5 * (nq3 - nq1)) and np.isclose(hi, nq3 + 1.5 * (nq3 - nq1))
+    res = calc.calculate(ana).orderBy("chunk_index").toPandas()
+    a = pdf[~pdf.is_ref].reset_index(drop=True)
+    for i in range(4):
+        chunk = a.iloc[i * 500 : (i + 1) * 500]
+        exp = ((chunk["x"] < lo) | (chunk["x"] > hi)).mean()
+        assert np.isclose(res["value"].iloc[i], exp)
+    assert (res["method"] == "iqr_outlier_rate").all()
+    v = calc.violations(ana, row_id="id").toPandas()
+    assert set(v["violation_kind"]) == {"iqr_outlier"}
+    # state roundtrip keeps k + bounds
+    import json
+    st = json.loads(json.dumps(calc.get_state()))
+    calc2 = IQROutlierCalculator(["x"], chunker=SizeBasedChunker(chunk_size=500, order_by=["id"])).set_state(st)
+    assert calc2.k == 1.5 and calc2._bounds["x"] == (q1, q3, lo, hi)
+
+
+def test_quantile_stats_exact_and_approx(spark, pframe):
+    from spark_validate.checks import QuantileStatsCalculator
+
+    sdf, pdf = pframe
+    exact = QuantileStatsCalculator(
+        ["x"], exact=True, chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"])
+    )
+    res = exact.calculate(sdf).toPandas()
+    a = pdf.reset_index(drop=True)
+    for i in range(5):
+        chunk = a.iloc[i * 1000 : (i + 1) * 1000]["x"].to_numpy()
+        for q, m in [(25, "p25"), (50, "p50"), (75, "p75"), (90, "p90"), (99, "p99")]:
+            got = res[(res.chunk_index == i) & (res.method == m)]["value"].iloc[0]
+            assert np.isclose(got, np.percentile(chunk, q)), (i, m)
+    approx = QuantileStatsCalculator(
+        ["x"], exact=False, chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"])
+    )
+    ares = approx.calculate(sdf).toPandas()
+    med_e = res[res.method == "p50"].sort_values("chunk_index")["value"].to_numpy()
+    med_a = ares[ares.method == "p50"].sort_values("chunk_index")["value"].to_numpy()
+    assert np.allclose(med_a, med_e, rtol=0.02)
+
+
+def test_quantile_and_iqr_fused_match_standalone(spark, pframe):
+    from spark_validate.checks import IQROutlierCalculator, QuantileStatsCalculator
+    from spark_validate.fused import fused_calculate, is_fusable
+
+    sdf, _ = pframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    chunker = SizeBasedChunker(chunk_size=500, order_by=["id"])
+    iqr = IQROutlierCalculator(["x"], chunker=chunker).fit(ref)
+    qs = QuantileStatsCalculator(["x"], exact=True, chunker=chunker)
+    assert is_fusable(iqr) and is_fusable(qs)
+    fused, wide = fused_calculate({"iqr": iqr, "qs": qs}, ana, chunker)
+    try:
+        for name, calc in (("iqr", iqr), ("qs", qs)):
+            got = fused[name].orderBy("chunk_index", "method").toPandas()
+            exp = calc.calculate(ana).orderBy("chunk_index", "method").toPandas()
+            assert np.allclose(got["value"], exp["value"]), name
+    finally:
+        if wide is not None:
+            wide.unpersist()

@@ -613,6 +613,8 @@ def test_fused_matches_standalone(spark, workspace):
                 {"type": "domain", "columns": ["fmt"], "domain": ["jpeg", "png", "webp"]},
                 {"type": "zscore_outliers", "columns": ["w"], "z": 2.0},
                 {"type": "cardinality", "columns": ["fmt"], "exact": False},
+                {"type": "iqr_outliers", "columns": ["h"], "k": 1.5},
+                {"type": "quantiles", "columns": ["w"], "exact": True},
             ],
         }
 
