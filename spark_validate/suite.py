@@ -59,6 +59,7 @@ class ImageValidationSuite:
     include_caption_checks: bool = True
     include_schema_check: bool = True
     include_phash_dedup: bool = False  # near-dup sweep (adds one shuffle + verify)
+    include_profile_checks: bool = True  # z-score row gates + HLL++ cardinality
     phash_max_hamming: int = 4
     phash_n_blocks: int = 8  # Manku tables: the corpus-scale operating point
     salt_buckets: int = 16
@@ -173,6 +174,18 @@ class ImageValidationSuite:
             out["caption_pii"] = PiiRateCheck(
                 text_col="caption", id_col="image_id", chunker=self.chunker
             ).calculate(analysis)
+
+        # 6d. profile gates: reference-fitted z-score row outliers on w/h
+        # (catches corrupt-metadata floods: 0×0 or 10^6-px dims) + HLL++
+        # cardinality (an image_id ratio under 1.0 means duplication before
+        # the exact uniqueness pass even runs) — both pure agg expressions
+        if self.include_profile_checks:
+            from spark_validate.checks import CardinalityCalculator, ZScoreOutlierCalculator
+
+            zs = ZScoreOutlierCalculator(["w", "h"], z=4.0, chunker=self.chunker).fit(reference)
+            out["zscore_outliers"] = zs.calculate(analysis)
+            card = CardinalityCalculator(["image_id", "fmt"], exact=False, chunker=self.chunker)
+            out["cardinality"] = card.calculate(analysis)
 
         # 7. payload checks — ONE fused Arrow pass (pixel stats + PSNR
         # equivalence; each side decoded exactly once)

@@ -562,3 +562,23 @@ def test_suite_caption_pii_flags_planted_spans(spark):
     res_clean = suite.run(ref, ana)["caption_pii"].toPandas()
     assert float(res_clean["value"].sum()) == 0.0
     assert not bool(res_clean["alert"].any())
+
+
+def test_image_suite_profile_checks(spark):
+    """Suite integration: z-score w/h row gates + HLL++ cardinality ride the
+    suite; a corrupt-dims flood alerts through the z-score check."""
+    from pyspark.sql import functions as F
+    from spark_validate.suite import ImageValidationSuite
+
+    ref = synth_image_table(spark, 400, n_partitions=4, dup_rate=0.0, orphan_rate=0.0)
+    ana = ref.withColumn(
+        "w", F.when(F.col("image_id").substr(-2, 2) == "00", F.lit(999999)).otherwise(F.col("w"))
+    )
+    suite = ImageValidationSuite(include_payload_checks=False)
+    out = suite.run(ref, ana)
+    zs = out["zscore_outliers"].toPandas()
+    assert set(zs["method"]) == {"zscore_outlier_rate"}
+    assert (zs[zs.column_name == "w"]["value"] > 0).any()  # flood detected
+    card = out["cardinality"].toPandas()
+    ratios = card[(card.column_name == "image_id") & (card.method == "approx_distinct_ratio")]
+    assert (ratios["value"] > 0.9).all()  # ids unique per chunk (HLL tolerance)
