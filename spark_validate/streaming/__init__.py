@@ -1,6 +1,7 @@
 from spark_validate.streaming.incremental import (
     streaming_column_stats,
     streaming_cardinality,
+    streaming_quantiles,
     streaming_violations,
     attach_thresholds,
 )
@@ -10,6 +11,7 @@ from spark_validate.streaming.drift import streaming_embedding_drift, streaming_
 __all__ = [
     "streaming_column_stats",
     "streaming_cardinality",
+    "streaming_quantiles",
     "streaming_violations",
     "attach_thresholds",
     "running_group_stats",

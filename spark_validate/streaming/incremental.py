@@ -80,6 +80,42 @@ def streaming_violations(
     )
 
 
+def streaming_quantiles(
+    stream: DataFrame,
+    timestamp_column: str,
+    columns: Sequence[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    accuracy: int = 10_000,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-window quantile profile — the streaming analog of
+    QuantileStatsCalculator's approx path (GK sketch per window × column,
+    bounded state; exact quantiles are batch-only on a stream)."""
+    qs = "array(" + ", ".join(repr(float(q)) for q in quantiles) + ")"
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(
+            F.expr(f"approx_percentile(CAST(`{c}` AS DOUBLE), {qs}, {int(accuracy)})").alias(f"{c}__q")
+        )
+    out = (
+        stream.withWatermark(timestamp_column, watermark)
+        .groupBy(F.window(timestamp_column, window_duration).alias("chunk_window"))
+        .agg(*aggs)
+        .select(
+            F.col("chunk_window.start").alias("start_ts"),
+            F.col("chunk_window.end").alias("end_ts"),
+            "*",
+        )
+        .drop("chunk_window")
+    )
+    for c in columns:
+        for i, q in enumerate(quantiles):
+            out = out.withColumn(f"{c}__p{q * 100:g}", F.col(f"{c}__q")[i])
+        out = out.drop(f"{c}__q")
+    return out
+
+
 def streaming_cardinality(
     stream: DataFrame,
     timestamp_column: str,

@@ -169,6 +169,18 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 )
                 key = uniq(check_cfg.get("name", kind) + f"__{c}", check_idx)
                 queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "quantiles":
+            # windowed GK-sketch quantile profile (bounded per-window state)
+            from spark_validate.streaming.incremental import streaming_quantiles
+
+            qprof = streaming_quantiles(
+                stream, ts, check_cfg["columns"],
+                quantiles=tuple(check_cfg.get("quantiles", (0.25, 0.5, 0.75, 0.9, 0.99))),
+                accuracy=check_cfg.get("accuracy", 10_000),
+                window_duration=window, watermark=watermark or window,
+            )
+            key = uniq(check_cfg.get("name") or _check_name(check_cfg), check_idx)
+            queries[key] = _sink(qprof, out_dir, key, "append", trigger).start()
         elif kind == "cardinality":
             # windowed HLL++ distinct count/ratio (approx only on a stream —
             # exact per-window distinct state is unbounded)

@@ -1028,3 +1028,27 @@ def test_streaming_duplicate_keys_eviction_fresh_restart(spark, tmp_path):
     # evicted between batch 1 and 4: occurrences are [2, 2], NOT [2, 3, 4]
     assert xs["occurrence"].tolist() == [2, 2], out
     assert len(out) == 2  # the filler keys are all unique — no violations
+
+
+def test_streaming_quantiles(spark, stream_dir):
+    """Windowed GK-sketch quantile profile: per-window p50 tracks the batch
+    median within sketch tolerance."""
+    from spark_validate.streaming.incremental import streaming_quantiles
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    q = streaming_quantiles(
+        stream, "ts", ["value"], quantiles=(0.5, 0.9), window_duration="100 minutes"
+    )
+    h = (
+        q.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_quant")
+        .start()
+    )
+    _drain(h)
+    out = spark.sql("SELECT * FROM sv_quant ORDER BY start_ts").toPandas()
+    assert len(out) in (10, 11)  # 1000 min of data; epoch-aligned windows may straddle
+    assert out["n_rows"].sum() == 2000
+    # values ~N(10,2): every window's sketch-median lands near 10, p90 > p50
+    assert out["value__p50"].between(8.5, 11.5).all()
+    assert (out["value__p90"] > out["value__p50"]).all()
