@@ -266,6 +266,22 @@ def q_cardinality_stats(spark, sf_dir):
     )
 
 
+def q_skew_stats(spark, sf_dir):
+    """SkewCalculator (§2.3 profile extension): per-chunk hot-key share —
+    max single-value count / rows per column (the flooded-key detector)."""
+    from spark_validate.checks import SkewCalculator
+
+    ev = _read(spark, sf_dir, "events")
+    calc = SkewCalculator(
+        ["event_type", "user_id"],
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    res = calc.calculate(ev)
+    return res.select("chunk_index", "column_name", F.col("value").alias("top_share")).orderBy(
+        "chunk_index", "column_name"
+    )
+
+
 def q_iqr_outliers(spark, sf_dir):
     """IQROutlierCalculator (§2.3 profile extension): per-chunk rate beyond
     the reference-fitted Tukey fences Q1−1.5·IQR .. Q3+1.5·IQR. Exact-fit
@@ -1581,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_stats": q_cardinality_stats,
         "iqr_outliers": q_iqr_outliers,
         "quantile_stats": q_quantile_stats,
+        "skew_stats": q_skew_stats,
         "js_categorical": q_js_categorical,
         "l_infinity": q_l_infinity,
         "chi2": q_chi2,
@@ -1959,6 +1976,24 @@ SELECT * FROM (
   UNION ALL
   SELECT chunk_index, column_name, 'distinct_ratio' AS method, d / n AS value FROM per
 ) u ORDER BY chunk_index, column_name, method
+"""
+
+    sql["skew_stats"] = f"""
+WITH ev AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         CAST(event_type AS VARCHAR) AS event_type, CAST(user_id AS VARCHAR) AS user_id
+  FROM events
+),
+l1 AS (
+  SELECT chunk_index, 'event_type' AS column_name, event_type AS v, count(*) AS cnt
+  FROM ev GROUP BY 1, 3
+  UNION ALL
+  SELECT chunk_index, 'user_id', user_id, count(*) FROM ev GROUP BY 1, 3
+)
+SELECT chunk_index, column_name,
+       CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_share
+FROM l1 GROUP BY chunk_index, column_name
+ORDER BY chunk_index, column_name
 """
 
     sql["iqr_outliers"] = f"""

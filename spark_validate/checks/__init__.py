@@ -9,6 +9,7 @@ from spark_validate.checks.profile import (
     CardinalityCalculator,
     IQROutlierCalculator,
     QuantileStatsCalculator,
+    SkewCalculator,
     ZScoreOutlierCalculator,
 )
 from spark_validate.checks.schema import SchemaCheck
@@ -22,6 +23,7 @@ __all__ = [
     "CardinalityCalculator",
     "IQROutlierCalculator",
     "QuantileStatsCalculator",
+    "SkewCalculator",
     "ZScoreOutlierCalculator",
     "SnapshotDiffCheck",
     "snapshot_diff",

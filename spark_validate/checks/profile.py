@@ -197,6 +197,51 @@ class ZScoreOutlierCalculator:
 
 
 @dataclass
+class SkewCalculator:
+    """Per-chunk hot-key share: ``max(value count) / rows`` per column.
+
+    The validation-side guard for the engine's own scale hazards: a key
+    column whose top-value share approaches 1.0 is the flooded-key case
+    that breaks shuffles and joins downstream (the reason the uniqueness
+    check salts and the LSH sweeps cap buckets). NULL is a value here — a
+    null flood IS skew.
+
+    Same two-phase shape as exact cardinality: L1 ``(chunk, col, value)``
+    partial counts collapse map-side (the hot key becomes ONE row per
+    partition before the shuffle — measuring skew doesn't suffer it),
+    L2 takes ``max(cnt)/sum(cnt)`` per (chunk, col). One scan for every
+    column via the same explode device.
+    """
+
+    column_names: Sequence[str]
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=None))
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        assigned, headers = assign_chunks(df, self.chunker)
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("c"), F.col(c).cast("string").alias("v"))
+            for c in self.column_names
+        ])
+        ex = assigned.select(CHUNK_KEY, F.explode(pairs).alias("kv")).select(
+            CHUNK_KEY, "kv.c", "kv.v"
+        )
+        l2 = (
+            ex.groupBy(CHUNK_KEY, "c", "v")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .groupBy(CHUNK_KEY, "c")
+            .agg(F.max("_cnt").alias("__top"), F.sum("_cnt").alias("__rows"))
+        )
+        long_df = l2.select(
+            CHUNK_KEY,
+            F.col("c").alias("column_name"),
+            F.lit("top_value_share").alias("method"),
+            (F.col("__top") / F.col("__rows")).cast("double").alias("value"),
+        )
+        return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+
+
+@dataclass
 class IQROutlierCalculator(ZScoreOutlierCalculator):
     """Tukey-fence outlier rate: values beyond ``[Q1 − k·IQR, Q3 + k·IQR]``
     fitted on the reference (k = 1.5 is Tukey's classic fence). Robust

@@ -307,6 +307,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
         )
+    if kind == "skew":
+        from spark_validate.checks.profile import SkewCalculator
+        from spark_validate.thresholds import ConstantThreshold
+
+        return SkewCalculator(
+            column_names=cfg["columns"],
+            chunker=chunker,
+            threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
+        )
     if kind == "cardinality":
         from spark_validate.checks.profile import CardinalityCalculator
         from spark_validate.thresholds import ConstantThreshold

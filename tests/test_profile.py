@@ -198,3 +198,22 @@ def test_quantile_and_iqr_fused_match_standalone(spark, pframe):
     finally:
         if wide is not None:
             wide.unpersist()
+
+
+def test_skew_top_value_share(spark, pframe):
+    from spark_validate.checks import SkewCalculator
+
+    sdf, pdf = pframe
+    # plant a hot-key flood in chunk 1 and a null flood in chunk 2
+    hot = lambda df: df.withColumn(  # noqa: E731
+        "cat",
+        F.when((F.col("id") >= 1000) & (F.col("id") < 1800), F.lit("HOT"))
+        .when((F.col("id") >= 2000) & (F.col("id") < 2600), F.lit(None))
+        .otherwise(F.col("cat")),
+    )
+    calc = SkewCalculator(["cat"], chunker=SizeBasedChunker(chunk_size=1000, order_by=["id"]))
+    res = hot(sdf).transform(calc.calculate).toPandas().sort_values("chunk_index")
+    assert (res["method"] == "top_value_share").all()
+    assert np.isclose(res["value"].iloc[1], 0.8)   # 800 HOT rows / 1000
+    assert np.isclose(res["value"].iloc[2], 0.6)   # NULL flood counts as a value
+    assert res["value"].iloc[0] < 0.3              # 8 letters roughly uniform
