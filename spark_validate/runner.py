@@ -699,6 +699,35 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             report[name]["db_error"] = db_error
         if hasattr(calc, "release_cache"):
             calc.release_cache()  # results are written; cached aggregates can go
+    # ---- per-partition pass/fail verdicts (north rule) ----------------------
+    # one row per analysis partition/chunk ACROSS every check in this run —
+    # the "did this partition pass the suite" artifact the north_star names
+    # alongside the exploded violation rows. Computed from the just-written
+    # results sink (≤ chunks × checks × methods rows), written per-run so
+    # resume reruns overwrite their own rollup idempotently.
+    try:
+        res_all = spark.read.parquet(os.path.join(out_dir, "results")).filter(
+            F.col("run_id") == run_id
+        )
+        verdicts = (
+            res_all.groupBy("chunk_key")
+            .agg(
+                F.countDistinct("check").alias("checks_run"),
+                F.count(F.lit(1)).alias("metrics_evaluated"),
+                F.sum(F.col("alert").cast("long")).alias("n_alerts"),
+            )
+            .withColumn("passed", F.col("n_alerts") == 0)
+        )
+        write_results(
+            verdicts,
+            os.path.join(out_dir, "verdicts", f"run_id={run_id}"),
+            mode="overwrite",
+        )
+    except Exception as exc:  # the rollup is derived — never kill the run
+        if fail_fast:
+            raise
+        logger.warning("partition-verdict rollup failed: %s", exc)
+
     if completed is not None:
         completed.unpersist(blocking=False)
     if fused_wide is not None:

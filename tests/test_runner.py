@@ -70,6 +70,11 @@ def test_run_suite_end_to_end(spark, workspace):
     assert lin.filter(F.col("status") == "complete").count() >= 5 * 4
     v = spark.read.parquet(str(workspace / "out" / "violations"))
     assert v.filter(F.col("check") == "domain__fmt").count() == 20
+    # north-rule per-partition verdict rollup: one row per chunk across the
+    # whole suite; the bmp-injected partitions fail, so not all pass
+    verd = spark.read.parquet(str(workspace / "out" / "verdicts")).toPandas()
+    assert len(verd) == 4 and (verd["checks_run"] == 5).all()
+    assert verd["n_alerts"].sum() > 0 and not verd["passed"].all()
 
 
 def test_fitted_store_roundtrip(spark, workspace, tmp_path):
