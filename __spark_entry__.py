@@ -228,6 +228,30 @@ def _ev_split(spark, sf_dir):
     return ref, ana
 
 
+def q_jump_alerts(spark, sf_dir):
+    """with_jump_alerts (§2.9 extension): rate-of-change anomaly between
+    consecutive chunks — a 2% relative jump in the per-chunk avg alerts even
+    inside the fitted static band (Deequ RelativeRateOfChangeStrategy
+    semantics). Pure window arithmetic over the chunk aggregate."""
+    from spark_validate.thresholds import with_jump_alerts
+
+    _, ana = _li_split(spark, sf_dir)
+    assigned = _li_chunker().assign(ana)
+    cid = F.floor(F.col(ROW_INDEX) / F.lit(LI_CHUNK)).cast("int")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    series = (
+        assigned.withColumn("chunk_index", cid)
+        .groupBy("chunk_index")
+        .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("value"))
+        .withColumn("column_name", F.lit("l_extendedprice"))
+        .withColumn("method", F.lit("avg"))
+    )
+    out = with_jump_alerts(series, max_rel_change=0.02)
+    return out.select(
+        "chunk_index", F.col("value").alias("avg_price"), "prev_value", "rel_change", "jump_alert"
+    ).orderBy("chunk_index")
+
+
 def q_zscore_outliers(spark, sf_dir):
     """ZScoreOutlierCalculator (§2.3 profile extension): per-chunk rate of
     analysis values beyond reference-fitted mu ± 3σ. Moments come from exact
@@ -1595,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": q_referential_orphans,
         "zscore_outliers": q_zscore_outliers,
         "cardinality_stats": q_cardinality_stats,
+        "jump_alerts": q_jump_alerts,
         "iqr_outliers": q_iqr_outliers,
         "quantile_stats": q_quantile_stats,
         "skew_stats": q_skew_stats,
@@ -1976,6 +2001,27 @@ SELECT * FROM (
   UNION ALL
   SELECT chunk_index, column_name, 'distinct_ratio' AS method, d / n AS value FROM per
 ) u ORDER BY chunk_index, column_name, method
+"""
+
+    sql["jump_alerts"] = f"""
+WITH ana AS ({_LI_ANA}),
+series AS (
+  SELECT chunk_index,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+  FROM ana GROUP BY chunk_index
+),
+lagged AS (
+  SELECT chunk_index, avg_price,
+         lag(avg_price) OVER (ORDER BY chunk_index) AS prev_value
+  FROM series
+)
+SELECT chunk_index, avg_price, prev_value,
+       CASE WHEN prev_value IS NOT NULL AND abs(prev_value) >= 1e-12
+            THEN abs(avg_price - prev_value) / abs(prev_value) END AS rel_change,
+       coalesce(CASE WHEN prev_value IS NOT NULL AND abs(prev_value) >= 1e-12
+                     THEN abs(avg_price - prev_value) / abs(prev_value) END > 0.02,
+                FALSE) AS jump_alert
+FROM lagged ORDER BY chunk_index
 """
 
     sql["skew_stats"] = f"""

@@ -114,3 +114,42 @@ def alert_expr(value_col: str = "value"):
     below = F.col("lower_threshold").isNotNull() & (v < F.col("lower_threshold"))
     above = F.col("upper_threshold").isNotNull() & (v > F.col("upper_threshold"))
     return F.when(v.isNull(), F.lit(False)).otherwise(F.coalesce(below | above, F.lit(False)))
+
+
+def with_jump_alerts(
+    result: DataFrame,
+    max_rel_change: float,
+    value_col: str = "value",
+    min_abs_prev: float = 1e-12,
+) -> DataFrame:
+    """Rate-of-change anomaly on a chunked result series: adds ``prev_value``,
+    ``rel_change`` and ``jump_alert`` per (column_name × method) ordered by
+    ``chunk_index`` — the between-consecutive-chunks jump detector static
+    constant/std thresholds can't express (a metric can drift violently
+    while staying inside its fitted band; public monitoring stacks ship this
+    as "relative rate of change" anomaly checks, e.g. Deequ's
+    RelativeRateOfChangeStrategy).
+
+    Pure window arithmetic over the ALREADY-AGGREGATED result frame
+    (≤ chunks × columns × methods rows) — the window partitions by
+    (column_name, method), so no single-partition global sort appears even
+    on wide suites. First chunk of each series and |previous| below
+    ``min_abs_prev`` (sign flips around zero would make the ratio
+    meaningless) never alert.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column_name", "method").orderBy("chunk_index")
+    prev = F.lag(value_col).over(w)
+    rel = F.when(
+        prev.isNotNull() & (F.abs(prev) >= F.lit(float(min_abs_prev))),
+        F.abs(F.col(value_col) - prev) / F.abs(prev),
+    )
+    return (
+        result.withColumn("prev_value", prev)
+        .withColumn("rel_change", rel)
+        .withColumn(
+            "jump_alert",
+            F.coalesce(F.col("rel_change") > F.lit(float(max_rel_change)), F.lit(False)),
+        )
+    )

@@ -217,3 +217,26 @@ def test_skew_top_value_share(spark, pframe):
     assert np.isclose(res["value"].iloc[1], 0.8)   # 800 HOT rows / 1000
     assert np.isclose(res["value"].iloc[2], 0.6)   # NULL flood counts as a value
     assert res["value"].iloc[0] < 0.3              # 8 letters roughly uniform
+
+
+def test_jump_alerts_window_semantics(spark):
+    from spark_validate.thresholds import with_jump_alerts
+
+    pdf = pd.DataFrame(
+        {
+            "chunk_index": [0, 1, 2, 3, 0, 1],
+            "column_name": ["a"] * 4 + ["b"] * 2,
+            "method": ["avg"] * 6,
+            "value": [100.0, 101.0, 150.0, 150.5, 0.0, 5.0],
+        }
+    )
+    out = with_jump_alerts(spark.createDataFrame(pdf), max_rel_change=0.1).toPandas()
+    a = out[out.column_name == "a"].sort_values("chunk_index")
+    assert not a["jump_alert"].iloc[0]            # first chunk: no previous
+    assert not a["jump_alert"].iloc[1]            # 1% move
+    assert a["jump_alert"].iloc[2]                # 48.5% jump
+    assert not a["jump_alert"].iloc[3]
+    assert np.isclose(a["rel_change"].iloc[2], 49.0 / 101.0)
+    b = out[out.column_name == "b"].sort_values("chunk_index")
+    assert not b["jump_alert"].iloc[1]            # |prev| ~ 0: ratio undefined, never alerts
+    assert pd.isna(b["rel_change"].iloc[1])
