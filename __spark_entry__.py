@@ -1514,6 +1514,43 @@ def q_phash_clusters(spark, sf_dir):
     return phash_clusters(corpus, max_hamming=4, bits=60).orderBy("image_id")
 
 
+def q_phash_psi(spark, sf_dir):
+    """PSI drift on a phash-derived histogram binned with Spark SQL
+    width_bucket (image/phash.py::PhashHistogramDrift — the north rule's
+    'PSI on phash-derived histograms computed with Spark SQL width_bucket
+    binning' verbatim). Pseudo-phash = md5-derived 60-bit int; analysis rows
+    with doc_id%10 ∈ {1,3,5} collapse to phash%193 — a drifted sub-corpus
+    whose folded histogram concentrates in the low buckets. The DuckDB
+    oracle replicates width_bucket with the SQL-standard arithmetic
+    (verified bucket-exact against Spark's implementation: 0 below lo,
+    n_bins+1 at/above hi, else floor((v-lo)/((hi-lo)/n))+1); round(6) both
+    sides absorbs Java/libm ln() last-ulp skew in the 34-term PSI sum."""
+    from spark_validate.image.phash import PhashHistogramDrift
+
+    docs = _read(spark, sf_dir, "documents")
+    ph = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    base = docs.select("doc_id", ph.alias("ph0"))
+    planted = F.when(
+        (F.col("doc_id") % 2 == 1) & ((F.col("doc_id") % 10).isin(1, 3, 5)),
+        F.pmod(F.col("ph0"), F.lit(193)),
+    ).otherwise(F.col("ph0"))
+    tbl = base.select("doc_id", planted.alias("phash"))
+    ref = tbl.filter(F.col("doc_id") % 2 == 0)
+    ana = tbl.filter(F.col("doc_id") % 2 == 1)
+    calc = timed_fit(
+        PhashHistogramDrift(
+            n_bins=32, fold=4096,
+            chunker=SizeBasedChunker(chunk_size=60, order_by=["doc_id"]),
+        ),
+        ref,
+    )
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index", "column_name", "method",
+        F.round(F.col("value"), 6).alias("value"), "alert",
+    ).orderBy("chunk_index")
+
+
 def q_header_verdicts(spark, sf_dir):
     """Structural payload-header validation (image/header.py): Spark builds
     SVI0 payload BYTES from the documents table with four planted corruption
@@ -1672,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontamination": q_embedding_decontamination,
         "phash_near_dups": q_phash_near_dups,
         "phash_clusters": q_phash_clusters,
+        "phash_psi": q_phash_psi,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
         "phash_decontamination": q_phash_decontamination,
@@ -3299,6 +3337,62 @@ sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
 SELECT l.image_id, l.cluster_id, CAST(sz.n AS BIGINT) AS cluster_size,
        l.image_id = l.cluster_id AS keep
 FROM lab l JOIN sz USING (cluster_id) ORDER BY image_id
+"""
+
+    # PSI on the phash-derived histogram: width_bucket replicated with the
+    # SQL-standard arithmetic Spark implements (0 below lo, n+1 at/above hi,
+    # else floor((v-lo)/((hi-lo)/n))+1 — FLOOR, not int-cast: DuckDB's
+    # BIGINT cast rounds). Derived values are exact small ints in doubles,
+    # so every boundary comparison is bit-identical across engines.
+    sql["phash_psi"] = """
+WITH base AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS ph0 FROM documents
+),
+tbl AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 AND doc_id % 10 IN (1, 3, 5)
+              THEN ph0 % 193 ELSE ph0 END AS phash
+  FROM base
+),
+refd AS (SELECT CAST(phash % 4096 AS DOUBLE) AS v FROM tbl WHERE doc_id % 2 = 0),
+bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS nref FROM refd),
+refb AS (
+  SELECT CASE WHEN v < lo THEN 0 WHEN v >= hi THEN 33
+              ELSE CAST(FLOOR((v - lo) / ((hi - lo) / 32.0)) AS BIGINT) + 1 END AS b
+  FROM refd, bounds
+),
+refp AS (SELECT b, CAST(COUNT(*) AS DOUBLE) / (SELECT nref FROM bounds) AS p FROM refb GROUP BY b),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 60) AS INT) AS chunk_index,
+         CAST(phash % 4096 AS DOUBLE) AS v
+  FROM tbl WHERE doc_id % 2 = 1
+),
+anab AS (
+  SELECT chunk_index,
+         CASE WHEN v < lo THEN 0 WHEN v >= hi THEN 33
+              ELSE CAST(FLOOR((v - lo) / ((hi - lo) / 32.0)) AS BIGINT) + 1 END AS b
+  FROM ana, bounds
+),
+ccnt AS (SELECT chunk_index, b, COUNT(*) AS c FROM anab GROUP BY 1, 2),
+ctot AS (SELECT chunk_index, COUNT(*) AS nt FROM anab GROUP BY 1),
+dense AS (
+  SELECT t.chunk_index, bk.b,
+         COALESCE(c.c, 0) / GREATEST(t.nt, 1) AS q,
+         COALESCE(p.p, 0.0) AS p
+  FROM ctot t
+  CROSS JOIN (SELECT UNNEST(range(0, 34)) AS b) bk
+  LEFT JOIN ccnt c ON c.chunk_index = t.chunk_index AND c.b = bk.b
+  LEFT JOIN refp p ON p.b = bk.b
+),
+psi AS (
+  SELECT chunk_index,
+         SUM((GREATEST(q, 1e-4) - GREATEST(p, 1e-4))
+             * LN(GREATEST(q, 1e-4) / GREATEST(p, 1e-4))) AS raw
+  FROM dense GROUP BY 1
+)
+SELECT chunk_index, 'phash' AS column_name, 'psi_width_bucket' AS method,
+       ROUND(raw, 6) AS value, raw > 0.2 AS alert
+FROM psi ORDER BY chunk_index
 """
 
     # --- frozen-golden oracles for the fitted-model queries -----------------

@@ -242,6 +242,10 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
         ["w", "h"], continuous_methods=("kolmogorov_smirnov", "jensen_shannon", "psi"), chunker=chunker,
         n_bins_ecdf=1000,
     ).fit(ref)
+    # north rule verbatim: PSI on phash-derived histograms via width_bucket
+    from spark_validate.image.phash import PhashHistogramDrift
+
+    phdrift = PhashHistogramDrift(chunker=chunker).fit(ref)
 
     # all long-form results share one schema → ONE union, ONE action
     def relational_pass():
@@ -252,6 +256,7 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
             .unionByName(refchk.calculate(ana))
             .unionByName(hdr.calculate(ana))
             .unionByName(drift.calculate(ana))
+            .unionByName(phdrift.calculate(ana))
         )
         results.agg(F.count(F.lit(1)), F.sum(F.col("alert").cast("int"))).collect()
 

@@ -339,3 +339,171 @@ class PhashDecontaminationCheck:
                 ).alias("observed_value"),
             )
         )
+
+
+class PhashHistogramDrift:
+    """PSI drift on a phash-derived histogram, binned with Spark SQL
+    ``width_bucket`` (the north rule names this construction verbatim:
+    "PSI on phash-derived histograms computed with Spark SQL width_bucket
+    binning"; reference drift semantics: `nannyml/drift/univariate/
+    methods.py:195-198` chunk-vs-reference distribution comparison).
+
+    The raw 64-bit perceptual hash is not itself binnable in IEEE doubles
+    (53-bit mantissa — bucket edges over the full int64 range are not
+    representable, so two engines can disagree at boundaries). The derived
+    value is ``pmod(phash, fold)`` with ``fold`` ≤ 2^20: a small exact-double
+    domain where every width_bucket comparison is bit-reproducible across
+    engines, while distribution shifts in the underlying image corpus still
+    move the folded histogram (a perceptual hash's low bits carry the
+    fine-detail DCT signs — near-identical corpora fold to near-identical
+    histograms).
+
+    Execution shape (the 100 TB story): fit is ONE reference aggregation
+    (min/max + ``n_bins + 2`` pivoted bucket counts — buckets 0 and
+    n_bins+1 are width_bucket's below-range/at-or-above-range overflow
+    bins, which the reference's own min/max rows land in by SQL-standard
+    semantics). Calculate is ONE ``groupBy(chunk)`` of the same pivoted
+    counts — pure codegen aggregate, map-side combinable, zero joins — and
+    PSI is a single projection over the fitted probability constants:
+    Σ_b (q'−p')·ln(q'/p') with both sides floored at ``eps`` (same
+    convention as UnivariateDriftCalculator._psi_from_dense). Because the
+    whole thing is aggregate expressions it joins the fused shared-scan
+    suite pass via ``fuse_contrib``.
+
+    Alerts on the classic PSI rule: value > 0.2 (configurable).
+    """
+
+    def __init__(
+        self,
+        column: str = "phash",
+        n_bins: int = 64,
+        fold: int = 4096,
+        eps: float = 1e-4,
+        chunker=None,
+        upper_threshold: Optional[float] = 0.2,
+    ):
+        from spark_validate.chunking import DefaultChunker
+
+        if fold > (1 << 20):
+            raise ValueError("fold must be <= 2^20 so bucket math is exact in doubles")
+        self.column = column
+        self.n_bins = int(n_bins)
+        self.fold = int(fold)
+        self.eps = float(eps)
+        self.chunker = chunker or DefaultChunker()
+        self.upper_threshold = upper_threshold
+        self._state: Optional[dict] = None
+
+    # ---- expressions --------------------------------------------------------
+
+    def _derived(self) -> F.Column:
+        return F.pmod(F.col(self.column), F.lit(self.fold)).cast("double")
+
+    def _bucket(self) -> F.Column:
+        st = self._state
+        return F.width_bucket(
+            self._derived(), F.lit(st["lo"]), F.lit(st["hi"]), F.lit(self.n_bins)
+        )
+
+    def _count_exprs(self, prefix: str):
+        b = self._bucket()
+        exprs = [
+            F.count(F.when(F.col(self.column).isNotNull(), F.lit(1))).alias(f"{prefix}__n")
+        ]
+        for i in range(self.n_bins + 2):
+            exprs.append(F.count(F.when(b == i, F.lit(1))).alias(f"{prefix}__b{i}"))
+        return exprs
+
+    def _psi_col(self, prefix: str) -> F.Column:
+        st = self._state
+        eps = self.eps
+        n = F.col(f"{prefix}__n")
+        total = None
+        for i, p in enumerate(st["probs"]):
+            q = F.col(f"{prefix}__b{i}") / F.greatest(n, F.lit(1))
+            pe = F.lit(max(float(p), eps))
+            qe = F.greatest(q, F.lit(eps))
+            term = (qe - pe) * F.log(qe / pe)
+            total = term if total is None else total + term
+        # empty chunk (no non-null hashes) has no histogram: NULL, not 0 drift
+        return F.when(n > 0, total).otherwise(F.lit(None)).cast("double")
+
+    # ---- fit / calculate ----------------------------------------------------
+
+    def fit(self, reference: DataFrame) -> "PhashHistogramDrift":
+        row = reference.agg(
+            F.min(self._derived()).alias("lo"),
+            F.max(self._derived()).alias("hi"),
+        ).first()
+        if row["lo"] is None:
+            raise ValueError(f"reference has no non-null {self.column}")
+        lo, hi = float(row["lo"]), float(row["hi"])
+        if hi <= lo:
+            hi = lo + 1.0  # degenerate single-value reference: one real bucket
+        self._state = {"lo": lo, "hi": hi}
+        cnt_row = reference.agg(*self._count_exprs("")).first().asDict()
+        n = cnt_row["__n"]
+        self._state["probs"] = [cnt_row[f"__b{i}"] / n for i in range(self.n_bins + 2)]
+        return self
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        if self._state is None:
+            raise RuntimeError("fit first")
+        from spark_validate.calculators.base import assign_chunks
+        from spark_validate.checks.constraints import _attach_const_threshold
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned, headers = assign_chunks(df, self.chunker)
+        wide = assigned.groupBy(CHUNK_KEY).agg(*self._count_exprs(""))
+        long_df = wide.select(
+            CHUNK_KEY,
+            F.lit(self.column).alias("column_name"),
+            F.lit("psi_width_bucket").alias("method"),
+            self._psi_col("").alias("value"),
+        )
+        return _attach_const_threshold(long_df, headers, period, None, self.upper_threshold)
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        """Suite-fusion hook — the whole check is aggregate expressions."""
+        if self._state is None:
+            raise RuntimeError("fit first")
+        from spark_validate.checks.constraints import _FUSE_HDR_COLS, _attach_const_threshold
+        from spark_validate.chunking import CHUNK_KEY
+
+        exprs = self._count_exprs(prefix)
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            long_df = wide.select(
+                CHUNK_KEY,
+                *_FUSE_HDR_COLS,
+                F.lit(self.column).alias("column_name"),
+                F.lit("psi_width_bucket").alias("method"),
+                self._psi_col(prefix).alias("value"),
+            )
+            return _attach_const_threshold(long_df, None, period, None, self.upper_threshold)
+
+        return exprs, fin
+
+    # ---- state --------------------------------------------------------------
+
+    def get_state(self) -> dict:
+        if self._state is None:
+            raise RuntimeError("fit first")
+        return {
+            "n_bins": self.n_bins,
+            "fold": self.fold,
+            "eps": self.eps,
+            "lo": self._state["lo"],
+            "hi": self._state["hi"],
+            "probs": list(self._state["probs"]),
+        }
+
+    def set_state(self, state: dict) -> "PhashHistogramDrift":
+        self.n_bins = int(state["n_bins"])
+        self.fold = int(state["fold"])
+        self.eps = float(state["eps"])
+        probs = [float(p) for p in state["probs"]]
+        if len(probs) != self.n_bins + 2:
+            raise ValueError("probs length does not match n_bins")
+        self._state = {"lo": float(state["lo"]), "hi": float(state["hi"]), "probs": probs}
+        return self

@@ -340,6 +340,17 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             upper_threshold=cfg.get("upper_threshold", 0.0),
             max_benchmark=cfg.get("max_benchmark", 100_000),
         )
+    if kind == "phash_drift":
+        from spark_validate.image.phash import PhashHistogramDrift
+
+        return PhashHistogramDrift(
+            column=cfg.get("column", "phash"),
+            n_bins=cfg.get("n_bins", 64),
+            fold=cfg.get("fold", 4096),
+            eps=cfg.get("eps", 1e-4),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.2),
+        )
     if kind == "embedding_drift":
         from spark_validate.drift.embedding import EmbeddingDriftCalculator
 
@@ -482,7 +493,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
             "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
-            "iqr_outliers",
+            "iqr_outliers", "phash_drift",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

@@ -582,3 +582,102 @@ def test_image_suite_profile_checks(spark):
     card = out["cardinality"].toPandas()
     ratios = card[(card.column_name == "image_id") & (card.method == "approx_distinct_ratio")]
     assert (ratios["value"] > 0.9).all()  # ids unique per chunk (HLL tolerance)
+
+
+# ---- PSI on phash-derived histograms (width_bucket binning) -----------------
+
+
+def _phash_frame(spark, n, concentrate_tail=False):
+    """Deterministic frame: phash spreads over the fold domain via a bit-mix;
+    when ``concentrate_tail`` the last third of ids collapses into a narrow
+    band (a drifted corpus whose images suddenly share structure)."""
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1 << 40)).alias("phash"),
+        F.col("id").alias("ord"),
+    )
+    if concentrate_tail:
+        df = df.withColumn(
+            "phash",
+            F.when(F.col("ord") >= 2 * n // 3, F.pmod(F.col("phash"), F.lit(128)))
+            .otherwise(F.col("phash")),
+        )
+    return df
+
+
+def test_phash_histogram_drift_psi(spark):
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.image.phash import PhashHistogramDrift
+
+    n = 3000
+    ref = _phash_frame(spark, n)
+    ana = _phash_frame(spark, n, concentrate_tail=True)
+    chunker = SizeBasedChunker(chunk_size=n // 3, order_by=["ord"])
+    chk = PhashHistogramDrift(chunker=chunker).fit(ref)
+    res = chk.calculate(ana).toPandas().sort_values("chunk_key").reset_index(drop=True)
+    assert set(res["method"]) == {"psi_width_bucket"}
+    vals = res.set_index("chunk_key")["value"]
+    # first two chunks draw from the reference distribution: PSI ~ 0
+    assert (vals.iloc[:2] < 0.05).all()
+    # concentrated tail chunk: PSI blows through the 0.2 alert line
+    assert vals.iloc[2] > 0.5
+    alerts = res.set_index("chunk_key")["alert"]
+    assert not alerts.iloc[0] and not alerts.iloc[1] and alerts.iloc[2]
+
+
+def test_phash_histogram_drift_fused_matches_standalone(spark):
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.fused import fused_calculate, is_fusable
+    from spark_validate.image.phash import PhashHistogramDrift
+
+    n = 1200
+    ref = _phash_frame(spark, n)
+    ana = _phash_frame(spark, n, concentrate_tail=True)
+    chunker = SizeBasedChunker(chunk_size=n // 3, order_by=["ord"])
+    chk = PhashHistogramDrift(chunker=chunker).fit(ref)
+    assert is_fusable(chk)
+    standalone = chk.calculate(ana).toPandas().sort_values("chunk_key").reset_index(drop=True)
+    fused, wide = fused_calculate({"pd": chk}, ana, chunker)
+    got = fused["pd"].toPandas().sort_values("chunk_key").reset_index(drop=True)
+    wide.unpersist()
+    assert list(got["value"].round(12)) == list(standalone["value"].round(12))
+    assert list(got["alert"]) == list(standalone["alert"])
+
+
+def test_phash_histogram_drift_state_roundtrip(spark):
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.image.phash import PhashHistogramDrift
+
+    n = 900
+    ref = _phash_frame(spark, n)
+    ana = _phash_frame(spark, n, concentrate_tail=True)
+    chunker = SizeBasedChunker(chunk_size=n // 3, order_by=["ord"])
+    fitted = PhashHistogramDrift(chunker=chunker).fit(ref)
+    clone = PhashHistogramDrift(chunker=chunker).set_state(fitted.get_state())
+    a = fitted.calculate(ana).toPandas().sort_values("chunk_key")["value"].tolist()
+    b = clone.calculate(ana).toPandas().sort_values("chunk_key")["value"].tolist()
+    assert a == b
+
+
+def test_phash_histogram_out_of_range_mass_counts(spark):
+    """Analysis values outside the fitted [lo, hi) land in width_bucket's
+    overflow bins (0 / n_bins+1) and register as drift, not silence."""
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.image.phash import PhashHistogramDrift
+
+    # reference occupies only the middle of the fold domain
+    ref = spark.range(1000).select(
+        F.col("id").cast("string").alias("image_id"),
+        (F.lit(1000) + F.pmod(F.xxhash64("id"), F.lit(2000))).alias("phash"),
+        F.col("id").alias("ord"),
+    )
+    # analysis sits entirely below the reference range
+    ana = spark.range(1000).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.pmod(F.xxhash64("id"), F.lit(500)).alias("phash"),
+        F.col("id").alias("ord"),
+    )
+    chk = PhashHistogramDrift(chunker=SizeBasedChunker(chunk_size=500, order_by=["ord"])).fit(ref)
+    res = chk.calculate(ana).toPandas()
+    assert (res["value"] > 1.0).all()
+    assert res["alert"].all()

@@ -620,6 +620,7 @@ def test_fused_matches_standalone(spark, workspace):
                 {"type": "cardinality", "columns": ["fmt"], "exact": False},
                 {"type": "iqr_outliers", "columns": ["h"], "k": 1.5},
                 {"type": "quantiles", "columns": ["w"], "exact": True},
+                {"type": "phash_drift", "fold": 4096, "n_bins": 32},
             ],
         }
 
