@@ -1092,6 +1092,53 @@ def q_snapshot_summary(spark, sf_dir):
     return snapshot_diff_summary(old, new, ["doc_id"]).orderBy("status")
 
 
+def q_train_split(spark, sf_dir):
+    """Deterministic disjoint train/val/test assignment
+    (text/sampling.py::with_split): cumulative md5-prefix thresholds over
+    the corpus — every doc gets exactly one split, stable under
+    repartitioning and corpus growth (randomSplit gives neither). Oracle =
+    the same CASE chain with the identical hex thresholds in DuckDB."""
+    from spark_validate.text import with_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        with_split(docs.select("doc_id", "lang"), {"train": 0.8, "val": 0.1, "test": 0.1})
+        .orderBy("doc_id")
+    )
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (text/packing.py::pack_sequences):
+    documents laid end-to-end per hash bucket and cut every 800 tokens —
+    one (doc, pack) slice row per cut segment, pure window + sequence
+    explode, integer DIV throughout. n_chars stands in for the token count
+    (deterministic, no tokenizer in the loop). Oracle = the same bucket
+    hash, running sum, and floor-division slicing in DuckDB."""
+    from spark_validate.text.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs.select("doc_id", F.col("n_chars").alias("token_count")),
+        context_len=800, n_buckets=8, salt="pack42",
+    ).orderBy("doc_id", "pack_index")
+
+
+def q_packing_greedy(spark, sf_dir):
+    """Greedy non-splitting packing (text/packing.py::pack_sequences_greedy):
+    per-bucket sequential fill at ctx=400 — docs under 400 chars pack
+    together, longer docs are flagged oversized in their own packs. The
+    Arrow state machine's walk is replicated by a DuckDB recursive CTE
+    stepping row-by-row per bucket — two genuinely independent executions
+    of the same recurrence."""
+    from spark_validate.text.packing import pack_sequences_greedy
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences_greedy(
+        docs.select("doc_id", F.col("n_chars").alias("token_count")),
+        context_len=400, n_buckets=8, salt="pack42",
+    ).orderBy("doc_id")
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified corpus sampling (text/sampling.py):
     per-language quota rates via md5-prefix hash thresholds — a pure narrow
@@ -1696,6 +1743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_summary": q_snapshot_summary,
         "snapshot_chunk_rates": q_snapshot_chunk_rates,
         "corpus_sample": q_corpus_sample,
+        "train_split": q_train_split,
+        "sequence_packing": q_sequence_packing,
+        "packing_greedy": q_packing_greedy,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
         "perf_multiclass": q_perf_multiclass,
@@ -2875,6 +2925,76 @@ SELECT doc_id, lang, source,
 FROM documents
 WHERE substr(md5('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8) < {_thr}
 ORDER BY doc_id
+"""
+
+    # Disjoint split assignment: the engine's cumulative-threshold CASE
+    # chain verbatim (train < hex(0.8·2^32), val < hex(0.9·2^32), test
+    # takes the remainder) over the same md5 bucket.
+    _t_train, _t_val = rate_to_hex(0.8), rate_to_hex(0.8 + 0.1)
+    sql["train_split"] = f"""
+SELECT doc_id, lang,
+       CASE WHEN b < '{_t_train}' THEN 'train'
+            WHEN b < '{_t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+    # Concat-and-chunk packing: bucket hash, per-bucket running sum, and
+    # floor-division slicing replicated with DuckDB integer `//` (Spark uses
+    # long DIV — both are exact floor division on nonnegative longs).
+    sql["sequence_packing"] = """
+WITH base AS (
+  SELECT doc_id, n_chars AS tok,
+         ('0x' || substr(md5('pack42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS bucket
+  FROM documents WHERE n_chars > 0
+),
+spans AS (
+  SELECT doc_id, bucket, tok,
+         CAST(SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+  FROM base
+),
+laid AS (
+  SELECT doc_id, bucket, e - tok AS s, e,
+         UNNEST(range((e - tok) // 800, (e - 1) // 800 + 1)) AS pack_index
+  FROM spans
+)
+SELECT doc_id, bucket, pack_index,
+       GREATEST(s, pack_index * 800) - pack_index * 800 AS slice_start,
+       LEAST(e, (pack_index + 1) * 800) - GREATEST(s, pack_index * 800) AS slice_len
+FROM laid ORDER BY doc_id, pack_index
+"""
+
+    # Greedy non-splitting packing: the per-bucket sequential recurrence as
+    # a recursive CTE — one recursion step per row rank, independent of the
+    # engine's Arrow state machine.
+    sql["packing_greedy"] = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, n_chars AS tok,
+         ('0x' || substr(md5('pack42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS bucket
+  FROM documents WHERE n_chars > 0
+),
+ordered AS (
+  SELECT doc_id, bucket, tok,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM base
+),
+walk AS (
+  SELECT bucket, doc_id, tok, rn, CAST(0 AS BIGINT) AS pack_index, tok AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.doc_id, o.tok, o.rn,
+         CASE WHEN w.used + o.tok <= 400 THEN w.pack_index ELSE w.pack_index + 1 END,
+         CASE WHEN w.used + o.tok <= 400 THEN w.used + o.tok ELSE o.tok END
+  FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT doc_id, bucket, pack_index, tok > 400 AS oversized
+FROM walk ORDER BY doc_id
 """
 
     # Connected components via a recursive reachability CTE over brute-force

@@ -14,6 +14,12 @@ from spark_validate.text.sampling import (
     hash_bucket,
     rate_to_hex,
     stratified_sample,
+    with_split,
+)
+from spark_validate.text.packing import (
+    pack_sequences,
+    pack_sequences_greedy,
+    packing_stats,
 )
 from spark_validate.text.boilerplate import BoilerplateCheck, common_ngram_rate
 from spark_validate.text.curate import CurationResult, curate
@@ -44,6 +50,10 @@ __all__ = [
     "hash_bucket",
     "rate_to_hex",
     "stratified_sample",
+    "with_split",
+    "pack_sequences",
+    "pack_sequences_greedy",
+    "packing_stats",
     "exact_duplicates",
     "exact_duplicate_members",
     "minhash_signatures",

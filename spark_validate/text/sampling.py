@@ -65,6 +65,46 @@ def deterministic_sample(
     return out if keep_bucket else out.drop(_HASH_BUCKET_COL)
 
 
+def with_split(
+    df: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split42",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment.
+
+    Every row gets exactly one split label, a pure function of
+    ``(salt, key)``: the same md5 bucket as :func:`deterministic_sample`
+    compared against CUMULATIVE hex thresholds — ``bucket < cum_1`` →
+    first split, ``< cum_2`` → second, …, with the LAST split taking the
+    ``otherwise`` branch so integer truncation in the thresholds can never
+    drop a row. Splits are therefore disjoint and exhaustive by
+    construction, stable under repartitioning/recompute, and adding data
+    later never reshuffles existing rows between splits (the property
+    ``randomSplit`` lacks).
+
+    ``weights`` must sum to 1 (±1e-9). Rows whose key is NULL get a NULL
+    split (surfaced, not silently folded into the last split).
+    One narrow projection — no shuffle, no RNG state.
+    """
+    weights = dict(weights or {"train": 0.8, "val": 0.1, "test": 0.1})
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(float(w) for w in weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    names = list(weights)
+    b = hash_bucket(F.col(key_col), salt)
+    cum = 0.0
+    expr = F.when(b.isNull(), F.lit(None).cast("string"))
+    for name in names[:-1]:
+        cum += float(weights[name])
+        expr = expr.when(b < F.lit(rate_to_hex(cum)), F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
 def stratified_sample(
     df: DataFrame,
     rates: Mapping[str, float],

@@ -180,3 +180,45 @@ def test_sampling_and_overlap_plans_are_narrow(spark, documents):
     )
     assert "BroadcastHashJoin" in oplan or "BroadcastExchange" in oplan
     assert "CartesianProduct" not in oplan and "BatchEvalPython" not in oplan
+
+
+def test_with_split_disjoint_exhaustive_and_proportional(spark):
+    from spark_validate.text import with_split
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    out = with_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).toPandas()
+    counts = out["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts.sum() == 20000  # exhaustive: every row labeled exactly once
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+
+
+def test_with_split_stable_under_partitioning_and_growth(spark):
+    from spark_validate.text import with_split
+
+    a = with_split(spark.range(5000).select(F.col("id").alias("doc_id")))
+    b = with_split(
+        spark.range(8000).select(F.col("id").alias("doc_id")).repartition(17)
+    )
+    pa = a.toPandas().set_index("doc_id")["split"]
+    pb = b.toPandas().set_index("doc_id")["split"]
+    # the first 5000 keys keep their assignment when the corpus grows and
+    # the physical layout changes — no reshuffling between splits
+    assert (pb.loc[pa.index] == pa).all()
+
+
+def test_with_split_null_key_and_weight_validation(spark):
+    import pytest as _pytest
+
+    from spark_validate.text import with_split
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
+    out = with_split(df).toPandas().set_index("doc_id", drop=False)
+    assert out.loc[1, "split"] in ("train", "val", "test")
+    assert out[out["doc_id"].isna()]["split"].isna().all()
+    with _pytest.raises(ValueError):
+        with_split(df, {"train": 0.5, "test": 0.4})  # doesn't sum to 1
+    with _pytest.raises(ValueError):
+        with_split(df, {"all": 1.0})  # fewer than two splits
