@@ -7,16 +7,41 @@ per the environment contract — the jar is absent in this container)."""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Mapping, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_table(spark: SparkSession, path_or_table: str, fmt: Optional[str] = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    path_or_table: str,
+    fmt: Optional[str] = None,
+    snapshot_id: Optional[int] = None,
+    as_of_timestamp: Optional[int] = None,
+    options: Optional[Mapping[str, str]] = None,
+) -> DataFrame:
     """Read a source by extension or explicit format. ``table:<name>`` reads
-    from the session catalog (Iceberg/Hive when configured)."""
+    from the session catalog (Iceberg/Hive when configured).
+
+    ``snapshot_id`` / ``as_of_timestamp`` (epoch millis) are Iceberg
+    time-travel reads — the north rule's table versioning surface: validate
+    the EXACT snapshot a run saw, or re-run a past check against the table
+    as it stood then. They compile to the reader options Iceberg's Spark
+    source defines (``snapshot-id`` / ``as-of-timestamp``); non-Iceberg
+    catalog tables ignore unknown reader options, so the same config runs
+    against the parquet stand-in tables in this container. ``options``
+    passes any further reader options through verbatim (both catalog and
+    path sources — e.g. ``pathGlobFilter`` for partial-directory reads).
+    """
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(int(snapshot_id)))
+    if as_of_timestamp is not None:
+        reader = reader.option("as-of-timestamp", str(int(as_of_timestamp)))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if path_or_table.startswith("table:"):
-        return spark.read.table(path_or_table[len("table:"):])
+        return reader.table(path_or_table[len("table:"):])
     f = fmt
     if f is None:
         low = path_or_table.lower()
@@ -30,10 +55,27 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: Optional[str] = Non
             f = "orc"
         else:
             f = "parquet"
-    reader = spark.read
     if f == "csv":
         return reader.option("header", True).option("inferSchema", True).csv(path_or_table)
     return reader.format(f).load(path_or_table)
+
+
+def read_source(spark: SparkSession, source: Union[str, Mapping]) -> DataFrame:
+    """Config-facing reader: a plain string (path or ``table:<name>``) or a
+    mapping ``{path, format?, snapshot_id?, as_of_timestamp?, options?}`` —
+    the dict form is how a suite config pins a check run to one table
+    version (per-partition lineage + a snapshot-pinned source make the
+    whole run replayable)."""
+    if isinstance(source, str):
+        return read_table(spark, source)
+    return read_table(
+        spark,
+        source["path"],
+        fmt=source.get("format"),
+        snapshot_id=source.get("snapshot_id"),
+        as_of_timestamp=source.get("as_of_timestamp"),
+        options=source.get("options"),
+    )
 
 
 def write_results(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "append", partition_by=None):

@@ -19,6 +19,9 @@ Example config (YAML or dict):
     store_dir: /data/validate/store
     reference: /data/images/reference.parquet
     analysis: /data/images/analysis.parquet
+    # any source (reference/analysis/manifest/benchmark/targets) may also be
+    # a dict pinning an Iceberg table version — the replayable-run form:
+    #   analysis: {path: "table:lake.images", snapshot_id: 6423559163109015060}
     chunking: {partition_columns: [fmt]}        # or {chunk_period: D, timestamp_column: ts}
     checks:
       - {type: column_stats, columns: [w, h], metrics: [missing_rate, avg, min, max]}
@@ -50,7 +53,7 @@ from spark_validate.checks import (
 )
 from spark_validate.chunking import CHUNK_KEY, chunker_for
 from spark_validate.drift import UnivariateDriftCalculator
-from spark_validate.io import FittedStore, read_table, write_results
+from spark_validate.io import FittedStore, read_source, read_table, write_results
 from spark_validate.thresholds import ConstantThreshold, StandardDeviationThreshold
 
 
@@ -95,7 +98,7 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
     if kind == "uniqueness":
         return UniquenessCheck(cfg["keys"], chunker=chunker, salt_buckets=cfg.get("salt_buckets", 0))
     if kind == "referential":
-        manifest = read_table(spark, cfg["manifest"])
+        manifest = read_source(spark, cfg["manifest"])
         return ReferentialIntegrityCheck(
             column=cfg["column"], manifest=manifest,
             manifest_column=cfg.get("manifest_column"), chunker=chunker,
@@ -174,7 +177,7 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
         from spark_validate.image.phash import PhashDecontaminationCheck
 
         return PhashDecontaminationCheck(
-            benchmark=read_table(spark, cfg["benchmark"]),
+            benchmark=read_source(spark, cfg["benchmark"]),
             phash_col=cfg.get("column", "phash"),
             id_col=cfg.get("id_column", "image_id"),
             max_hamming=cfg.get("max_hamming", 4),
@@ -187,7 +190,7 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
         from spark_validate.text.decontaminate import DecontaminationCheck
 
         return DecontaminationCheck(
-            benchmark=read_table(spark, cfg["benchmark"]),
+            benchmark=read_source(spark, cfg["benchmark"]),
             text_col=cfg.get("column", "text"),
             id_col=cfg.get("id_column", "doc_id"),
             n=cfg.get("n", 5),
@@ -330,7 +333,7 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
         from spark_validate.sim.ann import EmbeddingLeakageCheck
 
         return EmbeddingLeakageCheck(
-            benchmark=read_table(spark, cfg["benchmark"]),
+            benchmark=read_source(spark, cfg["benchmark"]),
             threshold=cfg.get("threshold", 0.95),
             vec_col=cfg.get("column", "embedding"),
             id_col=cfg.get("id_column", "vec_id"),
@@ -433,12 +436,12 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
     run_id = config["run_id"]
     out_dir = config["output_dir"]
     store = FittedStore(config.get("store_dir", os.path.join(out_dir, "store")))
-    reference = read_table(spark, config["reference"])
-    analysis = read_table(spark, config["analysis"])
+    reference = read_source(spark, config["reference"])
+    analysis = read_source(spark, config["analysis"])
     # delayed ground truth arrives separately and joins back by key, exactly
     # the reference runner's target join (nannyml/runner.py:299-305)
     if config.get("analysis_targets"):
-        targets = read_table(spark, config["analysis_targets"])
+        targets = read_source(spark, config["analysis_targets"])
         analysis = analysis.join(targets, config.get("target_join_column", "id"), "left")
     # derived (virtual) columns: SQL expressions materialized on BOTH periods
     # before any check runs, so constraint/drift/stats checks can target

@@ -158,3 +158,43 @@ def test_catalog_table_partition_pruning_and_append(spark):
     assert len(out) == 2 and all(r["n"] == one.count() for r in out)
     spark.sql("DROP TABLE IF EXISTS sv_imgcat")
     spark.sql("DROP TABLE IF EXISTS sv_imgcat_results")
+
+
+def test_read_source_time_travel_plumbing(spark, tmp_path):
+    """Snapshot-pinned source config: read_source's dict form carries
+    Iceberg time-travel args (snapshot-id / as-of-timestamp reader options)
+    and arbitrary reader options. The container has no Iceberg jar, so the
+    observable contract is (a) generic options demonstrably reach the
+    reader (pathGlobFilter prunes files), (b) time-travel args are
+    harmless no-ops on the builtin-catalog stand-in tables (unknown v1
+    options are ignored), keeping one config portable across both."""
+    from pyspark.sql import functions as F
+
+    from spark_validate.io import read_source, save_catalog_table
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("part"))
+    df.write.mode("overwrite").partitionBy("part").parquet(str(tmp_path / "src"))
+
+    # (a) options reach the path reader: glob restricted to two partitions
+    got = read_source(
+        spark,
+        {"path": str(tmp_path / "src"), "format": "parquet",
+         "options": {"pathGlobFilter": "*.parquet", "recursiveFileLookup": "false"}},
+    )
+    assert got.count() == 100
+    two = read_source(
+        spark,
+        {"path": str(tmp_path / "src") + "/part=[01]", "format": "parquet"},
+    )
+    assert two.count() == 50
+
+    # (b) snapshot args no-op on a builtin catalog table (Iceberg would
+    # honor them; v1 relations ignore unknown reader options)
+    save_catalog_table(df, "sv_tt_probe", partition_by=["part"])
+    pinned = read_source(
+        spark,
+        {"path": "table:sv_tt_probe", "snapshot_id": 42,
+         "as_of_timestamp": 1700000000000},
+    )
+    assert pinned.count() == 100
+    spark.sql("DROP TABLE IF EXISTS sv_tt_probe")

@@ -867,3 +867,27 @@ def test_snapshot_check_in_runner(spark, tmp_path):
     assert kinds == {"changed": 2, "added": 2, "removed": 1}
     removed = v[v["violation_kind"] == "removed"]
     assert removed["row_id"].tolist() == ["id7"] and removed["chunk_key"].isna().all()
+
+
+def test_run_suite_dict_sources_with_snapshot_pin(spark, workspace, tmp_path):
+    """Config sources accept the dict form ({path, snapshot_id, ...}): the
+    suite runs identically against snapshot-pinned source specs (time-travel
+    options no-op on the parquet stand-ins, honored on Iceberg)."""
+    cfg = {
+        "run_id": "dictsrc",
+        "output_dir": str(tmp_path / "out_dict"),
+        "store_dir": str(tmp_path / "store_dict"),
+        "reference": {"path": str(workspace / "ref"), "format": "parquet"},
+        "analysis": {"path": str(workspace / "ana"), "snapshot_id": 7,
+                     "as_of_timestamp": 1700000000000},
+        "chunking": {"partition_columns": ["part"]},
+        "checks": [
+            {"type": "range", "columns": ["w"]},
+            {"type": "referential", "column": "phash",
+             "manifest": {"path": str(workspace / "manifest")}},
+        ],
+    }
+    report = run_suite(spark, cfg)
+    assert set(report) == {"range__w", "referential__phash"}
+    res = spark.read.parquet(str(tmp_path / "out_dict" / "results"))
+    assert res.count() > 0
