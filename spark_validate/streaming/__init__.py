@@ -6,7 +6,11 @@ from spark_validate.streaming.incremental import (
     attach_thresholds,
 )
 from spark_validate.streaming.stateful import running_group_stats, streaming_duplicate_keys
-from spark_validate.streaming.drift import streaming_embedding_drift, streaming_univariate_drift
+from spark_validate.streaming.drift import (
+    streaming_embedding_drift,
+    streaming_phash_drift,
+    streaming_univariate_drift,
+)
 
 __all__ = [
     "streaming_column_stats",
@@ -18,4 +22,5 @@ __all__ = [
     "streaming_duplicate_keys",
     "streaming_univariate_drift",
     "streaming_embedding_drift",
+    "streaming_phash_drift",
 ]

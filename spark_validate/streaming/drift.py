@@ -167,6 +167,32 @@ def streaming_univariate_drift(
     return _melt(agg, specs)
 
 
+def streaming_phash_drift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``PhashHistogramDrift``
+    (`spark_validate/image/phash.py`) into a streaming drift query: the
+    batch check is already one pivoted width_bucket-count aggregation plus
+    a PSI projection over fitted constants, so the streaming form swaps the
+    chunk groupBy for a tumbling event-time window and reuses the SAME
+    count expressions and PSI column — bit-identical per-window values to
+    a batch run over the window's rows."""
+    if calc._state is None:
+        raise RuntimeError("fit the check on the reference period first")
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+    agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(
+        *calc._count_exprs("")
+    )
+    specs = [(calc.column, "psi_width_bucket", calc._psi_col(""), None, calc.upper_threshold)]
+    return _melt(agg, specs)
+
+
 def streaming_embedding_drift(
     stream: DataFrame,
     calc,

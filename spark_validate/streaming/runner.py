@@ -230,6 +230,22 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             queries[name] = _sink(drift, out_dir, name, "append", trigger).start()
             calc.release_cache()
+        elif kind == "phash_drift":
+            if reference is None:
+                raise ValueError("phash_drift check needs a reference table to fit")
+            from spark_validate.streaming.drift import streaming_phash_drift
+
+            key = uniq(
+                check_cfg.get("name") or f"phash_drift__{check_cfg.get('column', 'phash')}",
+                check_idx,
+            )
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            calc = build_check(spark, check_cfg, chunker)
+            calc.fit(reference)
+            ph_drift = streaming_phash_drift(
+                stream, calc, ts, window_duration=window, watermark=watermark or window
+            )
+            queries[key] = _sink(ph_drift, out_dir, key, "append", trigger).start()
         elif kind == "embedding_drift":
             if reference is None:
                 raise ValueError("embedding_drift check needs a reference table to fit")

@@ -298,6 +298,11 @@ def test_run_streaming_suite_end_to_end(spark, tmp_path):
             "ts": ts,
             "w": rng.normal(100, 10, n) + np.where(drifted, 60, 0),
             "fmt": np.where(rng.uniform(0, 1, n) < 0.01, "bmp", "jpeg"),
+            "phash": np.where(
+                drifted,
+                rng.integers(0, 1 << 40, n) % 128,  # drifted half: narrow band
+                rng.integers(0, 1 << 40, n),
+            ),
         }
     )
     ref_dir = str(tmp_path / "ref")
@@ -317,6 +322,7 @@ def test_run_streaming_suite_end_to_end(spark, tmp_path):
             {"type": "column_stats", "columns": ["w"]},
             {"type": "domain", "columns": ["fmt"], "domain": ["jpeg", "png"]},
             {"type": "drift", "columns": ["w"], "continuous_methods": ["jensen_shannon", "psi"]},
+            {"type": "phash_drift", "n_bins": 16},
         ],
     }
     queries = run_streaming_suite(spark, cfg)
@@ -343,6 +349,11 @@ def test_run_streaming_suite_end_to_end(spark, tmp_path):
     assert set(drift["method"]) == {"jensen_shannon", "psi"}
     late = drift[pd.to_datetime(drift["window_start"]).dt.hour >= 5]
     assert late["alert"].any()  # drifted half alerts
+    ph = spark.read.parquet(f"{out_dir}/phash_drift__phash").toPandas()
+    assert set(ph["method"]) == {"psi_width_bucket"}
+    ph_late = ph[pd.to_datetime(ph["window_start"]).dt.hour >= 6]
+    ph_early = ph[pd.to_datetime(ph["window_start"]).dt.hour.isin([2, 3, 4])]
+    assert ph_late["alert"].any() and not ph_early["alert"].any()
     # checkpoints exist → restart-safe sinks
     assert (tmp_path / "out" / "_checkpoints" / "column_stats__w").exists()
 
@@ -1052,3 +1063,56 @@ def test_streaming_quantiles(spark, stream_dir):
     # values ~N(10,2): every window's sketch-median lands near 10, p90 > p50
     assert out["value__p50"].between(8.5, 11.5).all()
     assert (out["value__p90"] > out["value__p50"]).all()
+
+
+def test_streaming_phash_drift_matches_batch(spark, tmp_path):
+    """A fitted PhashHistogramDrift compiled to a streaming query produces
+    per-window PSI equal to the batch path over a matching period chunker
+    (same pivoted width_bucket counts, same PSI projection)."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.image.phash import PhashHistogramDrift
+    from spark_validate.streaming import streaming_phash_drift
+
+    n = 4800
+    ts = pd.date_range("2024-05-01", periods=n, freq="6s")  # 8 hours
+    base = pd.DataFrame({"ts": ts, "image_id": [f"i{i}" for i in range(n)]})
+    # deterministic spread; the last ~3 hours concentrate into a narrow band
+    h = pd.util.hash_array(base["image_id"].to_numpy(dtype=object)).astype("int64")
+    base["phash"] = np.abs(h) % (1 << 40)
+    drifted = np.arange(n) >= 5 * n // 8
+    base.loc[drifted, "phash"] = base.loc[drifted, "phash"] % 128
+
+    ref = base.iloc[: n // 4]
+    ana = base.iloc[n // 4 :]
+    calc = PhashHistogramDrift(
+        n_bins=16,  # ~600 rows/hour: 16 bins keeps baseline PSI noise well under the 0.2 line
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+    ).fit(spark.createDataFrame(ref))
+
+    batch = calc.calculate(spark.createDataFrame(ana)).toPandas()
+
+    src = str(tmp_path / "phash_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_phash_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_phash_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_res = spark.sql("SELECT * FROM sv_phash_drift").toPandas()
+
+    b = batch.set_index(batch["start_ts"].dt.floor("h"))["value"]
+    s = stream_res.set_index(pd.to_datetime(stream_res["window_start"]))["value"]
+    joined = pd.concat([b.rename("batch"), s.rename("stream")], axis=1).dropna()
+    assert len(joined) == len(s) >= 6
+    np.testing.assert_allclose(joined["batch"], joined["stream"], rtol=1e-12)
+    # drifted hours alert through the same 0.2 PSI line in both paths
+    sa = stream_res.set_index(pd.to_datetime(stream_res["window_start"]))["alert"]
+    ba = batch.set_index(batch["start_ts"].dt.floor("h"))["alert"]
+    agree = pd.concat([ba.rename("b"), sa.rename("s")], axis=1).dropna()
+    assert (agree["b"].astype(bool) == agree["s"].astype(bool)).all()
+    assert agree["s"].astype(bool).any() and not agree["s"].astype(bool).all()
