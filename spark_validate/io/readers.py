@@ -33,17 +33,9 @@ def read_table(
     passes any further reader options through verbatim (both catalog and
     path sources — e.g. ``pathGlobFilter`` for partial-directory reads).
     """
-    reader = spark.read
-    if snapshot_id is not None:
-        reader = reader.option("snapshot-id", str(int(snapshot_id)))
-    if as_of_timestamp is not None:
-        reader = reader.option("as-of-timestamp", str(int(as_of_timestamp)))
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
-    if path_or_table.startswith("table:"):
-        return reader.table(path_or_table[len("table:"):])
+    is_table = path_or_table.startswith("table:")
     f = fmt
-    if f is None:
+    if not is_table and f is None:
         low = path_or_table.lower()
         if low.endswith((".pq", ".parquet")) or "parquet" in low:
             f = "parquet"
@@ -55,8 +47,19 @@ def read_table(
             f = "orc"
         else:
             f = "parquet"
+    reader = spark.read
+    if f == "csv":  # defaults first so caller options can override them
+        reader = reader.option("header", True).option("inferSchema", True)
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(int(snapshot_id)))
+    if as_of_timestamp is not None:
+        reader = reader.option("as-of-timestamp", str(int(as_of_timestamp)))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if is_table:
+        return reader.table(path_or_table[len("table:"):])
     if f == "csv":
-        return reader.option("header", True).option("inferSchema", True).csv(path_or_table)
+        return reader.csv(path_or_table)
     return reader.format(f).load(path_or_table)
 
 

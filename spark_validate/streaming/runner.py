@@ -24,7 +24,7 @@ from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_validate.io.readers import read_table
+from spark_validate.io.readers import read_source
 from spark_validate.runner import build_chunker, build_check, _check_name
 
 
@@ -62,11 +62,11 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
     from spark_validate.runner import apply_derived_columns
 
     batch_src = config.get("reference")
-    reference = read_table(spark, batch_src) if batch_src else None
+    reference = read_source(spark, batch_src) if batch_src else None
     if reference is not None:
         reference = apply_derived_columns(reference, config.get("derived_columns"))
     schema = (
-        read_table(spark, config.get("stream_schema_from", batch_src or config["stream"])).schema
+        read_source(spark, config.get("stream_schema_from", batch_src or config["stream"])).schema
     )
     # watermarks are applied by each check builder (a second withWatermark on
     # the same frame is an error: "Redefining watermark is disallowed")
@@ -251,13 +251,20 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 raise ValueError("embedding_drift check needs a reference table to fit")
             from spark_validate.streaming.drift import streaming_embedding_drift
 
+            # own sink key: `name` is only assigned for column_stats/drift
+            # kinds — reusing it here would inherit the PREVIOUS check's
+            # sink path and checkpointLocation (state-store collision)
+            key = uniq(
+                check_cfg.get("name") or f"embedding_drift__{check_cfg.get('column', 'embedding')}",
+                check_idx,
+            )
             chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
             calc = build_check(spark, check_cfg, chunker)
             calc.fit(reference)
             emb_drift = streaming_embedding_drift(
                 stream, calc, ts, window_duration=window, watermark=watermark or window
             )
-            queries[name] = _sink(emb_drift, out_dir, name, "append", trigger).start()
+            queries[key] = _sink(emb_drift, out_dir, key, "append", trigger).start()
         elif kind == "decontamination":
             # validate the corpus INGEST stream against a static benchmark:
             # stateless stream-static semi join on the broadcast gram
@@ -267,7 +274,7 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
 
             v = streaming_ngram_contamination(
                 stream,
-                read_table(spark, check_cfg["benchmark"]),
+                read_source(spark, check_cfg["benchmark"]),
                 ts_col=ts,
                 text_col=check_cfg.get("column", "text"),
                 id_col=check_cfg.get("id_column", "doc_id"),

@@ -42,9 +42,12 @@ from pyspark.sql import functions as F
 
 
 def _bucket_expr(id_col: str, n_buckets: int, salt: str) -> F.Column:
-    """Uniform bucket in [0, n_buckets) — md5-based (not xxhash64) so any
-    engine with md5 replicates it; 8 hex chars = 32 uniform bits."""
-    hex8 = F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8)
+    """Uniform bucket in [0, n_buckets) — the sampling module's md5 recipe
+    (not xxhash64) so any engine with md5 replicates it; 8 hex chars = 32
+    uniform bits."""
+    from spark_validate.text.sampling import hash_bucket
+
+    hex8 = hash_bucket(F.col(id_col), salt)
     return F.pmod(F.conv(hex8, 16, 10).cast("long"), F.lit(n_buckets))
 
 
@@ -77,7 +80,14 @@ def pack_sequences(
             _bucket_expr(id_col, n_buckets, salt).alias("bucket"),
         )
     )
-    w = Window.partitionBy("bucket").orderBy(id_col)
+    # explicit ROWS frame: the default RANGE frame sums ORDER-BY peers
+    # together, so duplicate ids would get overlapping spans and break
+    # token conservation silently
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     end = F.sum("_tok").over(w)
     start = end - F.col("_tok")
     ctx = int(context_len)
@@ -147,7 +157,10 @@ def pack_sequences_greedy(
         out["pack_index"] = packs
         return out
 
-    n_shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:  # AQE-managed clusters may set this to a non-numeric value ("auto")
+        n_shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_shuf = n_buckets
     packed = (
         base.repartition(min(n_buckets, n_shuf), "bucket")
         .groupBy("bucket")

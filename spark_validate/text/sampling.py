@@ -91,6 +91,10 @@ def with_split(
     weights = dict(weights or {"train": 0.8, "val": 0.1, "test": 0.1})
     if len(weights) < 2:
         raise ValueError("need at least two splits")
+    bad = {k: w for k, w in weights.items() if not float(w) > 0}
+    if bad:  # a non-positive weight makes thresholds non-monotone: some
+        # split would silently never receive rows
+        raise ValueError(f"split weights must be positive, got {bad}")
     total = sum(float(w) for w in weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")

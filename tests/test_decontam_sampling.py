@@ -222,3 +222,15 @@ def test_with_split_null_key_and_weight_validation(spark):
         with_split(df, {"train": 0.5, "test": 0.4})  # doesn't sum to 1
     with _pytest.raises(ValueError):
         with_split(df, {"all": 1.0})  # fewer than two splits
+
+
+def test_with_split_rejects_nonpositive_weights(spark):
+    import pytest as _pytest
+
+    from spark_validate.text import with_split
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with _pytest.raises(ValueError, match="positive"):
+        with_split(df, {"train": 1.2, "val": -0.3, "test": 0.1})
+    with _pytest.raises(ValueError, match="positive"):
+        with_split(df, {"train": 1.0, "val": 0.0})

@@ -245,3 +245,43 @@ def test_fit_histogram_includes_dropped_partial_chunk(spark):
     # the top bucket holds the 5 dropped-chunk rows: 5/105
     assert st["norm_probs"][-1] == pytest.approx(5 / 105)
     assert sum(st["norm_probs"]) == pytest.approx(1.0)
+
+
+def test_streaming_runner_embedding_drift_only(spark, frames, tmp_path):
+    """An embedding_drift-only streaming config gets its OWN sink key and
+    checkpoint (regression: the kind previously reused the undefined/stale
+    `name` of the column_stats/drift kinds — NameError standalone, silent
+    checkpoint collision after a drift check)."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    ref_df, ana_df, _, _ = frames
+    ts = F.to_timestamp(
+        F.lit("2024-03-01 00:00:00").cast("timestamp")
+        + (F.col("vec_id") / CHUNK).cast("int") * F.expr("INTERVAL 1 HOUR")
+    )
+    ref_dir, stream_dir = str(tmp_path / "ref"), str(tmp_path / "stream")
+    ref_df.withColumn("ts", ts).write.parquet(ref_dir)
+    ana_df.withColumn("ts", ts).write.parquet(stream_dir)
+    cfg = {
+        "output_dir": str(tmp_path / "out"),
+        "reference": ref_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 hour",
+        "watermark": "0 seconds",
+        "checks": [{"type": "embedding_drift", "column": "embedding", "dim": DIM}],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        assert set(queries) == {"embedding_drift__embedding"}
+        for q in queries.values():
+            q.processAllAvailable()
+        sentinel = ana_df.withColumn("ts", ts + F.expr("INTERVAL 48 HOUR")).limit(1)
+        sentinel.write.mode("append").parquet(stream_dir)
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    out = spark.read.parquet(str(tmp_path / "out" / "embedding_drift__embedding"))
+    assert out.count() > 0

@@ -93,3 +93,16 @@ def test_pack_sequences_drops_empty_docs(spark):
     assert set(out["doc_id"]) == {1}
     g = pack_sequences_greedy(df, context_len=CTX).toPandas()
     assert set(g["doc_id"]) == {1}
+
+
+def test_pack_sequences_duplicate_ids_conserve(spark):
+    """Duplicate ids are window peers: the ROWS frame keeps their spans
+    disjoint (the default RANGE frame would overlap them and break token
+    conservation)."""
+    rows = [(f"d{i % 50}", 37 + (i % 11)) for i in range(400)]  # every id ×8
+    df = spark.createDataFrame(rows, "doc_id string, token_count bigint")
+    out = pack_sequences(df, context_len=128, n_buckets=4).toPandas()
+    assert out["slice_len"].sum() == sum(t for _, t in rows)  # conservation
+    fill = out.groupby(["bucket", "pack_index"])["slice_len"].sum().reset_index()
+    last = fill.groupby("bucket")["pack_index"].transform("max")
+    assert (fill[fill["pack_index"] < last]["slice_len"] == 128).all()

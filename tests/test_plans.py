@@ -198,3 +198,18 @@ def test_read_source_time_travel_plumbing(spark, tmp_path):
     )
     assert pinned.count() == 100
     spark.sql("DROP TABLE IF EXISTS sv_tt_probe")
+
+
+def test_read_table_csv_user_options_override_defaults(spark, tmp_path):
+    """The CSV convenience defaults (header, inferSchema) must lose to
+    caller-supplied options — regression: they were applied after the
+    options dict and silently clobbered it."""
+    from spark_validate.io import read_source
+
+    p = str(tmp_path / "d.csv")
+    with open(p, "w") as f:
+        f.write("10,20\n30,40\n")
+    headerless = read_source(spark, {"path": p, "options": {"header": "false"}})
+    assert headerless.count() == 2  # first row is DATA, not a header
+    defaulted = read_source(spark, {"path": p})
+    assert defaulted.count() == 1  # default header=True consumes row one
