@@ -91,18 +91,26 @@ def run_curation(spark, config: dict) -> dict:
 
     Writes ``curated/`` (+ ``annotated/``) and ``report/`` parquet under
     ``output_dir``; returns the report as ``{stage: (dropped, remaining)}``.
+
+    Training-ready output: an optional ``split`` key (weights mapping, e.g.
+    ``{train: 0.9, val: 0.05, test: 0.05}``) stamps a deterministic split
+    column onto the curated corpus, and an optional ``packing`` key
+    (``{context_len, n_buckets?, token_column?, greedy?, split?}``) writes
+    a ``packing/`` sink of pack assignments over the curated docs (by
+    default the ``train`` split when splitting is on) — curate → split →
+    pack is the whole corpus-to-training-shards path in one config.
     """
     import copy
     import os
 
-    from spark_validate.io.readers import read_table, write_results
+    from spark_validate.io.readers import read_source, write_results
 
-    df = read_table(spark, config["input"])
+    df = read_source(spark, config["input"])
     stages = copy.deepcopy(list(config["curation"]))
     for spec in stages:
         for key in ("benchmark", "reference"):
-            if key in spec and isinstance(spec[key], str):
-                spec[key] = read_table(spark, spec[key])
+            if key in spec and isinstance(spec[key], (str, dict)):
+                spec[key] = read_source(spark, spec[key])
     res = curate(
         df,
         stages,
@@ -111,10 +119,40 @@ def run_curation(spark, config: dict) -> dict:
         persist=bool(config.get("persist", True)),
     )
     out_dir = config["output_dir"]
+    id_col = config.get("id_column", "doc_id")
+    curated = res.curated
+    if config.get("split"):
+        from spark_validate.text.sampling import with_split
+
+        curated = with_split(
+            curated, config["split"], key_col=id_col,
+            salt=config.get("split_salt", "split42"),
+        )
     # overwrite, not append: re-running a curation job into the same
     # output_dir must replace the curated corpus, not duplicate it (the
     # suite runner's append + lineage-resume semantics don't apply here)
-    write_results(res.curated, os.path.join(out_dir, "curated"), mode="overwrite")
+    write_results(curated, os.path.join(out_dir, "curated"), mode="overwrite")
+    if config.get("packing"):
+        from spark_validate.text.packing import pack_sequences, pack_sequences_greedy
+
+        pk = dict(config["packing"])
+        src = curated
+        if config.get("split"):
+            src = src.filter(F.col("split") == pk.get("split", "train"))
+        token_col = pk.get("token_column", "token_count")
+        if token_col not in src.columns:
+            # whitespace token convention shared with the quality stages
+            t = F.coalesce(F.col(config.get("text_column", "text")), F.lit(""))
+            n_space = F.length(t) - F.length(F.regexp_replace(t, r" ", ""))
+            src = src.withColumn(token_col, (n_space + 1).cast("long"))
+        fn = pack_sequences_greedy if pk.get("greedy") else pack_sequences
+        packed = fn(
+            src, token_col=token_col, id_col=id_col,
+            context_len=int(pk.get("context_len", 2048)),
+            n_buckets=int(pk.get("n_buckets", 64)),
+            salt=pk.get("salt", "pack42"),
+        )
+        write_results(packed, os.path.join(out_dir, "packing"), mode="overwrite")
     if config.get("write_annotated"):
         write_results(res.annotated, os.path.join(out_dir, "annotated"), mode="overwrite")
     report = res.report()

@@ -291,3 +291,38 @@ def test_embedding_dedup_stage(spark):
     )
     got = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
     assert got == {1: "quality", 2: None, 3: "embedding_dedup", 4: None}
+
+
+def test_run_curation_split_and_packing_sinks(spark, tmp_path):
+    """curate → split → pack in one config: the curated sink carries the
+    deterministic split column and packing/ holds pack assignments over the
+    train split, token-conserving against the curated docs."""
+    from spark_validate.text.curate import run_curation
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [
+                ("word " * (20 + (i * 7) % 60)).strip() for i in range(200)
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    cfg = {
+        "input": str(tmp_path / "in"),
+        "output_dir": str(tmp_path / "out"),
+        "curation": [{"stage": "quality", "min_chars": 30}],
+        "split": {"train": 0.8, "val": 0.1, "test": 0.1},
+        "packing": {"context_len": 256, "n_buckets": 4},
+    }
+    run_curation(spark, cfg)
+    cur = spark.read.parquet(str(tmp_path / "out" / "curated")).toPandas()
+    assert set(cur["split"]) <= {"train", "val", "test"}
+    assert (cur["split"] == "train").sum() > 0
+    packed = spark.read.parquet(str(tmp_path / "out" / "packing")).toPandas()
+    # only train docs are packed, and every train doc's tokens are conserved
+    train = cur[cur["split"] == "train"].copy()
+    assert set(packed["doc_id"]) == set(train["doc_id"])
+    toks = train.set_index("doc_id")["text"].str.count(" ") + 1
+    per_doc = packed.groupby("doc_id")["slice_len"].sum()
+    assert (per_doc == toks.loc[per_doc.index]).all()
