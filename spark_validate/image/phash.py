@@ -363,7 +363,8 @@ class PhashHistogramDrift:
     n_bins+1 are width_bucket's below-range/at-or-above-range overflow
     bins, which the reference's own min/max rows land in by SQL-standard
     semantics). Calculate is ONE ``groupBy(chunk)`` of the same pivoted
-    counts — pure codegen aggregate, map-side combinable, zero joins — and
+    counts — pure codegen aggregate, map-side combinable, no joins beyond
+    the standard ≤#chunks header attach every check shares — and
     PSI is a single projection over the fitted probability constants:
     Σ_b (q'−p')·ln(q'/p') with both sides floored at ``eps`` (same
     convention as UnivariateDriftCalculator._psi_from_dense). Because the
