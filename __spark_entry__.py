@@ -1107,6 +1107,58 @@ def q_train_split(spark, sf_dir):
     )
 
 
+def _chunk_index_from_key():
+    """chunk_index from a SizeBasedChunker key '[start:end]' — start DIV size."""
+    return F.floor(
+        F.regexp_extract(F.col("chunk_key"), r"^\[(\d+):", 1).cast("long") / EV_CHUNK
+    ).cast("int")
+
+
+def q_frequent_items(spark, sf_dir):
+    """Per-chunk top-k heavy hitters (checks/profile.py::
+    FrequentItemsCalculator): map-side-combined (chunk, value) counts +
+    window rank with a deterministic tie-break (count DESC, value ASC
+    NULLS LAST — pinned so Spark and DuckDB agree at any parallelism)."""
+    from spark_validate.checks import FrequentItemsCalculator
+
+    ev = _read(spark, sf_dir, "events")
+    calc = FrequentItemsCalculator(
+        ["event_type"], k=3,
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    res = calc.calculate(ev)
+    return res.select(
+        _chunk_index_from_key().alias("chunk_index"),
+        "column_name", "method", "value", "item_value", "item_count", "rank",
+    ).orderBy("chunk_index", "rank")
+
+
+def q_histogram_stats(spark, sf_dir):
+    """Per-chunk equi-width histogram export (checks/profile.py::
+    HistogramCalculator): width_bucket over the reference-fitted [lo, hi)
+    with SQL-standard overflow bins 0 / n+1 — out-of-reference-range
+    analysis mass is reported, never clipped. Oracle replicates the
+    width_bucket arithmetic (same construction as phash_psi) and the
+    Python bin-edge computation op-for-op."""
+    from spark_validate.checks import HistogramCalculator
+
+    ev = _read(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    ana = ev.filter(F.col("event_id") % 2 == 1)
+    calc = timed_fit(
+        HistogramCalculator(
+            ["value"], n_bins=10,
+            chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+        ),
+        ref,
+    )
+    res = calc.calculate(ana)
+    return res.select(
+        _chunk_index_from_key().alias("chunk_index"),
+        "column_name", "method", "bucket", "bin_lo", "bin_hi", "item_count", "value",
+    ).orderBy("chunk_index", "bucket")
+
+
 def q_sequence_packing(spark, sf_dir):
     """Concat-and-chunk sequence packing (text/packing.py::pack_sequences):
     documents laid end-to-end per hash bucket and cut every 800 tokens —
@@ -1746,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "sequence_packing": q_sequence_packing,
         "packing_greedy": q_packing_greedy,
+        "frequent_items": q_frequent_items,
+        "histogram_stats": q_histogram_stats,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
         "perf_multiclass": q_perf_multiclass,
@@ -2942,6 +2996,62 @@ FROM (
   FROM documents
 )
 ORDER BY doc_id
+"""
+
+    # Heavy hitters: same two-phase counts + window rank; tie-break pinned
+    # to (count DESC, value ASC NULLS LAST) on both engines.
+    sql["frequent_items"] = f"""
+WITH ev AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         event_type AS v
+  FROM events
+),
+l1 AS (SELECT chunk_index, v, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+ranked AS (
+  SELECT chunk_index, v, cnt,
+         ROW_NUMBER() OVER (PARTITION BY chunk_index ORDER BY cnt DESC, v ASC NULLS LAST) AS rank,
+         CAST(SUM(cnt) OVER (PARTITION BY chunk_index) AS BIGINT) AS n
+  FROM l1
+)
+SELECT chunk_index, 'event_type' AS column_name, 'top_k' AS method,
+       cnt / n AS value, v AS item_value, cnt AS item_count,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY chunk_index, rank
+"""
+
+    # Equi-width histogram export: the phash_psi width_bucket replica over
+    # the reference-fitted [lo, hi); bin edges computed with the engine's
+    # exact double op order (width = (hi-lo)/n once, then lo + k*width).
+    sql["histogram_stats"] = f"""
+WITH refd AS (SELECT value AS v FROM events WHERE event_id % 2 = 0),
+bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM refd),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         value AS v
+  FROM events WHERE event_id % 2 = 1
+),
+anab AS (
+  SELECT chunk_index,
+         CASE WHEN v IS NULL THEN NULL
+              WHEN v < lo THEN 0 WHEN v >= hi THEN 11
+              ELSE CAST(FLOOR((v - lo) / ((hi - lo) / 10.0)) AS BIGINT) + 1 END AS b,
+         v
+  FROM ana, bounds
+),
+ctot AS (SELECT chunk_index, COUNT(v) AS n FROM anab GROUP BY 1),
+ccnt AS (SELECT chunk_index, b, COUNT(*) AS c FROM anab WHERE b IS NOT NULL GROUP BY 1, 2),
+buckets AS (SELECT UNNEST(range(0, 12)) AS b)
+SELECT t.chunk_index, 'value' AS column_name, 'histogram' AS method,
+       CAST(bk.b AS INTEGER) AS bucket,
+       CASE WHEN bk.b = 0 THEN NULL ELSE lo + (bk.b - 1) * ((hi - lo) / 10) END AS bin_lo,
+       CASE WHEN bk.b = 11 THEN NULL ELSE lo + bk.b * ((hi - lo) / 10) END AS bin_hi,
+       COALESCE(c.c, 0) AS item_count,
+       COALESCE(c.c, 0) / GREATEST(t.n, 1) AS value
+FROM ctot t
+CROSS JOIN buckets bk
+CROSS JOIN bounds
+LEFT JOIN ccnt c ON c.chunk_index = t.chunk_index AND c.b = bk.b
+ORDER BY t.chunk_index, bucket
 """
 
     # Concat-and-chunk packing: bucket hash, per-bucket running sum, and

@@ -10,6 +10,8 @@ from spark_validate.checks.profile import (
     IQROutlierCalculator,
     QuantileStatsCalculator,
     SkewCalculator,
+    FrequentItemsCalculator,
+    HistogramCalculator,
     ZScoreOutlierCalculator,
 )
 from spark_validate.checks.schema import SchemaCheck
@@ -24,6 +26,8 @@ __all__ = [
     "IQROutlierCalculator",
     "QuantileStatsCalculator",
     "SkewCalculator",
+    "FrequentItemsCalculator",
+    "HistogramCalculator",
     "ZScoreOutlierCalculator",
     "SnapshotDiffCheck",
     "snapshot_diff",

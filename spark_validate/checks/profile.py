@@ -489,3 +489,183 @@ class CardinalityCalculator:
             return _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
 
         return exprs, fin
+
+
+@dataclass
+class FrequentItemsCalculator:
+    """Per-chunk top-k values per column, with counts and shares — the
+    heavy-hitters profile (Deequ ``FrequentItems`` / GE
+    ``expect_column_most_common_value_to_be_in_set`` surface; extends the
+    §2.3 family the same way cardinality/skew do).
+
+    Same two-phase shape as exact cardinality: one explode to
+    ``(chunk, col, value)``, L1 partial counts collapse duplicates
+    MAP-SIDE (a flooded value becomes one row per map task before the
+    shuffle — profiling heavy hitters never suffers them), then a
+    window rank per (chunk, col) keeps k rows. Deterministic tie-break:
+    count DESC, value ASC — so results (and the DuckDB oracle) are
+    reproducible at any parallelism. NULL is a reportable value (a null
+    flood is a top item worth seeing); it ranks as the string "NULL"
+    sentinel-free via a dedicated flag column.
+
+    Result is LONG-FORM but per (chunk, column, rank): method ``top_k``,
+    ``value`` = share, plus ``item_value`` / ``item_count`` / ``rank``
+    columns — callers needing the conformed check schema project them off.
+    """
+
+    column_names: Sequence[str]
+    k: int = 5
+    chunker: Chunker = field(default_factory=DefaultChunker)
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        from pyspark.sql import Window
+
+        assigned, _ = assign_chunks(df, self.chunker)
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("c"), F.col(c).cast("string").alias("v"))
+            for c in self.column_names
+        ])
+        ex = assigned.select(CHUNK_KEY, F.explode(pairs).alias("kv")).select(
+            CHUNK_KEY, "kv.c", F.col("kv.v").alias("v")
+        )
+        l1 = ex.groupBy(CHUNK_KEY, "c", "v").agg(F.count(F.lit(1)).alias("cnt"))
+        tot = Window.partitionBy(CHUNK_KEY, "c")
+        # NULLS FIRST would float the null item above ties; pin NULL last in
+        # the tie-break so engines agree (Spark default asc = NULLS FIRST,
+        # DuckDB default = NULLS LAST)
+        rank_w = tot.orderBy(F.col("cnt").desc(), F.col("v").asc_nulls_last())
+        ranked = l1.select(
+            CHUNK_KEY,
+            F.col("c").alias("column_name"),
+            "v",
+            "cnt",
+            F.row_number().over(rank_w).alias("rank"),
+            F.sum("cnt").over(tot).alias("__rows"),
+        ).filter(F.col("rank") <= self.k)
+        return ranked.select(
+            CHUNK_KEY,
+            "column_name",
+            F.lit("top_k").alias("method"),
+            (F.col("cnt") / F.col("__rows")).cast("double").alias("value"),
+            F.col("v").alias("item_value"),
+            F.col("cnt").cast("long").alias("item_count"),
+            F.col("rank").cast("int").alias("rank"),
+        ).withColumn("period", F.lit(period))
+
+
+@dataclass
+class HistogramCalculator:
+    """Per-chunk equi-width histograms over reference-fitted [lo, hi) ranges
+    (Deequ ``Histogram`` / the reference's distribution plots as TABLES —
+    the export the plot layer and any downstream BI reads).
+
+    Binning is Spark SQL ``width_bucket`` over the fitted range — buckets
+    ``1..n_bins`` plus the SQL-standard overflow bins 0 (below lo) and
+    n_bins+1 (at/above hi), so analysis mass OUTSIDE the reference range is
+    reported, never silently clipped. Calculate is ONE codegen
+    ``groupBy(chunk)`` of columns × (n_bins+2) pivoted counts — pure
+    aggregate expressions, map-side combinable, fusable into the suite's
+    shared scan via ``fuse_contrib``. Fit is one min/max aggregate.
+    """
+
+    column_names: Sequence[str]
+    n_bins: int = 10
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    _ranges: Optional[Dict[str, tuple]] = None
+
+    def fit(self, reference: DataFrame) -> "HistogramCalculator":
+        dtypes = dict(reference.dtypes)
+        aggs = []
+        for c in self.column_names:
+            v = nan_to_null(F.col(c), dtypes[c]).cast("double")
+            aggs += [F.min(v).alias(f"{c}__lo"), F.max(v).alias(f"{c}__hi")]
+        row = reference.agg(*aggs).first().asDict()
+        self._ranges = {}
+        for c in self.column_names:
+            lo, hi = row[f"{c}__lo"], row[f"{c}__hi"]
+            if lo is None:
+                self._ranges[c] = (None, None)
+                continue
+            lo, hi = float(lo), float(hi)
+            if hi <= lo:
+                hi = lo + 1.0  # degenerate single-value reference
+            self._ranges[c] = (lo, hi)
+        return self
+
+    def _count_exprs(self, dtypes, prefix: str):
+        exprs = []
+        for c in self.column_names:
+            lo, hi = self._ranges[c]
+            v = nan_to_null(F.col(c), dtypes[c]).cast("double")
+            exprs.append(F.count(v).alias(f"{prefix}{c}__n"))
+            if lo is None:
+                continue
+            b = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(self.n_bins))
+            for i in range(self.n_bins + 2):
+                exprs.append(F.count(F.when(b == i, F.lit(1))).alias(f"{prefix}{c}__b{i}"))
+        return exprs
+
+    def _melt(self, wide: DataFrame, prefix: str, period: str) -> DataFrame:
+        structs = []
+        for c in self.column_names:
+            lo, hi = self._ranges[c]
+            if lo is None:
+                continue
+            width = (hi - lo) / self.n_bins
+            for i in range(self.n_bins + 2):
+                bin_lo = None if i == 0 else lo + (i - 1) * width
+                bin_hi = None if i == self.n_bins + 1 else lo + i * width
+                structs.append(F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(i).alias("bucket"),
+                    F.lit(bin_lo).cast("double").alias("bin_lo"),
+                    F.lit(bin_hi).cast("double").alias("bin_hi"),
+                    F.col(f"{prefix}{c}__b{i}").cast("long").alias("item_count"),
+                    (F.col(f"{prefix}{c}__b{i}")
+                     / F.greatest(F.col(f"{prefix}{c}__n"), F.lit(1))).cast("double").alias("value"),
+                ))
+        return (
+            wide.select(CHUNK_KEY, F.explode(F.array(*structs)).alias("kv"))
+            .select(
+                CHUNK_KEY,
+                "kv.column_name",
+                F.lit("histogram").alias("method"),
+                "kv.bucket", "kv.bin_lo", "kv.bin_hi", "kv.item_count", "kv.value",
+            )
+            .withColumn("period", F.lit(period))
+        )
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        if self._ranges is None:
+            raise RuntimeError("fit first")
+        dtypes = dict(df.dtypes)
+        assigned, _ = assign_chunks(df, self.chunker)
+        wide = assigned.groupBy(CHUNK_KEY).agg(*self._count_exprs(dtypes, ""))
+        return self._melt(wide, "", period)
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        """Suite-fusion hook — pure aggregate expressions. NOTE: the result
+        schema is the histogram export (bucket/bin/count columns), not the
+        conformed alert schema; library callers (suite.py / fused_calculate)
+        consume it directly."""
+        if self._ranges is None:
+            raise RuntimeError("fit first")
+        exprs = self._count_exprs(dtypes, prefix)
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            return self._melt(wide, prefix, period)
+
+        return exprs, fin
+
+    def get_state(self) -> dict:
+        if self._ranges is None:
+            raise RuntimeError("fit first")
+        return {"n_bins": self.n_bins, "ranges": {c: list(v) for c, v in self._ranges.items()}}
+
+    def set_state(self, state: dict) -> "HistogramCalculator":
+        self.n_bins = int(state["n_bins"])
+        self._ranges = {
+            c: (None, None) if v[0] is None else (float(v[0]), float(v[1]))
+            for c, v in state["ranges"].items()
+        }
+        return self

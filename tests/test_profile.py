@@ -240,3 +240,92 @@ def test_jump_alerts_window_semantics(spark):
     b = out[out.column_name == "b"].sort_values("chunk_index")
     assert not b["jump_alert"].iloc[1]            # |prev| ~ 0: ratio undefined, never alerts
     assert pd.isna(b["rel_change"].iloc[1])
+
+
+def test_frequent_items_hand_computed(spark):
+    from spark_validate.checks import FrequentItemsCalculator
+    from spark_validate.chunking import SizeBasedChunker
+
+    rows = (
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)] * 1   # chunk 0
+        + [("x",)] * 6 + [("y",)] * 4                                 # chunk 1
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, (v,) in enumerate(rows)], "id bigint, cat string"
+    )
+    calc = FrequentItemsCalculator(
+        ["cat"], k=2, chunker=SizeBasedChunker(chunk_size=10, order_by=["id"])
+    )
+    res = calc.calculate(df).toPandas().sort_values(["chunk_key", "rank"])
+    c0 = res[res["chunk_key"] == res["chunk_key"].min()]
+    assert list(c0["item_value"]) == ["a", "b"]
+    assert list(c0["item_count"]) == [5, 3]
+    assert list(c0["value"]) == [0.5, 0.3]  # shares over ALL chunk rows incl. NULL
+    c1 = res[res["chunk_key"] == res["chunk_key"].max()]
+    assert list(c1["item_value"]) == ["x", "y"]
+
+
+def test_frequent_items_tie_break_and_null_item(spark):
+    from spark_validate.checks import FrequentItemsCalculator
+    from spark_validate.chunking import CountBasedChunker
+
+    # b and a tie at 3; NULL also at 3 — deterministic order: a, b, NULL-last
+    rows = [("a",)] * 3 + [("b",)] * 3 + [(None,)] * 3 + [("z",)] * 1
+    df = spark.createDataFrame(
+        [(i, v) for i, (v,) in enumerate(rows)], "id bigint, cat string"
+    )
+    calc = FrequentItemsCalculator(
+        ["cat"], k=3, chunker=CountBasedChunker(chunk_number=1, order_by=["id"])
+    )
+    res = calc.calculate(df).toPandas().sort_values("rank")
+    assert list(res["item_value"].fillna("<NULL>")) == ["a", "b", "<NULL>"]
+    assert list(res["item_count"]) == [3, 3, 3]
+
+
+def test_histogram_calculator_fit_bins_and_overflow(spark):
+    from spark_validate.checks import HistogramCalculator
+    from spark_validate.chunking import SizeBasedChunker
+
+    ref = spark.range(1000).select(F.col("id"), (F.col("id") % 100).cast("double").alias("v"))
+    # analysis: half in-range, half above the fitted max
+    ana = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 100).cast("double"))
+        .otherwise(F.lit(500.0)).alias("v"),
+    )
+    calc = HistogramCalculator(
+        ["v"], n_bins=10, chunker=SizeBasedChunker(chunk_size=500, order_by=["id"])
+    ).fit(ref)
+    res = calc.calculate(ana).toPandas()
+    assert set(res["bucket"]) == set(range(12))
+    over = res[res["bucket"] == 11]
+    assert np.isclose(over["value"], 0.5).all()  # planted out-of-range mass reported
+    per_chunk = res.groupby("chunk_key")["value"].sum()
+    assert np.allclose(per_chunk, 1.0)           # fractions partition the chunk
+    assert np.allclose(
+        res[res["bucket"] == 1]["bin_lo"].unique(), [0.0]
+    ) and np.allclose(res[res["bucket"] == 10]["bin_hi"].unique(), [99.0])
+    # state roundtrip
+    clone = HistogramCalculator(["v"], chunker=calc.chunker).set_state(calc.get_state())
+    a = calc.calculate(ana).toPandas().sort_values(["chunk_key", "bucket"])["item_count"]
+    b = clone.calculate(ana).toPandas().sort_values(["chunk_key", "bucket"])["item_count"]
+    assert list(a) == list(b)
+
+
+def test_histogram_fused_matches_standalone(spark):
+    from spark_validate.checks import HistogramCalculator
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.fused import fused_calculate, is_fusable
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.pmod(F.xxhash64("id"), F.lit(97))).cast("double").alias("v")
+    )
+    chunker = SizeBasedChunker(chunk_size=500, order_by=["id"])
+    calc = HistogramCalculator(["v"], n_bins=8, chunker=chunker).fit(df)
+    assert is_fusable(calc)
+    standalone = calc.calculate(df).toPandas().sort_values(["chunk_key", "bucket"]).reset_index(drop=True)
+    fused, wide = fused_calculate({"h": calc}, df, chunker)
+    got = fused["h"].toPandas().sort_values(["chunk_key", "bucket"]).reset_index(drop=True)
+    wide.unpersist()
+    assert list(got["item_count"]) == list(standalone["item_count"])
+    assert list(got["value"].round(12)) == list(standalone["value"].round(12))
