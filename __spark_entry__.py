@@ -1107,10 +1107,10 @@ def q_train_split(spark, sf_dir):
     )
 
 
-def _chunk_index_from_key():
+def _chunk_index_from_key(size=None):
     """chunk_index from a SizeBasedChunker key '[start:end]' — start DIV size."""
     return F.floor(
-        F.regexp_extract(F.col("chunk_key"), r"^\[(\d+):", 1).cast("long") / EV_CHUNK
+        F.regexp_extract(F.col("chunk_key"), r"^\[(\d+):", 1).cast("long") / (size or EV_CHUNK)
     ).cast("int")
 
 
@@ -1157,6 +1157,41 @@ def q_histogram_stats(spark, sf_dir):
         _chunk_index_from_key().alias("chunk_index"),
         "column_name", "method", "bucket", "bin_lo", "bin_hi", "item_count", "value",
     ).orderBy("chunk_index", "bucket")
+
+
+def q_embedding_quantization(spark, sf_dir):
+    """Int8 embedding quantization roundtrip check (sim/quantize.py):
+    per-dim [lo, hi] fitted on reference, affine quantize → dequantize →
+    per-chunk max/mean reconstruction error with a range-drift alert
+    (in-range error can never exceed half a quantization step). max is
+    order-independent → bit-exact vs the DuckDB indexed-lambda replica;
+    the mean crosses a float sum, so round(9) both sides."""
+    from spark_validate.sim import QuantizationErrorCheck
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    # planted range drift: every 7th analysis vector scaled 3× — outside the
+    # fitted box, so its chunk's max error blows the half-step bound
+    ana = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 7 == 1,
+            F.transform(F.col("embedding"), lambda x: (x.cast("double") * F.lit(3.0)).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    chk = timed_fit(
+        QuantizationErrorCheck(
+            chunker=SizeBasedChunker(chunk_size=100, order_by=["vec_id"])
+        ),
+        ref,
+    )
+    res = chk.calculate(ana)
+    return res.select(
+        _chunk_index_from_key(100).alias("chunk_index"),
+        "column_name", "method", "max_abs_err",
+        F.round("mean_abs_err", 9).alias("mean_abs_err"),
+        "n_vectors", "in_range_bound", "alert",
+    ).orderBy("chunk_index")
 
 
 def q_sequence_packing(spark, sf_dir):
@@ -1800,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_greedy": q_packing_greedy,
         "frequent_items": q_frequent_items,
         "histogram_stats": q_histogram_stats,
+        "embedding_quantization": q_embedding_quantization,
         "count_chunks": q_count_chunks,
         "std_median_stats": q_std_median_stats,
         "perf_multiclass": q_perf_multiclass,
@@ -2996,6 +3032,53 @@ FROM (
   FROM documents
 )
 ORDER BY doc_id
+"""
+
+    # Int8 quantization roundtrip: per-dim fit via dual-unnest min/max,
+    # quantize→dequantize via DuckDB indexed list lambdas ((x, i) is
+    # 1-based, matching list subscripts), error expressions mirrored
+    # op-for-op so per-element errors (and their chunk MAX) are bit-exact.
+    sql["embedding_quantization"] = """
+WITH refe AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0),
+dims AS (
+  SELECT i, MIN(v) AS lo0, MAX(v) AS hi0 FROM (
+    SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM refe
+  ) GROUP BY i
+),
+fit AS (
+  SELECT i, lo0 AS lo, CASE WHEN hi0 <= lo0 THEN lo0 + 1.0 ELSE hi0 END AS hi FROM dims
+),
+arrs AS (
+  SELECT list(lo ORDER BY i) AS lo_a, list(hi ORDER BY i) AS hi_a,
+         MAX((hi - lo) / (2.0 * 255.0)) AS bound
+  FROM fit
+),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY vec_id) - 1) / 100) AS INT) AS chunk_index,
+         CASE WHEN vec_id % 7 = 1
+              THEN list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 3.0 AS FLOAT))
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+err AS (
+  SELECT chunk_index,
+         list_transform(embedding, (x, i) -> abs(
+           CAST(x AS DOUBLE) - (lo_a[i] +
+             ((round(least(greatest(((CAST(x AS DOUBLE) - lo_a[i]) * 255.0) / (hi_a[i] - lo_a[i]), 0.0), 255.0)) - 128)
+              + 128.0) * (hi_a[i] - lo_a[i]) / 255.0)
+         )) AS e,
+         bound
+  FROM ana, arrs
+)
+SELECT chunk_index, 'embedding' AS column_name, 'int8_roundtrip' AS method,
+       MAX(list_max(e)) AS max_abs_err,
+       ROUND(AVG(list_sum(e) / len(e)), 9) AS mean_abs_err,
+       COUNT(*) AS n_vectors,
+       ANY_VALUE(bound) AS in_range_bound,
+       MAX(list_max(e)) > ANY_VALUE(bound) + 1e-9 AS alert
+FROM err GROUP BY chunk_index ORDER BY chunk_index
 """
 
     # Heavy hitters: same two-phase counts + window rank; tie-break pinned

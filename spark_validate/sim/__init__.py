@@ -9,8 +9,18 @@ from spark_validate.sim.ann import (
     lsh_bucket_topk,
     write_ivf_partitioned,
 )
+from spark_validate.sim.quantize import (
+    QuantizationErrorCheck,
+    dequantize,
+    fit_minmax,
+    quantize,
+)
 
 __all__ = [
+    "QuantizationErrorCheck",
+    "dequantize",
+    "fit_minmax",
+    "quantize",
     "brute_force_topk",
     "lsh_bucket_topk",
     "EmbeddingLeakageCheck",
