@@ -1248,6 +1248,32 @@ def q_corpus_sample(spark, sf_dir):
     )
 
 
+MIX_TARGETS = {"en": 0.5, "de": 0.3, "fr": 0.2}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Target-mixture corpus sampling (text/sampling.py::mixture_sample):
+    solve per-language keep rates so the expected output composition equals
+    MIX_TARGETS — scale M = min_g(n_g/t_g) keeps the binding group whole,
+    rate_g = t_g·M/n_g for the rest. One bounded groupBy(lang) count (≤
+    #targets rows collected), then the same narrow md5-threshold filter as
+    corpus_sample. The oracle solves the identical arithmetic in SQL
+    (CAST targets to DOUBLE — DuckDB VALUES literals are DECIMAL — and
+    FLOOR before the hex cast, matching Python int() truncation), so the
+    thresholds and hence the surviving rows are bit-identical."""
+    from spark_validate.text import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        mixture_sample(
+            docs, MIX_TARGETS, stratum_col="lang",
+            key_col="doc_id", salt="mix42", keep_bucket=True,
+        )
+        .select("doc_id", "lang", "source", "sample_bucket")
+        .orderBy("doc_id")
+    )
+
+
 MC_CLASSES = ["a", "b", "c"]
 MC_BVM = [[1.0, -0.5, -1.0], [-2.0, 2.0, -0.25], [0.0, -3.0, 3.0]]
 
@@ -1830,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_summary": q_snapshot_summary,
         "snapshot_chunk_rates": q_snapshot_chunk_rates,
         "corpus_sample": q_corpus_sample,
+        "mixture_sample": q_mixture_sample,
         "train_split": q_train_split,
         "sequence_packing": q_sequence_packing,
         "packing_greedy": q_packing_greedy,
@@ -3014,6 +3041,38 @@ SELECT doc_id, lang, source,
        substr(md5('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_bucket
 FROM documents
 WHERE substr(md5('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8) < {_thr}
+ORDER BY doc_id
+"""
+
+    # Target-mixture sampling: solve the engine's rate arithmetic in SQL —
+    # scale = MIN(n/t) over target groups, rate = LEAST(1, t·scale/n),
+    # threshold = 8-hex-char FLOOR(rate·2^32) ('g' keeps all when rate
+    # saturates). Targets CAST to DOUBLE so DuckDB's DECIMAL literals don't
+    # change the arithmetic; operation order mirrors solve_mixture_rates.
+    _mix_vals = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGETS.items())
+    sql["mixture_sample"] = f"""
+WITH tgt(lang, t) AS (VALUES {_mix_vals}),
+cnt AS (
+  SELECT d.lang, COUNT(*) AS n FROM documents d JOIN tgt USING (lang) GROUP BY d.lang
+),
+m AS (SELECT MIN(n / CAST(t AS DOUBLE)) AS scale FROM cnt JOIN tgt USING (lang)),
+thr AS (
+  SELECT lang,
+         CASE WHEN r >= 1.0 THEN 'g'
+              ELSE printf('%08x', CAST(FLOOR(r * 4294967296.0) AS BIGINT)) END AS h
+  FROM (
+    SELECT cnt.lang,
+           LEAST(1.0, CAST(t AS DOUBLE) * (SELECT scale FROM m) / n) AS r
+    FROM cnt JOIN tgt USING (lang)
+  )
+)
+SELECT doc_id, d.lang, source, b AS sample_bucket
+FROM (
+  SELECT doc_id, lang, source,
+         substr(md5('mix42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
+  FROM documents
+) d JOIN thr ON d.lang = thr.lang
+WHERE b < h
 ORDER BY doc_id
 """
 

@@ -12,7 +12,9 @@ from spark_validate.text.decontaminate import benchmark_ngrams, ngram_overlap
 from spark_validate.text.sampling import (
     deterministic_sample,
     hash_bucket,
+    mixture_sample,
     rate_to_hex,
+    solve_mixture_rates,
     stratified_sample,
     with_split,
 )
@@ -48,7 +50,9 @@ __all__ = [
     "ngram_overlap",
     "deterministic_sample",
     "hash_bucket",
+    "mixture_sample",
     "rate_to_hex",
+    "solve_mixture_rates",
     "stratified_sample",
     "with_split",
     "pack_sequences",

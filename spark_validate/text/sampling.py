@@ -109,6 +109,75 @@ def with_split(
     return df.withColumn(out_col, expr)
 
 
+def solve_mixture_rates(
+    counts: Mapping[str, int],
+    targets: Mapping[str, float],
+    fraction: float = 1.0,
+) -> dict[str, float]:
+    """Per-stratum keep rates that realize a TARGET mixture.
+
+    Training-data mixing: given observed per-group row counts and target
+    proportions (e.g. ``{"en": 0.5, "de": 0.3, "fr": 0.2}``), find the
+    largest corpus whose expected composition matches the targets exactly
+    without oversampling any group: scale ``M = min_g(n_g / t_g)`` (the
+    binding group is kept whole), then ``rate_g = t_g * M / n_g``.
+    ``fraction`` shrinks the output corpus below that maximum (0 < f ≤ 1).
+
+    Groups absent from ``targets`` get no rate (the sampler drops them via
+    ``default_rate=0``). A target group with zero observed rows makes the
+    mixture unsatisfiable → ValueError, not a silent empty sample.
+
+    Pure integer/double arithmetic in a fixed operation order
+    (``t * M / n``), so an external replica (the DuckDB oracle) computing
+    the same expressions gets bit-identical rates and hence bit-identical
+    hex thresholds.
+    """
+    if not 0.0 < float(fraction) <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    bad = {k: t for k, t in targets.items() if not float(t) > 0}
+    if bad:
+        raise ValueError(f"target weights must be positive, got {bad}")
+    missing = [g for g in targets if int(counts.get(g, 0)) <= 0]
+    if missing:
+        raise ValueError(f"target groups with no observed rows: {missing}")
+    scale = min(int(counts[g]) / float(t) for g, t in targets.items())
+    scale = scale * float(fraction)
+    return {
+        g: min(1.0, float(t) * scale / int(counts[g])) for g, t in targets.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: Mapping[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    fraction: float = 1.0,
+    salt: str = "mix42",
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Deterministic sample whose expected group mixture equals ``targets``.
+
+    Two steps, both scale-safe: ONE map-side-combined ``groupBy(stratum)``
+    count whose result is bounded by the number of target groups (collected
+    to the driver — #groups literals, never rows), then the same narrow
+    hash-threshold filter as :func:`stratified_sample` with the solved
+    rates. No RNG state; re-runs and recomputes agree row-for-row.
+    """
+    observed = {
+        r[0]: r[1]
+        for r in df.filter(F.col(stratum_col).isin(list(targets)))
+        .groupBy(stratum_col)
+        .count()
+        .collect()
+    }
+    rates = solve_mixture_rates(observed, targets, fraction)
+    return stratified_sample(
+        df, rates, stratum_col, key_col=key_col,
+        default_rate=0.0, salt=salt, keep_bucket=keep_bucket,
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: Mapping[str, float],

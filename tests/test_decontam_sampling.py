@@ -113,6 +113,64 @@ def test_stratified_sample_rates(spark):
     assert abs(got.get("zh", 0) / 10000 - 0.05) < 0.02
 
 
+def test_solve_mixture_rates_binding_group_kept_whole():
+    from spark_validate.text import solve_mixture_rates
+
+    # en is the binding group: 1000/0.5 = 2000 < 900/0.3 = 3000 < 800/0.2
+    rates = solve_mixture_rates(
+        {"en": 1000, "de": 900, "fr": 800}, {"en": 0.5, "de": 0.3, "fr": 0.2}
+    )
+    assert rates["en"] == 1.0
+    # expected output composition equals the targets
+    expected = {g: rates[g] * n for g, n in {"en": 1000, "de": 900, "fr": 800}.items()}
+    total = sum(expected.values())
+    assert abs(expected["de"] / total - 0.3) < 1e-12
+    assert abs(expected["fr"] / total - 0.2) < 1e-12
+    # fraction shrinks every rate proportionally
+    half = solve_mixture_rates(
+        {"en": 1000, "de": 900, "fr": 800}, {"en": 0.5, "de": 0.3, "fr": 0.2},
+        fraction=0.5,
+    )
+    assert abs(half["de"] - rates["de"] * 0.5) < 1e-15
+
+
+def test_solve_mixture_rates_errors():
+    import pytest
+
+    from spark_validate.text import solve_mixture_rates
+
+    with pytest.raises(ValueError, match="no observed rows"):
+        solve_mixture_rates({"en": 10}, {"en": 0.5, "xx": 0.5})
+    with pytest.raises(ValueError, match="positive"):
+        solve_mixture_rates({"en": 10, "de": 5}, {"en": 1.0, "de": 0.0})
+    with pytest.raises(ValueError, match="fraction"):
+        solve_mixture_rates({"en": 10}, {"en": 1.0}, fraction=0.0)
+
+
+def test_mixture_sample_realizes_targets(spark):
+    from spark_validate.text import mixture_sample
+
+    # 60k en / 30k de / 6k zh; target 50/50 en-de → zh dropped, de binding
+    df = (
+        spark.range(96000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 16 < 10, "en")
+            .when(F.col("doc_id") % 16 < 15, "de")
+            .otherwise("zh"),
+        )
+    )
+    out = mixture_sample(df, {"en": 0.5, "de": 0.5}, stratum_col="lang")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "zh" not in got  # non-target groups dropped
+    assert got["de"] == 30000  # binding group kept whole (rate exactly 1)
+    assert abs(got["en"] / got["de"] - 1.0) < 0.05  # realized 50/50 mixture
+    # deterministic: a re-run selects the identical rows
+    again = mixture_sample(df, {"en": 0.5, "de": 0.5}, stratum_col="lang")
+    assert out.select("doc_id").subtract(again.select("doc_id")).count() == 0
+
+
 def test_rate_to_hex_monotone_bounds():
     assert rate_to_hex(0.0) == "00000000"
     assert rate_to_hex(1.0) == "g"  # sorts after all hex
