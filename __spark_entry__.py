@@ -1248,6 +1248,39 @@ def q_corpus_sample(spark, sf_dir):
     )
 
 
+def q_caption_consistency(spark, sf_dir):
+    """Cross-modal caption↔image conflict detection (image/consistency.py::
+    CaptionConsistencyCheck): groups sharing one image identity (phash)
+    whose rows carry >1 distinct caption. Planted corpus: phash = doc_id%40
+    (every group has ~N/40 members), caption = the group's canonical string
+    except every 37th doc gets a variant (conflict) and every 53rd a NULL
+    (must NOT count as a distinct caption). Violations carry the
+    deterministic min/max witness pair — never a collect_list."""
+    from spark_validate.image import CaptionConsistencyCheck
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 40).alias("phash"),
+        F.when(F.col("doc_id") % 53 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 37 == 0, F.concat(F.lit("variant-"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("caption-"), (F.col("doc_id") % 40).cast("string")))
+        .alias("caption"),
+    )
+    chk = CaptionConsistencyCheck(
+        group_col="phash", caption_col="caption",
+        chunker=SizeBasedChunker(chunk_size=25, order_by=["doc_id"]),
+    )
+    return (
+        chk.violations(docs, row_id="doc_id")
+        .select(
+            _chunk_index_from_key(25).alias("chunk_index"),
+            F.col("row_id").cast("long").alias("row_id"),
+            "violation_kind", "observed_value",
+        )
+        .orderBy("row_id")
+    )
+
+
 MIX_TARGETS = {"en": 0.5, "de": 0.3, "fr": 0.2}
 
 
@@ -1857,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_chunk_rates": q_snapshot_chunk_rates,
         "corpus_sample": q_corpus_sample,
         "mixture_sample": q_mixture_sample,
+        "caption_consistency": q_caption_consistency,
         "train_split": q_train_split,
         "sequence_packing": q_sequence_packing,
         "packing_greedy": q_packing_greedy,
@@ -3042,6 +3076,34 @@ SELECT doc_id, lang, source,
 FROM documents
 WHERE substr(md5('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8) < {_thr}
 ORDER BY doc_id
+"""
+
+    # Caption-consistency: conflicted groups = phash groups with >1 distinct
+    # non-null caption (COUNT(DISTINCT) ignores NULLs in both engines, the
+    # planted every-53rd NULL caption pins that); witness pair = MIN/MAX
+    # caption; chunk_index replicates SizeBasedChunker's position-based
+    # assignment via row_number over the same doc_id ordering.
+    sql["caption_consistency"] = """
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 40 AS phash,
+         CASE WHEN doc_id % 53 = 0 THEN NULL
+              WHEN doc_id % 37 = 0 THEN 'variant-' || CAST(doc_id AS VARCHAR)
+              ELSE 'caption-' || CAST(doc_id % 40 AS VARCHAR) END AS caption,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 25) AS INTEGER)
+           AS chunk_index
+  FROM documents
+),
+conf AS (
+  SELECT phash,
+         MIN(caption) AS caption_a, MAX(caption) AS caption_b
+  FROM base GROUP BY phash HAVING COUNT(DISTINCT caption) > 1
+)
+SELECT b.chunk_index, b.doc_id AS row_id,
+       'caption_conflict' AS violation_kind,
+       c.caption_a || ' <> ' || c.caption_b AS observed_value
+FROM base b JOIN conf c USING (phash)
+ORDER BY row_id
 """
 
     # Target-mixture sampling: solve the engine's rate arithmetic in SQL —

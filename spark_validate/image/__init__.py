@@ -7,6 +7,7 @@ from spark_validate.image.header import (
     header_issue_expr,
     svi0_specs,
 )
+from spark_validate.image.consistency import CaptionConsistencyCheck
 from spark_validate.image.transforms import (
     decode_audio_stats,
     extract_image_features,
@@ -17,6 +18,7 @@ from spark_validate.image.transforms import (
 )
 
 __all__ = [
+    "CaptionConsistencyCheck",
     "synth_image_table",
     "reference_manifest",
     "decode_pixel_stats",

@@ -1,0 +1,118 @@
+"""Cross-modal caption↔image consistency (beyond-reference, image axis).
+
+An image+caption training corpus routinely carries the SAME image under
+several rows (re-crawls, mirrors, near-identical re-encodes that share a
+phash). Those duplicates are benign for dedup but poisonous for training
+when the copies disagree on the caption — the model sees contradictory
+supervision for one visual input. This check finds image groups (exact
+phash, or any precomputed group key such as a near-dup cluster id) whose
+rows carry MORE THAN ONE distinct caption, reports the per-chunk rate of
+rows living in such conflicted groups, and emits the conflicting rows as
+violations.
+
+Closest reference analog is the seen-set / duplicate machinery
+(`nannyml/data_quality/unseen/calculator.py:126-131`); the cross-modal
+conflict semantics are new.
+
+Scale design (10^12 rows): the distinct-caption count is a TWO-LEVEL
+collapse — ``groupBy(group, caption)`` first (map-side combine folds the
+boilerplate caption copies before the shuffle; a billion-copy
+image+caption pair crosses the wire once), then ``groupBy(group)`` over
+the already-collapsed pairs. The conflicted-group frame that joins back
+to the corpus holds only groups with ≥2 distinct captions — tiny in
+practice, so AQE broadcasts it; the corpus itself is never re-shuffled
+for the rate aggregation (join key stays the group column).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_validate.calculators.base import assign_chunks
+from spark_validate.checks.constraints import _attach_const_threshold
+from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
+
+
+@dataclass
+class CaptionConsistencyCheck:
+    """Flag image groups whose rows disagree on the caption.
+
+    ``group_col`` is the image identity (exact phash by default; pass a
+    near-dup cluster id for fuzzier identity). NULL groups are ignored
+    (no image identity → nothing to conflict with); NULL captions do not
+    count as a distinct caption (missing captions are the missing-values
+    check's job), but their rows still count toward the group size.
+    """
+
+    group_col: str = "phash"
+    caption_col: str = "caption"
+    chunker: Optional[Chunker] = None
+    upper_threshold: float = 0.0  # conflict-row rate above this alerts
+
+    def conflicts(self, df: DataFrame) -> DataFrame:
+        """One row per conflicted group: (group, n_rows, n_captions,
+        sample_captions) for groups with ≥2 distinct non-null captions.
+        ``sample_captions`` carries the lexicographic min/max captions —
+        a bounded, deterministic witness pair (never a collect_list)."""
+        g, c = self.group_col, self.caption_col
+        pairs = (
+            df.filter(F.col(g).isNotNull())
+            .groupBy(g, c)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        grouped = pairs.groupBy(g).agg(
+            F.sum("_cnt").alias("n_rows"),
+            F.count(F.when(F.col(c).isNotNull(), F.lit(1))).alias("n_captions"),
+            F.min(c).alias("caption_a"),
+            F.max(c).alias("caption_b"),
+        )
+        return grouped.filter(F.col("n_captions") > 1)
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        """Long result: per-chunk rate of rows belonging to a group whose
+        captions conflict anywhere in the FULL frame (corpus-level identity,
+        chunk-level reporting — same convention as UniquenessCheck)."""
+        chunker = self.chunker or DefaultChunker()
+        assigned, headers = assign_chunks(df, chunker)
+        bad = self.conflicts(df).select(self.group_col, F.lit(1).alias("_conflict"))
+        marked = assigned.join(bad, self.group_col, "left")
+        agg = marked.groupBy(CHUNK_KEY).agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.sum(F.coalesce(F.col("_conflict"), F.lit(0))).alias("__bad_rows"),
+        )
+        long_df = agg.select(
+            CHUNK_KEY,
+            F.lit(f"{self.group_col}+{self.caption_col}").alias("column_name"),
+            F.lit("caption_conflict_rate").alias("method"),
+            (F.col("__bad_rows") / F.col("__rows")).cast("double").alias("value"),
+        )
+        return _attach_const_threshold(
+            long_df, headers, period, None, self.upper_threshold
+        )
+
+    def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
+        """Every row of every conflicted group, with the witness captions."""
+        chunker = self.chunker or DefaultChunker()
+        assigned = chunker.assign(df)
+        bad = self.conflicts(df)
+        rows = assigned.join(bad, self.group_col, "inner")
+        return rows.select(
+            F.lit("caption_consistency").alias("check"),
+            F.lit(f"{self.group_col}+{self.caption_col}").alias("column_name"),
+            F.col(CHUNK_KEY),
+            (
+                F.col(row_id).cast("string")
+                if row_id
+                else F.col(self.group_col).cast("string")
+            ).alias("row_id"),
+            F.lit("caption_conflict").alias("violation_kind"),
+            F.concat_ws(
+                " <> ",
+                F.col("caption_a").cast("string"),
+                F.col("caption_b").cast("string"),
+            ).alias("observed_value"),
+        )

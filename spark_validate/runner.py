@@ -97,6 +97,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
         return DomainCheck(cfg["columns"], domain=cfg["domain"], chunker=chunker)
     if kind == "uniqueness":
         return UniquenessCheck(cfg["keys"], chunker=chunker, salt_buckets=cfg.get("salt_buckets", 0))
+    if kind == "caption_consistency":
+        from spark_validate.image.consistency import CaptionConsistencyCheck
+
+        return CaptionConsistencyCheck(
+            group_col=cfg.get("group_column", "phash"),
+            caption_col=cfg.get("caption_column", "caption"),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "referential":
         manifest = read_source(spark, cfg["manifest"])
         return ReferentialIntegrityCheck(
@@ -383,6 +392,7 @@ def _check_name(cfg: dict) -> str:
         or cfg.get("metrics")
         or cfg.get("feature_columns")
         or cfg.get("required")
+        or ([cfg["group_column"]] if cfg.get("group_column") else None)
         or [cfg.get("column", "")]
     )
     return f"{cfg['type']}__{'_'.join(cols)}"

@@ -681,3 +681,87 @@ def test_phash_histogram_out_of_range_mass_counts(spark):
     res = chk.calculate(ana).toPandas()
     assert (res["value"] > 1.0).all()
     assert res["alert"].all()
+
+
+def test_caption_consistency_conflicts_and_nulls(spark):
+    """Groups with >1 distinct non-null caption conflict; NULL captions do
+    not count as distinct but their rows still count toward group size."""
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.image import CaptionConsistencyCheck
+
+    rows = [
+        # group 1: consistent (two copies, same caption + one NULL) → clean
+        (0, 1, "a cat"), (1, 1, "a cat"), (2, 1, None),
+        # group 2: conflict (two distinct captions)
+        (3, 2, "a dog"), (4, 2, "two dogs"),
+        # group 3: single row → clean
+        (5, 3, "a bird"),
+        # NULL group: ignored even though captions differ
+        (6, None, "x"), (7, None, "y"),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+    chk = CaptionConsistencyCheck(
+        group_col="phash", caption_col="caption",
+        chunker=SizeBasedChunker(chunk_size=4, order_by=["image_id"]),
+    )
+    conf = chk.conflicts(df).toPandas()
+    assert conf["phash"].tolist() == [2]
+    assert conf.loc[0, "caption_a"] == "a dog" and conf.loc[0, "caption_b"] == "two dogs"
+    assert int(conf.loc[0, "n_rows"]) == 2 and int(conf.loc[0, "n_captions"]) == 2
+
+    res = chk.calculate(df).toPandas().sort_values("chunk_key").reset_index(drop=True)
+    # chunk [0:3] holds one conflicted row (id 3), chunk [4:7] one (id 4)
+    assert res["value"].tolist() == [0.25, 0.25]
+    assert res["alert"].all()
+
+    v = chk.violations(df, row_id="image_id").toPandas()
+    assert sorted(v["row_id"].astype(int).tolist()) == [3, 4]
+    assert (v["observed_value"] == "a dog <> two dogs").all()
+
+
+def test_caption_consistency_runner_kind(spark, tmp_path):
+    """Config-driven caption_consistency check writes per-chunk rates and
+    conflict violations through the suite runner."""
+    import pandas as pd
+
+    from spark_validate.runner import run_suite
+
+    n = 120
+    pdf = pd.DataFrame({
+        "image_id": range(n),
+        "phash": [i % 10 for i in range(n)],
+        "caption": [
+            f"variant-{i}" if i % 17 == 0 else f"caption-{i % 10}" for i in range(n)
+        ],
+        "ord": range(n),
+    })
+    src = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    cfg = {
+        "run_id": "capcon",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": src,
+        "analysis": src,
+        "chunking": {"chunk_size": 40, "order_by": ["ord"]},
+        "row_id": "image_id",
+        "checks": [
+            {
+                "type": "caption_consistency",
+                "group_column": "phash",
+                "caption_column": "caption",
+            }
+        ],
+    }
+    report = run_suite(spark, cfg)
+    assert any("caption" in k for k in report)
+    res = spark.read.parquet(str(tmp_path / "out" / "results")).toPandas()
+    res = res[res["method"] == "caption_conflict_rate"]
+    assert len(res) == 3 and (res["value"] > 0).all() and res["alert"].all()
+    vio = spark.read.parquet(str(tmp_path / "out" / "violations")).toPandas()
+    vio = vio[vio["check"].str.startswith("caption_consistency")]
+    # every conflicted group's rows are emitted (runner calls violations
+    # without row_id, so row_id carries the group key): groups hit by i%17==0
+    flagged_groups = {i % 10 for i in range(n) if i % 17 == 0}
+    assert set(vio["row_id"].astype(int)) == flagged_groups
+    assert len(vio) == 12 * len(flagged_groups)  # all 12 rows of each group
