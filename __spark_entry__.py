@@ -1281,6 +1281,26 @@ def q_caption_consistency(spark, sf_dir):
     )
 
 
+def q_caption_election(spark, sf_dir):
+    """Canonical-caption election (image/consistency.py::
+    elect_canonical_captions): per image group, the most frequent non-null
+    caption, ties broken lexicographically — the curation complement of the
+    consistency check. Planted corpus: phash = doc_id%40; every 3rd member
+    carries a minority 'alt-' caption and every 53rd a NULL (must not vote);
+    the majority 'caption-g' must win every group with its exact support."""
+    from spark_validate.image import elect_canonical_captions
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 40).alias("phash"),
+        F.when(F.col("doc_id") % 53 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 3 == 0, F.concat(F.lit("alt-"), (F.col("doc_id") % 40).cast("string")))
+        .otherwise(F.concat(F.lit("caption-"), (F.col("doc_id") % 40).cast("string")))
+        .alias("caption"),
+    )
+    return elect_canonical_captions(docs, "phash", "caption").orderBy("phash")
+
+
 MIX_TARGETS = {"en": 0.5, "de": 0.3, "fr": 0.2}
 
 
@@ -1744,6 +1764,40 @@ def q_phash_psi(spark, sf_dir):
     ).orderBy("chunk_index")
 
 
+def q_joint_drift(spark, sf_dir):
+    """Joint 2-D histogram drift (drift/joint.py::JointHistogramDrift):
+    base-2 JS distance between the reference and per-chunk analysis
+    distributions over a width_bucket × width_bucket grid. Planted corpus:
+    x = doc_id*7 % 101 and y = doc_id*13 % 101 (both ~uniform in BOTH
+    periods); analysis rows with doc_id%10 ∈ {1,3,5} set y := x — the y
+    MARGINAL barely moves but the joint mass collapses onto the diagonal,
+    exactly the shift univariate drift cannot see. Oracle replicates the
+    per-axis width_bucket arithmetic (same verified construction as
+    phash_psi) + the dense-grid JS sum; round(6) both sides absorbs
+    libm/log2 last-ulp and summation-order skew across the 100-cell sum."""
+    from spark_validate.drift.joint import JointHistogramDrift
+
+    docs = _read(spark, sf_dir, "documents")
+    x = (F.col("doc_id") * 7 % 101).cast("int")
+    y0 = (F.col("doc_id") * 13 % 101).cast("int")
+    y = F.when((F.col("doc_id") % 2 == 1) & ((F.col("doc_id") % 10).isin(1, 3, 5)), x).otherwise(y0)
+    tbl = docs.select("doc_id", x.alias("x"), y.alias("y"))
+    ref = tbl.filter(F.col("doc_id") % 2 == 0)
+    ana = tbl.filter(F.col("doc_id") % 2 == 1)
+    calc = timed_fit(
+        JointHistogramDrift(
+            "x", "y", n_bins_x=8, n_bins_y=8, method="jensen_shannon",
+            chunker=SizeBasedChunker(chunk_size=60, order_by=["doc_id"]),
+        ),
+        ref,
+    )
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index", "column_name", "method",
+        F.round(F.col("value"), 6).alias("value"), "alert",
+    ).orderBy("chunk_index")
+
+
 def q_header_verdicts(spark, sf_dir):
     """Structural payload-header validation (image/header.py): Spark builds
     SVI0 payload BYTES from the documents table with four planted corruption
@@ -1891,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "mixture_sample": q_mixture_sample,
         "caption_consistency": q_caption_consistency,
+        "caption_election": q_caption_election,
         "train_split": q_train_split,
         "sequence_packing": q_sequence_packing,
         "packing_greedy": q_packing_greedy,
@@ -1911,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": q_phash_near_dups,
         "phash_clusters": q_phash_clusters,
         "phash_psi": q_phash_psi,
+        "joint_drift": q_joint_drift,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
         "phash_decontamination": q_phash_decontamination,
@@ -3106,6 +3162,32 @@ FROM base b JOIN conf c USING (phash)
 ORDER BY row_id
 """
 
+    # Caption election: majority non-null caption per group, (count DESC,
+    # caption ASC) tie-break — deterministic in both engines, so even exact
+    # ties hash-match. SUM over BIGINT returns HUGEINT in DuckDB → cast.
+    sql["caption_election"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 40 AS phash,
+         CASE WHEN doc_id % 53 = 0 THEN NULL
+              WHEN doc_id % 3 = 0 THEN 'alt-' || CAST(doc_id % 40 AS VARCHAR)
+              ELSE 'caption-' || CAST(doc_id % 40 AS VARCHAR) END AS caption
+  FROM documents
+),
+pairs AS (
+  SELECT phash, caption, COUNT(*) AS cnt
+  FROM base WHERE caption IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT phash, caption, cnt,
+         ROW_NUMBER() OVER (PARTITION BY phash ORDER BY cnt DESC, caption ASC) AS rn,
+         CAST(SUM(cnt) OVER (PARTITION BY phash) AS BIGINT) AS n_rows,
+         COUNT(*) OVER (PARTITION BY phash) AS n_captions
+  FROM pairs
+)
+SELECT phash, caption AS canonical_caption, cnt AS support, n_rows, n_captions
+FROM ranked WHERE rn = 1 ORDER BY phash
+"""
+
     # Target-mixture sampling: solve the engine's rate arithmetic in SQL —
     # scale = MIN(n/t) over target groups, rate = LEAST(1, t·scale/n),
     # threshold = 8-hex-char FLOOR(rate·2^32) ('g' keeps all when rate
@@ -3827,6 +3909,75 @@ psi AS (
 SELECT chunk_index, 'phash' AS column_name, 'psi_width_bucket' AS method,
        ROUND(raw, 6) AS value, raw > 0.2 AS alert
 FROM psi ORDER BY chunk_index
+"""
+
+    # Joint 2-D histogram drift: per-axis width_bucket replicated with the
+    # verified SQL-standard arithmetic (FLOOR, not int-cast — DuckDB casts
+    # round); dense 10×10 grid (8 bins + the two overflow bins per axis);
+    # JS = sqrt(0.5 * Σ_cells [p>0: p·log2(2p/(p+q))] + [q>0: q·log2(2q/(q+p))]),
+    # alert on the unrounded distance > 0.1, round(6) absorbs summation-order
+    # and libm ulp skew across the 100-cell sum.
+    sql["joint_drift"] = """
+WITH tbl AS (
+  SELECT doc_id,
+         CAST((doc_id * 7) % 101 AS DOUBLE) AS x,
+         CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 10 IN (1, 3, 5)
+                   THEN (doc_id * 7) % 101 ELSE (doc_id * 13) % 101 END AS DOUBLE) AS y
+  FROM documents
+),
+refd AS (SELECT x, y FROM tbl WHERE doc_id % 2 = 0),
+bounds AS (
+  SELECT MIN(x) AS lox, MAX(x) AS hix, MIN(y) AS loy, MAX(y) AS hiy,
+         COUNT(*) AS nref
+  FROM refd
+),
+refb AS (
+  SELECT CASE WHEN x < lox THEN 0 WHEN x >= hix THEN 9
+              ELSE CAST(FLOOR((x - lox) / ((hix - lox) / 8.0)) AS BIGINT) + 1 END AS bx,
+         CASE WHEN y < loy THEN 0 WHEN y >= hiy THEN 9
+              ELSE CAST(FLOOR((y - loy) / ((hiy - loy) / 8.0)) AS BIGINT) + 1 END AS by
+  FROM refd, bounds
+),
+refp AS (
+  SELECT bx, by, CAST(COUNT(*) AS DOUBLE) / (SELECT nref FROM bounds) AS p
+  FROM refb GROUP BY bx, by
+),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 60) AS INT) AS chunk_index,
+         x, y
+  FROM tbl WHERE doc_id % 2 = 1
+),
+anab AS (
+  SELECT chunk_index,
+         CASE WHEN x < lox THEN 0 WHEN x >= hix THEN 9
+              ELSE CAST(FLOOR((x - lox) / ((hix - lox) / 8.0)) AS BIGINT) + 1 END AS bx,
+         CASE WHEN y < loy THEN 0 WHEN y >= hiy THEN 9
+              ELSE CAST(FLOOR((y - loy) / ((hiy - loy) / 8.0)) AS BIGINT) + 1 END AS by
+  FROM ana, bounds
+),
+ccnt AS (SELECT chunk_index, bx, by, COUNT(*) AS c FROM anab GROUP BY 1, 2, 3),
+ctot AS (SELECT chunk_index, COUNT(*) AS nt FROM anab GROUP BY 1),
+dense AS (
+  SELECT t.chunk_index,
+         COALESCE(c.c, 0) / GREATEST(t.nt, 1) AS q,
+         COALESCE(p.p, 0.0) AS p
+  FROM ctot t
+  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bx) gx
+  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS by) gy
+  LEFT JOIN ccnt c ON c.chunk_index = t.chunk_index AND c.bx = gx.bx AND c.by = gy.by
+  LEFT JOIN refp p ON p.bx = gx.bx AND p.by = gy.by
+),
+js AS (
+  SELECT chunk_index,
+         SQRT(GREATEST(0.5 * SUM(
+             (CASE WHEN p > 0 THEN p * LOG2(2.0 * p / (p + q)) ELSE 0.0 END)
+           + (CASE WHEN q > 0 THEN q * LOG2(2.0 * q / (q + p)) ELSE 0.0 END)
+         ), 0.0)) AS raw
+  FROM dense GROUP BY 1
+)
+SELECT chunk_index, 'x+y' AS column_name, 'joint_jensen_shannon' AS method,
+       ROUND(raw, 6) AS value, raw > 0.1 AS alert
+FROM js ORDER BY chunk_index
 """
 
     # --- frozen-golden oracles for the fitted-model queries -----------------

@@ -7,7 +7,11 @@ from spark_validate.image.header import (
     header_issue_expr,
     svi0_specs,
 )
-from spark_validate.image.consistency import CaptionConsistencyCheck
+from spark_validate.image.consistency import (
+    CaptionConsistencyCheck,
+    apply_canonical_captions,
+    elect_canonical_captions,
+)
 from spark_validate.image.transforms import (
     decode_audio_stats,
     extract_image_features,
@@ -19,6 +23,8 @@ from spark_validate.image.transforms import (
 
 __all__ = [
     "CaptionConsistencyCheck",
+    "apply_canonical_captions",
+    "elect_canonical_captions",
     "synth_image_table",
     "reference_manifest",
     "decode_pixel_stats",

@@ -29,12 +29,79 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_validate.calculators.base import assign_chunks
 from spark_validate.checks.constraints import _attach_const_threshold
 from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
+
+
+def elect_canonical_captions(
+    df: DataFrame,
+    group_col: str = "phash",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """One row per image group: the ELECTED caption — most frequent non-null
+    caption, ties broken by the lexicographically smallest — plus
+    ``support`` (rows carrying the winner), ``n_rows`` (non-null-caption
+    rows) and ``n_captions`` (distinct non-null captions). The curation
+    complement of :class:`CaptionConsistencyCheck`: where the check reports
+    conflicted groups, the election RESOLVES them so dedup can keep one row
+    per image with the majority caption instead of whichever caption the
+    keeper row happened to carry.
+
+    Scale: the same two-level collapse as the check — ``groupBy(group,
+    caption)`` map-side combines boilerplate copies before the shuffle; the
+    window that picks the winner runs over the COLLAPSED pairs frame
+    (one row per distinct caption per group, partitioned by group — never a
+    global sort, never a collect_list of raw rows).
+    """
+    g, c = group_col, caption_col
+    pairs = (
+        df.filter(F.col(g).isNotNull() & F.col(c).isNotNull())
+        .groupBy(g, c)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy(g).orderBy(F.desc("_cnt"), F.asc(c))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_rows", F.sum("_cnt").over(Window.partitionBy(g)))
+        .withColumn("n_captions", F.count(F.lit(1)).over(Window.partitionBy(g)))
+        .filter(F.col("_rn") == 1)
+        .select(
+            g,
+            F.col(c).alias("canonical_caption"),
+            F.col("_cnt").alias("support"),
+            "n_rows",
+            "n_captions",
+        )
+    )
+
+
+def apply_canonical_captions(
+    df: DataFrame,
+    group_col: str = "phash",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Rewrite every row's caption to its group's elected caption. Rows
+    whose group is NULL or has no non-null caption keep their original;
+    ``caption_replaced`` marks rows whose text actually changed (NULL
+    captions gaining the canonical text count as replaced). The join key is
+    the group column — the same key every dedup stage shuffles on — and the
+    election frame is one row per group, so AQE broadcasts it when small."""
+    g, c = group_col, caption_col
+    elected = elect_canonical_captions(df, g, c).select(g, "canonical_caption")
+    out = df.join(elected, g, "left")
+    new_caption = F.coalesce(F.col("canonical_caption"), F.col(c))
+    return out.select(
+        *[col for col in df.columns if col != c],
+        new_caption.alias(c),
+        (
+            F.col("canonical_caption").isNotNull()
+            & (F.col(c).isNull() | (F.col(c) != F.col("canonical_caption")))
+        ).alias("caption_replaced"),
+    )
 
 
 @dataclass

@@ -363,6 +363,19 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.2),
         )
+    if kind == "joint_drift":
+        from spark_validate.drift.joint import JointHistogramDrift
+
+        return JointHistogramDrift(
+            col_x=cfg["column_x"],
+            col_y=cfg["column_y"],
+            n_bins_x=cfg.get("n_bins_x", 8),
+            n_bins_y=cfg.get("n_bins_y", 8),
+            method=cfg.get("method", "jensen_shannon"),
+            eps=cfg.get("eps", 1e-4),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold"),
+        )
     if kind == "embedding_drift":
         from spark_validate.drift.embedding import EmbeddingDriftCalculator
 
@@ -393,6 +406,7 @@ def _check_name(cfg: dict) -> str:
         or cfg.get("feature_columns")
         or cfg.get("required")
         or ([cfg["group_column"]] if cfg.get("group_column") else None)
+        or ([cfg["column_x"], cfg["column_y"]] if cfg.get("column_x") else None)
         or [cfg.get("column", "")]
     )
     return f"{cfg['type']}__{'_'.join(cols)}"
@@ -506,7 +520,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
             "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
-            "iqr_outliers", "phash_drift",
+            "iqr_outliers", "phash_drift", "joint_drift",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

@@ -765,3 +765,49 @@ def test_caption_consistency_runner_kind(spark, tmp_path):
     flagged_groups = {i % 10 for i in range(n) if i % 17 == 0}
     assert set(vio["row_id"].astype(int)) == flagged_groups
     assert len(vio) == 12 * len(flagged_groups)  # all 12 rows of each group
+
+
+def test_caption_election_majority_tiebreak_nulls(spark):
+    """Most frequent non-null caption wins; exact ties break to the
+    lexicographically smallest; NULL captions don't vote; all-NULL groups
+    are absent from the election."""
+    from spark_validate.image import elect_canonical_captions
+
+    rows = [
+        # group 1: majority "cat" (2 vs 1), a NULL that must not vote
+        (0, 1, "dog"), (1, 1, "cat"), (2, 1, "cat"), (3, 1, None),
+        # group 2: exact tie "apple" vs "zebra" → "apple" (lexicographic)
+        (4, 2, "zebra"), (5, 2, "apple"),
+        # group 3: only NULL captions → no elected row
+        (6, 3, None), (7, 3, None),
+        # NULL group ignored
+        (8, None, "x"),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+    el = elect_canonical_captions(df).toPandas().sort_values("phash").reset_index(drop=True)
+    assert el["phash"].tolist() == [1, 2]
+    assert el["canonical_caption"].tolist() == ["cat", "apple"]
+    assert el["support"].tolist() == [2, 1]
+    assert el["n_rows"].tolist() == [3, 2]
+    assert el["n_captions"].tolist() == [2, 2]
+
+
+def test_apply_canonical_captions_rewrite_flags(spark):
+    from spark_validate.image import apply_canonical_captions
+
+    rows = [
+        (0, 1, "dog"), (1, 1, "cat"), (2, 1, "cat"), (3, 1, None),
+        (4, None, "keep-me"),
+        (5, 3, None),  # group with no non-null caption: original kept
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+    out = (
+        apply_canonical_captions(df)
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert out["caption"].tolist() == ["cat", "cat", "cat", "cat", "keep-me", None]
+    # replaced: the dissenting row 0 and the NULL-caption row 3 of group 1
+    assert out["caption_replaced"].tolist() == [True, False, False, True, False, False]
+    assert set(out.columns) == {"image_id", "phash", "caption", "caption_replaced"}
