@@ -8,6 +8,7 @@ from spark_validate.streaming.incremental import (
 from spark_validate.streaming.stateful import running_group_stats, streaming_duplicate_keys
 from spark_validate.streaming.drift import (
     streaming_embedding_drift,
+    streaming_joint_drift,
     streaming_phash_drift,
     streaming_univariate_drift,
 )
@@ -22,5 +23,6 @@ __all__ = [
     "streaming_duplicate_keys",
     "streaming_univariate_drift",
     "streaming_embedding_drift",
+    "streaming_joint_drift",
     "streaming_phash_drift",
 ]

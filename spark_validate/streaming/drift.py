@@ -193,6 +193,41 @@ def streaming_phash_drift(
     return _melt(agg, specs)
 
 
+def streaming_joint_drift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``JointHistogramDrift``
+    (`spark_validate/drift/joint.py`) into a streaming drift query: the
+    batch check is one pivoted 2-D width_bucket-cell-count aggregation plus
+    a JS/PSI projection over fitted constants, so the streaming form swaps
+    the chunk groupBy for a tumbling event-time window and reuses the SAME
+    count expressions and value column — bit-identical per-window values to
+    a batch run over the window's rows (the empty-window NULL guard lives
+    inside ``_value_col``)."""
+    if calc._state is None:
+        raise RuntimeError("fit the check on the reference period first")
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+    agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(
+        *calc._count_exprs("")
+    )
+    specs = [
+        (
+            f"{calc.col_x}+{calc.col_y}",
+            f"joint_{calc.method}",
+            calc._value_col(""),
+            None,
+            calc.upper_threshold,
+        )
+    ]
+    return _melt(agg, specs)
+
+
 def streaming_embedding_drift(
     stream: DataFrame,
     calc,

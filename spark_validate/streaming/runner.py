@@ -246,6 +246,25 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 stream, calc, ts, window_duration=window, watermark=watermark or window
             )
             queries[key] = _sink(ph_drift, out_dir, key, "append", trigger).start()
+        elif kind == "joint_drift":
+            if reference is None:
+                raise ValueError("joint_drift check needs a reference table to fit")
+            from spark_validate.streaming.drift import streaming_joint_drift
+
+            # own sink key (`name` is only assigned for column_stats/drift
+            # kinds — see embedding_drift below for the collision this avoids)
+            key = uniq(
+                check_cfg.get("name")
+                or f"joint_drift__{check_cfg['column_x']}_{check_cfg['column_y']}",
+                check_idx,
+            )
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            calc = build_check(spark, check_cfg, chunker)
+            calc.fit(reference)
+            j_drift = streaming_joint_drift(
+                stream, calc, ts, window_duration=window, watermark=watermark or window
+            )
+            queries[key] = _sink(j_drift, out_dir, key, "append", trigger).start()
         elif kind == "embedding_drift":
             if reference is None:
                 raise ValueError("embedding_drift check needs a reference table to fit")

@@ -1116,3 +1116,103 @@ def test_streaming_phash_drift_matches_batch(spark, tmp_path):
     agree = pd.concat([ba.rename("b"), sa.rename("s")], axis=1).dropna()
     assert (agree["b"].astype(bool) == agree["s"].astype(bool)).all()
     assert agree["s"].astype(bool).any() and not agree["s"].astype(bool).all()
+
+
+def test_streaming_joint_drift_matches_batch(spark, tmp_path):
+    """A fitted JointHistogramDrift compiled to a streaming query produces
+    per-window joint-JS equal to the batch path over a matching period
+    chunker (same pivoted 2-D cell counts, same JS projection)."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.drift.joint import JointHistogramDrift
+    from spark_validate.streaming import streaming_joint_drift
+
+    n = 4800
+    ts = pd.date_range("2024-06-01", periods=n, freq="6s")  # 8 hours
+    idx = np.arange(n)
+    base = pd.DataFrame({"ts": ts, "x": (idx * 7) % 101, "y": (idx * 13) % 101})
+    drifted = idx >= 5 * n // 8  # last 3 streamed hours collapse onto y = x
+    base.loc[drifted, "y"] = base.loc[drifted, "x"]
+
+    ref = base.iloc[: n // 4]
+    ana = base.iloc[n // 4 :]
+    calc = JointHistogramDrift(
+        "x", "y", chunker=PeriodBasedChunker(offset="H", timestamp_column="ts")
+    ).fit(spark.createDataFrame(ref))
+
+    batch = calc.calculate(spark.createDataFrame(ana)).toPandas()
+
+    src = str(tmp_path / "joint_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_joint_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_joint_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_res = spark.sql("SELECT * FROM sv_joint_drift").toPandas()
+    assert set(stream_res["method"]) == {"joint_jensen_shannon"}
+    assert set(stream_res["column_name"]) == {"x+y"}
+
+    b = batch.set_index(batch["start_ts"].dt.floor("h"))["value"]
+    s = stream_res.set_index(pd.to_datetime(stream_res["window_start"]))["value"]
+    joined = pd.concat([b.rename("batch"), s.rename("stream")], axis=1).dropna()
+    assert len(joined) == len(s) >= 6
+    np.testing.assert_allclose(joined["batch"], joined["stream"], rtol=1e-12)
+    # the diagonal-collapse hours alert in both paths, the clean hours in neither
+    sa = stream_res.set_index(pd.to_datetime(stream_res["window_start"]))["alert"]
+    ba = batch.set_index(batch["start_ts"].dt.floor("h"))["alert"]
+    agree = pd.concat([ba.rename("b"), sa.rename("s")], axis=1).dropna()
+    assert (agree["b"].astype(bool) == agree["s"].astype(bool)).all()
+    assert agree["s"].astype(bool).any() and not agree["s"].astype(bool).all()
+
+
+def test_streaming_suite_joint_drift_kind(spark, tmp_path):
+    """joint_drift check type through run_streaming_suite: fitted on the
+    reference, windowed sink under its own key (no checkpoint collision
+    with a preceding drift check)."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    n = 2400
+    ts = pd.date_range("2024-06-02", periods=n, freq="6s")  # 4 hours
+    idx = np.arange(n)
+    pdf = pd.DataFrame({"ts": ts, "x": (idx * 7) % 101, "y": (idx * 13) % 101})
+    drifted = idx >= n // 2
+    pdf.loc[drifted, "y"] = pdf.loc[drifted, "x"]
+    ref_dir, stream_dir, out_dir = (
+        str(tmp_path / "ref"), str(tmp_path / "stream"), str(tmp_path / "out")
+    )
+    spark.createDataFrame(pdf.iloc[: n // 4]).write.parquet(ref_dir)
+    spark.createDataFrame(pdf.iloc[n // 4 :]).write.parquet(stream_dir)
+    cfg = {
+        "output_dir": out_dir,
+        "reference": ref_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 hour",
+        "watermark": "0 seconds",
+        "checks": [
+            {"type": "drift", "columns": ["x"], "continuous_methods": ["psi"]},
+            {"type": "joint_drift", "column_x": "x", "column_y": "y"},
+        ],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+        sentinel = pdf.iloc[-1:].copy()
+        sentinel["ts"] = sentinel["ts"] + pd.Timedelta(hours=12)
+        spark.createDataFrame(sentinel).write.mode("append").parquet(stream_dir)
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    res = spark.read.parquet(f"{out_dir}/joint_drift__x_y").toPandas()
+    assert set(res["method"]) == {"joint_jensen_shannon"}
+    late = res[pd.to_datetime(res["window_start"]).dt.hour >= 2]
+    early = res[pd.to_datetime(res["window_start"]).dt.hour < 2]
+    assert late["alert"].any() and not early["alert"].astype(bool).any()
