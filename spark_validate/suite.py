@@ -60,6 +60,8 @@ class ImageValidationSuite:
     include_schema_check: bool = True
     include_phash_dedup: bool = False  # near-dup sweep (adds one shuffle + verify)
     include_profile_checks: bool = True  # z-score row gates + HLL++ cardinality
+    include_consistency_check: bool = True  # caption↔image conflict rate
+    include_joint_drift: bool = True  # (w,h) 2-D drift the marginals miss
     phash_max_hamming: int = 4
     phash_n_blocks: int = 8  # Manku tables: the corpus-scale operating point
     salt_buckets: int = 16
@@ -186,6 +188,26 @@ class ImageValidationSuite:
             out["zscore_outliers"] = zs.calculate(analysis)
             card = CardinalityCalculator(["image_id", "fmt"], exact=False, chunker=self.chunker)
             out["cardinality"] = card.calculate(analysis)
+
+        # 6e. cross-modal consistency: images sharing one phash must agree
+        # on the caption — contradictory supervision otherwise. Two-level
+        # caption collapse, conflicted-group frame broadcast back.
+        if self.include_consistency_check:
+            from spark_validate.image.consistency import CaptionConsistencyCheck
+
+            cc = CaptionConsistencyCheck(
+                group_col="phash", caption_col="caption", chunker=self.chunker
+            )
+            out["caption_consistency"] = cc.calculate(analysis)
+
+        # 6f. joint (w,h) drift: the aspect-mix shift univariate KS on w and
+        # h separately cannot see (marginals flat, joint mass moves) — one
+        # pivoted width_bucket×width_bucket count aggregation per chunk
+        if self.include_joint_drift:
+            from spark_validate.drift.joint import JointHistogramDrift
+
+            jd = JointHistogramDrift("w", "h", chunker=self.chunker).fit(reference)
+            out["joint_drift_wh"] = jd.calculate(analysis)
 
         # 7. payload checks — ONE fused Arrow pass (pixel stats + PSNR
         # equivalence; each side decoded exactly once)

@@ -811,3 +811,38 @@ def test_apply_canonical_captions_rewrite_flags(spark):
     # replaced: the dissenting row 0 and the NULL-caption row 3 of group 1
     assert out["caption_replaced"].tolist() == [True, False, False, True, False, False]
     assert set(out.columns) == {"image_id", "phash", "caption", "caption_replaced"}
+
+
+def test_image_suite_consistency_and_joint_drift_keys(spark):
+    """The north-rule suite now carries the cross-modal consistency check
+    and the joint (w,h) drift: planted caption conflicts on shared phashes
+    alert, a clean same-distribution batch stays silent on both."""
+    from pyspark.sql import functions as F
+
+    from spark_validate.suite import ImageValidationSuite
+
+    ref = synth_image_table(spark, 2000, n_partitions=4, dup_rate=0.0, orphan_rate=0.0, seed=11)
+    clean = synth_image_table(spark, 2000, n_partitions=4, dup_rate=0.0, orphan_rate=0.0, seed=12)
+    suite = ImageValidationSuite(include_payload_checks=False)
+
+    out_clean = suite.run(ref, clean)
+    cc = out_clean["caption_consistency"].toPandas()
+    jd = out_clean["joint_drift_wh"].toPandas()
+    assert (cc["value"] == 0).all() and not cc["alert"].any()
+    assert jd["method"].eq("joint_jensen_shannon").all()
+    assert not jd["alert"].any()  # same size-mix recipe → joint stays put
+
+    # conflicted batch: re-caption a slice of rows under their same phash
+    conflicted = clean.withColumn(
+        "caption",
+        F.when(
+            F.pmod(F.xxhash64("image_id"), F.lit(7)) == 0,
+            F.concat(F.lit("CONFLICT-"), F.col("image_id")),
+        ).otherwise(F.col("caption")),
+    )
+    dup_rows = conflicted.filter(F.pmod(F.xxhash64("image_id"), F.lit(7)) == 0).withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_b"))
+    ).withColumn("caption", F.concat(F.lit("OTHER-"), F.col("image_id")))
+    out_bad = suite.run(ref, conflicted.unionByName(dup_rows))
+    cc_bad = out_bad["caption_consistency"].toPandas()
+    assert (cc_bad["value"] > 0).any() and cc_bad["alert"].any()
