@@ -1764,6 +1764,33 @@ def q_phash_psi(spark, sf_dir):
     ).orderBy("chunk_index")
 
 
+def q_grouped_drift(spark, sf_dir):
+    """Conditional drift (drift/grouped.py::GroupedDriftCalculator): JS
+    drift of l_extendedprice WITHIN each l_returnflag group — each group
+    becomes a derived `value@group` column and the existing multi-column
+    univariate calculator runs its amortized single fit + single pass over
+    all of them (NULL rows of other groups excluded by the standard
+    non-null histogram semantics). Oracle = UNION of three independently
+    parameterized replicas of the proven dense-histogram JS SQL, each with
+    a CASE-filtered value expression."""
+    from spark_validate.drift.grouped import GroupedDriftCalculator
+
+    ref, ana = _li_split(spark, sf_dir)
+    calc = timed_fit(
+        GroupedDriftCalculator(
+            "l_extendedprice", "l_returnflag",
+            continuous_methods=("jensen_shannon",), categorical_methods=(),
+            chunker=_li_chunker(), n_bins_doane=10,
+        ),
+        ref,
+    )
+    res = calc.calculate(ana)
+    calc.release_cache()
+    return res.select(
+        "chunk_index", "column_name", F.round("value", 9).alias("value")
+    ).orderBy("chunk_index", "column_name")
+
+
 def q_joint_drift(spark, sf_dir):
     """Joint 2-D histogram drift (drift/joint.py::JointHistogramDrift):
     base-2 JS distance between the reference and per-chunk analysis
@@ -1967,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_clusters": q_phash_clusters,
         "phash_psi": q_phash_psi,
         "joint_drift": q_joint_drift,
+        "grouped_drift": q_grouped_drift,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
         "phash_decontamination": q_phash_decontamination,
@@ -2561,6 +2589,29 @@ SELECT chunk_index, round(max(abs(ref_cdf - chunk_cdf)), 9) AS value FROM cdf GR
             for i, (c, m, s) in enumerate(_series)
         )
         + "\n) u ORDER BY column_name, method, chunk_index"
+    )
+
+    # Conditional (per-group) drift: three independently parameterized
+    # replicas of the dense-histogram JS recipe, each over the CASE-filtered
+    # value expression — the same conditional-distribution semantics the
+    # engine gets from its derived `value@group` columns (non-null rows only
+    # enter each histogram; chunk indices assigned over the FULL frame).
+    _g_series = []
+    for _g in ("A", "N", "R"):
+        _gcol = f"CASE WHEN l_returnflag = '{_g}' THEN l_extendedprice END"
+        _g_series.append(
+            (
+                f"l_extendedprice@{_g}",
+                _cont_dense_sql(_gcol, 10, ref_f, ana_f) + _terms_tail.format(expr=_js_expr),
+            )
+        )
+    sql["grouped_drift"] = (
+        "SELECT chunk_index, column_name, value FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT '{c}' AS column_name, chunk_index, value FROM (\n{s}\n) AS g_{i}"
+            for i, (c, s) in enumerate(_g_series)
+        )
+        + "\n) u ORDER BY chunk_index, column_name"
     )
 
     sql["top_categories"] = """

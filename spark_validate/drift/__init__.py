@@ -1,4 +1,5 @@
+from spark_validate.drift.grouped import GroupedDriftCalculator
 from spark_validate.drift.joint import JointHistogramDrift
 from spark_validate.drift.univariate import UnivariateDriftCalculator
 
-__all__ = ["JointHistogramDrift", "UnivariateDriftCalculator"]
+__all__ = ["GroupedDriftCalculator", "JointHistogramDrift", "UnivariateDriftCalculator"]

@@ -363,6 +363,18 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.2),
         )
+    if kind == "grouped_drift":
+        from spark_validate.drift.grouped import GroupedDriftCalculator
+
+        return GroupedDriftCalculator(
+            value_col=cfg["column"],
+            group_col=cfg["group_column"],
+            continuous_methods=tuple(cfg.get("continuous_methods", ("jensen_shannon",))),
+            categorical_methods=tuple(cfg.get("categorical_methods", ("jensen_shannon",))),
+            top_k_groups=cfg.get("top_k_groups", 20),
+            chunker=chunker,
+            n_bins_doane=cfg.get("n_bins_doane"),
+        )
     if kind == "joint_drift":
         from spark_validate.drift.joint import JointHistogramDrift
 
@@ -405,7 +417,11 @@ def _check_name(cfg: dict) -> str:
         or cfg.get("metrics")
         or cfg.get("feature_columns")
         or cfg.get("required")
-        or ([cfg["group_column"]] if cfg.get("group_column") else None)
+        or (
+            [c for c in (cfg.get("column"), cfg["group_column"]) if c]
+            if cfg.get("group_column")
+            else None
+        )
         or ([cfg["column_x"], cfg["column_y"]] if cfg.get("column_x") else None)
         or [cfg.get("column", "")]
     )
@@ -520,7 +536,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
             "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
-            "iqr_outliers", "phash_drift", "joint_drift",
+            "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):
