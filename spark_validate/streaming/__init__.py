@@ -5,7 +5,11 @@ from spark_validate.streaming.incremental import (
     streaming_violations,
     attach_thresholds,
 )
-from spark_validate.streaming.stateful import running_group_stats, streaming_duplicate_keys
+from spark_validate.streaming.stateful import (
+    running_group_stats,
+    streaming_caption_conflicts,
+    streaming_duplicate_keys,
+)
 from spark_validate.streaming.drift import (
     streaming_embedding_drift,
     streaming_joint_drift,
@@ -20,6 +24,7 @@ __all__ = [
     "streaming_violations",
     "attach_thresholds",
     "running_group_stats",
+    "streaming_caption_conflicts",
     "streaming_duplicate_keys",
     "streaming_univariate_drift",
     "streaming_embedding_drift",

@@ -217,6 +217,37 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             key = uniq(check_cfg.get("name", kind), check_idx)
             queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "caption_consistency":
+            # stateful cross-modal conflict stream: state = the group's
+            # first non-null caption, watermark-evicted — the ingest gate
+            # for conflicting-copy floods (batch check owns retroactive)
+            from spark_validate.streaming.stateful import streaming_caption_conflicts
+            import pyspark.sql.functions as F
+
+            gcol = check_cfg.get("group_column", "phash")
+            ccol = check_cfg.get("caption_column", "caption")
+            conf = streaming_caption_conflicts(
+                stream,
+                group_col=gcol,
+                caption_col=ccol,
+                id_col=check_cfg.get("id_column"),
+                event_time_col=ts,
+                watermark=watermark or "10 minutes",
+                event_ttl=check_cfg.get("event_ttl", "1 hour"),
+            )
+            v = conf.select(
+                F.lit("caption_consistency").alias("check"),
+                F.lit(f"{gcol}+{ccol}").alias("column_name"),
+                F.col(ts),
+                F.col("row_id"),
+                F.lit("caption_conflict").alias("violation_kind"),
+                F.concat_ws(" <> ", F.col("first_caption"), F.col("caption")).alias(
+                    "observed_value"
+                ),
+            )
+            # own sink key: `name` is only set by column_stats/drift kinds
+            key = uniq(check_cfg.get("name") or f"caption_consistency__{gcol}", check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "drift":
             if reference is None:
                 raise ValueError("drift check needs a reference table to fit histograms")

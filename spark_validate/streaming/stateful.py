@@ -248,3 +248,113 @@ def streaming_duplicate_keys(
     return src.groupBy("_k").applyInPandasWithState(
         fn, out_schema, "n long", "append", timeout
     )
+
+
+def streaming_caption_conflicts(
+    stream: DataFrame,
+    group_col: str = "phash",
+    caption_col: str = "caption",
+    id_col: Optional[str] = None,
+    event_time_col: Optional[str] = None,
+    watermark: str = "10 minutes",
+    event_ttl: str = "1 hour",
+    ttl_ms: Optional[int] = None,
+    witness_len: int = 256,
+) -> DataFrame:
+    """Streaming cross-modal consistency — a caption-CONFLICT violation
+    stream (the ingest-time sibling of
+    `spark_validate/image/consistency.py::CaptionConsistencyCheck`).
+
+    Per image-identity group the state is the FIRST non-null caption seen;
+    every later row whose caption differs emits one final violation row
+    carrying both captions (append mode, parquet-sink ready). Rows that
+    arrived BEFORE the first disagreement are not retroactively emitted —
+    rows are final in append mode — so this is the ingest gate for
+    near-in-time conflicting floods; full retroactive reporting over the
+    compacted table is the batch check's job (same division of labor as
+    ``streaming_duplicate_keys``). NULL captions never vote and never
+    conflict; NULL groups carry no image identity and are dropped.
+
+    State is ONE caption string per live group (bounded by eviction);
+    emitted witnesses are truncated to ``witness_len`` chars but conflict
+    comparison uses the full strings. Eviction mirrors
+    :func:`running_group_stats`: ``event_time_col`` arms watermark-driven
+    ``EventTimeTimeout``, ``ttl_ms`` arms ``ProcessingTimeTimeout``; an
+    evicted group that re-appears starts fresh.
+    """
+    import pyspark.sql.functions as F
+
+    if event_time_col is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        stream = stream.withWatermark(event_time_col, watermark)
+        ttl_delta = pd.Timedelta(event_ttl)
+    else:
+        ttl_delta = None
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+        )
+
+    out_schema = "group string, row_id string, caption string, first_caption string"
+    if event_time_col is not None:
+        out_schema += f", {event_time_col} timestamp"
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # conflicts were already emitted; nothing final
+            return
+        (first,) = state.get if state.exists else (None,)
+        max_ev_ms = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if event_time_col is not None:
+                ts = pd.to_datetime(pdf[event_time_col]).max()
+                ms = int(ts.value // 1_000_000)
+                max_ev_ms = ms if max_ev_ms is None else max(max_ev_ms, ms)
+            caps = pdf["_cap"]
+            voting = caps.notna()
+            if first is None:
+                nn = voting[voting].index
+                if len(nn) == 0:
+                    continue
+                first = caps.loc[nn[0]]
+                # rows BEFORE the first voter in this same batch can't
+                # conflict (nothing to disagree with yet)
+                voting = voting & (pdf.index > nn[0])
+            bad = voting & (caps != first)
+            if not bad.any():
+                continue
+            out = {
+                "group": [str(key[0])] * int(bad.sum()),
+                "row_id": (
+                    pdf.loc[bad, "_rid"].astype(str).tolist()
+                    if "_rid" in pdf.columns
+                    else [None] * int(bad.sum())
+                ),
+                "caption": caps.loc[bad].str.slice(0, witness_len).tolist(),
+                "first_caption": [str(first)[:witness_len]] * int(bad.sum()),
+            }
+            if event_time_col is not None:
+                out[event_time_col] = pdf.loc[bad, event_time_col].tolist()
+            yield pd.DataFrame(out)
+        if first is not None:
+            state.update((first,))
+        if ttl_ms:
+            state.setTimeoutDuration(int(ttl_ms))
+        elif event_time_col is not None and max_ev_ms is not None:
+            state.setTimeoutTimestamp(max_ev_ms + int(ttl_delta.total_seconds() * 1000))
+
+    keep = [
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(caption_col).cast("string").alias("_cap"),
+    ]
+    if id_col is not None:
+        keep.append(F.col(id_col).cast("string").alias("_rid"))
+    if event_time_col is not None:
+        keep.append(F.col(event_time_col))
+    src = stream.filter(F.col(group_col).isNotNull()).select(*keep)
+    return src.groupBy("_g").applyInPandasWithState(
+        fn, out_schema, "first string", "append", timeout
+    )

@@ -1216,3 +1216,119 @@ def test_streaming_suite_joint_drift_kind(spark, tmp_path):
     late = res[pd.to_datetime(res["window_start"]).dt.hour >= 2]
     early = res[pd.to_datetime(res["window_start"]).dt.hour < 2]
     assert late["alert"].any() and not early["alert"].astype(bool).any()
+
+
+def test_streaming_caption_conflicts_semantics_and_eviction(spark, tmp_path):
+    """Stateful cross-modal gate: the group's first non-null caption is the
+    state; later disagreeing rows emit violations with both witnesses; NULL
+    captions never vote or conflict; eviction restarts a group fresh."""
+    import os as _os
+
+    from spark_validate.streaming.stateful import streaming_caption_conflicts
+
+    CAP_SCHEMA = "ts timestamp, phash long, image_id string, caption string"
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda rows: pd.DataFrame(  # noqa: E731
+        rows, columns=["ts", "phash", "image_id", "caption"]
+    )
+    # b1: g1 consistent (incl. a NULL that must not conflict); g2 conflicts
+    #     in-batch (second row disagrees with the first)
+    b1 = mk([
+        (base, 1, "a1", "a cat"), (base, 1, "a2", "a cat"), (base, 1, "a3", None),
+        (base, 2, "b1", "a dog"), (base, 2, "b2", "two dogs"),
+        (base, None, "n1", "x"),
+    ])
+    # b2: g1 now disagrees with its remembered first caption; watermark → 3h
+    b2 = mk([(base + pd.Timedelta(hours=3), 1, "a4", "the cat")])
+    # b3 advances the watermark past g1's 4h timeout stamp; b3b is the quiet
+    # trigger in which the (now-armed) eviction actually fires — event-time
+    # timeouts only fire for groups with NO data in that trigger, and the
+    # watermark itself lags one batch
+    b3 = mk([(base + pd.Timedelta(hours=5), 9, "z1", "zz")])
+    b3b = mk([(base + pd.Timedelta(hours=7), 9, "z2", "zz")])
+    # b4: g1 re-appears after eviction with a DIFFERENT caption: fresh first,
+    #     the single row cannot conflict with anything
+    b4 = mk([(base + pd.Timedelta(hours=8), 1, "a5", "another cat")])
+
+    src = str(tmp_path / "cap_in")
+    _os.makedirs(src)
+    for i, pdf in enumerate([b1, b2, b3, b3b, b4]):
+        f = str(tmp_path / f"cpart_{i}.parquet")
+        spark.createDataFrame(pdf, CAP_SCHEMA).coalesce(1).write.mode("overwrite").parquet(f)
+        for name in _os.listdir(f):
+            if name.endswith(".parquet"):
+                dst = _os.path.join(src, f"b{i}.parquet")
+                _os.rename(_os.path.join(f, name), dst)
+                _os.utime(dst, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    stream = spark.readStream.schema(CAP_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    conf = streaming_caption_conflicts(
+        stream, group_col="phash", caption_col="caption", id_col="image_id",
+        event_time_col="ts", watermark="1 minute", event_ttl="1 hour",
+    )
+    q = (
+        conf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sv_capconf")
+        .option("checkpointLocation", str(tmp_path / "ckpt_capconf"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM sv_capconf").toPandas()
+    # exactly two violations: b2 in-batch conflict, a4 cross-batch conflict
+    assert sorted(out["row_id"]) == ["a4", "b2"], out
+    b2row = out[out["row_id"] == "b2"].iloc[0]
+    assert b2row["first_caption"] == "a dog" and b2row["caption"] == "two dogs"
+    a4row = out[out["row_id"] == "a4"].iloc[0]
+    assert a4row["first_caption"] == "a cat" and a4row["caption"] == "the cat"
+    # a5 (post-eviction fresh first) and the NULL caption/group rows are silent
+
+
+def test_streaming_suite_caption_consistency_kind(spark, tmp_path):
+    """caption_consistency check type through run_streaming_suite: conflict
+    violation stream lands under its own sink with witness pair."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    n = 300
+    ts = pd.date_range("2024-06-03", periods=n, freq="1min")
+    pdf = pd.DataFrame({
+        "ts": ts,
+        "phash": [i % 10 for i in range(n)],
+        "image_id": [f"i{i}" for i in range(n)],
+        "caption": [
+            f"variant-{i}" if (i % 30 == 7 and i >= 10) else f"caption-{i % 10}"
+            for i in range(n)
+        ],
+    })
+    stream_dir, out_dir = str(tmp_path / "stream"), str(tmp_path / "out")
+    # single source partition: arrival order within each group is the row
+    # order, so "first caption" is deterministic for the assertion below
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(stream_dir)
+    cfg = {
+        "output_dir": out_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 hour",
+        "watermark": "0 seconds",
+        "checks": [
+            {
+                "type": "caption_consistency",
+                "group_column": "phash",
+                "caption_column": "caption",
+                "id_column": "image_id",
+            }
+        ],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    res = spark.read.parquet(f"{out_dir}/caption_consistency__phash").toPandas()
+    want = {f"i{i}" for i in range(n) if i % 30 == 7 and i >= 10}
+    assert set(res["row_id"]) == want
+    assert (res["violation_kind"] == "caption_conflict").all()
+    assert res["observed_value"].str.contains(" <> variant-").all()
