@@ -79,6 +79,25 @@ def main():
         "chunks": rows,
     }
 
+    from spark_validate.drift.grouped import GroupedDriftCalculator
+
+    gdf = df.withColumn("fmt", F.element_at(F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp")), (F.col("image_id") % 3 + 1).cast("int")))
+    t0 = time.time()
+    gd = GroupedDriftCalculator(
+        "w", "fmt", chunker=chunker, categorical_methods=(), n_bins_doane=10
+    ).fit(gdf)
+    fit_w = time.time() - t0
+    t0 = time.time()
+    rows = gd.calculate(gdf).count()
+    calc_w = time.time() - t0
+    gd.release_cache()
+    out["grouped_drift"] = {
+        "fit_secs": round(fit_w, 2),
+        "calc_secs": round(calc_w, 2),
+        "calc_rows_per_sec": round(n / calc_w),
+        "series": rows,
+    }
+
     print(json.dumps({"n_rows": n, "cpus": cpus, "ops": out}))
 
 
