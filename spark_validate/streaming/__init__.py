@@ -12,6 +12,7 @@ from spark_validate.streaming.stateful import (
 )
 from spark_validate.streaming.drift import (
     streaming_embedding_drift,
+    streaming_grouped_drift,
     streaming_joint_drift,
     streaming_phash_drift,
     streaming_univariate_drift,
@@ -28,6 +29,7 @@ __all__ = [
     "streaming_duplicate_keys",
     "streaming_univariate_drift",
     "streaming_embedding_drift",
+    "streaming_grouped_drift",
     "streaming_joint_drift",
     "streaming_phash_drift",
 ]

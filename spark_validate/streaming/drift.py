@@ -193,6 +193,32 @@ def streaming_phash_drift(
     return _melt(agg, specs)
 
 
+def streaming_grouped_drift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``GroupedDriftCalculator``
+    (`spark_validate/drift/grouped.py`) into a streaming drift query: the
+    batch check is a ``value@group`` column derivation over the ordinary
+    multi-column univariate calculator, so the streaming form derives the
+    SAME columns on the stream (a stateless projection) and hands the
+    fitted inner calculator to :func:`streaming_univariate_drift` — one
+    windowed aggregation for all groups, per-window values bit-identical
+    to a batch run over the window's rows."""
+    if calc._calc is None:
+        raise RuntimeError("fit the calculator on the reference period first")
+    return streaming_univariate_drift(
+        calc._derived(stream),
+        calc._calc,
+        timestamp_column,
+        window_duration=window_duration,
+        watermark=watermark,
+    )
+
+
 def streaming_joint_drift(
     stream: DataFrame,
     calc,

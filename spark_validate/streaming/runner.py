@@ -277,6 +277,24 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 stream, calc, ts, window_duration=window, watermark=watermark or window
             )
             queries[key] = _sink(ph_drift, out_dir, key, "append", trigger).start()
+        elif kind == "grouped_drift":
+            if reference is None:
+                raise ValueError("grouped_drift check needs a reference table to fit")
+            from spark_validate.streaming.drift import streaming_grouped_drift
+
+            key = uniq(
+                check_cfg.get("name")
+                or f"grouped_drift__{check_cfg['column']}_{check_cfg['group_column']}",
+                check_idx,
+            )
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            calc = build_check(spark, check_cfg, chunker)
+            calc.fit(reference)
+            g_drift = streaming_grouped_drift(
+                stream, calc, ts, window_duration=window, watermark=watermark or window
+            )
+            queries[key] = _sink(g_drift, out_dir, key, "append", trigger).start()
+            calc.release_cache()
         elif kind == "joint_drift":
             if reference is None:
                 raise ValueError("joint_drift check needs a reference table to fit")

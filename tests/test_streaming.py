@@ -1332,3 +1332,70 @@ def test_streaming_suite_caption_consistency_kind(spark, tmp_path):
     assert set(res["row_id"]) == want
     assert (res["violation_kind"] == "caption_conflict").all()
     assert res["observed_value"].str.contains(" <> variant-").all()
+
+
+def test_streaming_grouped_drift_matches_batch(spark, tmp_path):
+    """A fitted GroupedDriftCalculator compiled to streaming (derive the
+    value@group columns on the stream, reuse the fitted inner univariate
+    calculator) produces per-window per-group values equal to the batch
+    path; only the moved group's windows alert."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.drift.grouped import GroupedDriftCalculator
+    from spark_validate.streaming import streaming_grouped_drift
+
+    rng = np.random.default_rng(31)
+    n = 4800
+    ts = pd.date_range("2024-07-01", periods=n, freq="6s")  # 8 hours
+    pdf = pd.DataFrame({
+        "ts": ts,
+        "fmt": np.take(["png", "jpeg"], np.arange(n) % 2),
+        "w": rng.normal(100, 10, n),
+    })
+    drifted = (np.arange(n) >= 5 * n // 8) & (pdf["fmt"] == "png").to_numpy()
+    pdf.loc[drifted, "w"] += 50.0  # only png widths move, late hours only
+
+    ref = pdf.iloc[: n // 4]
+    ana = pdf.iloc[n // 4 :]
+    calc = GroupedDriftCalculator(
+        "w", "fmt", categorical_methods=(),
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+    ).fit(spark.createDataFrame(ref))
+
+    batch = calc.calculate(spark.createDataFrame(ana)).toPandas()
+
+    src = str(tmp_path / "grouped_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_grouped_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_grouped_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    calc.release_cache()
+    stream_res = spark.sql("SELECT * FROM sv_grouped_drift").toPandas()
+    assert set(stream_res["column_name"]) == {"w@png", "w@jpeg"}
+
+    b = batch.set_index([batch["start_ts"].dt.floor("h"), "column_name"])["value"]
+    s = stream_res.set_index(
+        [pd.to_datetime(stream_res["window_start"]), "column_name"]
+    )["value"]
+    joined = pd.concat([b.rename("batch"), s.rename("stream")], axis=1).dropna()
+    assert len(joined) == len(s) >= 12  # ≥6 windows × 2 groups
+    np.testing.assert_allclose(joined["batch"], joined["stream"], rtol=1e-12)
+    # alert parity: same thresholds ride both paths
+    sa = stream_res.set_index(
+        [pd.to_datetime(stream_res["window_start"]), "column_name"]
+    )["alert"].astype(bool)
+    ba = batch.set_index([batch["start_ts"].dt.floor("h"), "column_name"])["alert"].astype(bool)
+    agree = pd.concat([ba.rename("b"), sa.rename("s")], axis=1).dropna()
+    assert (agree["b"] == agree["s"]).all()
+    # value-level discrimination: the moved group's late windows dominate
+    png_late = joined["stream"].loc[
+        [i for i in joined.index if i[1] == "w@png" and i[0].hour >= 6]
+    ]
+    jpeg_all = joined["stream"].loc[[i for i in joined.index if i[1] == "w@jpeg"]]
+    assert png_late.min() > 2 * jpeg_all.max()
