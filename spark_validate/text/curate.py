@@ -236,6 +236,11 @@ def curate(
     * ``embedding_dedup`` — embedding-axis: cosine near-dup clusters over a
       vector column (params: vector_column, threshold, n_bands,
       rows_per_band, max_bucket); canonical min-id keep.
+    * ``canonical_captions`` — cross-modal transform (image+caption
+      tables): rewrite each row's caption to its ``group_column`` (default
+      ``phash``) group's elected majority caption, so a later dedup
+      keeper carries the majority caption; election votes come from
+      SURVIVORS only. Params: group_column, caption_column.
     * ``decontaminate`` — ``benchmark`` (DataFrame) + n / threshold:
       drop survivors whose distinct word-n-gram overlap vs the benchmark
       crosses the threshold.
@@ -249,7 +254,7 @@ def curate(
     persisted: List[DataFrame] = []
     corpus_shaped = (
         "exact_dedup", "near_dedup", "phash_dedup", "embedding_dedup",
-        "decontaminate", "lm_quality",
+        "decontaminate", "lm_quality", "canonical_captions",
     )
 
     def survivors() -> DataFrame:
@@ -382,6 +387,30 @@ def curate(
             )
             # cluster frame names its member column "vec_id"
             work = join_flag(clusters.filter(~F.col("keep")).select("vec_id"), fc)
+        elif kind == "canonical_captions":
+            # cross-modal transform: every row's caption becomes its image
+            # group's ELECTED caption (majority non-null, lexicographic
+            # tie-break — image/consistency.py::elect_canonical_captions),
+            # so a later dedup stage's keeper carries the majority caption
+            # instead of whichever caption the min-id copy happened to have.
+            # The election is computed over SURVIVORS (dropped rows don't
+            # vote — sequential semantics like every corpus-shaped stage)
+            # but rewrites the full working frame so attribution columns
+            # survive untouched. Transform only: no flag, no attrition slot.
+            from spark_validate.image.consistency import elect_canonical_captions
+
+            gcol = spec.get("group_column", "phash")
+            cap = spec.get("caption_column", text_col)
+            elected = elect_canonical_captions(survivors(), gcol, cap).select(
+                gcol, "canonical_caption"
+            )
+            before_cols = work.columns
+            work = (
+                work.join(elected, gcol, "left")
+                .withColumn(cap, F.coalesce(F.col("canonical_caption"), F.col(cap)))
+                .select(*before_cols)
+            )
+            continue
         elif kind == "decontaminate":
             from spark_validate.text.decontaminate import ngram_overlap
 

@@ -326,3 +326,48 @@ def test_run_curation_split_and_packing_sinks(spark, tmp_path):
     toks = train.set_index("doc_id")["text"].str.count(" ") + 1
     per_doc = packed.groupby("doc_id")["slice_len"].sum()
     assert (per_doc == toks.loc[per_doc.index]).all()
+
+
+def test_curate_canonical_captions_stage(spark):
+    """canonical_captions transform: survivors elect per-group majority
+    captions — dropped rows DON'T vote (their votes would flip the
+    election here) — and the rewrite feeds later dedup so the keeper
+    carries the majority caption; attribution untouched."""
+    from spark_validate.text.curate import curate
+
+    rows = [
+        # group 1 survivors vote "a cat" 2-1; the two quality-dropped rows
+        # carry "a dog" — counting them would flip the majority to 3-2
+        (0, 1, "same pair text", "a dog"),
+        (1, 1, "same pair text", "a cat"),
+        (2, 1, "same pair text", "a cat"),
+        (3, 1, "x", "a dog"),   # dropped: text fails min_chars
+        (6, 1, "y", "a dog"),   # dropped: text fails min_chars
+        # group 2: single row keeps its caption
+        (4, 2, "a bird text here", "a bird"),
+        # NULL group: untouched
+        (5, None, "null group text", "keep-me"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long, text string, caption string")
+    res = curate(
+        df,
+        [
+            {"stage": "quality", "min_chars": 3},
+            {"stage": "canonical_captions", "group_column": "phash",
+             "caption_column": "caption"},
+            {"stage": "exact_dedup"},  # on text: the group-1 trio collapses
+        ],
+        text_col="text",
+        id_col="doc_id",
+    )
+    ann = res.annotated.toPandas().sort_values("doc_id").reset_index(drop=True)
+    # survivors of group 1 rewritten to the SURVIVOR majority ("a cat"),
+    # proving the dropped "a dog" votes were excluded
+    assert ann.loc[ann.doc_id.isin([0, 1, 2]), "caption"].tolist() == ["a cat"] * 3
+    assert ann.loc[ann.doc_id == 3, "dropped_by"].iloc[0] == "quality"
+    assert ann.loc[ann.doc_id == 5, "caption"].iloc[0] == "keep-me"
+    cur = res.curated.toPandas().sort_values("doc_id")
+    # exact dedup after the rewrite keeps ONE group-1 row (min id 0) — with
+    # the elected caption, not doc 0's original dissent
+    assert cur["doc_id"].tolist() == [0, 4, 5]
+    assert cur.loc[cur.doc_id == 0, "caption"].iloc[0] == "a cat"
