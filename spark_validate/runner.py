@@ -605,6 +605,19 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         result = fused_results.get(name)
         if result is None:
             result = calc.calculate(ana)
+        if config.get("include_reference") and completed is None:
+            # reference parity: NannyML result frames carry BOTH periods
+            # (`nannyml/base.py` filter(period='reference')) — the reference
+            # chunks scored under their own fitted thresholds are the
+            # baseline readers compare the analysis rows against. Opt-in:
+            # it re-reads the reference once per check; alert/lineage
+            # accounting below stays analysis-only (resume semantics too).
+            # Checks without a period kwarg (estimators) have no scored
+            # reference concept here and are skipped.
+            import inspect
+
+            if "period" in inspect.signature(calc.calculate).parameters:
+                result = calc.calculate(reference, period="reference").unionByName(result)
         result = result.withColumn("run_id", F.lit(run_id)).withColumn("check", F.lit(name))
         write_results(result, os.path.join(out_dir, "results"), partition_by=["check"])
 
@@ -702,9 +715,14 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
                 violations_error = f"{type(exc).__name__}: {head}"[:500]
                 logger.warning("violations write failed for check %r: %s", name, exc)
 
-        # lineage rows for the partitions just completed
+        # lineage rows for the partitions just completed — analysis period
+        # only: reference rows (include_reference) share chunk keys with
+        # analysis chunks under size/count chunkers, and a reference row in
+        # lineage would mark an uncomputed analysis partition as complete
         res_df = spark.read.parquet(os.path.join(out_dir, "results")).filter(
-            (F.col("run_id") == run_id) & (F.col("check") == name)
+            (F.col("run_id") == run_id)
+            & (F.col("check") == name)
+            & (F.col("period") == "analysis")
         )
         lineage = res_df.groupBy("chunk_key").agg(
             F.count(F.lit(1)).alias("_n_metrics"),

@@ -891,3 +891,51 @@ def test_run_suite_dict_sources_with_snapshot_pin(spark, workspace, tmp_path):
     assert set(report) == {"range__w", "referential__phash"}
     res = spark.read.parquet(str(tmp_path / "out_dict" / "results"))
     assert res.count() > 0
+
+
+def test_include_reference_periods_and_lineage(spark, tmp_path):
+    """include_reference: true writes reference-period chunk rows next to
+    the analysis rows (NannyML result-frame parity), while lineage and the
+    resume anti-join stay analysis-only even though size-chunk keys
+    collide across periods."""
+    import pandas as pd
+
+    n = 200
+    pdf = pd.DataFrame({
+        "ord": range(n),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="30min"),
+        "v": [float(i % 50) for i in range(n)],
+    })
+    refp, anap = str(tmp_path / "ref.parquet"), str(tmp_path / "ana.parquet")
+    spark.createDataFrame(pdf).write.parquet(refp)
+    spark.createDataFrame(pdf.assign(v=pdf.v + 100.0)).write.parquet(anap)
+    cfg = {
+        "run_id": "incref",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": refp,
+        "analysis": anap,
+        "include_reference": True,
+        # period chunking → value-derived chunk keys → lineage resume active
+        # (both periods span the same 5 days: chunk keys COLLIDE by design)
+        "chunking": {"chunk_period": "D", "timestamp_column": "ts"},
+        "checks": [
+            {"type": "column_stats", "columns": ["v"], "metrics": ["avg"]},
+            {"type": "range", "columns": ["v"]},
+        ],
+    }
+    report = run_suite(spark, cfg)
+    res = spark.read.parquet(str(tmp_path / "out" / "results")).toPandas()
+    by_period = res.groupby("period").size()
+    assert by_period["reference"] == by_period["analysis"] == 10  # 2 checks × 5 day-chunks
+    # reference scored under its own fitted bands: quiet; shifted analysis alerts
+    ref_stats = res[(res.period == "reference") & (res.method == "avg")]
+    ana_stats = res[(res.period == "analysis") & (res.method == "avg")]
+    assert not ref_stats["alert"].any() and ana_stats["alert"].all()
+    # lineage holds only the 4 analysis partitions per check
+    lin = spark.read.parquet(str(tmp_path / "out" / "lineage")).toPandas()
+    assert sorted(lin.groupby("check").size().tolist()) == [5, 5]
+    # resume: re-running skips every analysis partition (reference rows in
+    # the results sink did NOT leak extra completions or break the anti-join)
+    report2 = run_suite(spark, cfg)
+    assert all(r["skipped_partitions"] == 5 for r in report2.values())
