@@ -23,7 +23,12 @@ Methods (all per analysis chunk vs the fitted reference):
 
 Scale story: the embedding dimension is bounded (64–4096), so every statistic
 compiles to ``dim``-bounded plain column expressions — ``F.get`` element
-access, products, CASE bucketing — inside whole-stage codegen. There is **no
+access, products, CASE bucketing — inside whole-stage codegen. The element
+values, L2 norm, and norm bucket are PRE-PROJECTED once per row before the
+aggregation (``_proj_cols``): project expressions are method-split by
+codegen, while inlining the dim-term norm into each aggregate update blows
+the JVM 64 KB method limit and silently degrades to interpreted aggregation
+(observed: "Code grows beyond 64 KB" in hashAgg_doAggregate). There is **no
 posexplode** (which would shuffle ``n·dim`` rows), **no Python/pandas UDF**,
 and **no HOF lambda in the hot path** (Catalyst interprets lambdas per
 element; a 64-term codegen'd sum is measured faster — NOTES_ROUND3 #12).
@@ -84,19 +89,44 @@ class EmbeddingDriftCalculator:
 
     # -- expressions -----------------------------------------------------------
 
-    def _mean_aggs(self) -> List[Column]:
+    def _project(self, df: DataFrame, keep: List[str], lo: float, hi: float) -> DataFrame:
+        """Pre-aggregation projection: per-dim element values, the L2 norm,
+        and the norm bucket — each computed ONCE per row, in TWO stacked
+        selects. The aggregates below consume these plain columns; inlining
+        the dim-term norm expression into every histogram aggregate instead
+        generates a hash-aggregate update method past the JVM's 64 KB limit
+        ("Code grows beyond 64 KB") and Spark silently falls back to
+        INTERPRETED aggregation — observed in the oracle harness before this
+        split (embedding_drift was the slowest query in the registry). The
+        two-stage shape matters too: the bucket CASE references the norm in
+        every branch, and a single select would inline the dim-term norm
+        subtree per branch back past 64 KB. CollapseProject keeps the stages
+        separate exactly because ``__norm`` is a non-cheap alias consumed
+        more than once, so the norm is one compiled ~dim-term method and the
+        bucket is a tiny CASE over a plain column — the whole stage stays in
+        codegen."""
         emb = F.col(self.embedding_col)
-        return [
-            F.avg(F.get(emb, i).cast("double")).alias(f"__m{i}") for i in range(self.dim)
-        ]
+        stage1 = df.select(
+            *keep,
+            *[F.get(emb, i).cast("double").alias(f"__e{i}") for i in range(self.dim)],
+            l2_norm_expr(emb, self.dim).alias("__norm"),
+        )
+        return stage1.select(
+            *keep,
+            *[f"__e{i}" for i in range(self.dim)],
+            F.col("__norm"),
+            self._bucket_from_norm(F.col("__norm"), lo, hi).alias("__bkt"),
+        )
 
-    def _norm_bucket(self, lo: float, hi: float) -> Column:
+    def _mean_aggs(self) -> List[Column]:
+        return [F.avg(F.col(f"__e{i}")).alias(f"__m{i}") for i in range(self.dim)]
+
+    def _bucket_from_norm(self, norm: Column, lo: float, hi: float) -> Column:
         """Reference-range equal-width bucket of the L2 norm; −1 below, n_bins
         above, top edge closed — same convention as the continuous univariate
         histogram. Degenerate reference range (hi == lo): every exactly-equal
         value lands in the TOP bucket (n_bins − 1), consistent with the
         non-degenerate ``norm == hi`` rule."""
-        norm = l2_norm_expr(F.col(self.embedding_col), self.dim)
         n = self.n_bins
         if hi <= lo:
             return (
@@ -114,8 +144,8 @@ class EmbeddingDriftCalculator:
             .otherwise(F.least(F.floor((norm - F.lit(lo)) / F.lit(w)).cast("int"), F.lit(n - 1)))
         )
 
-    def _hist_aggs(self, lo: float, hi: float) -> List[Column]:
-        b = self._norm_bucket(lo, hi)
+    def _hist_aggs(self) -> List[Column]:
+        b = F.col("__bkt")
         aggs = [F.count(b).alias("__nnorm")]
         for k in range(self.n_bins):
             aggs.append(F.sum((b == F.lit(k)).cast("int")).alias(f"__h{k}"))
@@ -137,16 +167,22 @@ class EmbeddingDriftCalculator:
             if probe is None:
                 raise ValueError(f"cannot infer dim: no non-empty {self.embedding_col!r} rows")
             self.dim = int(probe["d"])
-        norm = l2_norm_expr(emb, self.dim)
+        # project elements + norm once, then aggregate plain columns — keeps
+        # the hash-aggregate update methods under the JVM 64 KB codegen limit
+        # (see _project)
+        proj = reference.select(
+            l2_norm_expr(emb, self.dim).alias("__norm"),
+            *[F.get(emb, i).cast("double").alias(f"__e{i}") for i in range(self.dim)],
+        )
         aggs = [
-            F.count(norm).alias("__n"),
-            F.min(norm).alias("__lo"),
-            F.max(norm).alias("__hi"),
+            F.count("__norm").alias("__n"),
+            F.min("__norm").alias("__lo"),
+            F.max("__norm").alias("__hi"),
         ]
         aggs += self._mean_aggs()
         for i in range(self.dim):
-            aggs.append(F.stddev_samp(F.get(emb, i).cast("double")).alias(f"__s{i}"))
-        row = reference.agg(*aggs).first().asDict()
+            aggs.append(F.stddev_samp(F.col(f"__e{i}")).alias(f"__s{i}"))
+        row = proj.agg(*aggs).first().asDict()
         if not row["__n"]:
             raise ValueError("reference has no non-null embeddings")
         mu = [row[f"__m{i}"] for i in range(self.dim)]
@@ -164,7 +200,7 @@ class EmbeddingDriftCalculator:
         # norm_probs inconsistent with the mu/sigma/lo/hi fitted on every row
         # above. The extra aggregation re-reads the fit-time cached
         # projection (cached_for_fit), so no third scan of storage happens.
-        hrow = reference.agg(*self._hist_aggs(lo, hi)).first().asDict()
+        hrow = self._project(reference, [], lo, hi).agg(*self._hist_aggs()).first().asDict()
         wide_ref = self._chunk_wide(reference).persist()
         n_norm = hrow["__nnorm"]
         if not n_norm:
@@ -264,9 +300,11 @@ class EmbeddingDriftCalculator:
             (F.min(ts) if ts else F.lit(None).cast("timestamp")).alias("start_ts"),
             (F.max(ts) if ts else F.lit(None).cast("timestamp")).alias("end_ts"),
         ]
-        wide = assigned.groupBy(CHUNK_KEY).agg(
+        keep = [CHUNK_KEY] + ([ROW_INDEX] if has_idx else []) + ([ts] if ts else [])
+        proj = self._project(assigned, keep, st["norm_lo"], st["norm_hi"])
+        wide = proj.groupBy(CHUNK_KEY).agg(
             *self._mean_aggs(),
-            *self._hist_aggs(st["norm_lo"], st["norm_hi"]),
+            *self._hist_aggs(),
             *hdr_aggs,
         )
         order_col = "start_index" if has_idx else ("start_ts" if ts else CHUNK_KEY)

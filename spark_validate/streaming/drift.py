@@ -272,8 +272,12 @@ def streaming_embedding_drift(
         raise RuntimeError("fit the calculator on the reference period first")
     st = calc._fitted
     src = stream.withWatermark(timestamp_column, watermark or window_duration)
+    # same pre-aggregation projection as the batch path (_project): the
+    # windowed hash aggregate consumes plain columns, staying under the JVM
+    # 64 KB codegen limit instead of inlining the dim-term norm per aggregate
+    src = calc._project(src, [timestamp_column], st["norm_lo"], st["norm_hi"])
     agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(
-        *calc._mean_aggs(), *calc._hist_aggs(st["norm_lo"], st["norm_hi"])
+        *calc._mean_aggs(), *calc._hist_aggs()
     )
     thr = st.get("thresholds") or {}
     specs = []
