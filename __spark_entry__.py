@@ -2103,13 +2103,28 @@ dense AS (
 """
 
 
+def _balanced_sum_sql(terms) -> str:
+    """Mirror of `spark_validate.drift.embedding.balanced_sum` in SQL text:
+    adjacent pairwise parenthesization, odd tail carried unpaired. Summation
+    ORDER is part of the operator contract — both engines must fold dim-term
+    sums with the identical association for bit-exact parity."""
+    terms = list(terms)
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def _embedding_drift_sql() -> str:
     """DuckDB replica of q_embedding_drift: re-derives the fitted per-dim
     means/stds and the reference norm histogram independently, then computes
     the three chunk metrics with the engine's exact arithmetic shapes
-    (x*x norm fold in dim order, w = (hi-lo)/n_bins division, integer-count
-    bin probabilities) so discrete bucket classification is bit-identical and
-    float noise stays inside round(…, 9)."""
+    (balanced-tree x*x norm fold in dim order — _balanced_sum_sql —,
+    w = (hi-lo)/n_bins division, integer-count bin probabilities) so discrete
+    bucket classification is bit-identical and float noise stays inside
+    round(…, 9)."""
     d, nb, ck = EMB_DIM, 10, EMB_CHUNK
 
     def elem(i):  # engine: coalesce(get(emb, i).cast(double), 0.0)
@@ -2118,7 +2133,7 @@ def _embedding_drift_sql() -> str:
     def raw(i):  # engine: get(emb, i).cast(double) — avg/std skip NULLs
         return f"CAST(embedding[{i + 1}] AS DOUBLE)"
 
-    norm_fold = " + ".join(f"({elem(i)} * {elem(i)})" for i in range(d))
+    norm_fold = _balanced_sum_sql(f"({elem(i)} * {elem(i)})" for i in range(d))
     norm = f"(CASE WHEN embedding IS NULL THEN NULL ELSE sqrt({norm_fold}) END)"
     bucket = (
         f"(CASE WHEN {norm} IS NULL THEN NULL "
@@ -2142,8 +2157,12 @@ def _embedding_drift_sql() -> str:
     # reference-subspace convention (mirrors drift/embedding.py): dims whose
     # reference mean is NULL are EXCLUDED from dot/m2/r2; an analysis-side
     # NULL mean inside the subspace still propagates NULL
-    dot = " + ".join(f"(CASE WHEN m{i} IS NULL THEN 0.0 ELSE a{i} * m{i} END)" for i in range(d))
-    m2 = " + ".join(f"(CASE WHEN m{i} IS NULL THEN 0.0 ELSE a{i} * a{i} END)" for i in range(d))
+    dot = _balanced_sum_sql(
+        f"(CASE WHEN m{i} IS NULL THEN 0.0 ELSE a{i} * m{i} END)" for i in range(d)
+    )
+    m2 = _balanced_sum_sql(
+        f"(CASE WHEN m{i} IS NULL THEN 0.0 ELSE a{i} * a{i} END)" for i in range(d)
+    )
     r2 = " + ".join(f"(CASE WHEN m{i} IS NULL THEN 0.0 ELSE m{i} * m{i} END)" for i in range(d))
     cosine = (
         f"CASE WHEN sqrt({m2}) * sqrt({r2}) > 0 "

@@ -54,14 +54,36 @@ from spark_validate.thresholds import StandardDeviationThreshold, alert_expr, fi
 SUPPORTED_METHODS = ("centroid_cosine", "mean_shift_linf", "norm_js")
 
 
+def balanced_sum(terms: Sequence[Column]) -> Column:
+    """Sum a term list as a BALANCED binary tree (adjacent pairwise
+    reduction, odd tail carried unpaired) instead of a left-nested chain.
+    A left chain builds an expression tree ``len(terms)`` deep — Catalyst's
+    recursive tree walks throw ``StackOverflowError`` at plan-build time
+    somewhere past ~700 terms, which is well inside the supported embedding
+    dim range. The balanced fold is depth ``log2(n)`` (12 at dim 4096).
+    Float summation ORDER is part of the operator contract: the DuckDB
+    oracle mirrors this exact association (`__spark_entry__._balanced_sum_sql`)
+    so results stay bit-identical."""
+    terms = list(terms)
+    if not terms:
+        raise ValueError("balanced_sum needs at least one term")
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def l2_norm_expr(emb: Column, dim: int) -> Column:
-    """Codegen'd L2 norm of a fixed-``dim`` vector: Σ of ``dim`` squared
-    ``F.get`` terms (missing trailing elements count 0), NULL for NULL rows."""
-    sq = None
-    for i in range(dim):
+    """Codegen'd L2 norm of a fixed-``dim`` vector: balanced-tree Σ of
+    ``dim`` squared ``F.get`` terms (missing trailing elements count 0),
+    NULL for NULL rows."""
+    def term(i: int) -> Column:
         c = F.coalesce(F.get(emb, i).cast("double"), F.lit(0.0))
-        t = c * c  # x*x (IEEE-exact), NOT pow(x,2) (libm — differs across engines)
-        sq = t if sq is None else sq + t
+        return c * c  # x*x (IEEE-exact), NOT pow(x,2) (libm — differs across engines)
+
+    sq = balanced_sum([term(i) for i in range(dim)])
     return F.when(emb.isNull(), F.lit(None).cast("double")).otherwise(F.sqrt(sq))
 
 
@@ -232,18 +254,27 @@ class EmbeddingDriftCalculator:
             # reference defines. A dim NULL only in an analysis chunk still
             # propagates NULL (no silent zero-fill). The DuckDB oracle
             # (__spark_entry__._embedding_drift_sql) mirrors this exactly.
-            dot = None
-            m2 = None
+            # balanced folds with 0.0 leaves for excluded dims: adding a 0.0
+            # leaf is IEEE-identity, and keeping ALL dim positions in the
+            # tree makes the association match the oracle's all-dims shape
+            # bit-for-bit regardless of which dims are excluded
+            zero = F.lit(0.0)
+            dot_terms = [
+                zero if mu[i] is None else F.col(f"__m{i}") * F.lit(mu[i])
+                for i in range(self.dim)
+            ]
+            m2_terms = [
+                zero if mu[i] is None else F.col(f"__m{i}") * F.col(f"__m{i}")
+                for i in range(self.dim)
+            ]
+            n_used = sum(1 for i in range(self.dim) if mu[i] is not None)
+            dot = balanced_sum(dot_terms)
+            m2 = balanced_sum(m2_terms)
             r2 = 0.0
             for i in range(self.dim):
-                if mu[i] is None:
-                    continue
-                t = F.col(f"__m{i}") * F.lit(mu[i])
-                q = F.col(f"__m{i}") * F.col(f"__m{i}")
-                dot = t if dot is None else dot + t
-                m2 = q if m2 is None else m2 + q
-                r2 += mu[i] * mu[i]
-            if dot is None or r2 <= 0.0:
+                if mu[i] is not None:
+                    r2 += mu[i] * mu[i]
+            if n_used == 0 or r2 <= 0.0:
                 val = F.lit(None).cast("double")
             else:
                 denom = F.sqrt(m2) * F.lit(math.sqrt(r2))

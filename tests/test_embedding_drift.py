@@ -285,3 +285,32 @@ def test_streaming_runner_embedding_drift_only(spark, frames, tmp_path):
             q.stop()
     out = spark.read.parquet(str(tmp_path / "out" / "embedding_drift__embedding"))
     assert out.count() > 0
+
+
+def test_high_dim_balanced_fold(spark):
+    """dim=1024 end-to-end: a left-nested sum chain this deep blows Catalyst's
+    recursive plan walks (StackOverflowError past ~700 terms); the balanced
+    binary fold (depth 10 at 1024) must plan AND evaluate. The fitted norm is
+    checked BIT-exactly against a Python replica of the same balanced
+    association (float summation order is part of the operator contract)."""
+    dim = 1024
+    base = [float((i % 7) - 3) / 4.0 for i in range(dim)]
+    rows = [(i, base) for i in range(60)]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    calc = EmbeddingDriftCalculator(
+        methods=("norm_js", "centroid_cosine"),  # exercises the norm AND dot/m2 folds
+        chunker=SizeBasedChunker(chunk_size=30, order_by=["vec_id"]),
+        dim=dim,
+    )
+    calc.fit(sdf)
+    terms = [x * x for x in base]
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    expected = math.sqrt(terms[0])
+    assert calc._fitted["norm_lo"] == expected  # bit-exact
+    res = calc.calculate(sdf).toPandas()
+    assert len(res) == 2 * 2  # 2 chunks × 2 methods
+    assert (res["value"].abs() < 1e-9).all()
