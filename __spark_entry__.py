@@ -725,6 +725,30 @@ def q_lm_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Vocabulary/OOV drift (text/vocab.py::VocabDriftCheck): per-chunk
+    out-of-vocabulary token rate vs a reference-fitted top-K token
+    vocabulary (even/odd doc_id split). top_k=20 of this corpus's 31-token
+    universe keeps the OOV rate non-trivial; the alert threshold
+    min(1, 3·(1−coverage)+0.01) is re-derived by the oracle from the same
+    token counts with identical double arithmetic. Rates are exact
+    long/long→double divisions; round(9) guards the display column while
+    alerts compare the unrounded value on both engines."""
+    from spark_validate.text.vocab import VocabDriftCheck
+
+    docs = _read(spark, sf_dir, "documents")
+    chk = VocabDriftCheck(
+        text_col="text",
+        top_k=20,
+        chunker=SizeBasedChunker(chunk_size=60, order_by=["doc_id"]),
+    )
+    timed_fit(chk, docs.filter(F.col("doc_id") % 2 == 0))
+    res = chk.calculate(docs.filter(F.col("doc_id") % 2 == 1))
+    return res.select(
+        "chunk_index", "method", F.round("value", 9).alias("value"), "alert"
+    ).orderBy("chunk_index")
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality scoring features: token stats + space ratio (exact arithmetic)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1954,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "url_scan": q_url_scan,
         "lm_quality": q_lm_quality,
+        "vocab_drift": q_vocab_drift,
         "perf_binary": q_perf_binary,
         "roc_auc": q_roc_auc,
         "average_precision": q_average_precision,
@@ -2663,6 +2688,48 @@ SELECT doc_id,
        CAST(length(text) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1) AS chars_per_token,
        CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
 FROM documents ORDER BY doc_id
+"""
+
+    # replicates text/vocab.py::VocabDriftCheck: same token regex (group 0,
+    # Java↔RE2-identical dialect), same (cnt DESC, token ASC) top-K vocab,
+    # same Python-float threshold arithmetic re-expressed as the identical
+    # double ops, alert on the UNROUNDED rate — value rounded 9 for display
+    sql["vocab_drift"] = """
+WITH tok_ref AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS token
+  FROM documents WHERE doc_id % 2 = 0
+),
+counts AS (SELECT token, count(*) AS cnt FROM tok_ref GROUP BY token),
+vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 20),
+thr AS (
+  SELECT least(1.0, 3.0 * (1.0 - CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE)
+                                 / CAST((SELECT sum(cnt) FROM counts) AS DOUBLE)) + 0.01) AS u
+),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 60) AS INT) AS chunk_index, text
+  FROM documents WHERE doc_id % 2 = 1
+),
+tok AS (
+  SELECT chunk_index, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS token
+  FROM ana
+),
+agg AS (
+  SELECT chunk_index,
+         count(*) AS n_tok,
+         count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab)) AS n_oov
+  FROM tok GROUP BY chunk_index
+),
+chunks AS (SELECT DISTINCT chunk_index FROM ana)
+SELECT c.chunk_index,
+       'oov_rate' AS method,
+       round(CASE WHEN a.n_tok > 0 THEN CAST(a.n_oov AS DOUBLE) / CAST(a.n_tok AS DOUBLE) END, 9) AS value,
+       COALESCE(
+         CASE WHEN a.n_tok > 0 THEN CAST(a.n_oov AS DOUBLE) / CAST(a.n_tok AS DOUBLE) END
+           > (SELECT u FROM thr),
+         FALSE
+       ) AS alert
+FROM chunks c LEFT JOIN agg a USING (chunk_index)
+ORDER BY chunk_index
 """
 
     # replicates text/quality.py::repetition_stats exactly: same tokenizer

@@ -265,6 +265,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             max_vocab=cfg.get("max_vocab", 50_000),
             max_bigrams=cfg.get("max_bigrams", 200_000),
         )
+    if kind == "vocab_drift":
+        from spark_validate.text.vocab import VocabDriftCheck
+
+        return VocabDriftCheck(
+            text_col=cfg.get("column", "text"),
+            id_col=cfg.get("id_column", "doc_id"),
+            top_k=cfg.get("top_k", 10_000),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold"),
+        )
     if kind == "url_blocklist":
         from spark_validate.text.urls import UrlBlocklistCheck
 
@@ -537,6 +547,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
             "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift",
+            "vocab_drift",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):
