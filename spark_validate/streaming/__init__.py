@@ -16,6 +16,7 @@ from spark_validate.streaming.drift import (
     streaming_joint_drift,
     streaming_phash_drift,
     streaming_univariate_drift,
+    streaming_vocab_drift,
 )
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "streaming_grouped_drift",
     "streaming_joint_drift",
     "streaming_phash_drift",
+    "streaming_vocab_drift",
 ]

@@ -193,6 +193,46 @@ def streaming_phash_drift(
     return _melt(agg, specs)
 
 
+def streaming_vocab_drift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``VocabDriftCheck`` (`spark_validate/text/vocab.py`)
+    into a streaming OOV-rate query: tokens explode statelessly per
+    micro-batch, the fitted ≤top-K vocabulary joins as a BROADCAST
+    stream-static join (no state store — the vocab is a constant), and the
+    per-window rate is one tumbling event-time aggregation. The watermark
+    is applied BEFORE the explode/join (the decontamination pattern) so
+    append-mode window finalization works; per-window values are
+    bit-identical to a batch run over the window's rows (same count
+    expressions, same long/long→double division)."""
+    if calc._vocab is None:
+        raise RuntimeError("fit the check on the reference period first")
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+    tok = src.select(
+        timestamp_column, F.explode_outer(calc._tokens()).alias("token")
+    )
+    marked = tok.join(
+        F.broadcast(calc._vocab_df(stream.sparkSession)), "token", "left"
+    )
+    agg = marked.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(
+        F.count("token").alias("__n_tokens"),
+        F.count(
+            F.when(F.col("token").isNotNull() & F.col("_in_vocab").isNull(), F.lit(1))
+        ).alias("__n_oov"),
+    )
+    value = F.when(
+        F.col("__n_tokens") > 0, F.col("__n_oov") / F.col("__n_tokens")
+    )
+    specs = [(calc.text_col, "oov_rate", value, None, calc._fitted_threshold)]
+    return _melt(agg, specs)
+
+
 def streaming_grouped_drift(
     stream: DataFrame,
     calc,

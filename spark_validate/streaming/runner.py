@@ -277,6 +277,22 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 stream, calc, ts, window_duration=window, watermark=watermark or window
             )
             queries[key] = _sink(ph_drift, out_dir, key, "append", trigger).start()
+        elif kind == "vocab_drift":
+            if reference is None:
+                raise ValueError("vocab_drift check needs a reference table to fit the vocab")
+            from spark_validate.streaming.drift import streaming_vocab_drift
+
+            key = uniq(
+                check_cfg.get("name") or f"vocab_drift__{check_cfg.get('column', 'text')}",
+                check_idx,
+            )
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            calc = build_check(spark, check_cfg, chunker)
+            calc.fit(reference)
+            v_drift = streaming_vocab_drift(
+                stream, calc, ts, window_duration=window, watermark=watermark or window
+            )
+            queries[key] = _sink(v_drift, out_dir, key, "append", trigger).start()
         elif kind == "grouped_drift":
             if reference is None:
                 raise ValueError("grouped_drift check needs a reference table to fit")

@@ -1399,3 +1399,98 @@ def test_streaming_grouped_drift_matches_batch(spark, tmp_path):
     ]
     jpeg_all = joined["stream"].loc[[i for i in joined.index if i[1] == "w@jpeg"]]
     assert png_late.min() > 2 * jpeg_all.max()
+
+
+def test_streaming_vocab_drift_matches_batch(spark, tmp_path):
+    """A fitted VocabDriftCheck compiled to a streaming query produces
+    per-window OOV rates equal to the batch path over a matching period
+    chunker (same token explode + broadcast vocab join + count exprs)."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.streaming import streaming_vocab_drift
+    from spark_validate.text.vocab import VocabDriftCheck
+
+    n = 2400
+    ts = pd.date_range("2024-06-03", periods=n, freq="6s")  # 4 hours
+    idx = np.arange(n)
+    words = np.where(idx % 3 == 0, "alpha", np.where(idx % 3 == 1, "beta", "gamma"))
+    text = pd.Series(words) + " " + pd.Series(words)
+    # last 2 streamed hours: every third doc speaks a new dialect
+    drifted = (idx >= n // 2) & (idx % 3 == 0)
+    text[drifted] = "zeta zeta zeta"
+    pdf = pd.DataFrame({"ts": ts, "doc_id": idx, "text": text})
+    ref, ana = pdf.iloc[: n // 4], pdf.iloc[n // 4 :]
+
+    calc = VocabDriftCheck(
+        top_k=3,
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+        upper_threshold=0.2,
+    ).fit(spark.createDataFrame(ref))
+    batch = calc.calculate(spark.createDataFrame(ana)).toPandas()
+
+    src = str(tmp_path / "vocab_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_vocab_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_vocab_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_res = spark.sql("SELECT * FROM sv_vocab_drift").toPandas()
+    assert set(stream_res["method"]) == {"oov_rate"}
+    assert set(stream_res["column_name"]) == {"text"}
+
+    b = batch.set_index(batch["start_ts"].dt.floor("h"))["value"]
+    s = stream_res.set_index(pd.to_datetime(stream_res["window_start"]))["value"]
+    joined = pd.concat([b.rename("batch"), s.rename("stream")], axis=1).dropna()
+    assert len(joined) == len(s) >= 3
+    np.testing.assert_allclose(joined["batch"], joined["stream"], rtol=1e-12)
+    sa = stream_res.set_index(pd.to_datetime(stream_res["window_start"]))["alert"]
+    ba = batch.set_index(batch["start_ts"].dt.floor("h"))["alert"]
+    agree = pd.concat([ba.rename("b"), sa.rename("s")], axis=1).dropna()
+    assert (agree["b"].astype(bool) == agree["s"].astype(bool)).all()
+    assert agree["s"].astype(bool).any() and not agree["s"].astype(bool).all()
+
+
+def test_streaming_suite_vocab_drift_kind(spark, tmp_path):
+    """vocab_drift check type through run_streaming_suite: vocab fitted on
+    the reference, windowed OOV sink under its own key."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    n = 1200
+    ts = pd.date_range("2024-06-04", periods=n, freq="6s")  # 2 hours
+    idx = np.arange(n)
+    text = np.where(idx < n // 2, "alpha beta", "omega psi")
+    pdf = pd.DataFrame({"ts": ts, "doc_id": idx, "text": text})
+    ref_dir, stream_dir, out_dir = (
+        str(tmp_path / "ref"), str(tmp_path / "stream"), str(tmp_path / "out")
+    )
+    spark.createDataFrame(pdf.iloc[: n // 4]).write.parquet(ref_dir)
+    spark.createDataFrame(pdf.iloc[n // 4 :]).write.parquet(stream_dir)
+    cfg = {
+        "output_dir": out_dir,
+        "reference": ref_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 hour",
+        "watermark": "0 seconds",
+        "checks": [
+            {"type": "vocab_drift", "column": "text", "top_k": 2, "upper_threshold": 0.5},
+        ],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    out = spark.read.parquet(str(tmp_path / "out" / "vocab_drift__text")).toPandas()
+    assert len(out) >= 1  # append mode: at least the watermark-closed window
+    closed = out.sort_values("window_start")
+    assert (closed["method"] == "oov_rate").all()
+    # the first streamed hour is in-vocab, the second is all-OOV
+    assert closed.iloc[0]["value"] < 0.5 or closed.iloc[-1]["value"] > 0.5
