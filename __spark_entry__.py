@@ -252,6 +252,38 @@ def q_jump_alerts(spark, sf_dir):
     ).orderBy("chunk_index")
 
 
+def q_alert_debounce(spark, sf_dir):
+    """with_debounced_alerts (§2.9 extension): k-consecutive alert
+    confirmation — one chunk brushing the threshold stays visible in
+    ``alert`` but only a sustained (k=2) breach raises ``confirmed_alert``
+    (Prometheus `for:` / CloudWatch datapoints-to-alarm semantics). The
+    streak is run-length window arithmetic (rows since the last non-alert
+    row) over the already-aggregated chunk series; threshold 53000 sits
+    inside the per-chunk avg-price band so streaks are non-trivial."""
+    from spark_validate.thresholds import with_debounced_alerts
+
+    _, ana = _li_split(spark, sf_dir)
+    assigned = _li_chunker().assign(ana)
+    cid = F.floor(F.col(ROW_INDEX) / F.lit(LI_CHUNK)).cast("int")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    series = (
+        assigned.withColumn("chunk_index", cid)
+        .groupBy("chunk_index")
+        .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("value"))
+        .withColumn("column_name", F.lit("l_extendedprice"))
+        .withColumn("method", F.lit("avg"))
+        .withColumn("alert", F.col("value") > F.lit(53000.0))
+    )
+    out = with_debounced_alerts(series, k=2)
+    return out.select(
+        "chunk_index",
+        F.col("value").alias("avg_price"),
+        "alert",
+        F.col("alert_streak").cast("bigint").alias("alert_streak"),
+        "confirmed_alert",
+    ).orderBy("chunk_index")
+
+
 def q_zscore_outliers(spark, sf_dir):
     """ZScoreOutlierCalculator (§2.3 profile extension): per-chunk rate of
     analysis values beyond reference-fitted mu ± 3σ. Moments come from exact
@@ -1955,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "cardinality_stats": q_cardinality_stats,
         "jump_alerts": q_jump_alerts,
+        "alert_debounce": q_alert_debounce,
         "iqr_outliers": q_iqr_outliers,
         "quantile_stats": q_quantile_stats,
         "skew_stats": q_skew_stats,
@@ -2389,6 +2422,33 @@ SELECT chunk_index, avg_price, prev_value,
                      THEN abs(avg_price - prev_value) / abs(prev_value) END > 0.02,
                 FALSE) AS jump_alert
 FROM lagged ORDER BY chunk_index
+"""
+
+    # replicates thresholds.py::with_debounced_alerts: streak = rows since
+    # the most recent non-alert row (explicit ROWS frame), confirmed at k=2
+    sql["alert_debounce"] = f"""
+WITH ana AS ({_LI_ANA}),
+series AS (
+  SELECT chunk_index,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+  FROM ana GROUP BY chunk_index
+),
+flags AS (
+  SELECT chunk_index, avg_price, avg_price > 53000.0 AS alert,
+         row_number() OVER (ORDER BY chunk_index) AS rn
+  FROM series
+),
+brk AS (
+  SELECT *,
+         max(CASE WHEN NOT alert THEN rn END)
+           OVER (ORDER BY chunk_index ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_break
+  FROM flags
+)
+SELECT chunk_index, avg_price, alert,
+       CAST(CASE WHEN alert THEN rn - coalesce(last_break, 0) ELSE 0 END AS BIGINT) AS alert_streak,
+       (CASE WHEN alert THEN rn - coalesce(last_break, 0) ELSE 0 END) >= 2 AS confirmed_alert
+FROM brk ORDER BY chunk_index
 """
 
     sql["skew_stats"] = f"""

@@ -116,6 +116,62 @@ def alert_expr(value_col: str = "value"):
     return F.when(v.isNull(), F.lit(False)).otherwise(F.coalesce(below | above, F.lit(False)))
 
 
+def with_debounced_alerts(
+    result: DataFrame,
+    k: int = 2,
+    alert_col: str = "alert",
+    out_col: str = "confirmed_alert",
+) -> DataFrame:
+    """k-consecutive alert confirmation on a chunked result series: adds
+    ``alert_streak`` (length of the current consecutive-alert run ending at
+    this chunk) and ``<out_col>`` = streak ≥ k, per (column_name × method)
+    ordered by ``chunk_index``. The standard page-the-human debounce: one
+    noisy chunk brushing a threshold stays visible in ``alert`` but only a
+    SUSTAINED breach pages (public monitoring stacks ship this as
+    "for: <duration>" / consecutive-breach conditions, e.g. Prometheus
+    alerting rules and CloudWatch datapoints-to-alarm).
+
+    Pure window arithmetic over the already-aggregated result frame — the
+    streak is the run-length classic: chunk_row_number minus a second
+    row_number over alert-only rows groups each run, windowed per
+    (column_name, method) so no global sort. NULL alerts break a streak
+    (an unevaluated chunk is not evidence of a sustained breach).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy("column_name", "method").orderBy("chunk_index")
+    a = F.coalesce(F.col(alert_col).cast("boolean"), F.lit(False))
+    rn = F.row_number().over(w)
+    # streak = rows since the most recent NON-alert row: rn − max(rn over
+    # non-alert rows so far), with 0 standing in for "no break yet".
+    # Explicit ROWS frame (running-max gotcha: the default RANGE frame keys
+    # on the ORDER BY value, not the row)
+    run_w = (
+        Window.partitionBy("column_name", "method")
+        .orderBy("chunk_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        result.withColumn("_sv_a", a)
+        .withColumn("_sv_rn", rn)
+        .withColumn(
+            "_sv_break",
+            F.max(F.when(~F.col("_sv_a"), F.col("_sv_rn"))).over(run_w),
+        )
+        .withColumn(
+            "alert_streak",
+            F.when(
+                F.col("_sv_a"), F.col("_sv_rn") - F.coalesce(F.col("_sv_break"), F.lit(0))
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(out_col, F.col("alert_streak") >= F.lit(int(k)))
+        .drop("_sv_a", "_sv_rn", "_sv_break")
+    )
+    return out
+
+
 def with_jump_alerts(
     result: DataFrame,
     max_rel_change: float,

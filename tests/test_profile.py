@@ -329,3 +329,32 @@ def test_histogram_fused_matches_standalone(spark):
     wide.unpersist()
     assert list(got["item_count"]) == list(standalone["item_count"])
     assert list(got["value"].round(12)) == list(standalone["value"].round(12))
+
+
+def test_debounced_alerts_streak_semantics(spark):
+    from spark_validate.thresholds import with_debounced_alerts
+
+    pdf = pd.DataFrame(
+        {
+            "chunk_index": list(range(7)) + [0, 1],
+            "column_name": ["a"] * 7 + ["b"] * 2,
+            "method": ["js"] * 9,
+            # a: T T F T T T N — the F and the NULL both break streaks
+            "alert": [True, True, False, True, True, True, None, True, True],
+        }
+    )
+    out = with_debounced_alerts(spark.createDataFrame(pdf), k=2).toPandas()
+    a = out[out.column_name == "a"].sort_values("chunk_index")
+    assert list(a["alert_streak"]) == [1, 2, 0, 1, 2, 3, 0]
+    assert list(a["confirmed_alert"]) == [False, True, False, False, True, True, False]
+    b = out[out.column_name == "b"].sort_values("chunk_index")
+    assert list(b["alert_streak"]) == [1, 2]  # series are independent
+    assert list(b["confirmed_alert"]) == [False, True]
+    # k=1 degenerates to the raw alert (NULL → False)
+    k1 = with_debounced_alerts(spark.createDataFrame(pdf), k=1).toPandas()
+    a1 = k1[k1.column_name == "a"].sort_values("chunk_index")
+    assert list(a1["confirmed_alert"]) == [True, True, False, True, True, True, False]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with_debounced_alerts(spark.createDataFrame(pdf), k=0)
