@@ -1881,6 +1881,39 @@ def q_joint_drift(spark, sf_dir):
     ).orderBy("chunk_index")
 
 
+def q_correlation_drift(spark, sf_dir):
+    """Inter-column correlation drift (drift/correlation.py::
+    CorrelationDriftCalculator): per-chunk pairwise Pearson correlations vs
+    the reference-fitted values. Planted corpus: x = doc_id*7 % 101,
+    y = 2x + doc_id%13 (r ≈ 1), z = doc_id%17 (independent); analysis rows
+    in alternating 480-wide doc_id blocks flip to y = −2x + doc_id%13, so
+    block-aligned chunks alert on the x+y shift while x+z stays quiet.
+    Cross-engine determinism: decimal sums (order-independent) + mirrored
+    IEEE double derivation, the zscore_outliers device — values hash
+    unrounded."""
+    from spark_validate.drift.correlation import CorrelationDriftCalculator
+
+    docs = _read(spark, sf_dir, "documents")
+    x = (F.col("doc_id") * 7 % 101).cast("double")
+    z = (F.col("doc_id") % 17).cast("double")
+    m13 = (F.col("doc_id") % 13).cast("double")
+    flip = (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 480 >= 240)
+    y = F.when(flip, F.lit(-2.0) * x + m13).otherwise(F.lit(2.0) * x + m13)
+    tbl = docs.select("doc_id", x.alias("x"), y.alias("y"), z.alias("z"))
+    ref = tbl.filter(F.col("doc_id") % 2 == 0)
+    ana = tbl.filter(F.col("doc_id") % 2 == 1)
+    calc = timed_fit(
+        CorrelationDriftCalculator(
+            ["x", "y", "z"], chunker=SizeBasedChunker(chunk_size=60, order_by=["doc_id"])
+        ),
+        ref,
+    )
+    res = calc.calculate(ana)
+    return res.select("chunk_index", "column_name", "method", "value", "alert").orderBy(
+        "chunk_index", "column_name", "method"
+    )
+
+
 def q_header_verdicts(spark, sf_dir):
     """Structural payload-header validation (image/header.py): Spark builds
     SVI0 payload BYTES from the documents table with four planted corruption
@@ -2052,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_clusters": q_phash_clusters,
         "phash_psi": q_phash_psi,
         "joint_drift": q_joint_drift,
+        "correlation_drift": q_correlation_drift,
         "grouped_drift": q_grouped_drift,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
@@ -4175,6 +4209,70 @@ js AS (
 SELECT chunk_index, 'x+y' AS column_name, 'joint_jensen_shannon' AS method,
        ROUND(raw, 6) AS value, raw > 0.1 AS alert
 FROM js ORDER BY chunk_index
+"""
+
+    # correlation_drift: replicates CorrelationDriftCalculator op-for-op —
+    # decimal(38,6) sums are exact/order-independent on both engines, then
+    # mu/var/cov/corr/shift are plain IEEE doubles derived in the same order
+    def _corr_pair(x, y):
+        both = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+        return f"""
+  SELECT chunk_index, '{x}+{y}' AS column_name,
+         COUNT(CASE WHEN {both} THEN 1 END) AS n,
+         CAST(SUM(CASE WHEN {both} THEN CAST({x} AS DECIMAL(38,6)) END) AS DOUBLE) AS sx,
+         CAST(SUM(CASE WHEN {both} THEN CAST({y} AS DECIMAL(38,6)) END) AS DOUBLE) AS sy,
+         CAST(SUM(CASE WHEN {both} THEN CAST({x} * {x} AS DECIMAL(38,6)) END) AS DOUBLE) AS sxx,
+         CAST(SUM(CASE WHEN {both} THEN CAST({y} * {y} AS DECIMAL(38,6)) END) AS DOUBLE) AS syy,
+         CAST(SUM(CASE WHEN {both} THEN CAST({x} * {y} AS DECIMAL(38,6)) END) AS DOUBLE) AS sxy
+  FROM {{src}} GROUP BY chunk_index"""
+
+    _corr_pairs = [("x", "y"), ("x", "z"), ("y", "z")]
+    _corr_sums_ana = "\n  UNION ALL".join(_corr_pair(a, b).format(src="ana") for a, b in _corr_pairs)
+    _corr_sums_ref = "\n  UNION ALL".join(_corr_pair(a, b).format(src="refc") for a, b in _corr_pairs)
+    sql["correlation_drift"] = f"""
+WITH tbl AS (
+  SELECT doc_id,
+         CAST((doc_id * 7) % 101 AS DOUBLE) AS x,
+         CASE WHEN doc_id % 2 = 1 AND doc_id % 480 >= 240
+              THEN -2.0 * CAST((doc_id * 7) % 101 AS DOUBLE) + CAST(doc_id % 13 AS DOUBLE)
+              ELSE 2.0 * CAST((doc_id * 7) % 101 AS DOUBLE) + CAST(doc_id % 13 AS DOUBLE) END AS y,
+         CAST(doc_id % 17 AS DOUBLE) AS z
+  FROM documents
+),
+refc AS (SELECT 0 AS chunk_index, x, y, z FROM tbl WHERE doc_id % 2 = 0),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 60) AS INT) AS chunk_index, x, y, z
+  FROM tbl WHERE doc_id % 2 = 1
+),
+rsums AS ({_corr_sums_ref}),
+rcorr AS (
+  SELECT column_name,
+         CASE WHEN n >= 2 AND (sxx / n - (sx / n) * (sx / n)) > 0
+                         AND (syy / n - (sy / n) * (sy / n)) > 0
+              THEN (sxy / n - (sx / n) * (sy / n))
+                   / SQRT((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n)))
+         END AS ref_corr
+  FROM rsums
+),
+asums AS ({_corr_sums_ana}),
+acorr AS (
+  SELECT chunk_index, column_name,
+         CASE WHEN n >= 2 AND (sxx / n - (sx / n) * (sx / n)) > 0
+                         AND (syy / n - (sy / n) * (sy / n)) > 0
+              THEN (sxy / n - (sx / n) * (sy / n))
+                   / SQRT((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n)))
+         END AS corr
+  FROM asums
+)
+SELECT chunk_index, column_name, method, value, alert FROM (
+  SELECT chunk_index, column_name, 'pearson_corr' AS method, corr AS value, FALSE AS alert
+  FROM acorr
+  UNION ALL
+  SELECT a.chunk_index, a.column_name, 'corr_shift' AS method,
+         ABS(a.corr - r.ref_corr) AS value,
+         COALESCE(ABS(a.corr - r.ref_corr) > 0.25, FALSE) AS alert
+  FROM acorr a JOIN rcorr r USING (column_name)
+) u ORDER BY chunk_index, column_name, method
 """
 
     # --- frozen-golden oracles for the fitted-model queries -----------------

@@ -1,5 +1,11 @@
+from spark_validate.drift.correlation import CorrelationDriftCalculator
 from spark_validate.drift.grouped import GroupedDriftCalculator
 from spark_validate.drift.joint import JointHistogramDrift
 from spark_validate.drift.univariate import UnivariateDriftCalculator
 
-__all__ = ["GroupedDriftCalculator", "JointHistogramDrift", "UnivariateDriftCalculator"]
+__all__ = [
+    "CorrelationDriftCalculator",
+    "GroupedDriftCalculator",
+    "JointHistogramDrift",
+    "UnivariateDriftCalculator",
+]

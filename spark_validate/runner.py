@@ -385,6 +385,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             n_bins_doane=cfg.get("n_bins_doane"),
         )
+    if kind == "correlation_drift":
+        from spark_validate.drift.correlation import CorrelationDriftCalculator
+
+        return CorrelationDriftCalculator(
+            column_names=cfg.get("columns"),
+            pairs=[tuple(p) for p in cfg["pairs"]] if cfg.get("pairs") else None,
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.25),
+        )
     if kind == "joint_drift":
         from spark_validate.drift.joint import JointHistogramDrift
 
@@ -547,7 +556,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
             "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift",
-            "vocab_drift",
+            "vocab_drift", "correlation_drift",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

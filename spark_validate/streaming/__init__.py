@@ -11,6 +11,7 @@ from spark_validate.streaming.stateful import (
     streaming_duplicate_keys,
 )
 from spark_validate.streaming.drift import (
+    streaming_correlation_drift,
     streaming_embedding_drift,
     streaming_grouped_drift,
     streaming_joint_drift,
@@ -29,6 +30,7 @@ __all__ = [
     "streaming_caption_conflicts",
     "streaming_duplicate_keys",
     "streaming_univariate_drift",
+    "streaming_correlation_drift",
     "streaming_embedding_drift",
     "streaming_grouped_drift",
     "streaming_joint_drift",

@@ -325,3 +325,43 @@ def streaming_embedding_drift(
         lo, up = thr.get((calc.embedding_col, method), (None, None))
         specs.append((calc.embedding_col, method, value, lo, up))
     return _melt(agg, specs)
+
+
+def streaming_correlation_drift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``CorrelationDriftCalculator``
+    (`spark_validate/drift/correlation.py`) into a streaming drift query:
+    the batch check is one aggregation of per-pair decimal sums plus a
+    corr/shift projection over fitted constants, so the streaming form
+    swaps the chunk groupBy for a tumbling event-time window and reuses the
+    SAME sum expressions and value columns — per-window values bit-identical
+    to a batch run over the window's rows (decimal sums are
+    order-independent, the derivation is plain IEEE doubles)."""
+    from spark_validate.drift.correlation import _pair_key
+
+    if calc._ref is None:
+        raise RuntimeError("fit the check on the reference period first")
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+    dtypes = dict(stream.dtypes)
+    agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(
+        *calc._sum_exprs(dtypes, "")
+    )
+    specs = []
+    for x, y in calc.pairs:
+        k = _pair_key(x, y)
+        corr = calc._corr_col("", k)
+        ref = calc._ref[k]
+        shift = (
+            F.abs(corr - F.lit(float(ref))) if ref is not None
+            else F.lit(None).cast("double")
+        )
+        specs.append((k, "pearson_corr", corr, None, None))
+        specs.append((k, "corr_shift", shift, None, calc.upper_threshold))
+    return _melt(agg, specs)

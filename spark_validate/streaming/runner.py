@@ -311,6 +311,20 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             queries[key] = _sink(g_drift, out_dir, key, "append", trigger).start()
             calc.release_cache()
+        elif kind == "correlation_drift":
+            if reference is None:
+                raise ValueError("correlation_drift check needs a reference table to fit")
+            from spark_validate.streaming.drift import streaming_correlation_drift
+
+            cols_tag = "_".join(check_cfg.get("columns") or [f"{x}_{y}" for x, y in check_cfg["pairs"]])
+            key = uniq(check_cfg.get("name") or f"correlation_drift__{cols_tag}", check_idx)
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            calc = build_check(spark, check_cfg, chunker)
+            calc.fit(reference)
+            c_drift = streaming_correlation_drift(
+                stream, calc, ts, window_duration=window, watermark=watermark or window
+            )
+            queries[key] = _sink(c_drift, out_dir, key, "append", trigger).start()
         elif kind == "joint_drift":
             if reference is None:
                 raise ValueError("joint_drift check needs a reference table to fit")

@@ -1494,3 +1494,99 @@ def test_streaming_suite_vocab_drift_kind(spark, tmp_path):
     assert (closed["method"] == "oov_rate").all()
     # the first streamed hour is in-vocab, the second is all-OOV
     assert closed.iloc[0]["value"] < 0.5 or closed.iloc[-1]["value"] > 0.5
+
+
+def test_streaming_correlation_drift_matches_batch(spark, tmp_path):
+    """A fitted CorrelationDriftCalculator compiled to a streaming query
+    produces per-window corr/shift equal to the batch path over a matching
+    period chunker (same decimal sums, same double derivation)."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.drift.correlation import CorrelationDriftCalculator
+    from spark_validate.streaming import streaming_correlation_drift
+
+    n = 4800
+    ts = pd.date_range("2024-06-05", periods=n, freq="6s")  # 8 hours
+    idx = np.arange(n)
+    base = pd.DataFrame({"ts": ts, "x": (idx * 7 % 101).astype(float)})
+    base["y"] = base.x * 2 + (idx % 13)
+    flipped = idx >= 5 * n // 8  # last 3 streamed hours invert the relationship
+    base.loc[flipped, "y"] = -2 * base.loc[flipped, "x"] + (idx[flipped] % 13)
+
+    ref = base.iloc[: n // 4]
+    ana = base.iloc[n // 4 :]
+    calc = CorrelationDriftCalculator(
+        ["x", "y"], chunker=PeriodBasedChunker(offset="H", timestamp_column="ts")
+    ).fit(spark.createDataFrame(ref))
+
+    batch = calc.calculate(spark.createDataFrame(ana)).toPandas()
+
+    src = str(tmp_path / "corr_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_correlation_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_corr_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_res = spark.sql("SELECT * FROM sv_corr_drift").toPandas()
+    assert set(stream_res["method"]) == {"pearson_corr", "corr_shift"}
+    assert set(stream_res["column_name"]) == {"x+y"}
+
+    for method in ("pearson_corr", "corr_shift"):
+        b = batch[batch.method == method].set_index(batch[batch.method == method]["start_ts"].dt.floor("h"))["value"]
+        sm = stream_res[stream_res.method == method]
+        s = sm.set_index(pd.to_datetime(sm["window_start"]))["value"]
+        joined = pd.concat([b.rename("batch"), s.rename("stream")], axis=1).dropna()
+        assert len(joined) == len(s) >= 6
+        np.testing.assert_allclose(joined["batch"], joined["stream"], rtol=1e-12)
+    # alert parity: flipped hours alert on corr_shift in both paths
+    sm = stream_res[stream_res.method == "corr_shift"]
+    sa = sm.set_index(pd.to_datetime(sm["window_start"]))["alert"]
+    bm = batch[batch.method == "corr_shift"]
+    ba = bm.set_index(bm["start_ts"].dt.floor("h"))["alert"]
+    ja = pd.concat([ba.rename("batch"), sa.rename("stream")], axis=1).dropna()
+    assert ja["batch"].equals(ja["stream"]) and ja["stream"].any() and not ja["stream"].all()
+
+
+def test_streaming_suite_correlation_drift_kind(spark, tmp_path):
+    """correlation_drift check type through run_streaming_suite: fitted on
+    the reference, windowed corr/shift sink under its own key."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    n = 1200
+    ts = pd.date_range("2024-06-06", periods=n, freq="6s")  # 2 hours
+    idx = np.arange(n)
+    pdf = pd.DataFrame({"ts": ts, "x": (idx * 7 % 101).astype(float)})
+    pdf["y"] = np.where(idx < n // 2, pdf.x * 2 + (idx % 13), -2 * pdf.x + (idx % 13))
+    ref_dir, stream_dir, out_dir = (
+        str(tmp_path / "ref"), str(tmp_path / "stream"), str(tmp_path / "out")
+    )
+    spark.createDataFrame(pdf.iloc[: n // 4]).write.parquet(ref_dir)
+    spark.createDataFrame(pdf.iloc[n // 4 :]).write.parquet(stream_dir)
+    cfg = {
+        "output_dir": out_dir,
+        "reference": ref_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 hour",
+        "watermark": "0 seconds",
+        "checks": [
+            {"type": "correlation_drift", "columns": ["x", "y"]},
+        ],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    out = spark.read.parquet(str(tmp_path / "out" / "correlation_drift__x_y")).toPandas()
+    assert len(out) >= 2
+    shift = out[out["method"] == "corr_shift"].sort_values("window_start")
+    # first streamed hour keeps the fitted relationship, the second flips it
+    assert shift.iloc[0]["value"] < 0.25 or shift.iloc[-1]["value"] > 1.0
