@@ -1881,6 +1881,30 @@ def q_joint_drift(spark, sf_dir):
     ).orderBy("chunk_index")
 
 
+def q_freshness_check(spark, sf_dir):
+    """Freshness / temporal-completeness (checks/freshness.py::FreshnessCheck):
+    per-chunk staleness vs the frame's high watermark, time span, hourly
+    bucket-fill rate, and exact max inter-arrival gap over events.ts. Every
+    metric is IEEE double arithmetic on ts-cast-to-epoch-seconds, mirrored
+    op-for-op in DuckDB (epoch(ts) computes the identical double) — values
+    hash unrounded."""
+    from spark_validate.checks.freshness import FreshnessCheck
+
+    ev = _read(spark, sf_dir, "events")
+    chk = FreshnessCheck(
+        timestamp_column="ts",
+        bucket_seconds=3600,
+        max_staleness_seconds=3 * 86400.0,
+        min_bucket_fill=0.8,
+        max_gap_alert_seconds=1800.0,
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    )
+    res = chk.calculate(ev)
+    return res.select("chunk_index", "column_name", "method", "value", "alert").orderBy(
+        "chunk_index", "method"
+    )
+
+
 def q_correlation_drift(spark, sf_dir):
     """Inter-column correlation drift (drift/correlation.py::
     CorrelationDriftCalculator): per-chunk pairwise Pearson correlations vs
@@ -2086,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_psi": q_phash_psi,
         "joint_drift": q_joint_drift,
         "correlation_drift": q_correlation_drift,
+        "freshness_check": q_freshness_check,
         "grouped_drift": q_grouped_drift,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
@@ -4209,6 +4234,48 @@ js AS (
 SELECT chunk_index, 'x+y' AS column_name, 'joint_jensen_shannon' AS method,
        ROUND(raw, 6) AS value, raw > 0.1 AS alert
 FROM js ORDER BY chunk_index
+"""
+
+    # freshness_check: replicates FreshnessCheck op-for-op — epoch(ts) is the
+    # same double Spark's timestamp→double cast produces; staleness/span/
+    # fill/gap are plain IEEE arithmetic on it. Gap ties are order-immune
+    # (equal timestamps diff to 0 whatever the tie order).
+    sql["freshness_check"] = f"""
+WITH ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         epoch(ts) AS t
+  FROM events
+),
+wm AS (SELECT MAX(t) AS a FROM ana),
+aggs AS (
+  SELECT chunk_index, MAX(t) AS mx, MIN(t) AS mn, COUNT(t) AS n,
+         COUNT(DISTINCT CASE WHEN t IS NOT NULL THEN CAST(FLOOR(t / 3600.0) AS BIGINT) END) AS nb
+  FROM ana GROUP BY chunk_index
+),
+gaps AS (
+  SELECT chunk_index, MAX(g) AS mg FROM (
+    SELECT chunk_index, t - lag(t) OVER (PARTITION BY chunk_index ORDER BY t) AS g
+    FROM ana WHERE t IS NOT NULL
+  ) GROUP BY chunk_index
+)
+SELECT chunk_index, column_name, method, value, alert FROM (
+  SELECT chunk_index, 'ts' AS column_name, 'staleness_seconds' AS method,
+         CASE WHEN n > 0 THEN (SELECT a FROM wm) - mx END AS value,
+         COALESCE(CASE WHEN n > 0 THEN (SELECT a FROM wm) - mx END > {3 * 86400.0}, FALSE) AS alert
+  FROM aggs
+  UNION ALL
+  SELECT chunk_index, 'ts', 'span_seconds',
+         CASE WHEN n > 0 THEN mx - mn END, FALSE
+  FROM aggs
+  UNION ALL
+  SELECT chunk_index, 'ts', 'bucket_fill_rate',
+         CASE WHEN n > 0 THEN nb / CAST(CAST(FLOOR(mx / 3600.0) AS BIGINT) - CAST(FLOOR(mn / 3600.0) AS BIGINT) + 1 AS DOUBLE) END,
+         COALESCE(CASE WHEN n > 0 THEN nb / CAST(CAST(FLOOR(mx / 3600.0) AS BIGINT) - CAST(FLOOR(mn / 3600.0) AS BIGINT) + 1 AS DOUBLE) END < 0.8, FALSE)
+  FROM aggs
+  UNION ALL
+  SELECT chunk_index, 'ts', 'max_gap_seconds', mg, COALESCE(mg > 1800.0, FALSE)
+  FROM gaps
+) u ORDER BY chunk_index, method
 """
 
     # correlation_drift: replicates CorrelationDriftCalculator op-for-op —

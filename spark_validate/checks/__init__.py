@@ -14,6 +14,7 @@ from spark_validate.checks.profile import (
     HistogramCalculator,
     ZScoreOutlierCalculator,
 )
+from spark_validate.checks.freshness import FreshnessCheck
 from spark_validate.checks.schema import SchemaCheck
 from spark_validate.checks.snapshot import (
     SnapshotDiffCheck,
@@ -38,4 +39,5 @@ __all__ = [
     "UniquenessCheck",
     "ReferentialIntegrityCheck",
     "SchemaCheck",
+    "FreshnessCheck",
 ]

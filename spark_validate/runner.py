@@ -329,6 +329,19 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
         )
+    if kind == "freshness":
+        from spark_validate.checks.freshness import FreshnessCheck
+
+        return FreshnessCheck(
+            timestamp_column=cfg.get("column", cfg.get("timestamp_column", "ts")),
+            bucket_seconds=cfg.get("bucket_seconds", 60),
+            as_of=cfg.get("as_of"),
+            max_staleness_seconds=cfg.get("max_staleness_seconds"),
+            min_bucket_fill=cfg.get("min_bucket_fill"),
+            max_gap_alert_seconds=cfg.get("max_gap_alert_seconds"),
+            include_gap=cfg.get("include_gap", True),
+            chunker=chunker,
+        )
     if kind == "skew":
         from spark_validate.checks.profile import SkewCalculator
         from spark_validate.thresholds import ConstantThreshold
