@@ -284,6 +284,57 @@ def q_alert_debounce(spark, sf_dir):
     ).orderBy("chunk_index")
 
 
+def q_ewma_chart(spark, sf_dir):
+    """with_ewma_alerts (§2.9 extension): EWMA control chart (Roberts 1959)
+    over the per-chunk avg-price series — accumulated evidence crosses the
+    time-ramped mu ± L·sigma·sqrt(alpha/(2−alpha)·(1−(1−alpha)^{2t})) limits
+    even when no single chunk strays. mu/sigma are fitted on the REFERENCE
+    chunk series via decimal-exact moment sums (the zscore device, at metric
+    level) so the fit is bit-identical to the oracle; the recurrence is a
+    left fold both engines execute in the same element order (F.aggregate ↔
+    list_reduce), so ewma hashes unrounded; only the chart limits carry a
+    pow() last-ulp risk and are rounded to 9."""
+    import math as _math
+
+    from spark_validate.thresholds import with_ewma_alerts
+
+    ref, ana = _li_split(spark, sf_dir)
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+
+    def _series(df):
+        assigned = _li_chunker().assign(df)
+        cid = F.floor(F.col(ROW_INDEX) / F.lit(LI_CHUNK)).cast("int")
+        return (
+            assigned.withColumn("chunk_index", cid)
+            .groupBy("chunk_index")
+            .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("value"))
+            .withColumn("column_name", F.lit("l_extendedprice"))
+            .withColumn("method", F.lit("avg"))
+        )
+
+    vd = F.col("value")
+    row = _series(ref).agg(
+        F.sum(vd.cast("decimal(38,6)")).alias("s"),
+        F.sum((vd * vd).cast("decimal(38,6)")).alias("ss"),
+        F.count(vd).alias("n"),
+    ).first()
+    mu = float(row["s"]) / row["n"]
+    sigma = _math.sqrt(max(float(row["ss"]) / row["n"] - mu * mu, 0.0))
+    baseline = spark.createDataFrame(
+        [("l_extendedprice", "avg", mu, sigma)],
+        "column_name string, method string, mu double, sigma double",
+    )
+    out = with_ewma_alerts(_series(ana), alpha=0.2, L=3.0, baseline=baseline)
+    return out.select(
+        "chunk_index",
+        F.col("value").alias("avg_price"),
+        "ewma",
+        F.round("ewma_lower", 9).alias("ewma_lower"),
+        F.round("ewma_upper", 9).alias("ewma_upper"),
+        "ewma_alert",
+    ).orderBy("chunk_index")
+
+
 def q_zscore_outliers(spark, sf_dir):
     """ZScoreOutlierCalculator (§2.3 profile extension): per-chunk rate of
     analysis values beyond reference-fitted mu ± 3σ. Moments come from exact
@@ -2111,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "joint_drift": q_joint_drift,
         "correlation_drift": q_correlation_drift,
         "freshness_check": q_freshness_check,
+        "ewma_chart": q_ewma_chart,
         "grouped_drift": q_grouped_drift,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
@@ -4234,6 +4286,61 @@ js AS (
 SELECT chunk_index, 'x+y' AS column_name, 'joint_jensen_shannon' AS method,
        ROUND(raw, 6) AS value, raw > 0.1 AS alert
 FROM js ORDER BY chunk_index
+"""
+
+    # ewma_chart: replicates with_ewma_alerts — decimal-exact mu/sigma fit
+    # (order-independent), left-fold recurrence via list_reduce in the same
+    # element order as F.aggregate (ewma hashes unrounded), pow-based chart
+    # limits rounded to 9 (Java Math.pow vs libm pow may differ in the last
+    # ulp); the alert compares the UNROUNDED quantities on both engines
+    _ewma_a, _ewma_L = 0.2, 3.0
+    _ewma_r = 1.0 - _ewma_a
+    _ewma_c = _ewma_a / (2.0 - _ewma_a)
+    sql["ewma_chart"] = f"""
+WITH ana AS ({_LI_ANA}),
+refd AS ({_LI_REF}),
+rser AS (
+  SELECT chunk_index,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS value
+  FROM refd GROUP BY chunk_index
+),
+fit AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+         COUNT(value) AS n
+  FROM rser
+),
+base AS (
+  SELECT s / n AS mu, SQRT(GREATEST(ss / n - (s / n) * (s / n), 0)) AS sigma FROM fit
+),
+aser AS (
+  SELECT chunk_index,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS value
+  FROM ana GROUP BY chunk_index
+),
+lists AS (
+  SELECT chunk_index, value,
+         list_filter(list(value) OVER (ORDER BY chunk_index ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     x -> x IS NOT NULL) AS l
+  FROM aser
+),
+calc AS (
+  SELECT chunk_index, value,
+         list_reduce(list_prepend((SELECT mu FROM base), l),
+                     (acc, x) -> {_ewma_a!r} * x + {_ewma_r!r} * acc) AS ewma,
+         (SELECT mu FROM base)
+           - {_ewma_L!r} * (SELECT sigma FROM base)
+             * SQRT({_ewma_c!r} * (1.0 - POW({_ewma_r!r}, CAST(2 * len(l) AS DOUBLE)))) AS lo,
+         (SELECT mu FROM base)
+           + {_ewma_L!r} * (SELECT sigma FROM base)
+             * SQRT({_ewma_c!r} * (1.0 - POW({_ewma_r!r}, CAST(2 * len(l) AS DOUBLE)))) AS hi
+  FROM lists
+)
+SELECT chunk_index, value AS avg_price, ewma,
+       ROUND(lo, 9) AS ewma_lower, ROUND(hi, 9) AS ewma_upper,
+       CASE WHEN ewma IS NULL THEN FALSE
+            ELSE COALESCE(ewma < lo OR ewma > hi, FALSE) END AS ewma_alert
+FROM calc ORDER BY chunk_index
 """
 
     # freshness_check: replicates FreshnessCheck op-for-op — epoch(ts) is the

@@ -209,3 +209,96 @@ def with_jump_alerts(
             F.coalesce(F.col("rel_change") > F.lit(float(max_rel_change)), F.lit(False)),
         )
     )
+
+
+def with_ewma_alerts(
+    result: DataFrame,
+    alpha: float = 0.2,
+    L: float = 3.0,
+    baseline: Optional[DataFrame] = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """EWMA control chart over a chunked result series (Roberts 1959; the
+    NIST/Montgomery construction): adds ``ewma`` (the smoothed series,
+    seeded at the baseline mean), ``ewma_lower`` / ``ewma_upper`` (the
+    time-ramped control limits ``mu ± L·sigma·sqrt(alpha/(2−alpha)·
+    (1−(1−alpha)^{2t}))``) and ``ewma_alert`` per (column_name × method)
+    ordered by ``chunk_index``.
+
+    Complements the static fitted band and the debounce: a static threshold
+    needs ONE chunk to stray far; the EWMA accumulates evidence, so a small
+    persistent shift (each chunk individually in-band) still crosses the
+    chart limits — the textbook small-shift detector (~0.5–1σ shifts where
+    Shewhart charts are blind).
+
+    ``baseline`` is a per-series (column_name, method, mu, sigma) frame; if
+    omitted it is fitted from the frame's own ``period == 'reference'``
+    rows (mean + population std of the per-chunk values — the
+    StandardDeviationThreshold convention) and only analysis rows are
+    smoothed (reference rows pass through with NULL ewma columns).
+
+    Execution shape: the input is the ALREADY-AGGREGATED result frame
+    (≤ chunks × series rows). The recurrence folds a running
+    ``collect_list`` window with ``F.aggregate`` — exact, overflow-free
+    (contrast the closed-form ``(1−alpha)^{−i}`` rewrite, which overflows
+    past ~700 chunks), per-series state bounded by the chunk count, and the
+    window partitions per series so no global single-partition sort
+    appears. NULL metric values are skipped by collect_list — the chart
+    holds its last state rather than fabricating an update — and do not
+    advance ``t``.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    series = ["column_name", "method"]
+    if baseline is None:
+        if "period" not in result.columns:
+            raise ValueError("no baseline frame and no period column to fit one from")
+        ref = result.filter(F.col("period") == "reference")
+        baseline = ref.groupBy(*series).agg(
+            F.avg(value_col).alias("mu"), F.stddev_pop(value_col).alias("sigma")
+        )
+        smooth_only_analysis = True
+    else:
+        smooth_only_analysis = False
+
+    r = 1.0 - float(alpha)  # python-computed literals: identical doubles
+    c = float(alpha) / (2.0 - float(alpha))  # in any mirroring oracle SQL
+
+    w = (
+        Window.partitionBy(*series)
+        .orderBy("chunk_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = result.join(F.broadcast(baseline), series, "left")
+    scope = (
+        (F.col("period") == "analysis") if smooth_only_analysis else F.lit(True)
+    )
+    vals = F.collect_list(F.when(scope, F.col(value_col))).over(w)
+    t = F.size(vals)
+    ewma = F.when(
+        scope & F.col("mu").isNotNull() & (t > 0),
+        F.aggregate(
+            vals,
+            F.col("mu").cast("double"),
+            lambda acc, x: F.lit(float(alpha)) * x + F.lit(r) * acc,
+        ),
+    )
+    half = F.lit(L) * F.col("sigma") * F.sqrt(
+        F.lit(c) * (F.lit(1.0) - F.pow(F.lit(r), (F.lit(2) * t).cast("double")))
+    )
+    lower = F.when(scope & (t > 0), F.col("mu") - half)
+    upper = F.when(scope & (t > 0), F.col("mu") + half)
+    out = (
+        out.withColumn("ewma", ewma.cast("double"))
+        .withColumn("ewma_lower", lower.cast("double"))
+        .withColumn("ewma_upper", upper.cast("double"))
+    )
+    breach = (F.col("ewma") < F.col("ewma_lower")) | (F.col("ewma") > F.col("ewma_upper"))
+    return out.withColumn(
+        "ewma_alert",
+        F.when(F.col("ewma").isNull(), F.lit(False)).otherwise(
+            F.coalesce(breach, F.lit(False))
+        ),
+    ).drop("mu", "sigma")

@@ -358,3 +358,75 @@ def test_debounced_alerts_streak_semantics(spark):
 
     with _pytest.raises(ValueError):
         with_debounced_alerts(spark.createDataFrame(pdf), k=0)
+
+
+def test_ewma_alerts_numpy_replica(spark):
+    """EWMA chart matches the textbook recurrence + variance-ramp limits;
+    a small persistent shift (every chunk inside the static 3σ band)
+    still crosses the chart limit."""
+    import math
+
+    from spark_validate.thresholds import with_ewma_alerts
+
+    alpha, L = 0.2, 3.0
+    ref_vals = [10.0, 10.4, 9.6, 10.2, 9.8, 10.0, 10.3, 9.7]  # mu=10, sigma~0.26
+    ana_vals = [10.1, 10.5, 10.5, 10.5, 10.5, 10.5, 10.5, 10.5]  # +~2σ shift, sustained
+    pdf = pd.DataFrame(
+        {
+            "chunk_index": list(range(len(ref_vals))) + list(range(len(ana_vals))),
+            "column_name": "a",
+            "method": "avg",
+            "period": ["reference"] * len(ref_vals) + ["analysis"] * len(ana_vals),
+            "value": ref_vals + ana_vals,
+        }
+    )
+    out = with_ewma_alerts(spark.createDataFrame(pdf), alpha=alpha, L=L).toPandas()
+    ref_rows = out[out.period == "reference"]
+    assert ref_rows["ewma"].isna().all() and not ref_rows["ewma_alert"].any()
+
+    mu = float(np.mean(ref_vals))
+    sigma = float(np.std(ref_vals))
+    z, want = mu, []
+    for t, v in enumerate(ana_vals, start=1):
+        z = alpha * v + (1 - alpha) * z
+        half = L * sigma * math.sqrt(alpha / (2 - alpha) * (1 - (1 - alpha) ** (2 * t)))
+        want.append((z, mu - half, mu + half))
+    got = out[out.period == "analysis"].sort_values("chunk_index")
+    np.testing.assert_allclose(got["ewma"], [w[0] for w in want], rtol=1e-12)
+    np.testing.assert_allclose(got["ewma_lower"], [w[1] for w in want], rtol=1e-12)
+    np.testing.assert_allclose(got["ewma_upper"], [w[2] for w in want], rtol=1e-12)
+    # no single chunk breaches the static mu±3σ band ...
+    assert all(v < mu + 3 * sigma for v in ana_vals)
+    # ... but the accumulated EWMA does, and stays breached
+    assert not got["ewma_alert"].iloc[0] and got["ewma_alert"].iloc[-1]
+    assert got["ewma_alert"].sum() >= 4
+
+
+def test_ewma_null_values_hold_state(spark):
+    """NULL metric values don't advance the chart: state and t hold."""
+    from spark_validate.thresholds import with_ewma_alerts
+
+    baseline = pd.DataFrame(
+        {"column_name": ["a"], "method": ["avg"], "mu": [10.0], "sigma": [1.0]}
+    )
+    pdf = pd.DataFrame(
+        {
+            "chunk_index": range(4),
+            "column_name": "a",
+            "method": "avg",
+            "value": [12.0, None, 12.0, None],
+        }
+    )
+    out = with_ewma_alerts(
+        spark.createDataFrame(pdf),
+        alpha=0.5,
+        baseline=spark.createDataFrame(baseline),
+    ).toPandas().sort_values("chunk_index")
+    # chunk1 repeats chunk0's state; chunk3 repeats chunk2's
+    assert out["ewma"].iloc[1] == out["ewma"].iloc[0] == pytest.approx(11.0)
+    assert out["ewma"].iloc[3] == out["ewma"].iloc[2] == pytest.approx(11.5)
+    assert out["ewma_upper"].iloc[1] == out["ewma_upper"].iloc[0]  # t held too
+    with pytest.raises(ValueError):
+        with_ewma_alerts(spark.createDataFrame(pdf), alpha=0.0)
+    with pytest.raises(ValueError):
+        with_ewma_alerts(spark.createDataFrame(pdf))  # no baseline, no period
