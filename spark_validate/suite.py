@@ -62,6 +62,7 @@ class ImageValidationSuite:
     include_profile_checks: bool = True  # z-score row gates + HLL++ cardinality
     include_consistency_check: bool = True  # caption↔image conflict rate
     include_joint_drift: bool = True  # (w,h) 2-D drift the marginals miss
+    include_correlation_drift: bool = True  # w↔h Pearson-corr shift per chunk
     phash_max_hamming: int = 4
     phash_n_blocks: int = 8  # Manku tables: the corpus-scale operating point
     salt_buckets: int = 16
@@ -208,6 +209,15 @@ class ImageValidationSuite:
 
             jd = JointHistogramDrift("w", "h", chunker=self.chunker).fit(reference)
             out["joint_drift_wh"] = jd.calculate(analysis)
+
+        # 6c. w↔h correlation drift — the aspect-ratio relationship as ONE
+        # number per chunk (cheap, attributable; the joint histogram above
+        # localizes the 2-D shape when this trips)
+        if self.include_correlation_drift:
+            from spark_validate.drift.correlation import CorrelationDriftCalculator
+
+            cd = CorrelationDriftCalculator(pairs=[("w", "h")], chunker=self.chunker).fit(reference)
+            out["correlation_drift_wh"] = cd.calculate(analysis)
 
         # 7. payload checks — ONE fused Arrow pass (pixel stats + PSNR
         # equivalence; each side decoded exactly once)

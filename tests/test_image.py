@@ -846,3 +846,25 @@ def test_image_suite_consistency_and_joint_drift_keys(spark):
     out_bad = suite.run(ref, conflicted.unionByName(dup_rows))
     cc_bad = out_bad["caption_consistency"].toPandas()
     assert (cc_bad["value"] > 0).any() and cc_bad["alert"].any()
+
+
+def test_suite_correlation_drift_wh(spark):
+    """The w↔h correlation check rides the image suite: independent w/h in
+    both periods stays quiet; an analysis batch that squares its images
+    (h := w) flips the pair correlation to 1 and alerts every chunk."""
+    from pyspark.sql import functions as F
+
+    from spark_validate.suite import ImageValidationSuite
+
+    ref = synth_image_table(spark, 2000, n_partitions=4, dup_rate=0.0, orphan_rate=0.0, seed=31)
+    ana = synth_image_table(spark, 2000, n_partitions=4, dup_rate=0.0, orphan_rate=0.0, seed=32)
+    suite = ImageValidationSuite(include_payload_checks=False)
+    res = suite.run(ref, ana)["correlation_drift_wh"].toPandas()
+    shift = res[res.method == "corr_shift"]
+    assert len(shift) == 4 and not shift["alert"].any()
+    assert (shift["value"] < 0.25).all()
+
+    squared = ana.withColumn("h", F.col("w"))
+    res2 = suite.run(ref, squared)["correlation_drift_wh"].toPandas()
+    shift2 = res2[res2.method == "corr_shift"]
+    assert shift2["alert"].all() and (shift2["value"] > 0.75).all()
