@@ -1,5 +1,6 @@
 from spark_validate.streaming.incremental import (
     streaming_column_stats,
+    streaming_freshness,
     streaming_cardinality,
     streaming_quantiles,
     streaming_violations,
@@ -23,6 +24,7 @@ from spark_validate.streaming.drift import (
 __all__ = [
     "streaming_column_stats",
     "streaming_cardinality",
+    "streaming_freshness",
     "streaming_quantiles",
     "streaming_violations",
     "attach_thresholds",

@@ -165,3 +165,74 @@ def attach_thresholds(
         above = F.lit(False) if up is None else v > F.lit(up)
         out = out.withColumn(f"{col}__alert", F.coalesce(below | above, F.lit(False)))
     return out
+
+
+def streaming_freshness(
+    stream: DataFrame,
+    timestamp_column: str,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    bucket_seconds: Optional[int] = 60,
+    min_rows: Optional[int] = None,
+    min_bucket_fill: Optional[float] = None,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Per-window ingest health — the streaming analog of
+    ``checks/freshness.py::FreshnessCheck``'s aggregate metrics: row volume,
+    observed event-time span, and temporal completeness (approx distinct
+    ``bucket_seconds`` buckets ÷ the buckets the WINDOW should contain — an
+    outage inside the window reads as missing buckets). HLL++ merges inside
+    the windowed aggregation so per-window state is one bounded sketch; the
+    batch check owns exact bucket counts and the max-gap sort (unbounded
+    per-window state on a stream), and wall-clock staleness belongs to the
+    watermark/trigger layer, not a deterministic aggregate.
+
+    A window with NO rows never emits (there is nothing to aggregate) —
+    silence detection is the ``min_rows`` alert on the windows that DO emit
+    plus the consumer noticing absent windows; both thresholds are optional
+    (``freshness_alert`` stays False without them).
+    """
+    ts = F.col(timestamp_column).cast("timestamp").cast("double")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts).alias("__mn"),
+        F.max(ts).alias("__mx"),
+    ]
+    if bucket_seconds:
+        # tight rsd: bucket counts are small (window/bucket ≤ thousands), so
+        # a dense high-precision sketch is still a few-KB bounded state and
+        # keeps the fill rate honest enough for a 0.8-style threshold
+        aggs.append(
+            F.approx_count_distinct(
+                F.floor(ts / F.lit(float(bucket_seconds))), rsd
+            ).alias("__nb")
+        )
+    out = (
+        stream.withWatermark(timestamp_column, watermark)
+        .groupBy(F.window(timestamp_column, window_duration).alias("chunk_window"))
+        .agg(*aggs)
+        .select(
+            F.col("chunk_window.start").alias("window_start"),
+            F.col("chunk_window.end").alias("window_end"),
+            "*",
+        )
+        .drop("chunk_window")
+    )
+    out = out.withColumn("span_seconds", (F.col("__mx") - F.col("__mn")).cast("double"))
+    alert = F.lit(False)
+    if bucket_seconds:
+        expected = F.ceil(
+            (F.col("window_end").cast("double") - F.col("window_start").cast("double"))
+            / F.lit(float(bucket_seconds))
+        )
+        out = out.withColumn(
+            "bucket_fill_rate",
+            (F.col("__nb") / expected.cast("double")).cast("double"),
+        ).drop("__nb")
+        if min_bucket_fill is not None:
+            alert = alert | (F.col("bucket_fill_rate") < F.lit(float(min_bucket_fill)))
+    if min_rows is not None:
+        alert = alert | (F.col("n_rows") < F.lit(int(min_rows)))
+    return out.drop("__mn", "__mx").withColumn(
+        "freshness_alert", F.coalesce(alert, F.lit(False))
+    )

@@ -191,6 +191,26 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             key = uniq(check_cfg.get("name") or _check_name(check_cfg), check_idx)
             queries[key] = _sink(card, out_dir, key, "append", trigger).start()
+        elif kind == "freshness":
+            # windowed ingest health: row volume, event-time span, bucket
+            # fill (HLL++ — bounded per-window state); the batch check owns
+            # exact buckets, staleness and the max-gap sort
+            from spark_validate.streaming.incremental import streaming_freshness
+
+            fresh = streaming_freshness(
+                stream,
+                check_cfg.get("column", check_cfg.get("timestamp_column", ts)),
+                window_duration=window,
+                watermark=watermark or window,
+                bucket_seconds=check_cfg.get("bucket_seconds", 60),
+                min_rows=check_cfg.get("min_rows"),
+                min_bucket_fill=check_cfg.get("min_bucket_fill"),
+            )
+            key = uniq(
+                check_cfg.get("name") or f"freshness__{check_cfg.get('column', ts)}",
+                check_idx,
+            )
+            queries[key] = _sink(fresh, out_dir, key, "append", trigger).start()
         elif kind == "uniqueness":
             # stateful duplicate-key violation stream: one long of state per
             # key, watermark-evicted — the ingest-time uniqueness gate

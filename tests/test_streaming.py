@@ -1590,3 +1590,53 @@ def test_streaming_suite_correlation_drift_kind(spark, tmp_path):
     shift = out[out["method"] == "corr_shift"].sort_values("window_start")
     # first streamed hour keeps the fitted relationship, the second flips it
     assert shift.iloc[0]["value"] < 0.25 or shift.iloc[-1]["value"] > 1.0
+
+
+def test_streaming_suite_freshness_kind(spark, tmp_path):
+    """freshness check type through run_streaming_suite: per-window row
+    volume + event-time span + HLL++ bucket fill; a planted 30-minute
+    outage inside one streamed hour drops its fill under the threshold."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    ts = pd.date_range("2024-06-07", periods=1800, freq="6s")  # 3 hours
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(1800)})
+    # hour 2 (01:00-02:00): drop minutes 10..40 — a 30-min ingest hole
+    hole = (pdf.ts >= "2024-06-07 01:10:00") & (pdf.ts < "2024-06-07 01:40:00")
+    pdf = pdf[~hole]
+    ref_dir, stream_dir, out_dir = (
+        str(tmp_path / "ref"), str(tmp_path / "stream"), str(tmp_path / "out")
+    )
+    spark.createDataFrame(pdf.iloc[:10]).write.parquet(ref_dir)  # unused by freshness
+    spark.createDataFrame(pdf).write.parquet(stream_dir)
+    cfg = {
+        "output_dir": out_dir,
+        "reference": ref_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 hour",
+        "watermark": "0 seconds",
+        "checks": [
+            {"type": "freshness", "column": "ts", "bucket_seconds": 60,
+             "min_bucket_fill": 0.8, "min_rows": 100},
+        ],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    out = (
+        spark.read.parquet(str(tmp_path / "out" / "freshness__ts"))
+        .toPandas()
+        .sort_values("window_start")
+    )
+    assert len(out) >= 2  # append mode: watermark-closed windows
+    full = out[out.window_start == pd.Timestamp("2024-06-07 00:00:00")].iloc[0]
+    holed = out[out.window_start == pd.Timestamp("2024-06-07 01:00:00")].iloc[0]
+    assert full["n_rows"] == 600 and not full["freshness_alert"]
+    assert full["bucket_fill_rate"] == pytest.approx(1.0, abs=0.05)
+    assert holed["n_rows"] == 300 and holed["freshness_alert"]
+    assert holed["bucket_fill_rate"] == pytest.approx(0.5, abs=0.05)
+    assert holed["span_seconds"] == pytest.approx(3594.0, abs=10)
