@@ -424,6 +424,28 @@ def q_quantile_stats(spark, sf_dir):
     return res.select("chunk_index", "method", "value").orderBy("chunk_index", "method")
 
 
+def q_entropy_stats(spark, sf_dir):
+    """EntropyCalculator (§2.3 profile extension): per-chunk Shannon entropy
+    + normalized entropy per categorical column — class balance as one
+    number (Deequ Entropy analyzer parity). One scan, two-phase map-side-
+    combined counts, H from the ln(n) − Σc·ln(c)/n identity (no join);
+    round(6) both sides absorbs log last-ulp + summation-order skew."""
+    from spark_validate.checks import EntropyCalculator
+    from spark_validate.thresholds import ConstantThreshold
+
+    ev = _read(spark, sf_dir, "events")
+    calc = EntropyCalculator(
+        ["event_type", "user_id"],
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+        threshold=ConstantThreshold(lower=0.9, upper=None),
+    )
+    res = calc.calculate(ev)
+    return res.select(
+        "chunk_index", "column_name", "method",
+        F.round(F.col("value"), 6).alias("value"), "alert",
+    ).orderBy("chunk_index", "column_name", "method")
+
+
 def q_uniqueness(spark, sf_dir):
     """Two-phase duplicate detection (north rule §2.3 extension)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -2163,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_drift": q_correlation_drift,
         "freshness_check": q_freshness_check,
         "ewma_chart": q_ewma_chart,
+        "entropy_stats": q_entropy_stats,
         "grouped_drift": q_grouped_drift,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
@@ -2511,6 +2534,46 @@ SELECT * FROM (
   SELECT chunk_index, column_name, 'distinct_count' AS method, d AS value FROM per
   UNION ALL
   SELECT chunk_index, column_name, 'distinct_ratio' AS method, d / n AS value FROM per
+) u ORDER BY chunk_index, column_name, method
+"""
+
+    # entropy_stats: replicates EntropyCalculator's ln(n) − Σc·ln(c)/n
+    # identity per (chunk, column); counts exact, doubles mirrored, round(6)
+    # absorbs log last-ulp and per-value summation order; NULL values excluded
+    # (an all-null chunk×column emits no rows); alert = normalized < 0.9
+    sql["entropy_stats"] = f"""
+WITH ev AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         CAST(user_id AS VARCHAR) AS user_id, event_type
+  FROM events
+),
+l1 AS (
+  SELECT chunk_index, column_name, v, COUNT(*) AS cnt FROM (
+    SELECT chunk_index, 'event_type' AS column_name, event_type AS v FROM ev
+    UNION ALL
+    SELECT chunk_index, 'user_id', user_id FROM ev
+  ) u WHERE v IS NOT NULL GROUP BY 1, 2, 3
+),
+l2 AS (
+  SELECT chunk_index, column_name,
+         SUM(cnt) AS n, COUNT(*) AS k,
+         SUM(CAST(cnt AS DOUBLE) * LN(CAST(cnt AS DOUBLE))) AS s
+  FROM l1 GROUP BY 1, 2
+),
+h AS (
+  SELECT chunk_index, column_name,
+         LN(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE) AS ent, k
+  FROM l2
+)
+SELECT chunk_index, column_name, method, value, alert FROM (
+  SELECT chunk_index, column_name, 'entropy' AS method,
+         ROUND(ent, 6) AS value, FALSE AS alert
+  FROM h
+  UNION ALL
+  SELECT chunk_index, column_name, 'normalized_entropy',
+         ROUND(CASE WHEN k > 1 THEN ent / LN(CAST(k AS DOUBLE)) END, 6),
+         COALESCE(CASE WHEN k > 1 THEN ent / LN(CAST(k AS DOUBLE)) END < 0.9, FALSE)
+  FROM h
 ) u ORDER BY chunk_index, column_name, method
 """
 

@@ -7,6 +7,7 @@ from spark_validate.checks.constraints import (
 )
 from spark_validate.checks.profile import (
     CardinalityCalculator,
+    EntropyCalculator,
     IQROutlierCalculator,
     QuantileStatsCalculator,
     SkewCalculator,
@@ -24,6 +25,7 @@ from spark_validate.checks.snapshot import (
 
 __all__ = [
     "CardinalityCalculator",
+    "EntropyCalculator",
     "IQROutlierCalculator",
     "QuantileStatsCalculator",
     "SkewCalculator",

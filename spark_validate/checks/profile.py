@@ -669,3 +669,89 @@ class HistogramCalculator:
             for c, v in state["ranges"].items()
         }
         return self
+
+
+@dataclass
+class EntropyCalculator:
+    """Per-chunk Shannon entropy per categorical column — class balance as
+    one number (Deequ's ``Entropy`` analyzer surface; the skew check sees
+    only the single hottest key, entropy sees the whole shape: a
+    distribution quietly collapsing from 100 active categories to 5 drops
+    H long before any one key dominates).
+
+    Methods per (chunk, column):
+    * ``entropy`` — ``−Σ (c/n)·ln(c/n)`` over non-null values (Deequ
+      ignores NULLs; the missing-values check owns the NULL rate).
+    * ``normalized_entropy`` — ``H / ln(k)`` for chunk-distinct ``k`` (1.0 =
+      uniform, →0 = collapsed); NULL when k ≤ 1 (a constant column carries
+      no balance information, and 0/0 must not read as "balanced").
+
+    Same one-scan two-phase shape as exact cardinality / skew: L1
+    ``(chunk, col, value)`` partial counts collapse map-side (a flooded key
+    becomes ONE row per partition before the shuffle), L2 sums the entropy
+    terms per (chunk, col). Not fusable (the L1 phase keys by value).
+
+    Thresholds: constant band on the NORMALIZED entropy (scale-free across
+    columns with different cardinalities); the raw entropy rows are
+    informational.
+    """
+
+    column_names: Sequence[str]
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=None))
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        assigned, headers = assign_chunks(df, self.chunker)
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("c"), F.col(c).cast("string").alias("v"))
+            for c in self.column_names
+        ])
+        ex = assigned.select(CHUNK_KEY, F.explode(pairs).alias("kv")).select(
+            CHUNK_KEY, "kv.c", "kv.v"
+        )
+        l1 = (
+            ex.filter(F.col("v").isNotNull())
+            .groupBy(CHUNK_KEY, "c", "v")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        # the identity H = ln(n) − (Σ c·ln c)/n turns the per-term p·ln p
+        # (which needs n on every row — a join or window) into ONE L2
+        # aggregate over the already-collapsed frame
+        cnt = F.col("_cnt").cast("double")
+        l2 = l1.groupBy(CHUNK_KEY, "c").agg(
+            F.sum("_cnt").alias("__n"),
+            F.count(F.lit(1)).alias("__k"),
+            F.sum(cnt * F.log(cnt)).alias("__s"),
+        ).withColumn(
+            "__h",
+            F.when(
+                F.col("__n") > 0,
+                F.log(F.col("__n").cast("double")) - F.col("__s") / F.col("__n").cast("double"),
+            ),
+        )
+        long_df = l2.select(
+            CHUNK_KEY,
+            F.col("c").alias("column_name"),
+            F.explode(F.array(
+                F.struct(
+                    F.lit("entropy").alias("method"),
+                    F.col("__h").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("normalized_entropy").alias("method"),
+                    F.when(
+                        F.col("__k") > 1,
+                        F.col("__h") / F.log(F.col("__k").cast("double")),
+                    ).cast("double").alias("value"),
+                ),
+            )).alias("kv"),
+        ).select(CHUNK_KEY, "column_name", "kv.method", "kv.value")
+        out = _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+        # raw-entropy rows are informational: the constant band is calibrated
+        # on the scale-free normalized metric (the urls_per_doc convention)
+        keep = F.col("method") == "normalized_entropy"
+        return (
+            out.withColumn("lower_threshold", F.when(keep, F.col("lower_threshold")))
+            .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
+            .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
+        )

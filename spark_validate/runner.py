@@ -361,6 +361,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
         )
+    if kind == "entropy":
+        from spark_validate.checks.profile import EntropyCalculator
+        from spark_validate.thresholds import ConstantThreshold
+
+        return EntropyCalculator(
+            column_names=cfg["columns"],
+            chunker=chunker,
+            threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
+        )
     if kind == "embedding_leakage":
         from spark_validate.sim.ann import EmbeddingLeakageCheck
 

@@ -430,3 +430,55 @@ def test_ewma_null_values_hold_state(spark):
         with_ewma_alerts(spark.createDataFrame(pdf), alpha=0.0)
     with pytest.raises(ValueError):
         with_ewma_alerts(spark.createDataFrame(pdf))  # no baseline, no period
+
+
+def test_entropy_matches_scipy_formula(spark):
+    """Shannon entropy + normalized entropy per chunk/column vs a direct
+    numpy replica; NULLs excluded; constant column → entropy 0, normalized
+    NULL; balance-collapse alert fires on the low-entropy chunk."""
+    import math
+
+    from spark_validate.checks import EntropyCalculator
+    from spark_validate.thresholds import ConstantThreshold
+
+    # chunk 0: 4 balanced categories; chunk 1: collapsed (7×a, 1×b)
+    cats = list("abcd") * 2 + ["a"] * 7 + ["b"]
+    pdf = pd.DataFrame(
+        {
+            "ord": range(16),
+            "cat": cats,
+            "konst": ["x"] * 16,
+            "holey": [None] * 8 + ["u", "u", "v", "v", "u", "u", "v", "v"],
+        }
+    )
+    calc = EntropyCalculator(
+        ["cat", "konst", "holey"],
+        chunker=SizeBasedChunker(chunk_size=8, order_by=["ord"]),
+        threshold=ConstantThreshold(lower=0.6, upper=None),
+    )
+    res = calc.calculate(spark.createDataFrame(pdf)).toPandas()
+    m = res.set_index(["chunk_index", "column_name", "method"])["value"]
+
+    def H(counts):
+        n = sum(counts)
+        return -sum(c / n * math.log(c / n) for c in counts)
+
+    assert m.loc[(0, "cat", "entropy")] == pytest.approx(H([2, 2, 2, 2]), rel=1e-12)
+    assert m.loc[(0, "cat", "normalized_entropy")] == pytest.approx(1.0, rel=1e-12)
+    assert m.loc[(1, "cat", "entropy")] == pytest.approx(H([7, 1]), rel=1e-12)
+    assert m.loc[(1, "cat", "normalized_entropy")] == pytest.approx(
+        H([7, 1]) / math.log(2), rel=1e-12
+    )
+    # constant column: H = 0 exactly, normalized undefined (k=1)
+    assert m.loc[(0, "konst", "entropy")] == 0.0
+    assert np.isnan(m.loc[(0, "konst", "normalized_entropy")])
+    # all-NULL (chunk, column) emits no rows; the non-null half is balanced
+    assert (0, "holey", "entropy") not in m.index
+    assert m.loc[(1, "holey", "normalized_entropy")] == pytest.approx(1.0, rel=1e-12)
+
+    a = res.set_index(["chunk_index", "column_name", "method"])["alert"]
+    assert a.loc[(1, "cat", "normalized_entropy")]  # 0.543 < 0.6 lower band
+    assert not a.loc[(0, "cat", "normalized_entropy")]
+    # raw-entropy rows are informational — no threshold, no alert
+    ent = res[res.method == "entropy"]
+    assert ent["lower_threshold"].isna().all() and not ent["alert"].any()
