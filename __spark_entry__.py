@@ -2011,6 +2011,43 @@ def q_correlation_drift(spark, sf_dir):
     )
 
 
+def q_missingness_corr(spark, sf_dir):
+    """Missingness-pattern drift (drift/correlation.py, null_indicators=True):
+    correlate IS-NULL flags instead of values. Planted corpus: reference
+    rows lose x and y TOGETHER (joint sensor dropout, null-corr 1);
+    analysis rows lose them under independent masks with similar RATES —
+    the per-column missing-rate check sees nothing, the null-corr shift
+    alerts. Indicators are exact 0/1 doubles, so the whole decimal-sum
+    derivation hashes unrounded."""
+    from spark_validate.drift.correlation import CorrelationDriftCalculator
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    xv = (did * 7 % 101).cast("double")
+    yv = (did * 13 % 101).cast("double")
+    joint = did % 10 < 3
+    ref_null = (did % 2 == 0) & joint
+    ana_x_null = (did % 2 == 1) & joint
+    ana_y_null = (did % 2 == 1) & (did % 7 < 3)
+    x = F.when(ref_null | ana_x_null, F.lit(None).cast("double")).otherwise(xv)
+    y = F.when(ref_null | ana_y_null, F.lit(None).cast("double")).otherwise(yv)
+    tbl = docs.select("doc_id", x.alias("x"), y.alias("y"))
+    ref = tbl.filter(did % 2 == 0)
+    ana = tbl.filter(did % 2 == 1)
+    calc = timed_fit(
+        CorrelationDriftCalculator(
+            ["x", "y"],
+            chunker=SizeBasedChunker(chunk_size=60, order_by=["doc_id"]),
+            null_indicators=True,
+        ),
+        ref,
+    )
+    res = calc.calculate(ana)
+    return res.select("chunk_index", "column_name", "method", "value", "alert").orderBy(
+        "chunk_index", "column_name", "method"
+    )
+
+
 def q_header_verdicts(spark, sf_dir):
     """Structural payload-header validation (image/header.py): Spark builds
     SVI0 payload BYTES from the documents table with four planted corruption
@@ -2186,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_check": q_freshness_check,
         "ewma_chart": q_ewma_chart,
         "entropy_stats": q_entropy_stats,
+        "missingness_corr": q_missingness_corr,
         "grouped_drift": q_grouped_drift,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
@@ -4451,10 +4489,10 @@ SELECT chunk_index, column_name, method, value, alert FROM (
     # correlation_drift: replicates CorrelationDriftCalculator op-for-op —
     # decimal(38,6) sums are exact/order-independent on both engines, then
     # mu/var/cov/corr/shift are plain IEEE doubles derived in the same order
-    def _corr_pair(x, y):
+    def _corr_pair(x, y, name=None):
         both = f"{x} IS NOT NULL AND {y} IS NOT NULL"
         return f"""
-  SELECT chunk_index, '{x}+{y}' AS column_name,
+  SELECT chunk_index, '{name or f"{x}+{y}"}' AS column_name,
          COUNT(CASE WHEN {both} THEN 1 END) AS n,
          CAST(SUM(CASE WHEN {both} THEN CAST({x} AS DECIMAL(38,6)) END) AS DOUBLE) AS sx,
          CAST(SUM(CASE WHEN {both} THEN CAST({y} AS DECIMAL(38,6)) END) AS DOUBLE) AS sy,
@@ -4511,6 +4549,55 @@ SELECT chunk_index, column_name, method, value, alert FROM (
   FROM acorr a JOIN rcorr r USING (column_name)
 ) u ORDER BY chunk_index, column_name, method
 """
+
+    # missingness_corr: the null_indicators mode — IS-NULL flags are exact
+    # 0/1 doubles, so the same decimal-sum corr derivation hashes unrounded
+    _mc_sums_ref = _corr_pair("ix", "iy", name="x+y").format(src="refc")
+    _mc_sums_ana = _corr_pair("ix", "iy", name="x+y").format(src="ana")
+    sql["missingness_corr"] = f"""
+WITH tbl AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 10 < 3 THEN 1 ELSE 0 END AS DOUBLE) AS ix,
+         CAST(CASE WHEN (doc_id % 2 = 0 AND doc_id % 10 < 3)
+                     OR (doc_id % 2 = 1 AND doc_id % 7 < 3) THEN 1 ELSE 0 END AS DOUBLE) AS iy
+  FROM documents
+),
+refc AS (SELECT 0 AS chunk_index, ix, iy FROM tbl WHERE doc_id % 2 = 0),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 60) AS INT) AS chunk_index, ix, iy
+  FROM tbl WHERE doc_id % 2 = 1
+),
+rsums AS ({_mc_sums_ref}),
+rcorr AS (
+  SELECT column_name,
+         CASE WHEN n >= 2 AND (sxx / n - (sx / n) * (sx / n)) > 0
+                         AND (syy / n - (sy / n) * (sy / n)) > 0
+              THEN (sxy / n - (sx / n) * (sy / n))
+                   / SQRT((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n)))
+         END AS ref_corr
+  FROM rsums
+),
+asums AS ({_mc_sums_ana}),
+acorr AS (
+  SELECT chunk_index, column_name,
+         CASE WHEN n >= 2 AND (sxx / n - (sx / n) * (sx / n)) > 0
+                         AND (syy / n - (sy / n) * (sy / n)) > 0
+              THEN (sxy / n - (sx / n) * (sy / n))
+                   / SQRT((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n)))
+         END AS corr
+  FROM asums
+)
+SELECT chunk_index, column_name, method, value, alert FROM (
+  SELECT chunk_index, column_name, 'null_corr' AS method, corr AS value, FALSE AS alert
+  FROM acorr
+  UNION ALL
+  SELECT a.chunk_index, a.column_name, 'null_corr_shift' AS method,
+         ABS(a.corr - r.ref_corr) AS value,
+         COALESCE(ABS(a.corr - r.ref_corr) > 0.25, FALSE) AS alert
+  FROM acorr a JOIN rcorr r USING (column_name)
+) u ORDER BY chunk_index, column_name, method
+"""
+
 
     # --- frozen-golden oracles for the fitted-model queries -----------------
     # CBPE / PCA / domain-classifier carry fitted state (isotonic

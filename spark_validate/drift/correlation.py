@@ -82,6 +82,7 @@ class CorrelationDriftCalculator:
         pairs: Optional[Sequence[Tuple[str, str]]] = None,
         chunker=None,
         upper_threshold: float = 0.25,
+        null_indicators: bool = False,
     ):
         if (column_names is None) == (pairs is None):
             raise ValueError("provide exactly one of column_names / pairs")
@@ -99,16 +100,29 @@ class CorrelationDriftCalculator:
                 raise ValueError(f"pair ({x!r}, {y!r}) correlates a column with itself")
         self.chunker = chunker or DefaultChunker()
         self.upper_threshold = float(upper_threshold)
+        # null_indicators: correlate each column's IS-NULL flag instead of
+        # its value — missingness-PATTERN drift (fields that used to go
+        # missing together decoupling, or a new joint-dropout mode), the
+        # structured-missingness shift no per-column missing RATE can see.
+        # Indicator pairs are trivially complete (the flag is defined on
+        # every row) and works on any dtype, not just numerics.
+        self.null_indicators = bool(null_indicators)
         self._ref: Optional[Dict[str, Optional[float]]] = None  # pair key -> corr
 
     # ---- expressions --------------------------------------------------------
+
+    def _value(self, c: str, dtypes) -> F.Column:
+        v = nan_to_null(F.col(c), dtypes[c])  # NaN counts as missing, both modes
+        if self.null_indicators:
+            return v.isNull().cast("double")
+        return v.cast("double")
 
     def _sum_exprs(self, dtypes, prefix: str) -> List[F.Column]:
         exprs = []
         for x, y in self.pairs:
             k = _pair_key(x, y)
-            vx = nan_to_null(F.col(x), dtypes[x]).cast("double")
-            vy = nan_to_null(F.col(y), dtypes[y]).cast("double")
+            vx = self._value(x, dtypes)
+            vy = self._value(y, dtypes)
             both = vx.isNotNull() & vy.isNotNull()
             gx = F.when(both, vx)
             gy = F.when(both, vy)
@@ -171,7 +185,14 @@ class CorrelationDriftCalculator:
         }
         return self
 
+    @property
+    def _methods(self) -> Tuple[str, str]:
+        if self.null_indicators:
+            return ("null_corr", "null_corr_shift")
+        return ("pearson_corr", "corr_shift")
+
     def _long(self, wide: DataFrame, prefix: str, hdr_cols=()) -> DataFrame:
+        m_corr, m_shift = self._methods
         structs = []
         for x, y in self.pairs:
             k = _pair_key(x, y)
@@ -184,12 +205,12 @@ class CorrelationDriftCalculator:
             structs += [
                 F.struct(
                     F.lit(k).alias("column_name"),
-                    F.lit("pearson_corr").alias("method"),
+                    F.lit(m_corr).alias("method"),
                     corr.alias("value"),
                 ),
                 F.struct(
                     F.lit(k).alias("column_name"),
-                    F.lit("corr_shift").alias("method"),
+                    F.lit(m_shift).alias("method"),
                     shift.alias("value"),
                 ),
             ]
@@ -197,11 +218,10 @@ class CorrelationDriftCalculator:
             CHUNK_KEY, *hdr_cols, "kv.column_name", "kv.method", "kv.value"
         )
 
-    @staticmethod
-    def _strip_informational(out: DataFrame) -> DataFrame:
-        # pearson_corr rows are informational: a stored row with value=0.9,
+    def _strip_informational(self, out: DataFrame) -> DataFrame:
+        # corr rows are informational: a stored row with value=0.9,
         # upper_threshold=0.25, alert=false would contradict itself
-        keep = F.col("method") == "corr_shift"
+        keep = F.col("method") == self._methods[1]
         return (
             out.withColumn("lower_threshold", F.when(keep, F.col("lower_threshold")))
             .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
@@ -239,6 +259,7 @@ class CorrelationDriftCalculator:
         return {
             "pairs": [list(p) for p in self.pairs],
             "upper_threshold": self.upper_threshold,
+            "null_indicators": self.null_indicators,
             "corr": {k: v for k, v in self._ref.items()},
         }
 
@@ -247,6 +268,10 @@ class CorrelationDriftCalculator:
         # (a pair added to the config since the fit) raises KeyError so the
         # runner refits instead of silently scoring the old pair set
         self.upper_threshold = float(state["upper_threshold"])
+        if bool(state.get("null_indicators", False)) != self.null_indicators:
+            # value-corr state scoring null-flags (or vice versa) would be
+            # silently wrong — raise so the runner refits
+            raise ValueError("stored state has a different null_indicators mode")
         corr = state["corr"]
         self._ref = {}
         for x, y in self.pairs:

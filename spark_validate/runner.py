@@ -415,6 +415,7 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             pairs=[tuple(p) for p in cfg["pairs"]] if cfg.get("pairs") else None,
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.25),
+            null_indicators=cfg.get("null_indicators", False),
         )
     if kind == "joint_drift":
         from spark_validate.drift.joint import JointHistogramDrift

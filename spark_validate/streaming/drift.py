@@ -353,6 +353,7 @@ def streaming_correlation_drift(
     agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(
         *calc._sum_exprs(dtypes, "")
     )
+    m_corr, m_shift = calc._methods
     specs = []
     for x, y in calc.pairs:
         k = _pair_key(x, y)
@@ -362,6 +363,6 @@ def streaming_correlation_drift(
             F.abs(corr - F.lit(float(ref))) if ref is not None
             else F.lit(None).cast("double")
         )
-        specs.append((k, "pearson_corr", corr, None, None))
-        specs.append((k, "corr_shift", shift, None, calc.upper_threshold))
+        specs.append((k, m_corr, corr, None, None))
+        specs.append((k, m_shift, shift, None, calc.upper_threshold))
     return _melt(agg, specs)

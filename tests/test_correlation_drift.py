@@ -191,3 +191,47 @@ def test_plan_shape(spark):
     plan = plan_str(calc.calculate(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_null_indicator_mode_missingness_pattern_drift(spark):
+    """null_indicators=True correlates IS-NULL flags: fields that go missing
+    TOGETHER in reference but independently in analysis shift the null-corr
+    even though each column's missing RATE is unchanged."""
+    n = 400
+    rng = np.random.default_rng(5)
+    joint = rng.random(n) < 0.3  # reference: x,y null together (corr 1)
+    ref = pd.DataFrame(
+        {
+            "ord": range(n),
+            "x": np.where(joint, np.nan, rng.random(n)),
+            "y": np.where(joint, np.nan, rng.random(n)),
+        }
+    )
+    mx = rng.random(n) < 0.3  # analysis: independent nulls, SAME rates
+    my = rng.random(n) < 0.3
+    ana = pd.DataFrame(
+        {
+            "ord": range(n),
+            "x": np.where(mx, np.nan, rng.random(n)),
+            "y": np.where(my, np.nan, rng.random(n)),
+        }
+    )
+    calc = CorrelationDriftCalculator(
+        ["x", "y"],
+        chunker=SizeBasedChunker(chunk_size=n, order_by=["ord"]),
+        null_indicators=True,
+    ).fit(spark.createDataFrame(ref))
+    assert calc._ref["x+y"] == pytest.approx(1.0, abs=1e-9)
+    res = calc.calculate(spark.createDataFrame(ana)).toPandas()
+    m = res.set_index("method")
+    want = np.corrcoef(mx.astype(float), my.astype(float))[0, 1]
+    assert m.loc["null_corr", "value"] == pytest.approx(want, abs=1e-9)
+    assert m.loc["null_corr_shift", "value"] > 0.8 and m.loc["null_corr_shift", "alert"]
+    # per-column missing RATES are ~equal across periods — the rate check
+    # alone could not have seen this
+    assert abs(ref.x.isna().mean() - ana.x.isna().mean()) < 0.07
+
+    # mode-mismatched stored state must force a refit, not score silently
+    st = calc.get_state()
+    with pytest.raises(ValueError):
+        CorrelationDriftCalculator(["x", "y"], null_indicators=False).set_state(st)
