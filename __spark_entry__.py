@@ -517,6 +517,26 @@ def q_hellinger_categorical(spark, sf_dir):
     return res.select("chunk_index", F.round("value", 9).alias("hellinger")).orderBy("chunk_index")
 
 
+def q_tvd_categorical(spark, sf_dir):
+    """Categorical total variation distance (beyond-reference method, the
+    Evidently-parity 0.5·Σ|p−q|) on l_returnflag; unseen-category mass folds
+    into the leftover lump exactly (each unseen cat has p = 0)."""
+    res = _drift_query(
+        spark, sf_dir, "lineitem", "l_returnflag", ("tvd",), "cat", _li_chunker(), _li_split(spark, sf_dir)
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("tvd")).orderBy("chunk_index")
+
+
+def q_tvd_price(spark, sf_dir):
+    """Continuous TVD over the fixed 10-bin histogram (same dense frame as
+    JS/Hellinger — adding the method adds zero shuffles)."""
+    res = _drift_query(
+        spark, sf_dir, "lineitem", "l_extendedprice", ("tvd",), "cont", _li_chunker(),
+        _li_split(spark, sf_dir), n_bins_doane=10,
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("tvd")).orderBy("chunk_index")
+
+
 def q_psi_price(spark, sf_dir):
     """PSI (north-rule method) on l_extendedprice, 10 equal-width bins."""
     res = _drift_query(
@@ -2224,6 +2244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_chart": q_ewma_chart,
         "entropy_stats": q_entropy_stats,
         "missingness_corr": q_missingness_corr,
+        "tvd_categorical": q_tvd_categorical,
+        "tvd_price": q_tvd_price,
         "grouped_drift": q_grouped_drift,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
@@ -2280,6 +2302,7 @@ terms AS (
          sum(CASE WHEN p > 0 THEN p * log2(2 * p / (p + q)) ELSE 0 END) AS jp,
          sum(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) AS jq,
          sum(power(sqrt(p) - sqrt(q), 2)) AS hel_sq,
+         sum(abs(p - q)) AS tvd_abs,
          1 - sum(q) AS leftover
   FROM dense GROUP BY 1
 )
@@ -2734,6 +2757,12 @@ ORDER BY c_custkey
         "sqrt((hel_sq + greatest(leftover, 0)) / 2)", "hellinger", 9
     )
 
+    # tvd: 0.5·Σ|p−q| over reference categories/bins + the leftover lump
+    # (exact — each unseen category has p = 0, so the lump equals the sum)
+    sql["tvd_categorical"] = _cat_drift_sql(
+        "0.5 * (tvd_abs + greatest(leftover, 0))", "tvd", 9
+    )
+
     sql["l_infinity"] = f"""
 WITH ana AS ({_LI_ANA}),
 ref_n AS (SELECT count(*) AS n FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}' AND l_returnflag IS NOT NULL),
@@ -2832,10 +2861,16 @@ SELECT chunk_index, round(sum(abs(ref_cdf - chunk_cdf)) * (SELECT w FROM width),
 FROM cdf GROUP BY 1 ORDER BY 1
 """
 
-    for name, alias, col in (("hellinger_price", "hellinger", "l_extendedprice"), ("js_price", "js_distance", "l_extendedprice")):
+    for name, alias, col in (
+        ("hellinger_price", "hellinger", "l_extendedprice"),
+        ("js_price", "js_distance", "l_extendedprice"),
+        ("tvd_price", "tvd", "l_extendedprice"),
+    ):
         base = _cont_dense_sql(col, 10, ref_f, ana_f)
         if alias == "hellinger":
             expr = "sqrt((hel_sq + greatest(leftover, 0)) / 2)"
+        elif alias == "tvd":
+            expr = "0.5 * (tvd_abs + greatest(leftover, 0))"
         else:
             expr = "sqrt(greatest(0.5 * (jp + jq) + 0.5 * greatest(leftover, 0), 0))"
         sql[name] = base + f"""
@@ -2844,6 +2879,7 @@ FROM cdf GROUP BY 1 ORDER BY 1
          sum(CASE WHEN p > 0 THEN p * log2(2 * p / (p + q)) ELSE 0 END) AS jp,
          sum(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) AS jq,
          sum(power(sqrt(p) - sqrt(q), 2)) AS hel_sq,
+         sum(abs(p - q)) AS tvd_abs,
          1 - sum(q) AS leftover
   FROM dense GROUP BY 1
 )

@@ -3,7 +3,7 @@
 The reference is batch-only (APScheduler re-runs, `nannyml/cli/run.py:46-58`).
 Here a FITTED ``UnivariateDriftCalculator`` compiles into a Structured
 Streaming query: a tumbling event-time window is exactly a period chunk, so
-per-window JS / Hellinger / PSI stream out of ONE windowed aggregation —
+per-window JS / Hellinger / PSI / TVD stream out of ONE windowed aggregation —
 per-reference-bin conditional count columns (the fitted bin edges, category
 sets, reference probabilities and mean±kσ thresholds are all broadcast-able
 constants baked into the plan) followed by a pure projection that applies the
@@ -11,7 +11,7 @@ SAME formulas as the batch path (leftover-mass bin included). Values are
 bit-identical to ``calc.calculate`` with a matching period chunker — see
 ``test_streaming_drift_matches_batch``.
 
-Scope: js / hellinger / psi (continuous and categorical). KS and Wasserstein
+Scope: js / hellinger / psi / tvd (continuous and categorical). KS and Wasserstein
 need cumulative-ECDF machinery across buckets (windowed sort), and
 l_infinity / chi2 need per-unseen-category terms — those stay batch-side;
 run them on the completed window's data via foreachBatch if needed.
@@ -25,7 +25,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_STREAMABLE = ("jensen_shannon", "hellinger", "psi")
+_STREAMABLE = ("jensen_shannon", "hellinger", "psi", "tvd")
 
 
 def _melt(agg: DataFrame, specs: List[tuple]) -> DataFrame:
@@ -60,6 +60,11 @@ def _hist_method_exprs(n_col, cnt_cols, probs, methods, psi_eps):
     qs = [c / n_col for c in cnt_cols]
     leftover = F.greatest(F.lit(1.0) - sum(qs, F.lit(0.0)), F.lit(0.0))
     out = {}
+    if "tvd" in methods:
+        out["tvd"] = F.lit(0.5) * (
+            sum((F.abs(F.lit(float(p)) - q) for p, q in zip(probs, qs)), F.lit(0.0))
+            + leftover
+        )
     if "jensen_shannon" in methods or "hellinger" in methods:
         js_terms = []
         hel_terms = []
@@ -121,7 +126,7 @@ def streaming_univariate_drift(
     for c in calc._cont_cols:
         st = calc._cont_state[c]
         needed = set()
-        if {"jensen_shannon", "hellinger"} & set(cont_methods):
+        if {"jensen_shannon", "hellinger", "tvd"} & set(cont_methods):
             needed.add("doane")
         if "psi" in cont_methods:
             needed.add("psi")
@@ -135,7 +140,7 @@ def streaming_univariate_drift(
                     F.sum(F.when(v.isNotNull() & (b == i), 1).otherwise(0)).alias(f"{c}__{spec}__{i}")
                 )
             methods = (
-                [m for m in cont_methods if m in ("jensen_shannon", "hellinger")]
+                [m for m in cont_methods if m in ("jensen_shannon", "hellinger", "tvd")]
                 if spec == "doane"
                 else ["psi"]
             )

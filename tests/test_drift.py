@@ -267,3 +267,79 @@ def test_custom_threshold_dict_per_method(spark, frame):
     # chi2 ignores custom thresholds: alert stays the p<0.05 rule
     chi2 = res[res.method == "chi2"]
     assert chi2["upper_threshold"].isna().all()
+
+
+def test_tvd_continuous_and_categorical_vs_oracle(spark, frame):
+    """TVD = 0.5·Σ|p−q| (+ leftover lump, which is EXACT: every bin/category
+    outside the reference support has p = 0, so lumping its mass changes
+    nothing) — checked against a direct numpy union replica on both kinds."""
+    sdf, pdf = frame
+    calc, res = _fit_calc(sdf, methods_cont=("tvd",), methods_cat=("tvd",))
+    st = calc._cont_state["x"]
+    n_bins, probs = st.specs["doane"]
+    edges = np.linspace(st.lo, st.hi, n_bins + 1)
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        inb = chunk[(chunk >= st.lo) & (chunk < st.hi)]
+        h, _ = np.histogram(inb, bins=edges)
+        q = h / len(chunk)
+        leftover = 1 - q.sum()
+        want = 0.5 * (np.sum(np.abs(np.asarray(probs) - q)) + max(leftover, 0.0))
+        got = res[(res.method == "tvd") & (res.column_name == "x") & (res.chunk_index == i)][
+            "value"
+        ].iloc[0]
+        assert abs(got - want) < 1e-9
+        assert 0.0 <= got <= 1.0
+    cst = calc._cat_state["cat"]
+    cats = sorted(cst.counts)
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "cat")):
+        vc = pd.Series(chunk).value_counts()
+        union = sorted(set(cats) | set(vc.index))
+        p_u = np.array([cst.probs.get(c, 0.0) for c in union])
+        q_u = np.array([vc.get(c, 0) for c in union]) / len(chunk)
+        want = 0.5 * np.sum(np.abs(p_u - q_u))  # union form == lump form
+        got = res[(res.method == "tvd") & (res.column_name == "cat") & (res.chunk_index == i)][
+            "value"
+        ].iloc[0]
+        assert abs(got - want) < 1e-9
+
+
+def test_tvd_streams_identically(spark, frame, tmp_path):
+    """TVD joins the streamable set: per-window values equal the batch path."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.streaming import streaming_univariate_drift
+
+    sdf, pdf = frame
+    ts = pd.Timestamp("2024-06-01") + pd.to_timedelta(pdf["id"] * 6, unit="s")
+    pdf2 = pdf.assign(ts=ts)
+    sdf2 = spark.createDataFrame(pdf2)
+    calc = UnivariateDriftCalculator(
+        ["x", "cat"],
+        continuous_methods=("tvd",),
+        categorical_methods=("tvd",),
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+        computation="estimated",
+    ).fit(sdf2.filter("is_ref"))
+    batch = calc.calculate(sdf2.filter("NOT is_ref")).toPandas()
+
+    src = str(tmp_path / "tvd_stream")
+    sdf2.filter("NOT is_ref").write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_univariate_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_tvd_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    sres = spark.sql("SELECT * FROM sv_tvd_drift").toPandas()
+    assert set(sres["method"]) == {"tvd"}
+    for col in ("x", "cat"):
+        b = batch[batch.column_name == col]
+        bs = b.set_index(b["start_ts"].dt.floor("h"))["value"]
+        sm = sres[sres.column_name == col]
+        ss = sm.set_index(pd.to_datetime(sm["window_start"]))["value"]
+        joined = pd.concat([bs.rename("b"), ss.rename("s")], axis=1).dropna()
+        assert len(joined) >= 3
+        np.testing.assert_allclose(joined["b"], joined["s"], rtol=1e-12)
