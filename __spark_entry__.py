@@ -537,6 +537,26 @@ def q_tvd_price(spark, sf_dir):
     return res.select("chunk_index", F.round("value", 9).alias("tvd")).orderBy("chunk_index")
 
 
+def q_kl_categorical(spark, sf_dir):
+    """Categorical forward KL divergence KL(analysis‖reference) on
+    l_returnflag — the directional half of PSI, eps-clipped; the unseen-mass
+    lump scores q_l·ln(q_l/eps)."""
+    res = _drift_query(
+        spark, sf_dir, "lineitem", "l_returnflag", ("kl",), "cat", _li_chunker(), _li_split(spark, sf_dir)
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("kl")).orderBy("chunk_index")
+
+
+def q_kl_price(spark, sf_dir):
+    """Continuous forward KL over the fixed 10-bin histogram (same dense
+    frame as JS/Hellinger/TVD — adding the method adds zero shuffles)."""
+    res = _drift_query(
+        spark, sf_dir, "lineitem", "l_extendedprice", ("kl",), "cont", _li_chunker(),
+        _li_split(spark, sf_dir), n_bins_doane=10,
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("kl")).orderBy("chunk_index")
+
+
 def q_psi_price(spark, sf_dir):
     """PSI (north-rule method) on l_extendedprice, 10 equal-width bins."""
     res = _drift_query(
@@ -2246,6 +2266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
+        "kl_categorical": q_kl_categorical,
+        "kl_price": q_kl_price,
         "grouped_drift": q_grouped_drift,
         "header_verdicts": q_header_verdicts,
         "schema_verdicts": q_schema_verdicts,
@@ -2282,6 +2304,12 @@ _ORD_ANA = f"""
 """
 
 
+_KL_EXPR = (
+    "kl_bins + CASE WHEN leftover > 0 THEN greatest(leftover, 0.0001) "
+    "* ln(greatest(leftover, 0.0001) / 0.0001) ELSE 0 END"
+)
+
+
 def _cat_drift_sql(metric_expr: str, alias: str, rounding: int) -> str:
     """Dense (chunk × reference categories) probabilities for l_returnflag."""
     return f"""
@@ -2303,6 +2331,7 @@ terms AS (
          sum(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) AS jq,
          sum(power(sqrt(p) - sqrt(q), 2)) AS hel_sq,
          sum(abs(p - q)) AS tvd_abs,
+         sum(greatest(q, 0.0001) * ln(greatest(q, 0.0001) / greatest(p, 0.0001))) AS kl_bins,
          1 - sum(q) AS leftover
   FROM dense GROUP BY 1
 )
@@ -2763,6 +2792,10 @@ ORDER BY c_custkey
         "0.5 * (tvd_abs + greatest(leftover, 0))", "tvd", 9
     )
 
+    # kl: forward KL(analysis‖reference), eps-clipped (the PSI convention
+    # halved to one direction); leftover lump scores q_l·ln(q_l/eps)
+    sql["kl_categorical"] = _cat_drift_sql(_KL_EXPR, "kl", 9)
+
     sql["l_infinity"] = f"""
 WITH ana AS ({_LI_ANA}),
 ref_n AS (SELECT count(*) AS n FROM lineitem WHERE l_shipdate < TIMESTAMP '{LI_CUT}' AND l_returnflag IS NOT NULL),
@@ -2865,12 +2898,15 @@ FROM cdf GROUP BY 1 ORDER BY 1
         ("hellinger_price", "hellinger", "l_extendedprice"),
         ("js_price", "js_distance", "l_extendedprice"),
         ("tvd_price", "tvd", "l_extendedprice"),
+        ("kl_price", "kl", "l_extendedprice"),
     ):
         base = _cont_dense_sql(col, 10, ref_f, ana_f)
         if alias == "hellinger":
             expr = "sqrt((hel_sq + greatest(leftover, 0)) / 2)"
         elif alias == "tvd":
             expr = "0.5 * (tvd_abs + greatest(leftover, 0))"
+        elif alias == "kl":
+            expr = _KL_EXPR
         else:
             expr = "sqrt(greatest(0.5 * (jp + jq) + 0.5 * greatest(leftover, 0), 0))"
         sql[name] = base + f"""
@@ -2880,6 +2916,7 @@ FROM cdf GROUP BY 1 ORDER BY 1
          sum(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) AS jq,
          sum(power(sqrt(p) - sqrt(q), 2)) AS hel_sq,
          sum(abs(p - q)) AS tvd_abs,
+         sum(greatest(q, 0.0001) * ln(greatest(q, 0.0001) / greatest(p, 0.0001))) AS kl_bins,
          1 - sum(q) AS leftover
   FROM dense GROUP BY 1
 )

@@ -36,6 +36,11 @@ Method semantics matched:
 * ``psi`` — NOT in the reference (registry `methods.py:195-198`); added per
   the north rule with the same fixed-bin plumbing: Σ(q−p)·ln(q/p) with
   ε-clipped probabilities.
+* ``kl`` — forward Kullback–Leibler divergence KL(analysis‖reference)
+  = Σ q·ln(q/p), ε-clipped like PSI (PSI is exactly the symmetrized sum
+  KL(q‖p) + KL(p‖q)); rides the same Doane-bin / category exchange as
+  JS/Hellinger/TVD, the unseen-mass lump scores q_l·ln(q_l/ε). NOT in the
+  reference — Evidently-parity method for directional drift attribution.
 
 Thresholds: per reference semantics, each method is re-computed on every
 reference chunk and thresholds are mean ± 3σ of those values, upper-only by
@@ -59,8 +64,8 @@ from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
 from spark_validate.result import conform_result
 from spark_validate.thresholds import StandardDeviationThreshold, alert_expr
 
-CONTINUOUS_METHODS = ("jensen_shannon", "kolmogorov_smirnov", "wasserstein", "hellinger", "psi", "tvd")
-CATEGORICAL_METHODS = ("jensen_shannon", "chi2", "l_infinity", "hellinger", "psi", "tvd")
+CONTINUOUS_METHODS = ("jensen_shannon", "kolmogorov_smirnov", "wasserstein", "hellinger", "psi", "tvd", "kl")
+CATEGORICAL_METHODS = ("jensen_shannon", "chi2", "l_infinity", "hellinger", "psi", "tvd", "kl")
 
 _NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal", "long")
 
@@ -73,6 +78,7 @@ _LIMITS = {
     "l_infinity": (0.0, None),
     "psi": (0.0, None),
     "tvd": (0.0, 1.0),
+    "kl": (0.0, None),
 }
 
 
@@ -226,7 +232,7 @@ class UnivariateDriftCalculator:
 
     def _cont_specs_needed(self) -> List[str]:
         specs = []
-        if {"jensen_shannon", "hellinger", "tvd"} & set(self.continuous_methods):
+        if {"jensen_shannon", "hellinger", "tvd", "kl"} & set(self.continuous_methods):
             specs.append("doane")
         if {"kolmogorov_smirnov", "wasserstein"} & set(self.continuous_methods):
             specs.append("ecdf")
@@ -535,7 +541,7 @@ class UnivariateDriftCalculator:
         hist_all = self._persist(self._continuous_histogram(assigned, self._cont_cols, dtypes, chunked=True))
         n_branches = sum(
             (
-                bool({"jensen_shannon", "hellinger", "tvd"} & methods),
+                bool({"jensen_shannon", "hellinger", "tvd", "kl"} & methods),
                 bool({"kolmogorov_smirnov", "wasserstein"} & methods),
                 "psi" in methods,
             )
@@ -550,9 +556,11 @@ class UnivariateDriftCalculator:
             # calculate 8-45 s (wild variance) cold vs 10.7±0.2 s with this
             # one up-front count — equal best case, far lower variance.
             hist_all.count()
-        if {"jensen_shannon", "hellinger", "tvd"} & methods:
+        if {"jensen_shannon", "hellinger", "tvd", "kl"} & methods:
             dense = self._dense_hist(hist_all, spark, "doane")
-            out.extend(self._hist_distance_methods(dense, methods & {"jensen_shannon", "hellinger", "tvd"}))
+            out.extend(
+                self._hist_distance_methods(dense, methods & {"jensen_shannon", "hellinger", "tvd", "kl"})
+            )
         if {"kolmogorov_smirnov", "wasserstein"} & methods:
             exact_cols = [c for c in self._cont_cols if c in self._exact_ref]
             binned_cols = [c for c in self._cont_cols if c not in self._exact_ref]
@@ -576,6 +584,8 @@ class UnivariateDriftCalculator:
         appended when chunk mass falls outside reference bins
         (`methods.py:299-305`)."""
         p, q = F.col("p"), F.col("q")
+        eps = F.lit(self.psi_eps)
+        pc, qc = F.greatest(p, eps), F.greatest(q, eps)
         grp = dense.groupBy(CHUNK_KEY, "column_name").agg(
             (F.lit(1.0) - F.sum("q")).alias("leftover"),
             # JS divergence terms over ref bins (base-2 logs)
@@ -587,6 +597,7 @@ class UnivariateDriftCalculator:
             ).alias("_js_q"),
             F.sum(F.pow(F.sqrt(p) - F.sqrt(q), 2)).alias("_hel_sq"),
             F.sum(F.abs(p - q)).alias("_tvd_abs"),
+            F.sum(qc * F.log(qc / pc)).alias("_kl_bins"),
             F.max("n_nonnull").alias("n_nonnull"),
         )
         # numeric guard: leftover can be -1e-16 from fp summation
@@ -627,6 +638,20 @@ class UnivariateDriftCalculator:
                     "column_name",
                     F.lit("tvd").alias("method"),
                     tvd.cast("double").alias("value"),
+                )
+            )
+        if "kl" in methods:
+            # leftover lump scores as an extra bin with p = eps, q = leftover
+            # (the PSI convention halved to the forward direction)
+            eps_f = self.psi_eps
+            q_l = F.greatest(leftover, F.lit(eps_f))
+            extra = F.when(leftover > 0, q_l * F.log(q_l / F.lit(eps_f))).otherwise(F.lit(0.0))
+            res.append(
+                grp.select(
+                    CHUNK_KEY,
+                    "column_name",
+                    F.lit("kl").alias("method"),
+                    (F.col("_kl_bins") + extra).cast("double").alias("value"),
                 )
             )
         return res
@@ -861,7 +886,7 @@ class UnivariateDriftCalculator:
         )
         out: List[DataFrame] = []
         methods = set(self.categorical_methods)
-        if {"jensen_shannon", "hellinger", "psi", "tvd"} & methods:
+        if {"jensen_shannon", "hellinger", "psi", "tvd", "kl"} & methods:
             out.extend(self._cat_hist_methods(dense_ref, methods))
         if "l_infinity" in methods:
             union = dense_ref.select(CHUNK_KEY, "column_name", "p", "q").unionByName(
@@ -890,6 +915,7 @@ class UnivariateDriftCalculator:
             F.sum(F.pow(F.sqrt(p) - F.sqrt(q), 2)).alias("_hel_sq"),
             F.sum(F.abs(p - q)).alias("_tvd_abs"),
             F.sum((qc - pc) * F.log(qc / pc)).alias("_psi_bins"),
+            F.sum(qc * F.log(qc / pc)).alias("_kl_bins"),
         )
         leftover = F.greatest(F.col("leftover"), F.lit(0.0))
         res = []
@@ -931,6 +957,18 @@ class UnivariateDriftCalculator:
                     "column_name",
                     F.lit("tvd").alias("method"),
                     tvd.cast("double").alias("value"),
+                )
+            )
+        if "kl" in methods:
+            eps_f = self.psi_eps
+            q_l = F.greatest(leftover, F.lit(eps_f))
+            extra = F.when(leftover > 0, q_l * F.log(q_l / F.lit(eps_f))).otherwise(F.lit(0.0))
+            res.append(
+                grp.select(
+                    CHUNK_KEY,
+                    "column_name",
+                    F.lit("kl").alias("method"),
+                    (F.col("_kl_bins") + extra).cast("double").alias("value"),
                 )
             )
         return res

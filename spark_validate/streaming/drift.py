@@ -3,7 +3,7 @@
 The reference is batch-only (APScheduler re-runs, `nannyml/cli/run.py:46-58`).
 Here a FITTED ``UnivariateDriftCalculator`` compiles into a Structured
 Streaming query: a tumbling event-time window is exactly a period chunk, so
-per-window JS / Hellinger / PSI / TVD stream out of ONE windowed aggregation —
+per-window JS / Hellinger / PSI / TVD / KL stream out of ONE windowed aggregation —
 per-reference-bin conditional count columns (the fitted bin edges, category
 sets, reference probabilities and mean±kσ thresholds are all broadcast-able
 constants baked into the plan) followed by a pure projection that applies the
@@ -11,7 +11,7 @@ SAME formulas as the batch path (leftover-mass bin included). Values are
 bit-identical to ``calc.calculate`` with a matching period chunker — see
 ``test_streaming_drift_matches_batch``.
 
-Scope: js / hellinger / psi / tvd (continuous and categorical). KS and Wasserstein
+Scope: js / hellinger / psi / tvd / kl (continuous and categorical). KS and Wasserstein
 need cumulative-ECDF machinery across buckets (windowed sort), and
 l_infinity / chi2 need per-unseen-category terms — those stay batch-side;
 run them on the completed window's data via foreachBatch if needed.
@@ -25,7 +25,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_STREAMABLE = ("jensen_shannon", "hellinger", "psi", "tvd")
+_STREAMABLE = ("jensen_shannon", "hellinger", "psi", "tvd", "kl")
 
 
 def _melt(agg: DataFrame, specs: List[tuple]) -> DataFrame:
@@ -91,6 +91,16 @@ def _hist_method_exprs(n_col, cnt_cols, probs, methods, psi_eps):
         q_l = F.greatest(leftover, eps)
         extra = F.when(leftover > 0, (q_l - eps) * F.log(q_l / eps)).otherwise(F.lit(0.0))
         out["psi"] = sum(terms, F.lit(0.0)) + extra
+    if "kl" in methods:
+        eps = F.lit(psi_eps)
+        terms = []
+        for p, q in zip(probs, qs):
+            pc = F.lit(float(max(p, psi_eps)))
+            qc = F.greatest(q, eps)
+            terms.append(qc * F.log(qc / pc))
+        q_l = F.greatest(leftover, eps)
+        extra = F.when(leftover > 0, q_l * F.log(q_l / eps)).otherwise(F.lit(0.0))
+        out["kl"] = sum(terms, F.lit(0.0)) + extra
     return out
 
 
@@ -126,7 +136,7 @@ def streaming_univariate_drift(
     for c in calc._cont_cols:
         st = calc._cont_state[c]
         needed = set()
-        if {"jensen_shannon", "hellinger", "tvd"} & set(cont_methods):
+        if {"jensen_shannon", "hellinger", "tvd", "kl"} & set(cont_methods):
             needed.add("doane")
         if "psi" in cont_methods:
             needed.add("psi")
@@ -140,7 +150,7 @@ def streaming_univariate_drift(
                     F.sum(F.when(v.isNotNull() & (b == i), 1).otherwise(0)).alias(f"{c}__{spec}__{i}")
                 )
             methods = (
-                [m for m in cont_methods if m in ("jensen_shannon", "hellinger", "tvd")]
+                [m for m in cont_methods if m in ("jensen_shannon", "hellinger", "tvd", "kl")]
                 if spec == "doane"
                 else ["psi"]
             )

@@ -343,3 +343,91 @@ def test_tvd_streams_identically(spark, frame, tmp_path):
         joined = pd.concat([bs.rename("b"), ss.rename("s")], axis=1).dropna()
         assert len(joined) >= 3
         np.testing.assert_allclose(joined["b"], joined["s"], rtol=1e-12)
+
+
+def test_kl_continuous_and_categorical_vs_oracle(spark, frame):
+    """Forward KL(analysis‖reference) with the PSI eps convention: every
+    probability clipped to eps=1e-4, leftover lump scores q_l·ln(q_l/eps) —
+    checked against a direct numpy replica on both kinds. KL must be
+    DIRECTIONAL: a chunk identical to the reference scores ~0 while a
+    shifted one scores positive."""
+    sdf, pdf = frame
+    eps = 1e-4
+    calc, res = _fit_calc(sdf, methods_cont=("kl",), methods_cat=("kl",))
+    st = calc._cont_state["x"]
+    n_bins, probs = st.specs["doane"]
+    edges = np.linspace(st.lo, st.hi, n_bins + 1)
+    p = np.maximum(np.asarray(probs), eps)
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        inb = chunk[(chunk >= st.lo) & (chunk <= st.hi)]
+        h, _ = np.histogram(inb, bins=edges)
+        q = np.maximum(h / len(chunk), eps)
+        leftover = 1 - (h / len(chunk)).sum()
+        want = float(np.sum(q * np.log(q / p)))
+        if leftover > 0:
+            ql = max(leftover, eps)
+            want += ql * math.log(ql / eps)
+        got = res[(res.method == "kl") & (res.column_name == "x") & (res.chunk_index == i)][
+            "value"
+        ].iloc[0]
+        assert abs(got - want) < 1e-9
+    cst = calc._cat_state["cat"]
+    cats = sorted(cst.counts)
+    p_c = np.maximum(np.array([cst.probs[c] for c in cats]), eps)
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "cat")):
+        vc = pd.Series(chunk).value_counts()
+        q_raw = np.array([vc.get(c, 0) for c in cats]) / len(chunk)
+        q_c = np.maximum(q_raw, eps)
+        leftover = 1 - q_raw.sum()
+        want = float(np.sum(q_c * np.log(q_c / p_c)))
+        if leftover > 0:
+            ql = max(leftover, eps)
+            want += ql * math.log(ql / eps)
+        got = res[(res.method == "kl") & (res.column_name == "cat") & (res.chunk_index == i)][
+            "value"
+        ].iloc[0]
+        assert abs(got - want) < 1e-9
+        # analysis has 25% unseen category 'e' → clearly positive divergence
+        assert got > 0.05
+
+
+def test_kl_streams_identically(spark, frame, tmp_path):
+    """KL joins the streamable set: per-window values equal the batch path."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.streaming import streaming_univariate_drift
+
+    sdf, pdf = frame
+    ts = pd.Timestamp("2024-06-01") + pd.to_timedelta(pdf["id"] * 6, unit="s")
+    pdf2 = pdf.assign(ts=ts)
+    sdf2 = spark.createDataFrame(pdf2)
+    calc = UnivariateDriftCalculator(
+        ["x", "cat"],
+        continuous_methods=("kl",),
+        categorical_methods=("kl",),
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+        computation="estimated",
+    ).fit(sdf2.filter("is_ref"))
+    batch = calc.calculate(sdf2.filter("NOT is_ref")).toPandas()
+
+    src = str(tmp_path / "kl_stream")
+    sdf2.filter("NOT is_ref").write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_univariate_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_kl_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    sres = spark.sql("SELECT * FROM sv_kl_drift").toPandas()
+    assert set(sres["method"]) == {"kl"}
+    for col in ("x", "cat"):
+        b = batch[batch.column_name == col]
+        bs = b.set_index(b["start_ts"].dt.floor("h"))["value"]
+        sm = sres[sres.column_name == col]
+        ss = sm.set_index(pd.to_datetime(sm["window_start"]))["value"]
+        joined = pd.concat([bs.rename("b"), ss.rename("s")], axis=1).dropna()
+        assert len(joined) >= 3
+        np.testing.assert_allclose(joined["b"], joined["s"], rtol=1e-12)
