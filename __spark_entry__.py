@@ -446,6 +446,72 @@ def q_entropy_stats(spark, sf_dir):
     ).orderBy("chunk_index", "column_name", "method")
 
 
+def q_fd_check(spark, sf_dir):
+    """FunctionalDependencyCheck (§2.3 extension — Deequ FD-analyzer
+    parity, the relational general form of caption_consistency): the
+    dependency ``grp -> label`` is judged corpus-wide, the violating-row
+    rate is reported per chunk. Planted: every 997th event writes a
+    corrupt label into its group (violation), every 211th a NULL label
+    (never distinct), user_ids divisible by 523 get a NULL determinant
+    (row ignored). Rates are integer divisions — hash-exact unrounded."""
+    from spark_validate.checks import FunctionalDependencyCheck
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 523 != 0, F.col("user_id") % 1000).alias("grp"),
+        F.when(F.col("event_id") % 211 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 997 == 0, F.lit("corrupt"))
+        .otherwise(
+            F.concat(F.lit("v"), (F.col("user_id") % 1000).cast("string"))
+        )
+        .alias("label"),
+    )
+    chk = FunctionalDependencyCheck(
+        ["grp"],
+        "label",
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+        upper_threshold=0.0,
+    )
+    res = chk.calculate(ev)
+    return res.select(
+        "chunk_index", "column_name", "method", "value", "alert"
+    ).orderBy("chunk_index")
+
+
+def q_reconciliation(spark, sf_dir):
+    """ReconciliationCheck.compare (§2.3 extension — dbt equal_rowcount /
+    Deequ dataset-match parity): orders grouped by month reconciled
+    against a sink that deterministically dropped every 101st order in
+    Q1 months; every 2003rd order carries a NULL month (null-safe-join
+    group). Counts are exact; sums are DECIMAL(38,6) (order-independent)
+    derived to double; the tolerance formula is mirrored IEEE ops."""
+    from spark_validate.checks import ReconciliationCheck
+
+    o = _read(spark, sf_dir, "orders")
+    keyed = o.withColumn(
+        "o_month",
+        F.when(
+            F.col("o_orderkey") % 2003 != 0, F.date_format("o_orderdate", "yyyy-MM")
+        ),
+    )
+    actual = keyed.filter(
+        ~((F.col("o_orderkey") % 101 == 0) & (F.month("o_orderdate") <= 3))
+    )
+    chk = ReconciliationCheck(
+        keys=["o_month"],
+        measures=[
+            {"name": "row_count", "agg": "count"},
+            {"name": "total_price", "agg": "sum", "column": "o_totalprice"},
+            {"name": "order_count", "agg": "distinct", "column": "o_orderkey"},
+        ],
+        rel_tol=0.005,
+    ).fit(keyed)
+    res = chk.compare(actual)
+    return res.select(
+        "o_month", "measure", "expected", "actual", "diff", "match"
+    ).orderBy("o_month", "measure")
+
+
 def q_uniqueness(spark, sf_dir):
     """Two-phase duplicate detection (north rule §2.3 extension)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -2263,6 +2329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_check": q_freshness_check,
         "ewma_chart": q_ewma_chart,
         "entropy_stats": q_entropy_stats,
+        "fd_check": q_fd_check,
+        "reconciliation": q_reconciliation,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -2665,6 +2733,78 @@ SELECT chunk_index, column_name, method, value, alert FROM (
          COALESCE(CASE WHEN k > 1 THEN ent / LN(CAST(k AS DOUBLE)) END < 0.9, FALSE)
   FROM h
 ) u ORDER BY chunk_index, column_name, method
+"""
+
+    # fd_check: FD judged over the whole frame (COUNT(DISTINCT label)
+    # ignores NULLs in both engines — matching the engine's
+    # count(when(dep notnull)) over collapsed pairs); rows with NULL
+    # determinants never join the violating set; rate = integer division.
+    sql["fd_check"] = f"""
+WITH ev AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         CASE WHEN user_id % 523 != 0 THEN user_id % 1000 END AS grp,
+         CASE WHEN event_id % 211 = 0 THEN NULL
+              WHEN event_id % 997 = 0 THEN 'corrupt'
+              ELSE 'v' || CAST(user_id % 1000 AS VARCHAR) END AS label
+  FROM events
+),
+bad AS (
+  SELECT grp FROM ev WHERE grp IS NOT NULL
+  GROUP BY grp HAVING COUNT(DISTINCT label) > 1
+)
+SELECT chunk_index, 'grp->label' AS column_name,
+       'fd_violation_rate' AS method,
+       CAST(sum(CASE WHEN ev.grp IN (SELECT grp FROM bad) THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS value,
+       sum(CASE WHEN ev.grp IN (SELECT grp FROM bad) THEN 1 ELSE 0 END) > 0 AS alert
+FROM ev GROUP BY chunk_index ORDER BY chunk_index
+"""
+
+    # reconciliation: both sides aggregated by month (DECIMAL(38,6) sums →
+    # double), null-safe full-outer join (IS NOT DISTINCT FROM), isclose
+    # tolerance formula in mirrored IEEE double ops.
+    sql["reconciliation"] = """
+WITH keyed AS (
+  SELECT CASE WHEN o_orderkey % 2003 != 0 THEN strftime(o_orderdate, '%Y-%m') END AS o_month,
+         o_orderkey, o_totalprice, o_orderdate
+  FROM orders
+),
+act AS (
+  SELECT * FROM keyed WHERE NOT (o_orderkey % 101 = 0 AND month(o_orderdate) <= 3)
+),
+e AS (
+  SELECT o_month, CAST(count(*) AS DOUBLE) AS row_count,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+         CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS order_count
+  FROM keyed GROUP BY o_month
+),
+a AS (
+  SELECT o_month, CAST(count(*) AS DOUBLE) AS row_count,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+         CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS order_count
+  FROM act GROUP BY o_month
+),
+j AS (
+  SELECT COALESCE(e.o_month, a.o_month) AS o_month,
+         e.row_count AS e_rc, a.row_count AS a_rc,
+         e.total_price AS e_tp, a.total_price AS a_tp,
+         e.order_count AS e_oc, a.order_count AS a_oc
+  FROM e FULL OUTER JOIN a ON e.o_month IS NOT DISTINCT FROM a.o_month
+)
+SELECT o_month, measure, expected, actual, diff, match FROM (
+  SELECT o_month, 'row_count' AS measure, e_rc AS expected, a_rc AS actual,
+         a_rc - e_rc AS diff,
+         COALESCE(abs(a_rc - e_rc) <= 0.0 + 0.005 * greatest(abs(e_rc), abs(a_rc)), FALSE) AS match
+  FROM j
+  UNION ALL
+  SELECT o_month, 'total_price', e_tp, a_tp, a_tp - e_tp,
+         COALESCE(abs(a_tp - e_tp) <= 0.0 + 0.005 * greatest(abs(e_tp), abs(a_tp)), FALSE)
+  FROM j
+  UNION ALL
+  SELECT o_month, 'order_count', e_oc, a_oc, a_oc - e_oc,
+         COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
+  FROM j
+) u ORDER BY o_month, measure
 """
 
     sql["jump_alerts"] = f"""

@@ -15,7 +15,9 @@ from spark_validate.checks.profile import (
     HistogramCalculator,
     ZScoreOutlierCalculator,
 )
+from spark_validate.checks.fd import FunctionalDependencyCheck
 from spark_validate.checks.freshness import FreshnessCheck
+from spark_validate.checks.reconcile import ReconciliationCheck, reconcile
 from spark_validate.checks.schema import SchemaCheck
 from spark_validate.checks.snapshot import (
     SnapshotDiffCheck,
@@ -42,4 +44,7 @@ __all__ = [
     "ReferentialIntegrityCheck",
     "SchemaCheck",
     "FreshnessCheck",
+    "FunctionalDependencyCheck",
+    "ReconciliationCheck",
+    "reconcile",
 ]

@@ -294,6 +294,26 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold"),
         )
+    if kind == "fd":
+        from spark_validate.checks.fd import FunctionalDependencyCheck
+
+        return FunctionalDependencyCheck(
+            determinants=cfg["determinants"],
+            dependent=cfg["dependent"],
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
+    if kind == "reconciliation":
+        from spark_validate.checks.reconcile import ReconciliationCheck
+
+        return ReconciliationCheck(
+            keys=cfg["keys"],
+            measures=cfg["measures"],
+            rel_tol=cfg.get("rel_tol", 0.0),
+            abs_tol=cfg.get("abs_tol", 0.0),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "zscore_outliers":
         from spark_validate.checks.profile import ZScoreOutlierCalculator
         from spark_validate.thresholds import ConstantThreshold
@@ -455,6 +475,11 @@ def _check_name(cfg: dict) -> str:
         return str(cfg["name"])
     cols = (
         cfg.get("columns")
+        or (
+            list(cfg["determinants"]) + [cfg["dependent"]]
+            if cfg.get("determinants")
+            else None
+        )
         or cfg.get("keys")
         or cfg.get("metrics")
         or cfg.get("feature_columns")
@@ -578,6 +603,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
             "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
+            "reconciliation",
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift",
             "vocab_drift", "correlation_drift",
         )
