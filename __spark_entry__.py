@@ -512,6 +512,32 @@ def q_reconciliation(spark, sf_dir):
     ).orderBy("o_month", "measure")
 
 
+def q_rolling_js(spark, sf_dir):
+    """RollingDriftCalculator (§2.2 extension — rolling/window reference
+    mode): each chunk's l_extendedprice histogram scored against the
+    PREVIOUS chunk's (base-2 sqrt JS, the univariate convention) over a
+    reference-fitted width_bucket grid. The first chunk has no
+    predecessor → NULL value, no alert. round(6) absorbs log2 last-ulp +
+    dense-grid summation order."""
+    from spark_validate.drift import RollingDriftCalculator
+
+    ref, ana = _li_split(spark, sf_dir)
+    calc = timed_fit(
+        RollingDriftCalculator(
+            "l_extendedprice", n_bins=10, chunker=_li_chunker(), upper_threshold=0.1
+        ),
+        ref,
+    )
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index",
+        "column_name",
+        "method",
+        F.round(F.col("value"), 6).alias("value"),
+        "alert",
+    ).orderBy("chunk_index")
+
+
 def q_uniqueness(spark, sf_dir):
     """Two-phase duplicate detection (north rule §2.3 extension)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -2331,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_stats": q_entropy_stats,
         "fd_check": q_fd_check,
         "reconciliation": q_reconciliation,
+        "rolling_js": q_rolling_js,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -2805,6 +2832,53 @@ SELECT o_month, measure, expected, actual, diff, match FROM (
          COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
   FROM j
 ) u ORDER BY o_month, measure
+"""
+
+    # rolling_js: width_bucket replicated bucket-exactly (FLOOR((v-lo)/w)+1
+    # with 0 / n+1 overflow cells — the phash_psi-verified formula), dense
+    # per-chunk grid, chunk joined to chunk-1 on bucket, base-2 sqrt JS;
+    # first chunk surfaces with NULL value and alert FALSE.
+    sql["rolling_js"] = f"""
+WITH ref AS ({_LI_REF}),
+bounds AS (
+  SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+         MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+  FROM ref
+),
+ana AS ({_LI_ANA}),
+anab AS (
+  SELECT chunk_index,
+         CASE WHEN v < lo THEN 0 WHEN v >= hi THEN 11
+              ELSE CAST(FLOOR((v - lo) / ((hi - lo) / 10.0)) AS BIGINT) + 1 END AS b
+  FROM (SELECT chunk_index, CAST(l_extendedprice AS DOUBLE) AS v FROM ana
+        WHERE l_extendedprice IS NOT NULL) x, bounds
+),
+ctot AS (SELECT chunk_index, COUNT(*) AS nt FROM anab GROUP BY 1),
+ccnt AS (SELECT chunk_index, b, COUNT(*) AS c FROM anab GROUP BY 1, 2),
+dense AS (
+  SELECT t.chunk_index, bk.b,
+         COALESCE(c.c, 0) / GREATEST(t.nt, 1) AS q
+  FROM ctot t
+  CROSS JOIN (SELECT UNNEST(range(0, 12)) AS b) bk
+  LEFT JOIN ccnt c ON c.chunk_index = t.chunk_index AND c.b = bk.b
+),
+js AS (
+  SELECT cur.chunk_index,
+         SUM(CASE WHEN cur.q > 0 THEN cur.q * LOG2(2.0 * cur.q / (cur.q + prev.q)) ELSE 0.0 END
+           + CASE WHEN prev.q > 0 THEN prev.q * LOG2(2.0 * prev.q / (prev.q + cur.q)) ELSE 0.0 END
+         ) AS s
+  FROM dense cur
+  JOIN dense prev ON prev.chunk_index = cur.chunk_index - 1 AND prev.b = cur.b
+  GROUP BY cur.chunk_index
+)
+SELECT t.chunk_index, 'l_extendedprice' AS column_name,
+       'rolling_jensen_shannon' AS method,
+       CASE WHEN js.s IS NOT NULL
+            THEN ROUND(SQRT(GREATEST(0.5 * js.s, 0.0)), 6) END AS value,
+       COALESCE(CASE WHEN js.s IS NOT NULL
+                     THEN SQRT(GREATEST(0.5 * js.s, 0.0)) > 0.1 END, FALSE) AS alert
+FROM ctot t LEFT JOIN js ON js.chunk_index = t.chunk_index
+ORDER BY t.chunk_index
 """
 
     sql["jump_alerts"] = f"""

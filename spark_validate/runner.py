@@ -437,6 +437,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             upper_threshold=cfg.get("upper_threshold", 0.25),
             null_indicators=cfg.get("null_indicators", False),
         )
+    if kind == "rolling_drift":
+        from spark_validate.drift.rolling import RollingDriftCalculator
+
+        return RollingDriftCalculator(
+            column=cfg["column"],
+            n_bins=cfg.get("n_bins", 10),
+            categorical=cfg.get("categorical", False),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.1),
+        )
     if kind == "joint_drift":
         from spark_validate.drift.joint import JointHistogramDrift
 
@@ -604,7 +614,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
             "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
             "reconciliation",
-            "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift",
+            "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift", "rolling_drift",
             "vocab_drift", "correlation_drift",
         )
         if needs_fit:
