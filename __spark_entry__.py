@@ -512,6 +512,56 @@ def q_reconciliation(spark, sf_dir):
     ).orderBy("o_month", "measure")
 
 
+def q_row_completeness(spark, sf_dir):
+    """RowCompletenessCalculator (§2.3 profile extension): record-level
+    completeness — mean populated fraction (exact integer division) +
+    rate of rows below min_fraction. Nulls planted deterministically on
+    three derived fields (every 7th/11th/13th event); min_fraction 0.5
+    over 3 fields flags only rows missing ≥2 (the strict-integer
+    compare)."""
+    from spark_validate.checks import RowCompletenessCalculator
+    from spark_validate.thresholds import ConstantThreshold
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("a"),
+        F.when(F.col("event_id") % 11 != 0, F.col("props")).alias("b"),
+        F.when(F.col("event_id") % 13 != 0, F.col("event_type")).alias("c"),
+    )
+    calc = RowCompletenessCalculator(
+        ["a", "b", "c"],
+        min_fraction=0.5,
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+        threshold=ConstantThreshold(lower=None, upper=0),
+    )
+    res = calc.calculate(ev)
+    return res.select(
+        "chunk_index", "column_name", "method", "value", "alert"
+    ).orderBy("chunk_index", "method")
+
+
+def q_benford_mad(spark, sf_dir):
+    """BenfordCalculator (§2.3 profile extension — Nigrini MAD): per-chunk
+    first-significant-digit deviation from Benford's law for two lineitem
+    columns. Digit extraction via the engine-identical DECIMAL(38,6)
+    string (verified: Spark and DuckDB print the same plain notation);
+    round(6) absorbs the log10-constant last ulp."""
+    from spark_validate.checks import BenfordCalculator
+
+    _, ana = _li_split(spark, sf_dir)
+    calc = BenfordCalculator(
+        ["l_extendedprice", "l_quantity"], chunker=_li_chunker()
+    )
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index",
+        "column_name",
+        "method",
+        F.round(F.col("value"), 6).alias("value"),
+        "alert",
+    ).orderBy("chunk_index", "column_name")
+
+
 def q_rolling_js(spark, sf_dir):
     """RollingDriftCalculator (§2.2 extension — rolling/window reference
     mode): each chunk's l_extendedprice histogram scored against the
@@ -2358,6 +2408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": q_fd_check,
         "reconciliation": q_reconciliation,
         "rolling_js": q_rolling_js,
+        "row_completeness": q_row_completeness,
+        "benford_mad": q_benford_mad,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -2832,6 +2884,67 @@ SELECT o_month, measure, expected, actual, diff, match FROM (
          COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
   FROM j
 ) u ORDER BY o_month, measure
+"""
+
+    # row_completeness: exact integer arithmetic both sides — per-row
+    # non-null counts summed, mean = Σnn/(rows·3), incomplete = nn < 1.5.
+    sql["row_completeness"] = f"""
+WITH ev AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         CASE WHEN event_id % 7 != 0 THEN value END AS a,
+         CASE WHEN event_id % 11 != 0 THEN props END AS b,
+         CASE WHEN event_id % 13 != 0 THEN event_type END AS c
+  FROM events
+),
+r AS (
+  SELECT chunk_index,
+         (CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS nn
+  FROM ev
+)
+SELECT chunk_index, 'a+b+c' AS column_name, method, value, alert FROM (
+  SELECT chunk_index, 'row_completeness' AS method,
+         CAST(SUM(nn) AS DOUBLE) / (COUNT(*) * 3) AS value, FALSE AS alert
+  FROM r GROUP BY chunk_index
+  UNION ALL
+  SELECT chunk_index, 'incomplete_row_rate',
+         CAST(SUM(CASE WHEN nn < 1.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+         SUM(CASE WHEN nn < 1.5 THEN 1 ELSE 0 END) > 0
+  FROM r GROUP BY chunk_index
+) u ORDER BY chunk_index, method
+"""
+
+    # benford_mad: digit = first [1-9] of the DECIMAL(38,6) plain string
+    # (verified engine-identical); MAD over 9 Benford expectations, round(6).
+    _benford_terms = " + ".join(
+        f"abs(CAST(sum(CASE WHEN dig = '{k}' THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / greatest(sum(CASE WHEN dig != '' THEN 1 ELSE 0 END), 1)"
+        f" - log10(1.0 + 1.0/{k}))"
+        for k in range(1, 10)
+    )
+    sql["benford_mad"] = f"""
+WITH ana AS ({_LI_ANA}),
+d AS (
+  SELECT chunk_index, column_name,
+         regexp_extract(CAST(CAST(abs(v) AS DECIMAL(38,6)) AS VARCHAR), '[1-9]') AS dig
+  FROM (
+    SELECT chunk_index, 'l_extendedprice' AS column_name,
+           CAST(l_extendedprice AS DOUBLE) AS v FROM ana
+    UNION ALL
+    SELECT chunk_index, 'l_quantity', CAST(l_quantity AS DOUBLE) FROM ana
+  ) u WHERE v IS NOT NULL
+),
+agg AS (
+  SELECT chunk_index, column_name,
+         sum(CASE WHEN dig != '' THEN 1 ELSE 0 END) AS bn,
+         ({_benford_terms}) / 9.0 AS mad
+  FROM d GROUP BY chunk_index, column_name
+)
+SELECT chunk_index, column_name, 'benford_mad' AS method,
+       ROUND(CASE WHEN bn > 0 THEN mad END, 6) AS value,
+       COALESCE(CASE WHEN bn > 0 THEN mad END > 0.015, FALSE) AS alert
+FROM agg ORDER BY chunk_index, column_name
 """
 
     # rolling_js: width_bucket replicated bucket-exactly (FLOOR((v-lo)/w)+1

@@ -6,6 +6,7 @@ from spark_validate.checks.constraints import (
     ReferentialIntegrityCheck,
 )
 from spark_validate.checks.profile import (
+    BenfordCalculator,
     CardinalityCalculator,
     EntropyCalculator,
     IQROutlierCalculator,
@@ -13,6 +14,7 @@ from spark_validate.checks.profile import (
     SkewCalculator,
     FrequentItemsCalculator,
     HistogramCalculator,
+    RowCompletenessCalculator,
     ZScoreOutlierCalculator,
 )
 from spark_validate.checks.fd import FunctionalDependencyCheck
@@ -26,7 +28,9 @@ from spark_validate.checks.snapshot import (
 )
 
 __all__ = [
+    "BenfordCalculator",
     "CardinalityCalculator",
+    "RowCompletenessCalculator",
     "EntropyCalculator",
     "IQROutlierCalculator",
     "QuantileStatsCalculator",

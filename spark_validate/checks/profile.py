@@ -755,3 +755,189 @@ class EntropyCalculator:
             .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
             .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
         )
+
+
+@dataclass
+class RowCompletenessCalculator:
+    """Per-chunk RECORD-level completeness: what fraction of each row's
+    configured fields are populated (Deequ/GE carry column-wise
+    completeness — the missing-values calculator here — but a training
+    pipeline gates on the ROW: a record missing 4 of 6 features is
+    unusable even when every column's own null rate looks healthy).
+
+    Methods per chunk (``column_name`` = the joined field list):
+    * ``row_completeness`` — mean populated fraction. Computed as
+      ``Σ per-row non-null count / (rows · n_fields)`` — an integer
+      division, so the value is bit-identical at any parallelism (summing
+      per-row FRACTIONS in doubles would be order-dependent).
+    * ``incomplete_row_rate`` — fraction of rows whose populated count is
+      below ``min_fraction`` (strict), compared in integers:
+      ``nonnull_count < min_fraction · n_fields`` evaluated per row.
+
+    Pure codegen aggregate — fusable into the suite's shared scan.
+    """
+
+    column_names: Sequence[str]
+    min_fraction: float = 1.0
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=0))
+
+    def _row_nonnull(self, dtypes) -> F.Column:
+        cnt = None
+        for c in self.column_names:
+            v = nan_to_null(F.col(c), dtypes[c]).isNotNull().cast("int")
+            cnt = v if cnt is None else cnt + v
+        return cnt
+
+    def _exprs(self, dtypes, prefix: str):
+        nn = self._row_nonnull(dtypes)
+        m = len(self.column_names)
+        # strict < on the exact integer count; the float product appears
+        # only against an integer, identically on the oracle side
+        incomplete = (nn < F.lit(float(self.min_fraction) * m)).cast("int")
+        return [
+            F.count(F.lit(1)).alias(f"{prefix}__rows"),
+            F.sum(nn).alias(f"{prefix}__nn"),
+            F.sum(incomplete).alias(f"{prefix}__inc"),
+        ]
+
+    def _melt(self, wide: DataFrame, prefix: str, hdr_cols=()) -> DataFrame:
+        m = len(self.column_names)
+        name = "+".join(self.column_names)
+        rows_ = F.col(f"{prefix}__rows")
+        pairs = [
+            F.struct(
+                F.lit("row_completeness").alias("method"),
+                (F.col(f"{prefix}__nn") / (rows_ * F.lit(m))).cast("double").alias("value"),
+            ),
+            F.struct(
+                F.lit("incomplete_row_rate").alias("method"),
+                (F.col(f"{prefix}__inc") / rows_).cast("double").alias("value"),
+            ),
+        ]
+        return wide.select(
+            CHUNK_KEY, *hdr_cols, F.lit(name).alias("column_name"),
+            F.explode(F.array(*pairs)).alias("kv"),
+        ).select(CHUNK_KEY, *hdr_cols, "column_name", "kv.method", "kv.value")
+
+    def _gate(self, long_df: DataFrame) -> DataFrame:
+        # only incomplete_row_rate carries the alert band; the mean row is
+        # informational (the urls_per_doc convention)
+        keep = F.col("method") == "incomplete_row_rate"
+        return (
+            long_df.withColumn("lower_threshold", F.when(keep, F.col("lower_threshold")))
+            .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
+            .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
+        )
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        dtypes = dict(df.dtypes)
+        assigned, headers = assign_chunks(df, self.chunker)
+        wide = assigned.groupBy(CHUNK_KEY).agg(*self._exprs(dtypes, ""))
+        long_df = self._melt(wide, "")
+        out = _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+        return self._gate(out)
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        exprs = self._exprs(dtypes, prefix)
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            long_df = self._melt(wide, prefix, hdr_cols=_FUSE_HDR_COLS)
+            out = _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
+            return self._gate(out)
+
+        return exprs, fin
+
+    def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
+        dtypes = dict(df.dtypes)
+        assigned = self.chunker.assign(df)
+        nn = self._row_nonnull(dtypes)
+        m = len(self.column_names)
+        bad = assigned.filter(nn < F.lit(float(self.min_fraction) * m))
+        return bad.select(
+            F.lit("row_completeness").alias("check"),
+            F.lit("+".join(self.column_names)).alias("column_name"),
+            F.col(CHUNK_KEY),
+            (F.col(row_id).cast("string") if row_id else F.lit(None).cast("string")).alias("row_id"),
+            F.lit("incomplete_row").alias("violation_kind"),
+            F.concat_ws("/", nn.cast("string"), F.lit(str(m))).alias("observed_value"),
+        )
+
+
+@dataclass
+class BenfordCalculator:
+    """Per-chunk conformance of a numeric column's FIRST SIGNIFICANT DIGIT
+    distribution to Benford's law — the fraud/synthetic-data anomaly screen
+    (Nigrini's MAD statistic; naturally-occurring multi-magnitude
+    quantities follow ``P(d) = log10(1 + 1/d)``, fabricated or truncated
+    feeds don't).
+
+    Digit extraction is cross-engine exact: the value is cast to
+    ``DECIMAL(38,6)`` (deterministic plain-notation string in both Spark
+    and DuckDB — double→string would hit shortest-roundtrip formatting
+    differences) and the first ``[1-9]`` is taken from the string.
+    Magnitudes below 5e-7 round to 0 and are excluded, as are NULLs,
+    zeros and (via the regex) sign characters; abs() first.
+
+    Value per (chunk, column): ``benford_mad`` — mean absolute deviation
+    of the 9 observed digit frequencies from Benford expectations. Nigrini
+    closeness bands: <0.006 close, <0.012 acceptable, <0.015 marginal;
+    the default alert threshold 0.015 flags nonconformity. One codegen
+    aggregate (9 conditional counts per column) — fusable.
+    """
+
+    column_names: Sequence[str]
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=0.015))
+
+    def _digit(self, c: str) -> F.Column:
+        s = F.abs(F.col(c).cast("double")).cast("decimal(38,6)").cast("string")
+        return F.regexp_extract(s, "[1-9]", 0)
+
+    def _exprs(self, dtypes, prefix: str):
+        exprs = []
+        for c in self.column_names:
+            d = self._digit(c)
+            exprs.append(F.count(F.when(d != "", F.lit(1))).alias(f"{prefix}{c}__bn"))
+            for k in range(1, 10):
+                exprs.append(
+                    F.count(F.when(d == str(k), F.lit(1))).alias(f"{prefix}{c}__b{k}")
+                )
+        return exprs
+
+    def _melt(self, wide: DataFrame, prefix: str, hdr_cols=()) -> DataFrame:
+        pairs = []
+        for c in self.column_names:
+            n = F.greatest(F.col(f"{prefix}{c}__bn"), F.lit(1))
+            total = None
+            for k in range(1, 10):
+                exp_p = math.log10(1.0 + 1.0 / k)
+                term = F.abs(F.col(f"{prefix}{c}__b{k}") / n - F.lit(exp_p))
+                total = term if total is None else total + term
+            mad = F.when(F.col(f"{prefix}{c}__bn") > 0, total / F.lit(9.0))
+            pairs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit("benford_mad").alias("method"),
+                    mad.cast("double").alias("value"),
+                )
+            )
+        return wide.select(
+            CHUNK_KEY, *hdr_cols, F.explode(F.array(*pairs)).alias("kv")
+        ).select(CHUNK_KEY, *hdr_cols, "kv.column_name", "kv.method", "kv.value")
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        dtypes = dict(df.dtypes)
+        assigned, headers = assign_chunks(df, self.chunker)
+        wide = assigned.groupBy(CHUNK_KEY).agg(*self._exprs(dtypes, ""))
+        long_df = self._melt(wide, "")
+        return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        exprs = self._exprs(dtypes, prefix)
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            long_df = self._melt(wide, prefix, hdr_cols=_FUSE_HDR_COLS)
+            return _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
+
+        return exprs, fin

@@ -381,6 +381,29 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
         )
+    if kind == "row_completeness":
+        from spark_validate.checks.profile import RowCompletenessCalculator
+        from spark_validate.thresholds import ConstantThreshold
+
+        return RowCompletenessCalculator(
+            column_names=cfg["columns"],
+            min_fraction=cfg.get("min_fraction", 1.0),
+            chunker=chunker,
+            threshold=ConstantThreshold(
+                cfg.get("lower_threshold"), cfg.get("upper_threshold", 0)
+            ),
+        )
+    if kind == "benford":
+        from spark_validate.checks.profile import BenfordCalculator
+        from spark_validate.thresholds import ConstantThreshold
+
+        return BenfordCalculator(
+            column_names=cfg["columns"],
+            chunker=chunker,
+            threshold=ConstantThreshold(
+                cfg.get("lower_threshold"), cfg.get("upper_threshold", 0.015)
+            ),
+        )
     if kind == "entropy":
         from spark_validate.checks.profile import EntropyCalculator
         from spark_validate.thresholds import ConstantThreshold
