@@ -512,6 +512,35 @@ def q_reconciliation(spark, sf_dir):
     ).orderBy("o_month", "measure")
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-frequency line dedup (CCNet §3.1 / RefinedWeb §4.2 line-wise
+    filtering): lines occurring in ≥25 docs are deleted from every doc's
+    text. Newline structure is derived deterministically (sentence splits
+    + two injected boilerplate lines on every 3rd/5th doc); the rewritten
+    text compares as md5 — byte-stable because reassembly orders by the
+    original line position in both engines."""
+    from spark_validate.text.linededup import dedup_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.col("text"), r"\. ", ".\n")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("SUBSCRIBE TO OUR NEWSLETTER\n"), t),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(t, F.lit("\nall rights reserved"))
+    ).otherwise(t)
+    df = docs.select("doc_id", t.alias("text"))
+    out = dedup_lines(df, min_docs=25)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lines_total",
+        "lines_removed",
+        "lines_kept",
+    ).orderBy("doc_id")
+
+
 def q_row_completeness(spark, sf_dir):
     """RowCompletenessCalculator (§2.3 profile extension): record-level
     completeness — mean populated fraction (exact integer division) +
@@ -2410,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_js": q_rolling_js,
         "row_completeness": q_row_completeness,
         "benford_mad": q_benford_mad,
+        "line_dedup": q_line_dedup,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -2884,6 +2914,45 @@ SELECT o_month, measure, expected, actual, diff, match FROM (
          COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
   FROM j
 ) u ORDER BY o_month, measure
+"""
+
+    # line_dedup: identical line split (string_split is literal, Spark split
+    # of '\n' is the same single char), identical DISTINCT-doc frequency,
+    # position-ordered reassembly (string_agg ORDER BY pos ≡ array_sort by
+    # pos) → md5 of the rewritten text is byte-exact.
+    sql["line_dedup"] = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN base || chr(10) || 'all rights reserved'
+              ELSE base END AS t
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || r
+                ELSE r END AS base
+    FROM (SELECT doc_id, regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS r
+          FROM documents)
+  )
+),
+lines AS (
+  SELECT doc_id, UNNEST(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM docs)
+),
+common AS (
+  SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines WHERE length(line) >= 1)
+  GROUP BY line HAVING COUNT(*) >= 25
+),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (length(l.line) >= 1 AND c.line IS NOT NULL) AS dropped
+  FROM lines l LEFT JOIN common c ON c.line = l.line
+)
+SELECT doc_id,
+       md5(COALESCE(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos), '')) AS text_md5,
+       COUNT(*) AS lines_total,
+       COUNT(CASE WHEN dropped THEN 1 END) AS lines_removed,
+       COUNT(CASE WHEN length(line) >= 1 AND NOT dropped THEN 1 END) AS lines_kept
+FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
     # row_completeness: exact integer arithmetic both sides — per-row

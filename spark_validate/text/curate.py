@@ -241,6 +241,12 @@ def curate(
       ``phash``) group's elected majority caption, so a later dedup
       keeper carries the majority caption; election votes come from
       SURVIVORS only. Params: group_column, caption_column.
+    * ``line_dedup`` — corpus-frequency line removal (CCNet/RefinedWeb):
+      rewrite each survivor's text with lines occurring in ≥ ``min_docs``
+      surviving documents deleted (params: delimiter, min_docs,
+      min_line_chars); line frequencies count SURVIVORS only. Optional
+      ``min_remaining`` additionally DROPS docs left with fewer eligible
+      lines (the attrition slot); without it the stage is transform-only.
     * ``decontaminate`` — ``benchmark`` (DataFrame) + n / threshold:
       drop survivors whose distinct word-n-gram overlap vs the benchmark
       crosses the threshold.
@@ -254,7 +260,7 @@ def curate(
     persisted: List[DataFrame] = []
     corpus_shaped = (
         "exact_dedup", "near_dedup", "phash_dedup", "embedding_dedup",
-        "decontaminate", "lm_quality", "canonical_captions",
+        "decontaminate", "lm_quality", "canonical_captions", "line_dedup",
     )
 
     def survivors() -> DataFrame:
@@ -411,6 +417,38 @@ def curate(
                 .select(*before_cols)
             )
             continue
+        elif kind == "line_dedup":
+            # corpus-frequency line removal over SURVIVORS: frequencies come
+            # from surviving docs only (a dropped spam cluster's boilerplate
+            # must not delete a line from the one kept copy's unique text),
+            # but like canonical_captions the REWRITE applies to the full
+            # working frame so attribution columns survive untouched.
+            from spark_validate.text.linededup import dedup_lines, line_frequencies
+
+            delim = spec.get("delimiter", "\n")
+            min_chars = spec.get("min_line_chars", 1)
+            freq = line_frequencies(
+                survivors(), text_col, id_col, delim, min_chars
+            )
+            before_cols = work.columns
+            rewritten = dedup_lines(
+                work,
+                text_col,
+                id_col,
+                delimiter=delim,
+                min_docs=spec.get("min_docs", 2),
+                min_line_chars=min_chars,
+                frequencies=freq,
+            )
+            min_remaining = spec.get("min_remaining")
+            if min_remaining is None:
+                work = rewritten.select(*before_cols)
+                continue  # transform only: no flag, no attrition slot
+            bad = rewritten.filter(
+                F.col("lines_kept") < F.lit(int(min_remaining))
+            ).select(F.col(id_col))
+            work = rewritten.select(*before_cols)
+            work = join_flag(bad, fc)
         elif kind == "decontaminate":
             from spark_validate.text.decontaminate import ngram_overlap
 
