@@ -512,6 +512,34 @@ def q_reconciliation(spark, sf_dir):
     ).orderBy("o_month", "measure")
 
 
+def q_compliance_check(spark, sf_dir):
+    """ComplianceCheck (§2.3 extension — Deequ ``satisfies`` parity):
+    named boolean SQL rules, per-chunk violating-row rate; a rule
+    evaluating to NULL counts as a violation (cannot prove compliant).
+    ``maybe_positive`` exercises that: every 4th line's operand is NULL.
+    Rates are integer divisions — hash-exact unrounded."""
+    from spark_validate.checks import ComplianceCheck
+    from spark_validate.thresholds import ConstantThreshold
+
+    _, ana = _li_split(spark, sf_dir)
+    ana = ana.withColumn(
+        "maybe", F.when(F.col("l_linenumber") % 4 != 0, F.col("l_quantity"))
+    )
+    chk = ComplianceCheck(
+        rules={
+            "discount_tax_cap": "l_discount + l_tax < 0.12",
+            "price_scales_with_qty": "l_extendedprice >= l_quantity * 900",
+            "maybe_positive": "maybe > 0",
+        },
+        chunker=_li_chunker(),
+        threshold=ConstantThreshold(lower=None, upper=0.3),
+    )
+    res = chk.calculate(ana)
+    return res.select(
+        "chunk_index", "column_name", "method", "value", "alert"
+    ).orderBy("chunk_index", "column_name")
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-frequency line dedup (CCNet §3.1 / RefinedWeb §4.2 line-wise
     filtering): lines occurring in ≥25 docs are deleted from every doc's
@@ -2440,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_completeness": q_row_completeness,
         "benford_mad": q_benford_mad,
         "line_dedup": q_line_dedup,
+        "compliance_check": q_compliance_check,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -2914,6 +2943,31 @@ SELECT o_month, measure, expected, actual, diff, match FROM (
          COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
   FROM j
 ) u ORDER BY o_month, measure
+"""
+
+    # compliance_check: three-valued logic mirrored — NOT COALESCE(rule,
+    # FALSE) counts NULL as violation in both engines; rates exact.
+    sql["compliance_check"] = f"""
+WITH ana AS ({_LI_ANA}),
+r AS (
+  SELECT chunk_index,
+         CASE WHEN NOT COALESCE(l_discount + l_tax < 0.12, FALSE) THEN 1 ELSE 0 END AS v_cap,
+         CASE WHEN NOT COALESCE(l_extendedprice >= l_quantity * 900, FALSE) THEN 1 ELSE 0 END AS v_scale,
+         CASE WHEN NOT COALESCE((CASE WHEN l_linenumber % 4 != 0 THEN l_quantity END) > 0, FALSE) THEN 1 ELSE 0 END AS v_maybe
+  FROM ana
+)
+SELECT chunk_index, column_name, 'compliance_violation_rate' AS method, value,
+       value > 0.3 AS alert
+FROM (
+  SELECT chunk_index, 'discount_tax_cap' AS column_name,
+         CAST(SUM(v_cap) AS DOUBLE) / COUNT(*) AS value FROM r GROUP BY 1
+  UNION ALL
+  SELECT chunk_index, 'price_scales_with_qty',
+         CAST(SUM(v_scale) AS DOUBLE) / COUNT(*) FROM r GROUP BY 1
+  UNION ALL
+  SELECT chunk_index, 'maybe_positive',
+         CAST(SUM(v_maybe) AS DOUBLE) / COUNT(*) FROM r GROUP BY 1
+) u ORDER BY chunk_index, column_name
 """
 
     # line_dedup: identical line split (string_split is literal, Spark split

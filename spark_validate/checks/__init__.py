@@ -17,6 +17,7 @@ from spark_validate.checks.profile import (
     RowCompletenessCalculator,
     ZScoreOutlierCalculator,
 )
+from spark_validate.checks.compliance import ComplianceCheck
 from spark_validate.checks.fd import FunctionalDependencyCheck
 from spark_validate.checks.freshness import FreshnessCheck
 from spark_validate.checks.reconcile import ReconciliationCheck, reconcile
@@ -29,6 +30,7 @@ from spark_validate.checks.snapshot import (
 
 __all__ = [
     "BenfordCalculator",
+    "ComplianceCheck",
     "CardinalityCalculator",
     "RowCompletenessCalculator",
     "EntropyCalculator",

@@ -781,6 +781,7 @@ class RowCompletenessCalculator:
     min_fraction: float = 1.0
     chunker: Chunker = field(default_factory=DefaultChunker)
     threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=0))
+    id_column: Optional[str] = None  # row identity in violation output
 
     def _row_nonnull(self, dtypes) -> F.Column:
         cnt = None
@@ -849,6 +850,7 @@ class RowCompletenessCalculator:
         return exprs, fin
 
     def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
+        row_id = row_id or self.id_column
         dtypes = dict(df.dtypes)
         assigned = self.chunker.assign(df)
         nn = self._row_nonnull(dtypes)

@@ -381,6 +381,18 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
         )
+    if kind == "compliance":
+        from spark_validate.checks.compliance import ComplianceCheck
+        from spark_validate.thresholds import ConstantThreshold
+
+        return ComplianceCheck(
+            rules=cfg["rules"],
+            chunker=chunker,
+            id_column=cfg.get("id_column"),
+            threshold=ConstantThreshold(
+                cfg.get("lower_threshold"), cfg.get("upper_threshold", 0)
+            ),
+        )
     if kind == "row_completeness":
         from spark_validate.checks.profile import RowCompletenessCalculator
         from spark_validate.thresholds import ConstantThreshold
@@ -389,6 +401,7 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             column_names=cfg["columns"],
             min_fraction=cfg.get("min_fraction", 1.0),
             chunker=chunker,
+            id_column=cfg.get("id_column"),
             threshold=ConstantThreshold(
                 cfg.get("lower_threshold"), cfg.get("upper_threshold", 0)
             ),
@@ -508,6 +521,7 @@ def _check_name(cfg: dict) -> str:
         return str(cfg["name"])
     cols = (
         cfg.get("columns")
+        or (list(cfg["rules"]) if cfg.get("rules") else None)
         or (
             list(cfg["determinants"]) + [cfg["dependent"]]
             if cfg.get("determinants")

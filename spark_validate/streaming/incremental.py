@@ -236,3 +236,44 @@ def streaming_freshness(
     return out.drop("__mn", "__mx").withColumn(
         "freshness_alert", F.coalesce(alert, F.lit(False))
     )
+
+
+def streaming_benford(
+    stream: DataFrame,
+    timestamp_column: str,
+    columns: Sequence[str],
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    upper_threshold: float = 0.015,
+) -> DataFrame:
+    """Per-window Benford first-digit MAD — the streaming analog of
+    BenfordCalculator (a tumbling window is a chunk). The digit counts are
+    the batch check's own codegen expressions compiled into one windowed
+    aggregation, so per-window values are formula-identical to a batch run
+    chunked on the same windows; state per (window × column) is 10 counters.
+    """
+    from spark_validate.checks.profile import BenfordCalculator
+    from spark_validate.chunking import CHUNK_KEY
+
+    calc = BenfordCalculator(list(columns))
+    wide = (
+        stream.withWatermark(timestamp_column, watermark)
+        .groupBy(F.window(timestamp_column, window_duration).alias("chunk_window"))
+        .agg(*calc._exprs({}, ""))
+        .select(
+            F.col("chunk_window.start").cast("string").alias(CHUNK_KEY),
+            F.col("chunk_window.start").alias("start_ts"),
+            F.col("chunk_window.end").alias("end_ts"),
+            "*",
+        )
+        .drop("chunk_window")
+    )
+    long_df = calc._melt(wide, "", hdr_cols=("start_ts", "end_ts"))
+    return (
+        long_df.withColumn("lower_threshold", F.lit(None).cast("double"))
+        .withColumn("upper_threshold", F.lit(float(upper_threshold)))
+        .withColumn(
+            "alert",
+            F.coalesce(F.col("value") > F.lit(float(upper_threshold)), F.lit(False)),
+        )
+    )

@@ -512,6 +512,79 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             key = uniq(check_cfg.get("name", kind), check_idx)
             queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "compliance":
+            # named boolean SQL rules on the ingest stream — row-local
+            # Catalyst expressions, so the violation stream is a pure
+            # stateless filter (the batch check owns per-chunk rates)
+            import pyspark.sql.functions as F
+
+            id_col = check_cfg.get("id_column")
+            parts = []
+            for rname, sql in check_cfg["rules"].items():
+                parts.append(
+                    stream.filter(~F.coalesce(F.expr(sql), F.lit(False))).select(
+                        F.lit("compliance").alias("check"),
+                        F.lit(rname).alias("column_name"),
+                        F.col(ts),
+                        (
+                            F.col(id_col).cast("string")
+                            if id_col
+                            else F.lit(None).cast("string")
+                        ).alias("row_id"),
+                        F.lit("rule_violation").alias("violation_kind"),
+                        F.lit(sql).alias("observed_value"),
+                    )
+                )
+            v = parts[0]
+            for p in parts[1:]:
+                v = v.unionByName(p)
+            key = uniq(check_cfg.get("name", kind), check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "row_completeness":
+            # record-level completeness gate: rows with fewer populated
+            # fields than min_fraction·n stream out as violations (stateless;
+            # the batch check owns per-chunk means)
+            import pyspark.sql.functions as F
+
+            from spark_validate.calculators.base import nan_to_null
+
+            cols = check_cfg["columns"]
+            dtypes = dict(stream.dtypes)
+            nn = None
+            for c in cols:
+                x = nan_to_null(F.col(c), dtypes[c]).isNotNull().cast("int")
+                nn = x if nn is None else nn + x
+            cut = float(check_cfg.get("min_fraction", 1.0)) * len(cols)
+            id_col = check_cfg.get("id_column")
+            v = stream.filter(nn < F.lit(cut)).select(
+                F.lit("row_completeness").alias("check"),
+                F.lit("+".join(cols)).alias("column_name"),
+                F.col(ts),
+                (
+                    F.col(id_col).cast("string")
+                    if id_col
+                    else F.lit(None).cast("string")
+                ).alias("row_id"),
+                F.lit("incomplete_row").alias("violation_kind"),
+                F.concat_ws("/", nn.cast("string"), F.lit(str(len(cols)))).alias(
+                    "observed_value"
+                ),
+            )
+            key = uniq(check_cfg.get("name", kind), check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "benford":
+            # per-window first-digit MAD (the batch check's codegen counters
+            # compiled into one windowed aggregation; 10 counters per
+            # window × column of state)
+            from spark_validate.streaming.incremental import streaming_benford
+
+            bf = streaming_benford(
+                stream, ts, check_cfg["columns"],
+                window_duration=window, watermark=watermark or window,
+                upper_threshold=check_cfg.get("upper_threshold", 0.015),
+            )
+            key = uniq(check_cfg.get("name") or _check_name(check_cfg), check_idx)
+            queries[key] = _sink(bf, out_dir, key, "append", trigger).start()
         elif kind == "pii":
             # PII scrubbing on the ingest stream: the batch check's codegen
             # regex flags are row-local, so the violation stream is a pure
