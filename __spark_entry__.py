@@ -512,6 +512,48 @@ def q_reconciliation(spark, sf_dir):
     ).orderBy("o_month", "measure")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (§2.12 window taxonomy — the behavioral-
+    data transform NannyML lacks; rule pinned to Spark session_window's
+    half-open semantics: a gap of exactly `gap` opens a new session).
+    Window partitioned by the actor — no global sort; event_id breaks
+    timestamp ties so labels are bit-stable at any parallelism."""
+    from spark_validate.sessionize import sessionize
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    lab = sessionize(ev, gap_seconds=3600.0, order_by=["event_id"])
+    return lab.select(
+        "event_id",
+        "user_id",
+        "session_id",
+        "session_index",
+        "event_index",
+        "gap_seconds_prev",
+    ).orderBy("event_id")
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session aggregates from the labeled frame — count, span,
+    duration (epoch-double subtraction, engine-identical)."""
+    from spark_validate.sessionize import session_stats, sessionize
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    lab = sessionize(ev, gap_seconds=3600.0, order_by=["event_id"])
+    return session_stats(lab).select(
+        "user_id",
+        "session_index",
+        "session_id",
+        "n_events",
+        "start_ts",
+        "end_ts",
+        "duration_seconds",
+    ).orderBy("user_id", "session_index")
+
+
 def q_compliance_check(spark, sf_dir):
     """ComplianceCheck (§2.3 extension — Deequ ``satisfies`` parity):
     named boolean SQL rules, per-chunk violating-row rate; a rule
@@ -2469,6 +2511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_mad": q_benford_mad,
         "line_dedup": q_line_dedup,
         "compliance_check": q_compliance_check,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -2943,6 +2987,42 @@ SELECT o_month, measure, expected, actual, diff, match FROM (
          COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
   FROM j
 ) u ORDER BY o_month, measure
+"""
+
+    # sessionize / session_stats: epoch(ts) ≡ ts.cast(double) under the
+    # UTC-pinned session (the freshness device); >= gap rule, (ts, event_id)
+    # total order, ROWS-frame prefix sum — labels bit-stable both engines.
+    _SESS = """
+WITH e AS (
+  SELECT event_id, user_id, ts, epoch(ts) AS sec FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+g AS (
+  SELECT *, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM e
+),
+s AS (
+  SELECT *,
+         SUM(CASE WHEN gap IS NULL OR gap >= 3600.0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS si
+  FROM g
+)
+"""
+    sql["sessionize"] = _SESS + """
+SELECT event_id, user_id,
+       CAST(user_id AS VARCHAR) || '#' || CAST(si AS VARCHAR) AS session_id,
+       CAST(si AS BIGINT) AS session_index,
+       row_number() OVER (PARTITION BY user_id, si ORDER BY ts, event_id) - 1 AS event_index,
+       gap AS gap_seconds_prev
+FROM s ORDER BY event_id
+"""
+    sql["session_stats"] = _SESS + """
+SELECT user_id, CAST(si AS BIGINT) AS session_index,
+       CAST(user_id AS VARCHAR) || '#' || CAST(si AS VARCHAR) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       MAX(sec) - MIN(sec) AS duration_seconds
+FROM s GROUP BY user_id, si ORDER BY user_id, si
 """
 
     # compliance_check: three-valued logic mirrored — NOT COALESCE(rule,

@@ -277,3 +277,37 @@ def streaming_benford(
             F.coalesce(F.col("value") > F.lit(float(upper_threshold)), F.lit(False)),
         )
     )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    timestamp_column: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-session aggregates on the ingest stream via Spark's native
+    dynamic-gap ``session_window`` — the streaming sibling of
+    ``sessionize.session_stats`` (same gap rule: a silence longer than
+    ``gap`` closes the session). State per live (user × session) is one
+    merging window, closed and emitted once the watermark passes its end —
+    bounded by construction. Rows with a NULL actor or timestamp carry no
+    session and are dropped here (the batch labeler keeps them as
+    NULL-session rows)."""
+    ok = F.col(user_col).isNotNull() & F.col(timestamp_column).isNotNull()
+    out = (
+        stream.filter(ok)
+        .withWatermark(timestamp_column, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(timestamp_column), gap).alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("start_ts"),
+            F.col("sw.end").alias("end_ts"),
+            "n_events",
+        )
+    )
+    return out

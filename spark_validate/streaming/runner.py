@@ -512,6 +512,50 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             key = uniq(check_cfg.get("name", kind), check_idx)
             queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind == "fd":
+            # streaming functional dependency dets → dep: the determinant
+            # tuple becomes one derived key (stateless to_json projection —
+            # NULL-safe, collision-free) and the stateful first-value
+            # conflict machinery does the rest: state = the group's first
+            # non-null dependent, later disagreeing rows emit final
+            # violation rows, watermark-evicted. Rows with any NULL
+            # determinant carry no identity and are dropped (batch
+            # semantics). The batch check owns retroactive reporting.
+            import pyspark.sql.functions as F
+
+            from spark_validate.streaming.stateful import streaming_caption_conflicts
+
+            dets = list(check_cfg["determinants"])
+            dep = check_cfg["dependent"]
+            cond = None
+            for c in dets:
+                x = F.col(c).isNotNull()
+                cond = x if cond is None else (cond & x)
+            keyed = stream.filter(cond).withColumn(
+                "_sv_fd_key", F.to_json(F.struct(*dets))
+            )
+            conf = streaming_caption_conflicts(
+                keyed,
+                group_col="_sv_fd_key",
+                caption_col=dep,
+                id_col=check_cfg.get("id_column"),
+                event_time_col=ts,
+                watermark=watermark or "10 minutes",
+                event_ttl=check_cfg.get("event_ttl", "1 hour"),
+            )
+            label = f"{','.join(dets)}->{dep}"
+            v = conf.select(
+                F.lit("fd").alias("check"),
+                F.lit(label).alias("column_name"),
+                F.col(ts),
+                F.col("row_id"),
+                F.lit("fd_violation").alias("violation_kind"),
+                F.concat_ws(" <> ", F.col("first_caption"), F.col("caption")).alias(
+                    "observed_value"
+                ),
+            )
+            key = uniq(check_cfg.get("name") or f"fd__{'_'.join(dets)}", check_idx)
+            queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "compliance":
             # named boolean SQL rules on the ingest stream — row-local
             # Catalyst expressions, so the violation stream is a pure
