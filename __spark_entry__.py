@@ -512,6 +512,51 @@ def q_reconciliation(spark, sf_dir):
     ).orderBy("o_month", "measure")
 
 
+def q_seasonal_alerts(spark, sf_dir):
+    """with_seasonal_alerts (§2.9 extension — Prometheus/RRDtool seasonal
+    baseline): each chunk judged against its own phase's strictly-
+    preceding history (mu ± k·sigma per phase). A period-3 sawtooth is
+    planted on the per-chunk avg series plus one +1000 anomaly at chunk 9
+    — phases stay quiet, the anomaly alerts. Values derive from
+    decimal-exact sums; window mean/std accumulate in the same ROWS-frame
+    order both engines, round(6) absorbs the Welford ulp."""
+    from spark_validate.thresholds import with_seasonal_alerts
+
+    ev = _read(spark, sf_dir, "events")
+    assigned = SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]).assign(ev)
+    cid = F.floor(F.col(ROW_INDEX) / F.lit(EV_CHUNK)).cast("int")
+    series = (
+        assigned.withColumn("chunk_index", cid)
+        .groupBy("chunk_index")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("value")
+        )
+        .withColumn(
+            "value",
+            F.col("value")
+            + (F.col("chunk_index") % 3).cast("double") * F.lit(100.0)
+            + F.when(F.col("chunk_index") == 9, F.lit(1000.0)).otherwise(F.lit(0.0)),
+        )
+        .withColumn("column_name", F.lit("value"))
+        .withColumn("method", F.lit("avg"))
+    )
+    out = with_seasonal_alerts(series, period=3, k=3.0, min_history=2)
+    return out.select(
+        "chunk_index",
+        "phase",
+        F.round("value", 6).alias("value"),
+        F.round("seasonal_mean", 6).alias("seasonal_mean"),
+        F.round("seasonal_std", 6).alias("seasonal_std"),
+        F.round("seasonal_lower", 6).alias("seasonal_lower"),
+        F.round("seasonal_upper", 6).alias("seasonal_upper"),
+        "seasonal_n",
+        "seasonal_alert",
+    ).orderBy("chunk_index")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (§2.12 window taxonomy — the behavioral-
     data transform NannyML lacks; rule pinned to Spark session_window's
@@ -2513,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compliance_check": q_compliance_check,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "seasonal_alerts": q_seasonal_alerts,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -2987,6 +3033,44 @@ SELECT o_month, measure, expected, actual, diff, match FROM (
          COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
   FROM j
 ) u ORDER BY o_month, measure
+"""
+
+    # seasonal_alerts: per-phase strictly-preceding window mean/std
+    # (identical ROWS frame both engines), decimal-exact base series,
+    # round(6) absorbs the Welford/stddev accumulation ulp; the alert
+    # compares UNROUNDED values (anomaly planted far from the boundary).
+    sql["seasonal_alerts"] = f"""
+WITH ev AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         value
+  FROM events
+),
+series AS (
+  SELECT chunk_index,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           + CAST(chunk_index % 3 AS DOUBLE) * 100.0
+           + CASE WHEN chunk_index = 9 THEN 1000.0 ELSE 0.0 END AS value
+  FROM ev GROUP BY chunk_index
+),
+ph AS (SELECT *, CAST(chunk_index % 3 AS INT) AS phase FROM series),
+win AS (
+  SELECT *,
+         AVG(value) OVER w AS m,
+         STDDEV_POP(value) OVER w AS s,
+         COUNT(value) OVER w AS n
+  FROM ph
+  WINDOW w AS (PARTITION BY phase ORDER BY chunk_index
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT chunk_index, phase,
+       ROUND(value, 6) AS value,
+       ROUND(m, 6) AS seasonal_mean,
+       ROUND(s, 6) AS seasonal_std,
+       ROUND(CASE WHEN n >= 2 AND s > 0 THEN m - 3.0 * s END, 6) AS seasonal_lower,
+       ROUND(CASE WHEN n >= 2 AND s > 0 THEN m + 3.0 * s END, 6) AS seasonal_upper,
+       n AS seasonal_n,
+       COALESCE(n >= 2 AND s > 0 AND (value < m - 3.0 * s OR value > m + 3.0 * s), FALSE) AS seasonal_alert
+FROM win ORDER BY chunk_index
 """
 
     # sessionize / session_stats: epoch(ts) ≡ ts.cast(double) under the

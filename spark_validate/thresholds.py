@@ -302,3 +302,77 @@ def with_ewma_alerts(
             F.coalesce(breach, F.lit(False))
         ),
     ).drop("mu", "sigma")
+
+
+def with_seasonal_alerts(
+    result: DataFrame,
+    period: int = 7,
+    k: float = 3.0,
+    min_history: int = 3,
+    value_col: str = "value",
+    phase_col: Optional[str] = None,
+) -> DataFrame:
+    """Seasonality-aware alerting over a chunked result series: each chunk
+    is compared to the history of its OWN PHASE (same weekday, same
+    hour-of-day, same position in any length-``period`` cycle) instead of
+    the whole series. Daily/weekly cycles make static bands either deaf
+    (band wide enough for the weekend dip swallows real shifts) or noisy
+    (band fit to weekdays pages every Saturday); the classic fix —
+    Prometheus recording-rule seasonal baselines, RRDtool's Holt-Winters
+    aberrant-behavior branch — is a per-phase mu ± k·sigma band.
+
+    Adds per row: ``phase`` (``chunk_index % period``, or the value of
+    ``phase_col`` when given — e.g. a precomputed ``dayofweek(start_ts)``),
+    ``seasonal_mean`` / ``seasonal_std`` (over STRICTLY PRECEDING
+    same-phase rows — the current value never judges itself),
+    ``seasonal_n`` (that history's size), ``seasonal_lower`` /
+    ``seasonal_upper`` and ``seasonal_alert``. Rows with fewer than
+    ``min_history`` same-phase predecessors, a NULL value, or a degenerate
+    (zero/NULL) std never alert — a cold-start phase stays quiet rather
+    than paging on its second observation.
+
+    Execution shape: input is the ALREADY-AGGREGATED result frame
+    (≤ chunks × series rows); the window partitions by
+    (column_name, method, phase) and orders by chunk_index with an
+    explicit ROWS frame — per-series driver-scale arithmetic, no pass
+    over the data and no global single-partition sort.
+    """
+    from pyspark.sql import Window
+
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    series = ["column_name", "method"]
+    phase = (
+        F.col(phase_col)
+        if phase_col
+        else (F.col("chunk_index") % F.lit(int(period))).cast("int")
+    )
+    out = result.withColumn("phase", phase)
+    w = (
+        Window.partitionBy(*series, "phase")
+        .orderBy("chunk_index")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v = F.col(value_col)
+    out = (
+        out.withColumn("seasonal_mean", F.avg(v).over(w))
+        .withColumn("seasonal_std", F.stddev_pop(v).over(w))
+        .withColumn("seasonal_n", F.count(v).over(w))
+    )
+    lo = F.col("seasonal_mean") - F.lit(float(k)) * F.col("seasonal_std")
+    hi = F.col("seasonal_mean") + F.lit(float(k)) * F.col("seasonal_std")
+    ok_history = (
+        (F.col("seasonal_n") >= F.lit(int(min_history)))
+        & F.col("seasonal_std").isNotNull()
+        & (F.col("seasonal_std") > 0)
+    )
+    return (
+        out.withColumn("seasonal_lower", F.when(ok_history, lo))
+        .withColumn("seasonal_upper", F.when(ok_history, hi))
+        .withColumn(
+            "seasonal_alert",
+            F.coalesce(
+                ok_history & v.isNotNull() & ((v < lo) | (v > hi)), F.lit(False)
+            ),
+        )
+    )
