@@ -512,6 +512,51 @@ def q_reconciliation(spark, sf_dir):
     ).orderBy("o_month", "measure")
 
 
+def q_robust_threshold_alerts(spark, sf_dir):
+    """MedianAbsoluteDeviationThreshold + QuantileThreshold (§2.9
+    extension — robust bands NannyML lacks): the same per-chunk avg-price
+    series scored under med±3·1.4826·MAD and under the reference's own
+    [5%, 95%] quantiles. Exact percentiles are interpolation-identical to
+    DuckDB quantile_cont (the IQR-fit device), the decimal-exact series
+    is bit-stable, so everything hashes unrounded."""
+    from spark_validate.thresholds import (
+        MedianAbsoluteDeviationThreshold,
+        QuantileThreshold,
+    )
+
+    ref, ana = _li_split(spark, sf_dir)
+
+    def chunk_avgs(df):
+        assigned = _li_chunker().assign(df)
+        cid = F.floor(F.col(ROW_INDEX) / F.lit(LI_CHUNK)).cast("int")
+        dec = F.col("l_extendedprice").cast("decimal(18,2)")
+        return (
+            assigned.withColumn("chunk_index", cid)
+            .groupBy("chunk_index")
+            .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("value"))
+        )
+
+    ref_avgs = chunk_avgs(ref)
+    mad_lo, mad_up = MedianAbsoluteDeviationThreshold().fit(ref_avgs)
+    q_lo, q_up = QuantileThreshold(q_lower=0.05, q_upper=0.95).fit(ref_avgs)
+    out = chunk_avgs(ana)
+    rows = []
+    for name, lo, up in (("mad", mad_lo, mad_up), ("quantile", q_lo, q_up)):
+        rows.append(
+            out.select(
+                "chunk_index",
+                F.lit(name).alias("band"),
+                F.col("value"),
+                F.lit(lo).cast("double").alias("lower_threshold"),
+                F.lit(up).cast("double").alias("upper_threshold"),
+                ((F.col("value") < F.lit(lo)) | (F.col("value") > F.lit(up))).alias(
+                    "alert"
+                ),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("chunk_index", "band")
+
+
 def q_seasonal_alerts(spark, sf_dir):
     """with_seasonal_alerts (§2.9 extension — Prometheus/RRDtool seasonal
     baseline): each chunk judged against its own phase's strictly-
@@ -2559,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "seasonal_alerts": q_seasonal_alerts,
+        "robust_threshold_alerts": q_robust_threshold_alerts,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -3033,6 +3079,40 @@ SELECT o_month, measure, expected, actual, diff, match FROM (
          COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
   FROM j
 ) u ORDER BY o_month, measure
+"""
+
+    # robust_threshold_alerts: quantile_cont ≡ Spark exact percentile
+    # (interpolation-identical — the IQR device); med ± 3·1.4826·MAD and
+    # [q05, q95] bands in mirrored IEEE ops; decimal-exact series.
+    sql["robust_threshold_alerts"] = f"""
+WITH ref AS ({_LI_REF}),
+refs AS (
+  SELECT chunk_index,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS value
+  FROM ref GROUP BY chunk_index
+),
+med AS (SELECT quantile_cont(value, 0.5) AS m FROM refs),
+madv AS (SELECT quantile_cont(abs(value - (SELECT m FROM med)), 0.5) AS mad FROM refs),
+bands AS (
+  SELECT 'mad' AS band,
+         (SELECT m FROM med) - 3.0 * (1.4826 * (SELECT mad FROM madv)) AS lo,
+         (SELECT m FROM med) + 3.0 * (1.4826 * (SELECT mad FROM madv)) AS up
+  UNION ALL
+  SELECT 'quantile',
+         (SELECT quantile_cont(value, 0.05) FROM refs),
+         (SELECT quantile_cont(value, 0.95) FROM refs)
+),
+ana AS ({_LI_ANA}),
+anas AS (
+  SELECT chunk_index,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS value
+  FROM ana GROUP BY chunk_index
+)
+SELECT a.chunk_index, b.band, a.value,
+       b.lo AS lower_threshold, b.up AS upper_threshold,
+       (a.value < b.lo OR a.value > b.up) AS alert
+FROM anas a CROSS JOIN bands b
+ORDER BY a.chunk_index, b.band
 """
 
     # seasonal_alerts: per-phase strictly-preceding window mean/std

@@ -74,6 +74,19 @@ def _threshold(cfg: Optional[dict]):
         return None
     if cfg.get("type") == "constant":
         return ConstantThreshold(lower=cfg.get("lower"), upper=cfg.get("upper"))
+    if cfg.get("type") == "mad":
+        from spark_validate.thresholds import MedianAbsoluteDeviationThreshold
+
+        return MedianAbsoluteDeviationThreshold(
+            mad_lower_multiplier=cfg.get("mad_lower_multiplier", 3.0),
+            mad_upper_multiplier=cfg.get("mad_upper_multiplier", 3.0),
+        )
+    if cfg.get("type") == "quantile":
+        from spark_validate.thresholds import QuantileThreshold
+
+        return QuantileThreshold(
+            q_lower=cfg.get("q_lower", 0.05), q_upper=cfg.get("q_upper", 0.95)
+        )
     return StandardDeviationThreshold(
         std_lower_multiplier=cfg.get("std_lower_multiplier", 3.0),
         std_upper_multiplier=cfg.get("std_upper_multiplier", 3.0),

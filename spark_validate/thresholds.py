@@ -59,6 +59,65 @@ class StandardDeviationThreshold:
         return (lower, upper)
 
 
+@dataclass(frozen=True)
+class MedianAbsoluteDeviationThreshold:
+    """Robust band: ``median ± k · 1.4826 · MAD`` over reference per-chunk
+    values (1.4826 scales MAD to sigma for normal data — Hampel's
+    consistency constant). Heavy-tailed metric series drag mean AND std,
+    so the StandardDeviation band inflates around its own outliers; the
+    MAD band does not (50% breakdown point vs 0%). No reference analog
+    (NannyML ships constant + stddev, `nannyml/thresholds.py`); semantics
+    follow standard robust-statistics practice. Exact percentiles — the
+    fit runs over the ≤#chunks metric series, never the data."""
+
+    mad_lower_multiplier: Optional[float] = 3.0
+    mad_upper_multiplier: Optional[float] = 3.0
+
+    def fit(self, values_df: DataFrame, value_col: str = "value") -> Tuple[Optional[float], Optional[float]]:
+        row = values_df.agg(F.expr(f"percentile(`{value_col}`, 0.5)").alias("med")).first()
+        med = row["med"]
+        if med is None:
+            return (None, None)
+        mad_row = values_df.agg(
+            F.expr(f"percentile(abs(`{value_col}` - {med!r}), 0.5)").alias("mad")
+        ).first()
+        mad = mad_row["mad"]
+        if mad is None:
+            return (None, None)
+        scale = 1.4826 * mad
+        lower = med - self.mad_lower_multiplier * scale if self.mad_lower_multiplier is not None else None
+        upper = med + self.mad_upper_multiplier * scale if self.mad_upper_multiplier is not None else None
+        return (lower, upper)
+
+
+@dataclass(frozen=True)
+class QuantileThreshold:
+    """Empirical-quantile band: bounds = exact reference quantiles
+    (Evidently's quantile test surface). Distribution-free — the band is
+    whatever the reference series actually did, so a 5%/95% band alerts
+    on anything outside the reference's own 90% central mass. ``None``
+    disables a side."""
+
+    q_lower: Optional[float] = 0.05
+    q_upper: Optional[float] = 0.95
+
+    def __post_init__(self):
+        for q in (self.q_lower, self.q_upper):
+            if q is not None and not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantile must be in [0, 1], got {q}")
+
+    def fit(self, values_df: DataFrame, value_col: str = "value") -> Tuple[Optional[float], Optional[float]]:
+        aggs = []
+        if self.q_lower is not None:
+            aggs.append(F.expr(f"percentile(`{value_col}`, {self.q_lower!r})").alias("lo"))
+        if self.q_upper is not None:
+            aggs.append(F.expr(f"percentile(`{value_col}`, {self.q_upper!r})").alias("up"))
+        if not aggs:
+            return (None, None)
+        row = values_df.agg(*aggs).first().asDict()
+        return (row.get("lo"), row.get("up"))
+
+
 def fit_thresholds_grouped(
     values_df: DataFrame,
     group_cols: list,
@@ -85,6 +144,34 @@ def fit_thresholds_grouped(
         lower = (F.col("_m") - F.lit(lo_mult) * F.col("_s")) if lo_mult is not None else F.lit(None)
         upper = (F.col("_m") + F.lit(up_mult) * F.col("_s")) if up_mult is not None else F.lit(None)
         return agg.select(
+            *group_cols,
+            lower.cast("double").alias("lower_threshold"),
+            upper.cast("double").alias("upper_threshold"),
+        )
+    if isinstance(threshold, QuantileThreshold):
+        lo_q, up_q = threshold.q_lower, threshold.q_upper
+        agg = values_df.groupBy(*group_cols).agg(
+            (F.expr(f"percentile(`{value_col}`, {lo_q!r})") if lo_q is not None else F.lit(None)).alias("_lo"),
+            (F.expr(f"percentile(`{value_col}`, {up_q!r})") if up_q is not None else F.lit(None)).alias("_up"),
+        )
+        return agg.select(
+            *group_cols,
+            F.col("_lo").cast("double").alias("lower_threshold"),
+            F.col("_up").cast("double").alias("upper_threshold"),
+        )
+    if isinstance(threshold, MedianAbsoluteDeviationThreshold):
+        med = values_df.groupBy(*group_cols).agg(
+            F.expr(f"percentile(`{value_col}`, 0.5)").alias("_med")
+        )
+        dev = values_df.join(med, group_cols).groupBy(*group_cols).agg(
+            F.expr(f"percentile(abs(`{value_col}` - _med), 0.5)").alias("_mad"),
+            F.first("_med").alias("_m"),
+        )
+        lo_mult, up_mult = threshold.mad_lower_multiplier, threshold.mad_upper_multiplier
+        scale = F.lit(1.4826) * F.col("_mad")
+        lower = (F.col("_m") - F.lit(lo_mult) * scale) if lo_mult is not None else F.lit(None)
+        upper = (F.col("_m") + F.lit(up_mult) * scale) if up_mult is not None else F.lit(None)
+        return dev.select(
             *group_cols,
             lower.cast("double").alias("lower_threshold"),
             upper.cast("double").alias("upper_threshold"),

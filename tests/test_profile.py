@@ -535,3 +535,97 @@ def test_seasonal_alerts_phase_history_semantics(spark):
 
     with _pytest.raises(ValueError):
         with_seasonal_alerts(spark.createDataFrame(pdf), period=0)
+
+
+def test_mad_and_quantile_thresholds(spark):
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.thresholds import (
+        MedianAbsoluteDeviationThreshold,
+        QuantileThreshold,
+        fit_thresholds_grouped,
+    )
+
+    # series with one huge outlier: the stddev band inflates around it,
+    # the MAD band does not
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 1000.0]
+    pdf = pd.DataFrame(
+        {"column_name": "c", "method": "avg", "value": vals}
+    )
+    df = spark.createDataFrame(pdf)
+    lo, up = MedianAbsoluteDeviationThreshold().fit(df)
+    med = np.median(vals)
+    mad = np.median(np.abs(np.array(vals) - med))
+    assert np.isclose(lo, med - 3 * 1.4826 * mad)
+    assert np.isclose(up, med + 3 * 1.4826 * mad)
+    assert up < 100  # the outlier did not drag the band
+    qlo, qup = QuantileThreshold(q_lower=0.0, q_upper=1.0).fit(df)
+    assert qlo == 9.0 and qup == 1000.0
+    # grouped fit matches the scalar fit per series
+    two = pd.concat(
+        [pdf, pdf.assign(column_name="d", value=[v * 2 for v in vals])],
+        ignore_index=True,
+    )
+    g = (
+        fit_thresholds_grouped(
+            spark.createDataFrame(two),
+            ["column_name", "method"],
+            MedianAbsoluteDeviationThreshold(),
+        )
+        .toPandas()
+        .set_index("column_name")
+    )
+    assert np.isclose(g.loc["c", "lower_threshold"], lo)
+    assert np.isclose(g.loc["d", "upper_threshold"], 2 * up)
+    gq = (
+        fit_thresholds_grouped(
+            spark.createDataFrame(two),
+            ["column_name", "method"],
+            QuantileThreshold(q_lower=0.0, q_upper=1.0),
+        )
+        .toPandas()
+        .set_index("column_name")
+    )
+    assert gq.loc["c", "upper_threshold"] == 1000.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        QuantileThreshold(q_lower=-0.1)
+
+
+def test_runner_threshold_config_mad_quantile(spark, tmp_path):
+    import pandas as pd
+
+    from spark_validate.runner import _threshold, run_suite
+    from spark_validate.thresholds import (
+        MedianAbsoluteDeviationThreshold,
+        QuantileThreshold,
+    )
+
+    assert isinstance(_threshold({"type": "mad"}), MedianAbsoluteDeviationThreshold)
+    q = _threshold({"type": "quantile", "q_lower": 0.1, "q_upper": 0.9})
+    assert isinstance(q, QuantileThreshold) and q.q_lower == 0.1
+    # end-to-end: column_stats under a quantile band
+    pdf = pd.DataFrame({"id": range(100), "v": [float(i % 10) for i in range(100)]})
+    pdf.loc[95:, "v"] = 90.0  # last chunk's avg leaves the reference band
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(tmp_path / "t"))
+    cfg = {
+        "run_id": "thr",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": str(tmp_path / "t"),
+        "analysis": str(tmp_path / "t"),
+        "chunking": {"chunk_size": 20, "order_by": ["id"]},
+        "checks": [
+            {
+                "type": "column_stats",
+                "columns": ["v"],
+                "metrics": ["avg"],
+                "threshold": {"type": "quantile", "q_lower": 0.0, "q_upper": 1.0},
+            }
+        ],
+    }
+    report = run_suite(spark, cfg)
+    (rep,) = report.values()
+    assert rep["rows"] == 5 and rep["alerts"] == 0  # [min,max] band: self-clean
