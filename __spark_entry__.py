@@ -512,6 +512,47 @@ def q_reconciliation(spark, sf_dir):
     ).orderBy("o_month", "measure")
 
 
+def q_semantic_types(spark, sf_dir):
+    """SemanticTypeCheck (§2.3 extension — GE pattern expectations +
+    whylogs-style inference): fit learns each column's dominant semantic
+    type from a clean reference (full-match battery, Java↔RE2 dialect);
+    calculate reports per-chunk match rates of the fitted type. Planted:
+    every 7th uid corrupted in odd chunks only (rate 6/7 < 0.9 → alert),
+    every 211th email corrupted everywhere (rate ≈ 0.995, quiet). The
+    type INFERENCE (argmax + tie-break) is pinned by pytest; the oracle
+    re-derives the rates/alerts bit-exactly for the known types."""
+    from spark_validate.checks import SemanticTypeCheck
+
+    ev = _read(spark, sf_dir, "events")
+    cid = F.floor((F.col("event_id") - 1) / EV_CHUNK)
+
+    def derived(df, corrupt):
+        uid = F.col("user_id").cast("string")
+        email = F.concat(F.lit("user"), uid, F.lit("@example.com"))
+        dt = F.date_format("ts", "yyyy-MM-dd")
+        if corrupt:
+            odd_chunk = cid % 2 == 1
+            uid = F.when(
+                (F.col("event_id") % 7 == 0) & odd_chunk, F.concat(F.lit("x"), uid)
+            ).otherwise(uid)
+            email = F.when(
+                F.col("event_id") % 211 == 0, F.lit("not an email")
+            ).otherwise(email)
+        return df.select(
+            "event_id", uid.alias("uid"), email.alias("email"), dt.alias("dt")
+        )
+
+    chk = SemanticTypeCheck(
+        ["uid", "email", "dt"],
+        min_match=0.9,
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+    ).fit(derived(ev, corrupt=False))
+    res = chk.calculate(derived(ev, corrupt=True))
+    return res.select(
+        "chunk_index", "column_name", "method", "value", "alert"
+    ).orderBy("chunk_index", "column_name")
+
+
 def q_robust_threshold_alerts(spark, sf_dir):
     """MedianAbsoluteDeviationThreshold + QuantileThreshold (§2.9
     extension — robust bands NannyML lacks): the same per-chunk avg-price
@@ -2605,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "seasonal_alerts": q_seasonal_alerts,
         "robust_threshold_alerts": q_robust_threshold_alerts,
+        "semantic_types": q_semantic_types,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -3079,6 +3121,45 @@ SELECT o_month, measure, expected, actual, diff, match FROM (
          COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
   FROM j
 ) u ORDER BY o_month, measure
+"""
+
+    # semantic_types: anchored full-match battery evaluated byte-identically
+    # (regexp_matches with ^$ anchors ≡ rlike); rates are integer divisions;
+    # the fitted dominant types (integer_string / email / date_iso) are
+    # pinned by pytest, re-asserted here as literals.
+    sql["semantic_types"] = f"""
+WITH ev AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         CASE WHEN event_id % 7 = 0 AND (CAST(floor((event_id - 1.0) / {EV_CHUNK}) AS BIGINT) % 2) = 1
+              THEN 'x' || CAST(user_id AS VARCHAR) ELSE CAST(user_id AS VARCHAR) END AS uid,
+         CASE WHEN event_id % 211 = 0 THEN 'not an email'
+              ELSE 'user' || CAST(user_id AS VARCHAR) || '@example.com' END AS email,
+         strftime(ts, '%Y-%m-%d') AS dt
+  FROM events
+),
+r AS (
+  SELECT chunk_index, column_name, method,
+         CAST(SUM(hit) AS DOUBLE) / COUNT(v) AS value
+  FROM (
+    SELECT chunk_index, 'uid' AS column_name,
+           'semantic_match_rate[integer_string]' AS method, uid AS v,
+           CASE WHEN regexp_matches(uid, '^-?[0-9]+$') THEN 1 ELSE 0 END AS hit
+    FROM ev
+    UNION ALL
+    SELECT chunk_index, 'email', 'semantic_match_rate[email]', email,
+           CASE WHEN regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}$') THEN 1 ELSE 0 END
+    FROM ev
+    UNION ALL
+    SELECT chunk_index, 'dt', 'semantic_match_rate[date_iso]', dt,
+           CASE WHEN regexp_matches(dt, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$') THEN 1 ELSE 0 END
+    FROM ev
+  ) u
+  WHERE v IS NOT NULL
+  GROUP BY chunk_index, column_name, method
+)
+SELECT chunk_index, column_name, method, value,
+       COALESCE(value < 0.9, FALSE) AS alert
+FROM r ORDER BY chunk_index, column_name
 """
 
     # robust_threshold_alerts: quantile_cont ≡ Spark exact percentile

@@ -22,6 +22,7 @@ from spark_validate.checks.fd import FunctionalDependencyCheck
 from spark_validate.checks.freshness import FreshnessCheck
 from spark_validate.checks.reconcile import ReconciliationCheck, reconcile
 from spark_validate.checks.schema import SchemaCheck
+from spark_validate.checks.semantic import SemanticTypeCheck
 from spark_validate.checks.snapshot import (
     SnapshotDiffCheck,
     snapshot_diff,
@@ -49,6 +50,7 @@ __all__ = [
     "UniquenessCheck",
     "ReferentialIntegrityCheck",
     "SchemaCheck",
+    "SemanticTypeCheck",
     "FreshnessCheck",
     "FunctionalDependencyCheck",
     "ReconciliationCheck",

@@ -394,6 +394,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
         )
+    if kind == "semantic_types":
+        from spark_validate.checks.semantic import SemanticTypeCheck
+
+        return SemanticTypeCheck(
+            column_names=cfg["columns"],
+            min_match=cfg.get("min_match", 0.9),
+            chunker=chunker,
+            id_column=cfg.get("id_column"),
+        )
     if kind == "compliance":
         from spark_validate.checks.compliance import ComplianceCheck
         from spark_validate.thresholds import ConstantThreshold
@@ -665,6 +674,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
             "reconciliation",
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift", "rolling_drift",
+            "semantic_types",
             "vocab_drift", "correlation_drift",
         )
         if needs_fit:
