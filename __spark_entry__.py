@@ -512,6 +512,25 @@ def q_reconciliation(spark, sf_dir):
     ).orderBy("o_month", "measure")
 
 
+def q_shape_stats(spark, sf_dir):
+    """ShapeStatsCalculator (§2.4 extension — whylogs shape surface):
+    per-chunk skewness + excess kurtosis from DECIMAL(38,6)-exact power
+    sums (order-independent ⇒ bit-identical at any parallelism), central
+    moments derived in mirrored IEEE doubles; round(9) absorbs the
+    pow() last ulp."""
+    from spark_validate.checks import ShapeStatsCalculator
+
+    _, ana = _li_split(spark, sf_dir)
+    calc = ShapeStatsCalculator(["l_quantity", "l_extendedprice"], chunker=_li_chunker())
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index",
+        "column_name",
+        "method",
+        F.round(F.col("value"), 9).alias("value"),
+    ).orderBy("chunk_index", "column_name", "method")
+
+
 def q_semantic_types(spark, sf_dir):
     """SemanticTypeCheck (§2.3 extension — GE pattern expectations +
     whylogs-style inference): fit learns each column's dominant semantic
@@ -2647,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_alerts": q_seasonal_alerts,
         "robust_threshold_alerts": q_robust_threshold_alerts,
         "semantic_types": q_semantic_types,
+        "shape_stats": q_shape_stats,
         "missingness_corr": q_missingness_corr,
         "tvd_categorical": q_tvd_categorical,
         "tvd_price": q_tvd_price,
@@ -3121,6 +3141,45 @@ SELECT o_month, measure, expected, actual, diff, match FROM (
          COALESCE(abs(a_oc - e_oc) <= 0.0 + 0.005 * greatest(abs(e_oc), abs(a_oc)), FALSE)
   FROM j
 ) u ORDER BY o_month, measure
+"""
+
+    # shape_stats: DECIMAL(38,6) power sums (order-independent both
+    # engines), central-moment derivation mirrored op-for-op, POWER ↔
+    # F.pow last-ulp absorbed by round(9).
+    _shape_one = """
+  SELECT chunk_index, '{col}' AS column_name,
+         COUNT({col}) AS n,
+         CAST(SUM(CAST(CAST({col} AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST({col} AS DOUBLE) * CAST({col} AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(CAST({col} AS DOUBLE) * CAST({col} AS DOUBLE) * CAST({col} AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(CAST({col} AS DOUBLE) * CAST({col} AS DOUBLE) * CAST({col} AS DOUBLE) * CAST({col} AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS s4
+  FROM ana GROUP BY chunk_index
+"""
+    sql["shape_stats"] = f"""
+WITH ana AS ({_LI_ANA}),
+sums AS (
+  {_shape_one.format(col='l_quantity')}
+  UNION ALL
+  {_shape_one.format(col='l_extendedprice')}
+),
+m AS (
+  SELECT chunk_index, column_name, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM sums
+)
+SELECT chunk_index, column_name, method, value FROM (
+  SELECT chunk_index, column_name, 'skewness' AS method,
+         ROUND(CASE WHEN n > 1 AND m2 > 0 THEN m3 / POWER(m2, 1.5) END, 9) AS value
+  FROM m
+  UNION ALL
+  SELECT chunk_index, column_name, 'excess_kurtosis',
+         ROUND(CASE WHEN n > 1 AND m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 9)
+  FROM m
+) u ORDER BY chunk_index, column_name, method
 """
 
     # semantic_types: anchored full-match battery evaluated byte-identically

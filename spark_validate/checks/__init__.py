@@ -15,6 +15,7 @@ from spark_validate.checks.profile import (
     FrequentItemsCalculator,
     HistogramCalculator,
     RowCompletenessCalculator,
+    ShapeStatsCalculator,
     ZScoreOutlierCalculator,
 )
 from spark_validate.checks.compliance import ComplianceCheck
@@ -34,6 +35,7 @@ __all__ = [
     "ComplianceCheck",
     "CardinalityCalculator",
     "RowCompletenessCalculator",
+    "ShapeStatsCalculator",
     "EntropyCalculator",
     "IQROutlierCalculator",
     "QuantileStatsCalculator",

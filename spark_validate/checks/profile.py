@@ -943,3 +943,97 @@ class BenfordCalculator:
             return _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
 
         return exprs, fin
+
+
+@dataclass
+class ShapeStatsCalculator:
+    """Per-chunk distribution SHAPE: skewness and excess kurtosis per
+    numeric column (whylogs/pandas-profiling surface; NannyML stops at
+    avg/std — `nannyml/data_quality/simple`). Shape moves before the mean
+    does: a feature developing a heavy right tail keeps its average while
+    g1 jumps — the early-warning complement of the avg/std stats.
+
+    Cross-engine determinism (the zscore device, one moment further):
+    per-chunk sums of v, v², v³, v⁴ accumulate as DECIMAL(38,6) — addition
+    is order-independent, so the sums are bit-identical at any
+    parallelism — and the central-moment derivation
+    (``m2 = s2/n − μ²``, ``m3 = s3/n − 3μs2/n + 2μ³``,
+    ``m4 = s4/n − 4μs3/n + 6μ²s2/n − 3μ⁴``) runs in plain IEEE doubles a
+    DuckDB oracle mirrors op-for-op. Headroom: DECIMAL(38,6) overflows at
+    ~10^31 total magnitude; v⁴ of a 10^5-scale column over a 10^9-row
+    chunk is ~10^29 — document larger magnitudes out of scope (pre-scale
+    the column). Population formulas: ``g1 = m3/m2^1.5``,
+    ``g2 = m4/m2² − 3``; chunks with fewer than 2 distinct-valued rows
+    (m2 == 0) yield NULL, never an alert.
+
+    Pure codegen aggregate — fusable into the suite's shared scan.
+    """
+
+    column_names: Sequence[str]
+    chunker: Chunker = field(default_factory=DefaultChunker)
+    threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=None))
+
+    def _exprs(self, dtypes, prefix: str):
+        exprs = []
+        for c in self.column_names:
+            v = nan_to_null(F.col(c), dtypes[c]).cast("double")
+            exprs += [
+                F.count(v).alias(f"{prefix}{c}__n"),
+                F.sum(v.cast(_DEC_V)).alias(f"{prefix}{c}__s1"),
+                F.sum((v * v).cast(_DEC_S)).alias(f"{prefix}{c}__s2"),
+                F.sum((v * v * v).cast(_DEC_S)).alias(f"{prefix}{c}__s3"),
+                F.sum((v * v * v * v).cast(_DEC_S)).alias(f"{prefix}{c}__s4"),
+            ]
+        return exprs
+
+    def _melt(self, wide: DataFrame, prefix: str, hdr_cols=()) -> DataFrame:
+        pairs = []
+        for c in self.column_names:
+            n = F.col(f"{prefix}{c}__n").cast("double")
+            s1 = F.col(f"{prefix}{c}__s1").cast("double")
+            s2 = F.col(f"{prefix}{c}__s2").cast("double")
+            s3 = F.col(f"{prefix}{c}__s3").cast("double")
+            s4 = F.col(f"{prefix}{c}__s4").cast("double")
+            mu = s1 / n
+            m2 = s2 / n - mu * mu
+            m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+            m4 = (
+                s4 / n
+                - F.lit(4.0) * mu * (s3 / n)
+                + F.lit(6.0) * mu * mu * (s2 / n)
+                - F.lit(3.0) * mu * mu * mu * mu
+            )
+            ok = (F.col(f"{prefix}{c}__n") > 1) & (m2 > 0)
+            g1 = F.when(ok, m3 / F.pow(m2, F.lit(1.5)))
+            g2 = F.when(ok, m4 / (m2 * m2) - F.lit(3.0))
+            pairs += [
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit("skewness").alias("method"),
+                    g1.cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit("excess_kurtosis").alias("method"),
+                    g2.cast("double").alias("value"),
+                ),
+            ]
+        return wide.select(
+            CHUNK_KEY, *hdr_cols, F.explode(F.array(*pairs)).alias("kv")
+        ).select(CHUNK_KEY, *hdr_cols, "kv.column_name", "kv.method", "kv.value")
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        dtypes = dict(df.dtypes)
+        assigned, headers = assign_chunks(df, self.chunker)
+        wide = assigned.groupBy(CHUNK_KEY).agg(*self._exprs(dtypes, ""))
+        long_df = self._melt(wide, "")
+        return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)
+
+    def fuse_contrib(self, dtypes, prefix: str):
+        exprs = self._exprs(dtypes, prefix)
+
+        def fin(wide: DataFrame, period: str) -> DataFrame:
+            long_df = self._melt(wide, prefix, hdr_cols=_FUSE_HDR_COLS)
+            return _attach_const_threshold(long_df, None, period, self.threshold.lower, self.threshold.upper)
+
+        return exprs, fin

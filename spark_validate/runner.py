@@ -439,6 +439,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
                 cfg.get("lower_threshold"), cfg.get("upper_threshold", 0.015)
             ),
         )
+    if kind == "shape":
+        from spark_validate.checks.profile import ShapeStatsCalculator
+        from spark_validate.thresholds import ConstantThreshold
+
+        return ShapeStatsCalculator(
+            column_names=cfg["columns"],
+            chunker=chunker,
+            threshold=ConstantThreshold(cfg.get("lower_threshold"), cfg.get("upper_threshold")),
+        )
     if kind == "entropy":
         from spark_validate.checks.profile import EntropyCalculator
         from spark_validate.thresholds import ConstantThreshold

@@ -190,6 +190,29 @@ class ImageValidationSuite:
             card = CardinalityCalculator(["image_id", "fmt"], exact=False, chunker=self.chunker)
             out["cardinality"] = card.calculate(analysis)
 
+        # 6d2. record-level completeness + cross-column invariants: rows
+        # missing several fields at once are unusable for training even when
+        # every column's own null rate looks healthy; the compliance rules
+        # encode the image-table business invariants (dims positive, bytes
+        # present when dims are). Both pure agg expressions.
+        if self.include_profile_checks:
+            from spark_validate.checks import ComplianceCheck, RowCompletenessCalculator
+
+            out["row_completeness"] = RowCompletenessCalculator(
+                ["bytes", "w", "h", "fmt", "caption"],
+                min_fraction=0.8,
+                chunker=self.chunker,
+                id_column="image_id",
+            ).calculate(analysis)
+            out["compliance"] = ComplianceCheck(
+                rules={
+                    "dims_positive": "w > 0 AND h > 0",
+                    "bytes_when_dims": "(w IS NULL AND h IS NULL) OR bytes IS NOT NULL",
+                },
+                chunker=self.chunker,
+                id_column="image_id",
+            ).calculate(analysis)
+
         # 6e. cross-modal consistency: images sharing one phash must agree
         # on the caption — contradictory supervision otherwise. Two-level
         # caption collapse, conflicted-group frame broadcast back.

@@ -629,3 +629,42 @@ def test_runner_threshold_config_mad_quantile(spark, tmp_path):
     report = run_suite(spark, cfg)
     (rep,) = report.values()
     assert rep["rows"] == 5 and rep["alerts"] == 0  # [min,max] band: self-clean
+
+
+def test_shape_stats_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.checks import ShapeStatsCalculator
+    from spark_validate.chunking import PartitionChunker
+
+    rng = [float((i * 37 % 97)) ** 1.5 / 10 for i in range(200)]  # right-skewed
+    pdf = pd.DataFrame({"part": ["p0"] * 100 + ["p1"] * 100, "v": rng})
+    pdf.loc[3, "v"] = None  # NULL excluded
+    df = spark.createDataFrame(pdf)
+    res = (
+        ShapeStatsCalculator(["v"], chunker=PartitionChunker(columns=["part"]))
+        .calculate(df)
+        .toPandas()
+        .set_index(["chunk_key", "method"])["value"]
+    )
+    for part in ("p0", "p1"):
+        vals = pdf[(pdf["part"] == part)]["v"].dropna().to_numpy()
+        mu = vals.mean()
+        m2 = ((vals - mu) ** 2).mean()
+        m3 = ((vals - mu) ** 3).mean()
+        m4 = ((vals - mu) ** 4).mean()
+        assert np.isclose(res[(f"part={part}", "skewness")], m3 / m2**1.5, rtol=1e-9)
+        assert np.isclose(
+            res[(f"part={part}", "excess_kurtosis")], m4 / m2**2 - 3.0, rtol=1e-9
+        )
+    # constant chunk -> m2 == 0 -> NULL, no crash
+    const = spark.createDataFrame(
+        pd.DataFrame({"part": ["p0"] * 5, "v": [7.0] * 5})
+    )
+    r2 = (
+        ShapeStatsCalculator(["v"], chunker=PartitionChunker(columns=["part"]))
+        .calculate(const)
+        .toPandas()
+    )
+    assert r2["value"].isna().all() and not r2["alert"].any()
