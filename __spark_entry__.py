@@ -1861,6 +1861,45 @@ def q_caption_election(spark, sf_dir):
     return elect_canonical_captions(docs, "phash", "caption").orderBy("phash")
 
 
+def q_caption_spam(spark, sf_dir):
+    """Boilerplate-caption spam detection (image/consistency.py::
+    CaptionSpamCheck) — the INVERSE of caption_consistency: one caption
+    spanning many distinct image identities is near-zero-information
+    supervision (stock-photo templates, SEO boilerplate). Planted corpus:
+    every 11th doc carries 'TEMPLATE-A' across ~n/11 distinct groups
+    (spam); docs ≡1 (mod 11) repeat a caption only WITHIN one group
+    (repeated but n_groups=1 — must NOT flag); every 53rd caption is NULL
+    (ignored); TEMPLATE-A rows divisible by 7 have a NULL group (count as
+    rows, never as identities). Witnesses are bounded MIN/MAX groups."""
+    from spark_validate.image import CaptionSpamCheck
+
+    did = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when((did % 7 == 0) & (did % 11 == 0), F.lit(None).cast("long"))
+        .otherwise(did % 997)
+        .alias("phash"),
+        F.when(did % 53 == 0, F.lit(None).cast("string"))
+        .when(did % 11 == 0, F.lit("TEMPLATE-A"))
+        .when(did % 11 == 1, F.concat(F.lit("g-"), (did % 997).cast("string")))
+        .otherwise(F.concat(F.lit("cap-"), did.cast("string")))
+        .alias("caption"),
+    )
+    chk = CaptionSpamCheck(
+        group_col="phash", caption_col="caption", max_groups=3,
+        chunker=SizeBasedChunker(chunk_size=25, order_by=["doc_id"]),
+    )
+    return (
+        chk.violations(docs, row_id="doc_id")
+        .select(
+            _chunk_index_from_key(25).alias("chunk_index"),
+            F.col("row_id").cast("long").alias("row_id"),
+            "violation_kind", "observed_value",
+        )
+        .orderBy("row_id")
+    )
+
+
 MIX_TARGETS = {"en": 0.5, "de": 0.3, "fr": 0.2}
 
 
@@ -2628,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "mixture_sample": q_mixture_sample,
         "caption_consistency": q_caption_consistency,
+        "caption_spam": q_caption_spam,
         "caption_election": q_caption_election,
         "train_split": q_train_split,
         "sequence_packing": q_sequence_packing,
@@ -4475,6 +4515,37 @@ SELECT b.chunk_index, b.doc_id AS row_id,
        'caption_conflict' AS violation_kind,
        c.caption_a || ' <> ' || c.caption_b AS observed_value
 FROM base b JOIN conf c USING (phash)
+ORDER BY row_id
+"""
+
+    # Caption spam: distinct-group spread per caption; COUNT(DISTINCT)
+    # ignores NULL groups on both engines, witness span is MIN/MAX so even
+    # this HAVING-filtered join hashes exactly.
+    sql["caption_spam"] = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 AND doc_id % 11 = 0 THEN NULL
+              ELSE doc_id % 997 END AS phash,
+         CASE WHEN doc_id % 53 = 0 THEN NULL
+              WHEN doc_id % 11 = 0 THEN 'TEMPLATE-A'
+              WHEN doc_id % 11 = 1 THEN 'g-' || CAST(doc_id % 997 AS VARCHAR)
+              ELSE 'cap-' || CAST(doc_id AS VARCHAR) END AS caption,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 25) AS INTEGER)
+           AS chunk_index
+  FROM documents
+),
+spam AS (
+  SELECT caption, COUNT(DISTINCT phash) AS n_groups,
+         MIN(phash) AS group_a, MAX(phash) AS group_b
+  FROM base WHERE caption IS NOT NULL
+  GROUP BY caption HAVING COUNT(DISTINCT phash) > 3
+)
+SELECT b.chunk_index, b.doc_id AS row_id,
+       'caption_spam' AS violation_kind,
+       'groups=' || CAST(s.n_groups AS VARCHAR)
+         || ' span=' || CAST(s.group_a AS VARCHAR)
+         || '..' || CAST(s.group_b AS VARCHAR) AS observed_value
+FROM base b JOIN spam s USING (caption)
 ORDER BY row_id
 """
 

@@ -9,6 +9,7 @@ from spark_validate.image.header import (
 )
 from spark_validate.image.consistency import (
     CaptionConsistencyCheck,
+    CaptionSpamCheck,
     apply_canonical_captions,
     elect_canonical_captions,
 )
@@ -23,6 +24,7 @@ from spark_validate.image.transforms import (
 
 __all__ = [
     "CaptionConsistencyCheck",
+    "CaptionSpamCheck",
     "apply_canonical_captions",
     "elect_canonical_captions",
     "synth_image_table",

@@ -105,6 +105,113 @@ def apply_canonical_captions(
 
 
 @dataclass
+class CaptionSpamCheck:
+    """Flag captions attached to MANY distinct image identities — the
+    INVERSE of :class:`CaptionConsistencyCheck`. A boilerplate caption
+    stamped across unrelated images ("stock photo", an SEO template, a
+    watermark transcription) is near-zero-information supervision: the
+    model learns to emit the template for everything. Web-scale
+    image+caption curation pipelines gate on exactly this signal; the
+    reference's closest analog is again the seen-set duplicate machinery
+    (`nannyml/data_quality/unseen/calculator.py:126-131`), the cross-modal
+    spam semantics are new.
+
+    Semantics: a caption is SPAM when it appears with more than
+    ``max_groups`` distinct non-null image groups (exact phash by default;
+    pass a near-dup cluster id for fuzzier identity). NULL captions are
+    ignored (missing captions are the missing-values check's job). Rows
+    whose group is NULL still count toward the caption's row count but
+    never toward its group count (no image identity → can't evidence
+    spread).
+
+    Scale: the same two-level collapse as the consistency check —
+    ``groupBy(caption, group)`` first so a billion identical
+    (caption, image) rows map-side combine to one shuffled pair, then
+    ``groupBy(caption)`` over the collapsed pairs. The spam-caption frame
+    joining back to the corpus holds only offending captions (tiny → AQE
+    broadcast); witnesses are bounded MIN/MAX groups, never a
+    collect_list.
+    """
+
+    group_col: str = "phash"
+    caption_col: str = "caption"
+    max_groups: int = 1
+    chunker: Optional[Chunker] = None
+    upper_threshold: float = 0.0  # spam-row rate above this alerts
+
+    def spam_captions(self, df: DataFrame) -> DataFrame:
+        """One row per spam caption: (caption, n_rows, n_groups,
+        group_a, group_b) for captions spanning > max_groups distinct
+        non-null groups. group_a/group_b are the min/max witness
+        identities (bounded, deterministic)."""
+        g, c = self.group_col, self.caption_col
+        pairs = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c, g)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        grouped = pairs.groupBy(c).agg(
+            F.sum("_cnt").alias("n_rows"),
+            F.count(F.when(F.col(g).isNotNull(), F.lit(1))).alias("n_groups"),
+            F.min(g).alias("group_a"),
+            F.max(g).alias("group_b"),
+        )
+        return grouped.filter(F.col("n_groups") > int(self.max_groups))
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        """Long result: per-chunk rate of rows carrying a caption that is
+        spammy anywhere in the FULL frame (corpus-level identity,
+        chunk-level reporting — the UniquenessCheck convention)."""
+        chunker = self.chunker or DefaultChunker()
+        assigned, headers = assign_chunks(df, chunker)
+        bad = self.spam_captions(df).select(
+            self.caption_col, F.lit(1).alias("_spam")
+        )
+        marked = assigned.join(bad, self.caption_col, "left")
+        agg = marked.groupBy(CHUNK_KEY).agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.sum(F.coalesce(F.col("_spam"), F.lit(0))).alias("__bad_rows"),
+        )
+        long_df = agg.select(
+            CHUNK_KEY,
+            F.lit(f"{self.caption_col}@{self.group_col}").alias("column_name"),
+            F.lit("caption_spam_rate").alias("method"),
+            (F.col("__bad_rows") / F.col("__rows")).cast("double").alias("value"),
+        )
+        return _attach_const_threshold(
+            long_df, headers, period, None, self.upper_threshold
+        )
+
+    def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
+        """Every row carrying a spam caption, with the group-spread witness."""
+        chunker = self.chunker or DefaultChunker()
+        assigned = chunker.assign(df)
+        bad = self.spam_captions(df)
+        rows = assigned.join(bad, self.caption_col, "inner")
+        return rows.select(
+            F.lit("caption_spam").alias("check"),
+            F.lit(f"{self.caption_col}@{self.group_col}").alias("column_name"),
+            F.col(CHUNK_KEY),
+            (
+                F.col(row_id).cast("string")
+                if row_id
+                else F.col(self.caption_col).cast("string")
+            ).alias("row_id"),
+            F.lit("caption_spam").alias("violation_kind"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("groups="), F.col("n_groups").cast("string")),
+                F.concat(
+                    F.lit("span="),
+                    F.col("group_a").cast("string"),
+                    F.lit(".."),
+                    F.col("group_b").cast("string"),
+                ),
+            ).alias("observed_value"),
+        )
+
+
+@dataclass
 class CaptionConsistencyCheck:
     """Flag image groups whose rows disagree on the caption.
 

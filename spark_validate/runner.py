@@ -119,6 +119,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "caption_spam":
+        from spark_validate.image.consistency import CaptionSpamCheck
+
+        return CaptionSpamCheck(
+            group_col=cfg.get("group_column", "phash"),
+            caption_col=cfg.get("caption_column", "caption"),
+            max_groups=cfg.get("max_groups", 1),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "referential":
         manifest = read_source(spark, cfg["manifest"])
         return ReferentialIntegrityCheck(

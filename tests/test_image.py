@@ -767,6 +767,90 @@ def test_caption_consistency_runner_kind(spark, tmp_path):
     assert len(vio) == 12 * len(flagged_groups)  # all 12 rows of each group
 
 
+def test_caption_spam_spread_boundary_and_nulls(spark):
+    """A caption is spam iff it spans > max_groups DISTINCT non-null
+    groups: exactly-at-boundary stays clean, repeats within one group stay
+    clean, NULL captions are ignored, NULL-group rows count toward n_rows
+    but never toward the spread."""
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.image import CaptionSpamCheck
+
+    rows = [
+        # 'tmpl': 3 distinct groups + one NULL-group row → spam at max_groups=2
+        (0, 10, "tmpl"), (1, 11, "tmpl"), (2, 12, "tmpl"), (3, None, "tmpl"),
+        # 'twice': 2 groups — exactly at the boundary → clean
+        (4, 20, "twice"), (5, 21, "twice"),
+        # 'same': repeated 3× within ONE group → clean (dedup's job, not spam)
+        (6, 30, "same"), (7, 30, "same"), (8, 30, "same"),
+        # NULL captions never vote, whatever their spread
+        (9, 40, None), (10, 41, None), (11, 42, None),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+    chk = CaptionSpamCheck(
+        group_col="phash", caption_col="caption", max_groups=2,
+        chunker=SizeBasedChunker(chunk_size=6, order_by=["image_id"]),
+    )
+    spam = chk.spam_captions(df).toPandas()
+    assert spam["caption"].tolist() == ["tmpl"]
+    assert int(spam.loc[0, "n_groups"]) == 3
+    assert int(spam.loc[0, "n_rows"]) == 4  # NULL-group row counts as a row
+    assert int(spam.loc[0, "group_a"]) == 10 and int(spam.loc[0, "group_b"]) == 12
+
+    res = chk.calculate(df).toPandas().sort_values("chunk_key").reset_index(drop=True)
+    # chunk [0:5] holds the 4 tmpl rows of 6; chunk [6:11] none
+    assert res["value"].tolist() == [4 / 6, 0.0]
+    assert res["alert"].tolist() == [True, False]
+
+    v = chk.violations(df, row_id="image_id").toPandas()
+    assert sorted(v["row_id"].astype(int).tolist()) == [0, 1, 2, 3]
+    assert (v["observed_value"] == "groups=3 span=10..12").all()
+
+
+def test_caption_spam_runner_kind(spark, tmp_path):
+    """Config-driven caption_spam check writes per-chunk rates and spam
+    violations through the suite runner."""
+    import pandas as pd
+
+    from spark_validate.runner import run_suite
+
+    n = 120
+    pdf = pd.DataFrame({
+        "image_id": range(n),
+        "phash": range(n),  # every image distinct
+        "caption": [
+            "STOCK TEMPLATE" if i % 5 == 0 else f"caption-{i}" for i in range(n)
+        ],
+        "ord": range(n),
+    })
+    src = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    cfg = {
+        "run_id": "capspam",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": src,
+        "analysis": src,
+        "chunking": {"chunk_size": 40, "order_by": ["ord"]},
+        "row_id": "image_id",
+        "checks": [
+            {
+                "type": "caption_spam",
+                "group_column": "phash",
+                "caption_column": "caption",
+                "max_groups": 3,
+            }
+        ],
+    }
+    report = run_suite(spark, cfg)
+    assert any("caption_spam" in k for k in report)
+    res = spark.read.parquet(str(tmp_path / "out" / "results")).toPandas()
+    res = res[res["method"] == "caption_spam_rate"]
+    assert len(res) == 3 and (res["value"] == 8 / 40).all() and res["alert"].all()
+    vio = spark.read.parquet(str(tmp_path / "out" / "violations")).toPandas()
+    vio = vio[vio["check"].str.startswith("caption_spam")]
+    assert len(vio) == 24  # every 5th of 120 rows carries the template
+
+
 def test_caption_election_majority_tiebreak_nulls(spark):
     """Most frequent non-null caption wins; exact ties break to the
     lexicographically smallest; NULL captions don't vote; all-NULL groups
