@@ -974,6 +974,64 @@ def q_ks_price(spark, sf_dir):
     return res.select("chunk_index", F.round("value", 9).alias("ks_stat")).orderBy("chunk_index")
 
 
+def q_category_shift(spark, sf_dir):
+    """Per-category share-shift attribution (drift/catshift.py::
+    CategoryShiftCalculator) — WHICH category moved, not just that the
+    column drifted. Derived category on orders: every 11th key becomes
+    'NEW-A' (reference period) / 'NEW-B' (analysis period), the rest keep
+    o_orderpriority — so the movers table must show the __other__ lump
+    absorbing the reference-unseen NEW-B mass (+~9%), NEW-A vanishing
+    (−~9%), and the natural priority drifts below both. Top-4 by |delta|,
+    deterministic tie-break, alert at |delta| > 0.02."""
+    from spark_validate.drift.catshift import CategoryShiftCalculator
+
+    ref, ana = _ord_split(spark, sf_dir)
+    cat = F.when(
+        F.col("o_orderkey") % 11 == 0,
+        F.concat(
+            F.lit("NEW-"),
+            F.when(
+                F.col("o_orderdate") >= F.lit(ORD_CUT).cast("timestamp"), F.lit("B")
+            ).otherwise(F.lit("A")),
+        ),
+    ).otherwise(F.col("o_orderpriority"))
+    ref = ref.select("o_orderkey", cat.alias("cat"))
+    ana = ana.select("o_orderkey", cat.alias("cat"))
+    calc = CategoryShiftCalculator(
+        ["cat"], chunker=_ord_chunker(), top_m=4, delta_threshold=0.02
+    )
+    timed_fit(calc, ref)
+    return (
+        calc.movers(ana)
+        .select(
+            _chunk_index_from_key(ORD_CHUNK).alias("chunk_index"),
+            "category", "ref_share", "chunk_share", "delta", "rank", "alert",
+        )
+        .orderBy("chunk_index", "rank")
+    )
+
+
+def q_cvm_price(spark, sf_dir):
+    """Binned Cramér–von Mises distance (drift/univariate.py::
+    _cvm_from_dense) on l_extendedprice — ω² = ∫ (F_ref − F_chunk)² dH over
+    the SAME 1000-bin ECDF sketch KS rides (one shared histogram shuffle for
+    both methods). Out-of-range lumps score mass³/2 at the range-adjacent
+    edge; the oracle mirrors the convention term-for-term."""
+    res = _drift_query(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_extendedprice",
+        ("cramer_von_mises",),
+        "cont",
+        _li_chunker(),
+        _li_split(spark, sf_dir),
+        n_bins_ecdf=1000,
+        computation="estimated",  # oracle SQL encodes the binned path
+    )
+    return res.select("chunk_index", F.round("value", 9).alias("cvm_dist")).orderBy("chunk_index")
+
+
 def q_wasserstein_qty(spark, sf_dir):
     """Binned Wasserstein (§2.2) on l_quantity, 1000 bins."""
     res = _drift_query(
@@ -2634,6 +2692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hellinger_categorical": q_hellinger_categorical,
         "psi_price": q_psi_price,
         "ks_price": q_ks_price,
+        "cvm_price": q_cvm_price,
+        "category_shift": q_category_shift,
         "wasserstein_qty": q_wasserstein_qty,
         "hellinger_price": q_hellinger_price,
         "js_price": q_js_price,
@@ -3749,6 +3809,76 @@ FROM terms ORDER BY chunk_index
   FROM dense
 )
 SELECT chunk_index, round(max(abs(ref_cdf - chunk_cdf)), 9) AS ks_stat FROM cdf GROUP BY 1 ORDER BY 1
+"""
+
+    # Category share-shift attribution: dense (chunk × fitted cats +
+    # __other__) share deltas, ranked by magnitude. Shares are single
+    # integer divisions on both engines → unrounded hash-exact.
+    sql["category_shift"] = f"""
+WITH src AS (
+  SELECT o_orderkey, o_orderdate,
+         CASE WHEN o_orderkey % 11 = 0
+              THEN 'NEW-' || CASE WHEN o_orderdate >= TIMESTAMP '{ORD_CUT}' THEN 'B' ELSE 'A' END
+              ELSE o_orderpriority END AS cat
+  FROM orders
+),
+ref_n AS (SELECT count(*) AS n FROM src WHERE o_orderdate < TIMESTAMP '{ORD_CUT}'),
+fitted AS (
+  SELECT cat AS value, CAST(count(*) AS DOUBLE) / (SELECT n FROM ref_n) AS ref_share
+  FROM src WHERE o_orderdate < TIMESTAMP '{ORD_CUT}' GROUP BY 1
+  UNION ALL SELECT '__other__', 0.0
+),
+ana AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / {ORD_CHUNK}) AS INT) AS chunk_index,
+         cat
+  FROM src WHERE o_orderdate >= TIMESTAMP '{ORD_CUT}'
+),
+mapped AS (
+  SELECT chunk_index,
+         CASE WHEN cat IN (SELECT value FROM fitted) THEN cat ELSE '__other__' END AS value,
+         count(*) AS cnt
+  FROM ana GROUP BY 1, 2
+),
+tot AS (SELECT chunk_index, sum(cnt) AS n FROM mapped GROUP BY 1),
+dense AS (
+  SELECT t.chunk_index, f.value, f.ref_share,
+         CAST(coalesce(m.cnt, 0) AS DOUBLE) / t.n AS chunk_share
+  FROM tot t CROSS JOIN fitted f
+  LEFT JOIN mapped m ON m.chunk_index = t.chunk_index AND m.value = f.value
+),
+ranked AS (
+  SELECT chunk_index, value AS category, ref_share, chunk_share,
+         chunk_share - ref_share AS delta,
+         CAST(row_number() OVER (
+           PARTITION BY chunk_index
+           ORDER BY abs(chunk_share - ref_share) DESC, value ASC
+         ) AS INT) AS rank
+  FROM dense
+)
+SELECT chunk_index, category, ref_share, chunk_share, delta, rank,
+       abs(delta) > 0.02 AS alert
+FROM ranked WHERE rank <= 4 ORDER BY chunk_index, rank
+"""
+
+    # Cramér–von Mises distance on l_extendedprice: pooled-weighted squared
+    # CDF gap over the same dense-ECDF CTE as ks_price; OOR lumps mass³/2.
+    sql["cvm_price"] = _cont_dense_sql("l_extendedprice", 1000, ref_f, ana_f) + """
+, cdf AS (
+  SELECT chunk_index, bucket, p, q, n, n_below,
+         sum(p) OVER (PARTITION BY chunk_index ORDER BY bucket) AS ref_cdf,
+         CAST(n_below AS DOUBLE) / n + sum(q) OVER (PARTITION BY chunk_index ORDER BY bucket) AS chunk_cdf
+  FROM dense
+),
+agg AS (
+  SELECT chunk_index,
+         sum((p + q) / 2 * (ref_cdf - chunk_cdf) * (ref_cdf - chunk_cdf)) AS within,
+         CAST(max(n_below) AS DOUBLE) / max(n) AS below,
+         greatest(1.0 - CAST(max(n_below) AS DOUBLE) / max(n) - sum(q), 0.0) AS above
+  FROM cdf GROUP BY 1
+)
+SELECT chunk_index,
+       round(within + power(below, 3) / 2 + power(above, 3) / 2, 9) AS cvm_dist
+FROM agg ORDER BY 1
 """
 
     # wasserstein on l_quantity (ranges coincide between periods → correction

@@ -64,7 +64,10 @@ from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
 from spark_validate.result import conform_result
 from spark_validate.thresholds import StandardDeviationThreshold, alert_expr
 
-CONTINUOUS_METHODS = ("jensen_shannon", "kolmogorov_smirnov", "wasserstein", "hellinger", "psi", "tvd", "kl")
+CONTINUOUS_METHODS = (
+    "jensen_shannon", "kolmogorov_smirnov", "wasserstein", "hellinger",
+    "psi", "tvd", "kl", "cramer_von_mises",
+)
 CATEGORICAL_METHODS = ("jensen_shannon", "chi2", "l_infinity", "hellinger", "psi", "tvd", "kl")
 
 _NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal", "long")
@@ -79,6 +82,7 @@ _LIMITS = {
     "psi": (0.0, None),
     "tvd": (0.0, 1.0),
     "kl": (0.0, None),
+    "cramer_von_mises": (0.0, 1.0),
 }
 
 
@@ -234,7 +238,7 @@ class UnivariateDriftCalculator:
         specs = []
         if {"jensen_shannon", "hellinger", "tvd", "kl"} & set(self.continuous_methods):
             specs.append("doane")
-        if {"kolmogorov_smirnov", "wasserstein"} & set(self.continuous_methods):
+        if {"kolmogorov_smirnov", "wasserstein", "cramer_von_mises"} & set(self.continuous_methods):
             specs.append("ecdf")
         if "psi" in self.continuous_methods:
             specs.append("psi")
@@ -329,7 +333,7 @@ class UnivariateDriftCalculator:
         # exact KS/Wasserstein path (methods.py:411-424): reference < 10k rows
         # under 'auto', or forced — store the raw reference column (small by
         # construction; hard cap guards against misuse at scale)
-        if {"kolmogorov_smirnov", "wasserstein"} & set(self.continuous_methods):
+        if {"kolmogorov_smirnov", "wasserstein", "cramer_von_mises"} & set(self.continuous_methods):
             for c in cols:
                 st = self._cont_state[c]
                 if self.computation == "exact" or (self.computation == "auto" and st.n_ref < 10_000):
@@ -542,7 +546,7 @@ class UnivariateDriftCalculator:
         n_branches = sum(
             (
                 bool({"jensen_shannon", "hellinger", "tvd", "kl"} & methods),
-                bool({"kolmogorov_smirnov", "wasserstein"} & methods),
+                bool({"kolmogorov_smirnov", "wasserstein", "cramer_von_mises"} & methods),
                 "psi" in methods,
             )
         )
@@ -561,7 +565,7 @@ class UnivariateDriftCalculator:
             out.extend(
                 self._hist_distance_methods(dense, methods & {"jensen_shannon", "hellinger", "tvd", "kl"})
             )
-        if {"kolmogorov_smirnov", "wasserstein"} & methods:
+        if {"kolmogorov_smirnov", "wasserstein", "cramer_von_mises"} & methods:
             exact_cols = [c for c in self._cont_cols if c in self._exact_ref]
             binned_cols = [c for c in self._cont_cols if c not in self._exact_ref]
             if binned_cols:
@@ -572,6 +576,8 @@ class UnivariateDriftCalculator:
                     out.append(self._ks_from_dense(dense))
                 if "wasserstein" in methods:
                     out.append(self._wasserstein_from_dense(dense, assigned, dtypes))
+                if "cramer_von_mises" in methods:
+                    out.append(self._cvm_from_dense(dense))
             if exact_cols:
                 out.extend(self._exact_ks_wasserstein(assigned, dtypes, exact_cols, methods))
         if "psi" in methods:
@@ -666,6 +672,44 @@ class UnivariateDriftCalculator:
             F.max(F.abs(F.col("ref_cdf") - F.col("chunk_cdf"))).cast("double").alias("value")
         ).withColumn("method", F.lit("kolmogorov_smirnov")).select(
             CHUNK_KEY, "column_name", "method", "value"
+        )
+
+    def _cvm_from_dense(self, dense: DataFrame) -> DataFrame:
+        """Binned Cramér–von Mises DISTANCE ω² = ∫ (F_ref − F_chunk)² dH,
+        H = (F_ref + F_chunk)/2, over the reference bin partition — the same
+        ECDF sketch KS rides (zero extra shuffles; the window and the final
+        aggregate run on the already-shared dense frame). Per ref bucket the
+        CDFs are right-edge (cumsum) values and the pooled step mass is
+        (p + q)/2. Out-of-range analysis mass is scored at the edge ADJACENT
+        to the reference range (below lump: F_ref = 0, F_chunk = below;
+        above lump: F_ref = 1, F_chunk = 1 − above) so each lump contributes
+        mass³/2 — documented convention, mirrored exactly by the DuckDB
+        oracle. Bounded in [0, 1]; exact path for small references uses
+        `functions.mathstats.cvm_dist_2samp` (same definition, raw values)."""
+        w = Window.partitionBy(CHUNK_KEY, "column_name").orderBy("bucket")
+        below = F.col("n_below") / F.col("n_nonnull")
+        cdf = dense.withColumn("chunk_cdf", below + F.sum("q").over(w))
+        grp = cdf.groupBy(CHUNK_KEY, "column_name").agg(
+            F.sum(
+                ((F.col("p") + F.col("q")) / F.lit(2.0))
+                * F.pow(F.col("ref_cdf") - F.col("chunk_cdf"), 2)
+            ).alias("_within"),
+            (F.max("n_below") / F.max("n_nonnull")).alias("_below"),
+            (
+                F.lit(1.0) - F.max("n_below") / F.max("n_nonnull") - F.sum("q")
+            ).alias("_above"),
+        )
+        ab = F.greatest(F.col("_above"), F.lit(0.0))  # guard float residue
+        val = (
+            F.col("_within")
+            + F.pow(F.col("_below"), 3) / F.lit(2.0)
+            + F.pow(ab, 3) / F.lit(2.0)
+        )
+        return grp.select(
+            CHUNK_KEY,
+            "column_name",
+            F.lit("cramer_von_mises").alias("method"),
+            val.cast("double").alias("value"),
         )
 
     def _wasserstein_from_dense(self, dense: DataFrame, assigned: DataFrame, dtypes) -> DataFrame:
@@ -788,11 +832,15 @@ class UnivariateDriftCalculator:
         reference column, evaluated per chunk in one Arrow pass per column."""
         import pandas as pd  # noqa: F811
 
-        from spark_validate.functions.mathstats import ks_stat_2samp, wasserstein_1d
+        from spark_validate.functions.mathstats import (
+            cvm_dist_2samp,
+            ks_stat_2samp,
+            wasserstein_1d,
+        )
 
         sc = assigned.sparkSession.sparkContext
         out = []
-        wanted = sorted(methods & {"kolmogorov_smirnov", "wasserstein"})
+        wanted = sorted(methods & {"kolmogorov_smirnov", "wasserstein", "cramer_von_mises"})
         for c in cols:
             ref_vals = np.asarray(self._exact_ref[c], dtype=np.float64)
             bc = sc.broadcast(ref_vals)
@@ -807,6 +855,8 @@ class UnivariateDriftCalculator:
                             v = float("nan")
                         elif m == "kolmogorov_smirnov":
                             v = ks_stat_2samp(bc_ref.value, vals)
+                        elif m == "cramer_von_mises":
+                            v = cvm_dist_2samp(bc_ref.value, vals)
                         else:
                             v = wasserstein_1d(bc_ref.value, vals)
                         rows.append((key, m, v))

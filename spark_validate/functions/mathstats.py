@@ -215,6 +215,25 @@ def wasserstein_1d(a, b) -> float:
     return float(np.sum(np.abs(cdf_a - cdf_b) * deltas))
 
 
+def cvm_dist_2samp(a, b) -> float:
+    """Exact two-sample Cramér–von Mises DISTANCE
+    ω² = ∫ (F_a − F_b)² dH with H = (F_a + F_b)/2 — the pooled
+    Lebesgue–Stieltjes integral of the squared ECDF gap, NOT the classical
+    T test statistic (no sample-size scaling, no p-value): a bounded [0, 1]
+    distance that thresholds like the other drift distances. Evaluated at
+    the distinct pooled values with right-continuous ECDFs; identical
+    samples → 0, disjoint supports → limit 1/4·(1) + ... < 1."""
+    a = np.sort(np.asarray(a, dtype=np.float64))
+    b = np.sort(np.asarray(b, dtype=np.float64))
+    allv = np.unique(np.concatenate([a, b]))
+    cdf_a = np.searchsorted(a, allv, side="right") / len(a)
+    cdf_b = np.searchsorted(b, allv, side="right") / len(b)
+    # step masses of H at each pooled point: ΔH = (ΔF_a + ΔF_b) / 2
+    da = np.diff(np.concatenate([[0.0], cdf_a]))
+    db = np.diff(np.concatenate([[0.0], cdf_b]))
+    return float(np.sum((cdf_a - cdf_b) ** 2 * (da + db) / 2.0))
+
+
 def average_precision(y_true, scores) -> float:
     """Tie-grouped average precision (sklearn semantics: AP = Σ ΔR·P over
     descending-score thresholds) — numpy mirror of the Spark expression used

@@ -504,6 +504,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             n_bins_doane=cfg.get("n_bins_doane"),
         )
+    if kind == "category_shift":
+        from spark_validate.drift.catshift import CategoryShiftCalculator
+
+        return CategoryShiftCalculator(
+            column_names=cfg["columns"],
+            chunker=chunker,
+            max_categories=cfg.get("max_categories", 200),
+            top_m=cfg.get("top_m", 5),
+            delta_threshold=cfg.get("delta_threshold", 0.05),
+        )
     if kind == "correlation_drift":
         from spark_validate.drift.correlation import CorrelationDriftCalculator
 
@@ -694,7 +704,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             "reconciliation",
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift", "rolling_drift",
             "semantic_types",
-            "vocab_drift", "correlation_drift",
+            "vocab_drift", "correlation_drift", "category_shift",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

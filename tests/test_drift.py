@@ -303,6 +303,52 @@ def test_tvd_continuous_and_categorical_vs_oracle(spark, frame):
         assert abs(got - want) < 1e-9
 
 
+def test_cvm_binned_vs_numpy_and_exact_path(spark, frame):
+    """Cramér–von Mises distance ω² = ∫ (F_ref − F_chunk)² dH, H pooled:
+    the binned path equals a numpy replica of the sketch formula (pooled
+    per-bucket weights, OOR lumps mass³/2); the exact path (auto, 5k < 10k
+    reference) bit-matches `cvm_dist_2samp`; identical samples score ~0."""
+    from spark_validate.functions.mathstats import cvm_dist_2samp
+
+    sdf, pdf = frame
+    calc, res = _fit_calc(sdf, methods_cont=("cramer_von_mises",))
+    st = calc._cont_state["x"]
+    n_bins, probs = st.specs["ecdf"]
+    ref_cdf = np.cumsum(probs)
+    edges = np.linspace(st.lo, st.hi, n_bins + 1)
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        inb = chunk[(chunk >= st.lo) & (chunk <= st.hi)]
+        h, _ = np.histogram(inb, bins=edges)
+        q = h / len(chunk)
+        below = np.mean(chunk < st.lo)
+        above = np.mean(chunk > st.hi)
+        chunk_cdf = below + np.cumsum(q)
+        within = np.sum((np.asarray(probs) + q) / 2 * (ref_cdf - chunk_cdf) ** 2)
+        want = within + below**3 / 2 + above**3 / 2
+        got = res[
+            (res.method == "cramer_von_mises") & (res.chunk_index == i)
+        ]["value"].iloc[0]
+        assert abs(got - want) < 1e-9
+        assert 0.0 <= got <= 1.0
+
+    # exact path: auto switches below 10k reference rows
+    calc2 = UnivariateDriftCalculator(
+        ["x"],
+        continuous_methods=("cramer_von_mises",),
+        chunker=SizeBasedChunker(chunk_size=CHUNK, order_by=["id"]),
+        computation="auto",
+    ).fit(sdf.filter("is_ref"))
+    assert "x" in calc2._exact_ref
+    res2 = (
+        calc2.calculate(sdf.filter("NOT is_ref")).orderBy("chunk_index").toPandas()
+    )
+    ref_vals = pdf[pdf.is_ref]["x"].to_numpy()
+    for i, chunk in enumerate(_chunks(pdf[~pdf.is_ref], "x")):
+        assert res2["value"].iloc[i] == cvm_dist_2samp(ref_vals, chunk)
+    # self-distance: reference scored against itself in one chunk is 0
+    assert cvm_dist_2samp(ref_vals, ref_vals) == 0.0
+
+
 def test_tvd_streams_identically(spark, frame, tmp_path):
     """TVD joins the streamable set: per-window values equal the batch path."""
     from spark_validate.chunking import PeriodBasedChunker
