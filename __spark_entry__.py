@@ -974,6 +974,29 @@ def q_ks_price(spark, sf_dir):
     return res.select("chunk_index", F.round("value", 9).alias("ks_stat")).orderBy("chunk_index")
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (text/quality.py::_gopher_exprs — Rae et
+    al. 2021 §A1.1) per document: one boolean per named rule plus the
+    conjunction gate. min_words lowered to 10 for this short-document
+    corpus so the word-count rule is non-degenerate; every rule is a single
+    codegen SQL expression (no UDF, narrow projection)."""
+    from spark_validate.text.quality import with_gopher_flags
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_gopher_flags(docs, min_words=10)
+    return out.select(
+        "doc_id",
+        "gopher_word_count_range",
+        "gopher_mean_word_length",
+        "gopher_symbol_word_ratio",
+        "gopher_bullet_line_frac",
+        "gopher_ellipsis_line_frac",
+        "gopher_alpha_word_ratio",
+        "gopher_stopword_hits",
+        "gopher_pass",
+    ).orderBy("doc_id")
+
+
 def q_category_shift(spark, sf_dir):
     """Per-category share-shift attribution (drift/catshift.py::
     CategoryShiftCalculator) — WHICH category moved, not just that the
@@ -2694,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_price": q_ks_price,
         "cvm_price": q_cvm_price,
         "category_shift": q_category_shift,
+        "gopher_rules": q_gopher_rules,
         "wasserstein_qty": q_wasserstein_qty,
         "hellinger_price": q_hellinger_price,
         "js_price": q_js_price,
@@ -3809,6 +3833,52 @@ FROM terms ORDER BY chunk_index
   FROM dense
 )
 SELECT chunk_index, round(max(abs(ref_cdf - chunk_cdf)), 9) AS ks_stat FROM cdf GROUP BY 1 ORDER BY 1
+"""
+
+    # Gopher rule battery: every rule re-derived in DuckDB list/regex
+    # functions; ratios are single int→double divisions so the boolean
+    # comparisons agree exactly. list_distinct guards the stopword
+    # intersection (Spark's array_intersect de-duplicates).
+    sql["gopher_rules"] = """
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+w AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS W,
+         list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS L
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+         len(W) AS n, len(L) AS nl,
+         CAST(list_sum(list_transform(W, x -> length(x))) AS DOUBLE) AS chars,
+         (length(t) - length(replace(t, '#', ''))) AS hashcnt,
+         ((length(t) - length(replace(t, '...', ''))) / 3
+           + (length(t) - length(replace(t, '…', '')))) AS ellcnt,
+         len(list_filter(W, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+         len(list_distinct(list_intersect(
+           list_transform(W, x -> lower(x)),
+           ['the','be','to','of','and','that','have','with']))) AS stophits,
+         len(list_filter(L, x -> regexp_matches(trim(x), '^[•\\-\\*]'))) AS bulls,
+         len(list_filter(L, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS ells
+  FROM w
+),
+flags AS (
+  SELECT doc_id,
+    n BETWEEN 10 AND 100000 AS gopher_word_count_range,
+    (CASE WHEN n > 0 THEN chars / n END) BETWEEN 3 AND 10 AS gopher_mean_word_length,
+    (CASE WHEN n > 0 THEN (hashcnt + ellcnt) / n END) <= 0.1 AS gopher_symbol_word_ratio,
+    (CASE WHEN nl > 0 THEN CAST(bulls AS DOUBLE) / nl END) <= 0.9 AS gopher_bullet_line_frac,
+    (CASE WHEN nl > 0 THEN CAST(ells AS DOUBLE) / nl END) <= 0.3 AS gopher_ellipsis_line_frac,
+    (CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n END) >= 0.8 AS gopher_alpha_word_ratio,
+    stophits >= 2 AS gopher_stopword_hits
+  FROM m
+)
+SELECT *,
+  coalesce(gopher_word_count_range, false) AND coalesce(gopher_mean_word_length, false)
+  AND coalesce(gopher_symbol_word_ratio, false) AND coalesce(gopher_bullet_line_frac, false)
+  AND coalesce(gopher_ellipsis_line_frac, false) AND coalesce(gopher_alpha_word_ratio, false)
+  AND coalesce(gopher_stopword_hits, false) AS gopher_pass
+FROM flags ORDER BY doc_id
 """
 
     # Category share-shift attribution: dense (chunk × fitted cats +

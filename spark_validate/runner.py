@@ -425,6 +425,23 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
                 cfg.get("lower_threshold"), cfg.get("upper_threshold", 0)
             ),
         )
+    if kind == "gopher_quality":
+        # the Gopher rule battery as a compliance check: per-chunk per-rule
+        # violation rates + violation rows from the existing machinery
+        from spark_validate.checks.compliance import ComplianceCheck
+        from spark_validate.text.quality import gopher_compliance_rules
+        from spark_validate.thresholds import ConstantThreshold
+
+        reserved = ("type", "name", "column", "id_column", "lower_threshold", "upper_threshold")
+        overrides = {k: v for k, v in cfg.items() if k not in reserved}
+        return ComplianceCheck(
+            rules=gopher_compliance_rules(cfg.get("column", "text"), **overrides),
+            chunker=chunker,
+            id_column=cfg.get("id_column"),
+            threshold=ConstantThreshold(
+                cfg.get("lower_threshold"), cfg.get("upper_threshold", 0)
+            ),
+        )
     if kind == "row_completeness":
         from spark_validate.checks.profile import RowCompletenessCalculator
         from spark_validate.thresholds import ConstantThreshold

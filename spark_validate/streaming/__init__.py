@@ -12,6 +12,7 @@ from spark_validate.streaming.stateful import (
     streaming_duplicate_keys,
 )
 from spark_validate.streaming.drift import (
+    streaming_category_shift,
     streaming_correlation_drift,
     streaming_embedding_drift,
     streaming_grouped_drift,
@@ -32,6 +33,7 @@ __all__ = [
     "streaming_caption_conflicts",
     "streaming_duplicate_keys",
     "streaming_univariate_drift",
+    "streaming_category_shift",
     "streaming_correlation_drift",
     "streaming_embedding_drift",
     "streaming_grouped_drift",

@@ -248,6 +248,87 @@ def streaming_vocab_drift(
     return _melt(agg, specs)
 
 
+def streaming_category_shift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``CategoryShiftCalculator``
+    (`spark_validate/drift/catshift.py`) into a streaming per-category
+    attribution query: one conditional count per fitted category (plus the
+    ``__other__`` reference-unseen lump) inside ONE tumbling event-time
+    aggregation — bounded at ≤ columns × (max_categories + 1) expressions
+    by the fit, no explode, no state beyond the window aggregate. Emits one
+    row per (window, column, fitted category) with ref/window shares, the
+    signed delta, and the |delta| > threshold alert — per-window shares are
+    bit-identical to the batch ``movers`` shares over the window's rows.
+    The batch path owns RANKING (top-m needs a window function, unsupported
+    on streaming aggregates in append mode) — documented division of
+    labor; the alert flag carries the same threshold."""
+    if calc._state is None:
+        raise RuntimeError("fit the calculator on the reference period first")
+    from spark_validate.calculators.base import nan_to_null
+    from spark_validate.drift.catshift import OTHER
+
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+    dtypes = dict(stream.dtypes)
+    aggs, melt = [], []
+    for ci, c in enumerate(calc.column_names):
+        st = calc._state[c]
+        n_ref = max(int(st["n_ref"]), 1)
+        v = nan_to_null(F.col(c), dtypes[c]).cast("string")
+        cats = sorted(st["counts"])
+        aggs.append(F.count(v).alias(f"__n_{ci}"))
+        kept = 0
+        for vi, cat in enumerate(cats):
+            kept += int(st["counts"][cat])
+            aggs.append(F.count(F.when(v == F.lit(cat), F.lit(1))).alias(f"__c_{ci}_{vi}"))
+            melt.append((c, ci, cat, int(st["counts"][cat]) / n_ref, f"__c_{ci}_{vi}"))
+        # __other__: non-null values outside the fitted set
+        aggs.append(
+            F.count(
+                F.when(v.isNotNull() & ~v.isin(list(cats)), F.lit(1))
+            ).alias(f"__c_{ci}_other")
+        )
+        melt.append((c, ci, OTHER, (int(st["n_ref"]) - kept) / n_ref, f"__c_{ci}_other"))
+    agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(*aggs)
+    structs = []
+    for c, ci, cat, p, cnt_col in melt:
+        n = F.col(f"__n_{ci}")
+        q = F.when(n > 0, F.col(cnt_col) / n)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(cat).alias("category"),
+                F.lit(float(p)).alias("ref_share"),
+                q.cast("double").alias("chunk_share"),
+                (q - F.lit(float(p))).cast("double").alias("delta"),
+            )
+        )
+    thr = float(calc.delta_threshold)
+    return (
+        agg.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.explode(F.array(*structs)).alias("kv"),
+        )
+        .select(
+            "window_start",
+            "window_end",
+            "kv.column_name",
+            "kv.category",
+            "kv.ref_share",
+            "kv.chunk_share",
+            "kv.delta",
+            (F.abs(F.col("kv.delta")) > F.lit(thr)).alias("alert"),
+        )
+    )
+
+
 def streaming_grouped_drift(
     stream: DataFrame,
     calc,

@@ -313,6 +313,23 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 stream, calc, ts, window_duration=window, watermark=watermark or window
             )
             queries[key] = _sink(v_drift, out_dir, key, "append", trigger).start()
+        elif kind == "category_shift":
+            if reference is None:
+                raise ValueError("category_shift check needs a reference table to fit")
+            from spark_validate.streaming.drift import streaming_category_shift
+
+            key = uniq(
+                check_cfg.get("name")
+                or "category_shift__" + "_".join(check_cfg["columns"]),
+                check_idx,
+            )
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            calc = build_check(spark, check_cfg, chunker)
+            calc.fit(reference)
+            c_shift = streaming_category_shift(
+                stream, calc, ts, window_duration=window, watermark=watermark or window
+            )
+            queries[key] = _sink(c_shift, out_dir, key, "append", trigger).start()
         elif kind == "grouped_drift":
             if reference is None:
                 raise ValueError("grouped_drift check needs a reference table to fit")

@@ -216,6 +216,9 @@ def curate(
 
     * ``quality`` — min_chars / max_chars / min_words / max_words /
       max_digit_ratio (row-local).
+    * ``gopher_quality`` — the named Gopher rule battery
+      (`quality.py::_gopher_exprs`); any `gopher_thresholds` knob as a
+      param (row-local; drop when ANY rule fails, NULL = fail).
     * ``lang`` — ``allowed: [en, ...]`` via the stopword language-ID
       heuristic (row-local).
     * ``pii`` — ``action: redact`` (default; rewrites the text column,
@@ -293,6 +296,18 @@ def curate(
 
         if kind == "quality":
             work = work.withColumn(fc, _quality_flag(text_col, spec))
+        elif kind == "gopher_quality":
+            # the named Gopher rule battery (quality.py::_gopher_exprs) as a
+            # drop gate: a doc is dropped when ANY rule fails (NULL = fail)
+            from spark_validate.text.quality import gopher_compliance_rules
+
+            overrides = {
+                k: v for k, v in spec.items() if k not in ("stage", "name")
+            }
+            keep = F.lit(True)
+            for sql in gopher_compliance_rules(text_col, **overrides).values():
+                keep = keep & F.coalesce(F.expr(sql), F.lit(False))
+            work = work.withColumn(fc, ~keep)
         elif kind == "lang":
             from spark_validate.text.quality import with_language_id
 

@@ -322,3 +322,112 @@ class RepetitionCheck:
                 F.col("_observed").alias("observed_value"),
             )
         )
+
+
+# -- Gopher document-quality rules ---------------------------------------------
+#
+# The named heuristic battery from Rae et al. 2021 (Gopher, §A1.1 "quality
+# filtering"), the de-facto standard web-corpus gate (reused by MassiveText,
+# RefinedWeb, Dolma). Every rule is ONE Catalyst SQL expression (codegen,
+# no UDF, narrow — the whole battery is a single projection over the corpus),
+# expressed as SQL TEXT so the same strings feed three consumers:
+# `with_gopher_flags` (per-doc flag columns), `ComplianceCheck` via
+# `gopher_compliance_rules` (per-chunk violation rates + violation rows,
+# fusable into the suite's shared scan), and the curation `gopher_quality`
+# stage (a conjunction filter). Reference model: NannyML has no document
+# gate; the nearest machinery is the threshold/alert layer
+# (`nannyml/thresholds.py`) these rules' rates plug into.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_exprs(text_col: str, th: dict) -> dict:
+    """rule name → boolean Spark-SQL expression TEXT ("complies" sense).
+    NULL text yields NULL/failing rules (the compliance NULL-is-violation
+    convention)."""
+    t = f"coalesce({text_col}, '')"
+    # non-empty whitespace tokens / non-blank lines
+    W = f"filter(split({t}, '\\\\s+'), x -> x != '')"
+    L = f"filter(split({t}, '\\n'), x -> trim(x) != '')"
+    n = f"size({W})"
+    nl = f"size({L})"
+    char_sum = f"aggregate({W}, 0L, (a, x) -> a + length(x))"
+    hash_cnt = f"(length({t}) - length(replace({t}, '#', '')))"
+    ell_cnt = (
+        f"((length({t}) - length(replace({t}, '...', ''))) / 3"
+        f" + (length({t}) - length(replace({t}, '…', ''))))"
+    )
+    alpha = f"size(filter({W}, x -> x rlike '[A-Za-z]'))"
+    stops = ", ".join(f"'{w}'" for w in th["stopwords"])
+    stop_hits = f"size(array_intersect(transform({W}, x -> lower(x)), array({stops})))"
+    return {
+        "word_count_range": f"{n} BETWEEN {th['min_words']} AND {th['max_words']}",
+        "mean_word_length": (
+            f"CASE WHEN {n} > 0 THEN CAST({char_sum} AS DOUBLE) / {n} END"
+            f" BETWEEN {th['min_mean_word_len']} AND {th['max_mean_word_len']}"
+        ),
+        "symbol_word_ratio": (
+            f"CASE WHEN {n} > 0 THEN ({hash_cnt} + {ell_cnt}) / {n} END"
+            f" <= {th['max_symbol_word_ratio']}"
+        ),
+        "bullet_line_frac": (
+            f"CASE WHEN {nl} > 0 THEN CAST(size(filter({L},"
+            f" x -> trim(x) rlike '^[•\\\\-\\\\*]')) AS DOUBLE) / {nl} END"
+            f" <= {th['max_bullet_line_frac']}"
+        ),
+        "ellipsis_line_frac": (
+            f"CASE WHEN {nl} > 0 THEN CAST(size(filter({L},"
+            f" x -> trim(x) rlike '(\\\\.\\\\.\\\\.|…)$')) AS DOUBLE) / {nl} END"
+            f" <= {th['max_ellipsis_line_frac']}"
+        ),
+        "alpha_word_ratio": (
+            f"CASE WHEN {n} > 0 THEN CAST({alpha} AS DOUBLE) / {n} END"
+            f" >= {th['min_alpha_word_ratio']}"
+        ),
+        "stopword_hits": f"{stop_hits} >= {th['min_stopword_hits']}",
+    }
+
+
+def gopher_thresholds(**overrides) -> dict:
+    """Published Gopher defaults; override any knob (e.g. ``min_words=10``
+    for short-document corpora)."""
+    th = {
+        "min_words": 50,
+        "max_words": 100_000,
+        "min_mean_word_len": 3,
+        "max_mean_word_len": 10,
+        "max_symbol_word_ratio": 0.1,
+        "max_bullet_line_frac": 0.9,
+        "max_ellipsis_line_frac": 0.3,
+        "min_alpha_word_ratio": 0.8,
+        "min_stopword_hits": 2,
+        "stopwords": GOPHER_STOPWORDS,
+    }
+    unknown = set(overrides) - set(th)
+    if unknown:
+        raise ValueError(f"unknown gopher threshold(s): {sorted(unknown)}")
+    th.update(overrides)
+    return th
+
+
+def with_gopher_flags(
+    df: DataFrame, text_col: str = "text", prefix: str = "gopher_", **overrides
+) -> DataFrame:
+    """One boolean column per Gopher rule (True = complies; NULL-guarded
+    rules come back NULL on degenerate docs and fail the pass flag) plus
+    ``{prefix}pass`` — the conjunction the curation gate filters on."""
+    th = gopher_thresholds(**overrides)
+    out = df
+    pass_col = F.lit(True)
+    for name, sql in _gopher_exprs(text_col, th).items():
+        flag = F.expr(sql)
+        out = out.withColumn(f"{prefix}{name}", flag)
+        pass_col = pass_col & F.coalesce(flag, F.lit(False))
+    return out.withColumn(f"{prefix}pass", pass_col)
+
+
+def gopher_compliance_rules(text_col: str = "text", **overrides) -> dict:
+    """The rule battery as `checks.compliance.ComplianceCheck` input —
+    per-chunk violation rates, violation rows, and shared-scan fusion come
+    from the existing machinery for free."""
+    return dict(_gopher_exprs(text_col, gopher_thresholds(**overrides)))

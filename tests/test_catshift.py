@@ -110,6 +110,58 @@ def test_max_categories_bound_and_tail_lump(spark):
         assert abs(other["ref_share"].iloc[0] - (n - 500 - 9) / n) < 1e-12
 
 
+def test_streaming_category_shift_matches_batch(spark, tmp_path):
+    """The streaming compile emits per-(window, category) shares equal to
+    batch movers over a matching hourly period chunker; the batch path owns
+    ranking, the stream carries the same |delta|>threshold alert."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.streaming import streaming_category_shift
+
+    n = 1200
+    ts = pd.date_range("2024-06-03", periods=n, freq="9s")  # 3 hours
+    idx = np.arange(n)
+    cat = np.where(idx % 4 == 0, "a", np.where(idx % 4 == 1, "b", "c"))
+    # last streamed hour: the 'a' slot becomes a brand-new category
+    cat = np.where((idx >= 2 * n // 3) & (idx % 4 == 0), "zzz", cat)
+    pdf = pd.DataFrame({"ts": ts, "id": idx, "cat": cat})
+    ref, ana = pdf.iloc[: n // 3], pdf.iloc[n // 3 :]
+
+    calc = CategoryShiftCalculator(
+        ["cat"],
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+        top_m=10,
+        delta_threshold=0.1,
+    ).fit(spark.createDataFrame(ref))
+    batch = calc.movers(spark.createDataFrame(ana)).toPandas()
+
+    src = str(tmp_path / "catshift_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_category_shift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_catshift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    s = spark.sql("SELECT * FROM sv_catshift").toPandas()
+    assert set(s["category"]) == {"a", "b", "c", "__other__"}
+    # per-window shares equal the batch movers (hour-keyed join per category)
+    b = batch.copy()
+    b["hour"] = b["chunk_key"].str.slice(0, 13)  # period key '2024-06-03 12'
+    s["hour"] = pd.to_datetime(s["window_start"]).dt.strftime("%Y-%m-%d %H")
+    joined = b.merge(s, on=["hour", "category"], suffixes=("_b", "_s"))
+    assert len(joined) >= 6
+    np.testing.assert_allclose(joined["chunk_share_b"], joined["chunk_share_s"], rtol=1e-12)
+    np.testing.assert_allclose(joined["delta_b"], joined["delta_s"], rtol=1e-12)
+    assert (joined["alert_b"].astype(bool) == joined["alert_s"].astype(bool)).all()
+    # the drifted final hour alerts on the __other__ lump
+    last = s[s["hour"] == s["hour"].max()]
+    assert bool(last[last.category == "__other__"]["alert"].iloc[0])
+
+
 def test_runner_kind_category_shift(spark, tmp_path):
     from spark_validate.runner import run_suite
 

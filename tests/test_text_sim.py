@@ -619,3 +619,90 @@ def test_embedding_leakage_check_in_runner(spark, tmp_path):
     v = viol.toPandas()
     assert set(v["row_id"]) == {"7", "30"}
     assert all(ov.startswith("101@cos=1.0") for ov in v["observed_value"])
+
+
+def test_gopher_flags_rule_semantics(spark):
+    """Each named Gopher rule trips on its own planted pathology and only
+    that; NULL text fails the gate; short-doc override works."""
+    import pandas as pd
+
+    from spark_validate.text.quality import with_gopher_flags
+
+    good = ("the cat and the dog have come to be friends of all that "
+            "live with them in town") * 2
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            good,                             # 0: passes everything
+            "# " * 30,                        # 1: symbols + no alpha + no stopwords
+            "- the list\n- of items\n- that be here\n- with more\n- and more",  # 2: all bullets
+            "the start of that story...\nand more of it...\nto be continued...",  # 3: all ellipsis ends
+            None,                             # 4: NULL text
+            "a b c d e f g h i j k l the of", # 5: mean word length 1.x too low
+        ],
+    })
+    out = with_gopher_flags(spark.createDataFrame(docs), min_words=10).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "gopher_pass"])
+    assert not out.loc[1, "gopher_symbol_word_ratio"]
+    assert not out.loc[1, "gopher_alpha_word_ratio"]
+    assert not out.loc[2, "gopher_bullet_line_frac"]
+    assert bool(out.loc[2, "gopher_stopword_hits"])  # the/of/that/be/with/and present
+    assert not out.loc[3, "gopher_ellipsis_line_frac"]
+    assert not bool(out.loc[4, "gopher_pass"])       # NULL text can't pass
+    assert not out.loc[5, "gopher_mean_word_length"]
+    assert not bool(out.loc[5, "gopher_pass"])
+    # published default (min_words=50) fails the short good doc
+    strict = with_gopher_flags(spark.createDataFrame(docs)).toPandas().set_index("doc_id")
+    assert not strict.loc[0, "gopher_word_count_range"]
+    # unknown override is an explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown gopher"):
+        with_gopher_flags(spark.createDataFrame(docs), min_wordz=10)
+
+
+def test_gopher_curation_stage_and_runner_kind(spark, tmp_path):
+    """The gopher_quality curation stage drops rule-failing docs with
+    first-fail attribution; the runner kind reports per-chunk per-rule
+    violation rates through the compliance machinery."""
+    import pandas as pd
+
+    from spark_validate.runner import run_suite
+    from spark_validate.text.curate import curate
+
+    good = ("the cat and the dog have come to be friends of all that "
+            "live with them in town and of the field")
+    n = 40
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "text": [("# # # # # # # # # # # #" if i % 4 == 0 else good) for i in range(n)],
+        "ord": range(n),
+    })
+    df = spark.createDataFrame(pdf)
+    res = curate(df, [{"stage": "gopher_quality", "min_words": 10}])
+    kept = res.curated.toPandas()
+    assert len(kept) == 30 and (kept.doc_id % 4 != 0).all()
+    rep_rows = {r["stage"]: r["docs_dropped"] for r in res.report().collect()}
+    assert rep_rows["gopher_quality"] == 10
+    ann = {r["doc_id"]: r["dropped_by"] for r in res.annotated.collect()}
+    assert ann[0] == "gopher_quality" and ann[1] is None
+
+    src = str(tmp_path / "docs.parquet")
+    df.write.parquet(src)
+    cfg = {
+        "run_id": "gopher",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": src,
+        "analysis": src,
+        "chunking": {"chunk_size": 20, "order_by": ["ord"]},
+        "row_id": "doc_id",
+        "checks": [{"type": "gopher_quality", "min_words": 10, "id_column": "doc_id"}],
+    }
+    rep = run_suite(spark, cfg)
+    key = next(k for k in rep if "gopher" in k)
+    res = spark.read.parquet(str(tmp_path / "out" / "results")).toPandas()
+    res = res[res["method"] == "compliance_violation_rate"]
+    sym = res[res["column_name"] == "symbol_word_ratio"]
+    assert len(sym) == 2 and (sym["value"] == 0.25).all() and sym["alert"].all()
+    assert (res[res["column_name"] == "stopword_hits"]["value"] == 0.25).all()
