@@ -246,6 +246,11 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
     from spark_validate.image.phash import PhashHistogramDrift
 
     phdrift = PhashHistogramDrift(chunker=chunker).fit(ref)
+    # fmt share-shift attribution: WHICH format moved when the domain/chi2
+    # style alerts fire (drift/catshift.py; one counts shuffle + broadcast)
+    from spark_validate.drift.catshift import CategoryShiftCalculator
+
+    catshift = CategoryShiftCalculator(["fmt"], chunker=chunker, delta_threshold=0.02).fit(ref)
 
     # all long-form results share one schema → ONE union, ONE action
     def relational_pass():
@@ -257,6 +262,7 @@ def timed_analysis_pass(spark, n_rows, parts) -> float:
             .unionByName(hdr.calculate(ana))
             .unionByName(drift.calculate(ana))
             .unionByName(phdrift.calculate(ana))
+            .unionByName(catshift.calculate(ana))
         )
         results.agg(F.count(F.lit(1)), F.sum(F.col("alert").cast("int"))).collect()
 

@@ -60,7 +60,9 @@ class ImageValidationSuite:
     include_schema_check: bool = True
     include_phash_dedup: bool = False  # near-dup sweep (adds one shuffle + verify)
     include_profile_checks: bool = True  # z-score row gates + HLL++ cardinality
-    include_consistency_check: bool = True  # caption↔image conflict rate
+    include_consistency_check: bool = True  # caption↔image conflict + spam rates
+    include_category_shift: bool = True  # fmt share-shift attribution
+    caption_spam_max_groups: int = 50  # spread bound before a caption is spam
     include_joint_drift: bool = True  # (w,h) 2-D drift the marginals miss
     include_correlation_drift: bool = True  # w↔h Pearson-corr shift per chunk
     phash_max_hamming: int = 4
@@ -146,6 +148,17 @@ class ImageValidationSuite:
         ).fit(self._with_phash_bucket(reference))
         out["drift_cat"] = drift_cat.calculate(self._with_phash_bucket(analysis))
 
+        # 5b. fmt attribution: WHICH format moved when drift_cat alerts —
+        # per-chunk share deltas vs the fitted reference shares, reference-
+        # unseen formats folded into an exact __other__ lump
+        if self.include_category_shift:
+            from spark_validate.drift.catshift import CategoryShiftCalculator
+
+            cs = CategoryShiftCalculator(
+                ["fmt"], chunker=self.chunker, delta_threshold=0.02
+            ).fit(reference)
+            out["fmt_share_shift"] = cs.calculate(analysis)
+
         # 6. perceptual near-duplicates (banded exact-recall Hamming join —
         # recall 1 for hamming ≤ bands−1, no image bytes in the shuffle)
         if self.include_phash_dedup:
@@ -223,6 +236,19 @@ class ImageValidationSuite:
                 group_col="phash", caption_col="caption", chunker=self.chunker
             )
             out["caption_consistency"] = cc.calculate(analysis)
+
+            # the inverse gate: one caption stamped across many distinct
+            # image identities is boilerplate supervision (same two-level
+            # collapse keyed the other way)
+            from spark_validate.image.consistency import CaptionSpamCheck
+
+            spam = CaptionSpamCheck(
+                group_col="phash",
+                caption_col="caption",
+                max_groups=self.caption_spam_max_groups,
+                chunker=self.chunker,
+            )
+            out["caption_spam"] = spam.calculate(analysis)
 
         # 6f. joint (w,h) drift: the aspect-mix shift univariate KS on w and
         # h separately cannot see (marginals flat, joint mass moves) — one
