@@ -41,8 +41,11 @@ from typing import Dict, Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_validate.calculators.base import assign_chunks, join_headers_long, nan_to_null
+from typing import Tuple
+
+from spark_validate.calculators.base import assign_chunks, join_headers_long
 from spark_validate.chunking import CHUNK_KEY, Chunker, DefaultChunker
+from spark_validate.drift.univariate import bounded_topk_category_counts, categorical_counts
 from spark_validate.result import conform_result
 from spark_validate.thresholds import alert_expr
 
@@ -64,27 +67,23 @@ class CategoryShiftCalculator:
 
     def fit(self, reference: DataFrame) -> "CategoryShiftCalculator":
         dtypes = dict(reference.dtypes)
-        counts = self._counts(reference, dtypes, chunked=False)
-        agg = counts.groupBy("column_name", "value").agg(F.sum("cnt").alias("cnt")).persist()
-        try:
-            totals = {
-                r["column_name"]: r["tot"]
-                for r in agg.groupBy("column_name").agg(F.sum("cnt").alias("tot")).collect()
-            }
-            w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
-            rows = (
-                agg.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= self.max_categories)
-                .drop("_rk")
-                .collect()
-            )
-        finally:
-            agg.unpersist()
+        counts = categorical_counts(reference, self.column_names, dtypes, chunked=False)
+        totals, per_col = bounded_topk_category_counts(
+            counts, self.column_names, self.max_categories
+        )
         state: Dict[str, Dict] = {}
         for c in self.column_names:
-            n_ref = int(totals.get(c, 0))
-            cats = {r["value"]: int(r["cnt"]) for r in rows if r["column_name"] == c}
-            state[c] = {"n_ref": n_ref, "counts": cats}
+            cats = {v: int(n) for v, n in per_col[c].items()}
+            if OTHER in cats:
+                # a REAL category named like the sentinel would collide with
+                # the unseen-tail lump (double-joined counts, two conflicting
+                # ref_share rows) — refuse loudly rather than mis-attribute
+                raise ValueError(
+                    f"column {c!r} has a reference category literally named "
+                    f"{OTHER!r}, which collides with the unseen-value lump; "
+                    "rename or pre-map that value before fitting"
+                )
+            state[c] = {"n_ref": int(totals.get(c, 0)), "counts": cats}
         self._state = state
         return self
 
@@ -98,22 +97,15 @@ class CategoryShiftCalculator:
         missing = [c for c in self.column_names if c not in cols]
         if missing:
             raise ValueError(f"stored state lacks columns {missing}")
+        for c in self.column_names:
+            if OTHER in state["state"][c]["counts"]:
+                raise ValueError(
+                    f"stored state for {c!r} contains a category named {OTHER!r} "
+                    "(collides with the unseen-value lump)"
+                )
         self._state = {c: state["state"][c] for c in self.column_names}
 
     # -- shared pieces ---------------------------------------------------------
-
-    def _counts(self, df: DataFrame, dtypes, chunked: bool) -> DataFrame:
-        structs = []
-        for c in self.column_names:
-            v = nan_to_null(F.col(c), dtypes[c]).cast("string")
-            structs.append(F.struct(F.lit(c).alias("column_name"), v.alias("value")))
-        keys = [CHUNK_KEY] if chunked else []
-        ex = (
-            df.select(*keys, F.explode(F.array(*structs)).alias("kv"))
-            .select(*keys, "kv.column_name", "kv.value")
-            .filter(F.col("value").isNotNull())
-        )
-        return ex.groupBy(*keys, "column_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
 
     def _fitted_frame(self, spark) -> DataFrame:
         """(column_name, value, ref_share) — top-K categories plus the exact
@@ -136,13 +128,13 @@ class CategoryShiftCalculator:
 
     # -- calculate -------------------------------------------------------------
 
-    def _dense(self, df: DataFrame) -> DataFrame:
-        """Per (chunk, column, category) dense frame over fitted categories
-        (+ __other__): ref_share, chunk_share, delta."""
+    def _dense(self, df: DataFrame) -> Tuple[DataFrame, DataFrame]:
+        """(dense, headers): per (chunk, column, category) frame over fitted
+        categories (+ __other__) with ref_share, chunk_share, delta."""
         dtypes = dict(df.dtypes)
         assigned, headers = assign_chunks(df, self.chunker)
         fitted = self._fitted_frame(df.sparkSession)
-        cnt = self._counts(assigned, dtypes, chunked=True)
+        cnt = categorical_counts(assigned, self.column_names, dtypes, chunked=True)
         # fold values unseen in reference into the __other__ lump: join the
         # (already collapsed) counts against the tiny fitted frame, then
         # re-aggregate — the second agg runs over ≤ distinct-category rows.

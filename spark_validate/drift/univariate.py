@@ -110,6 +110,50 @@ def bucket_expr(col: F.Column, lo: float, hi: float, n: int) -> F.Column:
     )
 
 
+def categorical_counts(df: DataFrame, cols, dtypes, chunked: bool = False) -> DataFrame:
+    """One map-side-combined (chunk?, column, value) → cnt pass for all
+    columns (NaN→NULL, NULLs dropped). Shared by the univariate categorical
+    methods and the category-shift attribution calculator."""
+    structs = []
+    for c in cols:
+        v = nan_to_null(F.col(c), dtypes[c]).cast("string")
+        structs.append(F.struct(F.lit(c).alias("column_name"), v.alias("value")))
+    keys = [CHUNK_KEY] if chunked else []
+    exploded = (
+        df.select(*keys, F.explode(F.array(*structs)).alias("kv"))
+        .select(*keys, "kv.column_name", "kv.value")
+        .filter(F.col("value").isNotNull())
+    )
+    return exploded.groupBy(*keys, "column_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bounded_topk_category_counts(counts: DataFrame, cols, max_categories: int):
+    """(totals, per_col) from an unchunked counts frame, with the driver
+    collect bounded BEFORE it happens: top-``max_categories`` per column via
+    a Spark-side ``row_number`` window (deterministic tie-break cnt DESC,
+    value ASC); totals come from a one-row-per-column aggregate so tail
+    (leftover) mass stays exact for any cardinality."""
+    agg = counts.groupBy("column_name", "value").agg(F.sum("cnt").alias("cnt")).persist()
+    try:
+        totals = {
+            r["column_name"]: r["tot"]
+            for r in agg.groupBy("column_name").agg(F.sum("cnt").alias("tot")).collect()
+        }
+        w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
+        rows = (
+            agg.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_categories)
+            .drop("_rk")
+            .collect()
+        )
+    finally:
+        agg.unpersist()
+    per_col = {c: {} for c in cols}
+    for r in rows:
+        per_col[r["column_name"]][r["value"]] = r["cnt"]
+    return totals, per_col
+
+
 @dataclass
 class ContinuousState:
     lo: float
@@ -363,36 +407,13 @@ class UnivariateDriftCalculator:
                 st.specs[spec] = (n_bins, probs)
 
     def _fit_categorical(self, reference: DataFrame, cols: List[str], dtypes) -> None:
-        # Driver safety at scale: the collect is bounded BEFORE it happens.
-        # Top-max_categories is taken Spark-side (rank window over the
-        # per-column counts — deterministic tie-break on value), so a
-        # high-cardinality column misconfigured as categorical (an id
-        # string) collects ≤ max_categories rows per column instead of the
-        # full distinct set; n_ref comes from a one-row-per-column total so
-        # the tail's leftover mass is still exact.
-        agg = (
-            self._categorical_counts(reference, cols, dtypes)
-            .groupBy("column_name", "value")
-            .agg(F.sum("cnt").alias("cnt"))
-            .persist()
+        # Driver safety at scale: the collect is bounded BEFORE it happens
+        # (see bounded_topk_category_counts) — a high-cardinality column
+        # misconfigured as categorical collects ≤ max_categories rows per
+        # column instead of the full distinct set.
+        totals, per_col = bounded_topk_category_counts(
+            self._categorical_counts(reference, cols, dtypes), cols, self.max_categories
         )
-        try:
-            totals = {
-                r["column_name"]: r["tot"]
-                for r in agg.groupBy("column_name").agg(F.sum("cnt").alias("tot")).collect()
-            }
-            w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
-            rows = (
-                agg.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= self.max_categories)
-                .drop("_rk")
-                .collect()
-            )
-        finally:
-            agg.unpersist()
-        per_col: Dict[str, Dict[str, int]] = {c: {} for c in cols}
-        for r in rows:
-            per_col[r["column_name"]][r["value"]] = r["cnt"]
         for c in cols:
             self._cat_state[c] = CategoricalState(n_ref=totals.get(c, 0), counts=per_col[c])
 
@@ -424,17 +445,7 @@ class UnivariateDriftCalculator:
         return exploded.groupBy(*keys, "column_name", "spec", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
     def _categorical_counts(self, df: DataFrame, cols: List[str], dtypes, chunked: bool = False) -> DataFrame:
-        structs = []
-        for c in cols:
-            v = nan_to_null(F.col(c), dtypes[c]).cast("string")
-            structs.append(F.struct(F.lit(c).alias("column_name"), v.alias("value")))
-        keys = [CHUNK_KEY] if chunked else []
-        exploded = (
-            df.select(*keys, F.explode(F.array(*structs)).alias("kv"))
-            .select(*keys, "kv.column_name", "kv.value")
-            .filter(F.col("value").isNotNull())
-        )
-        return exploded.groupBy(*keys, "column_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+        return categorical_counts(df, cols, dtypes, chunked)
 
     # -- calculate ---------------------------------------------------------------
 

@@ -326,6 +326,10 @@ def streaming_category_shift(
             "kv.delta",
             (F.abs(F.col("kv.delta")) > F.lit(thr)).alias("alert"),
         )
+        # batch parity: a chunk whose column is entirely NULL produces no
+        # movers rows (no totals row); drop the NULL-share window rows the
+        # count expressions would otherwise emit (and their tri-state alert)
+        .filter(F.col("chunk_share").isNotNull())
     )
 
 

@@ -358,7 +358,11 @@ def _gopher_exprs(text_col: str, th: dict) -> dict:
         f" + (length({t}) - length(replace({t}, '…', ''))))"
     )
     alpha = f"size(filter({W}, x -> x rlike '[A-Za-z]'))"
-    stops = ", ".join(f"'{w}'" for w in th["stopwords"])
+    # escape quotes/backslashes: stopwords is an override knob, and a word
+    # like "don't" must not break the generated SQL literal
+    stops = ", ".join(
+        "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in th["stopwords"]
+    )
     stop_hits = f"size(array_intersect(transform({W}, x -> lower(x)), array({stops})))"
     return {
         "word_count_range": f"{n} BETWEEN {th['min_words']} AND {th['max_words']}",

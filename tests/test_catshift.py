@@ -84,6 +84,26 @@ def test_calculate_long_rows_and_state_roundtrip(spark, shifted):
         c3.set_state(calc.get_state())
 
 
+def test_other_sentinel_collision_refused(spark):
+    """A real reference category literally named '__other__' would collide
+    with the unseen-tail lump (double-joined counts, conflicting ref_share
+    rows) — fit and set_state both refuse loudly."""
+    pdf = pd.DataFrame({"id": range(4), "cat": ["a", "b", "__other__", "a"]})
+    sdf = spark.createDataFrame(pdf)
+    calc = CategoryShiftCalculator(
+        ["cat"], chunker=SizeBasedChunker(chunk_size=4, order_by=["id"])
+    )
+    with pytest.raises(ValueError, match="__other__"):
+        calc.fit(sdf)
+    good = CategoryShiftCalculator(
+        ["cat"], chunker=SizeBasedChunker(chunk_size=4, order_by=["id"])
+    ).fit(spark.createDataFrame(pd.DataFrame({"id": range(2), "cat": ["a", "b"]})))
+    st = good.get_state()
+    st["state"]["cat"]["counts"]["__other__"] = 1
+    with pytest.raises(ValueError, match="__other__"):
+        good.set_state(st)
+
+
 def test_max_categories_bound_and_tail_lump(spark):
     """A high-cardinality column keeps only top max_categories in state; the
     tail becomes nonzero __other__ reference mass."""
@@ -124,6 +144,10 @@ def test_streaming_category_shift_matches_batch(spark, tmp_path):
     # last streamed hour: the 'a' slot becomes a brand-new category
     cat = np.where((idx >= 2 * n // 3) & (idx % 4 == 0), "zzz", cat)
     pdf = pd.DataFrame({"ts": ts, "id": idx, "cat": cat})
+    # middle hour goes entirely NULL: batch emits no movers rows for that
+    # chunk, so the stream must emit no rows for that window either
+    hour1 = (ts >= "2024-06-03 01:00:00") & (ts < "2024-06-03 02:00:00")
+    pdf.loc[np.asarray(hour1), "cat"] = None
     ref, ana = pdf.iloc[: n // 3], pdf.iloc[n // 3 :]
 
     calc = CategoryShiftCalculator(
@@ -148,12 +172,15 @@ def test_streaming_category_shift_matches_batch(spark, tmp_path):
     q.stop()
     s = spark.sql("SELECT * FROM sv_catshift").toPandas()
     assert set(s["category"]) == {"a", "b", "c", "__other__"}
+    # the all-NULL hour yields NO window rows (batch parity: no totals row)
+    s["hour"] = pd.to_datetime(s["window_start"]).dt.strftime("%Y-%m-%d %H")
+    assert "2024-06-03 01" not in set(s["hour"])
     # per-window shares equal the batch movers (hour-keyed join per category)
     b = batch.copy()
     b["hour"] = b["chunk_key"].str.slice(0, 13)  # period key '2024-06-03 12'
-    s["hour"] = pd.to_datetime(s["window_start"]).dt.strftime("%Y-%m-%d %H")
+    assert "2024-06-03 01" not in set(b["hour"])
     joined = b.merge(s, on=["hour", "category"], suffixes=("_b", "_s"))
-    assert len(joined) >= 6
+    assert len(joined) >= 4
     np.testing.assert_allclose(joined["chunk_share_b"], joined["chunk_share_s"], rtol=1e-12)
     np.testing.assert_allclose(joined["delta_b"], joined["delta_s"], rtol=1e-12)
     assert (joined["alert_b"].astype(bool) == joined["alert_s"].astype(bool)).all()

@@ -659,6 +659,14 @@ def test_gopher_flags_rule_semantics(spark):
 
     with _pytest.raises(ValueError, match="unknown gopher"):
         with_gopher_flags(spark.createDataFrame(docs), min_wordz=10)
+    # stopwords is an override knob: quoted words must not break the SQL
+    quoted = with_gopher_flags(
+        spark.createDataFrame(docs),
+        min_words=3,
+        min_stopword_hits=1,
+        stopwords=("don't", "o'brien's", "the"),
+    ).toPandas().set_index("doc_id")
+    assert bool(quoted.loc[0, "gopher_stopword_hits"])  # 'the' present
 
 
 def test_gopher_curation_stage_and_runner_kind(spark, tmp_path):
