@@ -1115,15 +1115,18 @@ def q_drift_all_methods(spark, sf_dir):
     (reference parity: ``nannyml/drift/univariate/calculator.py`` computes
     every requested method in one ``calculate()``). This entry evidences the
     amortized cost: one fit over the reference, one analysis pass, and the
-    shared per-kind histogram exchanges produce 11 (column, method) series —
-    4 continuous methods × {l_extendedprice, l_quantity} + 3 categorical
-    methods on l_returnflag. The oracle is the UNION of 11 independently
-    derived DuckDB series.
+    shared per-kind histogram exchanges produce 13 (column, method) series —
+    5 continuous methods × {l_extendedprice, l_quantity} + 3 categorical
+    methods on l_returnflag (Cramér–von Mises rides the SAME ecdf exchange
+    KS already pays for — the 12th/13th series cost zero extra shuffles).
+    The oracle is the UNION of 13 independently derived DuckDB series.
     """
     ref, ana = _li_split(spark, sf_dir)
     calc = UnivariateDriftCalculator(
         column_names=["l_extendedprice", "l_quantity", "l_returnflag"],
-        continuous_methods=("jensen_shannon", "hellinger", "psi", "kolmogorov_smirnov"),
+        continuous_methods=(
+            "jensen_shannon", "hellinger", "psi", "kolmogorov_smirnov", "cramer_von_mises"
+        ),
         categorical_methods=("jensen_shannon", "hellinger", "l_infinity"),
         chunker=_li_chunker(),
         n_bins_doane=10,
@@ -4034,12 +4037,31 @@ FROM terms
 )
 SELECT chunk_index, round(max(abs(ref_cdf - chunk_cdf)), 9) AS value FROM cdf GROUP BY 1
 """
+    _cvm_tail = """
+, cdf AS (
+  SELECT chunk_index, bucket, p, q, n, n_below,
+         sum(p) OVER (PARTITION BY chunk_index ORDER BY bucket) AS ref_cdf,
+         CAST(n_below AS DOUBLE) / n + sum(q) OVER (PARTITION BY chunk_index ORDER BY bucket) AS chunk_cdf
+  FROM dense
+),
+agg AS (
+  SELECT chunk_index,
+         sum((p + q) / 2 * (ref_cdf - chunk_cdf) * (ref_cdf - chunk_cdf)) AS within,
+         CAST(max(n_below) AS DOUBLE) / max(n) AS below,
+         greatest(1.0 - CAST(max(n_below) AS DOUBLE) / max(n) - sum(q), 0.0) AS above
+  FROM cdf GROUP BY 1
+)
+SELECT chunk_index,
+       round(within + power(below, 3) / 2 + power(above, 3) / 2, 9) AS value
+FROM agg
+"""
     _series = []
     for _col in ("l_extendedprice", "l_quantity"):
         _series.append((_col, "jensen_shannon", _cont_dense_sql(_col, 10, ref_f, ana_f) + _terms_tail.format(expr=_js_expr)))
         _series.append((_col, "hellinger", _cont_dense_sql(_col, 10, ref_f, ana_f) + _terms_tail.format(expr=_hel_expr)))
         _series.append((_col, "psi", _cont_dense_sql(_col, 10, ref_f, ana_f) + _psi_tail))
         _series.append((_col, "kolmogorov_smirnov", _cont_dense_sql(_col, 1000, ref_f, ana_f) + _ks_tail))
+        _series.append((_col, "cramer_von_mises", _cont_dense_sql(_col, 1000, ref_f, ana_f) + _cvm_tail))
     _series.append(("l_returnflag", "jensen_shannon", _cat_drift_sql(_js_expr, "value", 9)))
     _series.append(("l_returnflag", "hellinger", _cat_drift_sql(_hel_expr, "value", 9)))
     _series.append(

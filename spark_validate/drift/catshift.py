@@ -62,6 +62,28 @@ class CategoryShiftCalculator:
     top_m: int = 5
     delta_threshold: float = 0.05  # alert when |share delta| exceeds this
     _state: Optional[Dict[str, Dict]] = None
+    _live_caches: Optional[list] = None
+
+    # -- cache management (the univariate pattern) -----------------------------
+    # The mapped counts frame feeds BOTH the per-chunk totals and the dense
+    # join; Catalyst cannot reuse the shared subtree across those branches,
+    # so without persisting it the corpus is scanned and count-aggregated
+    # TWICE per call (verified in the physical plan). The frame is bounded
+    # (≤ chunks × (max_categories + 1) rows), so persisting it is cheap; at
+    # most one call's caches stay live per calculator.
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        if self._live_caches is None:
+            self._live_caches = []
+        self._live_caches.append(df)
+        return df
+
+    def release_cache(self) -> None:
+        """Unpersist cached intermediates from the last movers/calculate call."""
+        for df in self._live_caches or ():
+            df.unpersist(blocking=False)
+        self._live_caches = []
 
     # -- fit -------------------------------------------------------------------
 
@@ -139,7 +161,8 @@ class CategoryShiftCalculator:
         # (already collapsed) counts against the tiny fitted frame, then
         # re-aggregate — the second agg runs over ≤ distinct-category rows.
         known = fitted.select("column_name", "value", F.lit(1).alias("_k"))
-        mapped = (
+        self.release_cache()
+        mapped = self._persist(
             cnt.join(known, ["column_name", "value"], "left")
             .select(
                 CHUNK_KEY,
