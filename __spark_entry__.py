@@ -1427,6 +1427,35 @@ def q_perf_binary(spark, sf_dir):
     )
 
 
+def q_segmented_performance(spark, sf_dir):
+    """Per-segment realized performance (chunking.py::SegmentedChunker):
+    wrapping the size chunker with a segment axis makes the UNCHANGED
+    PerformanceCalculator emit one metric row per (chunk × event_type) —
+    the Evidently/Arize model-segment monitoring surface as pure chunker
+    composition. Composite keys are '<base>|<segment>'; the oracle
+    re-derives them and the per-segment confusion counts independently."""
+    from spark_validate.chunking import SegmentedChunker
+    from spark_validate.performance import PerformanceCalculator
+
+    ev = _with_model_cols(_read(spark, sf_dir, "events"))
+    ch = SegmentedChunker(
+        base=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+        segment_col="event_type",
+    )
+    calc = PerformanceCalculator(
+        metrics=("accuracy", "precision", "recall", "f1"),
+        y_true="y_true",
+        y_pred="y_pred",
+        y_pred_proba="score",
+        chunker=ch,
+    )
+    timed_fit(calc, ev)
+    res = calc.calculate(ev)
+    return res.select(
+        "chunk_key", "method", F.round("value", 9).alias("value")
+    ).orderBy("chunk_key", "method")
+
+
 def q_roc_auc(spark, sf_dir):
     """Mann-Whitney per-chunk AUC via window ranks (§2.7)."""
     from spark_validate.performance import PerformanceCalculator
@@ -2737,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "vocab_drift": q_vocab_drift,
         "perf_binary": q_perf_binary,
+        "segmented_performance": q_segmented_performance,
         "roc_auc": q_roc_auc,
         "average_precision": q_average_precision,
         "regression_metrics": q_regression_metrics,
@@ -4386,6 +4416,43 @@ SELECT chunk_index, method, round(value, 9) AS value FROM (
   UNION ALL SELECT chunk_index, 'specificity', tn / (tn + fp) FROM c
   UNION ALL SELECT chunk_index, 'f1', 2 * tp / (2 * tp + fp + fn) FROM c
 ) ORDER BY chunk_index, method
+"""
+
+    # Segmented performance: composite '<[start:end]>|<segment>' keys
+    # re-derived from the row index (last chunk ends at n−1), confusion
+    # counts per composite key; metric arithmetic mirrors perf_binary.
+    sql["segmented_performance"] = f"""
+WITH n AS (SELECT count(*) AS n FROM events),
+m AS (
+  SELECT event_type,
+         CASE WHEN ((event_id * 1103515245 + 12345) % 1000) < ((event_id * 2654435761) % 1000)
+              THEN 1 ELSE 0 END AS y_true,
+         CASE WHEN ((event_id * 2654435761) % 1000) / 1000.0 > 0.5 THEN 1 ELSE 0 END AS y_pred,
+         CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS BIGINT) * {EV_CHUNK} AS cstart
+  FROM events
+),
+k AS (
+  SELECT *,
+         '[' || cstart || ':' ||
+         CASE WHEN cstart + {EV_CHUNK} - 1 > (SELECT n FROM n) - 1
+              THEN (SELECT n FROM n) - 1 ELSE cstart + {EV_CHUNK} - 1 END
+         || ']|' || event_type AS chunk_key
+  FROM m
+),
+c AS (
+  SELECT chunk_key,
+         CAST(sum(CASE WHEN y_true = 1 AND y_pred = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+         CAST(sum(CASE WHEN y_true = 0 AND y_pred = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+         CAST(sum(CASE WHEN y_true = 0 AND y_pred = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS tn,
+         CAST(sum(CASE WHEN y_true = 1 AND y_pred = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fn
+  FROM k GROUP BY 1
+)
+SELECT chunk_key, method, round(value, 9) AS value FROM (
+  SELECT chunk_key, 'accuracy' AS method, (tp + tn) / (tp + tn + fp + fn) AS value FROM c
+  UNION ALL SELECT chunk_key, 'precision', tp / (tp + fp) FROM c
+  UNION ALL SELECT chunk_key, 'recall', tp / (tp + fn) FROM c
+  UNION ALL SELECT chunk_key, 'f1', 2 * tp / (2 * tp + fp + fn) FROM c
+) ORDER BY chunk_key, method
 """
 
     sql["roc_auc"] = f"""

@@ -190,7 +190,11 @@ class Chunker:
         # single task by design (Spark logs a WindowExec warning; it is
         # harmless here and cannot be silenced: constant partition keys get
         # constant-folded back to an empty partition spec)
-        w = Window.orderBy(order_col)
+        # CHUNK_KEY tie-break: base chunkers never tie on order_col, but a
+        # SegmentedChunker's composite chunks share their base chunk's
+        # start_index/start_ts — without the tie-break their indices would
+        # be nondeterministic across runs
+        w = Window.orderBy(order_col, CHUNK_KEY)
         return hdr.withColumn(CHUNK_INDEX, F.row_number().over(w) - F.lit(1)).select(
             CHUNK_KEY, CHUNK_INDEX, "start_index", "end_index", "start_ts", "end_ts", "n_rows"
         )
@@ -399,6 +403,44 @@ class PartitionChunker(Chunker):
         return df.withColumn(CHUNK_KEY, F.concat(F.lit("part_"), F.spark_partition_id().cast("string")))
 
 
+@dataclass
+class SegmentedChunker(Chunker):
+    """Composite chunker: base chunk × segment value — the monitoring analog
+    of GROUPING SETS. Wrapping ANY base chunker makes EVERY calculator
+    per-segment without touching its aggregation logic: segment-sliced
+    performance metrics, per-cohort stats, per-source drift — each
+    (base chunk, segment) pair becomes its own chunk, so per-chunk windows,
+    aggregates, thresholds and alerts all partition correctly by
+    construction. The reference has no segmentation axis
+    (`nannyml/chunk.py` chunks on time/size only); Evidently/Arize-style
+    model-segment monitoring is this wrapper plus the existing calculators.
+
+    Keys are ``<base_key>|<segment>``; NULL segments get the ``__null__``
+    label (a NULL cohort is a reportable cohort). Headers come from the
+    generic per-chunk aggregate; composite chunks inherit their base
+    chunk's start_index/start_ts, ordered deterministically by the
+    (order_col, chunk_key) tie-break. Thresholds fitted from reference
+    chunk values pool across segments (one band over all composite
+    chunks) — per-segment bands come from running one calculator per
+    segment value instead.
+
+    Scale: assign is a narrow projection on top of the base assign; the
+    chunk-count multiplier (× distinct segments) only grows the tiny
+    header/result frames, never the data-side shuffle count.
+    """
+
+    base: Chunker = field(default_factory=lambda: DefaultChunker())
+    segment_col: str = "segment"
+
+    def __post_init__(self):
+        self.timestamp_column = self.base.timestamp_column
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        a = self.base.assign(df)
+        seg = F.coalesce(F.col(self.segment_col).cast("string"), F.lit("__null__"))
+        return a.withColumn(CHUNK_KEY, F.concat(F.col(CHUNK_KEY), F.lit("|"), seg))
+
+
 def chunker_for(
     chunk_size: Optional[int] = None,
     chunk_number: Optional[int] = None,
@@ -407,19 +449,25 @@ def chunker_for(
     timestamp_column: Optional[str] = None,
     order_by: Sequence[str] = (),
     incomplete: str = "keep",
+    segment_by: Optional[str] = None,
 ) -> Chunker:
     """Factory with the reference's dispatch order (`nannyml/chunk.py:221-244`):
-    size → count → period → (partition, ours) → default."""
+    size → count → period → (partition, ours) → default; ``segment_by``
+    wraps the result in a :class:`SegmentedChunker`."""
     if chunk_size:
-        return SizeBasedChunker(
+        base = SizeBasedChunker(
             chunk_size=chunk_size, incomplete=incomplete, order_by=list(order_by), timestamp_column=timestamp_column
         )
-    if chunk_number:
-        return CountBasedChunker(
+    elif chunk_number:
+        base = CountBasedChunker(
             chunk_number=chunk_number, incomplete=incomplete, order_by=list(order_by), timestamp_column=timestamp_column
         )
-    if chunk_period:
-        return PeriodBasedChunker(offset=chunk_period, timestamp_column=timestamp_column)
-    if partition_columns:
-        return PartitionChunker(columns=list(partition_columns), timestamp_column=timestamp_column)
-    return DefaultChunker(order_by=list(order_by), timestamp_column=timestamp_column)
+    elif chunk_period:
+        base = PeriodBasedChunker(offset=chunk_period, timestamp_column=timestamp_column)
+    elif partition_columns:
+        base = PartitionChunker(columns=list(partition_columns), timestamp_column=timestamp_column)
+    else:
+        base = DefaultChunker(order_by=list(order_by), timestamp_column=timestamp_column)
+    if segment_by:
+        return SegmentedChunker(base=base, segment_col=segment_by)
+    return base

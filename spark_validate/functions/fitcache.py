@@ -48,8 +48,12 @@ def cached_for_fit(df: DataFrame, columns=None):
 
 def chunker_columns(chunker) -> list:
     """The input columns a chunker's assign/headers read — callers add these
-    to their ``cached_for_fit`` projection."""
+    to their ``cached_for_fit`` projection. A SegmentedChunker contributes
+    its base chunker's columns (recursively) plus the segment column."""
     cols = []
+    base = getattr(chunker, "base", None)  # SegmentedChunker wraps a base
+    if base is not None:
+        cols.extend(chunker_columns(base))
     ts = getattr(chunker, "timestamp_column", None)
     if ts:
         cols.append(ts)
@@ -57,4 +61,12 @@ def chunker_columns(chunker) -> list:
         cols.append(c)
     for c in getattr(chunker, "columns", None) or []:  # PartitionChunker
         cols.append(c)
-    return cols
+    seg = getattr(chunker, "segment_col", None)
+    if seg:
+        cols.append(seg)
+    seen, out = set(), []
+    for c in cols:
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out

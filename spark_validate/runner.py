@@ -66,6 +66,7 @@ def build_chunker(cfg: dict):
         timestamp_column=cfg.get("timestamp_column"),
         order_by=cfg.get("order_by", ()),
         incomplete=cfg.get("incomplete", "keep"),
+        segment_by=cfg.get("segment_by"),
     )
 
 

@@ -165,3 +165,74 @@ def test_period_chunker_minute_second_match_pandas(spark):
         got = {r.ts: r.chunk_key for r in ch.assign(sdf).collect()}
         for t in ts:
             assert got[t] == str(pd.Period(t, freq=offset)), (offset, t)
+
+
+def test_segmented_chunker_composite_keys_and_parity(spark):
+    """Wrapping a base chunker with SegmentedChunker slices every chunk by
+    segment value: keys are '<base>|<segment>', NULL segments label as
+    __null__, headers order deterministically, and an UNCHANGED calculator's
+    per-composite-chunk values equal running it on each segment's rows."""
+    import pandas as pd
+
+    from spark_validate.calculators import ColumnStatsCalculator
+    from spark_validate.chunking import SegmentedChunker, SizeBasedChunker
+
+    n = 120
+    pdf = pd.DataFrame({
+        "id": range(n),
+        "seg": [None if i % 10 == 9 else ("A" if i % 2 == 0 else "B") for i in range(n)],
+        "x": [float(i) for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf)
+    base = SizeBasedChunker(chunk_size=60, order_by=["id"])
+    ch = SegmentedChunker(base=base, segment_col="seg")
+
+    assigned = ch.assign(df)
+    keys = {r["chunk_key"] for r in assigned.select("chunk_key").distinct().collect()}
+    assert keys == {
+        "[0:59]|A", "[0:59]|B", "[0:59]|__null__",
+        "[60:119]|A", "[60:119]|B", "[60:119]|__null__",
+    }
+    hdr = ch.headers(assigned).orderBy("chunk_index").toPandas()
+    # deterministic: within a base chunk, composite indices order by key
+    assert hdr["chunk_key"].tolist() == sorted(
+        hdr["chunk_key"], key=lambda k: (int(k.split(":")[0][1:]), k)
+    )
+
+    stats = ColumnStatsCalculator(["x"], metrics=("avg",), chunker=ch).fit(df)
+    res = stats.calculate(df).toPandas().set_index("chunk_key")
+    seg_a_first = pdf[(pdf.id < 60) & (pdf.seg == "A")]["x"].mean()
+    assert abs(res.loc["[0:59]|A", "value"] - seg_a_first) < 1e-12
+    null_last = pdf[(pdf.id >= 60) & (pdf.seg.isna())]["x"].mean()
+    assert abs(res.loc["[60:119]|__null__", "value"] - null_last) < 1e-12
+
+
+def test_segment_by_in_runner_config(spark, tmp_path):
+    """chunking.segment_by slices EVERY suite check per segment through the
+    ordinary runner path."""
+    import pandas as pd
+
+    from spark_validate.runner import run_suite
+
+    n = 200
+    pdf = pd.DataFrame({
+        "id": range(n),
+        "grp": ["g1" if i % 2 == 0 else "g2" for i in range(n)],
+        "v": [float(i % 50) for i in range(n)],
+    })
+    src = str(tmp_path / "seg.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    cfg = {
+        "run_id": "segrun",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": src,
+        "analysis": src,
+        "chunking": {"chunk_size": 100, "order_by": ["id"], "segment_by": "grp"},
+        "checks": [{"type": "column_stats", "columns": ["v"], "metrics": ["avg"]}],
+    }
+    run_suite(spark, cfg)
+    res = spark.read.parquet(str(tmp_path / "out" / "results")).toPandas()
+    res = res[res["method"] == "avg"]
+    assert len(res) == 4  # 2 base chunks × 2 segments
+    assert set(res["chunk_key"]) == {"[0:99]|g1", "[0:99]|g2", "[100:199]|g1", "[100:199]|g2"}
