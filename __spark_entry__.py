@@ -1974,6 +1974,32 @@ def q_caption_election(spark, sf_dir):
     return elect_canonical_captions(docs, "phash", "caption").orderBy("phash")
 
 
+def q_payload_drift(spark, sf_dir):
+    """Drift over DECODED payload statistics (image/payload.py::
+    PayloadDriftCheck) — per-chunk JS of px_mean/px_std with the chunk key
+    carried through the Arrow decode. NO oracle_sql entry: the decode is a
+    pandas/Arrow kernel (the deterministic SVI0 codec) that DuckDB cannot
+    replicate — the driver records the weaker rows-only check; semantics
+    are pinned by `tests/test_image.py::test_payload_drift_*` (identical
+    population ≈ 0, planted dimension collapse alerts, streaming ≡ batch).
+    Input scales with the sf tier via the documents row count."""
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.image.payload import PayloadDriftCheck
+    from spark_validate.image.synth import synth_image_table
+
+    n = max(_read(spark, sf_dir, "documents").count(), 500)
+    ref = synth_image_table(spark, n, n_partitions=8, seed=7)
+    ana = synth_image_table(spark, n, n_partitions=8, seed=8, drift=True)
+    chk = PayloadDriftCheck(
+        chunker=SizeBasedChunker(chunk_size=max(n // 4, 1), order_by=["image_id"])
+    )
+    timed_fit(chk, ref)
+    res = chk.calculate(ana)
+    return res.select(
+        "chunk_key", "column_name", "method", F.round("value", 6).alias("value"), "alert"
+    ).orderBy("chunk_key", "column_name")
+
+
 def q_caption_spam(spark, sf_dir):
     """Boilerplate-caption spam detection (image/consistency.py::
     CaptionSpamCheck) — the INVERSE of caption_consistency: one caption
@@ -2785,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "caption_consistency": q_caption_consistency,
         "caption_spam": q_caption_spam,
+        "payload_drift": q_payload_drift,
         "caption_election": q_caption_election,
         "train_split": q_train_split,
         "sequence_packing": q_sequence_packing,

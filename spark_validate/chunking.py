@@ -404,6 +404,27 @@ class PartitionChunker(Chunker):
 
 
 @dataclass
+class PreassignedChunker(Chunker):
+    """Chunk keys already live in the input — ``assign`` is identity.
+
+    For derived frames that CARRIED their chunk assignment through a
+    transform (the Arrow payload decode, a curation stage): the upstream
+    chunker ran on the raw table, the derivation preserved ``chunk_key``,
+    and a downstream calculator just needs headers over the existing keys.
+    The ``columns`` attribute makes ``chunker_columns`` keep the key through
+    fit projections (the PartitionChunker duck-type)."""
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        if CHUNK_KEY not in df.columns:
+            raise ValueError("PreassignedChunker expects a chunk_key column in the input")
+        return df
+
+    @property
+    def columns(self):
+        return [CHUNK_KEY]
+
+
+@dataclass
 class SegmentedChunker(Chunker):
     """Composite chunker: base chunk × segment value — the monitoring analog
     of GROUPING SETS. Wrapping ANY base chunker makes EVERY calculator

@@ -1,5 +1,5 @@
 from spark_validate.image.synth import synth_image_table, reference_manifest
-from spark_validate.image.payload import decode_pixel_stats, psnr_check
+from spark_validate.image.payload import PayloadDriftCheck, decode_pixel_stats, psnr_check
 from spark_validate.image.header import (
     REAL_SPECS,
     SVI0_SPEC,
@@ -31,6 +31,7 @@ __all__ = [
     "reference_manifest",
     "decode_pixel_stats",
     "psnr_check",
+    "PayloadDriftCheck",
     "resize_images",
     "extract_image_features",
     "sample_video_frames",

@@ -17,7 +17,7 @@ that has to be right at 10^12 rows.
 from __future__ import annotations
 
 import math
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -105,12 +105,17 @@ def _psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * math.log10(255.0**2 / mse)
 
 
-def decode_pixel_stats(df: DataFrame, partitions: Optional[int] = None) -> DataFrame:
+def decode_pixel_stats(
+    df: DataFrame, partitions: Optional[int] = None, carry: Sequence[str] = ()
+) -> DataFrame:
     """Per-image decoded pixel statistics.
 
     ``repartitionByRange(image_id)`` spreads oversized payloads across tasks
     (north rule); everything else is an Arrow-batched iterator — no per-row
-    Python calls cross the JVM boundary.
+    Python calls cross the JVM boundary. ``carry`` names extra input columns
+    to pass through unchanged (a chunk key, an event timestamp) so
+    downstream chunked/windowed consumers keep their identity columns
+    without re-joining the raw table.
     """
     n_parts = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # repartitionByRange samples the input to pick bounds — impossible on a
@@ -121,12 +126,13 @@ def decode_pixel_stats(df: DataFrame, partitions: Optional[int] = None) -> DataF
         if df.isStreaming
         else df.repartitionByRange(n_parts, "image_id")
     )
-    src = spread.select("image_id", "bytes", "w", "h")
+    carry = [c for c in carry if c not in ("image_id", "bytes", "w", "h")]
+    src = spread.select("image_id", "bytes", "w", "h", *carry)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             px = [_decode(b) for b in pdf["bytes"]]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
                     "decode_ok": [p is not None for p in px],
@@ -135,8 +141,14 @@ def decode_pixel_stats(df: DataFrame, partitions: Optional[int] = None) -> DataF
                     "px_std": [float(p.std()) if p is not None and len(p) else float("nan") for p in px],
                 }
             )
+            for c in carry:
+                out[c] = pdf[c].values
+            yield out
 
+    dtypes = dict(df.dtypes)
     schema = "image_id string, decode_ok boolean, n_px_bytes long, px_mean double, px_std double"
+    for c in carry:
+        schema += f", {c} {dtypes[c]}"
     return src.mapInPandas(op, schema)
 
 
@@ -239,3 +251,91 @@ def psnr_check(
 
     schema = "image_id string, psnr_db double, caption_equal boolean, passes boolean"
     return joined.mapInPandas(op, schema)
+
+
+class PayloadDriftCheck:
+    """Distribution drift over DECODED payload statistics — the payload
+    sibling of the metadata drift checks. Header drift (w/h/fmt) can stay
+    flat while the pixels change under it (a re-encode at lower quality, a
+    watermark roll-out, a camera/sensor shift upstream): per-chunk drift of
+    ``px_mean`` / ``px_std`` sees it.
+
+    Composition, not a new engine: the chunker runs on the RAW table (its
+    columns exist there), the Arrow decode CARRIES ``chunk_key`` through
+    ``decode_pixel_stats(carry=...)``, and the unchanged
+    ``UnivariateDriftCalculator`` consumes the stats frame under a
+    :class:`~spark_validate.chunking.PreassignedChunker`. Decode-failed
+    rows carry NaN stats → NaN→NULL semantics exclude them from every
+    histogram (decode failures are the payload CONSTRAINT check's job).
+
+    Scale: one decode pass per calculate (the stats frame is persisted
+    during fit, where the inner calculator makes two passes — bin fitting +
+    reference thresholds); at production scale the fitted state comes from
+    the store (load-or-fit) so the recurring job pays exactly one decode of
+    the analysis table. Streaming: the same decode runs statelessly per
+    micro-batch and the fitted calculator compiles through the standard
+    windowed drift path (carry the event-time column).
+    """
+
+    def __init__(
+        self,
+        stat_cols: Sequence[str] = ("px_mean", "px_std"),
+        continuous_methods: Sequence[str] = ("jensen_shannon",),
+        chunker=None,
+        n_bins_doane: Optional[int] = None,
+        threshold=None,
+    ):
+        from spark_validate.chunking import DefaultChunker
+
+        self.stat_cols = list(stat_cols)
+        self.chunker = chunker or DefaultChunker()
+        self.continuous_methods = tuple(continuous_methods)
+        self.n_bins_doane = n_bins_doane
+        self.threshold = threshold
+        self._inner = None
+
+    def _stats(self, df: DataFrame) -> DataFrame:
+        from spark_validate.chunking import CHUNK_KEY
+
+        assigned = self.chunker.assign(df)
+        return decode_pixel_stats(assigned, carry=[CHUNK_KEY])
+
+    def _make_inner(self):
+        from spark_validate.chunking import PreassignedChunker
+        from spark_validate.drift.univariate import UnivariateDriftCalculator
+
+        return UnivariateDriftCalculator(
+            self.stat_cols,
+            continuous_methods=self.continuous_methods,
+            chunker=PreassignedChunker(),
+            n_bins_doane=self.n_bins_doane,
+            threshold=self.threshold,
+            computation="estimated",  # raw-value exact path would hold decoded stats on the driver
+        )
+
+    def fit(self, reference: DataFrame) -> "PayloadDriftCheck":
+        stats = self._stats(reference).persist()
+        try:
+            self._inner = self._make_inner()
+            self._inner.fit(stats)
+        finally:
+            stats.unpersist(blocking=False)
+        return self
+
+    def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
+        if self._inner is None:
+            raise RuntimeError("fit first (or set_state)")
+        return self._inner.calculate(self._stats(df), period=period)
+
+    def release_cache(self) -> None:
+        if self._inner is not None:
+            self._inner.release_cache()
+
+    def get_state(self) -> dict:
+        if self._inner is None:
+            raise RuntimeError("fit first")
+        return {"version": 1, "inner": self._inner.get_state()}
+
+    def set_state(self, state: dict) -> None:
+        self._inner = self._make_inner()
+        self._inner.set_state(state["inner"])

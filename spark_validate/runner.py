@@ -426,6 +426,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
                 cfg.get("lower_threshold"), cfg.get("upper_threshold", 0)
             ),
         )
+    if kind == "payload_drift":
+        from spark_validate.image.payload import PayloadDriftCheck
+
+        return PayloadDriftCheck(
+            stat_cols=cfg.get("stat_columns", ("px_mean", "px_std")),
+            continuous_methods=tuple(cfg.get("continuous_methods", ("jensen_shannon",))),
+            chunker=chunker,
+            n_bins_doane=cfg.get("n_bins_doane"),
+        )
     if kind == "gopher_quality":
         # the Gopher rule battery as a compliance check: per-chunk per-rule
         # violation rates + violation rows from the existing machinery
@@ -722,7 +731,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             "reconciliation",
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift", "rolling_drift",
             "semantic_types",
-            "vocab_drift", "correlation_drift", "category_shift",
+            "vocab_drift", "correlation_drift", "category_shift", "payload_drift",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

@@ -14,6 +14,7 @@ from spark_validate.streaming.stateful import (
 from spark_validate.streaming.drift import (
     streaming_category_shift,
     streaming_correlation_drift,
+    streaming_payload_drift,
     streaming_embedding_drift,
     streaming_grouped_drift,
     streaming_joint_drift,
@@ -35,6 +36,7 @@ __all__ = [
     "streaming_univariate_drift",
     "streaming_category_shift",
     "streaming_correlation_drift",
+    "streaming_payload_drift",
     "streaming_embedding_drift",
     "streaming_grouped_drift",
     "streaming_joint_drift",

@@ -248,6 +248,35 @@ def streaming_vocab_drift(
     return _melt(agg, specs)
 
 
+def streaming_payload_drift(
+    stream: DataFrame,
+    chk,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``PayloadDriftCheck``
+    (`spark_validate/image/payload.py`) into a streaming query: the Arrow
+    decode runs statelessly per micro-batch with the event-time column
+    CARRIED through (``decode_pixel_stats(carry=[ts])``), the watermark is
+    applied AFTER the decode (``withWatermark`` metadata does not survive a
+    ``mapInPandas`` re-projection), and the fitted inner univariate
+    calculator compiles through the standard windowed drift path —
+    per-window values identical to a batch run over the window's rows."""
+    from spark_validate.image.payload import decode_pixel_stats
+
+    if chk._inner is None:
+        raise RuntimeError("fit the check on the reference period first")
+    stats = decode_pixel_stats(stream, carry=[timestamp_column])
+    return streaming_univariate_drift(
+        stats,
+        chk._inner,
+        timestamp_column,
+        window_duration=window_duration,
+        watermark=watermark,
+    )
+
+
 def streaming_category_shift(
     stream: DataFrame,
     calc,

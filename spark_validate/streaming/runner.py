@@ -313,6 +313,23 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 stream, calc, ts, window_duration=window, watermark=watermark or window
             )
             queries[key] = _sink(v_drift, out_dir, key, "append", trigger).start()
+        elif kind == "payload_drift":
+            if reference is None:
+                raise ValueError("payload_drift check needs a reference table to fit")
+            from spark_validate.image.payload import PayloadDriftCheck
+            from spark_validate.streaming.drift import streaming_payload_drift
+
+            key = uniq(check_cfg.get("name") or "payload_drift", check_idx)
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            p_chk = PayloadDriftCheck(
+                stat_cols=check_cfg.get("stat_columns", ("px_mean", "px_std")),
+                continuous_methods=tuple(check_cfg.get("continuous_methods", ("jensen_shannon",))),
+                chunker=chunker,
+            ).fit(reference)
+            p_drift = streaming_payload_drift(
+                stream, p_chk, ts, window_duration=window, watermark=watermark or window
+            )
+            queries[key] = _sink(p_drift, out_dir, key, "append", trigger).start()
         elif kind == "category_shift":
             if reference is None:
                 raise ValueError("category_shift check needs a reference table to fit")

@@ -952,3 +952,111 @@ def test_suite_correlation_drift_wh(spark):
     res2 = suite.run(ref, squared)["correlation_drift_wh"].toPandas()
     shift2 = res2[res2.method == "corr_shift"]
     assert shift2["alert"].all() and (shift2["value"] > 0.75).all()
+
+
+def _svi0_payload(w, h, body: bytes) -> bytes:
+    return b"SVI0" + int(w).to_bytes(4, "big") + int(h).to_bytes(4, "big") + body
+
+
+def _payload_frame(spark, n, w, h, id_offset=0, ts_base=None):
+    import pandas as pd
+
+    rows = []
+    for i in range(n):
+        body = bytes([(i * 37 + j * 11) % 251 for j in range(64)])
+        rows.append({
+            "image_id": f"img{(i + id_offset):06d}",
+            "bytes": _svi0_payload(w, h, body),
+            "w": w,
+            "h": h,
+        })
+    pdf = pd.DataFrame(rows)
+    if ts_base is not None:
+        pdf["ts"] = pd.Timestamp(ts_base) + pd.to_timedelta(
+            [i * 3600 // max(n, 1) for i in range(n)], unit="s"
+        )
+    return spark.createDataFrame(pdf)
+
+
+def test_payload_drift_detects_pixel_stat_shift(spark):
+    """Drift over DECODED stats: identical payload population scores ~0;
+    a dimension collapse (64×64 → 3×3 tiles) explodes the per-image
+    px_mean/px_std variance and the fitted JS flags it — a shift header
+    metadata drift on w/h would ALSO see, but here the payload is the
+    ground truth (re-encodes and sensor shifts move pixels first)."""
+    from spark_validate.chunking import SizeBasedChunker
+    from spark_validate.image.payload import PayloadDriftCheck
+
+    ref = _payload_frame(spark, 300, 64, 64)
+    same = _payload_frame(spark, 300, 64, 64)  # identical population
+    tiny = _payload_frame(spark, 300, 3, 3)    # 9-px tiles: wild stat variance
+
+    chk = PayloadDriftCheck(
+        chunker=SizeBasedChunker(chunk_size=150, order_by=["image_id"])
+    ).fit(ref)
+    res_same = chk.calculate(same).toPandas()
+    assert (res_same["value"] < 0.05).all()
+    res_tiny = chk.calculate(tiny).toPandas()
+    assert set(res_tiny["column_name"]) == {"px_mean", "px_std"}
+    assert (res_tiny["value"] > 0.5).all()
+    assert res_tiny["alert"].all()
+    # state roundtrip reproduces scores exactly
+    chk2 = PayloadDriftCheck(
+        chunker=SizeBasedChunker(chunk_size=150, order_by=["image_id"])
+    )
+    chk2.set_state(chk.get_state())
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        res_tiny.sort_values(["chunk_key", "column_name"]).reset_index(drop=True),
+        chk2.calculate(tiny).toPandas().sort_values(["chunk_key", "column_name"]).reset_index(drop=True),
+    )
+    chk.release_cache()
+    chk2.release_cache()
+
+
+def test_streaming_payload_drift_matches_batch(spark, tmp_path):
+    """The streaming compile (decode per micro-batch, watermark AFTER the
+    mapInPandas re-projection, fitted calculator through the windowed path)
+    emits per-window JS equal to the batch period-chunker path."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.image.payload import PayloadDriftCheck
+    from spark_validate.streaming import streaming_payload_drift
+
+    ref = _payload_frame(spark, 200, 64, 64, ts_base="2024-06-03 00:00:00")
+    # analysis: clean hour then a tiny-dims hour
+    a1 = _payload_frame(spark, 120, 64, 64, id_offset=1000, ts_base="2024-06-03 01:00:00")
+    a2 = _payload_frame(spark, 120, 3, 3, id_offset=2000, ts_base="2024-06-03 02:00:00")
+    ana = a1.unionByName(a2)
+
+    chk = PayloadDriftCheck(
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts")
+    ).fit(ref)
+    batch = chk.calculate(ana).toPandas()
+
+    src = str(tmp_path / "payload_stream")
+    ana.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_payload_drift(stream, chk, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_payload_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    s = spark.sql("SELECT * FROM sv_payload_drift").toPandas()
+    b = batch.copy()
+    b["hour"] = b["chunk_key"].str.slice(0, 13)
+    s["hour"] = pd.to_datetime(s["window_start"]).dt.strftime("%Y-%m-%d %H")
+    joined = b.merge(s, on=["hour", "column_name", "method"], suffixes=("_b", "_s"))
+    assert len(joined) == 4  # 2 hours × 2 stat columns
+    np.testing.assert_allclose(joined["value_b"], joined["value_s"], rtol=1e-12)
+    assert (joined["alert_b"].astype(bool) == joined["alert_s"].astype(bool)).all()
+    # the tiny-dims hour alerts in both paths
+    assert joined[joined["hour"] == "2024-06-03 02"]["alert_s"].astype(bool).all()
+    chk.release_cache()
