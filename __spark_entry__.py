@@ -1456,6 +1456,32 @@ def q_segmented_performance(spark, sf_dir):
     ).orderBy("chunk_key", "method")
 
 
+def q_prior_shift(spark, sf_dir):
+    """Label-free prevalence estimation (performance/quantify.py::
+    PriorShiftEstimator, Forman 2005 Adjusted Classify & Count): per-chunk
+    raw positive-prediction rate (prevalence_cc, the biased estimate) and
+    the tpr/fpr-inverted adjusted estimate (prevalence_acc, clamped to
+    [0,1], thresholded at reference prior ± 0.05). The oracle re-derives
+    tpr/fpr/prior and the chunk arithmetic with identical IEEE ops."""
+    from spark_validate.performance.quantify import PriorShiftEstimator
+
+    ev = _with_model_cols(_read(spark, sf_dir, "events"))
+    est = PriorShiftEstimator(
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+        shift_threshold=0.05,
+    )
+    timed_fit(est, ev)
+    res = est.calculate(ev)
+    return res.select(
+        "chunk_index",
+        "method",
+        F.round("value", 9).alias("value"),
+        F.round("lower_threshold", 9).alias("lower_threshold"),
+        F.round("upper_threshold", 9).alias("upper_threshold"),
+        "alert",
+    ).orderBy("chunk_index", "method")
+
+
 def q_roc_auc(spark, sf_dir):
     """Mann-Whitney per-chunk AUC via window ranks (§2.7)."""
     from spark_validate.performance import PerformanceCalculator
@@ -2793,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "perf_binary": q_perf_binary,
         "segmented_performance": q_segmented_performance,
+        "prior_shift": q_prior_shift,
         "roc_auc": q_roc_auc,
         "average_precision": q_average_precision,
         "regression_metrics": q_regression_metrics,
@@ -4442,6 +4469,45 @@ SELECT chunk_index, method, round(value, 9) AS value FROM (
   UNION ALL SELECT chunk_index, 'recall', tp / (tp + fn) FROM c
   UNION ALL SELECT chunk_index, 'specificity', tn / (tn + fp) FROM c
   UNION ALL SELECT chunk_index, 'f1', 2 * tp / (2 * tp + fp + fn) FROM c
+) ORDER BY chunk_index, method
+"""
+
+    # Prior-shift quantification: tpr/fpr/prior from one labeled pass,
+    # chunk arithmetic mirrored op-for-op (clamp via greatest/least).
+    sql["prior_shift"] = f"""
+WITH m AS ({_MODEL_SQL}),
+fitrow AS (
+  SELECT CAST(sum(CASE WHEN y_true = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN y_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN y_true = 1 AND y_pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN y_true = 0 AND y_pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+  FROM m
+),
+fit AS (
+  SELECT CAST(tp AS DOUBLE) / n_pos AS tpr,
+         CAST(fp AS DOUBLE) / n_neg AS fpr,
+         CAST(n_pos AS DOUBLE) / (n_pos + n_neg) AS prior
+  FROM fitrow
+),
+c AS (SELECT chunk_index, avg(CAST(y_pred AS DOUBLE)) AS q FROM m GROUP BY 1),
+est AS (
+  SELECT c.chunk_index, c.q,
+         greatest(0.0, least(1.0, (c.q - f.fpr) / (f.tpr - f.fpr))) AS acc,
+         greatest(f.prior - 0.05, 0.0) AS lo,
+         least(f.prior + 0.05, 1.0) AS up
+  FROM c CROSS JOIN fit f
+)
+SELECT chunk_index, method, round(value, 9) AS value,
+       round(lower_threshold, 9) AS lower_threshold,
+       round(upper_threshold, 9) AS upper_threshold, alert
+FROM (
+  SELECT chunk_index, 'prevalence_cc' AS method, q AS value,
+         CAST(NULL AS DOUBLE) AS lower_threshold, CAST(NULL AS DOUBLE) AS upper_threshold,
+         CAST(NULL AS BOOLEAN) AS alert
+  FROM est
+  UNION ALL
+  SELECT chunk_index, 'prevalence_acc', acc, lo, up, acc < lo OR acc > up
+  FROM est
 ) ORDER BY chunk_index, method
 """
 

@@ -426,6 +426,15 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
                 cfg.get("lower_threshold"), cfg.get("upper_threshold", 0)
             ),
         )
+    if kind == "prior_shift":
+        from spark_validate.performance.quantify import PriorShiftEstimator
+
+        return PriorShiftEstimator(
+            y_true=cfg.get("y_true", "y_true"),
+            y_pred=cfg.get("y_pred", "y_pred"),
+            chunker=chunker,
+            shift_threshold=cfg.get("shift_threshold", 0.05),
+        )
     if kind == "payload_drift":
         from spark_validate.image.payload import PayloadDriftCheck
 
@@ -732,6 +741,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift", "rolling_drift",
             "semantic_types",
             "vocab_drift", "correlation_drift", "category_shift", "payload_drift",
+            "prior_shift",
         )
         if needs_fit:
             if hasattr(calc, "get_state"):

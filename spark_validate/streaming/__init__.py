@@ -15,6 +15,7 @@ from spark_validate.streaming.drift import (
     streaming_category_shift,
     streaming_correlation_drift,
     streaming_payload_drift,
+    streaming_prior_shift,
     streaming_embedding_drift,
     streaming_grouped_drift,
     streaming_joint_drift,
@@ -37,6 +38,7 @@ __all__ = [
     "streaming_category_shift",
     "streaming_correlation_drift",
     "streaming_payload_drift",
+    "streaming_prior_shift",
     "streaming_embedding_drift",
     "streaming_grouped_drift",
     "streaming_joint_drift",

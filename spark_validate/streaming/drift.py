@@ -248,6 +248,42 @@ def streaming_vocab_drift(
     return _melt(agg, specs)
 
 
+def streaming_prior_shift(
+    stream: DataFrame,
+    est,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``PriorShiftEstimator``
+    (`spark_validate/performance/quantify.py`) into a streaming query: ONE
+    tumbling windowed average of the prediction column, the fitted
+    tpr/fpr inversion applied as constant-folded arithmetic — per-window
+    prevalence estimates bit-identical to the batch chunk path. (Batch
+    emits the informational ``prevalence_cc`` row with a NULL alert; the
+    streaming melt normalizes no-threshold rows to alert=False.)"""
+    if est._state is None:
+        raise RuntimeError("fit the estimator on the labeled reference first")
+    yp = F.col(est.y_pred).cast("double")
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+    agg = (
+        src.filter(yp.isNotNull())
+        .groupBy(F.window(F.col(timestamp_column), window_duration))
+        .agg(F.avg(yp).alias("_q"))
+    )
+    acc, _ = est._estimates(F.col("_q"))
+    prior = est._state["ref_prior"]
+    lo = max(prior - est.shift_threshold, 0.0)
+    up = min(prior + est.shift_threshold, 1.0)
+    specs = [
+        (est.y_pred, "prevalence_cc", F.col("_q"), None, None),
+        (est.y_pred, "prevalence_acc", acc, lo, up),
+    ]
+    return _melt(agg, specs)
+
+
 def streaming_payload_drift(
     stream: DataFrame,
     chk,

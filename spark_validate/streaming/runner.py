@@ -313,6 +313,24 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 stream, calc, ts, window_duration=window, watermark=watermark or window
             )
             queries[key] = _sink(v_drift, out_dir, key, "append", trigger).start()
+        elif kind == "prior_shift":
+            if reference is None:
+                raise ValueError("prior_shift check needs a labeled reference to fit tpr/fpr")
+            from spark_validate.performance.quantify import PriorShiftEstimator
+            from spark_validate.streaming.drift import streaming_prior_shift
+
+            key = uniq(check_cfg.get("name") or "prior_shift", check_idx)
+            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            ps_est = PriorShiftEstimator(
+                y_true=check_cfg.get("y_true", "y_true"),
+                y_pred=check_cfg.get("y_pred", "y_pred"),
+                chunker=chunker,
+                shift_threshold=check_cfg.get("shift_threshold", 0.05),
+            ).fit(reference)
+            ps = streaming_prior_shift(
+                stream, ps_est, ts, window_duration=window, watermark=watermark or window
+            )
+            queries[key] = _sink(ps, out_dir, key, "append", trigger).start()
         elif kind == "payload_drift":
             if reference is None:
                 raise ValueError("payload_drift check needs a reference table to fit")
