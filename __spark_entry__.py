@@ -4516,19 +4516,13 @@ FROM (
     # counts per composite key; metric arithmetic mirrors perf_binary.
     sql["segmented_performance"] = f"""
 WITH n AS (SELECT count(*) AS n FROM events),
-m AS (
-  SELECT event_type,
-         CASE WHEN ((event_id * 1103515245 + 12345) % 1000) < ((event_id * 2654435761) % 1000)
-              THEN 1 ELSE 0 END AS y_true,
-         CASE WHEN ((event_id * 2654435761) % 1000) / 1000.0 > 0.5 THEN 1 ELSE 0 END AS y_pred,
-         CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS BIGINT) * {EV_CHUNK} AS cstart
-  FROM events
-),
+m AS ({_MODEL_SQL}),
 k AS (
   SELECT *,
-         '[' || cstart || ':' ||
-         CASE WHEN cstart + {EV_CHUNK} - 1 > (SELECT n FROM n) - 1
-              THEN (SELECT n FROM n) - 1 ELSE cstart + {EV_CHUNK} - 1 END
+         '[' || CAST(chunk_index AS BIGINT) * {EV_CHUNK} || ':' ||
+         CASE WHEN CAST(chunk_index AS BIGINT) * {EV_CHUNK} + {EV_CHUNK} - 1 > (SELECT n FROM n) - 1
+              THEN (SELECT n FROM n) - 1
+              ELSE CAST(chunk_index AS BIGINT) * {EV_CHUNK} + {EV_CHUNK} - 1 END
          || ']|' || event_type AS chunk_key
   FROM m
 ),

@@ -421,7 +421,12 @@ class PreassignedChunker(Chunker):
 
     @property
     def columns(self):
-        return [CHUNK_KEY]
+        # ROW_INDEX too: when the upstream chunker was index-based and the
+        # derivation carried the index along, headers keep chronological
+        # chunk_index ordering (absent it, ordering falls back to the key
+        # string — wrong for size keys of mixed digit width); fit
+        # projections drop names that don't exist, so listing it is safe
+        return [CHUNK_KEY, ROW_INDEX]
 
 
 @dataclass
@@ -454,7 +459,9 @@ class SegmentedChunker(Chunker):
     segment_col: str = "segment"
 
     def __post_init__(self):
-        self.timestamp_column = self.base.timestamp_column
+        # an explicitly passed timestamp_column wins; otherwise inherit the
+        # base chunker's so period headers keep their start/end timestamps
+        self.timestamp_column = self.timestamp_column or self.base.timestamp_column
 
     def assign(self, df: DataFrame) -> DataFrame:
         a = self.base.assign(df)

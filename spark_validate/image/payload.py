@@ -295,10 +295,19 @@ class PayloadDriftCheck:
         self._inner = None
 
     def _stats(self, df: DataFrame) -> DataFrame:
-        from spark_validate.chunking import CHUNK_KEY
+        from spark_validate.chunking import CHUNK_KEY, ROW_INDEX
 
         assigned = self.chunker.assign(df)
-        return decode_pixel_stats(assigned, carry=[CHUNK_KEY])
+        # carry the row index / timestamp too, so downstream headers keep
+        # chronological chunk_index ordering and start/end metadata instead
+        # of falling back to lexical key order
+        carry = [CHUNK_KEY]
+        if ROW_INDEX in assigned.columns:
+            carry.append(ROW_INDEX)
+        ts = getattr(self.chunker, "timestamp_column", None)
+        if ts and ts in assigned.columns:
+            carry.append(ts)
+        return decode_pixel_stats(assigned, carry=carry)
 
     def _make_inner(self):
         from spark_validate.chunking import PreassignedChunker
@@ -307,7 +316,9 @@ class PayloadDriftCheck:
         return UnivariateDriftCalculator(
             self.stat_cols,
             continuous_methods=self.continuous_methods,
-            chunker=PreassignedChunker(),
+            chunker=PreassignedChunker(
+                timestamp_column=getattr(self.chunker, "timestamp_column", None)
+            ),
             n_bins_doane=self.n_bins_doane,
             threshold=self.threshold,
             computation="estimated",  # raw-value exact path would hold decoded stats on the driver

@@ -86,20 +86,16 @@ class PriorShiftEstimator:
     def set_state(self, state: dict) -> None:
         self._state = {k: float(state[k]) for k in ("tpr", "fpr", "ref_prior")}
 
-    # shared arithmetic: the SAME column expressions feed batch chunks and
-    # streaming windows (and the DuckDB oracle mirrors them op-for-op)
-    def _estimates(self, q: F.Column):
+    # shared arithmetic: the SAME column expression feeds batch chunks and
+    # streaming windows (and the DuckDB oracle mirrors it op-for-op)
+    def _estimates(self, q: F.Column) -> F.Column:
         st = self._state
-        tpr, fpr, prior = st["tpr"], st["fpr"], st["ref_prior"]
-        gap = tpr - fpr
+        gap = st["tpr"] - st["fpr"]
         if abs(gap) < self.min_rate_gap:
-            acc = F.lit(None).cast("double")
-        else:
-            acc = F.greatest(
-                F.lit(0.0), F.least(F.lit(1.0), (q - F.lit(fpr)) / F.lit(gap))
-            )
-        shift = acc - F.lit(prior)
-        return acc, shift
+            return F.lit(None).cast("double")
+        return F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), (q - F.lit(st["fpr"])) / F.lit(gap))
+        )
 
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
         """Long rows per chunk: ``prevalence_cc`` (raw positive-prediction
@@ -113,7 +109,7 @@ class PriorShiftEstimator:
         agg = assigned.filter(yp.isNotNull()).groupBy(CHUNK_KEY).agg(
             F.avg(yp).alias("_q")
         )
-        acc, _ = self._estimates(F.col("_q"))
+        acc = self._estimates(F.col("_q"))
         prior = self._state["ref_prior"]
         lo = max(prior - self.shift_threshold, 0.0)
         up = min(prior + self.shift_threshold, 1.0)

@@ -273,7 +273,7 @@ def streaming_prior_shift(
         .groupBy(F.window(F.col(timestamp_column), window_duration))
         .agg(F.avg(yp).alias("_q"))
     )
-    acc, _ = est._estimates(F.col("_q"))
+    acc = est._estimates(F.col("_q"))
     prior = est._state["ref_prior"]
     lo = max(prior - est.shift_threshold, 0.0)
     up = min(prior + est.shift_threshold, 1.0)

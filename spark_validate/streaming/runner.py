@@ -320,11 +320,11 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             from spark_validate.streaming.drift import streaming_prior_shift
 
             key = uniq(check_cfg.get("name") or "prior_shift", check_idx)
-            chunker = build_chunker(config.get("chunking", {"chunk_period": "H", "timestamp_column": ts}))
+            # no chunker: fit is a pure aggregate and the stream windows by
+            # event time — the suite's chunking config has no effect here
             ps_est = PriorShiftEstimator(
                 y_true=check_cfg.get("y_true", "y_true"),
                 y_pred=check_cfg.get("y_pred", "y_pred"),
-                chunker=chunker,
                 shift_threshold=check_cfg.get("shift_threshold", 0.05),
             ).fit(reference)
             ps = streaming_prior_shift(

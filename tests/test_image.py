@@ -1000,6 +1000,22 @@ def test_payload_drift_detects_pixel_stat_shift(spark):
     assert set(res_tiny["column_name"]) == {"px_mean", "px_std"}
     assert (res_tiny["value"] > 0.5).all()
     assert res_tiny["alert"].all()
+    # chronological chunk_index survives the decode: the carried ROW_INDEX
+    # orders headers by start index, not by lexical key ('[100:…]' would
+    # otherwise sort before '[25:…]')
+    fine = PayloadDriftCheck(
+        chunker=SizeBasedChunker(chunk_size=25, order_by=["image_id"])
+    ).fit(ref)
+    order = (
+        fine.calculate(same)
+        .select("chunk_key", "chunk_index")
+        .distinct()
+        .toPandas()
+        .sort_values("chunk_index")
+    )
+    starts = order["chunk_key"].str.extract(r"\[(\d+):")[0].astype(int).tolist()
+    assert starts == sorted(starts)
+    fine.release_cache()
     # state roundtrip reproduces scores exactly
     chk2 = PayloadDriftCheck(
         chunker=SizeBasedChunker(chunk_size=150, order_by=["image_id"])
