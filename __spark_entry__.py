@@ -997,6 +997,60 @@ def q_gopher_rules(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: column order for the gopher_repetition query (shared with the oracle)
+_REP_STEMS = (
+    "dup_line_frac",
+    "dup_line_char_frac",
+    "dup_para_frac",
+    "dup_para_char_frac",
+    "top_2gram_char_frac",
+    "top_3gram_char_frac",
+    "top_4gram_char_frac",
+    "dup_5gram_char_frac",
+    "dup_6gram_char_frac",
+    "dup_7gram_char_frac",
+    "dup_8gram_char_frac",
+    "dup_9gram_char_frac",
+    "dup_10gram_char_frac",
+)
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Full Gopher repetition-removal battery (text/repetition.py — Rae et
+    al. 2021 Table A1): 13 per-doc character/occurrence fractions + the
+    published-cap pass gate, computed as a zero-shuffle narrow projection
+    of higher-order array expressions. The single-line synthetic corpus has
+    no natural line/paragraph structure, so structure is planted
+    deterministically from doc_id (dup paragraphs on %11, dup lines on %5,
+    a doubled document on %7) with expressions DuckDB replicates exactly;
+    every fraction is an int-sum / int-sum double division (bit-identical
+    across engines)."""
+    from spark_validate.text.repetition import with_repetition_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    head60 = F.substring("text", 1, 60)
+    head40 = F.substring("text", 1, 40)
+    planted = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), nl, nl, head60, nl, nl, head60),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws("\n", F.col("text"), head40, head40, head40),
+        )
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    out = with_repetition_stats(docs.select("doc_id", planted.alias("text")))
+    return out.select(
+        "doc_id",
+        *[F.round(f"rep_{s}", 6).alias(f"rep_{s}") for s in _REP_STEMS],
+        "rep_pass",
+    ).orderBy("doc_id")
+
+
 def q_category_shift(spark, sf_dir):
     """Per-category share-shift attribution (drift/catshift.py::
     CategoryShiftCalculator) — WHICH category moved, not just that the
@@ -2802,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_price": q_cvm_price,
         "category_shift": q_category_shift,
         "gopher_rules": q_gopher_rules,
+        "gopher_repetition": q_gopher_repetition,
         "wasserstein_qty": q_wasserstein_qty,
         "hellinger_price": q_hellinger_price,
         "js_price": q_js_price,
@@ -3967,6 +4022,107 @@ SELECT *,
   AND coalesce(gopher_stopword_hits, false) AS gopher_pass
 FROM flags ORDER BY doc_id
 """
+
+    # Full Gopher repetition battery (text/repetition.py): every fraction
+    # re-derived per doc via unnest + group-by gram counts (the relational
+    # mirror of the engine's sorted-array run-length scan — same counts by
+    # construction). All fractions are int-sum / int-sum double divisions;
+    # the pass gate compares UNROUNDED values like the engine. The planted
+    # CASE must stay branch-for-branch identical to q_gopher_repetition.
+    _rep_planted = """
+WITH base AS (
+  SELECT doc_id,
+         coalesce(CASE
+           WHEN doc_id % 11 = 0 THEN text || chr(10) || chr(10) || substr(text, 1, 60)
+                                      || chr(10) || chr(10) || substr(text, 1, 60)
+           WHEN doc_id % 5 = 0 THEN text || chr(10) || substr(text, 1, 40)
+                                     || chr(10) || substr(text, 1, 40)
+                                     || chr(10) || substr(text, 1, 40)
+           WHEN doc_id % 7 = 0 THEN text || ' ' || text
+           ELSE text END, '') AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS W,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS L,
+         list_filter(list_transform(string_split_regex(t, '\\n{2,}'), x -> trim(x)), x -> x <> '') AS P
+  FROM base
+)"""
+    _rep_parts, _rep_cols, _rep_pass, _rep_joins = [], [], [], []
+    for stem, arr, cap_e, cap_c in (("line", "L", 0.30, 0.20), ("para", "P", 0.30, 0.20)):
+        a = f"{stem}a"
+        _rep_parts.append(
+            f"""{stem}c AS (
+  SELECT doc_id, e, count(*) AS c, length(e) AS l
+  FROM (SELECT doc_id, unnest({arr}) AS e FROM w) GROUP BY 1, 2
+),
+{a} AS (
+  SELECT doc_id, sum(c) AS n, sum(c * l) AS chars,
+         sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dn,
+         sum(CASE WHEN c > 1 THEN (c - 1) * l ELSE 0 END) AS dch
+  FROM {stem}c GROUP BY 1
+)"""
+        )
+        _rep_joins.append(f"LEFT JOIN {a} USING (doc_id)")
+        for col, expr, cap in (
+            (f"rep_dup_{stem}_frac", f"CASE WHEN {a}.n > 0 THEN CAST({a}.dn AS DOUBLE) / {a}.n END", cap_e),
+            (f"rep_dup_{stem}_char_frac", f"CASE WHEN {a}.chars > 0 THEN CAST({a}.dch AS DOUBLE) / {a}.chars END", cap_c),
+        ):
+            _rep_cols.append(f"round({expr}, 6) AS {col}")
+            _rep_pass.append(f"coalesce(({expr}) <= {cap}, false)")
+    _rep_caps = {2: 0.20, 3: 0.18, 4: 0.16, 5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        grams = (
+            f"SELECT doc_id, g, count(*) AS c, length(g) AS l FROM (\n"
+            f"  SELECT doc_id, unnest(CASE WHEN len(W) >= {n} THEN\n"
+            f"    list_transform(range(1, len(W) - {n} + 2),\n"
+            f"      i -> array_to_string(list_slice(W, i, i + {n} - 1), ' '))\n"
+            f"    ELSE CAST([] AS VARCHAR[]) END) AS g FROM w) GROUP BY 1, 2"
+        )
+        if n in (2, 3, 4):
+            _rep_parts.append(
+                f"""g{n}c AS ({grams}),
+g{n}t AS (
+  SELECT c.doc_id, a.bc, max(c.l) AS bl
+  FROM g{n}c c JOIN (SELECT doc_id, max(c) AS bc FROM g{n}c GROUP BY 1) a USING (doc_id)
+  WHERE c.c = a.bc GROUP BY 1, 2
+)"""
+            )
+            _rep_joins.append(f"LEFT JOIN g{n}t USING (doc_id)")
+            expr = (
+                f"CASE WHEN g{n}t.bc >= 2 THEN least(CAST(1.0 AS DOUBLE),"
+                f" CAST(g{n}t.bc AS DOUBLE) * g{n}t.bl / length(base.t))"
+                f" WHEN g{n}t.bc = 1 THEN CAST(0.0 AS DOUBLE) END"
+            )
+            col = f"rep_top_{n}gram_char_frac"
+        else:
+            _rep_parts.append(
+                f"""g{n}a AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN (c - 1) * l ELSE 0 END) AS dch
+  FROM ({grams}) GROUP BY 1
+)"""
+            )
+            _rep_joins.append(f"LEFT JOIN g{n}a USING (doc_id)")
+            expr = (
+                f"CASE WHEN g{n}a.dch IS NOT NULL THEN least(CAST(1.0 AS DOUBLE),"
+                f" CAST(g{n}a.dch AS DOUBLE) / length(base.t)) END"
+            )
+            col = f"rep_dup_{n}gram_char_frac"
+        _rep_cols.append(f"round({expr}, 6) AS {col}")
+        _rep_pass.append(f"coalesce(({expr}) <= {_rep_caps[n]}, false)")
+    sql["gopher_repetition"] = (
+        _rep_planted
+        + ",\n"
+        + ",\n".join(_rep_parts)
+        + "\nSELECT base.doc_id,\n  "
+        + ",\n  ".join(_rep_cols)
+        + ",\n  "
+        + "\n  AND ".join(_rep_pass)
+        + " AS rep_pass\nFROM base\n"
+        + "\n".join(_rep_joins)
+        + "\nORDER BY base.doc_id"
+    )
 
     # Category share-shift attribution: dense (chunk × fitted cats +
     # __other__) share deltas, ranked by magnitude. Shares are single

@@ -461,6 +461,24 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
                 cfg.get("lower_threshold"), cfg.get("upper_threshold", 0)
             ),
         )
+    if kind == "gopher_repetition":
+        # the repetition battery (char-fraction rules, published caps) as a
+        # compliance check; rule exprs are self-contained, so they fuse
+        # into the suite's shared scan like any other compliance rule
+        from spark_validate.checks.compliance import ComplianceCheck
+        from spark_validate.text.repetition import repetition_compliance_rules
+        from spark_validate.thresholds import ConstantThreshold
+
+        reserved = ("type", "name", "column", "id_column", "lower_threshold", "upper_threshold")
+        overrides = {k: v for k, v in cfg.items() if k not in reserved}
+        return ComplianceCheck(
+            rules=repetition_compliance_rules(cfg.get("column", "text"), **overrides),
+            chunker=chunker,
+            id_column=cfg.get("id_column"),
+            threshold=ConstantThreshold(
+                cfg.get("lower_threshold"), cfg.get("upper_threshold", 0)
+            ),
+        )
     if kind == "row_completeness":
         from spark_validate.checks.profile import RowCompletenessCalculator
         from spark_validate.thresholds import ConstantThreshold

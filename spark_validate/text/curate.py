@@ -219,6 +219,11 @@ def curate(
     * ``gopher_quality`` — the named Gopher rule battery
       (`quality.py::_gopher_exprs`); any `gopher_thresholds` knob as a
       param (row-local; drop when ANY rule fails, NULL = fail).
+    * ``gopher_repetition`` — the Gopher repetition-removal battery
+      (`repetition.py`; dup line/paragraph + top/dup n-gram character
+      fractions vs the published Table A1 caps); any
+      `repetition_thresholds` knob as a param (row-local; drop when ANY
+      fraction is over-cap or incomputable).
     * ``lang`` — ``allowed: [en, ...]`` via the stopword language-ID
       heuristic (row-local).
     * ``pii`` — ``action: redact`` (default; rewrites the text column,
@@ -308,6 +313,19 @@ def curate(
             for sql in gopher_compliance_rules(text_col, **overrides).values():
                 keep = keep & F.coalesce(F.expr(sql), F.lit(False))
             work = work.withColumn(fc, ~keep)
+        elif kind == "gopher_repetition":
+            # published char-fraction caps as a drop gate; rep_pass is the
+            # NULL-guarded conjunction, so incomputable docs are dropped
+            from spark_validate.text.repetition import with_repetition_stats
+
+            overrides = {
+                k: v for k, v in spec.items() if k not in ("stage", "name")
+            }
+            before = set(work.columns)
+            tagged = with_repetition_stats(work, text_col, **overrides)
+            work = tagged.withColumn(fc, ~F.col("rep_pass")).drop(
+                *(set(tagged.columns) - before - {fc})
+            )
         elif kind == "lang":
             from spark_validate.text.quality import with_language_id
 
