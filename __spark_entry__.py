@@ -335,6 +335,71 @@ def q_ewma_chart(spark, sf_dir):
     ).orderBy("chunk_index")
 
 
+#: CUSUM chart constants shared by query and oracle; the planted step is
+#: dyadic (1 + 1/256) so the multiply is the same double in every engine
+_CUSUM_K, _CUSUM_H, _CUSUM_STEP, _CUSUM_FROM = 0.5, 4.0, 1.03125, 3
+
+
+def q_cusum_chart(spark, sf_dir):
+    """with_cusum_alerts (§2.9 extension): two-sided tabular CUSUM (Page
+    1954) over the per-chunk avg-price series — the change-POINT
+    complement to the EWMA chart: C± reset to zero on-target, so the first
+    chunk where the sum leaves zero localizes when the shift began. A
+    +1/32 step (~2.4σ of the chunk-mean series, inside the static 3σ band;
+    dyadic so the multiply is the same double in every engine) is planted
+    from chunk 3 on: no single chunk alerts a Shewhart band, while the
+    accumulated sum crosses h·sigma two chunks after onset.
+    Fit is the decimal-exact moment device; folds are pure add/max left
+    folds (F.aggregate ↔ list_reduce), so every output column hashes
+    UNROUNDED."""
+    import math as _math
+
+    from spark_validate.thresholds import with_cusum_alerts
+
+    ref, ana = _li_split(spark, sf_dir)
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+
+    def _series(df):
+        assigned = _li_chunker().assign(df)
+        cid = F.floor(F.col(ROW_INDEX) / F.lit(LI_CHUNK)).cast("int")
+        return (
+            assigned.withColumn("chunk_index", cid)
+            .groupBy("chunk_index")
+            .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("value"))
+            .withColumn("column_name", F.lit("l_extendedprice"))
+            .withColumn("method", F.lit("avg"))
+        )
+
+    vd = F.col("value")
+    row = _series(ref).agg(
+        F.sum(vd.cast("decimal(38,6)")).alias("s"),
+        F.sum((vd * vd).cast("decimal(38,6)")).alias("ss"),
+        F.count(vd).alias("n"),
+    ).first()
+    mu = float(row["s"]) / row["n"]
+    sigma = _math.sqrt(max(float(row["ss"]) / row["n"] - mu * mu, 0.0))
+    baseline = spark.createDataFrame(
+        [("l_extendedprice", "avg", mu, sigma)],
+        "column_name string, method string, mu double, sigma double",
+    )
+    shifted = _series(ana).withColumn(
+        "value",
+        F.col("value")
+        * F.when(F.col("chunk_index") >= _CUSUM_FROM, F.lit(_CUSUM_STEP)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    out = with_cusum_alerts(shifted, k=_CUSUM_K, h=_CUSUM_H, baseline=baseline)
+    return out.select(
+        "chunk_index",
+        F.col("value").alias("avg_price"),
+        "cusum_pos",
+        "cusum_neg",
+        "cusum_limit",
+        "cusum_alert",
+    ).orderBy("chunk_index")
+
+
 def q_zscore_outliers(spark, sf_dir):
     """ZScoreOutlierCalculator (§2.3 profile extension): per-chunk rate of
     analysis values beyond reference-fitted mu ± 3σ. Moments come from exact
@@ -2843,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "cardinality_stats": q_cardinality_stats,
         "jump_alerts": q_jump_alerts,
+        "cusum_chart": q_cusum_chart,
         "alert_debounce": q_alert_debounce,
         "iqr_outliers": q_iqr_outliers,
         "quantile_stats": q_quantile_stats,
@@ -5951,6 +6017,57 @@ SELECT chunk_index, value AS avg_price, ewma,
        ROUND(lo, 9) AS ewma_lower, ROUND(hi, 9) AS ewma_upper,
        CASE WHEN ewma IS NULL THEN FALSE
             ELSE COALESCE(ewma < lo OR ewma > hi, FALSE) END AS ewma_alert
+FROM calc ORDER BY chunk_index
+"""
+
+    # cusum_chart: same fit/series device as ewma_chart; the two one-sided
+    # sums are scalar left folds seeded by list_prepend(0.0, ...) — the
+    # exact DuckDB equivalent of F.aggregate's init — and every column is
+    # pure add/max/multiply arithmetic, so the whole frame hashes UNROUNDED.
+    sql["cusum_chart"] = f"""
+WITH ana AS ({_LI_ANA}),
+refd AS ({_LI_REF}),
+rser AS (
+  SELECT chunk_index,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS value
+  FROM refd GROUP BY chunk_index
+),
+fit AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+         COUNT(value) AS n
+  FROM rser
+),
+base AS (
+  SELECT s / n AS mu, SQRT(GREATEST(ss / n - (s / n) * (s / n), 0)) AS sigma FROM fit
+),
+aser AS (
+  SELECT chunk_index,
+         (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+           * CASE WHEN chunk_index >= {_CUSUM_FROM} THEN {_CUSUM_STEP!r} ELSE 1.0 END AS value
+  FROM ana GROUP BY chunk_index
+),
+lists AS (
+  SELECT chunk_index, value,
+         list_filter(list(value) OVER (ORDER BY chunk_index ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     x -> x IS NOT NULL) AS l
+  FROM aser
+),
+calc AS (
+  -- mu/sigma cross-joined in: DuckDB lambdas reject subqueries but accept
+  -- outer-row column references
+  SELECT chunk_index, value,
+         list_reduce(list_prepend(0.0, l),
+                     (acc, x) -> GREATEST(0.0, acc + (x - (mu + {_CUSUM_K!r} * sigma)))) AS cp,
+         list_reduce(list_prepend(0.0, l),
+                     (acc, x) -> GREATEST(0.0, acc + ((mu - {_CUSUM_K!r} * sigma) - x))) AS cm,
+         {_CUSUM_H!r} * sigma AS lim
+  FROM lists CROSS JOIN base
+)
+SELECT chunk_index, value AS avg_price, cp AS cusum_pos, cm AS cusum_neg,
+       lim AS cusum_limit,
+       CASE WHEN cp IS NULL THEN FALSE
+            ELSE COALESCE(cp > lim OR cm > lim, FALSE) END AS cusum_alert
 FROM calc ORDER BY chunk_index
 """
 

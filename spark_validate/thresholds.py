@@ -391,6 +391,109 @@ def with_ewma_alerts(
     ).drop("mu", "sigma")
 
 
+def with_cusum_alerts(
+    result: DataFrame,
+    k: float = 0.5,
+    h: float = 4.0,
+    baseline: Optional[DataFrame] = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tabular CUSUM chart over a chunked result series (Page 1954; the
+    NIST/Montgomery two-sided construction): adds ``cusum_pos`` /
+    ``cusum_neg`` (the one-sided cumulative sums
+    ``C⁺ = max(0, C⁺ + (x − (mu + k·sigma)))`` and
+    ``C⁻ = max(0, C⁻ + ((mu − k·sigma) − x))``), ``cusum_limit``
+    (``h·sigma``) and ``cusum_alert`` per (column_name × method) ordered by
+    ``chunk_index``.
+
+    The CUSUM is the change-POINT complement to the EWMA chart: both catch
+    small persistent shifts a static band misses, but the CUSUM's sum
+    resets to zero whenever the process is on target, so the first chunk
+    where ``C±`` leaves zero localizes WHEN the shift started, and the
+    slack ``k·sigma`` (half the shift one tunes to detect) makes it
+    optimal for a step change of ~2k·sigma (SPRT equivalence). Defaults
+    k=0.5, h=4 are the textbook small-shift setting.
+
+    ``baseline`` follows :func:`with_ewma_alerts`: a per-series
+    (column_name, method, mu, sigma) frame, fitted from the frame's own
+    ``period == 'reference'`` rows when omitted. Degenerate sigma (NULL or
+    0 — a constant reference) yields NULL sums and no alert rather than a
+    hair-trigger zero-slack chart. NULL metric values are skipped by the
+    fold (state holds, ``t`` does not advance).
+
+    Execution shape: identical to the EWMA chart — the input is the
+    already-aggregated result frame, the recurrence is two scalar
+    ``F.aggregate`` left folds over a running ``collect_list`` window
+    partitioned per series. Pure add/max arithmetic, so the sums are
+    bit-identical in any engine executing the same fold order (DuckDB:
+    ``list_reduce(list_prepend(0.0, l), ...)``).
+    """
+    from pyspark.sql import Window
+
+    if k < 0 or h <= 0:
+        raise ValueError(f"need k >= 0 and h > 0, got k={k}, h={h}")
+    series = ["column_name", "method"]
+    if baseline is None:
+        if "period" not in result.columns:
+            raise ValueError("no baseline frame and no period column to fit one from")
+        ref = result.filter(F.col("period") == "reference")
+        baseline = ref.groupBy(*series).agg(
+            F.avg(value_col).alias("mu"), F.stddev_pop(value_col).alias("sigma")
+        )
+        scope_analysis = True
+    else:
+        scope_analysis = False
+
+    w = (
+        Window.partitionBy(*series)
+        .orderBy("chunk_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = result.join(F.broadcast(baseline), series, "left")
+    scope = (
+        (F.col("period") == "analysis") if scope_analysis else F.lit(True)
+    )
+    valid = F.col("mu").isNotNull() & F.col("sigma").isNotNull() & (F.col("sigma") > 0)
+    vals = F.collect_list(F.when(scope, F.col(value_col))).over(w)
+    live = scope & valid & (F.size(vals) > 0)
+    kf = F.lit(float(k))
+    pos = F.when(
+        live,
+        F.aggregate(
+            vals,
+            F.lit(0.0),
+            lambda acc, x: F.greatest(
+                F.lit(0.0), acc + (x - (F.col("mu") + kf * F.col("sigma")))
+            ),
+        ),
+    )
+    neg = F.when(
+        live,
+        F.aggregate(
+            vals,
+            F.lit(0.0),
+            lambda acc, x: F.greatest(
+                F.lit(0.0), acc + ((F.col("mu") - kf * F.col("sigma")) - x)
+            ),
+        ),
+    )
+    limit = F.when(live, F.lit(float(h)) * F.col("sigma"))
+    out = (
+        out.withColumn("cusum_pos", pos.cast("double"))
+        .withColumn("cusum_neg", neg.cast("double"))
+        .withColumn("cusum_limit", limit.cast("double"))
+    )
+    breach = (F.col("cusum_pos") > F.col("cusum_limit")) | (
+        F.col("cusum_neg") > F.col("cusum_limit")
+    )
+    return out.withColumn(
+        "cusum_alert",
+        F.when(F.col("cusum_pos").isNull(), F.lit(False)).otherwise(
+            F.coalesce(breach, F.lit(False))
+        ),
+    ).drop("mu", "sigma")
+
+
 def with_seasonal_alerts(
     result: DataFrame,
     period: int = 7,

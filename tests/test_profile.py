@@ -432,6 +432,80 @@ def test_ewma_null_values_hold_state(spark):
         with_ewma_alerts(spark.createDataFrame(pdf))  # no baseline, no period
 
 
+def test_cusum_alerts_numpy_replica(spark):
+    """Two-sided tabular CUSUM matches the textbook recurrence; a sustained
+    ~2σ shift (each chunk inside the static 3σ band) accumulates past
+    h·sigma, and the sum's departure from zero localizes the onset."""
+    from spark_validate.thresholds import with_cusum_alerts
+
+    k, h = 0.5, 4.0
+    ref_vals = [10.0, 10.4, 9.6, 10.2, 9.8, 10.0, 10.3, 9.7]  # mu=10, sigma~0.26
+    ana_vals = [10.0, 9.9, 10.1, 10.5, 10.5, 10.5, 10.5, 10.5]  # shift from t=3
+    pdf = pd.DataFrame(
+        {
+            "chunk_index": list(range(len(ref_vals))) + list(range(len(ana_vals))),
+            "column_name": "a",
+            "method": "avg",
+            "period": ["reference"] * len(ref_vals) + ["analysis"] * len(ana_vals),
+            "value": ref_vals + ana_vals,
+        }
+    )
+    out = with_cusum_alerts(spark.createDataFrame(pdf), k=k, h=h).toPandas()
+    ref_rows = out[out.period == "reference"]
+    assert ref_rows["cusum_pos"].isna().all() and not ref_rows["cusum_alert"].any()
+
+    mu = float(np.mean(ref_vals))
+    sigma = float(np.std(ref_vals))
+    cp = cm = 0.0
+    want = []
+    for v in ana_vals:
+        cp = max(0.0, cp + (v - (mu + k * sigma)))
+        cm = max(0.0, cm + ((mu - k * sigma) - v))
+        want.append((cp, cm))
+    got = out[out.period == "analysis"].sort_values("chunk_index")
+    np.testing.assert_allclose(got["cusum_pos"], [w[0] for w in want], rtol=1e-12)
+    np.testing.assert_allclose(got["cusum_neg"], [w[1] for w in want], rtol=1e-12)
+    np.testing.assert_allclose(got["cusum_limit"], h * sigma, rtol=1e-12)
+    # no single chunk breaches the static mu±3σ band ...
+    assert all(v < mu + 3 * sigma for v in ana_vals)
+    # ... the sum leaves zero exactly at onset and alerts soon after
+    assert got["cusum_pos"].iloc[2] == 0.0 and got["cusum_pos"].iloc[3] > 0.0
+    assert not got["cusum_alert"].iloc[3] and got["cusum_alert"].iloc[-1]
+
+
+def test_cusum_nulls_degenerate_sigma_and_validation(spark):
+    """NULL values hold state; sigma 0/NULL yields NULL sums and no alert
+    (no zero-slack hair-trigger); bad k/h rejected."""
+    from spark_validate.thresholds import with_cusum_alerts
+
+    baseline = pd.DataFrame(
+        {"column_name": ["a", "b"], "method": ["avg"] * 2,
+         "mu": [10.0, 10.0], "sigma": [1.0, 0.0]}
+    )
+    pdf = pd.DataFrame(
+        {
+            "chunk_index": list(range(4)) * 2,
+            "column_name": ["a"] * 4 + ["b"] * 4,
+            "method": "avg",
+            "value": [12.0, None, 12.0, None] + [12.0] * 4,
+        }
+    )
+    out = with_cusum_alerts(
+        spark.createDataFrame(pdf), k=0.5, h=4.0,
+        baseline=spark.createDataFrame(baseline),
+    ).toPandas()
+    a = out[out.column_name == "a"].sort_values("chunk_index")
+    # cp after one 12.0 obs: 12 - 10.5 = 1.5; NULL chunk holds it
+    assert a["cusum_pos"].iloc[1] == a["cusum_pos"].iloc[0] == pytest.approx(1.5)
+    assert a["cusum_pos"].iloc[3] == a["cusum_pos"].iloc[2] == pytest.approx(3.0)
+    b = out[out.column_name == "b"]
+    assert b["cusum_pos"].isna().all() and not b["cusum_alert"].any()
+    with pytest.raises(ValueError):
+        with_cusum_alerts(spark.createDataFrame(pdf), k=-0.1)
+    with pytest.raises(ValueError):
+        with_cusum_alerts(spark.createDataFrame(pdf))  # no baseline, no period
+
+
 def test_entropy_matches_scipy_formula(spark):
     """Shannon entropy + normalized entropy per chunk/column vs a direct
     numpy replica; NULLs excluded; constant column → entropy 0, normalized
