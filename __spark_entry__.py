@@ -1153,6 +1153,37 @@ def q_category_shift(spark, sf_dir):
     )
 
 
+def q_bin_shift(spark, sf_dir):
+    """Per-bin share-shift attribution (drift/binshift.py::
+    BinShiftCalculator) — WHERE in the range the mass moved, the continuous
+    complement of category_shift. Fixed 10-bin override (Doane needs
+    driver-side skewness), top-4 by |delta| with the out-of-range bins
+    (below ref min / above ref max) as first-class movers, deterministic
+    bucket-asc tie-break, alert at |delta| > 0.02. Shares are single
+    int→double divisions and bin edges are the compute-order-pinned
+    ``lo + width·b/n`` doubles, so every column hashes UNROUNDED."""
+    from spark_validate.drift.binshift import BinShiftCalculator
+
+    ref, ana = _li_split(spark, sf_dir)
+    calc = BinShiftCalculator(
+        ["l_extendedprice"],
+        chunker=_li_chunker(),
+        n_bins=10,
+        top_m=4,
+        delta_threshold=0.02,
+    )
+    timed_fit(calc, ref)
+    return (
+        calc.movers(ana)
+        .select(
+            _chunk_index_from_key(LI_CHUNK).alias("chunk_index"),
+            "bucket", "bin_lo", "bin_hi",
+            "ref_share", "chunk_share", "delta", "rank", "alert",
+        )
+        .orderBy("chunk_index", "rank")
+    )
+
+
 def q_cvm_price(spark, sf_dir):
     """Binned Cramér–von Mises distance (drift/univariate.py::
     _cvm_from_dense) on l_extendedprice — ω² = ∫ (F_ref − F_chunk)² dH over
@@ -2921,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_price": q_ks_price,
         "cvm_price": q_cvm_price,
         "category_shift": q_category_shift,
+        "bin_shift": q_bin_shift,
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
         "wasserstein_qty": q_wasserstein_qty,
@@ -4031,6 +4063,40 @@ SELECT chunk_index,
        round(psi_bins + CASE WHEN leftover > 0
              THEN (greatest(leftover, 1e-4) - 1e-4) * ln(greatest(leftover, 1e-4) / 1e-4) ELSE 0 END, 9) AS psi
 FROM terms ORDER BY chunk_index
+"""
+
+    # bin_shift: reuses the dense-histogram prefix; the two out-of-range
+    # buckets (-1 / 10, ref_share 0) join the ranking as first-class movers.
+    # Bin edges replicate the engine's Python ``lo + (width·b)/n`` in the
+    # same operation order; shares are int→double divisions — UNROUNDED.
+    sql["bin_shift"] = _cont_dense_sql("l_extendedprice", 10, ref_f, ana_f) + """
+, outs AS (
+  SELECT t.chunk_index, o.b AS bucket, CAST(coalesce(c.c, 0) AS DOUBLE) / t.n AS q
+  FROM tot t
+  CROSS JOIN (SELECT unnest([-1, 10]) AS b) o
+  LEFT JOIN (SELECT chunk_index, bucket, count(*) AS c FROM ana_b
+             WHERE bucket NOT BETWEEN 0 AND 9 GROUP BY 1, 2) c
+    ON c.chunk_index = t.chunk_index AND c.bucket = o.b
+),
+allb AS (
+  SELECT chunk_index, bucket, p AS ref_share, q AS chunk_share FROM dense
+  UNION ALL
+  SELECT chunk_index, bucket, 0.0 AS ref_share, q AS chunk_share FROM outs
+),
+ranked AS (
+  SELECT a.chunk_index, a.bucket,
+         CASE WHEN a.bucket = -1 THEN NULL WHEN a.bucket = 10 THEN b.hi
+              ELSE b.lo + ((b.hi - b.lo) * a.bucket) / 10 END AS bin_lo,
+         CASE WHEN a.bucket = 10 THEN NULL WHEN a.bucket = -1 THEN b.lo
+              ELSE b.lo + ((b.hi - b.lo) * (a.bucket + 1)) / 10 END AS bin_hi,
+         a.ref_share, a.chunk_share, a.chunk_share - a.ref_share AS delta,
+         row_number() OVER (PARTITION BY a.chunk_index
+                            ORDER BY abs(a.chunk_share - a.ref_share) DESC, a.bucket ASC) AS rank
+  FROM allb a CROSS JOIN bounds b
+)
+SELECT chunk_index, bucket, bin_lo, bin_hi, ref_share, chunk_share, delta,
+       rank, abs(delta) > 0.02 AS alert
+FROM ranked WHERE rank <= 4 ORDER BY chunk_index, rank
 """
 
     sql["ks_price"] = _cont_dense_sql("l_extendedprice", 1000, ref_f, ana_f) + """

@@ -568,6 +568,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             top_m=cfg.get("top_m", 5),
             delta_threshold=cfg.get("delta_threshold", 0.05),
         )
+    if kind == "bin_shift":
+        from spark_validate.drift.binshift import BinShiftCalculator
+
+        return BinShiftCalculator(
+            column_names=cfg["columns"],
+            chunker=chunker,
+            n_bins=cfg.get("n_bins"),
+            top_m=cfg.get("top_m", 5),
+            delta_threshold=cfg.get("delta_threshold", 0.05),
+        )
     if kind == "correlation_drift":
         from spark_validate.drift.correlation import CorrelationDriftCalculator
 
@@ -758,7 +768,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             "reconciliation",
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift", "rolling_drift",
             "semantic_types",
-            "vocab_drift", "correlation_drift", "category_shift", "payload_drift",
+            "vocab_drift", "correlation_drift", "category_shift", "bin_shift", "payload_drift",
             "prior_shift",
         )
         if needs_fit:
