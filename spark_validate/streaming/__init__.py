@@ -12,6 +12,7 @@ from spark_validate.streaming.stateful import (
     streaming_duplicate_keys,
 )
 from spark_validate.streaming.drift import (
+    streaming_bin_shift,
     streaming_category_shift,
     streaming_correlation_drift,
     streaming_payload_drift,
@@ -36,6 +37,7 @@ __all__ = [
     "streaming_duplicate_keys",
     "streaming_univariate_drift",
     "streaming_category_shift",
+    "streaming_bin_shift",
     "streaming_correlation_drift",
     "streaming_payload_drift",
     "streaming_prior_shift",

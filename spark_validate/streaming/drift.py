@@ -398,6 +398,100 @@ def streaming_category_shift(
     )
 
 
+def streaming_bin_shift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``BinShiftCalculator``
+    (`spark_validate/drift/binshift.py`) into a streaming per-bin
+    attribution query: the fitted equal-width bucket expression becomes a
+    narrow pre-aggregation projection, then one conditional count per
+    fitted bin (plus the two out-of-range bins) inside ONE tumbling
+    event-time aggregation — bounded at ≤ columns × (n_bins + 2)
+    expressions, no explode, no state beyond the window aggregate. Emits
+    one row per (window, column, bin) with ref/window shares, edges, the
+    signed delta, and the |delta| > threshold alert — per-window shares
+    are bit-identical to the batch ``movers`` shares over the window's
+    rows. The batch path owns RANKING (top-m needs a window function,
+    unsupported on streaming aggregates) — same division of labor as
+    ``streaming_category_shift``."""
+    if calc._state is None:
+        raise RuntimeError("fit the calculator on the reference period first")
+    from spark_validate.calculators.base import nan_to_null
+    from spark_validate.drift.univariate import bucket_expr
+
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+    dtypes = dict(stream.dtypes)
+    proj, aggs, melt = [], [], []
+    for ci, c in enumerate(calc.column_names):
+        st = calc._state[c]
+        lo, hi, nb = st["lo"], st["hi"], st["n_bins"]
+        width = hi - lo
+        v = nan_to_null(F.col(c), dtypes[c]).cast("double")
+        bcol = f"__b_{ci}"
+        proj.append(
+            F.when(v.isNull(), F.lit(None)).otherwise(bucket_expr(v, lo, hi, nb)).alias(bcol)
+        )
+        aggs.append(F.count(F.col(bcol)).alias(f"__n_{ci}"))
+        for b in range(-1, nb + 1):
+            aggs.append(
+                F.count(F.when(F.col(bcol) == F.lit(b), F.lit(1))).alias(f"__c_{ci}_{b + 1}")
+            )
+            if b == -1:
+                p, b_lo, b_hi = 0.0, None, lo
+            elif b == nb:
+                p, b_lo, b_hi = 0.0, hi, None
+            else:
+                p = st["probs"][b]
+                b_lo, b_hi = lo + (width * b) / nb, lo + (width * (b + 1)) / nb
+            melt.append((c, ci, b, b_lo, b_hi, p, f"__c_{ci}_{b + 1}"))
+    agg = src.select(timestamp_column, *proj).groupBy(
+        F.window(F.col(timestamp_column), window_duration)
+    ).agg(*aggs)
+    structs = []
+    for c, ci, b, b_lo, b_hi, p, cnt_col in melt:
+        n = F.col(f"__n_{ci}")
+        q = F.when(n > 0, F.col(cnt_col) / n)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(b).alias("bucket"),
+                F.lit(b_lo).cast("double").alias("bin_lo"),
+                F.lit(b_hi).cast("double").alias("bin_hi"),
+                F.lit(float(p)).alias("ref_share"),
+                q.cast("double").alias("chunk_share"),
+                (q - F.lit(float(p))).cast("double").alias("delta"),
+            )
+        )
+    thr = float(calc.delta_threshold)
+    return (
+        agg.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.explode(F.array(*structs)).alias("kv"),
+        )
+        .select(
+            "window_start",
+            "window_end",
+            "kv.column_name",
+            "kv.bucket",
+            "kv.bin_lo",
+            "kv.bin_hi",
+            "kv.ref_share",
+            "kv.chunk_share",
+            "kv.delta",
+            (F.abs(F.col("kv.delta")) > F.lit(thr)).alias("alert"),
+        )
+        # batch parity: an all-NULL window produces no movers rows
+        .filter(F.col("chunk_share").isNotNull())
+    )
+
+
 def streaming_grouped_drift(
     stream: DataFrame,
     calc,

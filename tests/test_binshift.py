@@ -103,6 +103,66 @@ def test_state_roundtrip_and_degenerate_reference(spark):
         _fit_calc(spark, [None, None], n_bins=4)
 
 
+def test_streaming_bin_shift_matches_batch(spark, tmp_path):
+    """The streaming compile emits per-(window, bin) shares equal to batch
+    movers over a matching hourly period chunker; the all-NULL window emits
+    no rows; the out-of-range bin carries the same alert."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.streaming import streaming_bin_shift
+
+    n = 1600
+    ts = pd.date_range("2024-06-03", periods=n, freq="9s")  # 4 hours
+    idx = np.arange(n)
+    rng = np.random.RandomState(5)
+    x = rng.uniform(0.0, 10.0, n)
+    # last streamed hour: a third of the mass escapes above the ref range
+    x = np.where((idx >= 3 * n // 4) & (idx % 3 == 0), 25.0, x)
+    pdf = pd.DataFrame({"ts": ts, "id": idx, "x": x})
+    hour1 = (ts >= "2024-06-03 01:00:00") & (ts < "2024-06-03 02:00:00")
+    pdf.loc[np.asarray(hour1), "x"] = None
+    ref, ana = pdf.iloc[: n // 4], pdf.iloc[n // 4 :]
+
+    calc = BinShiftCalculator(
+        ["x"],
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+        n_bins=4,
+        top_m=6,
+        delta_threshold=0.1,
+    ).fit(spark.createDataFrame(ref))
+    batch = calc.movers(spark.createDataFrame(ana)).toPandas()
+
+    src = str(tmp_path / "binshift_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_bin_shift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_binshift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    s = spark.sql("SELECT * FROM sv_binshift").toPandas()
+    assert set(s["bucket"]) == set(range(-1, 5))
+    s["hour"] = pd.to_datetime(s["window_start"]).dt.strftime("%Y-%m-%d %H")
+    assert "2024-06-03 01" not in set(s["hour"])  # all-NULL window dropped
+    b = batch.copy()
+    b["hour"] = b["chunk_key"].str.slice(0, 13)
+    joined = b.merge(s, on=["hour", "bucket"], suffixes=("_b", "_s"))
+    assert len(joined) >= 8
+    np.testing.assert_allclose(joined["chunk_share_b"], joined["chunk_share_s"], rtol=1e-12)
+    np.testing.assert_allclose(joined["delta_b"], joined["delta_s"], rtol=1e-12)
+    for c in ("bin_lo", "bin_hi"):
+        same = (joined[f"{c}_b"] == joined[f"{c}_s"]) | (
+            joined[f"{c}_b"].isna() & joined[f"{c}_s"].isna()
+        )
+        assert same.all()
+    assert (joined["alert_b"].astype(bool) == joined["alert_s"].astype(bool)).all()
+    last = s[s["hour"] == s["hour"].max()]
+    assert bool(last[last.bucket == 4]["alert"].iloc[0])  # escaped mass alerts
+
+
 def test_runner_kind(spark):
     from spark_validate.runner import build_check
 
