@@ -2540,6 +2540,39 @@ def q_dle_estimated_mae(spark, sf_dir):
     )
 
 
+def q_alignment_scores(spark, sf_dir):
+    """Cross-modal CLIP-score gate (image/alignment.py): cosine between an
+    image-embedding and a caption-embedding column, LAION-style keep
+    threshold. The synthetic table has one vector per row, so the caption
+    side is derived deterministically — negated (%9: cosine −1, fails),
+    first-element-zeroed (%5: cosine ≈0.99, passes), else doubled (cosine
+    1) — with expressions DuckDB replicates exactly. Scores round(6) (the
+    embedding-suite convention absorbing dot-product summation-order
+    skew); the keep flag compares UNROUNDED on both sides, with every
+    planted class far from the 0.5 cut."""
+    from spark_validate.image.alignment import with_alignment_score
+
+    emb = _read(spark, sf_dir, "embeddings")
+    img = F.col("embedding").cast("array<double>")
+    txt = (
+        F.when(F.col("vec_id") % 9 == 0, F.transform(img, lambda x: -x))
+        .when(
+            F.col("vec_id") % 5 == 0,
+            F.concat(F.array(F.lit(0.0)), F.slice(img, 2, F.size(img) - 1)),
+        )
+        .otherwise(F.transform(img, lambda x: x * F.lit(2.0)))
+    )
+    df = emb.select(
+        "vec_id", img.alias("image_embedding"), txt.alias("caption_embedding")
+    )
+    out = with_alignment_score(df)
+    return out.select(
+        "vec_id",
+        F.round("alignment_score", 6).alias("alignment"),
+        (F.col("alignment_score") >= F.lit(0.5)).alias("aligned"),
+    ).orderBy("vec_id")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -3008,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
+        "alignment_scores": q_alignment_scores,
         "embedding_clusters": q_embedding_clusters,
         "embedding_decontamination": q_embedding_decontamination,
         "phash_near_dups": q_phash_near_dups,
@@ -5713,6 +5747,32 @@ FROM co ORDER BY rank
     # vectors share every band signature (LSH recall certain); the natural
     # testdata has no pairs above 0.9 (checked down to 0.8), so false
     # positives are guarded too.
+    # Cross-modal alignment: planted caption vectors (negate / zero-first /
+    # double) + list_dot_product cosine with the same 1e-12 norm floor;
+    # score round(6) (summation-order convention), keep flag unrounded.
+    sql["alignment_scores"] = """
+WITH pairs AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS a,
+         CASE WHEN vec_id % 9 = 0 THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+              WHEN vec_id % 5 = 0 THEN list_prepend(0.0, (CAST(embedding AS DOUBLE[]))[2:])
+              ELSE list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+         END AS b
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id,
+         CASE WHEN a IS NOT NULL AND b IS NOT NULL AND len(a) = len(b) THEN
+           list_dot_product(a, b)
+             / (greatest(sqrt(list_dot_product(a, a)), 1e-12)
+                * greatest(sqrt(list_dot_product(b, b)), 1e-12))
+         END AS s
+  FROM pairs
+)
+SELECT vec_id, round(s, 6) AS alignment, s >= 0.5 AS aligned
+FROM scored ORDER BY vec_id
+"""
+
     sql["embedding_near_dups"] = """
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

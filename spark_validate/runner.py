@@ -120,6 +120,17 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
         )
+    if kind == "alignment":
+        from spark_validate.image.alignment import AlignmentCheck
+
+        return AlignmentCheck(
+            vec_a=cfg.get("vector_a", "image_embedding"),
+            vec_b=cfg.get("vector_b", "caption_embedding"),
+            id_col=cfg.get("id_column", "image_id"),
+            min_score=cfg.get("min_score", 0.28),
+            chunker=chunker,
+            upper_threshold=cfg.get("upper_threshold", 0.0),
+        )
     if kind == "caption_spam":
         from spark_validate.image.consistency import CaptionSpamCheck
 
@@ -652,6 +663,7 @@ def _check_name(cfg: dict) -> str:
             else None
         )
         or ([cfg["column_x"], cfg["column_y"]] if cfg.get("column_x") else None)
+        or ([cfg["vector_a"], cfg["vector_b"]] if cfg.get("vector_a") else None)
         or [cfg.get("column", "")]
     )
     return f"{cfg['type']}__{'_'.join(cols)}"

@@ -237,6 +237,10 @@ def curate(
     * ``near_dedup`` — MinHash/LSH clustering over survivors; keep the
       canonical (min-id) member per cluster. Params: threshold, n_hashes,
       shingle_k, n_bands, max_bucket.
+    * ``alignment`` — cross-modal CLIP-score gate (image+caption tables):
+      drop rows whose cosine between ``vector_a`` and ``vector_b``
+      embedding columns falls below ``min_score`` (default 0.28, the
+      LAION cut) or is incomputable (row-local).
     * ``phash_dedup`` — image-axis: Hamming near-dup clusters over a
       ``phash`` column (params: phash_column, max_hamming, n_blocks,
       max_bucket); canonical min-id keep. Lets one pipeline curate an
@@ -326,6 +330,17 @@ def curate(
             work = tagged.withColumn(fc, ~F.col("rep_pass")).drop(
                 *(set(tagged.columns) - before - {fc})
             )
+        elif kind == "alignment":
+            from spark_validate.image.alignment import cosine_sql
+
+            score = F.expr(
+                cosine_sql(
+                    spec.get("vector_a", "image_embedding"),
+                    spec.get("vector_b", "caption_embedding"),
+                )
+            )
+            keep = score >= F.lit(float(spec.get("min_score", 0.28)))
+            work = work.withColumn(fc, ~F.coalesce(keep, F.lit(False)))
         elif kind == "lang":
             from spark_validate.text.quality import with_language_id
 
