@@ -1577,6 +1577,31 @@ def q_perf_binary(spark, sf_dir):
     )
 
 
+def q_calibration_drift(spark, sf_dir):
+    """Per-chunk calibration drift (performance/calib_drift.py): reliability
+    ECE over fixed-width probability bins per chunk plus the delta vs the
+    reference's fitted ECE — the over-time complement of the reference's
+    one-shot needs_calibration gate. Score sums ride the decimal(38,12)
+    device (order-independent exact) and ECE is an explicit bin-ascending
+    addition chain mirrored term-for-term in the oracle; round(9) absorbs
+    the python-vs-SQL ref-ECE last-ulp in the delta rows."""
+    from spark_validate.performance.calib_drift import CalibrationDriftCalculator
+
+    ref, ana = _ev_split(spark, sf_dir)
+    calc = CalibrationDriftCalculator(
+        y_true="y_true",
+        y_pred_proba="score",
+        bin_count=10,
+        chunker=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+        ece_threshold=0.05,
+    )
+    timed_fit(calc, _with_model_cols(ref))
+    res = calc.calculate(_with_model_cols(ana))
+    return res.select(
+        "chunk_index", "method", F.round("value", 9).alias("value"), "alert"
+    ).orderBy("chunk_index", "method")
+
+
 def q_segmented_performance(spark, sf_dir):
     """Per-segment realized performance (chunking.py::SegmentedChunker):
     wrapping the size chunker with a segment axis makes the UNCHANGED
@@ -3004,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "vocab_drift": q_vocab_drift,
         "perf_binary": q_perf_binary,
+        "calibration_drift": q_calibration_drift,
         "segmented_performance": q_segmented_performance,
         "prior_shift": q_prior_shift,
         "roc_auc": q_roc_auc,
@@ -4773,6 +4799,63 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN per p USING (doc_id)
 ORDER BY doc_id
+"""
+
+    # calibration_drift: pivot conditional sums per fixed-width score bin
+    # (label sums int-exact, score sums decimal(38,12)-exact), ECE as the
+    # SAME bin-ascending addition chain the engine builds; ref ECE from the
+    # even-parity side. round(9) absorbs the ref-ECE python/SQL last-ulp.
+    def _calib_sums(prefix: str) -> str:
+        parts = []
+        for i in range(10):
+            hit = f"least(CAST(floor(score * 10) AS INT), 9) = {i}"
+            parts += [
+                f"count(CASE WHEN {hit} THEN 1 END) AS {prefix}c{i}",
+                f"coalesce(sum(CASE WHEN {hit} THEN y_true END), 0) AS {prefix}y{i}",
+                f"sum(CASE WHEN {hit} THEN CAST(score AS DECIMAL(38,12)) END) AS {prefix}p{i}",
+            ]
+        return ",\n         ".join(parts)
+
+    def _calib_ece(prefix: str) -> str:
+        n = " + ".join(f"{prefix}c{i}" for i in range(10))
+        terms = [
+            f"(CASE WHEN {prefix}c{i} > 0 THEN (CAST({prefix}c{i} AS DOUBLE) / ({n}))"
+            f" * abs(CAST({prefix}y{i} AS DOUBLE) / {prefix}c{i}"
+            f" - CAST({prefix}p{i} AS DOUBLE) / {prefix}c{i}) ELSE 0.0 END)"
+            for i in range(10)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    sql["calibration_drift"] = f"""
+WITH scored AS (
+  SELECT event_id,
+         ((event_id * 2654435761) % 1000) / 1000.0 AS score,
+         CASE WHEN ((event_id * 1103515245 + 12345) % 1000) < ((event_id * 2654435761) % 1000)
+              THEN 1 ELSE 0 END AS y_true
+  FROM events
+),
+refw AS (
+  SELECT {_calib_sums('r')}
+  FROM scored WHERE event_id % 2 = 0
+),
+anam AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / {EV_CHUNK}) AS INT) AS chunk_index,
+         score, y_true
+  FROM scored WHERE event_id % 2 = 1
+),
+anaw AS (
+  SELECT chunk_index,
+         {_calib_sums('a')}
+  FROM anam GROUP BY 1
+),
+vals AS (
+  SELECT chunk_index, {_calib_ece('a')} AS ece, (SELECT {_calib_ece('r')} FROM refw) AS ref_ece
+  FROM anaw
+)
+SELECT chunk_index, 'ece' AS method, round(ece, 9) AS value, ece > 0.05 AS alert FROM vals
+UNION ALL
+SELECT chunk_index, 'ece_delta', round(ece - ref_ece, 9), FALSE FROM vals
+ORDER BY chunk_index, method
 """
 
     sql["perf_binary"] = f"""

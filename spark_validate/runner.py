@@ -170,6 +170,16 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             y_pred_proba=cfg.get("y_pred_proba", "y_pred_proba"),
             chunker=chunker,
         )
+    if kind == "calibration_drift":
+        from spark_validate.performance.calib_drift import CalibrationDriftCalculator
+
+        return CalibrationDriftCalculator(
+            y_true=cfg.get("y_true", "y_true"),
+            y_pred_proba=cfg.get("y_pred_proba", "y_pred_proba"),
+            bin_count=cfg.get("bin_count", 10),
+            chunker=chunker,
+            ece_threshold=cfg.get("ece_threshold", 0.05),
+        )
     if kind == "dle":
         from spark_validate.performance.dle import DLE
 
@@ -776,7 +786,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         from_store = False
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
-            "performance", "cbpe", "dle", "lm_quality", "zscore_outliers", "snapshot",
+            "performance", "cbpe", "dle", "calibration_drift", "lm_quality", "zscore_outliers", "snapshot",
             "reconciliation",
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift", "rolling_drift",
             "semantic_types",
