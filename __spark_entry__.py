@@ -2598,6 +2598,45 @@ def q_alignment_scores(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+#: MMD driver-query constants shared with the oracle: explicit sigma so the
+#: oracle rebuilds the identical seeded RFF projection without the fit pass
+_MMD_K, _MMD_SIGMA, _MMD_SEED, _MMD_CHUNK, _MMD_THR = 32, 1.0, 20, 50, 0.05
+
+
+def q_mmd_drift(spark, sf_dir):
+    """Kernel two-sample MMD drift on the embedding column (drift/mmd.py):
+    the random-Fourier-feature linear-time estimator — K=32 seeded cos
+    features, per-chunk feature means via the decimal(38,12) device, MMD²
+    as an explicit k-ascending chain. Reference = even vec_ids; analysis =
+    odd with a +0.5 component shift planted from vec_id 300 on, so later
+    chunks alert while early ones sit at the RFF null floor. round(6)
+    absorbs the cos/dot libm last-ulp (the lm_quality convention)."""
+    from spark_validate.drift.mmd import MMDDriftCalculator
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    shifted = F.when(
+        F.col("vec_id") >= 300,
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + F.lit(0.5)),
+    ).otherwise(F.col("embedding").cast("array<double>"))
+    ana = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", shifted.alias("embedding")
+    )
+    calc = MMDDriftCalculator(
+        column_name="embedding",
+        n_features=_MMD_K,
+        sigma=_MMD_SIGMA,
+        seed=_MMD_SEED,
+        chunker=SizeBasedChunker(chunk_size=_MMD_CHUNK, order_by=["vec_id"]),
+        mmd_threshold=_MMD_THR,
+    )
+    timed_fit(calc, ref)
+    res = calc.calculate(ana)
+    return res.select(
+        "chunk_index", F.round("value", 6).alias("mmd"), "alert"
+    ).orderBy("chunk_index")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -3068,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
         "alignment_scores": q_alignment_scores,
+        "mmd_drift": q_mmd_drift,
         "embedding_clusters": q_embedding_clusters,
         "embedding_decontamination": q_embedding_decontamination,
         "phash_near_dups": q_phash_near_dups,
@@ -5830,6 +5870,55 @@ FROM co ORDER BY rank
     # vectors share every band signature (LSH recall certain); the natural
     # testdata has no pairs above 0.9 (checked down to 0.8), so false
     # positives are guarded too.
+    # mmd_drift: the SAME seeded RFF projection (rff_params is shared code)
+    # embedded as literal weight arrays; decimal(38,12) feature sums and the
+    # identical k-ascending (d*d) chain. round(6) absorbs cos/dot libm ulp.
+    from spark_validate.drift.mmd import rff_params as _rff
+
+    _mW, _mb = _rff(64, _MMD_K, _MMD_SIGMA, _MMD_SEED)
+    _mmd_feats = ",\n         ".join(
+        f"cos(list_dot_product(e, [{', '.join(repr(x) for x in _mW[k])}]) + {_mb[k]!r}) AS f{k}"
+        for k in range(_MMD_K)
+    )
+    _mmd_sums = ", ".join(
+        f"sum(CAST(f{k} AS DECIMAL(38,12))) AS s{k}" for k in range(_MMD_K)
+    )
+    _mmd_chain = " + ".join(
+        f"((CAST(r.s{k} AS DOUBLE) / r.n - CAST(a.s{k} AS DOUBLE) / a.n)"
+        f" * (CAST(r.s{k} AS DOUBLE) / r.n - CAST(a.s{k} AS DOUBLE) / a.n))"
+        for k in range(_MMD_K)
+    )
+    sql["mmd_drift"] = f"""
+WITH v AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 2 = 1 AND vec_id >= 300
+              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.5)
+              ELSE CAST(embedding AS DOUBLE[]) END AS e
+  FROM embeddings
+),
+feats AS (
+  SELECT vec_id,
+         {_mmd_feats}
+  FROM v WHERE len(e) = 64
+),
+refm AS (
+  SELECT count(*) AS n, {_mmd_sums} FROM feats WHERE vec_id % 2 = 0
+),
+anam AS (
+  SELECT CAST(floor((row_number() OVER (ORDER BY vec_id) - 1) / {_MMD_CHUNK}) AS INT) AS chunk_index, *
+  FROM feats WHERE vec_id % 2 = 1
+),
+anaw AS (
+  SELECT chunk_index, count(*) AS n, {_mmd_sums} FROM anam GROUP BY 1
+),
+vals AS (
+  SELECT a.chunk_index, {2.0 / _MMD_K!r} * ({_mmd_chain}) AS mmd
+  FROM anaw a CROSS JOIN refm r
+)
+SELECT chunk_index, round(mmd, 6) AS mmd, mmd > {_MMD_THR!r} AS alert
+FROM vals ORDER BY chunk_index
+"""
+
     # Cross-modal alignment: planted caption vectors (negate / zero-first /
     # double) + list_dot_product cosine with the same 1e-12 norm floor;
     # score round(6) (summation-order convention), keep flag unrounded.

@@ -170,6 +170,17 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             y_pred_proba=cfg.get("y_pred_proba", "y_pred_proba"),
             chunker=chunker,
         )
+    if kind == "mmd_drift":
+        from spark_validate.drift.mmd import MMDDriftCalculator
+
+        return MMDDriftCalculator(
+            column_name=cfg.get("column", "embedding"),
+            n_features=cfg.get("n_features", 64),
+            sigma=cfg.get("sigma"),
+            seed=cfg.get("seed", 20),
+            chunker=chunker,
+            mmd_threshold=cfg.get("mmd_threshold", 0.05),
+        )
     if kind == "calibration_drift":
         from spark_validate.performance.calib_drift import CalibrationDriftCalculator
 
@@ -786,7 +797,7 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
         from_store = False
         needs_fit = check_cfg["type"] in (
             "column_stats", "missing", "range", "unseen", "drift", "embedding_drift",
-            "performance", "cbpe", "dle", "calibration_drift", "lm_quality", "zscore_outliers", "snapshot",
+            "performance", "cbpe", "dle", "calibration_drift", "mmd_drift", "lm_quality", "zscore_outliers", "snapshot",
             "reconciliation",
             "iqr_outliers", "phash_drift", "joint_drift", "grouped_drift", "rolling_drift",
             "semantic_types",
