@@ -492,6 +492,39 @@ def streaming_bin_shift(
     )
 
 
+def streaming_mmd_drift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``MMDDriftCalculator``
+    (`spark_validate/drift/mmd.py`) into a streaming kernel two-sample
+    query: the K seeded RFF feature expressions become decimal-summed
+    conditional aggregates inside ONE tumbling event-time aggregation, and
+    the per-window MMD² is the same k-ascending chain as batch — windows
+    covering the same rows as a batch chunk produce bit-identical values
+    and alerts.  State is the window aggregate only (K sums + a count)."""
+    if calc._state is None:
+        raise RuntimeError("fit the calculator on the reference period first")
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+    agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(
+        *calc._sum_aggs()
+    )
+    thr = float(calc.mmd_threshold)
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.lit(calc.column_name).alias("column_name"),
+        calc._mmd_expr().cast("double").alias("mmd"),
+    ).withColumn(
+        "alert", F.coalesce(F.col("mmd") > F.lit(thr), F.lit(False))
+    ).filter(F.col("mmd").isNotNull())
+
+
 def streaming_grouped_drift(
     stream: DataFrame,
     calc,

@@ -97,6 +97,51 @@ def test_state_roundtrip_and_validation(spark):
         MMDDriftCalculator(n_features=1)
 
 
+def test_streaming_mmd_matches_batch(spark, tmp_path):
+    """Per-window MMD equals the batch value over a matching hourly period
+    chunker, including the alert on the drifted final hour."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.streaming import streaming_mmd_drift
+
+    rng = np.random.RandomState(9)
+    n, D = 1200, 8
+    ts = pd.date_range("2024-06-03", periods=n, freq="9s")  # 3 hours
+    X = rng.standard_normal((n, D))
+    X[2 * n // 3:] += 1.0  # final hour shifted
+    pdf = pd.DataFrame(
+        {"ts": ts, "rid": range(n), "embedding": [list(map(float, r)) for r in X]}
+    )
+    ref, ana = pdf.iloc[: n // 3], pdf.iloc[n // 3 :]
+    calc = MMDDriftCalculator(
+        column_name="embedding", n_features=16, seed=4,
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+        mmd_threshold=0.05,
+    ).fit(spark.createDataFrame(ref))
+    batch = calc.calculate(spark.createDataFrame(ana)).toPandas()
+
+    src = str(tmp_path / "mmd_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_mmd_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_mmd")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    s = spark.sql("SELECT * FROM sv_mmd").toPandas()
+    s["hour"] = pd.to_datetime(s["window_start"]).dt.strftime("%Y-%m-%d %H")
+    b = batch.copy()
+    b["hour"] = b["chunk_key"].str.slice(0, 13)
+    joined = b.merge(s, on="hour")
+    assert len(joined) == 2
+    np.testing.assert_allclose(joined["value"], joined["mmd"], rtol=1e-12)
+    assert (joined["alert_x"].astype(bool) == joined["alert_y"].astype(bool)).all()
+    assert bool(s[s["hour"] == s["hour"].max()]["alert"].iloc[0])
+
+
 def test_runner_kind(spark):
     from spark_validate.drift.mmd import MMDDriftCalculator
     from spark_validate.runner import build_check
