@@ -336,7 +336,7 @@ def q_ewma_chart(spark, sf_dir):
 
 
 #: CUSUM chart constants shared by query and oracle; the planted step is
-#: dyadic (1 + 1/256) so the multiply is the same double in every engine
+#: dyadic (1 + 1/32) so the multiply is the same double in every engine
 _CUSUM_K, _CUSUM_H, _CUSUM_STEP, _CUSUM_FROM = 0.5, 4.0, 1.03125, 3
 
 

@@ -266,14 +266,20 @@ class BinShiftCalculator:
         return mv.select(
             F.lit("bin_shift").alias("check"),
             F.col("column_name"),
-            F.col(CHUNK_KEY).alias("chunk_key"),
-            F.concat_ws(
-                "", F.lit("bin_"), F.col("bucket").cast("string")
-            ).alias("row_id"),
-            F.concat_ws(
-                "|",
-                F.col("delta").cast("string"),
-                F.col("bin_lo").cast("string"),
-                F.col("bin_hi").cast("string"),
+            F.col(CHUNK_KEY),
+            F.concat(F.lit("bin_"), F.col("bucket").cast("string")).alias("row_id"),
+            F.lit("bin_shift").alias("violation_kind"),
+            # labeled fields, NULL edges spelled out — concat_ws silently
+            # drops NULLs and would make '0.6|1.0' ambiguous for the two
+            # out-of-range bins (one edge is always NULL there)
+            F.concat(
+                F.lit("ref="), F.round("ref_share", 6).cast("string"),
+                F.lit(" chunk="), F.round("chunk_share", 6).cast("string"),
+                F.lit(" delta="), F.round("delta", 6).cast("string"),
+                F.lit(" bin=["),
+                F.coalesce(F.round("bin_lo", 6).cast("string"), F.lit("-inf")),
+                F.lit(", "),
+                F.coalesce(F.round("bin_hi", 6).cast("string"), F.lit("+inf")),
+                F.lit(") rank="), F.col("rank").cast("string"),
             ).alias("observed_value"),
         )

@@ -154,8 +154,11 @@ class AlignmentCheck:
             .select(
                 F.lit("alignment").alias("check"),
                 F.lit(f"{self.vec_a}~{self.vec_b}").alias("column_name"),
-                F.col(CHUNK_KEY).alias("chunk_key"),
+                F.col(CHUNK_KEY),
                 F.col(rid).cast("string").alias("row_id"),
-                F.col("__s").cast("string").alias("observed_value"),
+                F.lit("misaligned_pair").alias("violation_kind"),
+                F.coalesce(
+                    F.col("__s").cast("string"), F.lit("incomputable")
+                ).alias("observed_value"),
             )
         )

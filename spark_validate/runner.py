@@ -684,7 +684,11 @@ def _check_name(cfg: dict) -> str:
             else None
         )
         or ([cfg["column_x"], cfg["column_y"]] if cfg.get("column_x") else None)
-        or ([cfg["vector_a"], cfg["vector_b"]] if cfg.get("vector_a") else None)
+        or (
+            [cfg["vector_a"], cfg.get("vector_b", "caption_embedding")]
+            if cfg.get("vector_a")
+            else None
+        )
         or [cfg.get("column", "")]
     )
     return f"{cfg['type']}__{'_'.join(cols)}"

@@ -54,6 +54,10 @@ def test_check_rate_mean_and_violations(spark):
     assert pd.isna(res.loc["alignment_mean", "upper_threshold"])
     v = chk.violations(_df(spark)).toPandas()
     assert sorted(v["row_id"].astype(int)) == [1, 2, 3, 4, 5]
+    # runner sink shape: violation_kind present (sampling path needs it),
+    # incomputable pairs say so instead of a NULL observed value
+    assert (v["violation_kind"] == "misaligned_pair").all()
+    assert set(v[v["row_id"].isin(["4", "5"])]["observed_value"]) == {"incomputable"}
 
 
 def test_compliance_rule_fusion_shape(spark):

@@ -71,6 +71,13 @@ def test_out_of_range_mass_is_top_mover_and_alerts(spark):
     assert res.loc[0, "method"] == "bin_delta_max"
     assert res.loc[0, "value"] == pytest.approx(0.6)
     assert bool(res.loc[0, "alert"])
+    # violations carry the runner sink shape (incl. violation_kind — the
+    # sampling path at runner.py struct-references it) with labeled,
+    # NULL-edge-explicit observed values
+    v = calc.violations(spark.createDataFrame(ana)).toPandas()
+    assert "violation_kind" in v.columns and (v["violation_kind"] == "bin_shift").all()
+    top_v = v[v["row_id"] == "bin_4"]["observed_value"].iloc[0]
+    assert "delta=0.6" in top_v and "+inf" in top_v
 
 
 def test_identical_population_all_zero_deltas_tiebreak(spark):
