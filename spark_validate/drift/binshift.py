@@ -258,6 +258,67 @@ class BinShiftCalculator:
         ).withColumn("alert", alert_expr())
         return conform_result(join_headers_long(long_df, headers, period))
 
+    def importance_weights(
+        self,
+        df: DataFrame,
+        column: Optional[str] = None,
+        out_col: str = "importance_weight",
+        max_weight: float = 10.0,
+    ) -> DataFrame:
+        """Covariate-shift correction weights from the fitted histogram:
+        ``w(x) = p_ref(bin(x)) / p_analysis(bin(x))`` — the binned
+        density-ratio estimator (Shimodaira 2000 importance weighting;
+        Sugiyama's KLIEP/uLSIF are its smooth cousins).  Weighting the
+        ANALYSIS sample by ``w`` makes its bin distribution match the
+        reference, the standard correction before re-evaluating or
+        retraining on drifted data.
+
+        One global aggregation computes the analysis bin shares, then the
+        weight is a broadcast-mapped row-local column — no per-row joins
+        against anything unbounded.  Conventions: weights clip at
+        ``max_weight`` (density ratios explode where analysis mass is
+        thin); out-of-range bins (no reference mass) weigh 0; NULL values
+        weigh NULL — callers decide whether unmeasured rows keep default
+        weight 1 or drop."""
+        if self._state is None:
+            raise RuntimeError("fit first")
+        cols = list(self.column_names)
+        if column is None:
+            if len(cols) != 1:
+                raise ValueError(f"multiple fitted columns {cols}; pass column=")
+            column = cols[0]
+        elif column not in cols:
+            raise ValueError(f"{column!r} not among fitted columns {cols}")
+        st = self._state[column]
+        dtypes = dict(df.dtypes)
+        v = nan_to_null(F.col(column), dtypes[column]).cast("double")
+        b = F.when(v.isNull(), F.lit(None)).otherwise(
+            bucket_expr(v, st["lo"], st["hi"], st["n_bins"])
+        )
+        counts = (
+            df.select(b.alias("__b"))
+            .filter(F.col("__b").isNotNull())
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()  # bounded: <= n_bins + 2 rows
+        )
+        n = sum(r["__c"] for r in counts)
+        if n == 0:
+            raise ValueError(f"analysis column {column!r} has no non-null values")
+        q = {int(r["__b"]): r["__c"] / n for r in counts}
+        probs = st["probs"]
+        weights = {}
+        for bucket in range(-1, st["n_bins"] + 1):
+            p = 0.0 if bucket in (-1, st["n_bins"]) else probs[bucket]
+            qa = q.get(bucket, 0.0)
+            # qa == 0 with p > 0: the bin never occurs in analysis, so the
+            # weight is never applied — any finite placeholder works
+            weights[bucket] = min(p / qa, float(max_weight)) if qa > 0 else 0.0
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        return df.withColumn(out_col, wmap[b].cast("double"))
+
     def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
         """Movers as violation rows (runner sink shape): one row per
         (chunk, column, bin) in the top-m whose |delta| clears the

@@ -31,6 +31,12 @@ Fixed-width bins (not the reference's equal-count fit-time bins) because
 they need no fitted edges and make the per-chunk pass a pure conditional
 aggregate; the fit-time ``needs_calibration`` gate keeps the reference's
 equal-count construction.
+
+Threshold guidance: ECE is upward-biased on small chunks — a perfectly
+calibrated model still scores ≈ Σ_b w_b·E|binomial noise| (~0.05 at
+n=400 rows × 10 bins), so size ``ece_threshold`` to the chunk row count
+(or compare ``ece_delta`` against same-sized reference chunks) rather
+than reading small-chunk ECE as miscalibration.
 """
 
 from __future__ import annotations

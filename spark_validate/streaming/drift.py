@@ -525,6 +525,44 @@ def streaming_mmd_drift(
     ).filter(F.col("mmd").isNotNull())
 
 
+def streaming_calibration_drift(
+    stream: DataFrame,
+    calc,
+    timestamp_column: str,
+    window_duration: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Compile a fitted ``CalibrationDriftCalculator``
+    (`spark_validate/performance/calib_drift.py`) into a streaming
+    reliability monitor: the 3 × bin_count conditional sums run inside ONE
+    tumbling event-time aggregation and the per-window ECE is the same
+    bin-ascending chain as batch — a window covering the same rows as a
+    batch chunk emits the identical ``ece`` value and alert, plus the
+    ``ece_delta`` against the fitted reference ECE.  Windows with no valid
+    (label, score) rows emit nothing."""
+    if calc._state is None:
+        raise RuntimeError("fit the calculator on the reference period first")
+    src = stream
+    if watermark:
+        src = src.withWatermark(timestamp_column, watermark)
+    agg = src.groupBy(F.window(F.col(timestamp_column), window_duration)).agg(
+        *calc._aggs()
+    )
+    _, ece = calc._ece_expr()
+    thr = float(calc.ece_threshold)
+    return (
+        agg.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.lit(f"{calc.y_pred_proba}|{calc.y_true}").alias("column_name"),
+            ece.cast("double").alias("ece"),
+        )
+        .withColumn("ece_delta", F.col("ece") - F.lit(float(calc._state["ece"])))
+        .withColumn("alert", F.coalesce(F.col("ece") > F.lit(thr), F.lit(False)))
+        .filter(F.col("ece").isNotNull())
+    )
+
+
 def streaming_grouped_drift(
     stream: DataFrame,
     calc,

@@ -170,6 +170,91 @@ def test_streaming_bin_shift_matches_batch(spark, tmp_path):
     assert bool(last[last.bucket == 4]["alert"].iloc[0])  # escaped mass alerts
 
 
+def test_importance_weights_rebalance_to_reference(spark):
+    """Weighting the drifted analysis sample by the binned density ratio
+    reproduces the reference bin shares; out-of-range mass weighs 0,
+    NULLs stay NULL, ratios clip at max_weight."""
+    rng = np.random.RandomState(3)
+    ref_vals = rng.uniform(0.0, 1.0, 2000)
+    calc = _fit_calc(
+        spark, ref_vals,
+        chunker=SizeBasedChunker(chunk_size=2000, order_by=["rid"]),
+        n_bins=4,
+    )
+    # analysis: heavy low-bin skew + some out-of-range + a NULL
+    ana_vals = np.concatenate([rng.uniform(0.0, 0.25, 600),
+                               rng.uniform(0.25, 1.0, 300), [5.0] * 100])
+    ana = pd.DataFrame({"rid": range(len(ana_vals) + 1),
+                        "x": list(ana_vals) + [None]})
+    out = calc.importance_weights(spark.createDataFrame(ana), max_weight=10.0)
+    pdf = out.toPandas()
+    assert pdf.loc[pdf["x"].isna(), "importance_weight"].isna().all()
+    assert (pdf.loc[pdf["x"] > 1.0, "importance_weight"] == 0.0).all()
+    # weighted bin shares ~ reference shares (exact: both are ratios of
+    # the same counts)
+    st = calc._state["x"]
+    valid = pdf[pdf["x"].notna() & (pdf["x"] <= 1.0)]
+    b = np.minimum(((valid["x"] - st["lo"]) / (st["hi"] - st["lo"]) * 4).astype(int), 3)
+    wsum = valid["importance_weight"].sum()
+    for i in range(4):
+        share = valid.loc[b.values == i, "importance_weight"].sum() / wsum
+        assert share == pytest.approx(st["probs"][i], rel=1e-9)
+    # a bin with tiny analysis mass clips at max_weight
+    tiny = pd.DataFrame({"rid": range(1000),
+                         "x": [0.1] * 999 + [0.9]})
+    w = calc.importance_weights(spark.createDataFrame(tiny), max_weight=10.0).toPandas()
+    assert w.loc[w["x"] == 0.9, "importance_weight"].iloc[0] == 10.0
+    with pytest.raises(ValueError):
+        calc.importance_weights(spark.createDataFrame(ana), column="nope")
+
+
+def test_streaming_calibration_drift_matches_batch(spark, tmp_path):
+    """Per-window ECE equals the batch value over a matching hourly period
+    chunker; empty windows emit nothing; delta carries the fitted ref ECE."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.performance.calib_drift import CalibrationDriftCalculator
+    from spark_validate.streaming import streaming_calibration_drift
+
+    rng = np.random.RandomState(8)
+    n = 1200
+    ts = pd.date_range("2024-06-03", periods=n, freq="9s")
+    p = rng.uniform(0, 1, n)
+    y = (rng.uniform(0, 1, n) < np.where(np.arange(n) >= 2 * n // 3, p**3, p)).astype(int)
+    pdf = pd.DataFrame({"ts": ts, "rid": range(n), "p": p, "y": y})
+    ref, ana = pdf.iloc[: n // 3], pdf.iloc[n // 3 :]
+    calc = CalibrationDriftCalculator(
+        y_true="y", y_pred_proba="p", bin_count=10,
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+        ece_threshold=0.15,
+    ).fit(spark.createDataFrame(ref))
+    batch = calc.calculate(spark.createDataFrame(ana)).toPandas()
+
+    src = str(tmp_path / "calib_stream")
+    spark.createDataFrame(ana).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_calibration_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_calib")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    s = spark.sql("SELECT * FROM sv_calib").toPandas()
+    s["hour"] = pd.to_datetime(s["window_start"]).dt.strftime("%Y-%m-%d %H")
+    b = batch[batch.method == "ece"].copy()
+    b["hour"] = b["chunk_key"].str.slice(0, 13)
+    joined = b.merge(s, on="hour")
+    assert len(joined) == 2
+    np.testing.assert_allclose(joined["value"], joined["ece"], rtol=1e-12)
+    assert (joined["alert_x"].astype(bool) == joined["alert_y"].astype(bool)).all()
+    assert bool(s[s["hour"] == s["hour"].max()]["alert"].iloc[0])  # miscalibrated hour
+    np.testing.assert_allclose(
+        s["ece"] - s["ece_delta"], calc._state["ece"], rtol=1e-12
+    )
+
+
 def test_runner_kind(spark):
     from spark_validate.runner import build_check
 
