@@ -1631,6 +1631,44 @@ def q_segmented_performance(spark, sf_dir):
     ).orderBy("chunk_key", "method")
 
 
+def q_performance_gap(spark, sf_dir):
+    """Segment performance-gap rollup (performance/gap.py::segment_gap —
+    the Fairlearn MetricFrame.difference surface): collapse the segmented
+    per-(chunk × event_type) metric table to the max−min cohort gap per
+    base chunk and metric, with the extreme cohort names. Deterministic
+    struct-extrema tie-breaks; all values are the confusion-count ratios
+    the segmented oracle already verifies, so gaps hash at round(9)."""
+    from spark_validate.chunking import SegmentedChunker
+    from spark_validate.performance import PerformanceCalculator
+    from spark_validate.performance.gap import segment_gap
+
+    ev = _with_model_cols(_read(spark, sf_dir, "events"))
+    ch = SegmentedChunker(
+        base=SizeBasedChunker(chunk_size=EV_CHUNK, order_by=["event_id"]),
+        segment_col="event_type",
+    )
+    calc = PerformanceCalculator(
+        metrics=("accuracy", "precision", "recall", "f1"),
+        y_true="y_true",
+        y_pred="y_pred",
+        y_pred_proba="score",
+        chunker=ch,
+    )
+    timed_fit(calc, ev)
+    res = segment_gap(calc.calculate(ev), gap_threshold=0.1)
+    return res.select(
+        _chunk_index_from_key(EV_CHUNK).alias("chunk_index"),
+        "method",
+        "n_segments",
+        F.round("gap", 9).alias("gap"),
+        "max_segment",
+        F.round("max_value", 9).alias("max_value"),
+        "min_segment",
+        F.round("min_value", 9).alias("min_value"),
+        "alert",
+    ).orderBy("chunk_index", "method")
+
+
 def q_prior_shift(spark, sf_dir):
     """Label-free prevalence estimation (performance/quantify.py::
     PriorShiftEstimator, Forman 2005 Adjusted Classify & Count): per-chunk
@@ -3070,6 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perf_binary": q_perf_binary,
         "calibration_drift": q_calibration_drift,
         "segmented_performance": q_segmented_performance,
+        "performance_gap": q_performance_gap,
         "prior_shift": q_prior_shift,
         "roc_auc": q_roc_auc,
         "average_precision": q_average_precision,
@@ -4985,6 +5024,44 @@ SELECT chunk_key, method, round(value, 9) AS value FROM (
   UNION ALL SELECT chunk_key, 'recall', tp / (tp + fn) FROM c
   UNION ALL SELECT chunk_key, 'f1', 2 * tp / (2 * tp + fp + fn) FROM c
 ) ORDER BY chunk_key, method
+"""
+
+    # performance_gap: per-(chunk × segment) confusion ratios (same counts
+    # the segmented oracle verifies) rolled up to max−min per chunk×method;
+    # struct-extrema tie-breaks mirrored as (value DESC, segment DESC) /
+    # (value ASC, segment ASC) row_number windows.
+    sql["performance_gap"] = f"""
+WITH m AS ({_MODEL_SQL}),
+c AS (
+  SELECT chunk_index, event_type AS segment,
+         CAST(sum(CASE WHEN y_true = 1 AND y_pred = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+         CAST(sum(CASE WHEN y_true = 0 AND y_pred = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+         CAST(sum(CASE WHEN y_true = 0 AND y_pred = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS tn,
+         CAST(sum(CASE WHEN y_true = 1 AND y_pred = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fn
+  FROM m GROUP BY 1, 2
+),
+vals AS (
+  SELECT chunk_index, segment, 'accuracy' AS method, (tp + tn) / (tp + tn + fp + fn) AS value FROM c
+  UNION ALL SELECT chunk_index, segment, 'precision', tp / (tp + fp) FROM c
+  UNION ALL SELECT chunk_index, segment, 'recall', tp / (tp + fn) FROM c
+  UNION ALL SELECT chunk_index, segment, 'f1', 2 * tp / (2 * tp + fp + fn) FROM c
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY chunk_index, method ORDER BY value DESC, segment DESC) AS rhi,
+         row_number() OVER (PARTITION BY chunk_index, method ORDER BY value ASC, segment ASC) AS rlo,
+         count(*) OVER (PARTITION BY chunk_index, method) AS n_segments
+  FROM vals WHERE value IS NOT NULL
+),
+hi AS (SELECT chunk_index, method, n_segments, value AS vh, segment AS max_segment FROM ranked WHERE rhi = 1),
+lo AS (SELECT chunk_index, method, value AS vl, segment AS min_segment FROM ranked WHERE rlo = 1)
+SELECT h.chunk_index, h.method, h.n_segments,
+       round(h.vh - l.vl, 9) AS gap,
+       h.max_segment, round(h.vh, 9) AS max_value,
+       l.min_segment, round(l.vl, 9) AS min_value,
+       coalesce((h.vh - l.vl) > 0.1, FALSE) AS alert
+FROM hi h JOIN lo l USING (chunk_index, method)
+ORDER BY chunk_index, method
 """
 
     sql["roc_auc"] = f"""
