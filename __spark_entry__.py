@@ -6430,13 +6430,15 @@ lists AS (
 ),
 calc AS (
   -- mu/sigma cross-joined in: DuckDB lambdas reject subqueries but accept
-  -- outer-row column references
+  -- outer-row column references. Degenerate sigma (single reference
+  -- chunk, constant series) mirrors the engine: NULL sums, no alert —
+  -- never a zero-slack hair-trigger chart.
   SELECT chunk_index, value,
-         list_reduce(list_prepend(0.0, l),
-                     (acc, x) -> GREATEST(0.0, acc + (x - (mu + {_CUSUM_K!r} * sigma)))) AS cp,
-         list_reduce(list_prepend(0.0, l),
-                     (acc, x) -> GREATEST(0.0, acc + ((mu - {_CUSUM_K!r} * sigma) - x))) AS cm,
-         {_CUSUM_H!r} * sigma AS lim
+         CASE WHEN sigma > 0 THEN list_reduce(list_prepend(0.0, l),
+                     (acc, x) -> GREATEST(0.0, acc + (x - (mu + {_CUSUM_K!r} * sigma)))) END AS cp,
+         CASE WHEN sigma > 0 THEN list_reduce(list_prepend(0.0, l),
+                     (acc, x) -> GREATEST(0.0, acc + ((mu - {_CUSUM_K!r} * sigma) - x))) END AS cm,
+         CASE WHEN sigma > 0 THEN {_CUSUM_H!r} * sigma END AS lim
   FROM lists CROSS JOIN base
 )
 SELECT chunk_index, value AS avg_price, cp AS cusum_pos, cm AS cusum_neg,
