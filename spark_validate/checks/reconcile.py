@@ -153,23 +153,74 @@ class ReconciliationCheck:
             .select(*keys, F.lit(1).alias("_recon_bad"))
         )
 
+    def _expected_only_count(self, df: DataFrame) -> DataFrame:
+        """ONE-row frame counting key groups present in the reference but
+        absent from the analysis frame. Such keys have no analysis row to
+        attribute to a chunk, so the rate metric alone can never see them;
+        this dedicated count lets the rate path alert on dropped strata.
+        Null-safe anti-join (a NULL-keyed stratum counts like any other)."""
+        keys = list(self.keys)
+        e_keys = self._expected.select(*keys).dropDuplicates(keys).select(
+            *[F.col(k).alias(f"_ek_{k}") for k in keys]
+        )
+        a_keys = df.select(*keys).dropDuplicates(keys).select(
+            *[F.col(k).alias(f"_ak_{k}") for k in keys]
+        )
+        cond = None
+        for k in keys:
+            c = F.col(f"_ek_{k}").eqNullSafe(F.col(f"_ak_{k}"))
+            cond = c if cond is None else (cond & c)
+        return (
+            e_keys.join(a_keys, cond, "left_anti")
+            .agg(F.count(F.lit(1)).cast("double").alias("__exp_only"))
+        )
+
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
         from spark_validate.calculators.base import assign_chunks
         from spark_validate.checks.constraints import _attach_const_threshold
         from spark_validate.chunking import CHUNK_KEY
 
+        keys = list(self.keys)
         assigned, headers = assign_chunks(df, self.chunker)
-        bad = self._mismatched_keys(df)
-        marked = assigned.join(bad, list(self.keys), "left")
+        # Null-safe join-back: reconcile() preserves NULL-keyed groups, so
+        # the attribution join must too — a plain equality join would leave
+        # every NULL-keyed analysis row unmarked forever.
+        bad = self._mismatched_keys(df).select(
+            *[F.col(k).alias(f"_bk_{k}") for k in keys], "_recon_bad"
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_bk_{k}"))
+            cond = c if cond is None else (cond & c)
+        marked = assigned.join(bad, cond, "left")
         wide = marked.groupBy(CHUNK_KEY).agg(
             F.count(F.lit(1)).alias("__rows"),
             F.sum(F.coalesce(F.col("_recon_bad"), F.lit(0))).alias("__bad"),
         )
+        # Expected-only keys never appear in any chunk; repeat the dataset-
+        # level count on every chunk row (broadcast 1-row cross join, lazy)
+        # so upper_threshold=0 alerts when a stratum is dropped entirely.
+        wide = wide.crossJoin(F.broadcast(self._expected_only_count(df)))
+        col_name = "+".join(keys)
         long_df = wide.select(
             CHUNK_KEY,
-            F.lit("+".join(self.keys)).alias("column_name"),
-            F.lit("reconciliation_mismatch_rate").alias("method"),
-            (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("reconciliation_mismatch_rate").alias("method"),
+                        (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("reconciliation_expected_only_keys").alias("method"),
+                        F.col("__exp_only").alias("value"),
+                    ),
+                )
+            ).alias("kv"),
+        ).select(
+            CHUNK_KEY,
+            F.lit(col_name).alias("column_name"),
+            F.col("kv.method").alias("method"),
+            F.col("kv.value").alias("value"),
         )
         return _attach_const_threshold(
             long_df, headers, period, None, self.upper_threshold

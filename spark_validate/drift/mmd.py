@@ -157,12 +157,37 @@ class MMDDriftCalculator:
             sigma = float(self.sigma)
         W, b = rff_params(dim, self.n_features, sigma, self.seed)
         self._state = {"dim": dim, "sigma": sigma, "W": W, "b": b}
-        row = reference.agg(*self._sum_aggs()).first()
+        # One aggregation yields BOTH the K reference means and the split-half
+        # null scale: rows hash deterministically into two halves (content
+        # hash — stable at any parallelism), half-0 sums ride as K extra
+        # conditional columns, half-1 = total − half-0.  ref_self_mmd is the
+        # reference scored against itself — the empirical null the docstring
+        # tells users to calibrate mmd_threshold with.
+        half0 = F.pmod(F.xxhash64(F.col(self.column_name).cast("array<double>")), F.lit(2)) == 0
+        feats = self._feature_exprs()
+        aggs = self._sum_aggs()
+        aggs.append(F.count(F.when(half0, feats[0])).alias("__n0"))
+        for k, f in enumerate(feats):
+            aggs.append(
+                F.coalesce(F.sum(F.when(half0, f).cast(_DEC)), F.lit(0).cast(_DEC)).alias(f"__h{k}")
+            )
+        row = reference.agg(*aggs).first()
         n = row["__n"]
         if n == 0:
             raise ValueError(f"reference column {self.column_name!r} has no valid vectors")
         self._state["n_ref"] = int(n)
         self._state["mu_ref"] = [float(row[f"__s{k}"]) / n for k in range(self.n_features)]
+        n0 = int(row["__n0"])
+        n1 = int(n) - n0
+        if n0 > 0 and n1 > 0:
+            acc = 0.0
+            for k in range(self.n_features):
+                h = float(row[f"__h{k}"])
+                d = h / n0 - (float(row[f"__s{k}"]) - h) / n1
+                acc += d * d
+            self._state["ref_self_mmd"] = (2.0 / self.n_features) * acc
+        else:  # degenerate single-half reference — no null scale available
+            self._state["ref_self_mmd"] = None
         return self
 
     def get_state(self) -> dict:

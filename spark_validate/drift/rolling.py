@@ -72,6 +72,14 @@ class RollingDriftCalculator:
 
     # ---- fitted cells ---------------------------------------------------------
 
+    def _num(self) -> F.Column:
+        """Continuous value with the repo-wide nan_to_null convention: a NaN
+        would otherwise win F.max in fit (Spark sorts NaN above everything),
+        poisoning hi and zeroing every bucket predicate forever."""
+        from spark_validate.calculators.base import nan_to_null
+
+        return nan_to_null(F.col(self.column).cast("double"), "double")
+
     def fit(self, reference: DataFrame) -> "RollingDriftCalculator":
         c = F.col(self.column)
         if self.categorical:
@@ -87,8 +95,9 @@ class RollingDriftCalculator:
                 raise ValueError(f"reference has no non-null {self.column}")
             self._state = {"categories": [str(r[self.column]) for r in top]}
         else:
+            v = self._num()
             row = reference.agg(
-                F.min(c.cast("double")).alias("lo"), F.max(c.cast("double")).alias("hi")
+                F.min(v).alias("lo"), F.max(v).alias("hi")
             ).first()
             if row["lo"] is None:
                 raise ValueError(f"reference has no non-null {self.column}")
@@ -111,13 +120,14 @@ class RollingDriftCalculator:
                 ("other", c.isNotNull() & ~c.cast("string").isin([str(x) for x in cats]))
             )
             return cells
+        v = self._num()
         b = F.width_bucket(
-            c.cast("double"), F.lit(st["lo"]), F.lit(st["hi"]), F.lit(self.n_bins)
+            v, F.lit(st["lo"]), F.lit(st["hi"]), F.lit(self.n_bins)
         )
-        return [(f"b{i}", c.isNotNull() & (b == i)) for i in range(self.n_bins + 2)]
+        return [(f"b{i}", v.isNotNull() & (b == i)) for i in range(self.n_bins + 2)]
 
     def _count_exprs(self, prefix: str):
-        c = F.col(self.column)
+        c = F.col(self.column) if self.categorical else self._num()
         exprs = [F.count(F.when(c.isNotNull(), F.lit(1))).alias(f"{prefix}__n")]
         for suffix, pred in self._cell_preds():
             exprs.append(F.count(F.when(pred, F.lit(1))).alias(f"{prefix}__{suffix}"))

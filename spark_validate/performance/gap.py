@@ -40,12 +40,19 @@ def segment_gap(
     column × method) cohort gaps.  ``gap_threshold`` adds an ``alert``
     column (gap strictly above the threshold); without it ``alert`` is
     False everywhere (informational rollup)."""
-    seg = F.substring_index(F.col("chunk_key"), sep, -1)
-    base = F.substring(
-        F.col("chunk_key"),
-        F.lit(1),
-        F.length("chunk_key") - F.length(seg) - F.lit(len(sep)),
+    # Split on the FIRST separator: the base chunker never emits the
+    # separator, but a segment VALUE may (e.g. a pipe-bearing category), so
+    # last-occurrence parsing would truncate it.  A key with no separator at
+    # all is not a SegmentedChunker key — fail loudly, not group silently.
+    pos = F.locate(sep, F.col("chunk_key"))
+    bad = F.raise_error(
+        F.concat(
+            F.lit(f"segment_gap: chunk_key without segment separator {sep!r}: "),
+            F.col("chunk_key"),
+        )
     )
+    base = F.when(pos > 0, F.substring(F.col("chunk_key"), F.lit(1), pos - 1)).otherwise(bad)
+    seg = F.when(pos > 0, F.col("chunk_key").substr(pos + len(sep), F.length("chunk_key"))).otherwise(bad)
     keys = ["chunk_key", "column_name", "method"]
     carry = [c for c in ("period",) if c in result.columns]
     df = result.filter(F.col("value").isNotNull()).select(

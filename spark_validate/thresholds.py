@@ -74,12 +74,17 @@ class MedianAbsoluteDeviationThreshold:
     mad_upper_multiplier: Optional[float] = 3.0
 
     def fit(self, values_df: DataFrame, value_col: str = "value") -> Tuple[Optional[float], Optional[float]]:
-        row = values_df.agg(F.expr(f"percentile(`{value_col}`, 0.5)").alias("med")).first()
+        # Cast to double up front: a decimal-typed value column would hand
+        # back a Python Decimal whose repr ("Decimal('0.5')") cannot be
+        # re-interpolated into SQL; the deviation below also uses a column
+        # expression (F.lit) instead of string-formatting the median.
+        v = F.col(value_col).cast("double")
+        row = values_df.agg(F.percentile(v, F.lit(0.5)).alias("med")).first()
         med = row["med"]
         if med is None:
             return (None, None)
         mad_row = values_df.agg(
-            F.expr(f"percentile(abs(`{value_col}` - {med!r}), 0.5)").alias("mad")
+            F.percentile(F.abs(v - F.lit(float(med))), F.lit(0.5)).alias("mad")
         ).first()
         mad = mad_row["mad"]
         if mad is None:
@@ -107,11 +112,12 @@ class QuantileThreshold:
                 raise ValueError(f"quantile must be in [0, 1], got {q}")
 
     def fit(self, values_df: DataFrame, value_col: str = "value") -> Tuple[Optional[float], Optional[float]]:
+        v = F.col(value_col).cast("double")  # decimal-safe (see MAD fit)
         aggs = []
         if self.q_lower is not None:
-            aggs.append(F.expr(f"percentile(`{value_col}`, {self.q_lower!r})").alias("lo"))
+            aggs.append(F.percentile(v, F.lit(float(self.q_lower))).alias("lo"))
         if self.q_upper is not None:
-            aggs.append(F.expr(f"percentile(`{value_col}`, {self.q_upper!r})").alias("up"))
+            aggs.append(F.percentile(v, F.lit(float(self.q_upper))).alias("up"))
         if not aggs:
             return (None, None)
         row = values_df.agg(*aggs).first().asDict()

@@ -116,12 +116,51 @@ def test_reconciliation_check_chunk_attribution(spark):
         measures=[{"name": "rc", "agg": "count"}],
         chunker=PartitionChunker(columns=["part"]),
     ).fit(exp)
-    res = chk.calculate(act).toPandas().set_index("chunk_key")
+    out = chk.calculate(act).toPandas()
+    res = out[out["method"] == "reconciliation_mismatch_rate"].set_index("chunk_key")
     assert np.isclose(res.loc["part=p0", "value"], 0.0)
     assert np.isclose(res.loc["part=p1", "value"], 1 / 3)  # d's surviving row
     assert bool(res.loc["part=p1", "alert"]) and not bool(res.loc["part=p0", "alert"])
+    # every expected key still has analysis rows -> expected-only count 0, no alert
+    eo = out[out["method"] == "reconciliation_expected_only_keys"]
+    assert (eo["value"] == 0.0).all() and not eo["alert"].any()
     v = chk.violations(act).toPandas()
     assert v["row_id"].tolist() == ["d"] and v["observed_value"].tolist() == ["2.0 <> 1.0"]
+
+
+def test_reconciliation_null_key_and_expected_only(spark):
+    # NULL-keyed stratum diverges (3 ref rows vs 2 analysis rows) and key
+    # "gone" exists only in the reference: the rate path must see BOTH.
+    exp = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "part": ["p0"] * 3 + ["p0", "p0"],
+                "k": [None, None, None, "gone", "ok"],
+                "v": [1.0, 1.0, 1.0, 5.0, 2.0],
+            }
+        )
+    )
+    act = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "part": ["p0", "p0", "p0"],
+                "k": [None, None, "ok"],
+                "v": [1.0, 1.0, 2.0],
+            }
+        )
+    )
+    chk = ReconciliationCheck(
+        keys=["k"],
+        measures=[{"name": "rc", "agg": "count"}],
+        chunker=PartitionChunker(columns=["part"]),
+    ).fit(exp)
+    out = chk.calculate(act).toPandas()
+    rate = out[out["method"] == "reconciliation_mismatch_rate"].iloc[0]
+    # 2 of 3 analysis rows are NULL-keyed and that stratum mismatches:
+    # a plain equality join-back would report 0 here.
+    assert np.isclose(rate["value"], 2 / 3) and bool(rate["alert"])
+    eo = out[out["method"] == "reconciliation_expected_only_keys"].iloc[0]
+    assert eo["value"] == 1.0 and bool(eo["alert"])  # "gone" dropped entirely
 
 
 def test_fd_and_reconciliation_in_runner(spark, tmp_path):

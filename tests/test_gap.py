@@ -47,13 +47,25 @@ def test_gap_groups_periods_separately_and_no_threshold(spark):
     assert not out["alert"].any()  # informational without a threshold
 
 
-def test_gap_null_segment_label_and_nested_sep(spark):
-    # SegmentedChunker labels NULL cohorts '__null__'; keys whose BASE
-    # contains the separator (nested segmentation) split on the LAST one
+def test_gap_null_segment_label_and_sep_in_segment_value(spark):
+    # SegmentedChunker labels NULL cohorts '__null__'. The split is on the
+    # FIRST separator: the base chunker never emits '|', but a segment
+    # VALUE may — it must survive intact, not be truncated to its last
+    # token. Nested segmentation (base|seg1|seg2) therefore rolls up the
+    # full composite cohort 'seg1|seg2' as the segment.
     rows = [
         ("2024-01|east|__null__", "m", "acc", 0.4, "analysis"),
         ("2024-01|east|south", "m", "acc", 0.8, "analysis"),
     ]
     out = segment_gap(_frame(spark, rows)).toPandas().iloc[0]
-    assert out["chunk_key"] == "2024-01|east"
-    assert out["min_segment"] == "__null__" and out["gap"] == pytest.approx(0.4)
+    assert out["chunk_key"] == "2024-01"
+    assert out["min_segment"] == "east|__null__" and out["max_segment"] == "east|south"
+    assert out["gap"] == pytest.approx(0.4)
+
+
+def test_gap_rejects_non_segmented_key(spark):
+    # a key with no separator is not a SegmentedChunker key — loud error,
+    # not a silently-empty base with seg == whole key
+    rows = [("[0:9]", "m", "acc", 0.5, "analysis")]
+    with pytest.raises(Exception, match="without segment separator"):
+        segment_gap(_frame(spark, rows)).collect()

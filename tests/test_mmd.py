@@ -53,6 +53,14 @@ def test_mmd_matches_numpy_and_detects_joint_only_drift(spark):
     # per-dim means barely move — the joint shift is what MMD sees
     assert abs(a1.mean() - ref.mean()) < 0.05
     assert res.loc[1, "value"] > 10 * res.loc[0, "value"]
+    # split-half null scale: same-distribution halves score ~null, far
+    # below the planted joint shift — the threshold-calibration aid the
+    # module docstring advertises
+    self_mmd = calc._state["ref_self_mmd"]
+    assert self_mmd is not None and 0.0 <= self_mmd < res.loc[1, "value"] / 10
+    # numpy replica of the same content-hash split is infeasible here, but
+    # the magnitude must sit at the null floor (chunk 0 is a fresh null draw)
+    assert self_mmd < max(res.loc[0, "value"] * 10, 0.01)
 
 
 def test_null_and_wrong_dim_vectors_excluded(spark):
@@ -88,6 +96,7 @@ def test_state_roundtrip_and_validation(spark):
     )
     calc2.set_state(json.loads(blob))
     assert calc2._state["mu_ref"] == calc._state["mu_ref"]
+    assert calc2._state["ref_self_mmd"] == calc._state["ref_self_mmd"]
     # restored projection == freshly seeded projection (reproducibility)
     W, b = rff_params(4, 8, 1.5, 11)
     assert calc2._state["W"] == W and calc2._state["b"] == b

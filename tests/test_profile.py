@@ -636,6 +636,15 @@ def test_mad_and_quantile_thresholds(spark):
     assert up < 100  # the outlier did not drag the band
     qlo, qup = QuantileThreshold(q_lower=0.0, q_upper=1.0).fit(df)
     assert qlo == 9.0 and qup == 1000.0
+    # decimal-typed value column: the collected median is a Python Decimal
+    # (repr "Decimal('10.0')") — fit must not string-format it into SQL
+    from pyspark.sql import functions as F
+
+    ddf = df.select("column_name", "method", F.col("value").cast("decimal(10,2)").alias("value"))
+    dlo, dup = MedianAbsoluteDeviationThreshold().fit(ddf)
+    assert np.isclose(dlo, lo) and np.isclose(dup, up)
+    dqlo, dqup = QuantileThreshold(q_lower=0.0, q_upper=1.0).fit(ddf)
+    assert dqlo == 9.0 and dqup == 1000.0
     # grouped fit matches the scalar fit per series
     two = pd.concat(
         [pdf, pdf.assign(column_name="d", value=[v * 2 for v in vals])],

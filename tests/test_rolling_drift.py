@@ -35,6 +35,27 @@ def test_rolling_spike_at_step_only(spark):
     assert not alerts[0] and not alerts[1] and alerts[2] and not alerts[3]
 
 
+def test_rolling_nan_reference_and_analysis(spark):
+    # A NaN in the reference must not poison hi (F.max sorts NaN above all
+    # doubles -> every bucket predicate false -> silent 0 drift forever);
+    # NaN analysis rows must not inflate the __n denominator.
+    pdf = pd.DataFrame(
+        {"id": range(8), "v": [0.0, 0.01, 0.02, np.nan, 0.0, 0.01, 0.99, 0.98]}
+    )
+    df = spark.createDataFrame(pdf)
+    calc = RollingDriftCalculator(
+        "v", n_bins=10, chunker=SizeBasedChunker(chunk_size=4, order_by=["id"])
+    ).fit(df)
+    assert calc._state["hi"] == pytest.approx(0.99)  # NaN ignored in fit
+    res = calc.calculate(df).toPandas().set_index("chunk_index")
+    # chunk 0 holds 3 non-NaN rows all in bucket 1; chunk 1 is 2+2 split —
+    # identical shape to the hand-computed case with p=(1,0), q=(.5,.5)
+    p_term = 1.0 * math.log2(2.0 / 1.5)
+    q_term = 0.5 * math.log2(2 * 0.5 / 1.5) + 0.5 * math.log2(2 * 0.5 / 0.5)
+    expect = math.sqrt(0.5 * (p_term + q_term))
+    assert np.isclose(res.loc[1, "value"], expect, rtol=1e-12)
+
+
 def test_rolling_hand_computed_two_chunks(spark):
     # chunk 0: 4 values in bucket 1; chunk 1: 2 in bucket 1, 2 in bucket 10
     pdf = pd.DataFrame(
