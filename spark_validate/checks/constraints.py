@@ -171,6 +171,9 @@ class UnseenValuesCalculator:
 
     Scale path: ``max_seen`` caps the broadcast seen-set; above it the check
     switches to a distinct-values LEFT ANTI join (no driver collection).
+    With ``manifest_dir`` set (the runner points it under the store), the
+    anti-join seen-set persists as a parquet manifest instead of refusing
+    JSON serialization — load-or-fit works at any cardinality.
     """
 
     column_names: Sequence[str]
@@ -178,6 +181,7 @@ class UnseenValuesCalculator:
     chunker: Chunker = field(default_factory=DefaultChunker)
     threshold: ConstantThreshold = field(default_factory=lambda: ConstantThreshold(lower=None, upper=0))
     max_seen: int = 100_000
+    manifest_dir: Optional[str] = None
     _seen: Optional[Dict[str, object]] = None  # col → list (small) or DataFrame (large)
 
     def fit(self, reference: DataFrame) -> "UnseenValuesCalculator":
@@ -204,17 +208,46 @@ class UnseenValuesCalculator:
             raise RuntimeError("fit first")
         out = {}
         for c, v in self._seen.items():
-            if not isinstance(v, list):
+            if isinstance(v, list):
+                out[c] = v
+                continue
+            if self.manifest_dir is None:
                 raise ValueError(
                     f"column {c!r} uses the high-cardinality anti-join path; its seen-set "
-                    "lives in a DataFrame and is not JSON-serializable — persist it as a "
-                    "parquet manifest and use ReferentialIntegrityCheck instead"
+                    "lives in a DataFrame and is not JSON-serializable — set manifest_dir "
+                    "to persist it as a parquet manifest"
                 )
-            out[c] = v
+            # Parquet manifest: the distinct-values frame lands under
+            # manifest_dir/<col>; the JSON state carries only the pointer.
+            # Written once at fit-save time, read lazily on restore — the
+            # seen-set never transits the driver at any cardinality.
+            import os
+
+            path = os.path.join(self.manifest_dir, c)
+            v.write.mode("overwrite").parquet(path)
+            out[c] = {"__manifest__": path}
         return {"seen": out}
 
     def set_state(self, state: dict) -> "UnseenValuesCalculator":
-        self._seen = dict(state["seen"])
+        from pyspark.sql import SparkSession
+
+        seen: Dict[str, object] = {}
+        for c, v in dict(state["seen"]).items():
+            if isinstance(v, dict) and "__manifest__" in v:
+                spark = SparkSession.getActiveSession()
+                if spark is None:
+                    raise RuntimeError("no active SparkSession to read seen-set manifest")
+                try:
+                    seen[c] = spark.read.parquet(v["__manifest__"])
+                except Exception as exc:
+                    # a pointer whose parquet vanished is stale state — the
+                    # runner's stale handler (ValueError) refits + resaves
+                    raise ValueError(
+                        f"seen-set manifest unreadable at {v['__manifest__']!r}: {exc}"
+                    ) from exc
+            else:
+                seen[c] = v
+        self._seen = seen
         return self
 
     def _unseen_flag(self, c: str) -> F.Column:

@@ -106,7 +106,9 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
     if kind == "range":
         return NumericalRangeCalculator(cfg["columns"], chunker=chunker)
     if kind == "unseen":
-        return UnseenValuesCalculator(cfg["columns"], chunker=chunker)
+        return UnseenValuesCalculator(
+            cfg["columns"], chunker=chunker, max_seen=cfg.get("max_seen", 100_000)
+        )
     if kind == "domain":
         return DomainCheck(cfg["columns"], domain=cfg["domain"], chunker=chunker)
     if kind == "uniqueness":
@@ -829,9 +831,17 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
                     calc.fit(reference)
                     # only state persistence is optional — a fit/set_state
                     # failure must propagate, not be mistaken for this
+                    if hasattr(calc, "manifest_dir") and calc.manifest_dir is None:
+                        # large seen-sets persist as parquet manifests beside
+                        # the JSON state instead of refusing serialization
+                        calc.manifest_dir = os.path.join(store.root, f"{key}__manifest")
                     try:
                         store.save(key, calc.get_state())
-                    except TypeError as exc:  # no JSON state (e.g. lightgbm)
+                    except (TypeError, ValueError) as exc:
+                        # TypeError: no JSON state (e.g. lightgbm);
+                        # ValueError: state declared non-serializable — warn
+                        # and continue with the fitted calculator, never
+                        # abort a run whose fit already succeeded
                         logger.warning("state not storable for %r (%s); fitted without store", name, exc)
             else:
                 calc.fit(reference)

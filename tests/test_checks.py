@@ -81,6 +81,63 @@ def test_unseen_large_cardinality_join_path(spark, qframe):
     np.testing.assert_allclose(res["value"].to_numpy(), res2["value"].to_numpy())
 
 
+def test_unseen_manifest_state_roundtrip(spark, qframe, tmp_path):
+    # High-cardinality seen-set persists as a parquet manifest when
+    # manifest_dir is set; without it get_state still refuses (ValueError)
+    import pytest
+
+    sdf, _ = qframe
+    ref, ana = sdf.filter("is_ref"), sdf.filter("NOT is_ref")
+    ch = SizeBasedChunker(chunk_size=500, order_by=["id"])
+    calc = UnseenValuesCalculator(["cat"], chunker=ch, max_seen=1).fit(ref)
+    with pytest.raises(ValueError, match="manifest_dir"):
+        calc.get_state()
+    calc.manifest_dir = str(tmp_path / "manifest")
+    state = calc.get_state()
+    assert "__manifest__" in state["seen"]["cat"]
+    import json
+
+    blob = json.loads(json.dumps(state))  # must be pure JSON
+    restored = UnseenValuesCalculator(["cat"], chunker=ch, max_seen=1).set_state(blob)
+    assert not isinstance(restored._seen["cat"], list)
+    a = calc.calculate(ana).orderBy("chunk_index").toPandas()
+    b = restored.calculate(ana).orderBy("chunk_index").toPandas()
+    np.testing.assert_allclose(a["value"].to_numpy(), b["value"].to_numpy())
+
+
+def test_runner_unseen_high_cardinality_completes_and_restores(spark, qframe, tmp_path):
+    # An unseen check whose column exceeds max_seen must neither abort the
+    # suite at state-save time nor refit on the second run: the runner
+    # points manifest_dir under the store, so load-or-fit works above the
+    # broadcast cap.
+    from spark_validate.runner import run_suite
+
+    sdf, _ = qframe
+    sdf.filter("is_ref").write.mode("overwrite").parquet(str(tmp_path / "ref"))
+    sdf.filter("NOT is_ref").write.mode("overwrite").parquet(str(tmp_path / "ana"))
+    cfg = {
+        "run_id": "unseenhc",
+        "output_dir": str(tmp_path / "out"),
+        "store_dir": str(tmp_path / "store"),
+        "reference": str(tmp_path / "ref"),
+        "analysis": str(tmp_path / "ana"),
+        "chunking": {"chunk_size": 500, "order_by": ["id"]},
+        "checks": [{"type": "unseen", "columns": ["cat"], "max_seen": 1}],
+    }
+    report = run_suite(spark, cfg)
+    (entry,) = report.values()
+    assert entry["fitted_from_store"] is False and entry["rows"] > 0
+    # JSON state + parquet manifest landed under the store
+    import glob
+
+    assert glob.glob(str(tmp_path / "store" / "*__manifest" / "cat" / "*.parquet"))
+    report2 = run_suite(spark, cfg)
+    (entry2,) = report2.values()
+    assert entry2["fitted_from_store"] is True
+    r1 = spark.read.parquet(str(tmp_path / "out" / "results")).toPandas()
+    assert (r1[r1["method"].str.startswith("unseen")]["value"] >= 0).all()
+
+
 def test_domain_check(spark, qframe):
     sdf, pdf = qframe
     ana = sdf.filter("NOT is_ref")
