@@ -128,11 +128,20 @@ def run_image_suite(spark, n_rows, parts) -> dict:
     t0 = time.time()
     report = suite.run_and_collect(ref, ana)
     wall = time.time() - t0
+    # per-check attribution (verdict r4 #3): keep each check's
+    # materialization wall + derived img/s so a regression cannot hide
+    # inside the aggregate images_per_sec when the check mix grows
+    checks = {}
+    for k, v in report.items():
+        entry = {kk: vv for kk, vv in v.items() if kk != "secs"}
+        entry["secs"] = round(v["secs"], 3)
+        entry["images_per_sec"] = round(n_rows / v["secs"], 1) if v["secs"] > 0 else None
+        checks[k] = entry
     return {
         "rows": n_rows,
         "wall_s": round(wall, 2),
         "images_per_sec": round(n_rows / wall, 1),
-        "checks": {k: {kk: vv for kk, vv in v.items() if kk != "secs"} for k, v in report.items()},
+        "checks": checks,
     }
 
 
@@ -735,8 +744,14 @@ def compact_line(out: dict) -> str:
         slim["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
     if "image_suite" in out:
         img = out["image_suite"]
+        # top-5 slowest checks ride the capped line; the full per-check
+        # table is in BENCH/last_run_detail.json::image_suite.checks
+        top = sorted(
+            img.get("checks", {}).items(), key=lambda kv: -kv[1].get("secs", 0)
+        )[:5]
         slim["image_suite"] = {"rows": img["rows"], "wall_s": img["wall_s"],
-                               "images_per_sec": img["images_per_sec"]}
+                               "images_per_sec": img["images_per_sec"],
+                               "top_checks_s": {k: v["secs"] for k, v in top}}
     if "scaling" in out:
         s = out["scaling"]
         slim["scaling"] = {k: s.get(k) for k in (

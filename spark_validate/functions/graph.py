@@ -50,6 +50,7 @@ def connected_components(
     max_iter: int = 25,
     use_local_checkpoint: bool = True,
     stats: Optional[dict] = None,
+    small_graph_edges: int = 500_000,
 ) -> DataFrame:
     """``(id, component)`` for every node appearing in ``pairs``, where
     ``component`` is the minimum node id reachable from ``id`` — a
@@ -65,16 +66,64 @@ def connected_components(
     ``max_iter`` rounds (log₂ of the longest path; 25 covers > 10^7-node
     chains) rather than returning a silently-wrong partial clustering.
 
-    ``stats``, when passed a dict, receives ``{"rounds": n}`` — used by
-    tests to pin the logarithmic round count.
+    Graphs at or below ``small_graph_edges`` distinct edges run a
+    driver-side union-find instead (the ≤5M single-task sort switch
+    convention, applied to graphs): one collect + one createDataFrame
+    replaces ~4 Spark jobs PER ROUND, which dominates wall time on the
+    sparse pair graphs near-dup sweeps actually produce. 500k edges of two
+    ids is a few tens of MB on the driver; larger graphs take the
+    distributed path unchanged. Pass ``small_graph_edges=0`` to force the
+    distributed algorithm (the log-round tests do). Python and Spark order
+    ids identically for longs and strings (UTF-8 binary order == code-point
+    order), so both paths produce the same min-reachable labels.
+
+    ``stats``, when passed a dict, receives ``{"rounds": n, "mode": m}`` —
+    used by tests to pin the logarithmic round count (``rounds`` is 0 in
+    driver mode).
     """
+    # materialize the pair DAG ONCE before the symmetrizing union — the two
+    # union branches would otherwise each recompute the caller's (often
+    # expensive: LSH + verify) pair plan from scratch
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    p = p.localCheckpoint(eager=True) if use_local_checkpoint else p.persist()
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True) if use_local_checkpoint else edges.persist()
+
+    n_edges = edges.count()  # cheap: edges are materialized above
+    if n_edges <= small_graph_edges:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["mode"] = "driver"
+        spark = pairs.sparkSession
+        schema = edges.select(
+            F.col("u").alias("id"), F.col("u").alias("comp")
+        ).schema
+        if n_edges == 0:
+            return spark.createDataFrame([], schema)
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            u, v = r["u"], r["v"]
+            for nd in (u, v):
+                if nd not in parent:
+                    parent[nd] = nd
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo  # union by min keeps roots minimal
+        if not use_local_checkpoint:
+            edges.unpersist(blocking=False)
+        return spark.createDataFrame([(x, find(x)) for x in parent], schema)
 
     labels = edges.select("u").distinct().select(F.col("u").alias("id"), F.col("u").alias("comp"))
     labels = labels.localCheckpoint(eager=True) if use_local_checkpoint else labels.persist()
@@ -115,6 +164,7 @@ def connected_components(
         )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["mode"] = "distributed"
     if not use_local_checkpoint:
         # edges are no longer needed once labels stabilize; the RETURNED
         # labels frame stays persisted — callers that keep it long-term on a
@@ -129,6 +179,7 @@ def label_clusters(
     member_col: str,
     node_col: Optional[str] = None,
     max_iter: int = 25,
+    content_nodes: bool = False,
 ) -> DataFrame:
     """Shared tail of every dedup-clusters operator: collapse ``pairs`` to
     components, label every member row, attach cluster sizes and the
@@ -143,6 +194,14 @@ def label_clusters(
     member id, so ``keep = member == cluster_id`` still marks exactly one
     canonical member per cluster.
 
+    ``content_nodes=True`` handles the other node convention: nodes are
+    CONTENT keys (a phash value, a vector fingerprint), not member ids —
+    the convention that lets exact-duplicate collapse ride the banded
+    shuffle itself (``collect_set`` of content keys per bucket) with zero
+    extra stages. Component labels are then content values, so a relabeling
+    aggregate maps each component to its minimum member id; the output
+    contract is identical to the min-id path.
+
     The sizes join carries no ``broadcast`` hint on purpose: the number of
     non-singleton clusters is unbounded (a mostly-paired corpus has O(n/2)
     of them — a forced broadcast is a driver OOM at corpus scale). AQE
@@ -150,6 +209,25 @@ def label_clusters(
     """
     node_col = node_col or member_col
     comp = connected_components(pairs, src="id_a", dst="id_b", max_iter=max_iter)
+    if content_nodes:
+        base = (
+            members.join(comp.withColumnRenamed("id", node_col), node_col, "left")
+            .select(member_col, F.coalesce("comp", F.col(node_col)).alias("_comp"))
+        )
+        # relabel: component key (content value) → min member id. Only
+        # multi-member groups enter the join frame (same unbounded-sizes
+        # reasoning as below); single-member groups fall back to self.
+        agg = (
+            base.groupBy("_comp")
+            .agg(F.min(member_col).alias("_cid"), F.count("*").alias("_bs"))
+            .filter(F.col("_bs") > 1)
+        )
+        return base.join(agg, "_comp", "left").select(
+            member_col,
+            F.coalesce("_cid", F.col(member_col)).alias("cluster_id"),
+            F.coalesce("_bs", F.lit(1)).cast("long").alias("cluster_size"),
+            (F.col(member_col) == F.coalesce("_cid", F.col(member_col))).alias("keep"),
+        )
     base = (
         members.join(comp.withColumnRenamed("id", node_col), node_col, "left")
         .select(member_col, F.coalesce("comp", F.col(node_col)).alias("cluster_id"))

@@ -86,6 +86,7 @@ def hamming_near_duplicates(
     bits: int = 64,
     max_bucket: int = 10_000,
     enforce_recall: bool = True,
+    dedup_hash: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(phash_a, phash_b) ≤ max_hamming.
 
@@ -108,6 +109,15 @@ def hamming_near_duplicates(
     One shuffle on (band, band_value); candidate pairs carry only ids +
     phashes (fixed width — image bytes never enter the join).
     ``n_bands`` is accepted as a legacy alias for ``n_blocks``.
+
+    ``dedup_hash=True`` switches the nodes to the HASH VALUES themselves
+    (``id_col`` is ignored; ``id_a``/``id_b`` are hash values): the bucket
+    aggregate becomes ``collect_set``, so exact-equal hashes collapse to one
+    node INSIDE the banded shuffle — map-side partial dedup, zero extra
+    stages. A boilerplate image copied 10^8 times is one bucket entry, the
+    cap counts DISTINCT values, and the pair graph runs over hash-space.
+    This is the clusters path (``image/phash.py::phash_clusters``), which
+    relabels components back to member ids afterwards.
     """
     import itertools
 
@@ -129,18 +139,27 @@ def hamming_near_duplicates(
             max_hamming + 1,
         )
     m = max(n_blocks - max_hamming, 1)  # floors at 1 in probabilistic mode
-    sel = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_ph")).filter(
-        F.col("_ph").isNotNull()
-    )
+    if dedup_hash:
+        sel = df.select(F.col(hash_col).alias("id"), F.col(hash_col).alias("_ph")).filter(
+            F.col("_ph").isNotNull()
+        )
+    else:
+        sel = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_ph")).filter(
+            F.col("_ph").isNotNull()
+        )
     ranges = _block_ranges(bits, n_blocks)
     combos = list(itertools.combinations(range(n_blocks), m))
     keyed = _keys_frame(sel, ranges, combos)
     # ONE shuffle on (band, band_value) — same topology as the MinHash and
-    # embedding sweeps; pairs carry (id, phash) only, never image bytes
+    # embedding sweeps; pairs carry (id, phash) only, never image bytes.
+    # dedup_hash: collect_set dedups identical (hash, hash) structs in the
+    # map-side partials — equal hashes share every band value, so the whole
+    # collapse costs nothing beyond the shuffle that was happening anyway.
     exploded = keyed
+    collect = F.collect_set if dedup_hash else F.collect_list
     buckets = (
         exploded.groupBy("band", "val")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "_ph"))).alias("xs"))
+        .agg(F.sort_array(collect(F.struct("id", "_ph"))).alias("xs"))
         .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
     )
     from spark_validate.functions.pairs import explode_bucket_pairs

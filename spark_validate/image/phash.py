@@ -54,13 +54,15 @@ def phash_near_duplicates(
     n_blocks: Optional[int] = None,
     bits: int = 64,
     max_bucket: int = 10_000,
+    dedup_hash: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(phash_a, phash_b) ≤ max_hamming.
 
     Thin wrapper over the shared exact Hamming join
     (`spark_validate/functions/hamming.py::hamming_near_duplicates` — Manku
     multi-block construction, recall exactly 1, bucket cap; see its
-    docstring for the candidate-load math and n_blocks sizing).
+    docstring for the candidate-load math, n_blocks sizing, and the
+    ``dedup_hash`` phash-value-node mode the clusters path uses).
     """
     from spark_validate.functions.hamming import hamming_near_duplicates
 
@@ -73,6 +75,7 @@ def phash_near_duplicates(
         n_blocks=n_blocks,
         bits=bits,
         max_bucket=max_bucket,
+        dedup_hash=dedup_hash,
     )
 
 
@@ -199,21 +202,21 @@ def phash_clusters(
     marking the canonical representative. The image-axis twin of
     ``text/dedup.py::near_duplicate_clusters``; the component step is the
     shared ``functions/graph.py::connected_components`` (hash-min + pointer
-    jumping, O(log n) rounds)."""
+    jumping, O(log n) rounds).
+
+    Graph nodes are the PHASH VALUES, not image ids: exact-equal phashes
+    collapse inside the banded shuffle itself (``dedup_hash`` collect_set —
+    map-side partial dedup, zero extra stages), so a boilerplate image
+    copied 10^8 times is one node and the bucket cap counts distinct
+    phashes. Members map to their phash with a narrow projection — no
+    representative groupBy, no join-back — and ``label_clusters``
+    relabels each component to its minimum image id, so the output is
+    identical to the min-id-representative construction."""
     from spark_validate.functions.graph import label_clusters
 
-    # exact-equal phashes pre-collapse to their min-id representative: a
-    # boilerplate image copied 10^8 times is ONE node in the Hamming graph
-    # (instead of an over-cap bucket silently dropped), and the component
-    # minimum over representatives equals the global minimum image id
     nn = df.filter(F.col(phash_col).isNotNull())  # NULL phash = singleton
-    reps = (
-        nn.select(F.col(id_col).alias("_rid"), F.col(phash_col).alias(phash_col))
-        .groupBy(phash_col)
-        .agg(F.min("_rid").alias(id_col))
-    )
     pairs = phash_near_duplicates(
-        reps,
+        nn,
         max_hamming=max_hamming,
         phash_col=phash_col,
         id_col=id_col,
@@ -221,18 +224,19 @@ def phash_clusters(
         n_blocks=n_blocks,
         bits=bits,
         max_bucket=max_bucket,
+        dedup_hash=True,  # id_a/id_b are phash values
     )
-    members = (
-        nn.select(F.col(id_col).alias("image_id"), F.col(phash_col).alias("_ph"))
-        .join(reps.select(F.col(phash_col).alias("_ph"), F.col(id_col).alias("_rep")), "_ph")
-        .select("image_id", "_rep")
-        .unionByName(
-            df.filter(F.col(phash_col).isNull()).select(
-                F.col(id_col).alias("image_id"), F.col(id_col).alias("_rep")
-            )
-        )
+    members = nn.select(F.col(id_col).alias("image_id"), F.col(phash_col).alias("_node"))
+    clustered = label_clusters(
+        members, pairs, member_col="image_id", node_col="_node", content_nodes=True
     )
-    return label_clusters(members, pairs, member_col="image_id", node_col="_rep")
+    singletons = df.filter(F.col(phash_col).isNull()).select(
+        F.col(id_col).alias("image_id"),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit(True).alias("keep"),
+    )
+    return clustered.unionByName(singletons)
 
 
 def phash_contamination(

@@ -51,9 +51,13 @@ def test_path_graph_converges_logarithmically(spark):
     # neighbour-propagation rounds; pointer jumping must cut that to O(log n).
     n = 64
     edges = [(i, i + 1) for i in range(n - 1)]
-    got, stats = _cc(spark, edges)
+    got, stats = _cc(spark, edges, small_graph_edges=0)  # force distributed
     assert got == {(i, 0) for i in range(n)}
+    assert stats["mode"] == "distributed"
     assert stats["rounds"] <= 10, f"path-64 took {stats['rounds']} rounds (expected O(log n))"
+    # the driver union-find path must agree exactly
+    got2, stats2 = _cc(spark, edges)
+    assert stats2["mode"] == "driver" and got2 == got
 
 
 def test_random_graph_matches_union_find(spark):
@@ -62,8 +66,10 @@ def test_random_graph_matches_union_find(spark):
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
     edges = [(a, b) for a, b in edges if a != b]
     expect = _union_find(edges)
-    got, _ = _cc(spark, edges)
+    got, _ = _cc(spark, edges)  # driver path (small graph)
     assert got == set(expect.items())
+    got_dist, _ = _cc(spark, edges, small_graph_edges=0)  # distributed path
+    assert got_dist == set(expect.items())
 
 
 def test_duplicate_and_reversed_edges_tolerated(spark):
@@ -151,9 +157,10 @@ def test_star_hub_graph(spark):
     hub_edges = [(0, i) for i in range(1, 20_001)]
     df = spark.createDataFrame(hub_edges, "id_a long, id_b long")
     stats = {}
-    out = connected_components(df, stats=stats)
+    out = connected_components(df, stats=stats, small_graph_edges=0)  # force distributed
     assert out.filter(F.col("comp") != 0).count() == 0
     assert out.count() == 20_001
+    assert stats["mode"] == "distributed"
     assert stats["rounds"] <= 3
 
 
