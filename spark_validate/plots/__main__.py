@@ -24,7 +24,26 @@ import sys
 
 import pandas as pd
 
+from spark_validate.plots.distributions import (
+    plot_categorical_distribution,
+    plot_continuous_distribution,
+)
 from spark_validate.plots.metrics import plot_result, save_plot
+
+
+def _distributions(results_dir: str):
+    """Yield (name, frame, renderer) for each partition of the sibling
+    ``distributions`` sink (written by a runner config's ``distributions``
+    section) — ridgelines for (x, density) frames, stacked bars for
+    (value, freq) frames. Absent dir → nothing."""
+    droot = os.path.join(os.path.dirname(results_dir.rstrip("/")), "distributions")
+    for p in sorted(glob.glob(os.path.join(droot, "check=*"))):
+        name = os.path.basename(p).split("=", 1)[1]
+        pdf = pd.read_parquet(p)
+        if "density" in pdf.columns:
+            yield name, pdf, plot_continuous_distribution
+        elif "freq" in pdf.columns:
+            yield name, pdf, plot_categorical_distribution
 
 
 def _checks(results_dir: str):
@@ -67,6 +86,15 @@ def main(argv=None) -> int:
         try:
             svg = plot_result(pdf, title=f"{args.title_prefix}{name}")
         except ValueError as exc:  # non-result-shaped partition: report, keep going
+            print(f"skip {name}: {exc}", file=sys.stderr)
+            continue
+        path = save_plot(svg, os.path.join(args.out_dir, f"{name}.svg"))
+        print(path)
+        entries.append((name, path))
+    for name, pdf, render in _distributions(args.results_dir):
+        try:
+            svg = render(pdf, title=f"{args.title_prefix}{name}")
+        except ValueError as exc:
             print(f"skip {name}: {exc}", file=sys.stderr)
             continue
         path = save_plot(svg, os.path.join(args.out_dir, f"{name}.svg"))

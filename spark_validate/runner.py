@@ -1051,6 +1051,73 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
             report[name]["db_error"] = db_error
         if hasattr(calc, "release_cache"):
             calc.release_cache()  # results are written; cached aggregates can go
+    # ---- distribution frames + ridgeline/stacked-bar figures ----------------
+    # reference parity: ``result.plot(kind='distribution')`` — the joyplot /
+    # stacked-bar blueprints (`nannyml/plots/blueprints/distributions.py`).
+    # Config: ``distributions: {continuous: [cols], categorical: [cols]}``.
+    # Frames land in <out>/distributions/check=…; with ``plots`` on, each
+    # renders an SVG that the plots CLI index picks up alongside the
+    # per-check metric figures.
+    dist_cfg = config.get("distributions") or {}
+    if dist_cfg:
+        from spark_validate.distribution import (
+            categorical_distribution,
+            continuous_distribution,
+        )
+
+        dist_chunker = build_chunker(config.get("chunking", {}))
+        for kind, cols in (
+            ("continuous", dist_cfg.get("continuous", ())),
+            ("categorical", dist_cfg.get("categorical", ())),
+        ):
+            for col in cols:
+                dname = f"distribution_{kind}__{col}"
+                t0 = time.time()
+                try:
+                    if kind == "continuous":
+                        frame = continuous_distribution(
+                            analysis, col, chunker=dist_chunker,
+                            points=int(dist_cfg.get("points", 50)),
+                        )
+                    else:
+                        frame = categorical_distribution(
+                            analysis, col, chunker=dist_chunker,
+                            top_k=int(dist_cfg.get("top_k", 5)),
+                        )
+                    frame = frame.withColumn("run_id", F.lit(run_id)).withColumn(
+                        "check", F.lit(dname)
+                    )
+                    write_results(
+                        frame, os.path.join(out_dir, "distributions"), partition_by=["check"]
+                    )
+                    written = spark.read.parquet(
+                        os.path.join(out_dir, "distributions", f"check={dname}")
+                    ).filter(F.col("run_id") == run_id)
+                    entry = {"rows": written.count(), "secs": round(time.time() - t0, 2)}
+                    if config.get("plots"):
+                        from spark_validate.plots import (
+                            plot_categorical_distribution,
+                            plot_continuous_distribution,
+                            save_plot,
+                        )
+
+                        render = (
+                            plot_continuous_distribution
+                            if kind == "continuous"
+                            else plot_categorical_distribution
+                        )
+                        entry["plot"] = save_plot(
+                            render(written, title=dname),
+                            os.path.join(out_dir, "plots", f"{dname}.svg"),
+                        )
+                    report[dname] = entry
+                except Exception as exc:
+                    if fail_fast:
+                        raise
+                    head = " ".join(str(exc).splitlines()[:2]).strip()
+                    report[dname] = {"error": f"{type(exc).__name__}: {head}"[:500]}
+                    logger.warning("distribution %r failed: %s", dname, exc)
+
     # ---- per-partition pass/fail verdicts (north rule) ----------------------
     # one row per analysis partition/chunk ACROSS every check in this run —
     # the "did this partition pass the suite" artifact the north_star names

@@ -735,6 +735,36 @@ def test_runner_plots_artifact(spark, workspace, tmp_path):
         assert body.startswith("<svg") and "</svg>" in body
 
 
+def test_runner_distributions_and_plots_cli(spark, workspace, tmp_path):
+    """distributions config writes (x, density) / (value, freq) frames to
+    the distributions sink and renders ridgeline + stacked-bar SVGs; the
+    plots CLI picks them up and links them from index.html (reference
+    result.plot(kind='distribution'), blueprints/distributions.py)."""
+    cfg = _config(workspace)
+    cfg["output_dir"] = str(tmp_path / "out")
+    cfg["checks"] = cfg["checks"][:1]
+    cfg["plots"] = True
+    cfg["distributions"] = {"continuous": ["w"], "categorical": ["fmt"]}
+    report = run_suite(spark, cfg)
+    for dname, cols in (
+        ("distribution_continuous__w", {"x", "density", "cdf"}),
+        ("distribution_categorical__fmt", {"value", "freq"}),
+    ):
+        assert report[dname]["rows"] > 0 and "error" not in report[dname]
+        frame = spark.read.parquet(str(tmp_path / "out" / "distributions" / f"check={dname}"))
+        assert cols <= set(frame.columns)
+        body = open(report[dname]["plot"]).read()
+        assert body.startswith("<svg")
+    # CLI renders distributions from the sink and indexes them
+    from spark_validate.plots.__main__ import main as plots_main
+
+    rc = plots_main([str(tmp_path / "out" / "results"), str(tmp_path / "plots2")])
+    assert rc == 0
+    idx = open(str(tmp_path / "plots2" / "index.html")).read()
+    assert "distribution_continuous__w" in idx and "distribution_categorical__fmt" in idx
+    assert os.path.exists(str(tmp_path / "plots2" / "distribution_continuous__w.svg"))
+
+
 def test_repetition_check_in_runner(spark, workspace, tmp_path):
     """Gopher-style repetition filter as a config check: per-chunk rate of
     over-limit docs per rule, violation rows name the rule + observed frac."""
