@@ -6,7 +6,12 @@ C(8,4)=70 tables × 32-bit keys) and reports wall, planted recall (must be
 1.0 for both — the guarantee), and the random-candidate load the cap/verify
 had to absorb.
 
-Usage: python tools/bench_phash.py [n_rows]
+Usage: python tools/bench_phash.py [n_rows] [n_blocks,n_blocks,…]
+
+The second argument restricts the constructions: at ≥10M rows the minimal
+construction's random-candidate load is O(n²) (≈37B verifies at 10M —
+dead by design; see BENCH/BASELINE.md §6b2), so the 10M tier runs Manku
+only (`bench_phash.py 10000000 8`).
 """
 
 import json
@@ -19,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+BLOCKS = tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2 else (5, 8)
 PAIRS = N // 100
 SEED = 13
 
@@ -62,7 +68,7 @@ def main():
     df = spark.read.parquet(d)
     n = df.count()
     out = {"n_rows": n, "planted_pairs": PAIRS, "configs": {}}
-    for nb in (5, 8):
+    for nb in BLOCKS:
         t0 = time.time()
         pairs = phash_near_duplicates(df, max_hamming=4, n_blocks=nb, max_bucket=100_000)
         planted = pairs.filter(
