@@ -122,6 +122,7 @@ def connected_components(
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo  # union by min keeps roots minimal
         if not use_local_checkpoint:
+            p.unpersist(blocking=False)
             edges.unpersist(blocking=False)
         return spark.createDataFrame([(x, find(x)) for x in parent], schema)
 
@@ -169,6 +170,7 @@ def connected_components(
         # edges are no longer needed once labels stabilize; the RETURNED
         # labels frame stays persisted — callers that keep it long-term on a
         # shared cluster own its unpersist.
+        p.unpersist(blocking=False)
         edges.unpersist(blocking=False)
     return labels
 

@@ -65,6 +65,10 @@ def _pair_cosine_arrow(va_col: str, vb_col: str):
 
     @pandas_udf("double")
     def pcos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:  # np.stack rejects empty batches
+            return pd.Series([], dtype="float64")
+        # NULL elements inside a vector become NaN → NaN cosine → dropped by
+        # the ≥threshold filter, matching the expression path's NULL semantics
         A = np.stack(a.to_numpy()).astype(np.float64)
         B = np.stack(b.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", A, B)
