@@ -3069,9 +3069,13 @@ def q_schema_verdicts(spark, sf_dir):
 def _rotate_registry(base: dict) -> dict:
     """Driver-artifact rotation: the grading driver's correctness sample
     takes the FIRST 50 registry entries, so a fixed insertion order would
-    leave the tail queries without a driver-run green row forever. Rotating
-    the order by 50 × (completed rounds) walks the sample window across the
-    whole registry — every query is driver-verified within ~3 rounds. The
+    leave the tail queries without a driver-run green row forever. Round-4
+    review item #4 asked for exactly this: "Order queries() … so the
+    sampled 50 rotates deterministically by round — every query
+    driver-verified within ~3 rounds." Rotating the order by 50 ×
+    (completed rounds) walks the sample window across the whole registry;
+    every entry is equally correct (the full registry stays green under
+    tools/check_oracle.py, which is name-keyed and order-independent). The
     round counter is the number of CORRECTNESS_r*.json artifacts the driver
     itself leaves in the repo root (deterministic, no clock, no state file).
     Key-based consumers (oracle_sql lookups, check_oracle by name) are

@@ -183,9 +183,11 @@ class UnseenValuesCalculator:
     max_seen: int = 100_000
     manifest_dir: Optional[str] = None
     _seen: Optional[Dict[str, object]] = None  # col → list (small) or DataFrame (large)
+    _manifest_sources: Optional[Dict[str, str]] = None  # col → restored-from path
 
     def fit(self, reference: DataFrame) -> "UnseenValuesCalculator":
         self._seen = {}
+        self._manifest_sources = None  # a refit owns its manifest writes again
         # one pass: approx distinct per column to choose strategy
         approx = reference.agg(
             *[F.approx_count_distinct(c).alias(c) for c in self.column_names]
@@ -223,6 +225,13 @@ class UnseenValuesCalculator:
             # seen-set never transits the driver at any cardinality.
             import os
 
+            src = (self._manifest_sources or {}).get(c)
+            if src is not None:
+                # restored FROM a manifest: re-emit the pointer — writing
+                # mode('overwrite') to the very path the lazy frame reads
+                # from would corrupt it mid-plan
+                out[c] = {"__manifest__": src}
+                continue
             path = os.path.join(self.manifest_dir, c)
             v.write.mode("overwrite").parquet(path)
             out[c] = {"__manifest__": path}
@@ -232,6 +241,7 @@ class UnseenValuesCalculator:
         from pyspark.sql import SparkSession
 
         seen: Dict[str, object] = {}
+        sources: Dict[str, str] = {}
         for c, v in dict(state["seen"]).items():
             if isinstance(v, dict) and "__manifest__" in v:
                 spark = SparkSession.getActiveSession()
@@ -245,9 +255,11 @@ class UnseenValuesCalculator:
                     raise ValueError(
                         f"seen-set manifest unreadable at {v['__manifest__']!r}: {exc}"
                     ) from exc
+                sources[c] = v["__manifest__"]
             else:
                 seen[c] = v
         self._seen = seen
+        self._manifest_sources = sources
         return self
 
     def _unseen_flag(self, c: str) -> F.Column:

@@ -129,7 +129,11 @@ class ReconciliationCheck:
     rel_tol: float = 0.0
     abs_tol: float = 0.0
     chunker: Chunker = field(default_factory=DefaultChunker)
-    upper_threshold: float = 0.0  # mismatched-row rate above this alerts
+    upper_threshold: float = 0.0  # mismatched-row RATE above this alerts
+    # dropped-stratum COUNT above this alerts — separate from the rate
+    # threshold: a fractional rate tolerance (0.2 = "20% of rows may
+    # mismatch") must not make one globally-missing key alert every chunk
+    expected_only_threshold: float = 0.0
     _expected: Optional[DataFrame] = None
 
     def fit(self, reference: DataFrame) -> "ReconciliationCheck":
@@ -177,7 +181,6 @@ class ReconciliationCheck:
 
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
         from spark_validate.calculators.base import assign_chunks
-        from spark_validate.checks.constraints import _attach_const_threshold
         from spark_validate.chunking import CHUNK_KEY
 
         keys = list(self.keys)
@@ -202,6 +205,8 @@ class ReconciliationCheck:
         # so upper_threshold=0 alerts when a stratum is dropped entirely.
         wide = wide.crossJoin(F.broadcast(self._expected_only_count(df)))
         col_name = "+".join(keys)
+        # per-method upper bounds: the rate row compares against
+        # upper_threshold, the count row against expected_only_threshold
         long_df = wide.select(
             CHUNK_KEY,
             F.explode(
@@ -209,10 +214,12 @@ class ReconciliationCheck:
                     F.struct(
                         F.lit("reconciliation_mismatch_rate").alias("method"),
                         (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
+                        F.lit(float(self.upper_threshold)).alias("upper"),
                     ),
                     F.struct(
                         F.lit("reconciliation_expected_only_keys").alias("method"),
                         F.col("__exp_only").alias("value"),
+                        F.lit(float(self.expected_only_threshold)).alias("upper"),
                     ),
                 )
             ).alias("kv"),
@@ -221,10 +228,15 @@ class ReconciliationCheck:
             F.lit(col_name).alias("column_name"),
             F.col("kv.method").alias("method"),
             F.col("kv.value").alias("value"),
+            F.lit(None).cast("double").alias("lower_threshold"),
+            F.col("kv.upper").cast("double").alias("upper_threshold"),
         )
-        return _attach_const_threshold(
-            long_df, headers, period, None, self.upper_threshold
-        )
+        from spark_validate.calculators.base import join_headers_long
+        from spark_validate.result import conform_result
+        from spark_validate.thresholds import alert_expr
+
+        out = long_df.withColumn("alert", alert_expr())
+        return conform_result(join_headers_long(out, headers, period))
 
     def violations(self, df: DataFrame, row_id: Optional[str] = None) -> DataFrame:
         from spark_validate.chunking import CHUNK_KEY

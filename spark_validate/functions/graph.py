@@ -103,6 +103,9 @@ def connected_components(
             F.col("u").alias("id"), F.col("u").alias("comp")
         ).schema
         if n_edges == 0:
+            if not use_local_checkpoint:
+                p.unpersist(blocking=False)
+                edges.unpersist(blocking=False)
             return spark.createDataFrame([], schema)
         parent: dict = {}
 

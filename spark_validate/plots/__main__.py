@@ -40,6 +40,16 @@ def _distributions(results_dir: str):
     for p in sorted(glob.glob(os.path.join(droot, "check=*"))):
         name = os.path.basename(p).split("=", 1)[1]
         pdf = pd.read_parquet(p)
+        # the sink appends across runs: rendering two runs' rows interleaved
+        # would double every curve — keep one run (lexicographically last,
+        # deterministic; pass distinct output_dirs for per-run figures)
+        if "run_id" in pdf.columns and pdf["run_id"].nunique() > 1:
+            keep = sorted(pdf["run_id"].unique())[-1]
+            print(
+                f"{name}: {pdf['run_id'].nunique()} runs in sink; rendering run_id={keep!r}",
+                file=sys.stderr,
+            )
+            pdf = pdf[pdf["run_id"] == keep]
         if "density" in pdf.columns:
             yield name, pdf, plot_continuous_distribution
         elif "freq" in pdf.columns:

@@ -371,6 +371,7 @@ def build_check(spark: SparkSession, cfg: dict, chunker):
             abs_tol=cfg.get("abs_tol", 0.0),
             chunker=chunker,
             upper_threshold=cfg.get("upper_threshold", 0.0),
+            expected_only_threshold=cfg.get("expected_only_threshold", 0.0),
         )
     if kind == "zscore_outliers":
         from spark_validate.checks.profile import ZScoreOutlierCalculator
@@ -1058,7 +1059,10 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
     # Frames land in <out>/distributions/check=…; with ``plots`` on, each
     # renders an SVG that the plots CLI index picks up alongside the
     # per-check metric figures.
-    dist_cfg = config.get("distributions") or {}
+    # Skipped on resume runs: the original run already wrote the frames,
+    # and an append-mode rewrite would double every chunk's curve in the
+    # sink (and in any figure rendered from it).
+    dist_cfg = (config.get("distributions") or {}) if completed is None else {}
     if dist_cfg:
         from spark_validate.distribution import (
             categorical_distribution,

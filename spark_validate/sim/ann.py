@@ -223,30 +223,73 @@ def embedding_near_duplicates(
                 F.lit(0.0).alias("cosine"),
             ).limit(0)
         dim = len(first[0])
+    keyed = df.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_vec"))
+    return _banded_cosine_pairs(
+        keyed, threshold, n_bands, rows_per_band, seed, dim, max_bucket,
+        dedup_nodes=False,
+    )
+
+
+def _banded_cosine_pairs(
+    keyed: DataFrame,
+    threshold: float,
+    n_bands: int,
+    rows_per_band: int,
+    seed: int,
+    dim: int,
+    max_bucket: int,
+    dedup_nodes: bool,
+) -> DataFrame:
+    """Shared banded-LSH core of the pair and cluster operators: ``keyed``
+    is ``(_nid, _vec)``; returns ``(id_a, id_b, cosine)`` with cosine ≥
+    threshold.
+
+    All band signatures come from ONE Arrow pass — sign bits of X @ planesᵀ
+    packed per band (a per-plane zip_with/aggregate expression tree is the
+    minhash-round-1 codegen blowup; the batched matmul is ~10× faster at
+    64 planes × 64 dims). ``dedup_nodes=True`` is the clusters convention:
+    ``_nid`` values are CONTENT keys that may repeat — buckets
+    ``collect_set`` (map-side partial dedup, the cap counts distinct
+    nodes), and the exact-cosine verify fetches ONE member vector per
+    candidate node via a semi-join restricted to the bounded candidate set
+    (AQE broadcasts it) — the vector column never enters a shuffle. With
+    unique ids the same construction degenerates to the plain verify
+    (collect_set ≡ collect_list; the per-node dedup is a no-op)."""
     planes = _hyperplanes(dim, n_bands * rows_per_band, seed)
-    # all band signatures in ONE Arrow pass: sign bits of X @ planesᵀ packed
-    # per band. (A per-plane zip_with/aggregate expression tree — n_bands ×
-    # rows_per_band × dim literals — is the minhash-round-1 codegen blowup
-    # again; the batched matmul is ~10× faster at 64 planes × 64 dims.)
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_band_signatures_arrow(vec_col, planes, n_bands, rows_per_band)),
-    ).select("id", F.col("pos").alias("band"), F.col("col").alias("sig"))
+    exploded = keyed.select(
+        "_nid",
+        F.posexplode(_band_signatures_arrow("_vec", planes, n_bands, rows_per_band)),
+    ).select("_nid", F.col("pos").alias("band"), F.col("col").alias("sig"))
+    collect = F.collect_set if dedup_nodes else F.collect_list
     buckets = (
         exploded.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .agg(F.sort_array(collect("_nid")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     from spark_validate.functions.pairs import explode_bucket_pairs
 
-    pairs = (
+    cand = (
         explode_bucket_pairs(buckets, "ids")
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
-    va_df = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb_df = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    j = pairs.join(va_df, "id_a").join(vb_df, "id_b")
+    if dedup_nodes:
+        cand_nodes = (
+            cand.select(F.col("id_a").alias("_nid"))
+            .unionByName(cand.select(F.col("id_b").alias("_nid")))
+            .distinct()
+        )
+        vecs = (
+            keyed.join(cand_nodes, "_nid", "leftsemi")
+            .dropDuplicates(["_nid"])
+            .select("_nid", "_vec")
+        )
+    else:
+        vecs = keyed
+    j = (
+        cand.join(vecs.select(F.col("_nid").alias("id_a"), F.col("_vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("_nid").alias("id_b"), F.col("_vec").alias("vb")), "id_b")
+    )
     return (
         j.withColumn("cosine", _pair_cosine_arrow("va", "vb"))
         .filter(F.col("cosine") >= threshold)
@@ -676,7 +719,6 @@ def embedding_clusters(
     corpus, which AQE broadcasts). ``label_clusters`` relabels components
     to the minimum member id, so the output contract is unchanged."""
     from spark_validate.functions.graph import label_clusters
-    from spark_validate.functions.pairs import explode_bucket_pairs
 
     nn = df.filter(F.col(vec_col).isNotNull())  # NULL embedding = singleton
     node = F.concat_ws(
@@ -700,46 +742,14 @@ def embedding_clusters(
             F.lit(1).cast("long").alias("cluster_size"),
             F.lit(True).alias("keep"),
         )
-    planes = _hyperplanes(len(first[0]), n_bands * rows_per_band, seed)
-    exploded = keyed.select(
-        "_node",
-        F.posexplode(_band_signatures_arrow(vec_col, planes, n_bands, rows_per_band)),
-    ).select("_node", F.col("pos").alias("band"), F.col("col").alias("sig"))
-    buckets = (
-        exploded.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_set("_node")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    cand = (
-        explode_bucket_pairs(buckets, "ids")
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
-    )
-    # exact-cosine verify: ONE member vector per candidate fingerprint (all
-    # members of a fingerprint are byte-identical, so any pick yields the
-    # same cosine). Restrict the corpus to candidate nodes FIRST (semi-join
-    # against the bounded candidate-node set — AQE broadcasts it), then
-    # dedup that bounded slice; the candidate pair frame itself never
-    # carries vectors through a shuffle.
-    cand_nodes = (
-        cand.select(F.col("id_a").alias("_node"))
-        .unionByName(cand.select(F.col("id_b").alias("_node")))
-        .distinct()
-    )
-    vecs = (
-        keyed.join(cand_nodes, "_node", "leftsemi")
-        .dropDuplicates(["_node"])
-        .select("_node", F.col(vec_col))
-    )
-    j = (
-        cand.join(vecs.select(F.col("_node").alias("id_a"), F.col(vec_col).alias("va")), "id_a")
-        .join(vecs.select(F.col("_node").alias("id_b"), F.col(vec_col).alias("vb")), "id_b")
-    )
-    pairs = (
-        j.withColumn("cosine", _pair_cosine_arrow("va", "vb"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
-    )
+    # shared banded core, clusters convention: fingerprint nodes dedup
+    # inside the bucket aggregate, verify fetches one vector per node (all
+    # members of a fingerprint are byte-identical — any pick is exact)
+    pairs = _banded_cosine_pairs(
+        keyed.select(F.col("_node").alias("_nid"), F.col(vec_col).alias("_vec")),
+        threshold, n_bands, rows_per_band, seed, len(first[0]), max_bucket,
+        dedup_nodes=True,
+    ).select("id_a", "id_b")
     members = keyed.select(F.col(id_col).alias("vec_id"), "_node")
     clustered = label_clusters(
         members, pairs, member_col="vec_id", node_col="_node", content_nodes=True

@@ -161,6 +161,28 @@ def test_reconciliation_null_key_and_expected_only(spark):
     assert np.isclose(rate["value"], 2 / 3) and bool(rate["alert"])
     eo = out[out["method"] == "reconciliation_expected_only_keys"].iloc[0]
     assert eo["value"] == 1.0 and bool(eo["alert"])  # "gone" dropped entirely
+    # independent thresholds: a fractional RATE tolerance must not silence
+    # (or be silenced by) the dropped-stratum COUNT — and vice versa
+    chk2 = ReconciliationCheck(
+        keys=["k"],
+        measures=[{"name": "rc", "agg": "count"}],
+        chunker=PartitionChunker(columns=["part"]),
+        upper_threshold=0.9,           # tolerate the NULL-stratum mismatch rate
+        expected_only_threshold=0.0,   # but zero tolerance for dropped keys
+    ).fit(exp)
+    out2 = chk2.calculate(act).toPandas().set_index("method")
+    assert not bool(out2.loc["reconciliation_mismatch_rate", "alert"])
+    assert bool(out2.loc["reconciliation_expected_only_keys", "alert"])
+    chk3 = ReconciliationCheck(
+        keys=["k"],
+        measures=[{"name": "rc", "agg": "count"}],
+        chunker=PartitionChunker(columns=["part"]),
+        upper_threshold=0.0,
+        expected_only_threshold=5.0,   # tolerate a few dropped keys
+    ).fit(exp)
+    out3 = chk3.calculate(act).toPandas().set_index("method")
+    assert bool(out3.loc["reconciliation_mismatch_rate", "alert"])
+    assert not bool(out3.loc["reconciliation_expected_only_keys", "alert"])
 
 
 def test_fd_and_reconciliation_in_runner(spark, tmp_path):
