@@ -36,7 +36,14 @@ wrong-dimension vectors are excluded.
 Alerting: MMD² has no universal scale; the default constant threshold
 0.05 is a pragmatic cut (≈ kernel-mean shift of 0.22) — calibrate it per
 deployment, or use the ``ref_self_mmd`` the fit reports (the reference
-scored against itself in halves — an empirical null scale).
+scored against itself in halves — an empirical null scale). Caveat: the
+halves are assigned by CONTENT hash (the only split that is deterministic
+at any parallelism), so byte-identical duplicate vectors always land in
+the same half — a duplicate-heavy reference (a few vectors copied many
+times) inflates ``ref_self_mmd`` toward the separation between its modes
+rather than a true null draw. Treat it as an UPPER bound on the null
+scale there, or exact-dedup the reference (``sim.embedding_clusters``)
+before fitting.
 """
 
 from __future__ import annotations
