@@ -48,7 +48,9 @@ def plot_continuous_distribution(result, title: Optional[str] = None,
         for _, r in grp.iterrows():
             pts.append((sx(r["x"]), base - (r["density"] / d_hi) * row_height * overlap))
         pts.append((sx(grp["x"].iloc[-1]), base))
-        svg.polygon(pts, fill=RIDGE_COLOR, opacity=0.35)
+        n = int(grp["n"].iloc[0]) if "n" in grp.columns else None
+        tip = str(key) if n is None else f"{key} (n={n})"
+        svg.polygon(pts, fill=RIDGE_COLOR, opacity=0.35, title=tip)
         svg.path(pts, stroke=RIDGE_COLOR, width=1.0, opacity=0.9)
         svg.text(ml - 8, base - 4, str(key), size=10, anchor="end", fill="#555")
     # x axis
@@ -80,7 +82,8 @@ def plot_curation_funnel(report, title: Optional[str] = None, width: int = 760,
         y = mt + i * row_height
         w = span * (int(r["docs_remaining"]) / total)
         color = _PALETTE[i % len(_PALETTE)]
-        svg.rect(ml, y + 4, max(w, 1.0), row_height - 10, fill=color, opacity=0.75)
+        svg.rect(ml, y + 4, max(w, 1.0), row_height - 10, fill=color, opacity=0.75,
+                 title=f"{r['stage']}: {int(r['docs_remaining']):,} kept, −{int(r['docs_dropped']):,}")
         svg.text(ml - 8, y + row_height / 2 + 3, str(r["stage"]), size=11, anchor="end")
         note = f"{int(r['docs_remaining']):,} kept"
         if int(r["docs_dropped"]):
@@ -110,8 +113,10 @@ def plot_categorical_distribution(result, title: Optional[str] = None,
         gx = x0 + i * bw
         for _, r in grp.sort_values("value").iterrows():
             h = float(r["freq"]) * (y1 - y0)
+            cnt = f" ({int(r['cnt']):,})" if "cnt" in grp.columns else ""
             svg.rect(gx + bw * 0.08, y1 - acc - h, bw * 0.84, h,
-                     fill=colors.get(r["value"], "#999"), opacity=0.9)
+                     fill=colors.get(r["value"], "#999"), opacity=0.9,
+                     title=f"{key} · {r['value']}: {float(r['freq']):.1%}{cnt}")
             acc += h
         svg.text(gx + bw / 2, y1 + 14, str(key), size=9, anchor="middle",
                  fill="#555", rotate=30 if bw < 60 else None)

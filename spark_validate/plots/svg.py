@@ -41,16 +41,21 @@ class SVG:
             f'opacity="{opacity}"{dd} stroke-linejoin="round"/>'
         )
 
-    def polygon(self, points: Sequence[Tuple[float, float]], fill="#ccc", opacity=0.25):
+    def polygon(self, points: Sequence[Tuple[float, float]], fill="#ccc", opacity=0.25,
+                title: Optional[str] = None):
         if not points:
             return
         pts = " ".join(f"{_fmt(x)},{_fmt(y)}" for x, y in points)
-        self._parts.append(f'<polygon points="{pts}" fill="{fill}" opacity="{opacity}" stroke="none"/>')
+        t = f"<title>{escape(title)}</title>" if title else ""
+        end = f">{t}</polygon>" if t else "/>"
+        self._parts.append(f'<polygon points="{pts}" fill="{fill}" opacity="{opacity}" stroke="none"{end}')
 
-    def rect(self, x, y, w, h, fill="#eee", opacity=1.0, stroke="none"):
+    def rect(self, x, y, w, h, fill="#eee", opacity=1.0, stroke="none", title: Optional[str] = None):
+        t = f"<title>{escape(title)}</title>" if title else ""
+        end = f">{t}</rect>" if t else "/>"
         self._parts.append(
             f'<rect x="{_fmt(x)}" y="{_fmt(y)}" width="{_fmt(w)}" height="{_fmt(h)}" '
-            f'fill="{fill}" opacity="{opacity}" stroke="{stroke}"/>'
+            f'fill="{fill}" opacity="{opacity}" stroke="{stroke}"{end}'
         )
 
     def diamond(self, x, y, r=4.5, fill="#d63031", title: Optional[str] = None):

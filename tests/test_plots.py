@@ -83,6 +83,8 @@ def test_continuous_ridgeline():
             rows.append({"chunk_key": k, "x": i / 19.0, "density": 1.0 - abs(i - 10) / 10.0})
     svg = plot_continuous_distribution(pd.DataFrame(rows), title="dist")
     assert svg.count("<polygon") >= 3 and ">c1<" in svg
+    # native SVG hover tooltips (the plotly-interactivity stand-in)
+    assert "<title>c1</title>" in svg
 
 
 def test_categorical_stacked_bars(tmp_path):
@@ -92,6 +94,7 @@ def test_categorical_stacked_bars(tmp_path):
             rows.append({"chunk_key": k, "value": v, "freq": f})
     svg = plot_categorical_distribution(pd.DataFrame(rows))
     assert len(re.findall(r'<rect [^>]*fill="#', svg)) >= 9  # 6 bars + 3 legend
+    assert "<title>c0 · a: 50.0%</title>" in svg  # per-bar hover tooltip
     p = save_plot(svg, str(tmp_path / "d.html"))
     assert open(p).read().startswith("<!DOCTYPE html>")
     p2 = save_plot(svg, str(tmp_path / "d.svg"))
