@@ -129,6 +129,13 @@ def streaming_univariate_drift(
     src = stream
     if watermark:
         src = src.withWatermark(timestamp_column, watermark)
+    from spark_validate.calculators.base import nan_to_null
+
+    # the repo-wide NaN convention, mirrored from the batch calculator
+    # (univariate.py:119,351): a NaN row must neither count toward __n nor
+    # land in the out-of-range bucket as phantom leftover mass — decode
+    # failures emit NaN pixel stats, so payload streams hit this in practice
+    dtypes = dict(stream.dtypes)
 
     aggs = []
     specs = []  # (column, method, value_expr_builder inputs)
@@ -140,7 +147,7 @@ def streaming_univariate_drift(
             needed.add("doane")
         if "psi" in cont_methods:
             needed.add("psi")
-        v = F.col(c).cast("double")
+        v = nan_to_null(F.col(c), dtypes.get(c, "double")).cast("double")
         aggs.append(F.count(v).alias(f"{c}__n"))
         for spec in sorted(needed & set(st.specs)):
             n_bins, probs = st.specs[spec]
@@ -157,7 +164,7 @@ def streaming_univariate_drift(
             plan.append((c, spec, n_bins, probs, methods))
     for c in calc._cat_cols:
         st = calc._cat_state[c]
-        v = F.col(c).cast("string")
+        v = nan_to_null(F.col(c), dtypes.get(c, "string")).cast("string")
         aggs.append(F.count(v).alias(f"{c}__n"))
         cats = sorted(st.counts)
         for i, val in enumerate(cats):

@@ -65,9 +65,29 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
     reference = read_source(spark, batch_src) if batch_src else None
     if reference is not None:
         reference = apply_derived_columns(reference, config.get("derived_columns"))
-    schema = (
-        read_source(spark, config.get("stream_schema_from", batch_src or config["stream"])).schema
-    )
+    # Schema default: the STREAM's own files. Defaulting to the reference
+    # table would silently null stream-only columns (e.g. doc_id absent
+    # from a curated reference) and fabricate all-NULL reads for
+    # reference-only columns. The reference is only the fallback for a
+    # cold start where the stream directory holds no files yet;
+    # ``stream_schema_from`` still overrides explicitly.
+    schema_src = config.get("stream_schema_from")
+    if schema_src is not None:
+        schema = read_source(spark, schema_src).schema
+    else:
+        try:
+            schema = read_source(spark, config["stream"]).schema
+        except Exception:
+            if batch_src is None:
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "stream source %r not yet readable; using the reference schema "
+                "until files land (pass stream_schema_from to silence)",
+                config["stream"],
+            )
+            schema = read_source(spark, batch_src).schema
     # watermarks are applied by each check builder (a second withWatermark on
     # the same frame is an error: "Redefining watermark is disallowed")
     stream = apply_derived_columns(
@@ -97,13 +117,17 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             if reference is not None:
                 import pyspark.sql.functions as F
 
+                # ONE fused reference aggregation for every column (a
+                # per-column .agg().first() loop scans the table per column)
+                aggs = []
+                for c in check_cfg["columns"]:
+                    aggs += [F.avg(c).alias(f"{c}__m"), F.stddev_pop(c).alias(f"{c}__s")]
+                row = reference.agg(*aggs).first()
                 thr: Dict[str, tuple] = {}
                 for c in check_cfg["columns"]:
-                    row = reference.agg(
-                        F.avg(c).alias("m"), F.stddev_pop(c).alias("s")
-                    ).first()
-                    if row["m"] is not None and row["s"] is not None:
-                        thr[c] = (row["m"] - 3 * row["s"], row["m"] + 3 * row["s"])
+                    m, s = row[f"{c}__m"], row[f"{c}__s"]
+                    if m is not None and s is not None:
+                        thr[c] = (m - 3 * s, m + 3 * s)
                 stats = attach_thresholds(stats, thr)
             queries[name] = _sink(stats, out_dir, name, "append", trigger).start()
         elif kind == "domain":
@@ -143,9 +167,15 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
                 raise ValueError("range check needs a reference table to fit [min, max]")
             import pyspark.sql.functions as F
 
+            # one fused min/max aggregation for all columns (not one scan each)
+            aggs = []
             for c in check_cfg["columns"]:
-                row = reference.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
-                v = streaming_violations(stream, c, valid_range=(row["lo"], row["hi"]))
+                aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+            row = reference.agg(*aggs).first()
+            for c in check_cfg["columns"]:
+                v = streaming_violations(
+                    stream, c, valid_range=(row[f"{c}__lo"], row[f"{c}__hi"])
+                )
                 key = uniq(check_cfg.get("name", kind) + f"__{c}", check_idx)
                 queries[key] = _sink(v, out_dir, key, "append", trigger).start()
         elif kind == "zscore_outliers":
@@ -535,7 +565,12 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
 
             from spark_validate.image.payload import decode_pixel_stats
 
-            stats_stream = decode_pixel_stats(stream, partitions=check_cfg.get("partitions"))
+            # carry the event-time column through the Arrow decode so the
+            # violation rows can be placed in time / joined to windows,
+            # like every other violation kind in this runner
+            stats_stream = decode_pixel_stats(
+                stream, partitions=check_cfg.get("partitions"), carry=[ts]
+            )
             lo = hi = None
             if reference is not None:
                 import math
@@ -807,6 +842,39 @@ def run_streaming_suite(spark: SparkSession, config: dict, trigger: Optional[Dic
             )
             key = uniq(check_cfg.get("name", kind), check_idx)
             queries[key] = _sink(v, out_dir, key, "append", trigger).start()
+        elif kind in ("mmd_drift", "calibration_drift", "bin_shift"):
+            # the three reference-fitted drift kinds whose streaming
+            # builders share the (stream, calc, ts, window, watermark)
+            # shape: fit is a batch job, the stream side is one windowed
+            # aggregation each (per-window values ≡ batch, pinned by the
+            # pytest parity suites)
+            if reference is None:
+                raise ValueError(f"{kind} check needs a reference table to fit")
+            from spark_validate.streaming.drift import (
+                streaming_bin_shift,
+                streaming_calibration_drift,
+                streaming_mmd_drift,
+            )
+
+            builder = {
+                "mmd_drift": streaming_mmd_drift,
+                "calibration_drift": streaming_calibration_drift,
+                "bin_shift": streaming_bin_shift,
+            }[kind]
+            default_key = {
+                "mmd_drift": f"mmd_drift__{check_cfg.get('column', 'embedding')}",
+                "calibration_drift": "calibration_drift__"
+                + check_cfg.get("y_pred_proba", "y_pred_proba"),
+                "bin_shift": "bin_shift__" + "_".join(check_cfg.get("columns", ())),
+            }[kind]
+            key = uniq(check_cfg.get("name") or default_key, check_idx)
+            chunker = build_chunker(
+                config.get("chunking", {"chunk_period": "H", "timestamp_column": ts})
+            )
+            calc = build_check(spark, check_cfg, chunker)
+            calc.fit(reference)
+            res = builder(stream, calc, ts, window_duration=window, watermark=watermark or window)
+            queries[key] = _sink(res, out_dir, key, "append", trigger).start()
         else:
             raise ValueError(f"check type {kind!r} is batch-only (run the batch runner for it)")
     return queries

@@ -391,6 +391,51 @@ def test_tvd_streams_identically(spark, frame, tmp_path):
         np.testing.assert_allclose(joined["b"], joined["s"], rtol=1e-12)
 
 
+def test_streaming_drift_nan_parity_with_batch(spark, frame, tmp_path):
+    """NaN rows must neither count toward a window's n nor land in the
+    out-of-range bucket as phantom leftover mass — the streaming path must
+    apply the same nan_to_null convention as the batch calculator
+    (a failed decode emits NaN pixel stats, so payload streams hit this)."""
+    from spark_validate.chunking import PeriodBasedChunker
+    from spark_validate.streaming import streaming_univariate_drift
+
+    sdf, pdf = frame
+    ts = pd.Timestamp("2024-06-01") + pd.to_timedelta(pdf["id"] * 6, unit="s")
+    pdf2 = pdf.assign(ts=ts)
+    # plant NaNs in half the analysis rows of the first window
+    ana_idx = pdf2.index[~pdf2.is_ref]
+    pdf2.loc[ana_idx[:300:2], "x"] = np.nan
+    sdf2 = spark.createDataFrame(pdf2)
+    calc = UnivariateDriftCalculator(
+        ["x"],
+        continuous_methods=("jensen_shannon",),
+        categorical_methods=(),
+        chunker=PeriodBasedChunker(offset="H", timestamp_column="ts"),
+        computation="estimated",
+    ).fit(sdf2.filter("is_ref"))
+    batch = calc.calculate(sdf2.filter("NOT is_ref")).toPandas()
+
+    src = str(tmp_path / "nan_stream")
+    sdf2.filter("NOT is_ref").write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_univariate_drift(stream, calc, "ts", window_duration="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sv_nan_drift")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    sres = spark.sql("SELECT * FROM sv_nan_drift").toPandas()
+    b = batch[batch.column_name == "x"]
+    bs = b.set_index(b["start_ts"].dt.floor("h"))["value"]
+    ss = sres.set_index(pd.to_datetime(sres["window_start"]))["value"]
+    joined = pd.concat([bs.rename("b"), ss.rename("s")], axis=1).dropna()
+    assert len(joined) >= 3
+    np.testing.assert_allclose(joined["b"], joined["s"], rtol=1e-12)
+
+
 def test_kl_continuous_and_categorical_vs_oracle(spark, frame):
     """Forward KL(analysis‖reference) with the PSI eps convention: every
     probability clipped to eps=1e-4, leftover lump scores q_l·ln(q_l/eps) —

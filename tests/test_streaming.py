@@ -591,6 +591,66 @@ def test_running_group_stats_event_time_eviction_and_fresh_restart(spark, tmp_pa
     assert np.isclose(b_last["mean"], np.mean([10, 20, 30, 40, 50, 60]))
 
 
+def test_streaming_suite_mmd_calibration_binshift_kinds(spark, tmp_path):
+    """The three reference-fitted drift kinds with tested streaming
+    builders are reachable from config (they previously fell through to
+    the false 'batch-only' error)."""
+    from spark_validate.streaming.runner import run_streaming_suite
+
+    rng = np.random.default_rng(11)
+    n = 1200
+    ts = pd.date_range("2024-05-01", periods=n, freq="30s")  # 10 hours
+    drifted = np.arange(n) >= n // 2
+    score = rng.uniform(0, 1, n)
+    pdf = pd.DataFrame(
+        {
+            "ts": ts,
+            "y_true": (rng.uniform(0, 1, n) < np.where(drifted, score * 0.4, score)).astype(int),
+            "score": score,
+            "x": rng.normal(0, 1, n) + np.where(drifted, 2.5, 0.0),
+            "embedding": [list(map(float, r)) for r in
+                          rng.standard_normal((n, 8)) + np.where(drifted, 1.5, 0.0)[:, None]],
+        }
+    )
+    ref_dir, stream_dir, out_dir = (str(tmp_path / d) for d in ("ref", "stream", "out"))
+    spark.createDataFrame(pdf.iloc[: n // 4]).write.mode("overwrite").parquet(ref_dir)
+    spark.createDataFrame(pdf.iloc[n // 4 :]).write.mode("overwrite").parquet(stream_dir)
+    cfg = {
+        "output_dir": out_dir,
+        "reference": ref_dir,
+        "stream": stream_dir,
+        "timestamp_column": "ts",
+        "window": "1 hour",
+        "watermark": "0 seconds",
+        "checks": [
+            {"type": "mmd_drift", "column": "embedding", "n_features": 16, "mmd_threshold": 0.05},
+            {"type": "calibration_drift", "y_pred_proba": "score", "bin_count": 5},
+            {"type": "bin_shift", "columns": ["x"], "n_bins": 8},
+        ],
+    }
+    queries = run_streaming_suite(spark, cfg)
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+        sentinel = pdf.iloc[-1:].copy()
+        sentinel["ts"] = sentinel["ts"] + pd.Timedelta(hours=12)
+        spark.createDataFrame(sentinel).write.mode("append").parquet(stream_dir)
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    mmd = spark.read.parquet(f"{out_dir}/mmd_drift__embedding").toPandas()
+    late = mmd[pd.to_datetime(mmd["window_start"]).dt.hour >= 6]
+    assert late["alert"].any()  # the +1.5 mean shift is a kernel-visible drift
+    cal = spark.read.parquet(f"{out_dir}/calibration_drift__score").toPandas()
+    cal_late = cal[pd.to_datetime(cal["window_start"]).dt.hour >= 6]
+    assert cal_late["alert"].any()  # the 0.4x label rate breaks calibration
+    bs = spark.read.parquet(f"{out_dir}/bin_shift__x").toPandas()
+    bs_late = bs[pd.to_datetime(bs["window_start"]).dt.hour >= 6]
+    assert bs_late["alert"].any()  # the +2.5 shift moves bin mass
+
+
 def test_streaming_payload_check(spark, tmp_path):
     """North-rule payload checks on a stream: stateless Arrow decode per
     micro-batch; decode failures land in the violations sink."""
@@ -625,6 +685,9 @@ def test_streaming_payload_check(spark, tmp_path):
     v = spark.read.parquet(f"{out_dir}/payload").toPandas()
     fails = v[v["violation_kind"] == "decode_failure"]
     assert set(fails["image_id"]) == bad_ids
+    # the event-time column rides through the Arrow decode so violation
+    # rows can be placed in time, like every other violation kind
+    assert "ts" in v.columns and v["ts"].notna().all()
     # the healthy tail may graze a 100-sample 3σ band; decode failures must
     # not be drowned out by it
     assert (v["violation_kind"] == "pixel_stat_out_of_range").sum() <= 3
