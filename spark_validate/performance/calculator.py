@@ -76,6 +76,35 @@ _LIMITS = {
     "accuracy": (0.0, 1.0),
 }
 
+# confidence boundaries clamp to each metric's value range (the reference
+# clips via np.minimum/np.maximum, confidence_based/metrics.py:261-265);
+# regression losses are bounded below by 0
+_BOUND_LIMITS = {**_LIMITS, **{m: (0.0, None) for m in REGRESSION_METRICS}}
+
+
+def _thr_frame(spark, thresholds: Dict[str, tuple]):
+    """Broadcastable (method, thresholds, bound limits) helper frame."""
+    rows = [
+        (m, lo, up, *_BOUND_LIMITS.get(m, (None, None)))
+        for m, (lo, up) in thresholds.items()
+    ] or [(None, None, None, None, None)]
+    return spark.createDataFrame(
+        rows,
+        "method string, lower_threshold double, upper_threshold double, "
+        "_lim_lo double, _lim_up double",
+    ).filter(F.col("method").isNotNull())
+
+
+def _clamped_bounds():
+    """(lower, upper) confidence-boundary columns clamped to _lim_lo/_lim_up;
+    NULL sampling error stays NULL (greatest/least alone would resurrect a
+    limit value for a NULL bound — Spark's greatest ignores NULLs)."""
+    lcb = F.col("value") - 3 * F.col("sampling_error")
+    ucb = F.col("value") + 3 * F.col("sampling_error")
+    lo = F.when(lcb.isNotNull() & F.col("_lim_lo").isNotNull(), F.greatest(lcb, F.col("_lim_lo"))).otherwise(lcb)
+    up = F.when(ucb.isNotNull() & F.col("_lim_up").isNotNull(), F.least(ucb, F.col("_lim_up"))).otherwise(ucb)
+    return lo, up
+
 
 @dataclass
 class PerformanceCalculator:
@@ -128,8 +157,12 @@ class PerformanceCalculator:
         fn = F.sum(F.when(both & (yt == 1) & (yp == 0), 1).otherwise(0)).cast("double")
         counts = assigned.groupBy(CHUNK_KEY).agg(
             tp.alias("tp"), fp.alias("fp"), tn.alias("tn"), fn.alias("fn"),
-            F.count(F.lit(1)).alias("n_chunk"),
-            F.sum(F.when(yt.isNull(), 1).otherwise(0)).cast("double").alias("n_missing_target"),
+            # n for the SE formulas counts the LABELED rows the confusion
+            # cells actually used — counting unlabeled rows would shrink
+            # std/sqrt(n·frac) on partially-labeled chunks (the fit-side
+            # invariant at _fit_se_components; the multiclass path filters
+            # nulls before counting too)
+            F.count(F.when(both, F.lit(1))).alias("n_chunk"),
         )
         exprs: Dict[str, F.Column] = {}
         if "accuracy" in self.metrics:
@@ -146,14 +179,26 @@ class PerformanceCalculator:
             exprs["f1"] = _safe_div(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn"))
         if "business_value" in self.metrics:
             (tn_v, fp_v), (fn_v, tp_v) = self.business_value_matrix
-            bv = (
-                F.col("tn") * F.lit(float(tn_v))
-                + F.col("fp") * F.lit(float(fp_v))
-                + F.col("fn") * F.lit(float(fn_v))
-                + F.col("tp") * F.lit(float(tp_v))
-            )
             if self.normalize_business_value == "per_prediction":
-                bv = bv / (F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn"))
+                # reference binary_classification.py:794-797: the cm
+                # normalizes PER PREDICTED-CLASS COLUMN (cm/cm.sum(axis=0),
+                # NaN→0) — dividing by the grand total would disagree with
+                # both the reference and this file's own multiclass path
+                pred0 = F.col("tn") + F.col("fn")
+                pred1 = F.col("fp") + F.col("tp")
+                bv = (
+                    F.coalesce(_safe_div(F.col("tn"), pred0), F.lit(0.0)) * F.lit(float(tn_v))
+                    + F.coalesce(_safe_div(F.col("fn"), pred0), F.lit(0.0)) * F.lit(float(fn_v))
+                    + F.coalesce(_safe_div(F.col("fp"), pred1), F.lit(0.0)) * F.lit(float(fp_v))
+                    + F.coalesce(_safe_div(F.col("tp"), pred1), F.lit(0.0)) * F.lit(float(tp_v))
+                )
+            else:
+                bv = (
+                    F.col("tn") * F.lit(float(tn_v))
+                    + F.col("fp") * F.lit(float(fp_v))
+                    + F.col("fn") * F.lit(float(fn_v))
+                    + F.col("tp") * F.lit(float(tp_v))
+                )
             exprs["business_value"] = bv
         parts = []
         if exprs:
@@ -439,7 +484,9 @@ class PerformanceCalculator:
         err = yt - yp
         exprs = {
             "mae": F.avg(F.abs(err)),
-            "mape": F.avg(F.abs(err) / F.abs(yt)),
+            # sklearn mean_absolute_percentage_error clamps the denominator
+            # at machine eps — a y_true of exactly 0 must not ANSI-crash the job
+            "mape": F.avg(F.abs(err) / F.greatest(F.abs(yt), F.lit(2.220446049250313e-16))),
             "mse": F.avg(err * err),
             "msle": F.avg(F.pow(F.log1p(yt) - F.log1p(yp), 2)),
             "rmse": F.sqrt(F.avg(err * err)),
@@ -638,7 +685,7 @@ class PerformanceCalculator:
             err = yt - yp
             row = reference.agg(
                 F.stddev_pop(F.abs(err)).alias("mae_std"),
-                F.stddev_pop(F.abs(err) / F.abs(yt)).alias("mape_std"),
+                F.stddev_pop(F.abs(err) / F.greatest(F.abs(yt), F.lit(2.220446049250313e-16))).alias("mape_std"),
                 F.stddev_pop(err * err).alias("mse_std"),
                 F.avg(err * err).alias("mse_mean"),
                 F.stddev_pop(F.pow(F.log1p(yt) - F.log1p(yp), 2)).alias("msle_std"),
@@ -688,10 +735,15 @@ class PerformanceCalculator:
         y = y[order]
         neg_below = np.concatenate(([0.0], np.cumsum(1.0 - y)[:-1]))
         n0s = float((1.0 - y).sum())
+        # fraction AFTER the flip (`sampling_error/binary_classification.py:71`
+        # computes n_pos/len over the flipped labels) — the minority share.
+        # Using the raw positive rate would understate SE ~(maj/min)× on
+        # imbalanced data; the multiclass path already flips.
+        frac = float(y.mean())
         if n0s == 0 or y.sum() == 0:
-            return {"std": None, "fraction": n1 / n}
+            return {"std": None, "fraction": frac}
         ser = neg_below[y == 1.0] / n0s
-        return {"std": float(np.std(ser)), "fraction": n1 / n}
+        return {"std": float(np.std(ser)), "fraction": frac}
 
     def _fit_ap_se(self, reference: DataFrame) -> dict:
         """AP components (`bse.ap_sampling_error_components :95-128`): bootstrap
@@ -807,27 +859,27 @@ class PerformanceCalculator:
 
     def _fit(self, reference: DataFrame) -> "PerformanceCalculator":
         if self.problem_type == "multiclass_classification":
+            # NULL labels are tolerated (the binary path even counts them);
+            # they must not enter the class list — sorted() would TypeError
+            # on None, and None is not a class
             self._classes = sorted(
-                r[0] for r in reference.select(F.col(self.y_true).cast("string")).distinct().collect()
+                r[0]
+                for r in reference.select(F.col(self.y_true).cast("string"))
+                .filter(F.col(self.y_true).isNotNull())
+                .distinct()
+                .collect()
             )
         self._fit_se_components(reference)
         self._fitted = True
         ref_long, ref_headers = self._chunk_values(reference)
         ref_long = ref_long.persist()
-        rows = (
-            ref_long.groupBy("method").agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s")).collect()
-        )
-        thr = self.threshold
-        for r in rows:
-            lo = up = None
-            if isinstance(thr, StandardDeviationThreshold):
-                if r["m"] is not None and r["s"] is not None:
-                    if thr.std_lower_multiplier is not None:
-                        lo = r["m"] - thr.std_lower_multiplier * r["s"]
-                    if thr.std_upper_multiplier is not None:
-                        up = r["m"] + thr.std_upper_multiplier * r["s"]
-            else:
-                lo, up = thr.lower, thr.upper
+        # generic per-method fit: dispatches constant / stddev / MAD /
+        # quantile in one aggregate (an isinstance ladder assuming constant
+        # in the else-branch crashed on the robust threshold types)
+        from spark_validate.thresholds import fit_thresholds_grouped
+
+        for r in fit_thresholds_grouped(ref_long, ["method"], self.threshold).collect():
+            lo, up = r["lower_threshold"], r["upper_threshold"]
             lo_l, up_l = _LIMITS.get(r["method"], (None, None))
             if lo is not None and lo_l is not None:
                 lo = max(lo, lo_l)
@@ -931,19 +983,16 @@ class PerformanceCalculator:
         return expr
 
     def _finalize(self, long_df: DataFrame, headers, period: str) -> DataFrame:
-        spark = long_df.sparkSession
-        rows = [(m, lo, up) for m, (lo, up) in self._thresholds.items()] or [(None, None, None)]
-        thr = spark.createDataFrame(rows, "method string, lower_threshold double, upper_threshold double").filter(
-            F.col("method").isNotNull()
-        )
+        thr = _thr_frame(long_df.sparkSession, self._thresholds)
+        lcb, ucb = _clamped_bounds()
         out = (
             long_df.join(F.broadcast(thr), "method", "left")
             .withColumn("sampling_error", self._se_expr())
-            .withColumn("lower_confidence_boundary", F.col("value") - 3 * F.col("sampling_error"))
-            .withColumn("upper_confidence_boundary", F.col("value") + 3 * F.col("sampling_error"))
+            .withColumn("lower_confidence_boundary", lcb)
+            .withColumn("upper_confidence_boundary", ucb)
             .withColumn("alert", alert_expr())
             .withColumn("column_name", F.lit(self.y_pred))
-            .drop("n_chunk")
+            .drop("n_chunk", "_lim_lo", "_lim_up")
         )
         return conform_result(join_headers_long(out, headers, period))
 

@@ -208,27 +208,48 @@ class CBPE:
             F.sum(F.when(ok & (pred == 0), 1 - p).otherwise(F.lit(0.0))).alias("tn"),
             F.count(F.when(ok, 1)).alias("n_chunk"),
         )
+        from spark_validate.performance.calculator import _safe_div
+
         exprs: Dict[str, F.Column] = {}
         tot = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+        # _safe_div throughout: a chunk with zero predicted positives (or
+        # all-NULL probas) must yield NULL, not an ANSI DIVIDE_BY_ZERO that
+        # kills the whole estimate job — the realized path already guards
         if "accuracy" in self.metrics:
-            exprs["accuracy"] = (F.col("tp") + F.col("tn")) / tot
+            exprs["accuracy"] = _safe_div(F.col("tp") + F.col("tn"), tot)
         if "precision" in self.metrics:
-            exprs["precision"] = F.col("tp") / (F.col("tp") + F.col("fp"))
+            exprs["precision"] = _safe_div(F.col("tp"), F.col("tp") + F.col("fp"))
         if "recall" in self.metrics:
-            exprs["recall"] = F.col("tp") / (F.col("tp") + F.col("fn"))
+            exprs["recall"] = _safe_div(F.col("tp"), F.col("tp") + F.col("fn"))
         if "specificity" in self.metrics:
-            exprs["specificity"] = F.col("tn") / (F.col("tn") + F.col("fp"))
+            exprs["specificity"] = _safe_div(F.col("tn"), F.col("tn") + F.col("fp"))
         if "f1" in self.metrics:
             # estimate_f1 (metrics.py:762-787): TP / (TP + 0.5(FP+FN))
-            exprs["f1"] = F.col("tp") / (F.col("tp") + 0.5 * (F.col("fp") + F.col("fn")))
+            exprs["f1"] = _safe_div(
+                F.col("tp"), F.col("tp") + 0.5 * (F.col("fp") + F.col("fn"))
+            )
         if "business_value" in self.metrics:
             (tn_v, fp_v), (fn_v, tp_v) = self.business_value_matrix
-            exprs["business_value"] = (
-                F.col("tn") * F.lit(float(tn_v))
-                + F.col("fp") * F.lit(float(fp_v))
-                + F.col("fn") * F.lit(float(fn_v))
-                + F.col("tp") * F.lit(float(tp_v))
-            )
+            if self.normalize_business_value == "per_prediction":
+                # reference confidence_based/metrics.py:2298-2301: the cm
+                # normalizes PER PREDICTED-CLASS COLUMN (cm/cm.sum(axis=0),
+                # NaN→0), i.e. pred-0 cells over tn+fn, pred-1 over fp+tp
+                pred0 = F.col("tn") + F.col("fn")
+                pred1 = F.col("fp") + F.col("tp")
+                bv = (
+                    F.coalesce(_safe_div(F.col("tn"), pred0), F.lit(0.0)) * F.lit(float(tn_v))
+                    + F.coalesce(_safe_div(F.col("fn"), pred0), F.lit(0.0)) * F.lit(float(fn_v))
+                    + F.coalesce(_safe_div(F.col("fp"), pred1), F.lit(0.0)) * F.lit(float(fp_v))
+                    + F.coalesce(_safe_div(F.col("tp"), pred1), F.lit(0.0)) * F.lit(float(tp_v))
+                )
+            else:
+                bv = (
+                    F.col("tn") * F.lit(float(tn_v))
+                    + F.col("fp") * F.lit(float(fp_v))
+                    + F.col("fn") * F.lit(float(fn_v))
+                    + F.col("tp") * F.lit(float(tp_v))
+                )
+            exprs["business_value"] = bv
         parts = []
         if exprs:
             pairs = [F.struct(F.lit(m).alias("method"), v.cast("double").alias("value")) for m, v in exprs.items()]
@@ -498,18 +519,11 @@ class CBPE:
         self._fitted = True
         ref_long, ref_headers = self._estimated_chunk_values(reference)
         ref_long = ref_long.persist()
-        rows = ref_long.groupBy("method").agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s")).collect()
-        thr = self.threshold
-        for r in rows:
-            lo = up = None
-            if isinstance(thr, StandardDeviationThreshold):
-                if r["m"] is not None and r["s"] is not None:
-                    if thr.std_lower_multiplier is not None:
-                        lo = r["m"] - thr.std_lower_multiplier * r["s"]
-                    if thr.std_upper_multiplier is not None:
-                        up = r["m"] + thr.std_upper_multiplier * r["s"]
-            else:
-                lo, up = thr.lower, thr.upper
+        # generic per-method fit — see PerformanceCalculator._fit
+        from spark_validate.thresholds import fit_thresholds_grouped
+
+        for r in fit_thresholds_grouped(ref_long, ["method"], self.threshold).collect():
+            lo, up = r["lower_threshold"], r["upper_threshold"]
             lo_l, up_l = _LIMITS.get(r["method"], (None, None))
             if lo is not None and lo_l is not None:
                 lo = max(lo, lo_l)
@@ -521,18 +535,17 @@ class CBPE:
         return self
 
     def _finalize(self, long_df: DataFrame, headers, period: str) -> DataFrame:
-        spark = long_df.sparkSession
-        rows = [(m, lo, up) for m, (lo, up) in self._thresholds.items()] or [(None, None, None)]
-        thr = spark.createDataFrame(rows, "method string, lower_threshold double, upper_threshold double").filter(
-            F.col("method").isNotNull()
-        )
+        from spark_validate.performance.calculator import _clamped_bounds, _thr_frame
+
+        thr = _thr_frame(long_df.sparkSession, self._thresholds)
         helper = PerformanceCalculator.__new__(PerformanceCalculator)
         helper._se = self._se
+        lcb, ucb = _clamped_bounds()
         out = (
             long_df.join(F.broadcast(thr), "method", "left")
             .withColumn("sampling_error", PerformanceCalculator._se_expr(helper))
-            .withColumn("lower_confidence_boundary", F.col("value") - 3 * F.col("sampling_error"))
-            .withColumn("upper_confidence_boundary", F.col("value") + 3 * F.col("sampling_error"))
+            .withColumn("lower_confidence_boundary", lcb)
+            .withColumn("upper_confidence_boundary", ucb)
             .withColumn("alert", alert_expr())
             .withColumn(
                 "column_name",
@@ -542,7 +555,7 @@ class CBPE:
                     else self.y_pred_proba
                 ),
             )
-            .drop("n_chunk")
+            .drop("n_chunk", "_lim_lo", "_lim_up")
         )
         return conform_result(join_headers_long(out, headers, period))
 

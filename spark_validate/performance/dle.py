@@ -190,18 +190,15 @@ class DLE:
         self._fitted = True
         ref_long, ref_headers = self._chunk_values(reference)
         ref_long = ref_long.persist()
-        rows = ref_long.groupBy("method").agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s")).collect()
-        thr = self.threshold
-        for r in rows:
-            lo = up = None
-            if isinstance(thr, StandardDeviationThreshold):
-                if r["m"] is not None and r["s"] is not None:
-                    if thr.std_lower_multiplier is not None:
-                        lo = max(r["m"] - thr.std_lower_multiplier * r["s"], 0.0)
-                    if thr.std_upper_multiplier is not None:
-                        up = r["m"] + thr.std_upper_multiplier * r["s"]
-            else:
-                lo, up = thr.lower, thr.upper
+        # generic per-method fit — see PerformanceCalculator._fit. FITTED
+        # lower bounds clamp at 0 (losses are non-negative); an explicit
+        # ConstantThreshold keeps whatever the caller asked for.
+        from spark_validate.thresholds import ConstantThreshold, fit_thresholds_grouped
+
+        for r in fit_thresholds_grouped(ref_long, ["method"], self.threshold).collect():
+            lo, up = r["lower_threshold"], r["upper_threshold"]
+            if lo is not None and not isinstance(self.threshold, ConstantThreshold):
+                lo = max(lo, 0.0)
             self._thresholds[r["method"]] = (lo, up)
         self._reference_result = self._finalize(ref_long, ref_headers, "reference")
         ref_long.unpersist()
@@ -262,7 +259,11 @@ class DLE:
 
         @pandas_udf("map<string,double>")
         def _pred_losses(*cols: pd.Series) -> pd.Series:
-            mats = [c.to_numpy(np.float64) for c in cols]
+            # same NULL treatment as the fit-side _design (fillna(0)):
+            # a NULL feature must not become NaN and poison the chunk mean
+            # (ridge) or take arbitrary tree branches (gbt) — train and
+            # score must agree on the same row
+            mats = [np.nan_to_num(c.to_numpy(np.float64), nan=0.0) for c in cols]
             yp = mats[-1]
             X = np.column_stack(mats[:-1] + [yp, yp * yp])
             out = {kind: np.maximum(np.asarray(bc.value[kind].predict(X), dtype=np.float64), 0.0) for kind in kinds}
