@@ -82,10 +82,19 @@ _LIMITS = {
 _BOUND_LIMITS = {**_LIMITS, **{m: (0.0, None) for m in REGRESSION_METRICS}}
 
 
-def _thr_frame(spark, thresholds: Dict[str, tuple]):
-    """Broadcastable (method, thresholds, bound limits) helper frame."""
+def _is_cm_method(m: str) -> bool:
+    return m in ("true_positive", "false_positive", "true_negative", "false_negative") or (
+        m.startswith("true_") and "_pred_" in m
+    )
+
+
+def _thr_frame(spark, thresholds: Dict[str, tuple], cm_normalized: bool = False):
+    """Broadcastable (method, thresholds, bound limits) helper frame.
+    Confusion-matrix cells bound below by 0 (counts) or to [0, 1] when the
+    calculator normalizes them to rates."""
+    cm_lim = (0.0, 1.0) if cm_normalized else (0.0, None)
     rows = [
-        (m, lo, up, *_BOUND_LIMITS.get(m, (None, None)))
+        (m, lo, up, *(cm_lim if _is_cm_method(m) else _BOUND_LIMITS.get(m, (None, None))))
         for m, (lo, up) in thresholds.items()
     ] or [(None, None, None, None, None)]
     return spark.createDataFrame(
@@ -859,9 +868,9 @@ class PerformanceCalculator:
 
     def _fit(self, reference: DataFrame) -> "PerformanceCalculator":
         if self.problem_type == "multiclass_classification":
-            # NULL labels are tolerated (the binary path even counts them);
-            # they must not enter the class list — sorted() would TypeError
-            # on None, and None is not a class
+            # NULL labels are tolerated (excluded from confusion cells and
+            # n alike); they must not enter the class list — sorted() would
+            # TypeError on None, and None is not a class
             self._classes = sorted(
                 r[0]
                 for r in reference.select(F.col(self.y_true).cast("string"))
@@ -914,7 +923,10 @@ class PerformanceCalculator:
     # ------------------------------------------------------------------ calculate
 
     def _se_expr(self) -> F.Column:
-        n = F.col("n_chunk").cast("double")
+        # n = 0 (a fully-unlabeled chunk — the delayed-labels case) must
+        # yield NULL sampling error, not an ANSI division crash in std/√n;
+        # NULLing n short-circuits every branch below to NULL
+        n = F.when(F.col("n_chunk") > 0, F.col("n_chunk").cast("double"))
         m = F.col("method")
         expr = F.lit(None).cast("double")
         for metric, comp in self._se.items():
@@ -983,7 +995,10 @@ class PerformanceCalculator:
         return expr
 
     def _finalize(self, long_df: DataFrame, headers, period: str) -> DataFrame:
-        thr = _thr_frame(long_df.sparkSession, self._thresholds)
+        thr = _thr_frame(
+            long_df.sparkSession, self._thresholds,
+            cm_normalized=self.normalize_confusion_matrix is not None,
+        )
         lcb, ucb = _clamped_bounds()
         out = (
             long_df.join(F.broadcast(thr), "method", "left")

@@ -208,8 +208,6 @@ class CBPE:
             F.sum(F.when(ok & (pred == 0), 1 - p).otherwise(F.lit(0.0))).alias("tn"),
             F.count(F.when(ok, 1)).alias("n_chunk"),
         )
-        from spark_validate.performance.calculator import _safe_div
-
         exprs: Dict[str, F.Column] = {}
         tot = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
         # _safe_div throughout: a chunk with zero predicted positives (or
@@ -537,7 +535,10 @@ class CBPE:
     def _finalize(self, long_df: DataFrame, headers, period: str) -> DataFrame:
         from spark_validate.performance.calculator import _clamped_bounds, _thr_frame
 
-        thr = _thr_frame(long_df.sparkSession, self._thresholds)
+        thr = _thr_frame(
+            long_df.sparkSession, self._thresholds,
+            cm_normalized=getattr(self, 'normalize_confusion_matrix', None) is not None,
+        )
         helper = PerformanceCalculator.__new__(PerformanceCalculator)
         helper._se = self._se
         lcb, ucb = _clamped_bounds()

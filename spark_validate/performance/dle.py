@@ -259,17 +259,19 @@ class DLE:
 
         @pandas_udf("map<string,double>")
         def _pred_losses(*cols: pd.Series) -> pd.Series:
-            # same NULL treatment as the fit-side _design (fillna(0)):
-            # a NULL feature must not become NaN and poison the chunk mean
-            # (ridge) or take arbitrary tree branches (gbt) — train and
-            # score must agree on the same row
+            # NULL FEATURES impute to 0 so a sparse column cannot poison the
+            # chunk mean (ridge) or take arbitrary tree branches (gbt). Rows
+            # with a NULL PREDICTION are filtered before this UDF: there is
+            # no prediction whose loss could be estimated — 0-imputing yp
+            # would fabricate a confident estimate at a (0, 0²) point the
+            # loss model never trained on (fit dropna()s incomplete rows).
             mats = [np.nan_to_num(c.to_numpy(np.float64), nan=0.0) for c in cols]
             yp = mats[-1]
             X = np.column_stack(mats[:-1] + [yp, yp * yp])
             out = {kind: np.maximum(np.asarray(bc.value[kind].predict(X), dtype=np.float64), 0.0) for kind in kinds}
             return pd.Series([{k: float(out[k][i]) for k in kinds} for i in range(len(yp))])
 
-        scored = assigned.withColumn(
+        scored = assigned.filter(F.col(y_pred).isNotNull()).withColumn(
             "_losses",
             _pred_losses(*[F.col(c).cast("double") for c in feature_cols], F.col(y_pred).cast("double")),
         )

@@ -152,6 +152,53 @@ def test_confidence_bounds_clamped_to_metric_limits(spark):
     assert (lo >= -1e-12).all()
 
 
+def test_calculate_survives_fully_unlabeled_chunk(spark):
+    # the delayed-labels case: one analysis chunk has NO labels at all —
+    # n_chunk = 0 must yield NULL sampling error, not an ANSI crash in std/√n
+    sdf, pdf = _binary_frame(spark, 300)
+    calc = PerformanceCalculator(
+        metrics=("accuracy", "precision"),
+        chunker=SizeBasedChunker(chunk_size=100, order_by=["id"]),
+    ).fit(sdf)
+    ana = sdf.withColumn(
+        "y_true", F.when(F.col("id") < 100, None).otherwise(F.col("y_true"))
+    )
+    res = calc.calculate(ana).toPandas()
+    first = res[res["chunk_index"] == 0]
+    assert len(first) == 2
+    assert first["value"].isna().all() and first["sampling_error"].isna().all()
+    labeled = res[res["chunk_index"] > 0]
+    assert labeled["value"].notna().all()
+
+
+def test_dle_unscored_chunk_emits_nothing(spark):
+    # a scoring outage (y_pred all NULL in one chunk) must not fabricate a
+    # loss estimate at the never-trained (0, 0²) point — the chunk emits no
+    # rows rather than a confident number
+    from spark_validate.performance.dle import DLE
+
+    rng = np.random.default_rng(6)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "f1": rng.normal(0, 1, n),
+            "yt": rng.normal(10, 2, n),
+        }
+    )
+    pdf["yp"] = pdf["yt"] + rng.normal(0, 1, n)
+    sdf = spark.createDataFrame(pdf)
+    calc = DLE(
+        metrics=("mae",), feature_column_names=["f1"],
+        y_true="yt", y_pred="yp", loss_model="ridge",
+        chunker=SizeBasedChunker(chunk_size=100, order_by=["id"]),
+    ).fit(sdf)
+    ana = sdf.withColumn("yp", F.when(F.col("id") < 100, None).otherwise(F.col("yp")))
+    res = calc.estimate(ana).toPandas()
+    assert 0 not in set(res["chunk_index"])  # unscored chunk absent
+    assert res["value"].notna().all()
+
+
 def test_dle_scores_null_features_like_fit(spark):
     from spark_validate.performance.dle import DLE
 
