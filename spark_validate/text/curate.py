@@ -288,6 +288,24 @@ def curate(
             b, work[id_col] == F.col("_sv_bad"), "left"
         ).withColumn(fc, F.col("_sv_bad").isNotNull()).drop("_sv_bad")
 
+    def shield(df: DataFrame, produced=(), prefixes=()):
+        """Rename pre-existing USER columns a helper is about to overwrite
+        (a crawl table shipping its own ``hosts``/``lang_pred`` column must
+        come out of the pipeline with its data intact, not the helper's
+        scratch values). Returns (renamed frame, clash list for unshield)."""
+        clash = [
+            c for c in df.columns
+            if c in produced or any(c.startswith(p) for p in prefixes)
+        ]
+        for c in clash:
+            df = df.withColumnRenamed(c, f"__sv_orig_{c}")
+        return df, clash
+
+    def unshield(df: DataFrame, clash) -> DataFrame:
+        for c in clash:
+            df = df.withColumnRenamed(f"__sv_orig_{c}", c)
+        return df
+
     for i, spec in enumerate(stages):
         kind = spec["stage"]
         name = spec.get("name", kind)
@@ -325,10 +343,14 @@ def curate(
             overrides = {
                 k: v for k, v in spec.items() if k not in ("stage", "name")
             }
+            work, clash = shield(work, prefixes=("rep_",))
             before = set(work.columns)
             tagged = with_repetition_stats(work, text_col, **overrides)
-            work = tagged.withColumn(fc, ~F.col("rep_pass")).drop(
-                *(set(tagged.columns) - before - {fc})
+            work = unshield(
+                tagged.withColumn(fc, ~F.col("rep_pass")).drop(
+                    *(set(tagged.columns) - before - {fc})
+                ),
+                clash,
             )
         elif kind == "alignment":
             from spark_validate.image.alignment import cosine_sql
@@ -345,10 +367,14 @@ def curate(
             from spark_validate.text.quality import with_language_id
 
             allowed = [str(x) for x in spec["allowed"]]
+            work, clash = shield(work, produced=("lang_pred", "lang_pred_score"))
             before = set(work.columns)
             tagged = with_language_id(work, text_col)
-            work = tagged.withColumn(fc, ~F.col("lang_pred").isin(allowed)).drop(
-                *(set(tagged.columns) - before - {fc})
+            work = unshield(
+                tagged.withColumn(fc, ~F.col("lang_pred").isin(allowed)).drop(
+                    *(set(tagged.columns) - before - {fc})
+                ),
+                clash,
             )
         elif kind == "pii":
             from spark_validate.text.pii import PII_PATTERNS
@@ -369,10 +395,14 @@ def curate(
         elif kind == "url_blocklist":
             from spark_validate.text.urls import with_blocklist_flags
 
+            work, clash = shield(work, produced=("hosts", "urls", "n_urls", "is_blocked"))
             before = set(work.columns)
             flagged = with_blocklist_flags(work, spec["domains"], text_col)
-            work = flagged.withColumn(fc, F.coalesce(F.col("is_blocked"), F.lit(False))).drop(
-                *(set(flagged.columns) - before - {fc})
+            work = unshield(
+                flagged.withColumn(fc, F.coalesce(F.col("is_blocked"), F.lit(False))).drop(
+                    *(set(flagged.columns) - before - {fc})
+                ),
+                clash,
             )
         elif kind == "sample":
             from spark_validate.text.sampling import hash_bucket, rate_to_hex
@@ -478,6 +508,7 @@ def curate(
             freq = line_frequencies(
                 survivors(), text_col, id_col, delim, min_chars
             )
+            work, clash = shield(work, produced=("lines_total", "lines_removed", "lines_kept"))
             before_cols = work.columns
             rewritten = dedup_lines(
                 work,
@@ -490,12 +521,12 @@ def curate(
             )
             min_remaining = spec.get("min_remaining")
             if min_remaining is None:
-                work = rewritten.select(*before_cols)
+                work = unshield(rewritten.select(*before_cols), clash)
                 continue  # transform only: no flag, no attrition slot
             bad = rewritten.filter(
                 F.col("lines_kept") < F.lit(int(min_remaining))
             ).select(F.col(id_col))
-            work = rewritten.select(*before_cols)
+            work = unshield(rewritten.select(*before_cols), clash)
             work = join_flag(bad, fc)
         elif kind == "decontaminate":
             from spark_validate.text.decontaminate import ngram_overlap

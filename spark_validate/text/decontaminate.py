@@ -46,6 +46,11 @@ def benchmark_ngrams(
     return (
         benchmark.select(F.coalesce(F.col(text_col), F.lit("")).alias("_sv_txt"))
         .select(F.explode(F.array_distinct(_shingles("_sv_txt", n))).alias("g"))
+        # a NULL/blank benchmark row would otherwise contribute the
+        # empty-string gram, marking EVERY empty/NULL corpus doc 100%
+        # contaminated — missing benchmark text is missing data, not a gram
+        # (the dedup.py NULL-text convention)
+        .filter(F.col("g") != "")
         .distinct()
     )
 

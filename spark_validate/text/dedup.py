@@ -230,10 +230,13 @@ def ngram_jaccard(
     )
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
-    j = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double")
-    return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+    # compute the O(|A|+|B|) intersection ONCE (Catalyst does not guarantee
+    # CSE across independently-built trees); union derives from it
+    j = pairs.join(a, "id_a").join(b, "id_b").withColumn(
+        "_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    )
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - F.col("_inter")
+    return j.select("id_a", "id_b", (F.col("_inter") / union).alias("jaccard"))
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 — stays positive in an int64

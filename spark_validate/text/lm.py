@@ -137,9 +137,9 @@ class NgramLMQuality:
     def _model_frames(self, spark: SparkSession):
         uni_rows = [(w, int(c)) for w, c in self._uni.items()]
         uni = spark.createDataFrame(uni_rows or [("", 0)], "w1 string, c1 long")
-        uni2 = spark.createDataFrame(
-            [(w, c) for w, c in uni_rows] or [("", 0)], "w2 string, c2 long"
-        )
+        # one vocab frame serves both join sides — shipping the identical
+        # 50k-row list as a second broadcast doubled the per-query transfer
+        uni2 = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c2"))
         bi = spark.createDataFrame(
             [(g, int(c)) for g, c in self._bi.items()] or [("", 0)], "gram string, c12 long"
         )

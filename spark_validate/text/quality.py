@@ -75,11 +75,9 @@ def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang
     n = F.greatest(F.size(toks), F.lit(1))
     scores = []
     for lang, words in _STOPWORDS.items():
-        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        # intersect is set-based; count token occurrences instead for weight
+        # occurrence-weighted (set-based intersect would undercount repeats)
         occ = F.size(F.filter(toks, lambda x: x.isin(words)))
         scores.append(F.struct((occ.cast("double") / n).alias("score"), F.lit(lang).alias("lang")))
-        _ = hits
     best = F.array_max(F.array(*scores))
     return df.withColumn(
         out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
@@ -148,7 +146,7 @@ def repetition_stats(
         fewer than n words)
 
     Scale shape: one long (doc, gram-kind, gram) frame — lines are kind 0,
-    unigrams kind 1, n-grams kind n — reduced by ONE map-side-combined
+    unigrams kind 1, n-grams kind n+1 — reduced by ONE map-side-combined
     count shuffle keyed by the gram itself, then ONE per-doc pivot
     aggregation. No joins between kinds, no per-doc O(n²) higher-order
     scans, no collect; a doc's grams are its own shuffle keys, so
@@ -165,9 +163,14 @@ def repetition_stats(
         base.select("_id", F.lit(1).alias("_k"), F.explode("_w").alias("_g")),
     ]
     for n in ngrams:
+        if n < 1:
+            raise ValueError(f"ngram sizes must be >= 1, got {n}")
+        # kind = n + 1: kinds 0/1 are reserved for lines/unigrams, so an
+        # explicit 1-gram request gets its own bucket instead of silently
+        # doubling the unigram totals (and corrupting every word fraction)
         gram_frames.append(
             base.select(
-                "_id", F.lit(n).alias("_k"), F.explode(_ngram_array(F.col("_w"), n)).alias("_g")
+                "_id", F.lit(n + 1).alias("_k"), F.explode(_ngram_array(F.col("_w"), n)).alias("_g")
             )
         )
     grams = gram_frames[0]
@@ -193,7 +196,7 @@ def repetition_stats(
         _dst(0).alias("_dl"),
     ]
     for n in ngrams:
-        aggs += [_tot(n).alias(f"_t{n}"), _top(n).alias(f"_m{n}")]
+        aggs += [_tot(n + 1).alias(f"_t{n}"), _top(n + 1).alias(f"_m{n}")]
     per_doc = counts.groupBy("_id").agg(*aggs)
 
     out_cols = [
