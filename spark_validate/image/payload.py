@@ -41,6 +41,166 @@ MAX_FAKE_PIXELS = 16_384
 DECODE_ROUNDS = 40
 
 
+# --- mixing-round kernel ------------------------------------------------------
+# The K rounds are ELEMENTWISE (each uint32 word mixes independently), so the
+# per-element recurrence can run rounds-in-register in compiled code instead
+# of K×4 whole-array numpy passes (which are numpy-dispatch/memory bound:
+# measured ~260 µs/16 KB image vs ~13 µs compiled — bit-identical output).
+# Compiled once per process from embedded C via the system compiler; any
+# failure (no compiler, sandboxed /tmp) falls back to the numpy loop.
+_MIX_C_SRC = """
+#include <stdint.h>
+void sv_mix_rounds(uint32_t *b, int64_t n, int rounds) {
+    const int64_t BLK = 2048;               /* 8 KB: L1-resident */
+    for (int64_t s = 0; s < n; s += BLK) {
+        int64_t e = s + BLK < n ? s + BLK : n;
+        for (int r = 0; r < rounds; r++) {
+            for (int64_t i = s; i < e; i++) {
+                uint32_t x = b[i] * 2654435761u + 0x9E3779B9u;
+                b[i] = x ^ (x >> 13);
+            }
+        }
+    }
+}
+"""
+_MIX_KERNEL = None  # None = not tried yet; False = unavailable
+
+
+def _mix_kernel():
+    """Compile-once ctypes handle for the mixing kernel (or False)."""
+    global _MIX_KERNEL
+    if _MIX_KERNEL is not None:
+        return _MIX_KERNEL
+    try:  # pragma: no cover - exercised indirectly (fallback path is tested)
+        import ctypes
+        import hashlib
+        import os
+        import subprocess
+        import tempfile
+
+        tag = hashlib.sha256(_MIX_C_SRC.encode()).hexdigest()[:16]
+        so = os.path.join(tempfile.gettempdir(), f"sv_mix_{tag}.so")
+        if not os.path.exists(so):
+            src = so + f".{os.getpid()}.c"
+            tmp = so + f".{os.getpid()}.tmp"
+            with open(src, "w") as f:
+                f.write(_MIX_C_SRC)
+            subprocess.run(
+                ["cc", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, src],
+                check=True, capture_output=True, timeout=60,
+            )
+            os.rename(tmp, so)  # atomic: concurrent workers race safely
+            os.unlink(src)
+        lib = ctypes.CDLL(so)
+        lib.sv_mix_rounds.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.sv_mix_rounds.restype = None
+        _MIX_KERNEL = lib
+    except Exception:
+        _MIX_KERNEL = False
+    return _MIX_KERNEL
+
+
+def _mix_rounds_inplace(arr: np.ndarray) -> None:
+    """Apply the DECODE_ROUNDS mixing recurrence in place (uint32, 1-D,
+    C-contiguous). Elementwise → identical results for any batching."""
+    lib = _mix_kernel()
+    if lib:
+        import ctypes
+
+        lib.sv_mix_rounds(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            arr.size,
+            DECODE_ROUNDS,
+        )
+        return
+    c1, c2, sh = np.uint32(2654435761), np.uint32(0x9E3779B9), np.uint32(13)
+    tmp = np.empty(min(arr.size, 32768), dtype=np.uint32)
+    for s in range(0, arr.size, 32768):  # L2-resident slices
+        v = arr[s : s + 32768]
+        t = tmp[: v.size]
+        for _ in range(DECODE_ROUNDS):
+            np.multiply(v, c1, out=v)
+            np.add(v, c2, out=v)
+            np.right_shift(v, sh, out=t)
+            np.bitwise_xor(v, t, out=v)
+
+
+# one-time check that PCG64.random_raw(k).view(uint32) reproduces
+# Generator.integers(0, 2**32, 2k, uint32) on this platform/numpy (it does on
+# little-endian CPython builds; if not, the slower Generator path is used)
+_RAW_VIEW_OK = bool(
+    np.array_equal(
+        np.random.Generator(np.random.PCG64(0xC0FFEE)).integers(0, 2**32, 8, dtype=np.uint32),
+        np.random.PCG64(0xC0FFEE).random_raw(4).view(np.uint32),
+    )
+)
+
+
+def _svi0_block(seed: int, n_words: int) -> np.ndarray:
+    """The seeded pre-mix word block — identical to
+    ``Generator(PCG64(seed)).integers(0, 2**32, n_words, uint32)``."""
+    if _RAW_VIEW_OK and n_words % 2 == 0:
+        # same stream via raw 64-bit draws (skips Generator construction)
+        return np.random.PCG64(seed).random_raw(n_words // 2).view(np.uint32)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 2**32, n_words, dtype=np.uint32)
+
+
+def _decode_batch(bufs) -> list:
+    """Decode many payloads — bit-identical to ``[_decode(b) for b in bufs]``
+    but batched: per-image work is only header parse + CRC + seeded block
+    fill; the K mixing rounds run over a concatenated buffer in one kernel
+    call per ~64-image group (guide §4.2: hand whole batches to native code).
+    """
+    import zlib
+
+    out: list = [None] * len(bufs)
+    pend_idx: list = []   # indices awaiting the mix pass
+    pend_blk: list = []   # their pre-mix word blocks
+    pend_npx: list = []
+    pend_words = 0
+
+    def _flush():
+        nonlocal pend_idx, pend_blk, pend_npx, pend_words
+        if not pend_idx:
+            return
+        cat = pend_blk[0] if len(pend_blk) == 1 else np.concatenate(pend_blk)
+        _mix_rounds_inplace(cat)
+        off = 0
+        for i, blk, n_px in zip(pend_idx, pend_blk, pend_npx):
+            nw = blk.size
+            out[i] = cat[off : off + nw].view(np.uint8)[:n_px]
+            off += nw
+        pend_idx, pend_blk, pend_npx, pend_words = [], [], [], 0
+
+    for i, buf in enumerate(bufs):
+        if buf is None or len(buf) < 12:
+            continue
+        b = bytes(buf)
+        if b[:4] != b"SVI0":
+            if _HAS_PIL:  # pragma: no cover - PIL absent in this container
+                out[i] = _decode(b)
+            continue
+        if len(b) == 12:  # empty body
+            continue
+        w = int.from_bytes(b[4:8], "big")
+        h = int.from_bytes(b[8:12], "big")
+        n_px = min(max(w * h, 1), MAX_FAKE_PIXELS)
+        crc = zlib.crc32(b)
+        seed = (crc * 0x9E3779B97F4A7C15 ^ ((len(b) - 12) << 32)) & 0xFFFFFFFFFFFFFFFF
+        blk = _svi0_block(seed, (n_px + 3) // 4)
+        pend_idx.append(i)
+        pend_blk.append(blk)
+        pend_npx.append(n_px)
+        pend_words += blk.size
+        if pend_words >= 262_144:  # ~1 MB per mix call: cache-friendly
+            _flush()
+    _flush()
+    return out
+
+
 def _decode(buf: Optional[bytes]) -> Optional[np.ndarray]:
     """Decode a payload to a uint8 pixel array.
 
@@ -65,13 +225,8 @@ def _decode(buf: Optional[bytes]) -> Optional[np.ndarray]:
 
         crc = zlib.crc32(b)
         seed = (crc * 0x9E3779B97F4A7C15 ^ (len(body) << 32)) & 0xFFFFFFFFFFFFFFFF
-        rng = np.random.Generator(np.random.PCG64(seed))
-        # pad to a word multiple so the uint32 mixing view lines up
-        n_words = (n_px + 3) // 4
-        block = rng.integers(0, 2**32, n_words, dtype=np.uint32)
-        for _ in range(DECODE_ROUNDS):  # in-cache compute, IDCT-ish cost
-            block = block * np.uint32(2654435761) + np.uint32(0x9E3779B9)
-            block ^= block >> np.uint32(13)
+        block = _svi0_block(seed, (n_px + 3) // 4)
+        _mix_rounds_inplace(block)
         return block.view(np.uint8)[:n_px]
     if _HAS_PIL:  # pragma: no cover - not available in this container
         import io
@@ -91,6 +246,35 @@ def _decode(buf: Optional[bytes]) -> Optional[np.ndarray]:
     return None
 
 
+def _pixel_stats_batch(px: list) -> tuple:
+    """(decode_ok, n_px, mean, std) lists for a batch of decoded arrays —
+    bit-identical to the per-image ``float(p.mean())`` / ``float(p.std())``
+    (same-length rows are stacked and reduced along axis=1, which runs the
+    identical pairwise-summation inner loop per row)."""
+    n = len(px)
+    ok = [p is not None for p in px]
+    n_px = [len(p) if p is not None else 0 for p in px]
+    means = [float("nan")] * n
+    stds = [float("nan")] * n
+    groups: dict = {}
+    for i, p in enumerate(px):
+        if p is not None and len(p):
+            groups.setdefault(len(p), []).append(i)
+    for _L, idxs in groups.items():
+        # bounded slices: a full 10k-row Arrow batch stacked at once would
+        # materialize ~GB float64 temporaries per worker (guide §5)
+        step = max(1, 131_072 // max(_L, 1))  # cache-resident float64 temps (measured best)
+        for s in range(0, len(idxs), step):
+            sl = idxs[s : s + step]
+            m = np.stack([px[i] for i in sl])
+            mu = m.mean(axis=1)
+            sd = m.std(axis=1)
+            for j, i in enumerate(sl):
+                means[i] = float(mu[j])
+                stds[i] = float(sd[j])
+    return ok, n_px, means, stds
+
+
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:
     if a is None or b is None:
         return float("nan")
@@ -103,6 +287,40 @@ def _psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return 0.0  # equal prefix but different length → not equivalent
     return 10.0 * math.log10(255.0**2 / mse)
+
+
+def _psnr_batch(pa: list, pb: list) -> list:
+    """``[_psnr(a, b) for a, b in zip(pa, pb)]``, with equal-length pairs
+    vectorized. The MSE of uint8 pixels is an exact integer divided by n
+    (every squared diff ≤ 255² and the sum < 2⁵³ are exactly representable),
+    so the integer path below equals the float64 mean bit-for-bit; the final
+    log10 stays scalar ``math.log10`` — the exact call the per-pair path makes.
+    """
+    out = [float("nan")] * len(pa)
+    groups: dict = {}
+    for i, (a, b) in enumerate(zip(pa, pb)):
+        if a is None or b is None:
+            continue
+        if len(a) == len(b) and len(a):
+            groups.setdefault(len(a), []).append(i)
+        else:
+            out[i] = _psnr(a, b)
+    for _L, idxs in groups.items():
+        # bounded slices (see _pixel_stats_batch): cap the int32 temporaries
+        step = max(1, 131_072 // max(_L, 1))
+        for s in range(0, len(idxs), step):
+            sl = idxs[s : s + step]
+            ma = np.stack([pa[i] for i in sl]).astype(np.int16)
+            mb = np.stack([pb[i] for i in sl]).astype(np.int16)
+            d = np.subtract(ma, mb)  # diffs fit int16; squares go to int32
+            sq = np.multiply(d, d, dtype=np.int32).sum(axis=1, dtype=np.int64)
+            for j, i in enumerate(sl):
+                if sq[j] == 0:
+                    out[i] = float("inf")  # equal length by grouping
+                else:
+                    mse = float(sq[j]) / _L
+                    out[i] = 10.0 * math.log10(255.0**2 / mse)
+    return out
 
 
 def decode_pixel_stats(
@@ -131,14 +349,15 @@ def decode_pixel_stats(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            px = [_decode(b) for b in pdf["bytes"]]
+            px = _decode_batch(list(pdf["bytes"]))
+            ok, n_px, means, stds = _pixel_stats_batch(px)
             out = pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
-                    "decode_ok": [p is not None for p in px],
-                    "n_px_bytes": [len(p) if p is not None else 0 for p in px],
-                    "px_mean": [float(p.mean()) if p is not None and len(p) else float("nan") for p in px],
-                    "px_std": [float(p.std()) if p is not None and len(p) else float("nan") for p in px],
+                    "decode_ok": ok,
+                    "n_px_bytes": n_px,
+                    "px_mean": means,
+                    "px_std": stds,
                 }
             )
             for c in carry:
@@ -167,31 +386,37 @@ def payload_checks(
     decode-CPU cut on the dominant suite stage. LEFT join: images missing
     from the reference still get pixel stats, with NULL psnr/passes (they are
     the referential check's finding, not an equivalence failure).
+
+    The join's own hash exchange already clusters and spreads rows by
+    ``image_id``; an extra ``repartitionByRange`` here would be a THIRD full
+    shuffle of the payload bytes plus a range-sampling pass (guide §2.4 —
+    remove shuffles outright; §8 — move heavy bytes once). AQE skew-join
+    splitting covers oversized-payload skew inside the join itself.
     """
-    n_parts = partitions or int(analysis.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = analysis.select(
         "image_id", F.col("bytes").alias("bytes_a"), F.col("caption").alias("caption_a")
     )
     r = reference.select(
         "image_id", F.col("bytes").alias("bytes_r"), F.col("caption").alias("caption_r")
     )
-    joined = a.join(r, "image_id", "left").repartitionByRange(n_parts, "image_id")
+    joined = a.join(r, "image_id", "left")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ok, n_px, means, stds, psnrs, cap_eq, passes = [], [], [], [], [], [], []
-            for ba, br, ca, cr in zip(pdf["bytes_a"], pdf["bytes_r"], pdf["caption_a"], pdf["caption_r"]):
-                pa = _decode(ba)
-                ok.append(pa is not None)
-                n_px.append(len(pa) if pa is not None else 0)
-                means.append(float(pa.mean()) if pa is not None and len(pa) else float("nan"))
-                stds.append(float(pa.std()) if pa is not None and len(pa) else float("nan"))
-                if br is None:
+            pa = _decode_batch(list(pdf["bytes_a"]))
+            bytes_r = list(pdf["bytes_r"])
+            has_ref = [br is not None for br in bytes_r]
+            pr = _decode_batch(bytes_r)
+            ok, n_px, means, stds = _pixel_stats_batch(pa)
+            all_psnr = _psnr_batch(pa, pr)
+            psnrs, cap_eq, passes = [], [], []
+            for i, (ca, cr) in enumerate(zip(pdf["caption_a"], pdf["caption_r"])):
+                if not has_ref[i]:
                     psnrs.append(None)
                     cap_eq.append(None)
                     passes.append(None)
                 else:
-                    p = _psnr(pa, _decode(br))
+                    p = all_psnr[i]
                     psnrs.append(p)
                     cap_eq.append(bool(ca == cr))
                     passes.append(bool(p >= psnr_db_min and ca == cr))
@@ -226,23 +451,21 @@ def psnr_check(
 
     Join on image_id (sort-merge/AQE for big sides), then one Arrow pass
     decoding both payloads. Returns one row per joined image with
-    ``psnr_db``, ``caption_equal``, ``passes``.
+    ``psnr_db``, ``caption_equal``, ``passes``. The join's hash exchange
+    already spreads rows by ``image_id`` — no extra byte shuffle (guide §2.4).
     """
-    n_parts = partitions or int(analysis.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = analysis.select(
         "image_id", F.col("bytes").alias("bytes_a"), F.col("caption").alias("caption_a")
     )
     r = reference.select(
         "image_id", F.col("bytes").alias("bytes_r"), F.col("caption").alias("caption_r")
     )
-    joined = a.join(r, "image_id", "inner").repartitionByRange(n_parts, "image_id")
+    joined = a.join(r, "image_id", "inner")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            psnrs, cap_eq = [], []
-            for ba, br, ca, cr in zip(pdf["bytes_a"], pdf["bytes_r"], pdf["caption_a"], pdf["caption_r"]):
-                psnrs.append(_psnr(_decode(ba), _decode(br)))
-                cap_eq.append(ca == cr)
+            psnrs = _psnr_batch(_decode_batch(list(pdf["bytes_a"])), _decode_batch(list(pdf["bytes_r"])))
+            cap_eq = [ca == cr for ca, cr in zip(pdf["caption_a"], pdf["caption_r"])]
             out = pd.DataFrame(
                 {"image_id": pdf["image_id"], "psnr_db": psnrs, "caption_equal": cap_eq}
             )

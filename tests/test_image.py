@@ -1076,3 +1076,70 @@ def test_streaming_payload_drift_matches_batch(spark, tmp_path):
     # the tiny-dims hour alerts in both paths
     assert joined[joined["hour"] == "2024-06-03 02"]["alert_s"].astype(bool).all()
     chk.release_cache()
+
+
+def test_decode_batch_bit_identical_to_rowwise():
+    """The batched decode path (concatenated mix kernel, grouped stats,
+    integer-exact PSNR) must reproduce the row-at-a-time reference
+    algorithm bit-for-bit — including the numpy fallback when the compiled
+    kernel is unavailable."""
+    import hashlib
+    import zlib
+
+    import spark_validate.image.payload as P
+
+    def mk(w, h, body, magic=b"SVI0"):
+        return magic + w.to_bytes(4, "big") + h.to_bytes(4, "big") + body
+
+    bufs = []
+    for i in range(40):
+        w, h = [(64, 64), (128, 128), (64, 128), (256, 512), (3, 3)][i % 5]
+        body = hashlib.sha512(f"px-{i}".encode()).hexdigest().encode() * 4
+        bufs.append(mk(w, h, body[: 200 + (i % 3)]))
+    bufs += [None, b"short", mk(0, 0, b"x"), mk(64, 64, b""), b"DEADBEEF" + b"\0" * 64]
+
+    def decode_rowwise(buf):  # the pre-batching algorithm, verbatim
+        if buf is None or len(buf) < 12 or bytes(buf[:4]) != b"SVI0":
+            return None
+        b = bytes(buf)
+        w = int.from_bytes(b[4:8], "big")
+        h = int.from_bytes(b[8:12], "big")
+        n_px = min(max(w * h, 1), P.MAX_FAKE_PIXELS)
+        if len(b) == 12:
+            return None
+        crc = zlib.crc32(b)
+        seed = (crc * 0x9E3779B97F4A7C15 ^ ((len(b) - 12) << 32)) & 0xFFFFFFFFFFFFFFFF
+        rng = np.random.Generator(np.random.PCG64(seed))
+        block = rng.integers(0, 2**32, (n_px + 3) // 4, dtype=np.uint32)
+        for _ in range(P.DECODE_ROUNDS):
+            block = block * np.uint32(2654435761) + np.uint32(0x9E3779B9)
+            block ^= block >> np.uint32(13)
+        return block.view(np.uint8)[:n_px]
+
+    expected = [decode_rowwise(b) for b in bufs]
+
+    saved = P._MIX_KERNEL
+    try:
+        for force_fallback in (False, True):
+            P._MIX_KERNEL = False if force_fallback else saved
+            got = P._decode_batch(bufs)
+            for e, g in zip(expected, got):
+                if e is None:
+                    assert g is None
+                else:
+                    assert g is not None and np.array_equal(e, g)
+            singles = [P._decode(b) for b in bufs]
+            for e, g in zip(expected, singles):
+                if e is None:
+                    assert g is None
+                else:
+                    assert np.array_equal(e, g)
+    finally:
+        P._MIX_KERNEL = saved
+
+    px = [e for e in expected if e is not None]
+    ok, n_px, means, stds = P._pixel_stats_batch(px)
+    assert means == [float(p.mean()) for p in px]
+    assert stds == [float(p.std()) for p in px]
+    psnrs = P._psnr_batch(px, px[::-1])
+    assert psnrs == [P._psnr(a, b) for a, b in zip(px, px[::-1])]
