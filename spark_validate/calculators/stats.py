@@ -191,6 +191,10 @@ class ColumnStatsCalculator:
                 aggs += [F.stddev_samp(v).alias(f"{c}__std"), F.avg(v).alias(f"{c}__mean")]
             if need_missing:
                 aggs.append((F.count(F.lit(1)) - F.count(v)).cast("double").alias(f"{c}__nmiss"))
+            if "median" in self.metrics:
+                # ride the same pass — previously a separate percentile agg
+                # plus a separate count() job (2 extra driver round-trips)
+                aggs.append(F.expr(f"percentile({c}, 0.5)").alias(f"{c}__med"))
         row = reference.agg(*aggs).first().asDict()
         n_ref = row["__rows"]
         for c in self.column_names:
@@ -213,23 +217,21 @@ class ColumnStatsCalculator:
                 for c in self.column_names:
                     comp[c]["mu4"] = m4row.get(f"{c}__mu4")
         if "median" in self.metrics:
-            comp_median = self._fit_median_components(reference, dtypes)
+            meds = {c: row.get(f"{c}__med") for c in self.column_names}
+            comp_median = self._fit_median_components(reference, meds, n_ref)
             for c, (med, fmed) in comp_median.items():
                 comp[c]["median"] = med
                 comp[c]["fmedian"] = fmed
         return comp
 
-    def _fit_median_components(self, reference: DataFrame, dtypes) -> Dict[str, tuple]:
-        """Median + gaussian-KDE density at the median, from a deterministic
-        reference sample collected to the driver (the KDE itself is O(sample)
-        and not distributable — nor does it need to be)."""
+    def _fit_median_components(self, reference: DataFrame, meds: Dict, n_ref: int) -> Dict[str, tuple]:
+        """Gaussian-KDE density at the (already-aggregated) median, from a
+        deterministic reference sample collected to the driver (the KDE
+        itself is O(sample) and not distributable — nor does it need to be).
+        The medians and row count ride the shared components aggregate."""
         from spark_validate.functions.mathstats import gaussian_kde_at
 
         out = {}
-        meds = reference.agg(
-            *[F.expr(f"percentile({c}, 0.5)").alias(c) for c in self.column_names]
-        ).first()
-        n_ref = reference.count()
         frac = min(1.0, self.median_kde_sample / max(n_ref, 1))
         sample = reference.select(*self.column_names).sample(fraction=frac, seed=42).toPandas()
         for c in self.column_names:

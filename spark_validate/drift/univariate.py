@@ -135,22 +135,30 @@ def bounded_topk_category_counts(counts: DataFrame, cols, max_categories: int):
     (leftover) mass stays exact for any cardinality."""
     agg = counts.groupBy("column_name", "value").agg(F.sum("cnt").alias("cnt")).persist()
     try:
-        totals = {
-            r["column_name"]: r["tot"]
-            for r in agg.groupBy("column_name").agg(F.sum("cnt").alias("tot")).collect()
-        }
+        # ONE collect for both outputs: the per-column totals ride along as
+        # marker rows (value NULL — categorical_counts drops NULL values, so
+        # the marker cannot collide with a real category). Both subtrees
+        # read the persisted aggregate; merging halves the fit's driver
+        # round-trips (each collect is a full plan+job at bench scale).
         w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
-        rows = (
+        ranked = (
             agg.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= max_categories)
-            .drop("_rk")
-            .collect()
+            .select("column_name", "value", "cnt")
         )
+        tot = agg.groupBy("column_name").agg(F.sum("cnt").alias("cnt")).select(
+            "column_name", F.lit(None).cast("string").alias("value"), "cnt"
+        )
+        rows = ranked.unionByName(tot).collect()
     finally:
         agg.unpersist()
+    totals = {}
     per_col = {c: {} for c in cols}
     for r in rows:
-        per_col[r["column_name"]][r["value"]] = r["cnt"]
+        if r["value"] is None:
+            totals[r["column_name"]] = r["cnt"]
+        else:
+            per_col[r["column_name"]][r["value"]] = r["cnt"]
     return totals, per_col
 
 

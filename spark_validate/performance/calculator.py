@@ -529,7 +529,7 @@ class PerformanceCalculator:
             # null labels/predictions are excluded from every cell, so n must
             # exclude them too (the multiclass branch already filters)
             reference = reference.filter(yt.isNotNull() & yp.isNotNull())
-            row = reference.agg(
+            aggs = [
                 F.avg((yt == yp).cast("double")).alias("acc"),
                 F.avg(yp).alias("pos_pred_rate"),
                 F.avg(yt).alias("pos_rate"),
@@ -538,7 +538,18 @@ class PerformanceCalculator:
                 F.sum(((yt == 1) & (yp == 0)).cast("double")).alias("fn"),
                 F.sum(((yt == 0) & (yp == 0)).cast("double")).alias("tn"),
                 F.count(F.lit(1)).alias("n"),
-            ).first()
+            ]
+            if "business_value" in self.metrics and self.business_value_matrix is not None:
+                # ride the same pass (was a second stddev job over the frame)
+                (tn_v, fp_v), (fn_v, tp_v) = self.business_value_matrix
+                w_bv = (
+                    F.when((yt == 1) & (yp == 1), float(tp_v))
+                    .when((yt == 0) & (yp == 0), float(tn_v))
+                    .when((yt == 0) & (yp == 1), float(fp_v))
+                    .otherwise(float(fn_v))
+                )
+                aggs.append(F.stddev_pop(w_bv).alias("bv_std"))
+            row = reference.agg(*aggs).first()
             acc, n = row["acc"], row["n"]
             tp, fp, fn, tn = row["tp"], row["fp"], row["fn"], row["tn"]
             se["accuracy"] = {"std": math.sqrt(max(acc * (1 - acc), 0.0))}
@@ -568,18 +579,8 @@ class PerformanceCalculator:
                 se["average_precision"] = self._fit_ap_se(reference)
             if "business_value" in self.metrics and self.business_value_matrix is not None:
                 # std of the per-row weighted value (bse.business_value_
-                # sampling_error_components :803-845) — one pass, no collect
-                (tn_v, fp_v), (fn_v, tp_v) = self.business_value_matrix
-                w = (
-                    F.when((yt == 1) & (yp == 1), float(tp_v))
-                    .when((yt == 0) & (yp == 0), float(tn_v))
-                    .when((yt == 0) & (yp == 1), float(fp_v))
-                    .otherwise(float(fn_v))
-                )
-                bv_std = reference.filter(yt.isNotNull() & yp.isNotNull()).agg(
-                    F.stddev_pop(w)
-                ).first()[0]
-                se["business_value"] = {"std": bv_std, "bv_norm": self.normalize_business_value}
+                # sampling_error_components :803-845) — rides the shared pass
+                se["business_value"] = {"std": row["bv_std"], "bv_norm": self.normalize_business_value}
             if "confusion_matrix" in self.metrics:
                 # per-cell components (bse :387-801): binomial std of the
                 # cell indicator over its normalization denominator
@@ -618,6 +619,25 @@ class PerformanceCalculator:
                     F.sum((t & ~p_).cast("double")).alias(f"fn{i}"),
                     F.sum((~t & ~p_).cast("double")).alias(f"tn{i}"),
                 ]
+            # confusion-matrix cells and the business-value std ride the SAME
+            # reference pass (previously one extra groupBy-collect job and one
+            # extra stddev job per fit — pure driver round-trips at bench
+            # scale, pure extra scans at cluster scale)
+            if "confusion_matrix" in self.metrics:
+                for i, t_ in enumerate(classes):
+                    for j, p_ in enumerate(classes):
+                        aggs.append(
+                            F.sum(((yts == str(t_)) & (yps == str(p_))).cast("long")).alias(f"cm{i}_{j}")
+                        )
+            if "business_value" in self.metrics and self.business_value_matrix is not None:
+                w_bv = F.lit(None).cast("double")
+                for i in range(len(classes)):
+                    for j in range(len(classes)):
+                        w_bv = F.when(
+                            (yts == str(classes[i])) & (yps == str(classes[j])),
+                            float(self.business_value_matrix[i][j]),
+                        ).otherwise(w_bv)
+                aggs.append(F.stddev_pop(w_bv).alias("bv_std"))
             row = reference.filter(yts.isNotNull() & yps.isNotNull()).agg(*aggs).first()
             n = row["n"]
             acc = row["acc"]
@@ -652,16 +672,15 @@ class PerformanceCalculator:
                 # ref multiclass_confusion_matrix_sampling_error_components
                 # (:361-414): per-cell binomial std over the normalization
                 # denominator + relevant proportion; same application law as
-                # the binary cm_norm cells, keyed by the dense method name
+                # the binary cm_norm cells, keyed by the dense method name.
+                # Cell counts came from the shared aggregate above (a cell
+                # expression is exactly the old isin-filtered groupBy count).
                 norm = self.normalize_confusion_matrix
-                cm_rows = (
-                    reference.filter(yts.isNotNull() & yps.isNotNull())
-                    .filter(yts.isin([str(c) for c in classes]) & yps.isin([str(c) for c in classes]))
-                    .groupBy(yts.alias("_t"), yps.alias("_p"))
-                    .count()
-                    .collect()
-                )  # ≤ k² rows
-                cm = {(r["_t"], r["_p"]): r["count"] for r in cm_rows}
+                cm = {
+                    (str(t_), str(p_)): row[f"cm{i}_{j}"]
+                    for i, t_ in enumerate(classes)
+                    for j, p_ in enumerate(classes)
+                }
                 true_marg = {str(c): sum(cm.get((str(c), str(p)), 0) for p in classes) for c in classes}
                 pred_marg = {str(c): sum(cm.get((str(t), str(c)), 0) for t in classes) for c in classes}
                 for t_ in classes:
@@ -678,18 +697,7 @@ class PerformanceCalculator:
                         rel = (denom / n) if (norm in ("true", "pred") and n) else 1.0
                         se[f"true_{t_}_pred_{p_}"] = {"std": std, "fraction": rel, "cm_norm": norm}
             if "business_value" in self.metrics and self.business_value_matrix is not None:
-                w = F.lit(None).cast("double")
-                k = len(classes)
-                for i in range(k):
-                    for j in range(k):
-                        w = F.when(
-                            (yts == str(classes[i])) & (yps == str(classes[j])),
-                            float(self.business_value_matrix[i][j]),
-                        ).otherwise(w)
-                bv_std = reference.filter(yts.isNotNull() & yps.isNotNull()).agg(
-                    F.stddev_pop(w)
-                ).first()[0]
-                se["business_value"] = {"std": bv_std, "bv_norm": self.normalize_business_value}
+                se["business_value"] = {"std": row["bv_std"], "bv_norm": self.normalize_business_value}
         elif self.problem_type == "regression":
             err = yt - yp
             row = reference.agg(

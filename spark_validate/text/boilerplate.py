@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_validate.text.dedup import _shingles
+from spark_validate.text.dedup import _shingles_of, _tokens
 
 
 def common_ngram_rate(
@@ -73,7 +73,8 @@ def common_ngram_rate(
             F.col(id_col).alias("id"),
             F.coalesce(F.col(text_col), F.lit("")).alias("_sv_txt"),
         )
-        .select("id", F.array_distinct(_shingles("_sv_txt", n)).alias("s"))
+        .select("id", _tokens("_sv_txt").alias("_t"))
+        .select("id", F.array_distinct(_shingles_of("_t", n)).alias("s"))
     )
     ex = sh.select("id", F.explode("s").alias("g"))
     # distinct-per-doc grams => count(*) is document frequency

@@ -31,7 +31,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_validate.text.dedup import _shingles
+from spark_validate.text.dedup import _shingles_of, _tokens
 
 
 def benchmark_ngrams(
@@ -45,7 +45,8 @@ def benchmark_ngrams(
     """
     return (
         benchmark.select(F.coalesce(F.col(text_col), F.lit("")).alias("_sv_txt"))
-        .select(F.explode(F.array_distinct(_shingles("_sv_txt", n))).alias("g"))
+        .select(_tokens("_sv_txt").alias("_t"))
+        .select(F.explode(F.array_distinct(_shingles_of("_t", n))).alias("g"))
         # a NULL/blank benchmark row would otherwise contribute the
         # empty-string gram, marking EVERY empty/NULL corpus doc 100%
         # contaminated — missing benchmark text is missing data, not a gram
@@ -61,7 +62,8 @@ def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
             F.col(id_col).alias("id"),
             F.coalesce(F.col(text_col), F.lit("")).alias("_sv_txt"),
         )
-        .select("id", F.array_distinct(_shingles("_sv_txt", n)).alias("s"))
+        .select("id", _tokens("_sv_txt").alias("_t"))
+        .select("id", F.array_distinct(_shingles_of("_t", n)).alias("s"))
     )
 
 
@@ -141,7 +143,8 @@ def streaming_ngram_contamination(
         # must still advance event time, or a stream of clean documents
         # would never close any window
         .withWatermark("_sv_ts", wm)
-        .select("id", "_sv_ts", F.array_distinct(_shingles("_sv_txt", n)).alias("s"))
+        .select("id", "_sv_ts", _tokens("_sv_txt").alias("_t"))
+        .select("id", "_sv_ts", F.array_distinct(_shingles_of("_t", n)).alias("s"))
     )
     ex = sh.select("id", "_sv_ts", F.size("s").alias("n_ngrams"), F.explode("s").alias("g"))
     hits = ex.join(bench, "g", "left_semi")
