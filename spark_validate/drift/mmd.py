@@ -95,11 +95,14 @@ class MMDDriftCalculator:
         v = F.col(self.column_name).cast("array<double>")
         return F.when(v.isNotNull() & (F.size(v) == dim), v)
 
-    def _feature_exprs(self) -> List[F.Column]:
+    def _feature_exprs(self, src: Optional[F.Column] = None) -> List[F.Column]:
         """cos(w_k·x + b_k) per feature over the valid vector (NULL rows
-        yield NULL → skipped by the sums)."""
+        yield NULL → skipped by the sums). ``src`` names an ALREADY-PROJECTED
+        valid-vector column; inlining the validity subtree into each of the
+        K lambda chains made Catalyst/codegen the dominant fit cost
+        (guide §1.2 step 2 — same pattern as the text shinglers)."""
         st = self._state
-        v = self._valid(st["dim"])
+        v = self._valid(st["dim"]) if src is None else src
         out = []
         for k in range(self.n_features):
             w = F.array(*[F.lit(x) for x in st["W"][k]])
@@ -111,8 +114,8 @@ class MMDDriftCalculator:
             out.append(F.cos(dot + F.lit(st["b"][k])))
         return out
 
-    def _sum_aggs(self) -> List[F.Column]:
-        feats = self._feature_exprs()
+    def _sum_aggs(self, src: Optional[F.Column] = None) -> List[F.Column]:
+        feats = self._feature_exprs(src)
         aggs = [F.count(feats[0]).alias("__n")]
         for k, f in enumerate(feats):
             aggs.append(
@@ -142,8 +145,9 @@ class MMDDriftCalculator:
         dim = int(first["d"])
         if self.sigma is None:
             # σ² = Σ_d var_d == E‖x−y‖²/2 exactly — the median-heuristic
-            # stand-in that needs only one moments pass
-            vv = self._valid(dim)
+            # stand-in that needs only one moments pass. The valid vector is
+            # projected ONCE (2·dim element_at exprs each referenced it).
+            vv = F.col("_sv_vec")
             aggs = [F.count(vv).alias("__n")]
             for d in range(dim):
                 x = F.element_at(vv, d + 1)
@@ -151,7 +155,7 @@ class MMDDriftCalculator:
                     F.coalesce(F.sum(x.cast(_DEC)), F.lit(0).cast(_DEC)).alias(f"__m{d}"),
                     F.coalesce(F.sum((x * x).cast(_DEC)), F.lit(0).cast(_DEC)).alias(f"__q{d}"),
                 ]
-            row = reference.agg(*aggs).first()
+            row = reference.select(self._valid(dim).alias("_sv_vec")).agg(*aggs).first()
             n = row["__n"]
             if n == 0:
                 raise ValueError(f"reference column {self.column_name!r} has no valid vectors")
@@ -170,15 +174,19 @@ class MMDDriftCalculator:
         # conditional columns, half-1 = total − half-0.  ref_self_mmd is the
         # reference scored against itself — the empirical null the docstring
         # tells users to calibrate mmd_threshold with.
-        half0 = F.pmod(F.xxhash64(F.col(self.column_name).cast("array<double>")), F.lit(2)) == 0
-        feats = self._feature_exprs()
-        aggs = self._sum_aggs()
+        # projected valid vector: rows with NULL features are excluded from
+        # every count/sum below, and valid rows hash identically, so hashing
+        # the projection is equivalent to hashing the raw cast array
+        src = F.col("_sv_vec")
+        half0 = F.pmod(F.xxhash64(src), F.lit(2)) == 0
+        feats = self._feature_exprs(src)
+        aggs = self._sum_aggs(src)
         aggs.append(F.count(F.when(half0, feats[0])).alias("__n0"))
         for k, f in enumerate(feats):
             aggs.append(
                 F.coalesce(F.sum(F.when(half0, f).cast(_DEC)), F.lit(0).cast(_DEC)).alias(f"__h{k}")
             )
-        row = reference.agg(*aggs).first()
+        row = reference.select(self._valid(dim).alias("_sv_vec")).agg(*aggs).first()
         n = row["__n"]
         if n == 0:
             raise ValueError(f"reference column {self.column_name!r} has no valid vectors")
@@ -220,7 +228,8 @@ class MMDDriftCalculator:
         if self._state is None:
             raise RuntimeError("fit first")
         assigned, headers = assign_chunks(df, self.chunker)
-        wide = assigned.groupBy(CHUNK_KEY).agg(*self._sum_aggs())
+        proj = assigned.select(CHUNK_KEY, self._valid(self._state["dim"]).alias("_sv_vec"))
+        wide = proj.groupBy(CHUNK_KEY).agg(*self._sum_aggs(F.col("_sv_vec")))
         thr = float(self.mmd_threshold)
         long_df = wide.select(
             CHUNK_KEY,

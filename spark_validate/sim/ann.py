@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -67,15 +68,26 @@ def _pair_cosine_arrow(va_col: str, vb_col: str):
     def pcos(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:  # np.stack rejects empty batches
             return pd.Series([], dtype="float64")
-        # NULL elements inside a vector become NaN → NaN cosine → dropped by
-        # the ≥threshold filter, matching the expression path's NULL semantics
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.maximum(np.linalg.norm(A, axis=1), 1e-12) * np.maximum(
-            np.linalg.norm(B, axis=1), 1e-12
-        )
-        return pd.Series(num / den)
+        av, bv = a.to_numpy(), b.to_numpy()
+        # dirty-corpus guard: a batch mixing vector lengths would make
+        # np.stack raise and kill the job; pairs with NULL or length-
+        # mismatched vectors score NaN instead (→ dropped by the ≥threshold
+        # filter — the same convention the zip_with expression path had)
+        la = np.array([len(x) if x is not None else -1 for x in av])
+        lb = np.array([len(x) if x is not None else -2 for x in bv])
+        out = np.full(len(av), np.nan)
+        for length in np.unique(la[(la == lb) & (la > 0)]):
+            m = (la == length) & (lb == length)
+            # NULL elements inside a vector become NaN → NaN cosine → dropped,
+            # matching the expression path's NULL semantics
+            A = np.stack(av[m]).astype(np.float64)
+            B = np.stack(bv[m]).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.maximum(np.linalg.norm(A, axis=1), 1e-12) * np.maximum(
+                np.linalg.norm(B, axis=1), 1e-12
+            )
+            out[m] = num / den
+        return pd.Series(out)
 
     return pcos(F.col(va_col), F.col(vb_col))
 
@@ -520,14 +532,38 @@ class IVFIndex:
 
     Deterministic: seeded sample, seeded k-means++-style init, fixed
     iteration count.
+
+    Sizing rule (applied when the caller does not override): inverted-list
+    count scales with the corpus — ``n_lists ≈ √n`` (clamped to [1, 4096]),
+    ``n_probe = ceil(n_lists / 8)`` so a probe always scans ~1/8 of the
+    corpus regardless of n. A FIXED list count is a scale trap: 64 lists
+    over 10M vectors puts ~158k vectors in every list and probe recall@10
+    collapses (measured 0.80 at 1M → 0.30 at 10M with k=64); √n keeps
+    per-list occupancy ≈ √n so both the probe fan-out and the scan-per-list
+    grow sub-linearly.
     """
 
-    def __init__(self, n_lists: int = 16, n_probe: int = 2, sample: int = 100_000, seed: int = 42):
+    def __init__(
+        self,
+        n_lists: Optional[int] = None,
+        n_probe: Optional[int] = None,
+        sample: int = 100_000,
+        seed: int = 42,
+    ):
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.sample = sample
         self.seed = seed
         self.centroids: Optional[np.ndarray] = None
+
+    @staticmethod
+    def auto_size(n: int) -> tuple:
+        """(n_lists, n_probe) for an ``n``-vector corpus: ``n_lists =
+        round(√n)`` clamped to [1, 4096] and ≤ n; ``n_probe = ceil(n_lists/8)``
+        (the probed fraction that measured recall@10 ≈ 0.8 on the 1M tier)."""
+        n_lists = max(1, min(int(round(math.sqrt(max(n, 1)))), 4096, max(n, 1)))
+        n_probe = max(1, -(-n_lists // 8))
+        return n_lists, n_probe
 
     # -- fit: driver-side k-means on a normalized sample -----------------------
 
@@ -536,6 +572,12 @@ class IVFIndex:
         n = df.count()
         if n == 0:
             raise ValueError("IVFIndex.fit: no non-null embeddings to fit on")
+        if self.n_lists is None:
+            self.n_lists, auto_probe = self.auto_size(n)
+            if self.n_probe is None:
+                self.n_probe = auto_probe
+        elif self.n_probe is None:
+            self.n_probe = max(1, -(-int(self.n_lists) // 8))
         frac = min(1.0, self.sample / max(n, 1))
         pdf = df.select(vec_col).sample(fraction=frac, seed=self.seed).toPandas()
         if len(pdf) == 0:  # tiny corpus + sampling variance
@@ -555,13 +597,28 @@ class IVFIndex:
             cent.append(c)
             d2 = np.minimum(d2, ((X - c) ** 2).sum(axis=1))
         C = np.stack(cent)
+        blk = max(1, 8_388_608 // max(k, 1))  # ≤64 MB of scores per argmax block
         for _ in range(15):  # Lloyd iterations, spherical update
-            assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized data
-            for j in range(k):
-                m = X[assign == j]
-                if len(m):
-                    c = m.mean(axis=0)
-                    C[j] = c / max(np.linalg.norm(c), 1e-12)
+            assign = np.empty(len(X), dtype=np.int64)
+            for s in range(0, len(X), blk):  # cosine on normalized data
+                assign[s : s + blk] = np.argmax(X[s : s + blk] @ C.T, axis=1)
+            if k > 256:
+                # auto-sized k (√n) makes the per-cluster boolean-mask loop
+                # O(k·n); accumulate sums/counts in one pass instead
+                sums = np.zeros((k, X.shape[1]))
+                np.add.at(sums, assign, X)
+                cnts = np.bincount(assign, minlength=k)
+                nz = cnts > 0
+                means = sums[nz] / cnts[nz][:, None]
+                C[nz] = means / np.maximum(
+                    np.linalg.norm(means, axis=1, keepdims=True), 1e-12
+                )
+            else:
+                for j in range(k):
+                    m = X[assign == j]
+                    if len(m):
+                        c = m.mean(axis=0)
+                        C[j] = c / max(np.linalg.norm(c), 1e-12)
         self.centroids = C
         return self
 

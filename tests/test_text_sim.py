@@ -714,3 +714,64 @@ def test_gopher_curation_stage_and_runner_kind(spark, tmp_path):
     sym = res[res["column_name"] == "symbol_word_ratio"]
     assert len(sym) == 2 and (sym["value"] == 0.25).all() and sym["alert"].all()
     assert (res[res["column_name"] == "stopword_hits"]["value"] == 0.25).all()
+
+
+def test_ivf_auto_sizing_rule():
+    """n_lists ≈ √n clamped to [1, 4096], n_probe = ceil(n_lists/8); explicit
+    caller values are never overridden (VERDICT r5 #1)."""
+    from spark_validate.sim.ann import IVFIndex
+
+    assert IVFIndex.auto_size(1) == (1, 1)
+    assert IVFIndex.auto_size(100) == (10, 2)
+    assert IVFIndex.auto_size(1_000_000) == (1000, 125)
+    assert IVFIndex.auto_size(10_000_000) == (3162, 396)
+    assert IVFIndex.auto_size(10**9) == (4096, 512)  # clamp
+    # probed fraction stays ~1/8 at every tier
+    for n in (10_000, 1_000_000, 10_000_000):
+        nl, np_ = IVFIndex.auto_size(n)
+        assert 0.125 <= np_ / nl < 0.14
+
+
+def test_ivf_fit_applies_auto_sizing(spark):
+    import numpy as np
+    import pandas as pd
+
+    from spark_validate.sim.ann import IVFIndex
+
+    rng = np.random.default_rng(0)
+    rows = [
+        {"vec_id": i, "embedding": list(map(float, rng.standard_normal(8)))}
+        for i in range(400)
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(rows), "vec_id long, embedding array<double>")
+    idx = IVFIndex(seed=1).fit(sdf)
+    assert (idx.n_lists, idx.n_probe) == IVFIndex.auto_size(400) == (20, 3)
+    assert idx.centroids.shape[0] == 20
+    # explicit values survive fit untouched
+    idx2 = IVFIndex(n_lists=4, n_probe=4, seed=1).fit(sdf)
+    assert (idx2.n_lists, idx2.n_probe) == (4, 4)
+
+
+def test_pair_cosine_arrow_mixed_dims_no_crash(spark):
+    """A candidate batch mixing vector lengths must score NaN for the
+    mismatched pairs instead of crashing np.stack (ADVICE r5)."""
+    import math as _math
+
+    import pandas as pd
+
+    from spark_validate.sim.ann import _pair_cosine_arrow
+
+    rows = [
+        {"id": 0, "a": [1.0, 0.0], "b": [1.0, 0.0]},
+        {"id": 1, "a": [1.0, 0.0, 0.0], "b": [0.0, 1.0, 0.0]},  # 3-dim pair
+        {"id": 2, "a": [1.0, 0.0], "b": [1.0, 0.0, 0.0]},  # ragged pair
+        {"id": 3, "a": None, "b": [1.0, 0.0]},  # NULL side
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows), "id long, a array<double>, b array<double>"
+    )
+    out = {r["id"]: r["c"] for r in sdf.select("id", _pair_cosine_arrow("a", "b").alias("c")).collect()}
+    assert out[0] == 1.0
+    assert abs(out[1]) < 1e-12
+    assert out[2] is None or _math.isnan(out[2])
+    assert out[3] is None or _math.isnan(out[3])

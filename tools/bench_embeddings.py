@@ -108,7 +108,7 @@ def main():
     brute = [r.id for r in brute_force_topk(vecs, query, k=10).collect()]
     brute_s = time.time() - t0
     t0 = time.time()
-    ivf = IVFIndex(n_lists=64, n_probe=8, seed=5).fit(vecs)
+    ivf = IVFIndex(seed=5).fit(vecs)  # auto: n_lists ~ sqrt(n), n_probe = n_lists/8
     ivf_build_s = time.time() - t0
     t0 = time.time()
     probed = [r.id for r in ivf.topk(vecs, query, k=10).collect()]
