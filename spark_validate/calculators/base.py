@@ -95,3 +95,19 @@ def presample_chunks(
         / 1_000_000_007.0
     )
     return assigned.filter(F.coalesce(frac_map[F.col(CHUNK_KEY)], F.lit(1.0)) > u)
+
+
+def strip_informational(out: DataFrame, alerting_method: str) -> DataFrame:
+    """NULL the thresholds and force ``alert = False`` on every row whose
+    method is not ``alerting_method``. Informational companion rows (a mean,
+    a per-doc ratio, a 2^H rescale) must not carry a threshold they were
+    never compared against — a stored row saying value=1.0,
+    upper_threshold=0.0, alert=false contradicts itself for any downstream
+    consumer. Shared by UrlBlocklistCheck / BoilerplateCheck /
+    LMQualityCheck (VERDICT r5 #6)."""
+    keep = F.col("method") == alerting_method
+    return (
+        out.withColumn("lower_threshold", F.when(keep, F.col("lower_threshold")))
+        .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
+        .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
+    )

@@ -214,7 +214,9 @@ class UnseenValuesCalculator:
                 out[c] = v
                 continue
             if self.manifest_dir is None:
-                raise ValueError(
+                from spark_validate.io.store import StateNotSerializable
+
+                raise StateNotSerializable(
                     f"column {c!r} uses the high-cardinality anti-join path; its seen-set "
                     "lives in a DataFrame and is not JSON-serializable — set manifest_dir "
                     "to persist it as a parquet manifest"

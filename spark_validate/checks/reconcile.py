@@ -196,14 +196,32 @@ class ReconciliationCheck:
             c = F.col(k).eqNullSafe(F.col(f"_bk_{k}"))
             cond = c if cond is None else (cond & c)
         marked = assigned.join(bad, cond, "left")
-        wide = marked.groupBy(CHUNK_KEY).agg(
+        wide0 = marked.groupBy(CHUNK_KEY).agg(
             F.count(F.lit(1)).alias("__rows"),
             F.sum(F.coalesce(F.col("_recon_bad"), F.lit(0))).alias("__bad"),
         )
         # Expected-only keys never appear in any chunk; repeat the dataset-
         # level count on every chunk row (broadcast 1-row cross join, lazy)
         # so upper_threshold=0 alerts when a stratum is dropped entirely.
-        wide = wide.crossJoin(F.broadcast(self._expected_only_count(df)))
+        exp = F.broadcast(self._expected_only_count(df))
+        wide = wide0.crossJoin(exp)
+        # ADVICE r5: an EMPTY analysis frame yields zero chunk rows, so the
+        # most severe drop case (every expected key missing) would emit no
+        # result and no alert. Emit one synthetic chunk carrying the
+        # expected-only count when the chunked aggregate is empty.
+        synth = (
+            wide0.agg(F.count(F.lit(1)).alias("_nch"))
+            .filter(F.col("_nch") == 0)
+            .crossJoin(exp)
+            .filter(F.col("__exp_only") > 0)
+            .select(
+                F.lit("[empty]").alias(CHUNK_KEY),
+                F.lit(0).cast("long").alias("__rows"),
+                F.lit(0).cast("long").alias("__bad"),
+                F.col("__exp_only"),
+            )
+        )
+        wide = wide.unionByName(synth)
         col_name = "+".join(keys)
         # per-method upper bounds: the rate row compares against
         # upper_threshold, the count row against expected_only_threshold
@@ -213,7 +231,11 @@ class ReconciliationCheck:
                 F.array(
                     F.struct(
                         F.lit("reconciliation_mismatch_rate").alias("method"),
-                        (F.col("__bad") / F.col("__rows")).cast("double").alias("value"),
+                        # when(>0): the synthetic empty-analysis chunk has 0
+                        # rows — NULL rate, not an ANSI division error
+                        F.when(F.col("__rows") > 0, F.col("__bad") / F.col("__rows"))
+                        .cast("double")
+                        .alias("value"),
                         F.lit(float(self.upper_threshold)).alias("upper"),
                     ),
                     F.struct(

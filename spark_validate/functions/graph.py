@@ -51,6 +51,7 @@ def connected_components(
     use_local_checkpoint: bool = True,
     stats: Optional[dict] = None,
     small_graph_edges: int = 500_000,
+    driver_mem_budget: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """``(id, component)`` for every node appearing in ``pairs``, where
     ``component`` is the minimum node id reachable from ``id`` — a
@@ -70,10 +71,16 @@ def connected_components(
     driver-side union-find instead (the ≤5M single-task sort switch
     convention, applied to graphs): one collect + one createDataFrame
     replaces ~4 Spark jobs PER ROUND, which dominates wall time on the
-    sparse pair graphs near-dup sweeps actually produce. 500k edges of two
-    ids is a few tens of MB on the driver; larger graphs take the
-    distributed path unchanged. Pass ``small_graph_edges=0`` to force the
-    distributed algorithm (the log-round tests do). Python and Spark order
+    sparse pair graphs near-dup sweeps actually produce. The driver path is
+    additionally gated on an ESTIMATED byte budget (``driver_mem_budget``,
+    default 128 MB) computed from the measured id widths plus per-edge
+    Python object overhead — long-keyed graphs fit comfortably at 500k
+    edges, but wide string fingerprints (e.g. 40-char concat hashes) cost
+    several hundred bytes per edge as Python objects, and a small-driver
+    deployment must fall back to the distributed path rather than OOM.
+    Larger graphs take the distributed path unchanged. Pass
+    ``small_graph_edges=0`` to force the distributed algorithm (the
+    log-round tests do). Python and Spark order
     ids identically for longs and strings (UTF-8 binary order == code-point
     order), so both paths produce the same min-reachable labels.
 
@@ -93,8 +100,21 @@ def connected_components(
     )
     edges = edges.localCheckpoint(eager=True) if use_local_checkpoint else edges.persist()
 
-    n_edges = edges.count()  # cheap: edges are materialized above
-    if n_edges <= small_graph_edges:
+    # one job: edge count + total id bytes (edges are materialized above).
+    # Fixed-width ids charge 8 bytes; strings their measured length.
+    def _w(c: str) -> F.Column:
+        dt = dict(edges.dtypes)[c]
+        return F.length(F.col(c)) if dt == "string" else F.lit(8)
+
+    _row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(_w("u") + _w("v")), F.lit(0)).alias("id_bytes"),
+    ).first()
+    n_edges = _row["n"]
+    # ~180 B/edge of Python overhead (two boxed ids + dict entries in the
+    # union-find) on top of the raw id bytes
+    est_driver_bytes = int(_row["id_bytes"]) + n_edges * 180
+    if n_edges <= small_graph_edges and est_driver_bytes <= driver_mem_budget:
         if stats is not None:
             stats["rounds"] = 0
             stats["mode"] = "driver"

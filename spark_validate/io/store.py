@@ -12,6 +12,15 @@ import os
 from typing import Callable, Optional
 
 
+class StateNotSerializable(ValueError):
+    """Raised by a calculator's ``get_state`` when its fitted state is
+    legitimately not JSON-persistable (e.g. a high-cardinality seen-set with
+    no ``manifest_dir`` configured). The runner warns and continues with the
+    fitted calculator for THIS exception only — a plain ``ValueError`` from
+    a buggy ``get_state`` still surfaces instead of silently disabling
+    load-or-fit."""
+
+
 class FittedStore:
     def __init__(self, root: str):
         self.root = root

@@ -836,13 +836,17 @@ def run_suite(spark: SparkSession, config: dict) -> Dict[str, dict]:
                         # large seen-sets persist as parquet manifests beside
                         # the JSON state instead of refusing serialization
                         calc.manifest_dir = os.path.join(store.root, f"{key}__manifest")
+                    from spark_validate.io.store import StateNotSerializable
+
                     try:
                         store.save(key, calc.get_state())
-                    except (TypeError, ValueError) as exc:
+                    except (TypeError, StateNotSerializable) as exc:
                         # TypeError: no JSON state (e.g. lightgbm);
-                        # ValueError: state declared non-serializable — warn
-                        # and continue with the fitted calculator, never
-                        # abort a run whose fit already succeeded
+                        # StateNotSerializable: state DECLARED non-persistable
+                        # by the calculator — warn and continue with the
+                        # fitted calculator, never abort a run whose fit
+                        # already succeeded. Any other ValueError is a real
+                        # get_state bug and propagates (ADVICE r5).
                         logger.warning("state not storable for %r (%s); fitted without store", name, exc)
             else:
                 calc.fit(reference)

@@ -176,16 +176,12 @@ class BoilerplateCheck:
             )
         )
         out = _attach_const_threshold(long_df, headers, period, None, self.upper_threshold)
+        from spark_validate.calculators.base import strip_informational
+
         # only the doc rate alerts; mean_common_rate is informational — any
         # corpus where two docs share one n-gram has a positive mean, so the
-        # doc-rate threshold would fire on it spuriously (the
-        # _strip_informational convention from UrlBlocklistCheck/LMQualityCheck)
-        keep = F.col("method") == "boilerplate_doc_rate"
-        return (
-            out.withColumn("lower_threshold", F.when(keep, F.col("lower_threshold")))
-            .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
-            .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
-        )
+        # doc-rate threshold would fire on it spuriously
+        return strip_informational(out, "boilerplate_doc_rate")
 
     def violations(self, df: DataFrame, row_id=None) -> DataFrame:
         from spark_validate.chunking import CHUNK_KEY

@@ -327,14 +327,11 @@ class LMQualityCheck:
             CHUNK_KEY, "kv.column_name", "kv.method", "kv.value"
         )
         out = _attach_const_threshold(long_df, headers, period, lo, hi)
+        from spark_validate.calculators.base import strip_informational
+
         # only the entropy rows carry the fitted bounds; perplexity rows are
         # informational (its scale is 2^H — the entropy bounds do not apply)
-        keep = F.col("method") == "mean_cross_entropy"
-        return (
-            out.withColumn("lower_threshold", F.when(keep, F.col("lower_threshold")))
-            .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
-            .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
-        )
+        return strip_informational(out, "mean_cross_entropy")
 
     def get_state(self) -> dict:
         if not self._fitted:

@@ -179,16 +179,10 @@ class UrlBlocklistCheck:
 
     @staticmethod
     def _strip_informational(out: DataFrame) -> DataFrame:
-        # only the blocked rate alerts; urls_per_doc is informational — it
-        # must not carry the blocked-rate threshold either (a stored row
-        # saying value=1.0, upper_threshold=0.0, alert=false contradicts
-        # itself for any downstream consumer)
-        keep = F.col("method") == "blocked_doc_rate"
-        return (
-            out.withColumn("lower_threshold", F.when(keep, F.col("lower_threshold")))
-            .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
-            .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
-        )
+        from spark_validate.calculators.base import strip_informational
+
+        # only the blocked rate alerts; urls_per_doc is informational
+        return strip_informational(out, "blocked_doc_rate")
 
     def get_state(self) -> dict:
         return {"domains": self.domains}

@@ -240,3 +240,25 @@ def test_fd_and_reconciliation_in_runner(spark, tmp_path):
     assert kinds["reconciliation_mismatch"] == 1
     recv = v[v["violation_kind"] == "reconciliation_mismatch"]
     assert recv["row_id"].tolist() == ["p1"] and recv["observed_value"].tolist() == ["20.0 <> 18.0"]
+
+
+def test_reconciliation_empty_analysis_emits_expected_only_alert(spark):
+    """ADVICE r5: with ZERO analysis rows there are no chunk rows at all —
+    the most severe drop case (every expected key missing) must still emit
+    a synthetic chunk carrying the expected-only count and alert."""
+    exp = spark.createDataFrame(
+        pd.DataFrame({"part": ["p0", "p0"], "k": ["a", "b"], "v": [1.0, 2.0]})
+    )
+    act = exp.filter("1 = 0")
+    chk = ReconciliationCheck(
+        keys=["k"],
+        measures=[{"name": "rc", "agg": "count"}],
+        chunker=PartitionChunker(columns=["part"]),
+    ).fit(exp)
+    out = chk.calculate(act).toPandas()
+    eo = out[out["method"] == "reconciliation_expected_only_keys"]
+    assert len(eo) == 1
+    assert eo.iloc[0]["value"] == 2.0
+    assert bool(eo.iloc[0]["alert"])
+    rate = out[out["method"] == "reconciliation_mismatch_rate"]
+    assert len(rate) == 1 and pd.isna(rate.iloc[0]["value"])
