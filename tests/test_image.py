@@ -1143,3 +1143,19 @@ def test_decode_batch_bit_identical_to_rowwise():
     assert stds == [float(p.std()) for p in px]
     psnrs = P._psnr_batch(px, px[::-1])
     assert psnrs == [P._psnr(a, b) for a, b in zip(px, px[::-1])]
+
+
+def test_suggest_n_blocks_scales_with_corpus():
+    """The Manku table count must grow with n (VERDICT r5 #4): minimal
+    construction for small corpora, 7 blocks (35 tables) through the 1M-10M
+    tiers, 8 (70) at 100M — every choice keeps exact recall."""
+    from spark_validate.functions.hamming import suggest_n_blocks
+
+    assert suggest_n_blocks(1_000) == 5
+    assert suggest_n_blocks(100_000) == 6
+    assert suggest_n_blocks(1_000_000) == 7
+    assert suggest_n_blocks(10_000_000) == 7
+    assert suggest_n_blocks(100_000_000) == 8
+    assert suggest_n_blocks(1_000_000_000) == 9
+    for n in (10_000, 1_000_000, 100_000_000):
+        assert suggest_n_blocks(n) >= 5  # pigeonhole floor at h=4
