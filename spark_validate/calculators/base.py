@@ -18,6 +18,7 @@ single shuffle.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame
@@ -111,3 +112,23 @@ def strip_informational(out: DataFrame, alerting_method: str) -> DataFrame:
         .withColumn("upper_threshold", F.when(keep, F.col("upper_threshold")))
         .withColumn("alert", F.when(keep, F.col("alert")).otherwise(F.lit(False)))
     )
+
+
+@contextmanager
+def chunker_n_hint(chunker, n):
+    """Temporarily thread an already-computed TOTAL row count into a
+    size/count-based chunker so its ``assign`` skips the count job (one
+    driver round-trip per fit pass at bench scale, one scan at cluster
+    scale). Scoped: the hint is removed on exit so a later ``calculate``
+    over a DIFFERENT frame can never reuse a stale count."""
+    if n is None:
+        yield
+        return
+    chunker._n_hint = int(n)
+    try:
+        yield
+    finally:
+        try:
+            del chunker._n_hint
+        except AttributeError:
+            pass

@@ -197,6 +197,7 @@ class ColumnStatsCalculator:
                 aggs.append(F.expr(f"percentile({c}, 0.5)").alias(f"{c}__med"))
         row = reference.agg(*aggs).first().asDict()
         n_ref = row["__rows"]
+        self._ref_rows_total = n_ref
         for c in self.column_names:
             if need_std:
                 comp[c]["std"] = row.get(f"{c}__std")
@@ -252,7 +253,14 @@ class ColumnStatsCalculator:
             return self._fit(ref)
 
     def _fit(self, reference: DataFrame) -> "ColumnStatsCalculator":
-        ref_long, ref_headers = self._chunk_values(reference)
+        from spark_validate.calculators.base import chunker_n_hint
+
+        # components first: its aggregate counts the reference rows, which
+        # the chunked threshold pass then reuses via the chunker hint (one
+        # fewer count job per fit)
+        components = self._fit_components(reference)
+        with chunker_n_hint(self.chunker, getattr(self, "_ref_rows_total", None)):
+            ref_long, ref_headers = self._chunk_values(reference)
         ref_long = ref_long.persist()
         thr = fit_thresholds_grouped(ref_long, ["column_name", "method"], self.threshold)
         thr_rows = thr.collect()
@@ -264,7 +272,6 @@ class ColumnStatsCalculator:
                 lo = None if lo is None else max(lo, limits[0]) if limits[0] is not None else lo
                 up = None if up is None else (min(up, limits[1]) if limits[1] is not None else up)
             thresholds[(r["column_name"], r["method"])] = (lo, up)
-        components = self._fit_components(reference)
         self._fitted = {"thresholds": thresholds, "components": components}
         self._reference_result = self._finalize(ref_long, ref_headers, period="reference")
         ref_long.unpersist()

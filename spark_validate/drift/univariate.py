@@ -318,8 +318,13 @@ class UnivariateDriftCalculator:
         if cat:
             self._fit_categorical(reference, cat, dtypes)
         self._fitted = True
-        # thresholds from per-reference-chunk method values (methods.py:103-119)
-        ref_result = self._calculate(reference, period="reference", with_thresholds=False)
+        # thresholds from per-reference-chunk method values (methods.py:103-119);
+        # the continuous moments pass already counted the reference rows —
+        # hint the chunker so assign() skips a duplicate count job
+        from spark_validate.calculators.base import chunker_n_hint
+
+        with chunker_n_hint(self.chunker, getattr(self, "_ref_rows_total", None)):
+            ref_result = self._calculate(reference, period="reference", with_thresholds=False)
         vals = (
             ref_result.groupBy("column_name", "method")
             .agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s"))
@@ -354,7 +359,9 @@ class UnivariateDriftCalculator:
         return self
 
     def _fit_continuous(self, reference: DataFrame, cols: List[str], dtypes) -> None:
-        aggs = []
+        # total row count rides along so the threshold pass's chunk
+        # assignment can skip its own count job (chunker_n_hint below)
+        aggs = [F.count(F.lit(1)).alias("__rows_total")]
         for c in cols:
             v = nan_to_null(F.col(c), dtypes[c]).cast("double")
             aggs += [
@@ -364,6 +371,7 @@ class UnivariateDriftCalculator:
                 F.skewness(v).alias(f"{c}__g1"),
             ]
         row = reference.agg(*aggs).first().asDict()
+        self._ref_rows_total = row["__rows_total"]
         specs_needed = self._cont_specs_needed()
         for c in cols:
             n, lo, hi, g1 = (row[f"{c}__n"], row[f"{c}__lo"], row[f"{c}__hi"], row[f"{c}__g1"])

@@ -15,10 +15,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _band_keys_arrow(hash_col: str, ranges, combos):
+def _band_keys_arrow(hash_col: str, ranges, combos, band_shift: int = 0):
     """array<long> of per-combination concatenated block keys — one
     vectorized numpy pass per Arrow batch (bit-identical to the JVM
-    expression path; uint64 views give the logical shifts int64 lacks)."""
+    expression path; uint64 views give the logical shifts int64 lacks).
+    ``band_shift`` > 0 packs the table index into the high bits of each key
+    (see :func:`_pack_shift`)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
@@ -26,17 +28,30 @@ def _band_keys_arrow(hash_col: str, ranges, combos):
         u = ph.to_numpy(np.int64).astype(np.uint64)  # bit-preserving
         blocks = [((u >> np.uint64(off)) & np.uint64((1 << w) - 1)) for off, w in ranges]
         cols = []
-        for combo in combos:
+        for t, combo in enumerate(combos):
             key = np.zeros(len(u), dtype=np.uint64)
             shift = 0
             for j in combo:
                 key += blocks[j] << np.uint64(shift)
                 shift += ranges[j][1]
+            if band_shift:
+                key += np.uint64(t) << np.uint64(band_shift)
             cols.append(key.astype(np.int64))
         out = np.stack(cols, axis=1)
         return pd.Series(list(out))
 
     return keys(F.col(hash_col))
+
+
+def _pack_shift(ranges, combos) -> int:
+    """Bit position where the table index can sit above every combo's value
+    bits so (band, value) packs into ONE non-negative int64 grouping key —
+    one 8-byte column through the banded shuffle instead of an int + a
+    long (guide §2.3: shuffle fewer bytes). 0 = doesn't fit, keep two
+    columns."""
+    max_val_bits = max(sum(ranges[j][1] for j in combo) for combo in combos)
+    band_bits = max(len(combos) - 1, 1).bit_length()
+    return max_val_bits if max_val_bits + band_bits <= 63 else 0
 
 
 def _block_ranges(bits: int, n_blocks: int):
@@ -50,7 +65,12 @@ def _block_ranges(bits: int, n_blocks: int):
 
 
 def _keys_frame(sel: DataFrame, ranges, combos, hash_alias: str = "_ph"):
-    """(id?, _ph, band, val) — the shared one-shuffle key topology."""
+    """(frame, key_cols): the shared one-shuffle key topology. When the
+    (table, value) pair fits one int64 (``_pack_shift``), the frame carries
+    ONE packed ``val`` column (key_cols = ["val"]) — 8 fewer bytes and one
+    fewer grouping column per exploded row through the banded shuffle
+    (guide §2.3); otherwise the unpacked (band, val) pair."""
+    shift = _pack_shift(ranges, combos)
     block_vals = [
         F.shiftrightunsigned(F.col(hash_alias), off).bitwiseAND(F.lit((1 << width) - 1))
         for off, width in ranges
@@ -59,21 +79,43 @@ def _keys_frame(sel: DataFrame, ranges, combos, hash_alias: str = "_ph"):
         # few tables → pure-JVM key expressions (no Python workers)
         band_structs = []
         for t, combo in enumerate(combos):
-            key = F.lit(0).cast("long")
-            shift = 0
+            key = F.lit(t << shift if shift else 0).cast("long")
+            koff = 0
             for j in combo:
-                key = key + F.shiftleft(block_vals[j].cast("long"), shift)
-                shift += ranges[j][1]
-            band_structs.append(F.struct(F.lit(t).alias("band"), key.alias("val")))
-        return sel.select("*", F.explode(F.array(*band_structs)).alias("b")).select(
-            *sel.columns, "b.band", "b.val"
+                key = key + F.shiftleft(block_vals[j].cast("long"), koff)
+                koff += ranges[j][1]
+            if shift:
+                band_structs.append(key)
+            else:
+                band_structs.append(F.struct(F.lit(t).alias("band"), key.alias("val")))
+        if shift:
+            return (
+                sel.select("*", F.explode(F.array(*band_structs)).alias("val")),
+                ["val"],
+            )
+        return (
+            sel.select("*", F.explode(F.array(*band_structs)).alias("b")).select(
+                *sel.columns, "b.band", "b.val"
+            ),
+            ["band", "val"],
         )
     # many tables (Manku construction: C(n_blocks, m) can be 70+) → one
     # numpy pass per Arrow batch; a 70-struct expression tree was 13×
     # slower from codegen alone
-    return sel.select(
-        "*", F.posexplode(_band_keys_arrow(hash_alias, ranges, combos))
-    ).select(*sel.columns, F.col("pos").alias("band"), F.col("col").alias("val"))
+    if shift:
+        return (
+            sel.select(
+                "*",
+                F.explode(_band_keys_arrow(hash_alias, ranges, combos, shift)).alias("val"),
+            ),
+            ["val"],
+        )
+    return (
+        sel.select(
+            "*", F.posexplode(_band_keys_arrow(hash_alias, ranges, combos))
+        ).select(*sel.columns, F.col("pos").alias("band"), F.col("col").alias("val")),
+        ["band", "val"],
+    )
 
 
 def suggest_n_blocks(
@@ -182,16 +224,15 @@ def hamming_near_duplicates(
         )
     ranges = _block_ranges(bits, n_blocks)
     combos = list(itertools.combinations(range(n_blocks), m))
-    keyed = _keys_frame(sel, ranges, combos)
-    # ONE shuffle on (band, band_value) — same topology as the MinHash and
+    keyed, key_cols = _keys_frame(sel, ranges, combos)
+    # ONE shuffle on the banded key — same topology as the MinHash and
     # embedding sweeps; pairs carry (id, phash) only, never image bytes.
     # dedup_hash: collect_set dedups identical (hash, hash) structs in the
     # map-side partials — equal hashes share every band value, so the whole
     # collapse costs nothing beyond the shuffle that was happening anyway.
-    exploded = keyed
     collect = F.collect_set if dedup_hash else F.collect_list
     buckets = (
-        exploded.groupBy("band", "val")
+        keyed.groupBy(*key_cols)
         .agg(F.sort_array(collect(F.struct("id", "_ph"))).alias("xs"))
         .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
     )
@@ -241,7 +282,13 @@ def hamming_degenerate_buckets(
     ranges = _block_ranges(bits, n_blocks)
     combos = list(itertools.combinations(range(n_blocks), m))
     sel = df.select(F.col(hash_col).alias("_ph")).filter(F.col("_ph").isNotNull())
-    keyed = _keys_frame(sel, ranges, combos)
+    keyed, key_cols = _keys_frame(sel, ranges, combos)
+    if key_cols == ["val"]:  # unpack the packed key for the report
+        shift = _pack_shift(ranges, combos)
+        keyed = keyed.select(
+            F.shiftrightunsigned("val", shift).cast("int").alias("band"),
+            F.col("val").bitwiseAND(F.lit((1 << shift) - 1)).alias("val"),
+        )
     return (
         keyed.groupBy("band", F.col("val").alias("band_value"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -295,15 +342,16 @@ def hamming_matches(
         F.col(manifest_hash_col or hash_col).alias("_ph"),
     ).filter(F.col("_ph").isNotNull())
 
-    keyed = _keys_frame(sel, ranges, combos)
-    mkeyed = _keys_frame(msel, ranges, combos).select(
-        F.col("id").alias("match_id"), F.col("_ph").alias("_mph"), "band", "val"
+    keyed, key_cols = _keys_frame(sel, ranges, combos)
+    mframe, _ = _keys_frame(msel, ranges, combos)
+    mkeyed = mframe.select(
+        F.col("id").alias("match_id"), F.col("_ph").alias("_mph"), *key_cols
     )
     if broadcast_manifest:
         mkeyed = F.broadcast(mkeyed)
     dist = F.bit_count(F.col("_ph").bitwiseXOR(F.col("_mph")))
     return (
-        keyed.join(mkeyed, ["band", "val"])
+        keyed.join(mkeyed, key_cols)
         .select("id", "match_id", dist.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         # a pair colliding in several band combinations must count once

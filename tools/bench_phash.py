@@ -70,13 +70,17 @@ def main():
     out = {"n_rows": n, "planted_pairs": PAIRS, "configs": {}}
     for nb in BLOCKS:
         t0 = time.time()
-        pairs = phash_near_duplicates(df, max_hamming=4, n_blocks=nb, max_bucket=100_000)
+        # persist the pair RESULT before deriving the two report counts —
+        # the earlier version recomputed the whole banded sweep for each
+        # count, so every reported wall paid the sweep twice
+        pairs = phash_near_duplicates(df, max_hamming=4, n_blocks=nb, max_bucket=100_000).persist()
         planted = pairs.filter(
             F.col("id_a").startswith("im") & F.col("id_b").startswith("tw")
             | F.col("id_a").startswith("tw") & F.col("id_b").startswith("im")
         ).count()
         total = pairs.count()
         wall = time.time() - t0
+        pairs.unpersist()
         out["configs"][f"n_blocks={nb}"] = {
             "wall_s": round(wall, 1),
             "hashes_per_sec": round(n / wall),
