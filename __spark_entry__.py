@@ -3066,10 +3066,17 @@ def q_schema_verdicts(spark, sf_dir):
     return SchemaCheck(expected=contract).verdicts(li).orderBy("column_name")
 
 
-#: Queries never sampled by any driver correctness artifact through round 5
-#: — promoted to the head of the FIXED canonical order so the next first-50
-#: sample window covers them. A CONSTANT, not derived from anything on disk.
+#: Fixed head of the canonical order. ``avg_threshold_alerts`` stays FIRST —
+#: it was the first-run query in the round-5 driver bench too, so the
+#: one-time session warmup (JVM/JIT, first parquet read, first shuffle and
+#: window codegen, ~5-10 s on the driver host) keeps landing on the query
+#: whose round-5 baseline already carries it; per-query comparisons then
+#: measure the operators, not the reorder. The 15 queries that follow had
+#: never appeared in a driver correctness sample through round 5 — promoted
+#: so the first-50 sample window covers them. A CONSTANT, not derived from
+#: anything on disk.
 _SAMPLE_HEAD = (
+    "avg_threshold_alerts",
     "curation_pipeline", "snapshot_diff", "snapshot_summary",
     "snapshot_chunk_rates", "mixture_sample", "caption_consistency",
     "caption_spam", "payload_drift", "caption_election", "train_split",
