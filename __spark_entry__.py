@@ -1186,7 +1186,7 @@ def q_bin_shift(spark, sf_dir):
 
 def q_cvm_price(spark, sf_dir):
     """Binned Cramér–von Mises distance (drift/univariate.py::
-    _cvm_from_dense) on l_extendedprice — ω² = ∫ (F_ref − F_chunk)² dH over
+    _ecdf_methods_from_dense) on l_extendedprice — ω² = ∫ (F_ref − F_chunk)² dH over
     the SAME 1000-bin ECDF sketch KS rides (one shared histogram shuffle for
     both methods). Out-of-range lumps score mass³/2 at the range-adjacent
     edge; the oracle mirrors the convention term-for-term."""

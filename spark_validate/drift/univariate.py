@@ -56,7 +56,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_validate.calculators.base import assign_chunks, join_headers_long, nan_to_null
@@ -509,40 +509,120 @@ class UnivariateDriftCalculator:
 
     # ---- continuous -----------------------------------------------------------
 
-    def _ref_bins_df(self, spark, spec: str) -> DataFrame:
-        """Broadcast dimension table (column_name, bucket, p, ref_cdf, width, lo, hi)."""
-        rows = []
+    def _calc_continuous(self, assigned: DataFrame, dtypes) -> List[DataFrame]:
+        out: List[DataFrame] = []
+        methods = set(self.continuous_methods)
+        # ONE exploded count shuffle feeds every continuous method; persisted
+        # via the managed registry (see release_cache).
+        hist_all = self._persist(self._continuous_histogram(assigned, self._cont_cols, dtypes, chunked=True))
+        doane_methods = methods & {"jensen_shannon", "hellinger", "tvd", "kl"}
+        ecdf_methods = methods & {"kolmogorov_smirnov", "wasserstein", "cramer_von_mises"}
+        exact_cols = [c for c in self._cont_cols if c in self._exact_ref] if ecdf_methods else []
+        binned_cols = [c for c in self._cont_cols if c not in self._exact_ref]
+        fam_specs = []
+        if doane_methods:
+            fam_specs.append("doane")
+        if ecdf_methods and binned_cols:
+            fam_specs.append("ecdf")
+        if "psi" in methods:
+            fam_specs.append("psi")
+        if len(fam_specs) > 1:
+            # Materialize the shared cache EAGERLY when several subtrees
+            # consume it. The subtrees evaluate concurrently inside one
+            # action; first readers of a cold cache serialize on the
+            # block-manager's per-block compute-or-wait locks while holding
+            # task slots, which destabilizes the whole schedule. Measured
+            # (11-series drift_all_methods, sf0.1, 3 runs each): calculate
+            # 8-45 s (wild variance) cold vs 10.7±0.2 s with this one
+            # up-front count — equal best case, far lower variance.
+            hist_all.count()
+        if fam_specs:
+            out.append(
+                self._binned_continuous_methods(
+                    hist_all, fam_specs, doane_methods, ecdf_methods,
+                    "psi" in methods, binned_cols, assigned, dtypes,
+                )
+            )
+        if ecdf_methods and exact_cols:
+            out.extend(self._exact_ks_wasserstein(assigned, dtypes, exact_cols, ecdf_methods))
+        return out
+
+    def _binned_continuous_methods(
+        self,
+        hist_all: DataFrame,
+        fam_specs: List[str],
+        doane_methods,
+        ecdf_methods,
+        want_psi: bool,
+        binned_cols: List[str],
+        assigned: DataFrame,
+        dtypes,
+    ) -> DataFrame:
+        """EVERY binned continuous method off ONE pipeline keyed
+        (chunk, column, spec): one totals aggregate, one dense join against a
+        single all-spec broadcast bin table, one window cumsum (only when an
+        ECDF method needs it), one groupBy computing every requested family's
+        sufficient statistics, and a spec-conditioned melt. Previously each
+        family (doane / ecdf / psi) re-built totals+dense as its own union
+        branch — no exchange reuse across branches, so drift_all_methods paid
+        the substrate three times per calculate and again per fit-threshold
+        pass (measured: 22 aggregation pipelines for 13 series).
+
+        Method formulas (identical to the per-family implementations they
+        replace; the DuckDB oracles mirror them term-for-term):
+
+        * JS/Hellinger/TVD/KL over Doane-bin dense histograms with the
+          leftover-mass bin for chunk mass outside reference bins
+          (`methods.py:299-305`); KL scores the lump as an extra bin with
+          p = ε, q = leftover.
+        * KS (`methods.py:426-446`): D = max|ref_cdf − (below + cumsum q)|.
+        * CvM: binned distance ω² = ∫ (F_ref − F_chunk)² dH with
+          H = (F_ref + F_chunk)/2 over the reference bin partition; per ref
+          bucket the CDFs are right-edge (cumsum) values, pooled step mass
+          (p + q)/2; out-of-range lumps score mass³/2 at the range-adjacent
+          edge. Bounded in [0, 1]; the exact small-reference path uses
+          `functions.mathstats.cvm_dist_2samp` (same definition, raw values).
+        * Wasserstein (`methods.py:662-692`): Σ|ref_cdf − (amount_smaller +
+          cumsum q)|·width plus distributed out-of-range correction terms
+          (`_wasserstein_corrections`); amount_smaller = (n_below + 1)/n when
+          n_below > 0 (the +1 is the appended ref_min sentinel).
+        * PSI: Σ (q′−p′)·ln(q′/p′) over ε-clipped probabilities, leftover
+          lump as an extra bin vs p = ε.
+        """
+        spark = assigned.sparkSession
+        hist = hist_all.filter(F.col("spec").isin(fam_specs))
+        if "ecdf" in fam_specs and len(binned_cols) < len(self._cont_cols):
+            hist = hist.filter(
+                (F.col("spec") != "ecdf") | F.col("column_name").isin(binned_cols)
+            )
+        # single broadcast dimension tables across ALL specs
+        nbins_rows, ref_rows = [], []
         for c in self._cont_cols:
             st = self._cont_state[c]
-            if spec not in st.specs:
-                continue
-            n_bins, probs = st.specs[spec]
-            cdf = np.cumsum(probs)
-            width = (st.hi - st.lo) / n_bins
-            for b in range(n_bins):
-                rows.append((c, b, float(probs[b]), float(cdf[b]), float(width)))
-        return spark.createDataFrame(
-            rows, "column_name string, bucket int, p double, ref_cdf double, width double"
-        )
-
-    def _dense_hist(self, hist_all: DataFrame, spark, spec: str) -> DataFrame:
-        """Dense per-(chunk, column, bucket) table with chunk freq q, ref prob p,
-        ref_cdf, below/above mass and n_nonnull — the substrate for every
-        continuous method formula. ``hist_all`` is the single shared histogram
-        shuffle output (all columns × specs)."""
-        cols = [c for c in self._cont_cols if spec in self._cont_state[c].specs]
-        if not cols:
-            return None
-        hist = hist_all.filter(F.col("spec") == spec)
+            for spec in fam_specs:
+                if spec not in st.specs:
+                    continue
+                if spec == "ecdf" and c not in binned_cols:
+                    continue
+                n_bins, probs = st.specs[spec]
+                nbins_rows.append((c, spec, n_bins))
+                cdf = np.cumsum(probs)
+                width = (st.hi - st.lo) / n_bins
+                for b in range(n_bins):
+                    ref_rows.append((c, spec, b, float(probs[b]), float(cdf[b]), float(width)))
         nbins_df = F.broadcast(
+            spark.createDataFrame(nbins_rows, "column_name string, spec string, n_bins int")
+        )
+        ref_bins = F.broadcast(
             spark.createDataFrame(
-                [(c, self._cont_state[c].specs[spec][0]) for c in cols],
-                "column_name string, n_bins int",
+                ref_rows,
+                "column_name string, spec string, bucket int, p double, ref_cdf double, width double",
             )
         )
+        keys = [CHUNK_KEY, "column_name", "spec"]
         totals = (
-            hist.join(nbins_df, "column_name")
-            .groupBy(CHUNK_KEY, "column_name")
+            hist.join(nbins_df, ["column_name", "spec"])
+            .groupBy(*keys)
             .agg(
                 F.sum("cnt").alias("n_nonnull"),
                 F.sum(F.when(F.col("bucket") == -1, F.col("cnt")).otherwise(F.lit(0))).alias("n_below"),
@@ -551,223 +631,161 @@ class UnivariateDriftCalculator:
                 ),
             )
         )
-        ref_bins = F.broadcast(self._ref_bins_df(spark, spec))
         dense = (
-            totals.join(ref_bins, "column_name")  # chunk × ref bins (dense)
-            .join(
-                hist.filter(F.col("bucket") >= 0).drop("spec"),
-                [CHUNK_KEY, "column_name", "bucket"],
-                "left",
-            )
+            totals.join(ref_bins, ["column_name", "spec"])  # chunk × ref bins (dense)
+            .join(hist.filter(F.col("bucket") >= 0), keys + ["bucket"], "left")
             .withColumn("q", F.coalesce(F.col("cnt"), F.lit(0)) / F.col("n_nonnull"))
         )
-        return dense
-
-    def _calc_continuous(self, assigned: DataFrame, dtypes) -> List[DataFrame]:
-        out: List[DataFrame] = []
-        methods = set(self.continuous_methods)
-        spark = assigned.sparkSession
-        # ONE exploded count shuffle feeds every continuous method; persisted
-        # via the managed registry (see release_cache) so branches share it.
-        hist_all = self._persist(self._continuous_histogram(assigned, self._cont_cols, dtypes, chunked=True))
-        n_branches = sum(
-            (
-                bool({"jensen_shannon", "hellinger", "tvd", "kl"} & methods),
-                bool({"kolmogorov_smirnov", "wasserstein", "cramer_von_mises"} & methods),
-                "psi" in methods,
-            )
-        )
-        if n_branches > 1:
-            # Materialize the shared cache EAGERLY when several method
-            # branches consume it. The branches evaluate concurrently inside
-            # one action; first readers of a cold cache serialize on the
-            # block-manager's per-block compute-or-wait locks while holding
-            # task slots, which destabilizes the whole multi-branch schedule.
-            # Measured (11-series drift_all_methods, sf0.1, 3 runs each):
-            # calculate 8-45 s (wild variance) cold vs 10.7±0.2 s with this
-            # one up-front count — equal best case, far lower variance.
-            hist_all.count()
-        if {"jensen_shannon", "hellinger", "tvd", "kl"} & methods:
-            dense = self._dense_hist(hist_all, spark, "doane")
-            out.extend(
-                self._hist_distance_methods(dense, methods & {"jensen_shannon", "hellinger", "tvd", "kl"})
-            )
-        if {"kolmogorov_smirnov", "wasserstein", "cramer_von_mises"} & methods:
-            exact_cols = [c for c in self._cont_cols if c in self._exact_ref]
-            binned_cols = [c for c in self._cont_cols if c not in self._exact_ref]
-            if binned_cols:
-                dense = self._dense_hist(hist_all, spark, "ecdf").filter(
-                    F.col("column_name").isin(binned_cols)
-                )
-                if "kolmogorov_smirnov" in methods:
-                    out.append(self._ks_from_dense(dense))
-                if "wasserstein" in methods:
-                    out.append(self._wasserstein_from_dense(dense, assigned, dtypes))
-                if "cramer_von_mises" in methods:
-                    out.append(self._cvm_from_dense(dense))
-            if exact_cols:
-                out.extend(self._exact_ks_wasserstein(assigned, dtypes, exact_cols, methods))
-        if "psi" in methods:
-            dense = self._dense_hist(hist_all, spark, "psi")
-            out.append(self._psi_from_dense(dense))
-        return out
-
-    def _hist_distance_methods(self, dense: DataFrame, methods) -> List[DataFrame]:
-        """JS + Hellinger over Doane-bin dense histograms, leftover-mass bin
-        appended when chunk mass falls outside reference bins
-        (`methods.py:299-305`)."""
+        want_ks = "kolmogorov_smirnov" in ecdf_methods
+        want_cvm = "cramer_von_mises" in ecdf_methods
+        want_w = "wasserstein" in ecdf_methods
+        have_ecdf = "ecdf" in fam_specs
+        if have_ecdf:
+            w = Window.partitionBy(*keys).orderBy("bucket")
+            dense = dense.withColumn("_cum_q", F.sum("q").over(w))
         p, q = F.col("p"), F.col("q")
-        eps = F.lit(self.psi_eps)
-        pc, qc = F.greatest(p, eps), F.greatest(q, eps)
-        grp = dense.groupBy(CHUNK_KEY, "column_name").agg(
-            (F.lit(1.0) - F.sum("q")).alias("leftover"),
-            # JS divergence terms over ref bins (base-2 logs)
-            F.sum(
-                F.when(p > 0, p * F.log2(F.lit(2.0) * p / (p + q))).otherwise(F.lit(0.0))
-            ).alias("_js_p"),
-            F.sum(
-                F.when(q > 0, q * F.log2(F.lit(2.0) * q / (p + q))).otherwise(F.lit(0.0))
-            ).alias("_js_q"),
-            F.sum(F.pow(F.sqrt(p) - F.sqrt(q), 2)).alias("_hel_sq"),
-            F.sum(F.abs(p - q)).alias("_tvd_abs"),
-            F.sum(qc * F.log(qc / pc)).alias("_kl_bins"),
-            F.max("n_nonnull").alias("n_nonnull"),
-        )
-        # numeric guard: leftover can be -1e-16 from fp summation
+        aggs: List[Column] = []
+        if doane_methods or want_psi:
+            # numeric note: leftover can be -1e-16 from fp summation; clamped
+            # at use sites below
+            aggs.append((F.lit(1.0) - F.sum("q")).alias("leftover"))
+        if doane_methods:
+            eps = F.lit(self.psi_eps)
+            pc, qc = F.greatest(p, eps), F.greatest(q, eps)
+            aggs += [
+                # JS divergence terms over ref bins (base-2 logs)
+                F.sum(
+                    F.when(p > 0, p * F.log2(F.lit(2.0) * p / (p + q))).otherwise(F.lit(0.0))
+                ).alias("_js_p"),
+                F.sum(
+                    F.when(q > 0, q * F.log2(F.lit(2.0) * q / (p + q))).otherwise(F.lit(0.0))
+                ).alias("_js_q"),
+                F.sum(F.pow(F.sqrt(p) - F.sqrt(q), 2)).alias("_hel_sq"),
+                F.sum(F.abs(p - q)).alias("_tvd_abs"),
+                F.sum(qc * F.log(qc / pc)).alias("_kl_bins"),
+            ]
+        if want_psi:
+            eps = F.lit(self.psi_eps)
+            pc, qc = F.greatest(p, eps), F.greatest(q, eps)
+            aggs.append(F.sum((qc - pc) * F.log(qc / pc)).alias("_psi_bins"))
+        if have_ecdf:
+            below = F.col("n_below") / F.col("n_nonnull")
+            ks_cdf = below + F.col("_cum_q")
+            if want_ks:
+                aggs.append(F.max(F.abs(F.col("ref_cdf") - ks_cdf)).alias("_ks_d"))
+            if want_cvm:
+                aggs += [
+                    F.sum(((p + q) / F.lit(2.0)) * F.pow(F.col("ref_cdf") - ks_cdf, 2)).alias(
+                        "_cvm_within"
+                    ),
+                    (F.max("n_below") / F.max("n_nonnull")).alias("_cvm_below"),
+                    (F.lit(1.0) - F.max("n_below") / F.max("n_nonnull") - F.sum("q")).alias(
+                        "_cvm_above"
+                    ),
+                ]
+            if want_w:
+                amount_smaller = F.when(
+                    F.col("n_below") > 0, (F.col("n_below") + 1) / F.col("n_nonnull")
+                ).otherwise(F.lit(0.0))
+                aggs.append(
+                    F.sum(
+                        F.abs(F.col("ref_cdf") - (amount_smaller + F.col("_cum_q"))) * F.col("width")
+                    ).alias("_w_within")
+                )
+        grp = dense.groupBy(*keys).agg(*aggs)
+        if have_ecdf and want_w:
+            corr = self._wasserstein_corrections(assigned, dtypes)
+            grp = grp.join(corr, [CHUNK_KEY, "column_name"], "left")
+        # spec-conditioned melt: each per-spec aggregate row emits only its
+        # own family's (method, value) structs
         leftover = F.greatest(F.col("leftover"), F.lit(0.0))
-        res = []
-        js = F.sqrt(
-            F.greatest(
-                F.lit(0.5) * (F.col("_js_p") + F.col("_js_q")) + F.lit(0.5) * leftover, F.lit(0.0)
-            )
-        )
-        hel = F.sqrt((F.col("_hel_sq") + leftover) / F.lit(2.0))
-        # TVD over the full partition: chunk mass outside the reference bins
-        # appears once as the leftover lump — exact, because each outside
-        # bin has p = 0, so Σ|0 − q_i| == Σq_i == leftover
-        tvd = F.lit(0.5) * (F.col("_tvd_abs") + leftover)
-        if "jensen_shannon" in methods:
-            res.append(
-                grp.select(
-                    CHUNK_KEY,
-                    "column_name",
-                    F.lit("jensen_shannon").alias("method"),
-                    js.cast("double").alias("value"),
+        fam_pairs: Dict[str, List[Tuple[str, Column]]] = {}
+        if doane_methods:
+            pairs: List[Tuple[str, Column]] = []
+            if "jensen_shannon" in doane_methods:
+                js = F.sqrt(
+                    F.greatest(
+                        F.lit(0.5) * (F.col("_js_p") + F.col("_js_q")) + F.lit(0.5) * leftover,
+                        F.lit(0.0),
+                    )
                 )
-            )
-        if "hellinger" in methods:
-            res.append(
-                grp.select(
-                    CHUNK_KEY,
-                    "column_name",
-                    F.lit("hellinger").alias("method"),
-                    hel.cast("double").alias("value"),
+                pairs.append(("jensen_shannon", js))
+            if "hellinger" in doane_methods:
+                pairs.append(("hellinger", F.sqrt((F.col("_hel_sq") + leftover) / F.lit(2.0))))
+            if "tvd" in doane_methods:
+                # chunk mass outside the reference bins appears once as the
+                # leftover lump — exact, because each outside bin has p = 0,
+                # so Σ|0 − q_i| == Σq_i == leftover
+                pairs.append(("tvd", F.lit(0.5) * (F.col("_tvd_abs") + leftover)))
+            if "kl" in doane_methods:
+                eps_f = self.psi_eps
+                q_l = F.greatest(leftover, F.lit(eps_f))
+                extra = F.when(leftover > 0, q_l * F.log(q_l / F.lit(eps_f))).otherwise(F.lit(0.0))
+                pairs.append(("kl", F.col("_kl_bins") + extra))
+            fam_pairs["doane"] = pairs
+        if have_ecdf:
+            pairs = []
+            if want_ks:
+                pairs.append(("kolmogorov_smirnov", F.col("_ks_d")))
+            if want_cvm:
+                ab = F.greatest(F.col("_cvm_above"), F.lit(0.0))  # guard float residue
+                pairs.append(
+                    (
+                        "cramer_von_mises",
+                        F.col("_cvm_within")
+                        + F.pow(F.col("_cvm_below"), 3) / F.lit(2.0)
+                        + F.pow(ab, 3) / F.lit(2.0),
+                    )
                 )
-            )
-        if "tvd" in methods:
-            res.append(
-                grp.select(
-                    CHUNK_KEY,
-                    "column_name",
-                    F.lit("tvd").alias("method"),
-                    tvd.cast("double").alias("value"),
+            if want_w:
+                pairs.append(
+                    (
+                        "wasserstein",
+                        F.col("_w_within")
+                        + F.coalesce(F.col("term_smaller"), F.lit(0.0))
+                        + F.coalesce(F.col("term_bigger"), F.lit(0.0)),
+                    )
                 )
-            )
-        if "kl" in methods:
-            # leftover lump scores as an extra bin with p = eps, q = leftover
-            # (the PSI convention halved to the forward direction)
+            fam_pairs["ecdf"] = pairs
+        if want_psi:
             eps_f = self.psi_eps
             q_l = F.greatest(leftover, F.lit(eps_f))
-            extra = F.when(leftover > 0, q_l * F.log(q_l / F.lit(eps_f))).otherwise(F.lit(0.0))
-            res.append(
-                grp.select(
-                    CHUNK_KEY,
-                    "column_name",
-                    F.lit("kl").alias("method"),
-                    (F.col("_kl_bins") + extra).cast("double").alias("value"),
-                )
+            extra = F.when(leftover > 0, (q_l - F.lit(eps_f)) * F.log(q_l / F.lit(eps_f))).otherwise(
+                F.lit(0.0)
             )
-        return res
-
-    def _ks_from_dense(self, dense: DataFrame) -> DataFrame:
-        """D = max|ref_cdf − (below_mass + cumsum(q))| (`methods.py:426-446`)."""
-        w = Window.partitionBy(CHUNK_KEY, "column_name").orderBy("bucket")
-        cdf = dense.withColumn(
-            "chunk_cdf", F.col("n_below") / F.col("n_nonnull") + F.sum("q").over(w)
-        )
-        return cdf.groupBy(CHUNK_KEY, "column_name").agg(
-            F.max(F.abs(F.col("ref_cdf") - F.col("chunk_cdf"))).cast("double").alias("value")
-        ).withColumn("method", F.lit("kolmogorov_smirnov")).select(
-            CHUNK_KEY, "column_name", "method", "value"
-        )
-
-    def _cvm_from_dense(self, dense: DataFrame) -> DataFrame:
-        """Binned Cramér–von Mises DISTANCE ω² = ∫ (F_ref − F_chunk)² dH,
-        H = (F_ref + F_chunk)/2, over the reference bin partition — the same
-        ECDF sketch KS rides (zero extra shuffles; the window and the final
-        aggregate run on the already-shared dense frame). Per ref bucket the
-        CDFs are right-edge (cumsum) values and the pooled step mass is
-        (p + q)/2. Out-of-range analysis mass is scored at the edge ADJACENT
-        to the reference range (below lump: F_ref = 0, F_chunk = below;
-        above lump: F_ref = 1, F_chunk = 1 − above) so each lump contributes
-        mass³/2 — documented convention, mirrored exactly by the DuckDB
-        oracle. Bounded in [0, 1]; exact path for small references uses
-        `functions.mathstats.cvm_dist_2samp` (same definition, raw values)."""
-        w = Window.partitionBy(CHUNK_KEY, "column_name").orderBy("bucket")
-        below = F.col("n_below") / F.col("n_nonnull")
-        cdf = dense.withColumn("chunk_cdf", below + F.sum("q").over(w))
-        grp = cdf.groupBy(CHUNK_KEY, "column_name").agg(
-            F.sum(
-                ((F.col("p") + F.col("q")) / F.lit(2.0))
-                * F.pow(F.col("ref_cdf") - F.col("chunk_cdf"), 2)
-            ).alias("_within"),
-            (F.max("n_below") / F.max("n_nonnull")).alias("_below"),
-            (
-                F.lit(1.0) - F.max("n_below") / F.max("n_nonnull") - F.sum("q")
-            ).alias("_above"),
-        )
-        ab = F.greatest(F.col("_above"), F.lit(0.0))  # guard float residue
-        val = (
-            F.col("_within")
-            + F.pow(F.col("_below"), 3) / F.lit(2.0)
-            + F.pow(ab, 3) / F.lit(2.0)
-        )
+            fam_pairs["psi"] = [("psi", F.col("_psi_bins") + extra)]
+        arr = None
+        for spec, pairs in fam_pairs.items():
+            kvs = F.array(
+                *[
+                    F.struct(F.lit(m).alias("method"), v.cast("double").alias("value"))
+                    for m, v in pairs
+                ]
+            )
+            arr = F.when(F.col("spec") == spec, kvs) if arr is None else arr.when(
+                F.col("spec") == spec, kvs
+            )
         return grp.select(
-            CHUNK_KEY,
-            "column_name",
-            F.lit("cramer_von_mises").alias("method"),
-            val.cast("double").alias("value"),
-        )
+            CHUNK_KEY, "column_name", F.explode(arr).alias("kv")
+        ).select(CHUNK_KEY, "column_name", "kv.method", "kv.value")
 
-    def _wasserstein_from_dense(self, dense: DataFrame, assigned: DataFrame, dtypes) -> DataFrame:
-        """term_within = Σ|ref_cdf − (below+cum q)|·width, plus the reference's
-        out-of-range ECDF correction terms (`methods.py:662-692`) computed from
-        the (rare) out-of-range values via a grouped Arrow UDF."""
-        # parity detail (`methods.py:665-668, 689`): the reference shifts the
-        # within-range CDF by amount_smaller = (n_below + 1)/n when n_below > 0
-        # (the +1 accounts for the appended ref_min sentinel), NOT n_below/n.
-        amount_smaller = F.when(
-            F.col("n_below") > 0, (F.col("n_below") + 1) / F.col("n_nonnull")
-        ).otherwise(F.lit(0.0))
-        w = Window.partitionBy(CHUNK_KEY, "column_name").orderBy("bucket")
-        cdf = dense.withColumn("chunk_cdf", amount_smaller + F.sum("q").over(w))
-        within = cdf.groupBy(CHUNK_KEY, "column_name").agg(
-            F.sum(F.abs(F.col("ref_cdf") - F.col("chunk_cdf")) * F.col("width")).alias("term_within"),
-            F.max("n_nonnull").alias("n_nonnull"),
-        )
-        corr = self._wasserstein_corrections(assigned, dtypes)
-        joined = within.join(corr, [CHUNK_KEY, "column_name"], "left")
-        val = (
-            F.col("term_within")
-            + F.coalesce(F.col("term_smaller"), F.lit(0.0))
-            + F.coalesce(F.col("term_bigger"), F.lit(0.0))
-        )
-        return joined.select(
-            CHUNK_KEY,
-            "column_name",
-            F.lit("wasserstein").alias("method"),
-            val.cast("double").alias("value"),
-        )
+    @staticmethod
+    def _melt_methods(grp: DataFrame, pairs: List[Tuple[str, Column]]) -> DataFrame:
+        """(chunk, column, method, value) long rows from ONE aggregated frame:
+        the per-method values are emitted via a single explode of
+        ``struct(method, value)`` literals instead of one union branch per
+        method. A union branch re-executes the whole aggregation subtree
+        (measured: drift_all_methods ran 22 aggregation pipelines / 18 scans
+        of the persisted histogram for 13 series — no exchange reuse across
+        union branches), while the melt computes the aggregate once and the
+        explode is O(#methods) per ≤#chunks-row group."""
+        kvs = [
+            F.struct(F.lit(m).alias("method"), v.cast("double").alias("value"))
+            for m, v in pairs
+        ]
+        return grp.select(
+            CHUNK_KEY, "column_name", F.explode(F.array(*kvs)).alias("kv")
+        ).select(CHUNK_KEY, "column_name", "kv.method", "kv.value")
 
     def _wasserstein_corrections(self, assigned: DataFrame, dtypes) -> DataFrame:
         """The reference's out-of-range ECDF correction terms
@@ -905,27 +923,6 @@ class UnivariateDriftCalculator:
             out.append(res.withColumn("column_name", F.lit(c)).select(CHUNK_KEY, "column_name", "method", "value"))
         return out
 
-    def _psi_from_dense(self, dense: DataFrame) -> DataFrame:
-        eps = F.lit(self.psi_eps)
-        p = F.greatest(F.col("p"), eps)
-        q = F.greatest(F.col("q"), eps)
-        grp = dense.groupBy(CHUNK_KEY, "column_name").agg(
-            F.sum((q - p) * F.log(q / p)).alias("_psi_bins"),
-            (F.lit(1.0) - F.sum("q")).alias("leftover"),
-        )
-        # leftover bin: q=leftover vs p=eps (out-of-reference-support mass)
-        lv = F.greatest(F.col("leftover"), F.lit(0.0))
-        q_l = F.greatest(lv, eps)
-        extra = F.when(lv > 0, (q_l - eps) * F.log(q_l / eps)).otherwise(F.lit(0.0))
-        return grp.select(
-            CHUNK_KEY,
-            "column_name",
-            F.lit("psi").alias("method"),
-            (F.col("_psi_bins") + extra).cast("double").alias("value"),
-        )
-
-    # ---- categorical ------------------------------------------------------------
-
     def _calc_categorical(self, assigned: DataFrame, dtypes) -> List[DataFrame]:
         spark = assigned.sparkSession
         # One count shuffle shared by every categorical method; persisted via
@@ -963,92 +960,90 @@ class UnivariateDriftCalculator:
         )
         out: List[DataFrame] = []
         methods = set(self.categorical_methods)
-        if {"jensen_shannon", "hellinger", "psi", "tvd", "kl"} & methods:
-            out.extend(self._cat_hist_methods(dense_ref, methods))
-        if "l_infinity" in methods:
-            union = dense_ref.select(CHUNK_KEY, "column_name", "p", "q").unionByName(
-                chunk_only.select(CHUNK_KEY, "column_name", "p", "q")
-            )
+        hist_methods = {"jensen_shannon", "hellinger", "psi", "tvd", "kl"} & methods
+        if hist_methods or "l_infinity" in methods:
             out.append(
-                union.groupBy(CHUNK_KEY, "column_name")
-                .agg(F.max(F.abs(F.col("p") - F.col("q"))).cast("double").alias("value"))
-                .withColumn("method", F.lit("l_infinity"))
-                .select(CHUNK_KEY, "column_name", "method", "value")
+                self._cat_hist_methods(
+                    dense_ref, chunk_only, methods, with_linf="l_infinity" in methods
+                )
             )
         if "chi2" in methods:
             out.append(self._chi2(dense_ref, chunk_only))
         return out
 
-    def _cat_hist_methods(self, dense_ref: DataFrame, methods) -> List[DataFrame]:
+    def _cat_hist_methods(
+        self, dense_ref: DataFrame, chunk_only: DataFrame, methods, with_linf: bool
+    ) -> DataFrame:
         """JS/Hellinger/PSI on reference-category probabilities with a leftover
-        bin for unseen categories (`methods.py:346-364, 795-814`)."""
+        bin for unseen categories (`methods.py:346-364, 795-814`), plus
+        l_infinity = max|p − q| over the category UNION (`methods.py:541-585`)
+        — one aggregation, methods melted out (see ``_melt_methods``).
+
+        When l_infinity is requested the aggregate runs over the union of
+        reference categories and chunk-only categories; the hist-method sums
+        are guarded to reference-category rows (`_ref`), where a chunk-only
+        row contributes an exact 0.0 term (IEEE identity — adding 0.0 never
+        changes a finite sum), so their values are unchanged by the union.
+        Without l_infinity the chunk-only subtree is skipped entirely."""
         p, q = F.col("p"), F.col("q")
+        if with_linf:
+            base = dense_ref.select(
+                CHUNK_KEY, "column_name", "p", "q", F.lit(True).alias("_ref")
+            ).unionByName(
+                chunk_only.select(
+                    CHUNK_KEY, "column_name", "p", "q", F.lit(False).alias("_ref")
+                )
+            )
+            ref_row = F.col("_ref")
+        else:
+            base = dense_ref
+            ref_row = F.lit(True)
+
+        def ref_sum(term: Column, alias: str) -> Column:
+            guarded = term if not with_linf else F.when(ref_row, term).otherwise(F.lit(0.0))
+            return F.sum(guarded).alias(alias)
+
         eps = F.lit(self.psi_eps)
         pc, qc = F.greatest(p, eps), F.greatest(q, eps)
-        grp = dense_ref.groupBy(CHUNK_KEY, "column_name").agg(
-            (F.lit(1.0) - F.sum("q")).alias("leftover"),
-            F.sum(F.when(p > 0, p * F.log2(F.lit(2.0) * p / (p + q))).otherwise(F.lit(0.0))).alias("_js_p"),
-            F.sum(F.when(q > 0, q * F.log2(F.lit(2.0) * q / (p + q))).otherwise(F.lit(0.0))).alias("_js_q"),
-            F.sum(F.pow(F.sqrt(p) - F.sqrt(q), 2)).alias("_hel_sq"),
-            F.sum(F.abs(p - q)).alias("_tvd_abs"),
-            F.sum((qc - pc) * F.log(qc / pc)).alias("_psi_bins"),
-            F.sum(qc * F.log(qc / pc)).alias("_kl_bins"),
-        )
+        aggs = [
+            ref_sum(q, "_q_ref"),
+            ref_sum(F.when(p > 0, p * F.log2(F.lit(2.0) * p / (p + q))).otherwise(F.lit(0.0)), "_js_p"),
+            ref_sum(F.when(q > 0, q * F.log2(F.lit(2.0) * q / (p + q))).otherwise(F.lit(0.0)), "_js_q"),
+            ref_sum(F.pow(F.sqrt(p) - F.sqrt(q), 2), "_hel_sq"),
+            ref_sum(F.abs(p - q), "_tvd_abs"),
+            ref_sum((qc - pc) * F.log(qc / pc), "_psi_bins"),
+            ref_sum(qc * F.log(qc / pc), "_kl_bins"),
+        ]
+        if with_linf:
+            aggs.append(F.max(F.abs(p - q)).alias("_linf"))
+        grp = base.groupBy(CHUNK_KEY, "column_name").agg(*aggs)
+        grp = grp.withColumn("leftover", F.lit(1.0) - F.col("_q_ref"))
         leftover = F.greatest(F.col("leftover"), F.lit(0.0))
-        res = []
+        pairs: List[Tuple[str, Column]] = []
         if "jensen_shannon" in methods:
             js = F.sqrt(
                 F.greatest(F.lit(0.5) * (F.col("_js_p") + F.col("_js_q")) + F.lit(0.5) * leftover, F.lit(0.0))
             )
-            res.append(
-                grp.select(
-                    CHUNK_KEY, "column_name", F.lit("jensen_shannon").alias("method"), js.cast("double").alias("value")
-                )
-            )
+            pairs.append(("jensen_shannon", js))
         if "hellinger" in methods:
-            hel = F.sqrt((F.col("_hel_sq") + leftover) / F.lit(2.0))
-            res.append(
-                grp.select(
-                    CHUNK_KEY, "column_name", F.lit("hellinger").alias("method"), hel.cast("double").alias("value")
-                )
-            )
+            pairs.append(("hellinger", F.sqrt((F.col("_hel_sq") + leftover) / F.lit(2.0))))
         if "psi" in methods:
             eps_f = self.psi_eps
             q_l = F.greatest(leftover, F.lit(eps_f))
             extra = F.when(leftover > 0, (q_l - F.lit(eps_f)) * F.log(q_l / F.lit(eps_f))).otherwise(F.lit(0.0))
-            res.append(
-                grp.select(
-                    CHUNK_KEY,
-                    "column_name",
-                    F.lit("psi").alias("method"),
-                    (F.col("_psi_bins") + extra).cast("double").alias("value"),
-                )
-            )
+            pairs.append(("psi", F.col("_psi_bins") + extra))
         if "tvd" in methods:
             # unseen-category lump is exact (p = 0 per unseen cat, so the
             # per-category |p − q| sum equals the single leftover term)
-            tvd = F.lit(0.5) * (F.col("_tvd_abs") + leftover)
-            res.append(
-                grp.select(
-                    CHUNK_KEY,
-                    "column_name",
-                    F.lit("tvd").alias("method"),
-                    tvd.cast("double").alias("value"),
-                )
-            )
+            pairs.append(("tvd", F.lit(0.5) * (F.col("_tvd_abs") + leftover)))
         if "kl" in methods:
             eps_f = self.psi_eps
             q_l = F.greatest(leftover, F.lit(eps_f))
             extra = F.when(leftover > 0, q_l * F.log(q_l / F.lit(eps_f))).otherwise(F.lit(0.0))
-            res.append(
-                grp.select(
-                    CHUNK_KEY,
-                    "column_name",
-                    F.lit("kl").alias("method"),
-                    (F.col("_kl_bins") + extra).cast("double").alias("value"),
-                )
-            )
-        return res
+            pairs.append(("kl", F.col("_kl_bins") + extra))
+        if with_linf:
+            pairs.append(("l_infinity", F.col("_linf")))
+        return self._melt_methods(grp, pairs)
 
     def _chi2(self, dense_ref: DataFrame, chunk_only: DataFrame) -> DataFrame:
         """Pearson chi-squared of the 2×k (reference vs chunk) contingency
