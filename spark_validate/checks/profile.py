@@ -1025,6 +1025,20 @@ class ShapeStatsCalculator:
     def calculate(self, df: DataFrame, period: str = "analysis") -> DataFrame:
         dtypes = dict(df.dtypes)
         assigned, headers = assign_chunks(df, self.chunker)
+        # DECIMAL(38,6) sums are BigDecimal-backed (not vectorized), and the
+        # <=5M-row chunk-index sort emits ONE partition - the map-side partial
+        # aggregation of 4 power sums x columns would run SERIALLY (measured
+        # 10.4 s for 600k rows x 2 columns, ~1 s parallel). Decimal addition
+        # is order-independent - that is this calculator's determinism
+        # contract - so a round-robin repartition is bit-identical. Applied
+        # only on the small-data sort path; the >5M scalable index is already
+        # partitioned and a full-row reshuffle there would cost real I/O.
+        from spark_validate.chunking import ROW_INDEX, SORT_INDEX_THRESHOLD
+
+        n = getattr(self.chunker, "_last_assign_n", None)
+        if ROW_INDEX in assigned.columns and n is not None and n <= SORT_INDEX_THRESHOLD:
+            n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            assigned = assigned.repartition(n_parts)
         wide = assigned.groupBy(CHUNK_KEY).agg(*self._exprs(dtypes, ""))
         long_df = self._melt(wide, "")
         return _attach_const_threshold(long_df, headers, period, self.threshold.lower, self.threshold.upper)

@@ -237,6 +237,10 @@ class SizeBasedChunker(Chunker):
         # counted a second time inside with_row_index). A parent
         # CountBasedChunker already counted — reuse via _n_hint.
         n = n_hint if n_hint is not None else df.count()
+        # stashed for calculators that need to know whether the ≤5M-row
+        # single-task sort path (ONE output partition) was taken — e.g.
+        # ShapeStatsCalculator re-parallelizes its decimal partial sums
+        self._last_assign_n = n
         idxed = (
             df
             if ROW_INDEX in df.columns

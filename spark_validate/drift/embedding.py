@@ -111,7 +111,9 @@ class EmbeddingDriftCalculator:
 
     # -- expressions -----------------------------------------------------------
 
-    def _project(self, df: DataFrame, keep: List[str], lo: float, hi: float) -> DataFrame:
+    def _project(
+        self, df: DataFrame, keep: List[str], lo: float, hi: float, elements: bool = True
+    ) -> DataFrame:
         """Pre-aggregation projection: per-dim element values, the L2 norm,
         and the norm bucket — each computed ONCE per row, in TWO stacked
         selects. The aggregates below consume these plain columns; inlining
@@ -126,16 +128,24 @@ class EmbeddingDriftCalculator:
         separate exactly because ``__norm`` is a non-cheap alias consumed
         more than once, so the norm is one compiled ~dim-term method and the
         bucket is a tiny CASE over a plain column — the whole stage stays in
-        codegen."""
+        codegen.
+
+        ``elements=False`` skips the per-dim ``__e{i}`` columns for consumers
+        that only aggregate the norm histogram (the fit's global-probs pass):
+        the physical plan would prune them anyway, but Catalyst still
+        analyzes/optimizes the ~dim-wide projection — measured driver-side
+        cost, not executor cost."""
         emb = F.col(self.embedding_col)
+        el = [F.get(emb, i).cast("double").alias(f"__e{i}") for i in range(self.dim)] if elements else []
+        el_names = [f"__e{i}" for i in range(self.dim)] if elements else []
         stage1 = df.select(
             *keep,
-            *[F.get(emb, i).cast("double").alias(f"__e{i}") for i in range(self.dim)],
+            *el,
             l2_norm_expr(emb, self.dim).alias("__norm"),
         )
         return stage1.select(
             *keep,
-            *[f"__e{i}" for i in range(self.dim)],
+            *el_names,
             F.col("__norm"),
             self._bucket_from_norm(F.col("__norm"), lo, hi).alias("__bkt"),
         )
@@ -222,7 +232,7 @@ class EmbeddingDriftCalculator:
         # norm_probs inconsistent with the mu/sigma/lo/hi fitted on every row
         # above. The extra aggregation re-reads the fit-time cached
         # projection (cached_for_fit), so no third scan of storage happens.
-        hrow = self._project(reference, [], lo, hi).agg(*self._hist_aggs()).first().asDict()
+        hrow = self._project(reference, [], lo, hi, elements=False).agg(*self._hist_aggs()).first().asDict()
         wide_ref = self._chunk_wide(reference).persist()
         n_norm = hrow["__nnorm"]
         if not n_norm:
