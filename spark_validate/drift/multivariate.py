@@ -77,10 +77,13 @@ class DataReconstructionDriftCalculator:
 
     def _fit(self, reference: DataFrame) -> "DataReconstructionDriftCalculator":
         cont, cat = self._split(reference)
-        n = reference.count()
-        # imputation + encoding statistics in one pass each
-        aggs = [F.avg(F.col(c)).alias(f"{c}__mean") for c in cont]
-        row = reference.agg(*aggs).first().asDict() if aggs else {}
+        # imputation + encoding statistics in one pass each; the total row
+        # count rides the means aggregate so the threshold pass's chunk
+        # assignment can skip its own count job (chunker_n_hint below)
+        aggs = [F.count(F.lit(1)).alias("__rows_total")]
+        aggs += [F.avg(F.col(c)).alias(f"{c}__mean") for c in cont]
+        row = reference.agg(*aggs).first().asDict()
+        n = row["__rows_total"]
         cont_means = {c: float(row[f"{c}__mean"]) for c in cont}
         cat_maps: Dict[str, Dict[str, float]] = {}
         cat_modes: Dict[str, str] = {}
@@ -137,7 +140,10 @@ class DataReconstructionDriftCalculator:
             "components": W.tolist(),
         }
         # reference per-chunk values → thresholds
-        ref_vals, headers = self._chunk_values(reference)
+        from spark_validate.calculators.base import chunker_n_hint
+
+        with chunker_n_hint(self.chunker, n):
+            ref_vals, headers = self._chunk_values(reference)
         ref_vals = ref_vals.persist()
         trow = ref_vals.agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s")).first()
         lo = up = None
